@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.{VectorFunctions => VF, VectorAggregates => VA, HalfFloat}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Seq(1f, 2f, 3f), Seq(4f, 6f, 8f)),
+    (2L, Seq(0f, 0f, 0f), Seq(1f, 0f, 0f)),
+    (3L, Seq(-1.5f, 2.5f, 0.5f), Seq(0.5f, -0.5f, 2f))
+  ).toDF("id", "a", "b")
+
+  private def one(c: org.apache.spark.sql.Column): Double =
+    df.filter($"id" === 1).select(c).as[Double].head()
+
+  test("l2 / l2sq / l1 distances match closed form") {
+    assert(math.abs(one(VF.l2Distance($"a", $"b")) - math.sqrt(9 + 16 + 25)) < 1e-12)
+    assert(one(VF.l2SquaredDistance($"a", $"b")) == 50.0)
+    assert(one(VF.l1Distance($"a", $"b")) == 12.0)
+  }
+
+  test("inner product / neg ip / cosine") {
+    assert(one(VF.innerProduct($"a", $"b")) == 4 + 12 + 24)
+    assert(one(VF.negInnerProduct($"a", $"b")) == -40.0)
+    val cos = 40.0 / (math.sqrt(14.0) * math.sqrt(116.0))
+    assert(math.abs(one(VF.cosineDistance($"a", $"b")) - (1 - cos)) < 1e-12)
+  }
+
+  test("norm, normalize, dims") {
+    assert(math.abs(one(VF.l2Norm($"a")) - math.sqrt(14.0)) < 1e-12)
+    val n = df.filter($"id" === 1).select(VF.l2Normalize($"a")).as[Seq[Double]].head()
+    assert(math.abs(n.map(x => x * x).sum - 1.0) < 1e-12)
+    // zero vector normalizes to zero vector (ref: vector.cpp l2_normalize)
+    val z = df.filter($"id" === 2).select(VF.l2Normalize($"a")).as[Seq[Double]].head()
+    assert(z.forall(_ == 0.0))
+    assert(df.select(VF.vectorDims($"a")).as[Int].head() == 3)
+  }
+
+  test("arithmetic, concat, subvector") {
+    val add = df.filter($"id" === 1).select(VF.vectorAdd($"a", $"b")).as[Seq[Float]].head()
+    assert(add == Seq(5f, 8f, 11f))
+    val sub = df.filter($"id" === 1).select(VF.vectorSub($"a", $"b")).as[Seq[Float]].head()
+    assert(sub == Seq(-3f, -4f, -5f))
+    val mul = df.filter($"id" === 1).select(VF.vectorMul($"a", $"b")).as[Seq[Float]].head()
+    assert(mul == Seq(4f, 12f, 24f))
+    val cc = df.filter($"id" === 1).select(VF.vectorConcat($"a", $"b")).as[Seq[Float]].head()
+    assert(cc == Seq(1f, 2f, 3f, 4f, 6f, 8f))
+    val sv = df.filter($"id" === 1).select(VF.subvector($"a", 2, 2)).as[Seq[Float]].head()
+    assert(sv == Seq(2f, 3f))
+  }
+
+  test("binary quantize + hamming + jaccard") {
+    val r = df.filter($"id" === 3).select(
+      VF.hammingDistance(VF.binaryQuantize($"a"), VF.binaryQuantize($"b")).as("h"),
+      VF.jaccardDistance(VF.binaryQuantize($"a"), VF.binaryQuantize($"b")).as("j")
+    ).head()
+    // a=(-1.5,2.5,0.5)->011, b=(0.5,-0.5,2)->101 : xor=110 -> hamming 2
+    assert(r.getDouble(0) == 2.0)
+    // and=001 (1 bit), or=111 (3 bits) -> jaccard dist = 1 - 1/3
+    assert(math.abs(r.getDouble(1) - (1.0 - 1.0 / 3.0)) < 1e-12)
+  }
+
+  test("vector compare is lexicographic") {
+    val c = df.filter($"id" === 1).select(VF.vectorCmp($"a", $"b")).as[Int].head()
+    assert(c == -1)
+    assert(df.filter($"id" === 1).select(VF.vectorCmp($"a", $"a")).as[Int].head() == 0)
+  }
+
+  test("halfvec round trip quantizes to fp16 grid") {
+    assert(HalfFloat.toFloat(HalfFloat.fromFloat(1.0f)) == 1.0f)
+    assert(HalfFloat.toFloat(HalfFloat.fromFloat(0.5f)) == 0.5f)
+    // 0.1f is not representable in fp16; nearest is 0.0999755859375
+    val q = HalfFloat.toFloat(HalfFloat.fromFloat(0.1f))
+    assert(math.abs(q - 0.1f) < 1e-4 && q != 0.1f)
+    assert(HalfFloat.fromFloat(65520f) == HalfFloat.fromFloat(Float.PositiveInfinity))
+    val hv = df.filter($"id" === 1).select(VF.halfvec($"a")).as[Seq[Float]].head()
+    assert(hv == Seq(1f, 2f, 3f))
+  }
+
+  test("sparse distance merge-scan") {
+    val sp = Seq((Seq(0, 2, 5), Seq(1f, 2f, 3f), Seq(2, 3), Seq(4f, 5f)))
+      .toDF("ai", "av", "bi", "bv")
+    val l2sq = sp.select(VF.sparseDistance($"ai", $"av", $"bi", $"bv", "l2sq")).as[Double].head()
+    // diffs: idx0: 1, idx2: 2-4=-2, idx3: -5, idx5: 3 -> 1+4+25+9 = 39
+    assert(l2sq == 39.0)
+    val ip = sp.select(VF.sparseDistance($"ai", $"av", $"bi", $"bv", "ip")).as[Double].head()
+    assert(ip == 8.0)
+  }
+
+  test("vec avg / sum aggregates") {
+    val r = df.groupBy().agg(VA.vecAvg($"a").as("avg"), VA.vecSum($"a").as("sum"))
+      .head()
+    val avg = r.getSeq[Float](0); val sum = r.getSeq[Float](1)
+    assert(sum == Seq(1f - 1.5f, 4.5f, 3.5f))
+    assert(math.abs(avg(1) - 4.5f / 3) < 1e-6)
+  }
+
+  test("distance works under whole-stage codegen on real parquet") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.orderBy("vec_id").limit(1).select($"embedding").as[Seq[Float]].head()
+    val top = emb.select($"vec_id", VF.l2Distance($"embedding", lit(q.toArray)).as("d"))
+      .orderBy($"d", $"vec_id").limit(5).collect()
+    assert(top.length == 5)
+    assert(top.head.getDouble(1) == 0.0) // itself
+  }
+}
