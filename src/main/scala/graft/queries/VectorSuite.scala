@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{VectorFunctions => VF, VectorAggregates => VA}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Vector-surface queries (SURVEY §2 A-series) with DuckDB-checkable
+ * oracles. The query vector is the embedding of `vec_id = 0`, joined in
+ * via a broadcast cross join (no driver collect).
+ *
+ * Float parity rules (SURVEY §6): per-row distance math is double with a
+ * fixed sequential accumulation order on both engines, so values are
+ * compared after round(·, 6); aggregate outputs round-trip through fp32
+ * on both sides before round(·, 4).
+ */
+object VectorSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def embWithQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(q))
+  }
+
+  private def topk(dist: (Column, Column) => Column, alias: String): Q =
+    (s, dir) =>
+      embWithQ(s, dir)
+        .select(col("vec_id"), round(dist(col("embedding"), col("qv")), 6).as(alias))
+        .orderBy(col(alias), col("vec_id"))
+        .limit(10)
+
+  private def topkSql(distSql: String, alias: String): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, round($distSql, 6) AS $alias
+       |FROM embeddings e, q ORDER BY $alias, vec_id LIMIT 10""".stripMargin
+
+  // shared SQL fragments
+  private val eD = "e.embedding::DOUBLE[]"
+  private val qD = "q.qv::DOUBLE[]"
+
+  val queries: Map[String, Q] = Map(
+    "vec_l2_topk" -> topk(VF.l2Distance, "dist"),
+    "vec_ip_topk" -> topk(VF.negInnerProduct, "nip"),
+    "vec_cos_topk" -> topk(VF.cosineDistance, "cosd"),
+    "vec_l1" -> topk(VF.l1Distance, "l1d"),
+    "vec_l2sq" -> topk(VF.l2SquaredDistance, "l2sq"),
+    "vec_spherical" -> topk(VF.sphericalDistance, "sphd"),
+
+    "vec_norm" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), round(VF.l2Norm(col("embedding")), 6).as("nrm"))
+        .orderBy("vec_id")),
+
+    "vec_normalize" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(VF.l2Normalize(col("embedding")), x => round(x, 6)).as("unit"))
+        .orderBy("vec_id")),
+
+    "vec_dims" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(VF.vectorDims(col("embedding")).as("dims")).distinct()),
+
+    "vec_arith" -> ((s, dir) =>
+      embWithQ(s, dir)
+        .select(col("vec_id"),
+          slice(VF.vectorAdd(col("embedding"), col("qv")), 1, 4).as("va"),
+          slice(VF.vectorSub(col("embedding"), col("qv")), 1, 4).as("vs"),
+          slice(VF.vectorMul(col("embedding"), col("qv")), 1, 4).as("vm"))
+        .orderBy("vec_id").limit(50)),
+
+    "vec_slice_concat" -> ((s, dir) =>
+      embWithQ(s, dir)
+        .select(col("vec_id"),
+          VF.vectorConcat(VF.subvector(col("embedding"), 1, 4),
+            VF.subvector(col("qv"), 1, 4)).as("cc"))
+        .orderBy("vec_id").limit(50)),
+
+    "vec_binquant" -> ((s, dir) => {
+      val zero = lit(Array.fill(64)(0f))
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          VF.hammingDistance(VF.binaryQuantize(col("embedding")),
+            VF.binaryQuantize(zero)).cast("long").as("popcnt"))
+        .orderBy("vec_id")
+    }),
+
+    "vec_hamming" -> ((s, dir) =>
+      embWithQ(s, dir)
+        .select(col("vec_id"),
+          VF.hammingDistance(VF.binaryQuantize(col("embedding")),
+            VF.binaryQuantize(col("qv"))).cast("long").as("hamm"))
+        .orderBy(col("hamm"), col("vec_id")).limit(20)),
+
+    "vec_jaccard" -> ((s, dir) =>
+      embWithQ(s, dir)
+        .select(col("vec_id"),
+          round(VF.jaccardDistance(VF.binaryQuantize(col("embedding")),
+            VF.binaryQuantize(col("qv"))), 6).as("jacc"))
+        .orderBy(col("jacc"), col("vec_id")).limit(20)),
+
+    "vec_cmp" -> ((s, dir) =>
+      embWithQ(s, dir)
+        .select(col("vec_id"), VF.vectorCmp(col("embedding"), col("qv")).as("cmp"))
+        .orderBy("vec_id").limit(50)),
+
+    "vec_half_l2" -> ((s, dir) =>
+      // halfvec emulation: fp16-quantize both sides then l2 (rows-only oracle:
+      // DuckDB has no fp16 grid).
+      embWithQ(s, dir)
+        .select(col("vec_id"),
+          round(VF.l2Distance(VF.halfvec(col("embedding")), VF.halfvec(col("qv"))), 6).as("hd"))
+        .orderBy(col("hd"), col("vec_id")).limit(10)),
+
+    "vec_sparse" -> ((s, dir) => {
+      // sparsify: keep |x| > 0.1 as (indices asc, values); merge-scan l2sq
+      // against the sparsified query vector.
+      def sparse(c: Column) =
+        filter(transform(c, (x, i) => struct(i.as("i"), x.as("v"))),
+          s => abs(s.getField("v")) > 0.1f)
+      val df = embWithQ(s, dir)
+        .withColumn("se", sparse(col("embedding")))
+        .withColumn("sq", sparse(col("qv")))
+      df.select(col("vec_id"),
+          round(VF.sparseDistance(
+            transform(col("se"), x => x.getField("i")),
+            transform(col("se"), x => x.getField("v")),
+            transform(col("sq"), x => x.getField("i")),
+            transform(col("sq"), x => x.getField("v")), "l2sq"), 6).as("sd"))
+        .orderBy(col("sd"), col("vec_id")).limit(10)
+    }),
+
+    "vec_avg" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(VA.vecAvg(col("embedding")).as("c"))
+        .select(col("label"), transform(col("c"), x => round(x.cast("double"), 4)).as("centroid"))
+        .orderBy("label")),
+
+    "vec_sum" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(VA.vecSum(col("embedding")).as("c"))
+        .select(col("label"), transform(col("c"), x => round(x.cast("double"), 4)).as("vsum"))
+        .orderBy("label"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "vec_l2_topk" -> topkSql(s"list_distance($eD, $qD)", "dist"),
+    "vec_ip_topk" -> topkSql(s"-list_inner_product($eD, $qD)", "nip"),
+    "vec_cos_topk" -> topkSql(
+      s"1.0 - greatest(-1.0, least(1.0, list_inner_product($eD, $qD) / sqrt(list_inner_product($eD, $eD) * list_inner_product($qD, $qD))))",
+      "cosd"),
+    "vec_l1" -> topkSql(
+      s"list_sum(list_transform(generate_series(1, len(e.embedding)), i -> abs(e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))",
+      "l1d"),
+    "vec_l2sq" -> topkSql(
+      s"list_sum(list_transform(generate_series(1, len(e.embedding)), i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE) ^ 2))",
+      "l2sq"),
+    "vec_spherical" -> topkSql(
+      s"acos(greatest(-1.0, least(1.0, list_inner_product($eD, $qD)))) / pi()",
+      "sphd"),
+
+    "vec_norm" ->
+      "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm FROM embeddings ORDER BY vec_id",
+
+    "vec_normalize" ->
+      """SELECT vec_id, list_transform(embedding, x ->
+        |  round(x::DOUBLE / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)) AS unit
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "vec_dims" -> "SELECT DISTINCT len(embedding) AS dims FROM embeddings",
+
+    "vec_arith" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  list_transform(generate_series(1, 4), i -> (e.embedding[i] + q.qv[i])::FLOAT) AS va,
+        |  list_transform(generate_series(1, 4), i -> (e.embedding[i] - q.qv[i])::FLOAT) AS vs,
+        |  list_transform(generate_series(1, 4), i -> (e.embedding[i] * q.qv[i])::FLOAT) AS vm
+        |FROM embeddings e, q ORDER BY vec_id LIMIT 50""".stripMargin,
+
+    "vec_slice_concat" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.embedding[1:4] || q.qv[1:4] AS cc
+        |FROM embeddings e, q ORDER BY vec_id LIMIT 50""".stripMargin,
+
+    "vec_binquant" ->
+      """SELECT vec_id,
+        |  list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END))::BIGINT AS popcnt
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "vec_hamming" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CASE WHEN (e.embedding[i] > 0) <> (q.qv[i] > 0) THEN 1 ELSE 0 END))::BIGINT AS hamm
+        |FROM embeddings e, q ORDER BY hamm, vec_id LIMIT 20""".stripMargin,
+
+    "vec_jaccard" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, round(1.0 -
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CASE WHEN e.embedding[i] > 0 AND q.qv[i] > 0 THEN 1 ELSE 0 END))::DOUBLE /
+        |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |    i -> CASE WHEN e.embedding[i] > 0 OR q.qv[i] > 0 THEN 1 ELSE 0 END))::DOUBLE, 6) AS jacc
+        |FROM embeddings e, q ORDER BY jacc, vec_id LIMIT 20""".stripMargin,
+
+    "vec_cmp" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CASE WHEN e.embedding = q.qv THEN 0 WHEN e.embedding < q.qv THEN -1 ELSE 1 END AS cmp
+        |FROM embeddings e, q ORDER BY vec_id LIMIT 50""".stripMargin,
+
+    // vec_half_l2: rows-only (no fp16 in DuckDB)
+
+    "vec_sparse" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |  i -> ((CASE WHEN abs(e.embedding[i]) > 0.1 THEN e.embedding[i] ELSE 0 END)::DOUBLE -
+        |        (CASE WHEN abs(q.qv[i]) > 0.1 THEN q.qv[i] ELSE 0 END)::DOUBLE) ^ 2)), 6) AS sd
+        |FROM embeddings e, q ORDER BY sd, vec_id LIMIT 10""".stripMargin,
+
+    "vec_avg" ->
+      """SELECT label, list(round((s / cnt)::FLOAT::DOUBLE, 4) ORDER BY i) AS centroid
+        |FROM (SELECT label, i, sum(x) AS s, count(*) AS cnt
+        |      FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+        |                   unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+        |      GROUP BY label, i)
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "vec_sum" ->
+      """SELECT label, list(round(s::FLOAT::DOUBLE, 4) ORDER BY i) AS vsum
+        |FROM (SELECT label, i, sum(x) AS s
+        |      FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+        |                   unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+        |      GROUP BY label, i)
+        |GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <verify_out_dir>/<name> parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB against the sf_dir
+tables, and compares: row count, column names (sorted), and values
+(rows sorted, columns sorted by name). Exact compare; floats compared
+exactly first and with 1e-9 relative tolerance as a diagnostic.
+"""
+import json, math, os, sys
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(v):
+    import numpy as np
+    if isinstance(v, np.ndarray):
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, np.generic):
+        return norm(v.item())
+    if isinstance(v, float):
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+def eq(a, b, tol):
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b or (math.isnan(a) and math.isnan(b)):
+            return True
+        return tol > 0 and abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(eq(x, y, tol) for x, y in zip(a, b))
+    return a == b
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_exact = n_tol = n_fail = n_rowsonly = 0
+    for name in names:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        if name not in oracle:
+            status = f"rows-only ({len(got)} rows)"
+            n_rowsonly += 1
+            if len(got) == 0:
+                status = "FAIL rows-only: 0 rows"; n_fail += 1; n_rowsonly -= 1
+            print(f"{name:24s} {status}")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"{name:24s} FAIL oracle sql error: {e}")
+            n_fail += 1
+            continue
+        gcols, ecols = sorted(got.columns), sorted(exp.columns)
+        if gcols != ecols:
+            print(f"{name:24s} FAIL schema: spark={gcols} oracle={ecols}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"{name:24s} FAIL rows: spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        grows = sorted([tuple(norm(v) for v in r) for r in got[gcols].itertuples(index=False)], key=repr)
+        erows = sorted([tuple(norm(v) for v in r) for r in exp[ecols].itertuples(index=False)], key=repr)
+        exact = all(eq(a, b, 0) for a, b in zip(grows, erows))
+        if exact:
+            print(f"{name:24s} OK exact ({len(got)} rows)")
+            n_exact += 1
+        elif all(eq(a, b, 1e-9) for a, b in zip(grows, erows)):
+            diffs = [(a, b) for a, b in zip(grows, erows) if not eq(a, b, 0)][:2]
+            print(f"{name:24s} WARN tol-only match; first diffs: {diffs}")
+            n_tol += 1
+        else:
+            diffs = [(a, b) for a, b in zip(grows, erows) if not eq(a, b, 1e-9)][:3]
+            print(f"{name:24s} FAIL values; first diffs: {diffs}")
+            n_fail += 1
+    print(f"\nexact={n_exact} tol={n_tol} rows_only={n_rowsonly} fail={n_fail}")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
