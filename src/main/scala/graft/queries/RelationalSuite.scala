@@ -1,0 +1,346 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational analytics suite (SURVEY §2 C-series) — the openGauss SQL
+ * kernel surface exercised TPC-H-style on the synthetic star schema.
+ *
+ * Float parity: money aggregates go through exact DECIMAL arithmetic
+ * (order-independent, so map-side combine / parallel merge order cannot
+ * perturb results), cast to DOUBLE only at the end. Quantity sums are
+ * integer-valued doubles (exact in fp64 at any order).
+ *
+ * Scale notes are per-query; dimension tables are broadcast.
+ */
+object RelationalSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  // exact decimal money expressions (both engines compute identical values)
+  private val extD = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val discD = "CAST(l_discount AS DECIMAL(4,2))"
+  private val taxD = "CAST(l_tax AS DECIMAL(4,2))"
+  private val discPrice = s"$extD * (CAST(1 AS DECIMAL(3,2)) - $discD)"
+  private val charge = s"$discPrice * (CAST(1 AS DECIMAL(3,2)) + $taxD)"
+
+  val queries: Map[String, Q] = Map(
+    // C1: scan + filter + project with parquet pushdown; single wide agg.
+    "q6_forecast" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01"
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(expr(s"CAST(sum($extD * $discD) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // C2: grouped aggregation with partial (map-side) agg.
+    "q1_pricing" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= "2001-09-02")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          expr(s"CAST(sum($extD) AS DOUBLE)").as("sum_base_price"),
+          expr(s"CAST(sum($discPrice) AS DOUBLE)").as("sum_disc_price"),
+          expr(s"CAST(sum($charge) AS DOUBLE)").as("sum_charge"),
+          expr(s"CAST(sum($extD) AS DOUBLE) / count(*)").as("avg_price"),
+          expr("sum(l_quantity) / count(*)").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // C3: 3-way join (broadcast dim) + agg + top-k.
+    "q3_shipping" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables(s, dir, "orders").filter(col("o_orderdate") < "1998-01-01")
+      val li = Tables(s, dir, "lineitem").filter(col("l_shipdate") > "1998-01-01")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // C3: 6-way join through region→nation→(customer,supplier)→orders→lineitem.
+    "q5_volume" -> ((s, dir) => {
+      val region = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables(s, dir, "nation")
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+      val li = Tables(s, dir, "lineitem")
+      val supp = Tables(s, dir, "supplier")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // C4: semi join (EXISTS): orders having a lineitem shipped >90 days later.
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01")
+      // correlated EXISTS predicate goes in the semi-join condition:
+      val lateJoin = ord.join(Tables(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      lateJoin.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // C4: anti join (NOT EXISTS): customers with no 1997 order over 200k.
+    "anti_join" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders")
+            .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01"
+              && col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_cust"),
+          expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("bal"))),
+
+    // C5: left outer join + null-aware agg.
+    "outer_join" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          expr("CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)").as("total"))
+        .orderBy("c_custkey")),
+
+    // C6/C14: top-n per group via row_number window.
+    "window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // C6: running sum + lag over event-time ordered frame.
+    "window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)").as("running"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // C7: distinct + count(distinct).
+    "distinct_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // C8: approx count distinct (HLL; rows-only — sketches differ by engine).
+    "approx_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd"),
+          countDistinct(col("l_partkey")).as("exact_nd"))),
+
+    // C9: rollup with grouping-null keys folded to 'ALL' for stable compare.
+    "rollup_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+
+    // C10: scalar subquery in a filter (avg over the whole table).
+    "subquery_scalar" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val avgPrice = li.agg(avg(col("l_extendedprice")).as("ap"))
+      li.join(broadcast(avgPrice))
+        .filter(col("l_extendedprice") > col("ap") * 1.8)
+        .agg(count(lit(1)).as("n"),
+          expr(s"CAST(sum($extD) AS DOUBLE)").as("tot"))
+    }),
+
+    // C11: union / intersect / except on key sets.
+    "set_ops" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders")
+      val big = ord.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      val y97 = ord.filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01")
+        .select(col("o_custkey"))
+      val rich = Tables(s, dir, "customer").filter(col("c_acctbal") > 8000)
+        .select(col("c_custkey").as("o_custkey"))
+      big.intersect(y97).union(rich).except(
+          ord.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .distinct()
+        .orderBy("o_custkey")
+    }),
+
+    // C12: CASE / string / date expression surface.
+    "expr_suite" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 250000, "high")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("low").as("bucket"),
+          upper(substring(col("o_orderpriority"), 3, 20)).as("prio"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority").substr(1, 1)).as("tag"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("date").as("due"),
+          length(col("o_orderpriority")).as("plen"))
+        .orderBy("o_orderkey").limit(1000)),
+
+    // C13: exact interpolated percentiles per group.
+    "percentiles" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q6_forecast" ->
+      s"""SELECT CAST(sum($extD * $discD) AS DOUBLE) AS revenue, count(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum($extD) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($charge) AS DOUBLE) AS sum_charge,
+         |  CAST(sum($extD) AS DOUBLE) / count(*) AS avg_price,
+         |  sum(l_quantity) / count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, o_orderdate, CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem, orders, customer
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_volume" ->
+      s"""SELECT n_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem, orders, customer, supplier, nation, region
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "anti_join" ->
+      """SELECT count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND o_totalprice > 200000)""".stripMargin,
+
+    "outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_order
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // approx_distinct: rows-only (HLL implementations differ)
+
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "subquery_scalar" ->
+      s"""SELECT count(*) AS n, CAST(sum($extD) AS DOUBLE) AS tot
+         |FROM lineitem
+         |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem) * 1.8""".stripMargin,
+
+    "set_ops" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  SELECT * FROM (
+        |    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |  UNION ALL
+        |  SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 8000)
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "expr_suite" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 250000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+        |  upper(substr(o_orderpriority, 3, 20)) AS prio,
+        |  o_orderstatus || '-' || substr(o_orderpriority, 1, 1) AS tag,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
+        |  length(o_orderpriority) AS plen
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
