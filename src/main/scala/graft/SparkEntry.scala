@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.VectorSuite.queries ++
-      graft.queries.RelationalSuite.queries
+      graft.queries.RelationalSuite.queries ++
+      graft.queries.AnnSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.VectorSuite.oracle ++
-      graft.queries.RelationalSuite.oracle
+      graft.queries.RelationalSuite.oracle ++
+      graft.queries.AnnSuite.oracle
 }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Ivf, Knn, Lsh}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * ANN / similarity-search queries (SURVEY §2 B-series). The query vector
+ * is vec_id = 0 (a k-row driver collect, allowed by SURVEY §5).
+ *
+ * knn_exact / knn_join / binquant_rerank have exact SQL oracles;
+ * ivf_* / lsh_ann are approximate-by-design → rows-only oracle plus
+ * recall assertions in AnnSpec.
+ */
+object AnnSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  val queries: Map[String, Q] = Map(
+    // B1: exact top-k — TakeOrderedAndProject, no shuffle.
+    "knn_exact" -> ((s, dir) =>
+      Knn.exactTopK(Tables(s, dir, "embeddings"), "embedding", "vec_id",
+        queryVec(s, dir), 20)),
+
+    // B2: many-query KNN join with bounded-heap partial aggregation.
+    "knn_join" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      Knn.knnJoin(qs, "embedding", "vec_id", emb, "embedding", "vec_id", 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // B3: IVF build — list histogram (k-means is seeded; rows-only oracle).
+    "ivf_build" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Ivf.build(emb, "embedding", nlists = 16)
+      Ivf.assign(emb, "embedding", model)
+        .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+        .orderBy("list_id")
+    }),
+
+    // B4: IVF nprobe search (approximate; recall asserted in AnnSpec).
+    "ivf_search" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Ivf.build(emb, "embedding", nlists = 16)
+      val tagged = Ivf.assign(emb, "embedding", model)
+      Ivf.search(tagged, "embedding", "vec_id", model, queryVec(s, dir),
+        k = 10, nprobe = 4)
+    }),
+
+    // B5: hyperplane-LSH banded ANN (approximate).
+    "lsh_ann" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val planes = Lsh.hyperplanes(dim = 64, nbits = 16)
+      Lsh.annTopK(emb, "embedding", "vec_id", queryVec(s, dir), k = 10,
+        planes, bands = 4, r = 4)
+    }),
+
+    // B6: binary-quantize coarse + exact rerank (exact SQL oracle).
+    "binquant_rerank" -> ((s, dir) =>
+      Lsh.binQuantRerank(Tables(s, dir, "embeddings"), "embedding", "vec_id",
+        queryVec(s, dir), k = 10, oversample = 5))
+  )
+
+  private val distSql =
+    "round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)"
+
+  val oracle: Map[String, String] = Map(
+    "knn_exact" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $distSql AS dist
+         |FROM embeddings e, q ORDER BY dist, vec_id LIMIT 20""".stripMargin,
+
+    "knn_join" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |ranked AS (
+        |  SELECT qs.qid, e.vec_id AS nid,
+        |    round(list_distance(e.embedding::DOUBLE[], qs.qv::DOUBLE[]), 6) AS dist,
+        |    row_number() OVER (PARTITION BY qs.qid
+        |      ORDER BY round(list_distance(e.embedding::DOUBLE[], qs.qv::DOUBLE[]), 6), e.vec_id) AS rank
+        |  FROM embeddings e, qs)
+        |SELECT qid, rank, nid, dist FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "binquant_rerank" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CASE WHEN (e.embedding[i] > 0) <> (q.qv[i] > 0) THEN 1 ELSE 0 END)) AS hamm
+        |  FROM embeddings e, q
+        |  ORDER BY hamm, vec_id LIMIT 50)
+        |SELECT c.vec_id,
+        |  round(list_distance(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |FROM coarse c, q
+        |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Ivf, Knn, Lsh}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+  private lazy val q: Array[Float] =
+    emb.filter($"vec_id" === 0).select($"embedding").as[Seq[Float]].head().toArray
+
+  private def exactIds(k: Int): Set[Long] =
+    Knn.exactTopK(emb, "embedding", "vec_id", q, k)
+      .select("vec_id").as[Long].collect().toSet
+
+  test("exact knn plan has no shuffle (TakeOrderedAndProject)") {
+    val plan = Knn.exactTopK(emb, "embedding", "vec_id", q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("knn join matches per-query exact topk") {
+    val qs = emb.filter($"vec_id" < 3)
+    val joined = Knn.knnJoin(qs, "embedding", "vec_id", emb, "embedding", "vec_id", 5)
+      .collect().groupBy(_.getLong(0))
+    for (qid <- 0L until 3L) {
+      val qv = emb.filter($"vec_id" === qid).select($"embedding").as[Seq[Float]].head().toArray
+      val expect = Knn.exactTopK(emb, "embedding", "vec_id", qv, 5)
+        .select("vec_id").as[Long].collect().toSeq
+      val got = joined(qid).sortBy(_.getInt(1).toInt).map(_.getLong(2)).toSeq
+      assert(got == expect, s"qid=$qid")
+    }
+  }
+
+  test("ivf assign covers all rows; search recall >= 0.7 at nprobe=8/16") {
+    val model = Ivf.build(emb, "embedding", nlists = 16)
+    val tagged = Ivf.assign(emb, "embedding", model).cache()
+    assert(tagged.filter($"list_id".isNull || $"list_id" < 0).count() == 0)
+    assert(tagged.count() == emb.count())
+    // test data is isotropic gaussian (worst case for IVF pruning): probe
+    // half the lists; real clustered corpora reach this recall at far
+    // smaller nprobe.
+    val got = Ivf.search(tagged, "embedding", "vec_id", model, q, 10, 8)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (got & exactIds(10)).size / 10.0
+    assert(recall >= 0.7, s"recall=$recall")
+    // nprobe = nlists degenerates to exact
+    val full = Ivf.search(tagged, "embedding", "vec_id", model, q, 10, 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exactIds(10))
+  }
+
+  test("lsh ann returns candidates incl. self; recall reasonable") {
+    val planes = Lsh.hyperplanes(64, 16)
+    val got = Lsh.annTopK(emb, "embedding", "vec_id", q, 10, planes, 4, 4)
+      .select("vec_id").as[Long].collect()
+    assert(got.contains(0L)) // the query itself shares all buckets
+    assert(got.length == 10)
+  }
+
+  test("binquant rerank finds exact top-1 and mostly exact top-10") {
+    val got = Lsh.binQuantRerank(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect()
+    assert(got.head == 0L)
+    val recall = (got.toSet & exactIds(10)).size / 10.0
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+}
