@@ -13,12 +13,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.VectorSuite.queries ++
       graft.queries.RelationalSuite.queries ++
-      graft.queries.AnnSuite.queries
+      graft.queries.AnnSuite.queries ++
+      graft.queries.TextSuite.queries ++
+      graft.queries.DedupSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.VectorSuite.oracle ++
       graft.queries.RelationalSuite.oracle ++
-      graft.queries.AnnSuite.oracle
+      graft.queries.AnnSuite.oracle ++
+      graft.queries.TextSuite.oracle ++
+      graft.queries.DedupSuite.oracle
 }

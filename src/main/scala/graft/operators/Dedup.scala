@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication family for LLM training-data pipelines (SURVEY §2 D1–D5).
+ *
+ * Scale design (SURVEY §5): near-dup candidate generation is always a
+ * band/segment equi-join on short keys (minhash band value, simhash
+ * segment) — the shuffle carries (band, bucket) rows, never O(n²) pairs.
+ * Exact verification runs only on bucket-colocated candidates.
+ * Connected components use bounded min-label propagation.
+ */
+object Dedup {
+
+  /** Canonical text form: trim, lower, collapse whitespace. */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Exact dedup: sha256 over normalized text, keep min id per hash. */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), sha2(normalize(col(textCol)), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct lower-cased word w-shingles ("n-grams") of a text column. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val t = split(lower(text), " ")
+    // guard: Spark's sequence(1, n) is descending for n < 1
+    when(size(t) < w, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(t) - (w - 1)),
+          i => concat_ws(" ", (0 until w).map(o => element_at(t, i + o)): _*))))
+  }
+
+  /**
+   * MinHash signatures: minimum of (a_j * xxhash64(shingle) + b_j) mod p
+   * per hash function j — the classic linear hash family over a 61-bit
+   * Mersenne prime.
+   */
+  def minhashSignature(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column = {
+    // 2^31 - 1: keeps a*h + b below 2^62 (no ANSI long overflow)
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    val params = Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+      math.abs(rnd.nextLong()) % p))
+    val hs = transform(shinglesCol, s => xxhash64(s))
+    array(params.map { case (a, b) =>
+      array_min(transform(hs, h => pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p))))
+    }: _*)
+  }
+
+  /** LSH band values: hash of each r-slice of the signature. */
+  def minhashBands(sigCol: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map(b => xxhash64(slice(sigCol, b * r + 1, r))): _*)
+
+  /**
+   * Near-dup candidate pairs via banded MinHash LSH, verified with exact
+   * shingle Jaccard >= tau. Output: (id_a < id_b, jaccard).
+   */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5): DataFrame = {
+    val r = numHashes / bands
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("bandv", minhashBands(col("sig"), bands, r))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(col("bandv")).as(Seq("band", "bv")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for all pairs above tau (the SQL-
+   * checkable reference for the LSH path; quadratic — small inputs or
+   * post-blocking only).
+   */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      tau: Double): DataFrame = {
+    val g = df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("gram"))
+    val sz = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("sa"), col("id_a") === col("sa.id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") /
+          (col("sa.n") + col("sb.n") - col("i")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** 64-bit SimHash from lower-cased tokens (±1 per hash bit, sign fold). */
+  def simhash64(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val pm1 = array((0 until 64).map(j =>
+          when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
+        zip_with(acc, pm1, (a, b) => a + b)
+      })
+    transform(counts, c => when(c >= 0, 1).otherwise(0))
+  }
+
+  /** Pack a bit-array slice into a long (for pigeonhole segment joins). */
+  private def packBits(bits: Column, start: Int, len: Int): Column =
+    aggregate(slice(bits, start + 1, len), lit(0L), (a, b) => a * 2 + b)
+
+  /**
+   * SimHash near-dup pairs with hamming <= maxDist, found via pigeonhole
+   * segment buckets: with `nSegs` segments, any pair with hamming <=
+   * nSegs - 1 shares at least one exact segment — full recall up to that
+   * bound; the hamming filter then guarantees precision.
+   */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 7, nSegs: Int = 8): DataFrame = {
+    require(64 % nSegs == 0 && maxDist <= nSegs - 1,
+      s"pigeonhole bound: need maxDist <= nSegs-1 (got $maxDist, $nSegs)")
+    val segLen = 64 / nSegs
+    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("bits"))
+      .withColumn("segs",
+        array((0 until nSegs).map(s => packBits(col("bits"), s * segLen, segLen)): _*))
+    val seg = withSig.select(col("id"), col("bits"),
+      posexplode(col("segs")).as(Seq("seg", "sv")))
+    seg.as("x").join(seg.as("y"),
+        col("x.seg") === col("y.seg") && col("x.sv") === col("y.sv")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.bits").as("ba"), col("y.bits").as("bb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        size(filter(zip_with(col("ba"), col("bb"), (a, b) => a =!= b), x => x)).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
+   * Connected components over dup pairs by iterative min-label
+   * propagation; returns (id, root). Bounded iterations (dup clusters are
+   * shallow; each round at least halves the label height).
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("root", col("id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = edges.join(labels, col("v") === col("id"))
+        .groupBy(col("u")).agg(min(col("root")).as("nbr_min"))
+      val next = labels.join(prop, labels("id") === prop("u"), "left")
+        .select(labels("id"),
+          least(col("root"), coalesce(col("nbr_min"), col("root"))).as("root"))
+        .cache()
+      changed = next.as("n").join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.root") =!= col("l.root")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /**
+   * Dedup survivors given verified pairs: every id keeps iff it is the
+   * min id of its duplicate cluster; ids in no cluster always survive.
+   */
+  def survivorsFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    df.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("keep", col("root").isNull || col("root") === col("id"))
+  }
+}

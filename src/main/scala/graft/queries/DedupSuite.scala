@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Dedup / similarity / multimodal queries (SURVEY §2 D1–D6, D11).
+ * Exact oracles where engine-independent (exact dedup, n-gram Jaccard,
+ * embedding pair scan, multimodal byte features); minhash/simhash are
+ * hash-family-dependent → rows-only plus DedupSpec assertions.
+ */
+object DedupSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // D1: exact dedup summary over normalized text.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactSurvivors(Tables(s, dir, "documents"), "text", "doc_id")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("keep_id")).as("id_sum"),
+          sum(col("n_copies")).as("n_docs"))),
+
+    // D2: MinHash LSH candidates verified to exact Jaccard >= 0.5.
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
+          numHashes = 64, bands = 16, tau = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // D3: SimHash pairs within hamming <= 3 via pigeonhole segments.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxDist = 7)
+        .orderBy("id_a", "id_b")),
+
+    // D4: exact n-gram Jaccard pairs (SQL-checkable reference for D2).
+    "sim_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "text", "doc_id", tau = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // D5: embedding near-dup scan — 20 closest pairs by cosine (the test
+    // corpus has no true near-dups, so emit the closest-pairs frontier).
+    "dedup_embedding" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VF.cosineDistance(col("va"), col("vb")), 6).as("cosd"))
+        .orderBy(col("cosd"), col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // D11: multimodal pipeline — payload bytes -> stub decode features.
+    "mm_pipeline" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"), "text", "doc_id")
+      Multimodal.decodeFeatures(media, frameSize = 64)
+        .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
+          round(col("mean_luma"), 6).as("mean_luma"), col("n_frames"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT count(*) AS n_groups, sum(keep_id) AS id_sum, sum(c) AS n_docs
+        |FROM (SELECT min(doc_id) AS keep_id, count(*) AS c FROM documents
+        |      GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))""".stripMargin,
+
+    "sim_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(1.0 - greatest(-1.0, least(1.0,
+        |    list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+        |         list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))), 6) AS cosd
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cosd, id_a, id_b LIMIT 20""".stripMargin,
+
+    "mm_pipeline" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_bytes,
+        |  list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> xor(ord(substr(text, i, 1))::BIGINT, 90)))::BIGINT AS byte_sum,
+        |  round(list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> xor(ord(substr(text, i, 1))::BIGINT, 90)))::DOUBLE / length(text), 6) AS mean_luma,
+        |  CAST(ceil(length(text) / 64.0) AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

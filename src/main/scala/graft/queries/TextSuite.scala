@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries (SURVEY §2 D7–D10) with exact DuckDB oracles. */
+object TextSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "text_langid" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_tokens"), col("q.n_distinct"),
+          col("q.stopword_ratio"), col("q.repetition"), col("q.punct_ratio"),
+          col("q.quality"))
+        .orderBy("doc_id")),
+
+    "text_tokens" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"))
+  )
+
+  private val swEn = "['the','a','of','and','to','in','is','that']"
+  private val swEs = "['el','la','de','los','las','y','que','en']"
+  private val swDe = "['der','die','das','und','nicht','ist','von','ein']"
+  private val swFr = "['le','la','les','et','de','un','une','est']"
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> list_contains($swEn, x))) AS en,
+         |  len(list_filter(toks, x -> list_contains($swEs, x))) AS es,
+         |  len(list_filter(toks, x -> list_contains($swDe, x))) AS de,
+         |  len(list_filter(toks, x -> list_contains($swFr, x))) AS fr
+         |FROM t)
+         |SELECT doc_id, CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+         |  WHEN en = greatest(en, es, de, fr) THEN 'en'
+         |  WHEN es = greatest(en, es, de, fr) THEN 'es'
+         |  WHEN de = greatest(en, es, de, fr) THEN 'de'
+         |  ELSE 'fr' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+         |f AS (SELECT doc_id, text,
+         |  len(toks)::DOUBLE AS n,
+         |  len(list_distinct(toks))::DOUBLE AS nd,
+         |  len(list_filter(toks, x -> list_contains($swEn, x)))::DOUBLE AS sw,
+         |  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+         |    / greatest(length(text), 1)::DOUBLE AS pr
+         |FROM t)
+         |SELECT doc_id, n::BIGINT AS n_tokens, nd::BIGINT AS n_distinct,
+         |  round(sw / n, 6) AS stopword_ratio,
+         |  round(1.0 - nd / n, 6) AS repetition,
+         |  round(pr, 6) AS punct_ratio,
+         |  round(least(n / 400, 1.0) * 0.4 + (1.0 - (1.0 - nd / n)) * 0.4
+         |    + least(sw / n * 10, 1.0) * 0.2, 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(lower(text), ' '))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

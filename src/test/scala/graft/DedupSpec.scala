@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("minhash LSH finds every exact pair with jaccard >= 0.7") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification guarantees precision; banding gives ~0.99 recall at 0.7
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty && lsh == exact,
+      s"missed=${exact -- lsh}")
+  }
+
+  test("simhash recalls every strong near-dup pair") {
+    val sim = Dedup.simhashPairs(docs, "text", "doc_id", 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // simhash reflects token-distribution similarity, so on a shared-
+    // vocabulary corpus it also pairs topically-similar docs; the
+    // guarantee we assert is recall of true (jaccard >= 0.8) near-dups.
+    val strong = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty && strong.nonEmpty)
+    // simhash hamming correlates with — but does not bound — jaccard;
+    // >= 80% recall of strong pairs is the realistic contract.
+    val recall = (strong & sim).size.toDouble / strong.size
+    assert(recall >= 0.8, s"recall=$recall missed=${strong -- sim}")
+  }
+
+  test("connected components + survivors") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val all = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val surv = Dedup.survivorsFromPairs(all, "doc_id", pairs)
+      .filter($"keep").select("id").as[Long].collect().toSet
+    assert(surv == Set(1L, 10L, 20L))
+  }
+
+  test("frame sampling shapes") {
+    val media = Multimodal.asMedia(docs.limit(10), "text", "doc_id")
+    val frames = Multimodal.frameSample(media, frameSize = 64, stride = 2)
+    val r = frames.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      max(length(col("frame"))).as("mx")).collect()
+    assert(r.nonEmpty && r.forall(_.getInt(2) <= 64))
+    // stride 2 keeps every other frame
+    val one = docs.limit(1).select(length($"text")).as[Int].head()
+    val expect = (((one + 63) / 64) + 1) / 2
+    assert(frames.filter(col("doc_id") === docs.limit(1).select("doc_id").as[Long].head())
+      .count() == expect)
+  }
+
+  test("langid is deterministic and covers all docs") {
+    val n = docs.count()
+    assert(docs.select(TextAnalysis.langId($"text").as("l")).filter($"l".isNotNull).count() == n)
+  }
+}
