@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.RelationalSuite.queries ++
       graft.queries.AnnSuite.queries ++
       graft.queries.TextSuite.queries ++
-      graft.queries.DedupSuite.queries
+      graft.queries.DedupSuite.queries ++
+      graft.queries.StreamingSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.queries.RelationalSuite.oracle ++
       graft.queries.AnnSuite.oracle ++
       graft.queries.TextSuite.oracle ++
-      graft.queries.DedupSuite.oracle
+      graft.queries.DedupSuite.oracle ++
+      graft.queries.StreamingSuite.oracle
 }

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.{Sessionize, StreamAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming-semantics queries (SURVEY §2 E1–E2), run in batch mode for
+ * the correctness gate (identical code paths run under readStream;
+ * StreamingSpec proves batch/stream equivalence).
+ */
+object StreamingSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "stream_window" -> ((s, dir) =>
+      StreamAgg.windowedAgg(Tables(s, dir, "events"))
+        .orderBy("window_start", "event_type")),
+
+    "sessionize" -> ((s, dir) =>
+      Sessionize.batchSessions(Tables(s, dir, "events"), gapMinutes = 30)
+        .orderBy("user_id", "session_idx")),
+
+    // stateful operator on the same data: session_idx derived from start
+    // order, so the SQL oracle checks it exactly too.
+    "sessionize_stateful" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("start_us"))
+      Sessionize.statefulSessions(s, Tables(s, dir, "events"), 30, streaming = false)
+        .toDF()
+        .withColumn("session_idx", row_number().over(w))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("start_us"), col("end_us"))
+        .orderBy("user_id", "session_idx")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_window" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN prev IS NULL OR ts_us - prev > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (SELECT user_id, ts_us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "sessionize_stateful" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts_us, event_id,
+        |    CASE WHEN prev IS NULL OR ts_us - prev > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (SELECT user_id, ts_us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
+  )
+}

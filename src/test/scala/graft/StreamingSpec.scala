@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.{Sessionize, StreamAgg}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables(spark, sfDir, "events").cache()
+
+  test("stateful sessionization (batch mode) equals gaps-and-islands") {
+    val batch = Sessionize.batchSessions(events, 30)
+      .select("user_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val stateful = Sessionize.statefulSessions(spark, events, 30, streaming = false)
+      .map(s => (s.user_id, s.n_events, s.start_us, s.end_us))
+      .collect().toSet
+    assert(stateful == batch)
+  }
+
+  test("windowed agg over a file stream equals the batch result") {
+    val batch = StreamAgg.windowedAgg(events)
+      .select($"window_start".cast("long"), $"event_type", $"n", $"total")
+      .as[(Long, String, Long, Double)].collect().toSet
+
+    // stream the raw file (ts = long nanos under nanosAsLong), then apply
+    // the same normalization Tables does
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = StreamAgg.windowedAgg(stream)
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("win_test")
+      .select($"window_start".cast("long"), $"event_type", $"n", $"total")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == batch)
+  }
+
+  test("stateful sessionization over a memory stream: closed sessions match batch") {
+    val data = events
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value", $"props")
+      .orderBy("ts")
+      .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF()
+      .toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    val out = Sessionize.statefulSessions(spark, sdf, 30, streaming = true)
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      val chunks = data.grouped(math.max(1, data.length / 4)).toSeq
+      chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("sess_test")
+      .select("user_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batchAll = Sessionize.batchSessions(events, 30)
+      .select("user_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the stream emits only sessions closed by a later event or timeout
+    // before the final watermark — every emitted session must be a true
+    // batch session, and most closed ones should have been emitted.
+    assert(got.subsetOf(batchAll), s"phantom=${(got -- batchAll).take(3)}")
+    assert(got.nonEmpty)
+    val lastWm = data.map(_._2.getTime).max - 30 * 60 * 1000L
+    val expectedClosed = batchAll.filter(_._4 / 1000L < lastWm)
+    val recall = (got & expectedClosed).size.toDouble / math.max(1, expectedClosed.size)
+    assert(recall >= 0.95, s"recall=$recall")
+  }
+}
