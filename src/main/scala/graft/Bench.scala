@@ -1,25 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main (driver contract): runs the headline query set on
+ * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+ *
+ * Queries are forced through the noop sink — a bare count() would let
+ * Catalyst prune the very expressions under test.
+ */
 object Bench {
+  // headline set: one representative per operator family
+  val headline: Seq[String] = Seq(
+    "q1_pricing", "q3_shipping", "q5_volume", "q6_forecast",
+    "q4_order_priority", "window_topn", "window_running", "rollup_agg",
+    "distinct_agg", "percentiles", "set_ops",
+    "vec_l2_topk", "vec_cos_topk", "vec_norm", "vec_avg",
+    "knn_exact", "knn_join", "binquant_rerank", "lsh_ann", "ivf_search",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard",
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    "mm_pipeline", "stream_window", "sessionize", "sessionize_stateful")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM/codegen warmup on the smallest sf
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass hash expressions for the dedup family. The higher-order-
+ * function formulations (transform/aggregate lambdas) are interpreted
+ * per element by Spark; at 64 hashes × hundreds of shingles per doc that
+ * dominated the benchmark, so these run the loops in compiled code
+ * (reference semantics: MinHash/SimHash as in the standard near-dup
+ * literature; hashing reuses Spark's XXH64 with the builtin seed).
+ */
+
+/** xxhash64 of each string element (same values as the builtin xxhash64). */
+case class HashShingles(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hash_shingles"
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+         |    $a.getUTF8String($i), org.apache.spark.sql.types.DataTypes.StringType, 42L);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * MinHash signature over pre-hashed shingles: min_j of (a_j*h + b_j) mod
+ * 2^31-1 per hash function. Params derive from `seed` exactly like
+ * graft.operators.Dedup.minhashSignature.
+ */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val params: Array[(Long, Long)] = {
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+      math.abs(rnd.nextLong()) % p))
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val p = 2147483647L
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h0 = arr.getLong(i)
+      // same value as SQL pmod(h, p): sign-safe modulo
+      val h = ((h0 % p) + p) % p
+      var j = 0
+      while (j < numHashes) {
+        val v = (params(j)._1 * h + params(j)._2) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0) new GenericArrayData(Array.fill(numHashes)(0L))
+    else new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over string tokens, packed into one long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Polynomial rolling-hash fingerprint: h = (h*31 + codepoint) mod 1e9+7
+ * over the string's characters — single compiled pass, same values as
+ * the SQL list_reduce/ord oracle (TextSuite.text_fingerprint).
+ */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_hash"
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

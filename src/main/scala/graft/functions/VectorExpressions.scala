@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -407,7 +407,7 @@ case class VectorCompare(left: Expression, right: Expression)
  */
 case class SparseVectorDistance(
     aIdx: Expression, aVal: Expression, bIdx: Expression, bVal: Expression,
-    metric: String) extends Expression {
+    metric: String) extends Expression with CodegenFallback {
   require(Seq("l2", "l2sq", "ip", "negip", "cosine", "l1").contains(metric))
   override def children: Seq[Expression] = Seq(aIdx, aVal, bIdx, bVal)
   override def dataType: DataType = DoubleType
@@ -449,9 +449,6 @@ case class SparseVectorDistance(
       case "l1" => l1
     }
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    throw new UnsupportedOperationException("interpreted only")
-  override def foldable: Boolean = children.forall(_.foldable)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(aIdx = c(0), aVal = c(1), bIdx = c(2), bVal = c(3))
 }

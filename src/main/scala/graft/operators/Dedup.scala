@@ -1,7 +1,9 @@
 package graft.operators
 
+import graft.functions.{HashShingles, MinHashSig, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /**
  * Deduplication family for LLM training-data pipelines (SURVEY §2 D1–D5).
@@ -35,21 +37,17 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures: minimum of (a_j * xxhash64(shingle) + b_j) mod p
-   * per hash function j — the classic linear hash family over a 61-bit
-   * Mersenne prime.
+   * MinHash signature column: min of (a_j*h + b_j) mod 2^31-1 over the
+   * xxhash64'd shingles, one entry per hash function (single compiled
+   * pass — see graft.functions.MinHashSig).
    */
-  def minhashSignature(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column = {
-    // 2^31 - 1: keeps a*h + b below 2^62 (no ANSI long overflow)
-    val p = 2147483647L
-    val rnd = new scala.util.Random(seed)
-    val params = Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
-      math.abs(rnd.nextLong()) % p))
-    val hs = transform(shinglesCol, s => xxhash64(s))
-    array(params.map { case (a, b) =>
-      array_min(transform(hs, h => pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p))))
-    }: _*)
-  }
+  def minhashSignature(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column =
+    Bridge.column(MinHashSig(
+      Bridge.expression(hashedShingles(shinglesCol)), numHashes, seed))
+
+  /** xxhash64 of each shingle (compiled loop). */
+  def hashedShingles(shinglesCol: Column): Column =
+    Bridge.column(HashShingles(Bridge.expression(shinglesCol)))
 
   /** LSH band values: hash of each r-slice of the signature. */
   def minhashBands(sigCol: Column, bands: Int, r: Int): Column =
@@ -58,25 +56,40 @@ object Dedup {
   /**
    * Near-dup candidate pairs via banded MinHash LSH, verified with exact
    * shingle Jaccard >= tau. Output: (id_a < id_b, jaccard).
+   *
+   * Scale shape: the per-doc index (hashed shingles + signature) is
+   * computed once and cached; the band join carries only (id, band,
+   * bucket); a cheap signature-agreement estimate prunes the candidate
+   * flood before the exact intersect runs.
    */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5): DataFrame = {
     val r = numHashes / bands
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    val base = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .withColumn("hs", hashedShingles(col("sh")))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("bandv", minhashBands(col("sig"), bands, r))
-    val banded = sh.select(col("id"), col("sh"),
-      posexplode(col("bandv")).as(Seq("band", "bv")))
+      .select(col("id"), col("hs"), col("sig"))
+      .cache()
+    val banded = base.select(col("id"),
+      posexplode(minhashBands(col("sig"), bands, r)).as(Seq("band", "bv")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
           && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+    val sigA = base.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = base.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val estimated = cand.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("est", size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (a, b) => a === b), x => x)).cast("double") / numHashes)
+      .filter(col("est") >= tau - 0.15)
+      .select(col("id_a"), col("id_b"))
+    val hsA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val hsB = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    estimated.join(hsA, "id_a").join(hsB, "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -103,49 +116,35 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
-  /** 64-bit SimHash from lower-cased tokens (±1 per hash bit, sign fold). */
-  def simhash64(text: Column): Column = {
-    val toks = split(lower(text), " ")
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        val pm1 = array((0 until 64).map(j =>
-          when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
-        zip_with(acc, pm1, (a, b) => a + b)
-      })
-    transform(counts, c => when(c >= 0, 1).otherwise(0))
-  }
-
-  /** Pack a bit-array slice into a long (for pigeonhole segment joins). */
-  private def packBits(bits: Column, start: Int, len: Int): Column =
-    aggregate(slice(bits, start + 1, len), lit(0L), (a, b) => a * 2 + b)
+  /** 64-bit SimHash of lower-cased tokens, packed into one long. */
+  def simhash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(split(lower(text), " "))))
 
   /**
    * SimHash near-dup pairs with hamming <= maxDist, found via pigeonhole
    * segment buckets: with `nSegs` segments, any pair with hamming <=
    * nSegs - 1 shares at least one exact segment — full recall up to that
-   * bound; the hamming filter then guarantees precision.
+   * bound; the bit_count(xor) filter then guarantees precision. All
+   * scalar long ops: the shuffle key is (segment, 8-bit value).
    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 7, nSegs: Int = 8): DataFrame = {
     require(64 % nSegs == 0 && maxDist <= nSegs - 1,
       s"pigeonhole bound: need maxDist <= nSegs-1 (got $maxDist, $nSegs)")
     val segLen = 64 / nSegs
-    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("bits"))
-      .withColumn("segs",
-        array((0 until nSegs).map(s => packBits(col("bits"), s * segLen, segLen)): _*))
-    val seg = withSig.select(col("id"), col("bits"),
-      posexplode(col("segs")).as(Seq("seg", "sv")))
+    val mask = (1L << segLen) - 1
+    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val segArr = array((0 until nSegs).map(q =>
+      shiftrightunsigned(col("sh"), q * segLen).bitwiseAND(mask)): _*)
+    val seg = withSig.select(col("id"), col("sh"),
+      posexplode(segArr).as(Seq("seg", "sv")))
     seg.as("x").join(seg.as("y"),
         col("x.seg") === col("y.seg") && col("x.sv") === col("y.sv")
           && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.bits").as("ba"), col("y.bits").as("bb"))
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming",
-        size(filter(zip_with(col("ba"), col("bb"), (a, b) => a =!= b), x => x)).cast("long"))
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

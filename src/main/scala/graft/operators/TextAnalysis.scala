@@ -80,11 +80,11 @@ object TextAnalysis {
   /**
    * Polynomial rolling-hash fingerprint over characters:
    * h = (h * 31 + codepoint) mod 1e9+7 — a Rabin–Karp document
-   * fingerprint, reproducible in SQL via list_reduce.
+   * fingerprint, reproducible in SQL via list_reduce (single compiled
+   * pass; the HOF formulation was O(n²) in interpreted substr calls).
    */
   def fingerprint(text: Column): Column =
-    aggregate(
-      sequence(lit(1), length(text)),
-      lit(0L),
-      (acc, i) => pmod(acc * 31 + ascii(text.substr(i, lit(1))), lit(1000000007L)))
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.RollingHash(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
 }
