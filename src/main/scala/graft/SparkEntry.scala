@@ -13,6 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.VectorSuite.queries ++
       graft.queries.RelationalSuite.queries ++
+      graft.queries.RelationalSuite2.queries ++
       graft.queries.AnnSuite.queries ++
       graft.queries.TextSuite.queries ++
       graft.queries.DedupSuite.queries ++
@@ -23,6 +24,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.VectorSuite.oracle ++
       graft.queries.RelationalSuite.oracle ++
+      graft.queries.RelationalSuite2.oracle ++
       graft.queries.AnnSuite.oracle ++
       graft.queries.TextSuite.oracle ++
       graft.queries.DedupSuite.oracle ++

@@ -1,0 +1,325 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Extended relational surface (SURVEY §2 C-series, round-1 widening):
+ * TPC-H q7/q8/q9/q10/q14/q18 shapes adapted to the synthetic schema,
+ * grouping sets / cube, HAVING + IN subqueries, and date/string/math
+ * expression coverage. Money math stays in exact DECIMAL.
+ */
+object RelationalSuite2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val extD = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val discD = "CAST(l_discount AS DECIMAL(4,2))"
+  private val discPrice = s"$extD * (CAST(1 AS DECIMAL(3,2)) - $discD)"
+
+  val queries: Map[String, Q] = Map(
+    // q7 shape: trade volume between two nations by year.
+    "q7_nation_volume" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      val supp = Tables(s, dir, "supplier")
+      val nat = Tables(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .filter((col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2")
+          || (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // q8 shape: brand market share inside a region by order year.
+    "q8_market_share" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      val part = Tables(s, dir, "part")
+      val cust = Tables(s, dir, "customer")
+      val nat = Tables(s, dir, "nation")
+      val reg = Tables(s, dir, "region").filter(col("r_name") === "EUROPE")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(expr(
+          s"CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN $discPrice ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)" +
+            s" / CAST(sum($discPrice) AS DOUBLE)").as("share"),
+          count(lit(1)).as("n"))
+        .select(col("o_year"), round(col("share"), 6).as("share"), col("n"))
+        .orderBy("o_year")
+    }),
+
+    // q9 shape: pseudo-profit (revenue minus retail-price cost) by
+    // supplier nation and year.
+    "q9_profit" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      val part = Tables(s, dir, "part")
+      val supp = Tables(s, dir, "supplier")
+      val nat = Tables(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(part.filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(expr(
+          s"CAST(sum($discPrice - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE)")
+          .as("profit"))
+        .orderBy("n_name", "o_year")
+    }),
+
+    // q10 shape: top customers by returned revenue.
+    "q10_returned" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1997-07-01")
+      val cust = Tables(s, dir, "customer")
+      val nat = Tables(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // q14 shape: promo revenue percentage in a shipping window.
+    "q14_promo" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-03-01" && col("l_shipdate") < "1997-04-01")
+      val part = Tables(s, dir, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(expr(
+          s"round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)" +
+            s" / CAST(sum($discPrice) AS DOUBLE), 6)").as("promo_pct"),
+          count(lit(1)).as("n"))
+    }),
+
+    // q18 shape: large orders via HAVING + semi join back to orders.
+    "q18_big_orders" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("tot_qty"))
+        .filter(col("tot_qty") > 150)
+      val ord = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      ord.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("tot_qty"))
+        .orderBy(col("tot_qty").desc, col("o_orderkey"))
+        .limit(50)
+    }),
+
+    // explicit GROUPING SETS (via SQL — the DataFrame API exposes only
+    // rollup/cube) + grouping() markers.
+    "grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |       coalesce(l_linestatus, 'ALL') AS ls,
+          |       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+          |       sum(l_quantity) AS sum_qty, count(*) AS n
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          |ORDER BY rf, ls, g_rf, g_ls""".stripMargin)
+    }),
+
+    // full cube.
+    "cube_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          expr(s"CAST(sum($extD) AS DOUBLE)").as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("sum_price"), col("n"))
+        .orderBy("rf", "ls")),
+
+    // IN (subquery) + HAVING.
+    "having_in" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders")
+      val richCust = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+      ord.join(richCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("tot"))
+        .filter(col("n") > 50)
+        .orderBy("o_orderpriority")
+    }),
+
+    // date-function coverage (ISO-aligned across engines).
+    "date_suite" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          quarter(col("o_orderdate")).as("qtr"),
+          ((dayofweek(col("o_orderdate")) + 5) % 7 + 1).as("isodow"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey").limit(1000)),
+
+    // string-function coverage.
+    "string_suite" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          lpad(col("c_name"), 25, "*").as("padded"),
+          translate(col("c_name"), "Ce", "XY").as("translated"),
+          reverse(col("c_name")).as("rev"),
+          instr(col("c_name"), "_").as("uspos"),
+          element_at(split(col("c_name"), "_"), -1).as("suffix"),
+          repeat(col("c_mktsegment"), 2).as("doubled"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"))
+        .orderBy("c_custkey").limit(500)),
+
+    // math-function coverage (round-6 double parity).
+    "math_suite" -> ((s, dir) =>
+      Tables(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          round(sqrt(abs(col("s_acctbal"))), 6).as("sqrt_bal"),
+          round(pow(col("s_acctbal") / 1000d, 2), 6).as("pw"),
+          round(log(greatest(abs(col("s_acctbal")), lit(1.0))), 6).as("ln_bal"),
+          round(exp(col("s_acctbal") / 10000d), 6).as("exp_bal"),
+          signum(col("s_acctbal")).cast("int").as("sgn"),
+          pmod(col("s_suppkey"), lit(7)).as("m7"),
+          ceil(col("s_acctbal")).as("ceil_bal"),
+          floor(col("s_acctbal")).as("floor_bal"))
+        .orderBy("s_suppkey"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q7_nation_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  CAST(sum($discPrice) AS DOUBLE) AS revenue, count(*) AS n
+         |FROM lineitem, orders, customer, supplier,
+         |     nation cn, nation sn
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey
+         |  AND c_nationkey = cn.n_nationkey AND s_nationkey = sn.n_nationkey
+         |  AND ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+         |    OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  round(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN $discPrice ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)
+         |    / CAST(sum($discPrice) AS DOUBLE), 6) AS share,
+         |  count(*) AS n
+         |FROM lineitem, orders, part, customer, nation, region
+         |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+         |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+         |  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_profit" ->
+      s"""SELECT n_name, year(o_orderdate) AS o_year,
+         |  CAST(sum($discPrice - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS profit
+         |FROM lineitem, orders, part, supplier, nation
+         |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+         |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |  AND p_type = 'PROMO'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem, orders, customer, nation
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo" ->
+      s"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)
+         |  / CAST(sum($discPrice) AS DOUBLE), 6) AS promo_pct, count(*) AS n
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |  AND l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, tot_qty
+        |FROM orders, customer,
+        |  (SELECT l_orderkey, sum(l_quantity) AS tot_qty FROM lineitem
+        |   GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+        |WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey
+        |ORDER BY tot_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY rf, ls, g_rf, g_ls""".stripMargin,
+
+    "cube_agg" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum($extD) AS DOUBLE) AS sum_price, count(*) AS n
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+
+    "having_in" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY 1 HAVING count(*) > 50 ORDER BY 1""".stripMargin,
+
+    "date_suite" ->
+      """SELECT o_orderkey,
+        |  quarter(o_orderdate) AS qtr,
+        |  isodow(o_orderdate) AS isodow,
+        |  weekofyear(o_orderdate) AS iso_week,
+        |  date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+        |  last_day(o_orderdate)::DATE AS month_end,
+        |  datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since,
+        |  epoch(o_orderdate)::BIGINT AS epoch_s
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "string_suite" ->
+      """SELECT c_custkey,
+        |  lpad(c_name, 25, '*') AS padded,
+        |  translate(c_name, 'Ce', 'XY') AS translated,
+        |  reverse(c_name) AS rev,
+        |  strpos(c_name, '_') AS uspos,
+        |  string_split(c_name, '_')[-1] AS suffix,
+        |  repeat(c_mktsegment, 2) AS doubled,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin,
+
+    "math_suite" ->
+      """SELECT s_suppkey,
+        |  round(sqrt(abs(s_acctbal)), 6) AS sqrt_bal,
+        |  round(pow(s_acctbal / 1000, 2), 6) AS pw,
+        |  round(ln(greatest(abs(s_acctbal), 1.0)), 6) AS ln_bal,
+        |  round(exp(s_acctbal / 10000), 6) AS exp_bal,
+        |  sign(s_acctbal)::INT AS sgn,
+        |  s_suppkey % 7 AS m7,
+        |  ceil(s_acctbal) AS ceil_bal,
+        |  floor(s_acctbal) AS floor_bal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin
+  )
+}
