@@ -147,3 +147,73 @@ case class RollingHash(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/**
+ * Pack an fp32 vector into fp16 bytes (2 per element, little-endian) —
+ * the storage layout of the reference's halfvec type
+ * (contrib/datavec/src/halfvec.cpp): half the bytes of fp32 on disk.
+ */
+case class PackHalf(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pack_half"
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val h = HalfFloat.fromFloat(arr.getFloat(i))
+      out(2 * i) = (h & 0xff).toByte
+      out(2 * i + 1) = ((h >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Distance between two packed-fp16 vectors, decoded on the fly with
+ * double accumulation (same values as round-tripping through
+ * HalfVecRoundTrip then VectorDistance). metric: l2|l2sq|ip|negip|cosine|l1.
+ */
+case class PackedHalfDistance(left: Expression, right: Expression, metric: String)
+    extends BinaryExpression with CodegenFallback {
+  require(Seq("l2", "l2sq", "ip", "negip", "cosine", "l1").contains(metric))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"half_packed_${metric}_distance"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"graft: halfvec byte lengths differ: ${x.length} vs ${y.length}")
+    val n = x.length / 2
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var l2 = 0.0; var l1 = 0.0
+    var i = 0
+    while (i < n) {
+      val ha = ((x(2 * i) & 0xff) | ((x(2 * i + 1) & 0xff) << 8)).toShort
+      val hb = ((y(2 * i) & 0xff) | ((y(2 * i + 1) & 0xff) << 8)).toShort
+      val va = HalfFloat.toFloat(ha).toDouble
+      val vb = HalfFloat.toFloat(hb).toDouble
+      dot += va * vb; na += va * va; nb += vb * vb
+      val d = va - vb; l2 += d * d; l1 += math.abs(d)
+      i += 1
+    }
+    metric match {
+      case "l2" => math.sqrt(l2)
+      case "l2sq" => l2
+      case "ip" => dot
+      case "negip" => -dot
+      case "cosine" =>
+        val sim = dot / math.sqrt(na * nb)
+        1.0 - math.max(-1.0, math.min(1.0, sim))
+      case "l1" => l1
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

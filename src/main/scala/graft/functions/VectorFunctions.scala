@@ -56,6 +56,12 @@ object VectorFunctions {
   def vectorCmp(a: Column, b: Column): Column =
     lift(VectorCompare(ex(vec(a)), ex(vec(b))))
 
+  /** Pack fp32 vector into fp16 bytes (2 per element) — halfvec storage. */
+  def packHalf(a: Column): Column = lift(PackHalf(ex(vec(a))))
+  /** Distance directly over packed-fp16 vectors (no unpack materialized). */
+  def packedHalfDistance(a: Column, b: Column, metric: String): Column =
+    lift(PackedHalfDistance(ex(a), ex(b), metric))
+
   /** Sparse vector distance over (indices sorted asc, values) pairs. */
   def sparseDistance(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column,
       metric: String): Column =

@@ -61,6 +61,49 @@ object Ivf {
   }
 
   /**
+   * Persist the tagged corpus as a parquet table partitioned by list_id
+   * (the 100 TB layout: a search's list filter prunes whole partitions
+   * at the reader). Returns the reloaded index table.
+   */
+  def writeIndex(corpus: DataFrame, vecCol: String, model: Model,
+      path: String): DataFrame = {
+    assign(corpus, vecCol, model)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    corpus.sparkSession.read.parquet(path)
+  }
+
+  /**
+   * Many-query KNN join through the IVF index: queries are tagged with
+   * their nprobe probe lists, then equi-joined to the corpus on list_id —
+   * a key-partitioned shuffle join (no broadcast requirement, no
+   * cartesian product) — and reranked exactly per query.
+   */
+  def knnJoin(queries: DataFrame, qVecCol: String, qIdCol: String,
+      tagged: DataFrame, vecCol: String, idCol: String, model: Model,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents: Column = typedlit(model.centroids.map(_.toSeq).toSeq)
+    val dists = transform(cents, c => VF.l2SquaredDistance(col(qVecCol), c))
+    // probe lists per query: indices of the nprobe smallest centroid dists
+    val probes = slice(transform(array_sort(
+      zip_with(dists, sequence(lit(0), lit(model.nlists - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      s => s.getField("i")), 1, nprobe)
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
+        explode(probes).as("list_id"))
+    val joined = q.join(tagged, Seq("list_id"))
+      .select(col("qid"), col(idCol).cast("long").as("nid"),
+        round(VF.l2Distance(col(vecCol), col("qv")), 6).as("dist"))
+    // bounded-heap partial agg: the qid shuffle carries <= k rows per
+    // (query, partition), not the candidate set
+    val topk = udaf(new Knn.TopKAgg(k))
+    joined.groupBy(col("qid"))
+      .agg(topk(col("nid"), col("dist")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("e._1").as("nid"), col("e._2").as("dist"))
+  }
+
+  /**
    * nprobe search: prune to the nprobe nearest lists, then exact top-k
    * inside them (TakeOrderedAndProject — no shuffle). When `tagged` is a
    * parquet table partitioned by list_id, the isin filter becomes

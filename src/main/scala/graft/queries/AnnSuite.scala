@@ -63,7 +63,20 @@ object AnnSuite {
     // B6: binary-quantize coarse + exact rerank (exact SQL oracle).
     "binquant_rerank" -> ((s, dir) =>
       Lsh.binQuantRerank(Tables(s, dir, "embeddings"), "embedding", "vec_id",
-        queryVec(s, dir), k = 10, oversample = 5))
+        queryVec(s, dir), k = 10, oversample = 5)),
+
+    // B2+B3: many-query KNN join routed through the IVF lists — the
+    // scalable (equi-join, no broadcast) path. nprobe = nlists makes it
+    // exact, so the SQL window-rank oracle applies.
+    "ivf_knn_join" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Ivf.build(emb, "embedding", nlists = 16)
+      val tagged = Ivf.assign(emb, "embedding", model)
+      val qs = emb.filter(col("vec_id") < 5)
+      Ivf.knnJoin(qs, "embedding", "vec_id", tagged, "embedding", "vec_id",
+          model, k = 5, nprobe = 16)
+        .orderBy("qid", "rank")
+    })
   )
 
   private val distSql =
@@ -76,6 +89,17 @@ object AnnSuite {
          |FROM embeddings e, q ORDER BY dist, vec_id LIMIT 20""".stripMargin,
 
     "knn_join" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |ranked AS (
+        |  SELECT qs.qid, e.vec_id AS nid,
+        |    round(list_distance(e.embedding::DOUBLE[], qs.qv::DOUBLE[]), 6) AS dist,
+        |    row_number() OVER (PARTITION BY qs.qid
+        |      ORDER BY round(list_distance(e.embedding::DOUBLE[], qs.qv::DOUBLE[]), 6), e.vec_id) AS rank
+        |  FROM embeddings e, qs)
+        |SELECT qid, rank, nid, dist FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "ivf_knn_join" ->
       """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |ranked AS (
         |  SELECT qs.qid, e.vec_id AS nid,

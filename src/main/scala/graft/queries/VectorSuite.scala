@@ -114,6 +114,16 @@ object VectorSuite {
           round(VF.l2Distance(VF.halfvec(col("embedding")), VF.halfvec(col("qv"))), 6).as("hd"))
         .orderBy(col("hd"), col("vec_id")).limit(10)),
 
+    "vec_half_packed" -> ((s, dir) =>
+      // fp16 packed-binary storage (2 bytes/elem): distance computed
+      // directly on the packed bytes; values equal vec_half_l2 exactly
+      // (asserted in AnnSpec) — rows-only oracle (no fp16 in DuckDB).
+      embWithQ(s, dir)
+        .select(col("vec_id"),
+          round(VF.packedHalfDistance(VF.packHalf(col("embedding")),
+            VF.packHalf(col("qv")), "l2"), 6).as("hd"))
+        .orderBy(col("hd"), col("vec_id")).limit(10)),
+
     "vec_sparse" -> ((s, dir) => {
       // sparsify: keep |x| > 0.1 as (indices asc, values); merge-scan l2sq
       // against the sparsified query vector.

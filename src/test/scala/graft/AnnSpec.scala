@@ -60,6 +60,48 @@ class AnnSpec extends SparkSpec {
     assert(got.length == 10)
   }
 
+  test("persisted IVF index prunes partitions at the reader") {
+    val model = Ivf.build(emb, "embedding", nlists = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val index = Ivf.writeIndex(emb, "embedding", model, dir)
+    val search = Ivf.search(index, "embedding", "vec_id", model, q, 10, 4)
+    val scan = search.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
+      s"no partition pruning in: $scan")
+    // pruned search result equals in-memory tagged search
+    val tagged = Ivf.assign(emb, "embedding", model)
+    val a = search.collect().map(_.toSeq).toSeq
+    val b = Ivf.search(tagged, "embedding", "vec_id", model, q, 10, 4)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("ivf knn join at nprobe=nlists equals broadcast knn join") {
+    val model = Ivf.build(emb, "embedding", nlists = 16)
+    val tagged = Ivf.assign(emb, "embedding", model)
+    val qs = emb.filter($"vec_id" < 3)
+    val viaIvf = Ivf.knnJoin(qs, "embedding", "vec_id", tagged,
+        "embedding", "vec_id", model, 5, 16)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val viaBroadcast = Knn.knnJoin(qs, "embedding", "vec_id", emb,
+        "embedding", "vec_id", 5)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(viaIvf == viaBroadcast)
+  }
+
+  test("packed fp16 distance equals round-trip fp16 distance") {
+    import graft.functions.{VectorFunctions => VF}
+    val rt = emb.select($"vec_id",
+      VF.l2Distance(VF.halfvec($"embedding"), VF.halfvec(lit(q))).as("d"))
+      .orderBy("vec_id").as[(Long, Double)].collect()
+    val pk = emb.select($"vec_id",
+      VF.packedHalfDistance(VF.packHalf($"embedding"),
+        VF.packHalf(lit(q)), "l2").as("d"))
+      .orderBy("vec_id").as[(Long, Double)].collect()
+    assert(rt.sameElements(pk))
+  }
+
   test("binquant rerank finds exact top-1 and mostly exact top-10") {
     val got = Lsh.binQuantRerank(emb, "embedding", "vec_id", q, 10)
       .select("vec_id").as[Long].collect()
