@@ -101,7 +101,11 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       tau: Double): DataFrame = {
-    val g = df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("gram"))
+    // join on xxhash64(gram) longs instead of gram strings: ~3x smaller
+    // shuffle, same counts (a collision among n distinct grams perturbs a
+    // count with probability ~n²/2^64 — negligible)
+    val g = df.select(col(idCol).as("id"),
+      explode(hashedShingles(shingles(col(textCol)))).as("gram"))
     val sz = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = g.as("a").join(g.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))

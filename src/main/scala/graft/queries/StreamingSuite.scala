@@ -14,6 +14,22 @@ object StreamingSuite {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // streaming-dedup semantics (dropDuplicates within watermark on a
+    // stream); batch form = keep-first per key, SQL-oracle-checked.
+    "stream_dedup" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dups"))
+        .orderBy("user_id", "event_type")),
+
+    // JSON property extraction from the events payload.
+    "json_props" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     "stream_window" -> ((s, dir) =>
       StreamAgg.windowedAgg(Tables(s, dir, "events"))
         .orderBy("window_start", "event_type")),
@@ -36,7 +52,18 @@ object StreamingSuite {
     })
   )
 
+  // additional queries defined below reuse `queries`/`oracle` maps
+
   val oracle: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS n_dups
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "json_props" ->
+      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "stream_window" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
         |  count(*) AS n,
