@@ -142,6 +142,35 @@ object VectorSuite {
         .orderBy(col("sd"), col("vec_id")).limit(10)
     }),
 
+    "vec_sparse_cos" -> ((s, dir) => {
+      // cosine over sparsified vectors (|x| > 0.1 kept) — exact SQL
+      // oracle: zero entries contribute exactly 0.0 to dot and norms.
+      def sparse(c: Column) =
+        filter(transform(c, (x, i) => struct(i.as("i"), x.as("v"))),
+          s => abs(s.getField("v")) > 0.1f)
+      embWithQ(s, dir)
+        .withColumn("se", sparse(col("embedding")))
+        .withColumn("sq", sparse(col("qv")))
+        .select(col("vec_id"),
+          round(VF.sparseDistance(
+            transform(col("se"), x => x.getField("i")),
+            transform(col("se"), x => x.getField("v")),
+            transform(col("sq"), x => x.getField("i")),
+            transform(col("sq"), x => x.getField("v")), "cosine"), 6).as("scd"))
+        .orderBy(col("scd"), col("vec_id")).limit(10)
+    }),
+
+    "vec_half_cos" -> ((s, dir) =>
+      // halfvec cosine + negative inner product over packed fp16
+      // (rows-only: no fp16 grid in DuckDB)
+      embWithQ(s, dir)
+        .select(col("vec_id"),
+          round(VF.packedHalfDistance(VF.packHalf(col("embedding")),
+            VF.packHalf(col("qv")), "cosine"), 6).as("hcos"),
+          round(VF.packedHalfDistance(VF.packHalf(col("embedding")),
+            VF.packHalf(col("qv")), "negip"), 6).as("hnip"))
+        .orderBy(col("hcos"), col("vec_id")).limit(10)),
+
     "vec_avg" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
         .groupBy(col("label"))
@@ -231,6 +260,16 @@ object VectorSuite {
         |  i -> ((CASE WHEN abs(e.embedding[i]) > 0.1 THEN e.embedding[i] ELSE 0 END)::DOUBLE -
         |        (CASE WHEN abs(q.qv[i]) > 0.1 THEN q.qv[i] ELSE 0 END)::DOUBLE) ^ 2)), 6) AS sd
         |FROM embeddings e, q ORDER BY sd, vec_id LIMIT 10""".stripMargin,
+
+    "vec_sparse_cos" ->
+      """WITH sp AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN abs(x) > 0.1 THEN x::DOUBLE ELSE 0.0 END) AS se
+        |  FROM embeddings),
+        |q AS (SELECT se AS sq FROM sp WHERE vec_id = 0)
+        |SELECT s.vec_id, round(1.0 - greatest(-1.0, least(1.0,
+        |    list_inner_product(s.se, q.sq) /
+        |    sqrt(list_inner_product(s.se, s.se) * list_inner_product(q.sq, q.sq)))), 6) AS scd
+        |FROM sp s, q ORDER BY scd, vec_id LIMIT 10""".stripMargin,
 
     "vec_avg" ->
       """SELECT label, list(round((s / cnt)::FLOAT::DOUBLE, 4) ORDER BY i) AS centroid
