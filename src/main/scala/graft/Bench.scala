@@ -13,7 +13,7 @@ object Bench {
   // headline set: one representative per operator family
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_volume", "q6_forecast",
-    "q4_order_priority", "window_topn", "window_running", "rollup_agg",
+    "q4_order_priority", "window_topn", "topk_perkey", "window_running", "rollup_agg",
     "distinct_agg", "percentiles", "set_ops",
     "vec_l2_topk", "vec_cos_topk", "vec_norm", "vec_avg",
     "knn_exact", "knn_join", "binquant_rerank", "lsh_ann", "ivf_search",

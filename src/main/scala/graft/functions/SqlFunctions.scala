@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/**
+ * SQL-name registration for the vector kernel, mirroring the reference's
+ * SQL surface (contrib/datavec/sql/datavec--0.7.2.sql): after
+ * `SqlFunctions.register(spark)`, `spark.sql` queries can call
+ * l2_distance, cosine_distance, inner_product, l1_distance,
+ * vector_norm, l2_normalize, binary_quantize, hamming_distance,
+ * jaccard_distance, vector_dims, simhash64, rolling_hash.
+ */
+object SqlFunctions {
+
+  private def vec(e: Expression): Expression =
+    if (e.dataType == ArrayType(FloatType)) e
+    else Cast(e, ArrayType(FloatType))
+
+  private def dist(metric: String)(args: Seq[Expression]): Expression =
+    VectorDistance(vec(args(0)), vec(args(1)), metric)
+
+  val all: Map[String, Seq[Expression] => Expression] = Map(
+    "l2_distance" -> dist(VectorMetrics.L2),
+    "l2_squared_distance" -> dist(VectorMetrics.L2Sq),
+    "inner_product" -> dist(VectorMetrics.Ip),
+    "negative_inner_product" -> dist(VectorMetrics.NegIp),
+    "cosine_distance" -> dist(VectorMetrics.Cosine),
+    "l1_distance" -> dist(VectorMetrics.L1),
+    "spherical_distance" -> dist(VectorMetrics.Spherical),
+    "vector_norm" -> (args => VectorL2Norm(vec(args.head))),
+    "l2_normalize" -> (args => VectorL2Normalize(vec(args.head))),
+    "binary_quantize" -> (args => BinaryQuantize(vec(args.head))),
+    "hamming_distance" -> (args => BitDistance(args(0), args(1), "hamming")),
+    "jaccard_distance" -> (args => BitDistance(args(0), args(1), "jaccard")),
+    "vector_cmp" -> (args => VectorCompare(vec(args(0)), vec(args(1)))),
+    "halfvec" -> (args => HalfVecRoundTrip(vec(args.head))),
+    "simhash64" -> (args => SimHash64(args.head)),
+    "rolling_hash" -> (args => RollingHash(args.head))
+  )
+
+  /** Register every kernel function as a SQL temp function. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
+}

@@ -166,6 +166,16 @@ object RelationalSuite2 {
         .orderBy("o_orderpriority")
     }),
 
+    // custom physical operator: per-key top-k via bounded heaps
+    // (TopKPerKeyExec — one exchange, no sort; SURVEY §3 tier (c)).
+    "topk_perkey" -> ((s, dir) => {
+      val df = Tables(s, dir, "orders")
+        .withColumn("ordv", col("o_totalprice") * 1e6 - col("o_orderkey"))
+      graft.plans.TopKPerKey.perKey(df, Seq("o_custkey"), "ordv", 3, desc = true)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // date-function coverage (ISO-aligned across engines).
     "date_suite" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -287,6 +297,13 @@ object RelationalSuite2 {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |GROUP BY 1 HAVING count(*) > 50 ORDER BY 1""".stripMargin,
+
+    "topk_perkey" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice * 1000000 - o_orderkey DESC) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "date_suite" ->
       """SELECT o_orderkey,

@@ -171,6 +171,18 @@ object VectorSuite {
             VF.packHalf(col("qv")), "negip"), 6).as("hnip"))
         .orderBy(col("hcos"), col("vec_id")).limit(10)),
 
+    "sql_vector" -> ((s, dir) => {
+      // the registered SQL surface: l2_distance/vector_norm callable from
+      // spark.sql, like the reference's SQL functions.
+      graft.functions.SqlFunctions.register(s)
+      Tables(s, dir, "embeddings").createOrReplaceTempView("emb_sqlq")
+      s.sql(
+        """SELECT e.vec_id, round(l2_distance(e.embedding, q.embedding), 6) AS d,
+          |  round(vector_norm(e.embedding), 6) AS nrm
+          |FROM emb_sqlq e, (SELECT embedding FROM emb_sqlq WHERE vec_id = 0) q
+          |ORDER BY d, vec_id LIMIT 15""".stripMargin)
+    }),
+
     "vec_avg" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
         .groupBy(col("label"))
@@ -260,6 +272,12 @@ object VectorSuite {
         |  i -> ((CASE WHEN abs(e.embedding[i]) > 0.1 THEN e.embedding[i] ELSE 0 END)::DOUBLE -
         |        (CASE WHEN abs(q.qv[i]) > 0.1 THEN q.qv[i] ELSE 0 END)::DOUBLE) ^ 2)), 6) AS sd
         |FROM embeddings e, q ORDER BY sd, vec_id LIMIT 10""".stripMargin,
+
+    "sql_vector" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS d,
+        |  round(sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS nrm
+        |FROM embeddings e, q ORDER BY d, vec_id LIMIT 15""".stripMargin,
 
     "vec_sparse_cos" ->
       """WITH sp AS (SELECT vec_id,
