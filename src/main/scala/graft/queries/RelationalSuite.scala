@@ -205,16 +205,44 @@ object RelationalSuite {
           length(col("o_orderpriority")).as("plen"))
         .orderBy("o_orderkey").limit(1000)),
 
-    // C13: exact interpolated percentiles per group.
+    // C13: exact interpolated percentiles per group (one sort-aggregate
+    // computing all four, not four).
     "percentiles" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
-        .orderBy("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"),
+          round(element_at(col("ps"), 4), 4).as("p95"))
+        .orderBy("l_returnflag")),
+
+    // C6 extension: RANGE frame (30-unit trailing window) + misc window
+    // functions.
+    "window_range" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .withColumn("day", datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          expr("""CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)""").as("tot30"),
+          expr("""count(*) OVER (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""").as("n30"))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    "window_misc" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)").as("drk"),
+          expr("ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)").as("quartile"),
+          round(expr("percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"), 6).as("prk"),
+          round(expr("cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"), 6).as("cd"),
+          expr("first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)").as("first_ok"),
+          expr("""last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""").as("last_ok"),
+          expr("lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)").as("next_ok"))
+        .orderBy("o_custkey", "o_orderkey"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -334,6 +362,30 @@ object RelationalSuite {
         |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
         |  length(o_orderpriority) AS plen
         |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY datediff('day', DATE '1995-01-01', o_orderdate::DATE)
+        |     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS tot30,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY datediff('day', DATE '1995-01-01', o_orderdate::DATE)
+        |     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n30
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_misc" ->
+      """SELECT o_custkey, o_orderkey,
+        |  dense_rank() OVER w AS drk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS prk,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+        |  lead(o_orderkey, 1) OVER w AS next_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "percentiles" ->
       """SELECT l_returnflag,
