@@ -56,6 +56,21 @@ object VectorFunctions {
   def vectorCmp(a: Column, b: Column): Column =
     lift(VectorCompare(ex(vec(a)), ex(vec(b))))
 
+  // --- halfvec composite ops (ref: halfvec_add/sub/mul/concat/avg are
+  // fp16 arithmetic: operate on the fp16 grid, re-quantize the result) ---
+  /** halfvec_add. */
+  def halfvecAdd(a: Column, b: Column): Column =
+    halfvec(vectorAdd(halfvec(a), halfvec(b)))
+  /** halfvec_sub. */
+  def halfvecSub(a: Column, b: Column): Column =
+    halfvec(vectorSub(halfvec(a), halfvec(b)))
+  /** halfvec_mul. */
+  def halfvecMul(a: Column, b: Column): Column =
+    halfvec(vectorMul(halfvec(a), halfvec(b)))
+  /** halfvec_concat. */
+  def halfvecConcat(a: Column, b: Column): Column =
+    vectorConcat(halfvec(a), halfvec(b))
+
   /** Pack fp32 vector into fp16 bytes (2 per element) — halfvec storage. */
   def packHalf(a: Column): Column = lift(PackHalf(ex(vec(a))))
   /** Distance directly over packed-fp16 vectors (no unpack materialized). */

@@ -52,6 +52,18 @@ object DedupSuite {
         .limit(20)
     }),
 
+    // D2 end-to-end: survivors after connected components over verified
+    // near-dup pairs (keep min doc id per cluster). Deterministic but CC
+    // is not SQL-expressible without recursion -> rows-only.
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
+      Dedup.survivorsFromPairs(docs, "doc_id", pairs)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
+          sum(when(!col("keep"), col("id"))).as("dropped_id_sum"))
+    }),
+
     // D11: multimodal pipeline — payload bytes -> stub decode features.
     "mm_pipeline" -> ((s, dir) => {
       val media = Multimodal.asMedia(Tables(s, dir, "documents"), "text", "doc_id")

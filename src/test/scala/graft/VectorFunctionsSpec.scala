@@ -80,6 +80,19 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(hv == Seq(1f, 2f, 3f))
   }
 
+  test("halfvec composite arithmetic stays on the fp16 grid") {
+    val r = df.filter($"id" === 3).select(
+      VF.halfvecAdd($"a", $"b").as("ha"),
+      VF.halfvecMul($"a", $"b").as("hm"),
+      VF.halfvecConcat($"a", $"b").as("hc")).head()
+    val ha = r.getSeq[Float](0)
+    // every output value must be exactly representable in fp16
+    def onGrid(x: Float) = HalfFloat.toFloat(HalfFloat.fromFloat(x)) == x
+    assert(ha.forall(onGrid) && r.getSeq[Float](1).forall(onGrid))
+    assert(ha == Seq(-1.0f, 2.0f, 2.5f))
+    assert(r.getSeq[Float](2).length == 6)
+  }
+
   test("sparse distance merge-scan") {
     val sp = Seq((Seq(0, 2, 5), Seq(1f, 2f, 3f), Seq(2, 3), Seq(4f, 5f)))
       .toDF("ai", "av", "bi", "bv")
