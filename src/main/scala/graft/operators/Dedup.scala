@@ -120,6 +120,48 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /**
+   * Exact n-gram Jaccard pairs via prefix filtering (PPJoin-style): with
+   * sets canonically ordered by ascending document frequency, any pair
+   * with J >= tau must share a gram within each side's first
+   * n - ceil(tau*n) + 1 grams. Only prefixes join (rare grams → tiny
+   * candidate lists); full verification runs on the complete hashed-gram
+   * sets. Same output as ngramJaccardPairs, far fewer candidate pairs —
+   * the 100 TB form of the exact algorithm.
+   */
+  def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+      tau: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        hashedShingles(shingles(col(textCol))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    val dfreq = base.select(explode(col("hs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    // canonical order: ascending df, gram hash as tiebreak
+    val ordered = base.select(col("id"), explode(col("hs")).as("g"))
+      .join(dfreq, "g")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("g"))))
+    val withN = ordered.join(
+      base.select(col("id"), size(col("hs")).as("n")), "id")
+    val prefix = withN.filter(
+      col("pos") <= col("n") - ceil(col("n") * tau) + 1)
+      .select(col("id"), col("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val hsA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val hsB = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    cand.join(hsA, "id_a").join(hsB, "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash of lower-cased tokens, packed into one long. */
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(split(lower(text), " "))))

@@ -34,9 +34,10 @@ object DedupSuite {
       Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxDist = 7)
         .orderBy("id_a", "id_b")),
 
-    // D4: exact n-gram Jaccard pairs (SQL-checkable reference for D2).
+    // D4: exact n-gram Jaccard pairs via prefix filtering (PPJoin-style;
+    // same result as the naive all-pairs form, SQL-checkable).
     "sim_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "text", "doc_id", tau = 0.3)
+      Dedup.ngramJaccardPairsPrefix(Tables(s, dir, "documents"), "text", "doc_id", tau = 0.3)
         .orderBy("id_a", "id_b")),
 
     // D5: embedding near-dup scan — 20 closest pairs by cosine (the test

@@ -34,6 +34,16 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall missed=${strong -- sim}")
   }
 
+  test("prefix-filtered jaccard equals naive all-pairs jaccard") {
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val naive = Dedup.ngramJaccardPairs(docs, "text", "doc_id", tau)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", tau)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pref == naive, s"tau=$tau diff=${(naive -- pref).take(3)} extra=${(pref -- naive).take(3)}")
+    }
+  }
+
   test("connected components + survivors") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8))
       .toDF("id_a", "id_b", "jaccard")
