@@ -34,6 +34,17 @@ object StreamingSuite {
       StreamAgg.windowedAgg(Tables(s, dir, "events"))
         .orderBy("window_start", "event_type")),
 
+    // stream-stream join semantics (time-bounded click -> purchase),
+    // run batch for the gate; stream/batch equivalence in StreamingSpec.
+    "stream_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      StreamAgg.eventJoin(ev, ev, "click", "purchase", withinMinutes = 30)
+        .groupBy(col("l_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(sum(CAST(r_value AS DECIMAL(18,2))) AS DOUBLE)").as("purchase_value"))
+        .orderBy("user_id")
+    }),
+
     "sessionize" -> ((s, dir) =>
       Sessionize.batchSessions(Tables(s, dir, "events"), gapMinutes = 30)
         .orderBy("user_id", "session_idx")),
@@ -63,6 +74,14 @@ object StreamingSuite {
       """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
         |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs,
+        |  CAST(sum(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_window" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,

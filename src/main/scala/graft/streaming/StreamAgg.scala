@@ -12,6 +12,29 @@ import org.apache.spark.sql.functions._
 object StreamAgg {
 
   /**
+   * Event-time-bounded self-join: for each `leftType` event, the
+   * `rightType` events of the same user within `withinMinutes` after it.
+   * The time-range condition makes this a valid watermarked
+   * stream-stream join (state bounded by the watermark delay); on batch
+   * frames it is a plain range join.
+   */
+  def eventJoin(left: DataFrame, right: DataFrame, leftType: String,
+      rightType: String, withinMinutes: Int): DataFrame = {
+    val l = left.filter(col("event_type") === leftType)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_id").as("l_event"), col("value").as("l_value"))
+      .withWatermark("l_ts", s"$withinMinutes minutes")
+    val r = right.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_event"), col("value").as("r_value"))
+      .withWatermark("r_ts", s"$withinMinutes minutes")
+    l.join(r,
+      col("l_user") === col("r_user")
+        && col("r_ts") > col("l_ts")
+        && col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+  }
+
+  /**
    * Tumbling-window counts/sums per event type. Streaming-safe:
    * watermarked event time, exact DECIMAL value sums.
    */

@@ -41,6 +41,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stream-stream time-bounded join equals the batch range join") {
+    val batch = StreamAgg.eventJoin(events, events, "click", "purchase", 30)
+      .select($"l_event", $"r_event").as[(Long, Long)].collect().toSet
+
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = StreamAgg.eventJoin(stream, stream, "click", "purchase", 30)
+      .select($"l_event", $"r_event")
+      .writeStream.format("memory").queryName("sj_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sj_test").as[(Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful sessionization over a memory stream: closed sessions match batch") {
     val data = events
       .select($"user_id", $"ts", $"event_id", $"event_type", $"value", $"props")

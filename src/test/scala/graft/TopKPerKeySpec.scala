@@ -33,6 +33,36 @@ class TopKPerKeySpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("optimizer rule rewrites window row_number <= k into TopKPerKey") {
+    graft.plans.GraftOptimizations.register(spark)
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+    val q = orders.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3).drop("rk")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("TopKPerKeyPlan"), s"not rewritten:\n$plan")
+    assert(!plan.contains("Window"), plan)
+    // equivalence vs an un-rewritten session path: compare against
+    // explicit window evaluation through a fresh non-optimized frame
+    val viaOp = q.select("o_custkey", "o_orderkey").as[(Long, Long)]
+      .collect().toSet
+    // compute expected with plain scala over collected rows
+    val expected = orders.select("o_custkey", "o_orderkey", "o_totalprice")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).toSeq
+      }
+      .map(r => (r._1, r._2)).toSet
+    // ties on o_totalprice make membership ambiguous at the boundary;
+    // compare per-group sizes and the unambiguous members
+    assert(viaOp.size == expected.size)
+    val safeGroups = orders.groupBy("o_custkey", "o_totalprice")
+      .count().filter($"count" > 1).select("o_custkey")
+      .distinct().as[Long].collect().toSet
+    assert(viaOp.filterNot(r => safeGroups(r._1)) ==
+      expected.filterNot(r => safeGroups(r._1)))
+  }
+
   test("SQL-registered vector functions work in spark.sql") {
     SqlFunctions.register(spark)
     Tables(spark, sfDir, "embeddings").createOrReplaceTempView("emb_sql")
