@@ -168,22 +168,31 @@ object Dedup {
 
   /**
    * SimHash near-dup pairs with hamming <= maxDist, found via pigeonhole
-   * segment buckets: with `nSegs` segments, any pair with hamming <=
-   * nSegs - 1 shares at least one exact segment — full recall up to that
-   * bound; the bit_count(xor) filter then guarantees precision. All
-   * scalar long ops: the shuffle key is (segment, 8-bit value).
+   * buckets keyed on PAIRS of signature segments: with `nSegs` segments
+   * and 2-segment keys, any pair with hamming <= nSegs - 2 leaves at
+   * least two segments untouched, so it shares at least one exact
+   * 2-segment key — full recall up to that bound with 2×segLen-bit
+   * selectivity (single-segment keys flood on correlated corpora: one
+   * 8-bit bucket held 37% of a shared-vocabulary corpus). The
+   * bit_count(xor) filter then guarantees precision.
    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 7, nSegs: Int = 8): DataFrame = {
-    require(64 % nSegs == 0 && maxDist <= nSegs - 1,
-      s"pigeonhole bound: need maxDist <= nSegs-1 (got $maxDist, $nSegs)")
+      maxDist: Int = 6, nSegs: Int = 8): DataFrame = {
+    require(64 % nSegs == 0 && maxDist <= nSegs - 2,
+      s"pigeonhole bound: need maxDist <= nSegs-2 (got $maxDist, $nSegs)")
     val segLen = 64 / nSegs
     val mask = (1L << segLen) - 1
+    // cache: the self-join would otherwise recompute every signature on
+    // both sides (tokenize + 64-bit fold per doc)
     val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-    val segArr = array((0 until nSegs).map(q =>
-      shiftrightunsigned(col("sh"), q * segLen).bitwiseAND(mask)): _*)
-    val seg = withSig.select(col("id"), col("sh"),
-      posexplode(segArr).as(Seq("seg", "sv")))
+      .cache()
+    def segv(q: Int): Column =
+      shiftrightunsigned(col("sh"), q * segLen).bitwiseAND(mask)
+    val pairKeys = array((for (i <- 0 until nSegs; j <- i + 1 until nSegs) yield
+      struct(lit(i * nSegs + j).as("seg"),
+        shiftLeft(segv(i), segLen).bitwiseOR(segv(j)).as("sv"))): _*)
+    val seg = withSig.select(col("id"), col("sh"), explode(pairKeys).as("kv"))
+      .select(col("id"), col("sh"), col("kv.seg").as("seg"), col("kv.sv").as("sv"))
     seg.as("x").join(seg.as("y"),
         col("x.seg") === col("y.seg") && col("x.sv") === col("y.sv")
           && col("x.id") < col("y.id"))

@@ -29,9 +29,9 @@ object DedupSuite {
           numHashes = 64, bands = 16, tau = 0.5)
         .orderBy("id_a", "id_b")),
 
-    // D3: SimHash pairs within hamming <= 3 via pigeonhole segments.
+    // D3: SimHash pairs within hamming <= 6 via segment-pair pigeonhole.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxDist = 7)
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxDist = 6)
         .orderBy("id_a", "id_b")),
 
     // D4: exact n-gram Jaccard pairs via prefix filtering (PPJoin-style;

@@ -20,7 +20,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash recalls every strong near-dup pair") {
-    val sim = Dedup.simhashPairs(docs, "text", "doc_id", 7)
+    val sim = Dedup.simhashPairs(docs, "text", "doc_id", 6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // simhash reflects token-distribution similarity, so on a shared-
     // vocabulary corpus it also pairs topically-similar docs; the
