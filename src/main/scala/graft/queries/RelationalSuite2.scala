@@ -176,6 +176,29 @@ object RelationalSuite2 {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // full-SQL entry: the whole pipeline as one spark.sql text (CTE,
+    // join, agg, window) over registered views — the way a reference
+    // user would port their SQL verbatim.
+    "sql_tpch" -> ((s, dir) => {
+      Seq("lineitem", "orders", "customer").foreach { t =>
+        Tables(s, dir, t).createOrReplaceTempView(s"${t}_v")
+      }
+      s.sql(
+        """WITH rev AS (
+          |  SELECT o_custkey,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+          |    count(*) AS n_items
+          |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
+          |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  GROUP BY o_custkey)
+          |SELECT c_custkey, c_mktsegment, revenue, n_items,
+          |  rank() OVER (PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey) AS seg_rank
+          |FROM rev JOIN customer_v ON o_custkey = c_custkey
+          |WHERE revenue > 500000
+          |ORDER BY c_mktsegment, seg_rank""".stripMargin)
+    }),
+
     // date-function coverage (ISO-aligned across engines).
     "date_suite" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -304,6 +327,21 @@ object RelationalSuite2 {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice * 1000000 - o_orderkey DESC) AS rk
         |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "sql_tpch" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |    count(*) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_mktsegment, revenue, n_items,
+        |  rank() OVER (PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey) AS seg_rank
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |WHERE revenue > 500000
+        |ORDER BY c_mktsegment, seg_rank""".stripMargin,
 
     "date_suite" ->
       """SELECT o_orderkey,
