@@ -60,6 +60,23 @@ object Ivf {
       (array_position(dists, array_min(dists)) - 1).cast("int"))
   }
 
+  /** Persist centroids as a tiny parquet table (index metadata). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a persisted centroid table into a Model. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(path)
+      .orderBy("list_id")
+      .collect()
+      .map(_.getSeq[Float](1).toArray))
+
   /**
    * Persist the tagged corpus as a parquet table partitioned by list_id
    * (the 100 TB layout: a search's list filter prunes whole partitions
