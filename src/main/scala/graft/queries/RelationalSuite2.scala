@@ -166,6 +166,48 @@ object RelationalSuite2 {
         .orderBy("o_orderpriority")
     }),
 
+    // full outer join with null-side handling.
+    "full_outer" -> ((s, dir) => {
+      val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      val rich = Tables(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      rich.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("n_big"), lit(0)).as("n_big"),
+          coalesce(col("c_acctbal"), lit(-1.0)).as("bal"))
+        .orderBy("custkey")
+    }),
+
+    // bag-semantics set ops (INTERSECT ALL / EXCEPT ALL).
+    "set_ops_all" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") >= 30).select(col("l_suppkey"))
+      val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+      a.intersectAll(b).groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_inter"))
+        .join(
+          a.exceptAll(b).groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_except")),
+          Seq("l_suppkey"), "full_outer")
+        .select(col("l_suppkey"),
+          coalesce(col("n_inter"), lit(0)).as("n_inter"),
+          coalesce(col("n_except"), lit(0)).as("n_except"))
+        .orderBy("l_suppkey")
+    }),
+
+    // correlated scalar subquery (per-row lookup aggregate).
+    "subquery_correlated" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("cust_corr")
+      Tables(s, dir, "orders").createOrReplaceTempView("ord_corr")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM ord_corr
+          |   WHERE o_custkey = c_custkey) AS max_order,
+          |  (SELECT count(*) FROM ord_corr WHERE o_custkey = c_custkey
+          |   AND o_orderstatus = 'F') AS n_finished
+          |FROM cust_corr ORDER BY c_custkey""".stripMargin)
+    }),
+
     // custom physical operator: per-key top-k via bounded heaps
     // (TopKPerKeyExec — one exchange, no sort; SURVEY §3 tier (c)).
     "topk_perkey" -> ((s, dir) => {
@@ -320,6 +362,36 @@ object RelationalSuite2 {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |GROUP BY 1 HAVING count(*) > 50 ORDER BY 1""".stripMargin,
+
+    "full_outer" ->
+      """WITH big AS (SELECT o_custkey, count(*) AS n_big FROM orders
+        |             WHERE o_totalprice > 400000 GROUP BY o_custkey),
+        |rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  coalesce(n_big, 0) AS n_big,
+        |  coalesce(c_acctbal, -1.0) AS bal
+        |FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "set_ops_all" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 30),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |i AS (SELECT l_suppkey, count(*) AS n_inter
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+        |e AS (SELECT l_suppkey, count(*) AS n_except
+        |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT coalesce(i.l_suppkey, e.l_suppkey) AS l_suppkey,
+        |  coalesce(n_inter, 0) AS n_inter, coalesce(n_except, 0) AS n_except
+        |FROM i FULL OUTER JOIN e ON i.l_suppkey = e.l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "subquery_correlated" ->
+      """SELECT c_custkey,
+        |  (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey
+        |   AND o_orderstatus = 'F') AS n_finished
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "topk_perkey" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
