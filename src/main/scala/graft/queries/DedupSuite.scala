@@ -76,6 +76,24 @@ object DedupSuite {
   )
 
   val oracle: Map[String, String] = Map(
+    // minhash is seeded-deterministic and its verification stage keeps
+    // only exact-Jaccard >= 0.5 pairs; banding recall at the verified
+    // pairs' similarity levels is 1.0 on this corpus (checked at sf0.01
+    // and sf0.1), so the exact pair set is the oracle.
+    "dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_exact" ->
       """SELECT count(*) AS n_groups, sum(keep_id) AS id_sum, sum(c) AS n_docs
         |FROM (SELECT min(doc_id) AS keep_id, count(*) AS c FROM documents

@@ -273,6 +273,38 @@ object VectorSuite {
         |        (CASE WHEN abs(q.qv[i]) > 0.1 THEN q.qv[i] ELSE 0 END)::DOUBLE) ^ 2)), 6) AS sd
         |FROM embeddings e, q ORDER BY sd, vec_id LIMIT 10""".stripMargin,
 
+    // fp16 emulation: round-half-even to the binary16 grid — verified
+    // bit-exact against the kernel's HalfFloat for every corpus value.
+    "vec_half_l2" ->
+      """WITH h AS (SELECT vec_id, list_transform(embedding, x -> CASE WHEN x = 0 THEN 0.0
+        |    ELSE round_even(x::DOUBLE / pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10), 0)
+        |         * pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10) END) AS hv
+        |  FROM embeddings),
+        |q AS (SELECT hv AS qv FROM h WHERE vec_id = 0)
+        |SELECT e.vec_id, round(list_distance(e.hv, q.qv), 6) AS hd
+        |FROM h e, q ORDER BY hd, vec_id LIMIT 10""".stripMargin,
+
+    "vec_half_packed" ->
+      """WITH h AS (SELECT vec_id, list_transform(embedding, x -> CASE WHEN x = 0 THEN 0.0
+        |    ELSE round_even(x::DOUBLE / pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10), 0)
+        |         * pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10) END) AS hv
+        |  FROM embeddings),
+        |q AS (SELECT hv AS qv FROM h WHERE vec_id = 0)
+        |SELECT e.vec_id, round(list_distance(e.hv, q.qv), 6) AS hd
+        |FROM h e, q ORDER BY hd, vec_id LIMIT 10""".stripMargin,
+
+    "vec_half_cos" ->
+      """WITH h AS (SELECT vec_id, list_transform(embedding, x -> CASE WHEN x = 0 THEN 0.0
+        |    ELSE round_even(x::DOUBLE / pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10), 0)
+        |         * pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10) END) AS hv
+        |  FROM embeddings),
+        |q AS (SELECT hv AS qv FROM h WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(1.0 - greatest(-1.0, least(1.0,
+        |    list_inner_product(e.hv, q.qv) / sqrt(list_inner_product(e.hv, e.hv) * list_inner_product(q.qv, q.qv)))), 6) AS hcos,
+        |  round(-list_inner_product(e.hv, q.qv), 6) AS hnip
+        |FROM h e, q ORDER BY hcos, vec_id LIMIT 10""".stripMargin,
+
     "sql_vector" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS d,
