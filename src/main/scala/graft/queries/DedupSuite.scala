@@ -94,6 +94,25 @@ object DedupSuite {
         |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // connected components over the (deterministic, fully-recalled)
+    // verified pair set, as a DuckDB recursive transitive closure.
+    "dedup_survivors" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.7),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |roots AS (SELECT a AS id, least(a, min(b)) AS root FROM reach GROUP BY a)
+        |SELECT count(*) AS n_docs,
+        |  sum(CASE WHEN root IS NULL OR root = doc_id THEN 1 ELSE 0 END) AS n_keep,
+        |  sum(CASE WHEN root IS NOT NULL AND root <> doc_id THEN doc_id END) AS dropped_id_sum
+        |FROM documents LEFT JOIN roots ON doc_id = roots.id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT count(*) AS n_groups, sum(keep_id) AS id_sum, sum(c) AS n_docs
         |FROM (SELECT min(doc_id) AS keep_id, count(*) AS c FROM documents
