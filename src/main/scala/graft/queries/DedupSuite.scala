@@ -109,12 +109,13 @@ object DedupSuite {
         |reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
         |roots AS (SELECT a AS id, least(a, min(b)) AS root FROM reach GROUP BY a)
         |SELECT count(*) AS n_docs,
-        |  sum(CASE WHEN root IS NULL OR root = doc_id THEN 1 ELSE 0 END) AS n_keep,
-        |  sum(CASE WHEN root IS NOT NULL AND root <> doc_id THEN doc_id END) AS dropped_id_sum
+        |  CAST(sum(CASE WHEN root IS NULL OR root = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(CASE WHEN root IS NOT NULL AND root <> doc_id THEN doc_id END) AS BIGINT) AS dropped_id_sum
         |FROM documents LEFT JOIN roots ON doc_id = roots.id""".stripMargin,
 
     "dedup_exact" ->
-      """SELECT count(*) AS n_groups, sum(keep_id) AS id_sum, sum(c) AS n_docs
+      """SELECT count(*) AS n_groups, CAST(sum(keep_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(c) AS BIGINT) AS n_docs
         |FROM (SELECT min(doc_id) AS keep_id, count(*) AS c FROM documents
         |      GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))""".stripMargin,
 

@@ -445,8 +445,8 @@ object RelationalSuite2 {
         |  round(exp(s_acctbal / 10000), 6) AS exp_bal,
         |  sign(s_acctbal)::INT AS sgn,
         |  s_suppkey % 7 AS m7,
-        |  ceil(s_acctbal) AS ceil_bal,
-        |  floor(s_acctbal) AS floor_bal
+        |  CAST(ceil(s_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(floor(s_acctbal) AS BIGINT) AS floor_bal
         |FROM supplier ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -71,7 +71,8 @@ object StreamingSuite {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "json_props" ->
-      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -53,30 +53,42 @@ object VectorSuite {
         .select(col("vec_id"), round(VF.l2Norm(col("embedding")), 6).as("nrm"))
         .orderBy("vec_id")),
 
+    // Scalarized (vec_id, i, u) rows: the driver's comparator sorts pandas
+    // values and cannot hash array cells, so array-typed outputs are banned
+    // from gated queries (CORRECTNESS_r01 `unhashable type` errors).
     "vec_normalize" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(VF.l2Normalize(col("embedding")), x => round(x, 6)).as("unit"))
-        .orderBy("vec_id")),
+        .select(col("vec_id"), posexplode(VF.l2Normalize(col("embedding"))))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
+          round(col("col").cast("double"), 6).as("u"))
+        .orderBy("vec_id", "i")),
 
     "vec_dims" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
         .select(VF.vectorDims(col("embedding")).as("dims")).distinct()),
 
+    // Scalarized: one row per (vec_id, element index); fp32 arithmetic is
+    // IEEE-exact on both engines, compared after cast to double + round.
     "vec_arith" -> ((s, dir) =>
-      embWithQ(s, dir)
-        .select(col("vec_id"),
-          slice(VF.vectorAdd(col("embedding"), col("qv")), 1, 4).as("va"),
-          slice(VF.vectorSub(col("embedding"), col("qv")), 1, 4).as("vs"),
-          slice(VF.vectorMul(col("embedding"), col("qv")), 1, 4).as("vm"))
-        .orderBy("vec_id").limit(50)),
+      embWithQ(s, dir).where(col("vec_id") < 50)
+        .withColumn("va_arr", VF.vectorAdd(col("embedding"), col("qv")))
+        .withColumn("vs_arr", VF.vectorSub(col("embedding"), col("qv")))
+        .withColumn("vm_arr", VF.vectorMul(col("embedding"), col("qv")))
+        .withColumn("i", explode(sequence(lit(1), lit(4))))
+        .selectExpr("vec_id", "i",
+          "round(CAST(element_at(va_arr, i) AS DOUBLE), 6) AS va",
+          "round(CAST(element_at(vs_arr, i) AS DOUBLE), 6) AS vs",
+          "round(CAST(element_at(vm_arr, i) AS DOUBLE), 6) AS vm")
+        .orderBy("vec_id", "i")),
 
     "vec_slice_concat" -> ((s, dir) =>
-      embWithQ(s, dir)
-        .select(col("vec_id"),
-          VF.vectorConcat(VF.subvector(col("embedding"), 1, 4),
-            VF.subvector(col("qv"), 1, 4)).as("cc"))
-        .orderBy("vec_id").limit(50)),
+      embWithQ(s, dir).where(col("vec_id") < 50)
+        .withColumn("cc", VF.vectorConcat(VF.subvector(col("embedding"), 1, 4),
+          VF.subvector(col("qv"), 1, 4)))
+        .withColumn("i", explode(sequence(lit(1), lit(8))))
+        .selectExpr("vec_id", "i",
+          "round(CAST(element_at(cc, i) AS DOUBLE), 6) AS c")
+        .orderBy("vec_id", "i")),
 
     "vec_binquant" -> ((s, dir) => {
       val zero = lit(Array.fill(64)(0f))
@@ -187,15 +199,19 @@ object VectorSuite {
       Tables(s, dir, "embeddings")
         .groupBy(col("label"))
         .agg(VA.vecAvg(col("embedding")).as("c"))
-        .select(col("label"), transform(col("c"), x => round(x.cast("double"), 4)).as("centroid"))
-        .orderBy("label")),
+        .select(col("label"), posexplode(col("c")))
+        .select(col("label"), (col("pos") + 1).cast("int").as("i"),
+          round(col("col").cast("double"), 4).as("centroid"))
+        .orderBy("label", "i")),
 
     "vec_sum" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
         .groupBy(col("label"))
         .agg(VA.vecSum(col("embedding")).as("c"))
-        .select(col("label"), transform(col("c"), x => round(x.cast("double"), 4)).as("vsum"))
-        .orderBy("label"))
+        .select(col("label"), posexplode(col("c")))
+        .select(col("label"), (col("pos") + 1).cast("int").as("i"),
+          round(col("col").cast("double"), 4).as("vsum"))
+        .orderBy("label", "i"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -218,24 +234,29 @@ object VectorSuite {
       "SELECT vec_id, round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm FROM embeddings ORDER BY vec_id",
 
     "vec_normalize" ->
-      """SELECT vec_id, list_transform(embedding, x ->
-        |  round(x::DOUBLE / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)) AS unit
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """WITH ex AS (SELECT vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+        |SELECT vec_id, i::INT AS i,
+        |  round(embedding[i]::DOUBLE / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS u
+        |FROM ex ORDER BY vec_id, i""".stripMargin,
 
     "vec_dims" -> "SELECT DISTINCT len(embedding) AS dims FROM embeddings",
 
     "vec_arith" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id,
-        |  list_transform(generate_series(1, 4), i -> (e.embedding[i] + q.qv[i])::FLOAT) AS va,
-        |  list_transform(generate_series(1, 4), i -> (e.embedding[i] - q.qv[i])::FLOAT) AS vs,
-        |  list_transform(generate_series(1, 4), i -> (e.embedding[i] * q.qv[i])::FLOAT) AS vm
-        |FROM embeddings e, q ORDER BY vec_id LIMIT 50""".stripMargin,
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |ix AS (SELECT unnest(range(1, 5))::INT AS i)
+        |SELECT e.vec_id, ix.i AS i,
+        |  round(((e.embedding[ix.i] + q.qv[ix.i])::FLOAT)::DOUBLE, 6) AS va,
+        |  round(((e.embedding[ix.i] - q.qv[ix.i])::FLOAT)::DOUBLE, 6) AS vs,
+        |  round(((e.embedding[ix.i] * q.qv[ix.i])::FLOAT)::DOUBLE, 6) AS vm
+        |FROM embeddings e, q, ix WHERE e.vec_id < 50 ORDER BY vec_id, i""".stripMargin,
 
     "vec_slice_concat" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id, e.embedding[1:4] || q.qv[1:4] AS cc
-        |FROM embeddings e, q ORDER BY vec_id LIMIT 50""".stripMargin,
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |ix AS (SELECT unnest(range(1, 9))::INT AS i)
+        |SELECT e.vec_id, ix.i AS i,
+        |  round((e.embedding[1:4] || q.qv[1:4])[ix.i]::DOUBLE, 6) AS c
+        |FROM embeddings e, q, ix WHERE e.vec_id < 50 ORDER BY vec_id, i""".stripMargin,
 
     "vec_binquant" ->
       """SELECT vec_id,
@@ -322,19 +343,19 @@ object VectorSuite {
         |FROM sp s, q ORDER BY scd, vec_id LIMIT 10""".stripMargin,
 
     "vec_avg" ->
-      """SELECT label, list(round((s / cnt)::FLOAT::DOUBLE, 4) ORDER BY i) AS centroid
+      """SELECT label, i::INT AS i, round((s / cnt)::FLOAT::DOUBLE, 4) AS centroid
         |FROM (SELECT label, i, sum(x) AS s, count(*) AS cnt
         |      FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
         |                   unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
         |      GROUP BY label, i)
-        |GROUP BY label ORDER BY label""".stripMargin,
+        |ORDER BY label, i""".stripMargin,
 
     "vec_sum" ->
-      """SELECT label, list(round(s::FLOAT::DOUBLE, 4) ORDER BY i) AS vsum
+      """SELECT label, i::INT AS i, round(s::FLOAT::DOUBLE, 4) AS vsum
         |FROM (SELECT label, i, sum(x) AS s
         |      FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
         |                   unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
         |      GROUP BY label, i)
-        |GROUP BY label ORDER BY label""".stripMargin
+        |ORDER BY label, i""".stripMargin
   )
 }

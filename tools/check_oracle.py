@@ -66,6 +66,28 @@ def main(out_dir, sf_dir):
             print(f"{name:24s} FAIL schema: spark={gcols} oracle={ecols}")
             n_fail += 1
             continue
+        # The driver's comparator sorts raw pandas values and hashes
+        # serialized rows: array cells crash it ("unhashable ndarray") and
+        # dtype drift (e.g. DuckDB HUGEINT vs Spark int64) hash-mismatches
+        # even when values are numerically equal. Reject both here.
+        import numpy as np
+        bad = [c for c in gcols if len(got) and any(
+            isinstance(v, (np.ndarray, list, tuple)) for v in got[c].head(5))]
+        if bad:
+            print(f"{name:24s} FAIL array-typed output columns (driver-unhashable): {bad}")
+            n_fail += 1
+            continue
+        # Driver behavior (calibrated on CORRECTNESS_r01): int-width drift
+        # (int32 vs int64) hashes equal, but int-vs-float (DuckDB HUGEINT ->
+        # float64, ceil(DOUBLE) -> float64 vs Spark LONG) hash-mismatches.
+        # Compare dtype KIND, not width.
+        kind = lambda d: {"u": "i"}.get(d.kind, d.kind)
+        dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in gcols
+              if kind(got[c].dtype) != kind(exp[c].dtype)]
+        if dt:
+            print(f"{name:24s} FAIL dtype-kind drift (driver hash-mismatch): {dt}")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"{name:24s} FAIL rows: spark={len(got)} oracle={len(exp)}")
             n_fail += 1
