@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{HashShingles, MinHashSig, SimHash64}
+import graft.functions.{HashShingles, MinHashSig, SimHash64, WordShingleHashes}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -45,9 +45,21 @@ object Dedup {
     Bridge.column(MinHashSig(
       Bridge.expression(hashedShingles(shinglesCol)), numHashes, seed))
 
+  /** MinHash signature over an already-hashed shingle column. */
+  def minhashSignatureFromHashes(hsCol: Column, numHashes: Int, seed: Long = 42L): Column =
+    Bridge.column(MinHashSig(Bridge.expression(hsCol), numHashes, seed))
+
   /** xxhash64 of each shingle (compiled loop). */
   def hashedShingles(shinglesCol: Column): Column =
     Bridge.column(HashShingles(Bridge.expression(shinglesCol)))
+
+  /**
+   * Fused text → distinct hashed w-shingles in one compiled pass —
+   * same values as hashedShingles(shingles(text)) without the
+   * interpreted per-shingle lambda (see WordShingleHashes).
+   */
+  def hashedWordShingles(text: Column, w: Int = 3): Column =
+    Bridge.column(WordShingleHashes(Bridge.expression(text), w))
 
   /** LSH band values: hash of each r-slice of the signature. */
   def minhashBands(sigCol: Column, bands: Int, r: Int): Column =
@@ -65,9 +77,8 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5): DataFrame = {
     val r = numHashes / bands
-    val base = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .withColumn("hs", hashedShingles(col("sh")))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val base = df.select(col(idCol).as("id"), hashedWordShingles(col(textCol)).as("hs"))
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
       .select(col("id"), col("hs"), col("sig"))
       .cache()
     val banded = base.select(col("id"),
@@ -95,28 +106,42 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard similarity for all pairs above tau (the SQL-
-   * checkable reference for the LSH path; quadratic — small inputs or
-   * post-blocking only).
+   * Exact n-gram Jaccard similarity for all pairs above tau via a single
+   * gram equi-join with count-based verification.
+   *
+   * Cost model: the join fans out Σ_g df(g)² rows, so this is the right
+   * exact plan when gram document-frequencies are modest (shingled
+   * natural text: w-shingles are rare — measured max df 25 on the test
+   * corpus). The rows carried are narrow (id, gram-hash, length) — no
+   * arrays ever cross a shuffle — and intersection sizes come from one
+   * map-side-combinable count aggregate, so the whole plan is two
+   * shuffles. For Zipfian gram distributions (huge-df grams) use
+   * [[ngramJaccardPairsPrefix]], which excludes each doc's most frequent
+   * grams from candidate generation.
+   *
+   * A length filter inside the join prunes pairs that cannot reach tau:
+   * J >= tau implies min(|a|,|b|) >= tau * max(|a|,|b|).
+   *
+   * Grams are joined as xxhash64 longs, not strings: ~3x smaller
+   * shuffle, same counts (a collision among n distinct grams perturbs a
+   * count with probability ~n²/2^64 — negligible).
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       tau: Double): DataFrame = {
-    // join on xxhash64(gram) longs instead of gram strings: ~3x smaller
-    // shuffle, same counts (a collision among n distinct grams perturbs a
-    // count with probability ~n²/2^64 — negligible)
-    val g = df.select(col(idCol).as("id"),
-      explode(hashedShingles(shingles(col(textCol)))).as("gram"))
-    val sz = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = g.as("a").join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val base = df.select(col(idCol).as("id"),
+        hashedWordShingles(col(textCol)).as("hs"))
+      .select(col("id"), size(col("hs")).as("n"), explode(col("hs")).as("gram"))
+    val inter = base.as("a").join(base.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id")
+          && least(col("a.n"), col("b.n")).cast("double") >=
+             greatest(col("a.n"), col("b.n")).cast("double") * tau)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
     inter
-      .join(sz.as("sa"), col("id_a") === col("sa.id"))
-      .join(sz.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
         round(col("i").cast("double") /
-          (col("sa.n") + col("sb.n") - col("i")).cast("double"), 6).as("jaccard"))
+          (col("na") + col("nb") - col("i")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 
@@ -132,24 +157,37 @@ object Dedup {
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       tau: Double): DataFrame = {
     val base = df.select(col(idCol).as("id"),
-        hashedShingles(shingles(col(textCol))).as("hs"))
+        hashedWordShingles(col(textCol)).as("hs"))
       .filter(size(col("hs")) > 0)
       .cache()
     val dfreq = base.select(explode(col("hs")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
-    // canonical order: ascending df, gram hash as tiebreak
+    // canonical order: ascending df, gram hash as tiebreak. Positions via
+    // a per-doc sort of (df, g) structs — shuffle by id + small local
+    // sorts, instead of a global row_number window over every (doc, gram).
     val ordered = base.select(col("id"), explode(col("hs")).as("g"))
       .join(dfreq, "g")
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("df"), col("g"))))
-    val withN = ordered.join(
-      base.select(col("id"), size(col("hs")).as("n")), "id")
-    val prefix = withN.filter(
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sorted"))
+      .select(col("id"), size(col("sorted")).as("n"),
+        posexplode(col("sorted")).as(Seq("p0", "e")))
+      .select(col("id"), col("n"), (col("p0") + 1).as("pos"), col("e.g").as("g"))
+    val prefix = ordered.filter(
       col("pos") <= col("n") - ceil(col("n") * tau) + 1)
-      .select(col("id"), col("g"))
+    // PPJoin+ candidate join: besides the shared-prefix-gram condition,
+    // (a) length filter — J >= tau implies min(n) >= tau*max(n); and
+    // (b) positional filter — a gram matching at positions (pa, pb) bounds
+    // the total overlap by min(pa-1, pb-1) + 1 + min(na-pa, nb-pb), which
+    // must reach the minimum overlap tau/(1+tau)*(na+nb). Both prune only
+    // provably-impossible pairs: a true pair passes every one of its
+    // shared-gram rows, so one surviving row keeps it.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        col("a.g") === col("b.g") && col("a.id") < col("b.id")
+          && least(col("a.n"), col("b.n")).cast("double") >=
+             greatest(col("a.n"), col("b.n")).cast("double") * tau
+          && (least(col("a.pos"), col("b.pos")) - 1 + 1 +
+              least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")))
+             .cast("double") >= (col("a.n") + col("b.n")) * (tau / (1 + tau)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val hsA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))

@@ -1,7 +1,9 @@
 package graft.operators
 
+import graft.functions.TextStats
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /**
  * Text-analysis operators for LLM training-data pipelines (SURVEY §2 D7–D10).
@@ -9,23 +11,24 @@ import org.apache.spark.sql.functions._
  * oracle can reproduce them exactly.
  *
  * Tokenization: lower-cased split on single spaces (the corpus is
- * single-spaced); punctuation-aware token counting uses a regex shared
- * verbatim with the oracle.
+ * single-spaced); punctuation-aware token counting mirrors a regex
+ * shared verbatim with the oracle.
+ *
+ * All counting runs in graft.functions.TextStats — ONE compiled pass
+ * per document. The previous formulation ran four interpreted
+ * higher-order `filter` lambdas (stopword hits per language), an
+ * array_distinct, a regexp_replace and a regexp_extract_all per row:
+ * the 25–95× HOF penalty documented in SURVEY §3, measured at
+ * 5.4s + 4.8s for langid+tokens on the sf0.1 bench.
  */
 object TextAnalysis {
 
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  private val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
-    "es" -> Seq("el", "la", "de", "los", "las", "y", "que", "en"),
-    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "von", "ein"),
-    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est"))
-
-  /** Stopword hits (with duplicates) for one language list. */
-  def stopwordHits(toks: Column, lang: String): Column =
-    size(filter(toks, t => t.isin(stopwords(lang): _*)))
+  /** Single-pass counters struct; see graft.functions.TextStats. */
+  def stats(text: Column): Column =
+    Bridge.column(TextStats(Bridge.expression(text)))
 
   /**
    * n-gram/stopword language-ID heuristic: argmax of per-language
@@ -34,18 +37,14 @@ object TextAnalysis {
    * mirrored in SQL).
    */
   def langId(text: Column): Column = {
-    val t = tokens(text)
-    val en = stopwordHits(t, "en"); val es = stopwordHits(t, "es")
-    val de = stopwordHits(t, "de"); val fr = stopwordHits(t, "fr")
+    val st = stats(text)
+    val en = st.getField("sw_en"); val es = st.getField("sw_es")
+    val de = st.getField("sw_de"); val fr = st.getField("sw_fr")
     val mx = greatest(en, es, de, fr)
     when(mx === 0, "und")
       .when(en === mx, "en").when(es === mx, "es")
       .when(de === mx, "de").otherwise("fr")
   }
-
-  /** Punctuation-ish character count (shared regex with the oracle). */
-  def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
 
   /**
    * Quality features + a weighted score in [0,1]:
@@ -53,14 +52,15 @@ object TextAnalysis {
    * punctuation ratio.
    */
   def qualityFeatures(text: Column): Column = {
-    val t = tokens(text)
-    val n = size(t).cast("double")
-    val nd = size(array_distinct(t)).cast("double")
-    val sw = stopwordHits(t, "en").cast("double")
-    val pr = punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+    val st = stats(text)
+    val n = st.getField("n_tokens").cast("double")
+    val nd = st.getField("n_distinct").cast("double")
+    val sw = st.getField("sw_en").cast("double")
+    val pr = st.getField("punct").cast("double") /
+      greatest(st.getField("n_chars"), lit(1L)).cast("double")
     struct(
-      n.cast("long").as("n_tokens"),
-      nd.cast("long").as("n_distinct"),
+      st.getField("n_tokens").as("n_tokens"),
+      st.getField("n_distinct").as("n_distinct"),
       round(sw / n, 6).as("stopword_ratio"),
       round(lit(1.0) - nd / n, 6).as("repetition"),
       round(pr, 6).as("punct_ratio"),
@@ -71,11 +71,10 @@ object TextAnalysis {
   }
 
   /** Whitespace token count. */
-  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def wsTokenCount(text: Column): Column = stats(text).getField("n_tokens")
 
   /** BPE-ish token count: letter runs, digit runs, single symbols. */
-  def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+  def bpeTokenCount(text: Column): Column = stats(text).getField("bpe")
 
   /**
    * Polynomial rolling-hash fingerprint over characters:
@@ -84,7 +83,5 @@ object TextAnalysis {
    * pass; the HOF formulation was O(n²) in interpreted substr calls).
    */
   def fingerprint(text: Column): Column =
-    org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.RollingHash(
-        org.apache.spark.sql.graft.Bridge.expression(text)))
+    Bridge.column(graft.functions.RollingHash(Bridge.expression(text)))
 }

@@ -34,10 +34,15 @@ object DedupSuite {
       Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxDist = 6)
         .orderBy("id_a", "id_b")),
 
-    // D4: exact n-gram Jaccard pairs via prefix filtering (PPJoin-style;
-    // same result as the naive all-pairs form, SQL-checkable).
+    // D4: exact n-gram Jaccard pairs. At permissive tau the prefix covers
+    // ~(1-tau) of each doc, so PPJoin prefix-candidates degenerate toward
+    // the full gram join while still paying array-verify per pair; the
+    // count-based gram join (narrow rows, map-side-combinable count, two
+    // shuffles) is the right exact plan for low tau on shingled text.
+    // ngramJaccardPairsPrefix (PPJoin+) remains the high-tau / Zipfian-df
+    // path; DedupSpec asserts both forms agree.
     "sim_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairsPrefix(Tables(s, dir, "documents"), "text", "doc_id", tau = 0.3)
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "text", "doc_id", tau = 0.3)
         .orderBy("id_a", "id_b")),
 
     // D5: embedding near-dup scan — 20 closest pairs by cosine (the test
