@@ -474,13 +474,11 @@ object HalfFloat {
       return (sign | rounded).toShort
     }
     val half = ((value >>> 13) - ((127 - 15) << 10)) & 0x7fff
-    val roundBit = (value >>> 12) & 1
-    val sticky = value & 0xfff
-    var out = half
-    if (roundBit == 1 && (sticky != 0x800 || (out & 1) == 1)) out += 0
-    // round-to-nearest-even on the 13 truncated bits:
+    // round-to-nearest-even on the 13 truncated bits
     val tail = value & 0x1fff
-    if (tail > 0x1000 || (tail == 0x1000 && (half & 1) == 1)) out = half + 1
+    val out =
+      if (tail > 0x1000 || (tail == 0x1000 && (half & 1) == 1)) half + 1
+      else half
     (sign | out).toShort
   }
   /** fp16 bits -> fp32 (exact). */

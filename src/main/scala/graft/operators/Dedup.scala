@@ -83,21 +83,18 @@ object Dedup {
       .cache()
     val banded = base.select(col("id"),
       posexplode(minhashBands(col("sig"), bands, r)).as(Seq("band", "bv")))
+    // No signature-agreement pre-prune here: it risked recall (a true
+    // pair ~2.4σ out on 64 hashes could be dropped while the query
+    // declares an exact pair-set oracle), and exact verification already
+    // bounds cost to bucket-colocated candidates.
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
           && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sigA = base.select(col("id").as("id_a"), col("sig").as("sig_a"))
-    val sigB = base.select(col("id").as("id_b"), col("sig").as("sig_b"))
-    val estimated = cand.join(sigA, "id_a").join(sigB, "id_b")
-      .withColumn("est", size(filter(zip_with(col("sig_a"), col("sig_b"),
-        (a, b) => a === b), x => x)).cast("double") / numHashes)
-      .filter(col("est") >= tau - 0.15)
-      .select(col("id_a"), col("id_b"))
     val hsA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val hsB = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
-    estimated.join(hsA, "id_a").join(hsB, "id_b")
+    cand.join(hsA, "id_a").join(hsB, "id_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
@@ -200,6 +197,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /**
+   * Exact all-pairs over an embedding table as a block-pair EQUI-join:
+   * rows hash into B blocks; a row in block k is replicated to every
+   * block-pair key (k, j>=k) on the left and (i<=k, k) on the right, so
+   * each unordered pair appears in exactly one block-pair bucket (the
+   * diagonal keeps id_a < id_b). ~B replicas per row, B(B+1)/2 evenly
+   * sized shuffle buckets, no BroadcastNestedLoopJoin, no driver-side
+   * anything.
+   *
+   * Closest-pairs with no similarity floor is inherently Θ(n²) compute;
+   * this is the shape that distributes it. When a similarity threshold
+   * IS available (true near-dup detection), use
+   * [[embeddingNearDupPairs]] — bucketed candidates, sub-quadratic.
+   *
+   * Output: (id_a < id_b, va, vb) — one row per unordered pair.
+   */
+  def allPairsBlocked(df: DataFrame, vecCol: String, idCol: String,
+      blocks: Int = 16): DataFrame = {
+    val rows = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
+    val all = array((0 until blocks).map(lit): _*)
+    val left = rows.select(col("id"), col("v"), col("blk"),
+        explode(all).as("j"))
+      .filter(col("j") >= col("blk"))
+      .select(struct(col("blk").as("i"), col("j").as("j")).as("bp"),
+        col("id"), col("v"))
+    val right = rows.select(col("id"), col("v"), col("blk"),
+        explode(all).as("i"))
+      .filter(col("i") <= col("blk"))
+      .select(struct(col("i").as("i"), col("blk").as("j")).as("bp"),
+        col("id"), col("v"))
+    left.as("a").join(right.as("b"),
+        col("a.bp") === col("b.bp") &&
+          (col("a.bp.i") =!= col("a.bp.j") || col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+  }
+
+  /**
+   * Embedding near-dup pairs via random-hyperplane LSH buckets + exact
+   * cosine verification: candidates share >= 1 (band, bucket) key — an
+   * equi-join on short keys, never O(n²) outside buckets — and only
+   * verified pairs with cosine distance <= maxCosDist survive.
+   *
+   * Recall depends on the regime: a true near-dup (cos sim >= 0.9,
+   * bit-agreement p >= 0.85) collides in >= 1 of 16 8-bit bands w.p.
+   * ~0.97+; DedupSpec plants perturbed duplicates and asserts full
+   * recall. For a frontier barely above random similarity no banding
+   * separates signal from bulk — use [[allPairsBlocked]] there.
+   */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      maxCosDist: Double, nbits: Int = 128, bands: Int = 16,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val r = nbits / bands
+    val planes = Lsh.hyperplanes(dim, nbits, seed)
+    val banded = Lsh.banded(df, vecCol, idCol, planes, bands, r)
+      .select(col(idCol).as("id"), col("band"), col("bucket"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorFunctions.cosineDistance(col("va"), col("vb")), 6)
+          .as("cosd"))
+      .filter(col("cosd") <= maxCosDist)
+  }
+
   /** 64-bit SimHash of lower-cased tokens, packed into one long. */
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(split(lower(text), " "))))
@@ -243,11 +312,17 @@ object Dedup {
   }
 
   /**
-   * Connected components over dup pairs by iterative min-label
-   * propagation; returns (id, root). Bounded iterations (dup clusters are
-   * shallow; each round at least halves the label height).
+   * Connected components over dup pairs; returns (id, root). Each round
+   * does one-hop min-label propagation followed by pointer jumping
+   * (root := root's root), so label-tree height at least halves per
+   * round — O(log diameter) rounds. The loop runs to convergence
+   * (changed == 0) and THROWS if maxIter is hit first — silently
+   * returning unconverged roots would split dup clusters. Lineage is
+   * truncated every round (localCheckpoint): the iteration otherwise
+   * compounds the plan exponentially; on a real cluster use a reliable
+   * checkpoint dir instead.
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
@@ -255,13 +330,20 @@ object Dedup {
       .withColumn("root", col("id"))
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed > 0) {
+      if (it >= maxIter)
+        throw new IllegalStateException(
+          s"graft: connectedComponents did not converge in $maxIter rounds " +
+            "(pointer-jumped min-label propagation needs O(log diameter))")
       val prop = edges.join(labels, col("v") === col("id"))
         .groupBy(col("u")).agg(min(col("root")).as("nbr_min"))
-      val next = labels.join(prop, labels("id") === prop("u"), "left")
+      val stepped = labels.join(prop, labels("id") === prop("u"), "left")
         .select(labels("id"),
           least(col("root"), coalesce(col("nbr_min"), col("root"))).as("root"))
-        .cache()
+      val roots = stepped.select(col("id").as("rid"), col("root").as("rroot"))
+      val next = stepped.join(roots, stepped("root") === roots("rid"), "left")
+        .select(stepped("id"), coalesce(col("rroot"), col("root")).as("root"))
+        .localCheckpoint()
       changed = next.as("n").join(labels.as("l"), col("n.id") === col("l.id"))
         .filter(col("n.root") =!= col("l.root")).count()
       labels = next

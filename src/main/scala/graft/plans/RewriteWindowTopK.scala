@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.DoubleType
  * the sort+window entirely). Fires only when the rewrite is provably
  * equivalent: single row_number window expression, rank used only in
  * the <=/< filter and dropped by the project, and a single DoubleType
- * sort key (what TopKPerKeyExec orders by).
+ * sort key (what TopKPerKeyExec orders by). The full SortOrder —
+ * direction AND null ordering — is passed through; TopKPerKeyExec
+ * places NULL keys exactly where the window's sort would (NULLS
+ * FIRST/LAST), so nullable sort columns are safe.
  */
 object RewriteWindowTopK extends Rule[LogicalPlan] {
 

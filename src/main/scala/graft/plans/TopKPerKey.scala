@@ -27,6 +27,19 @@ final case class TopKPerKeyPlan(child: LogicalPlan, keys: Seq[Expression],
     copy(child = c)
 }
 
+/**
+ * Memory bound: one entry per retained row — distinct keys per
+ * partition × k rows (plus the key map). That is the operator's
+ * contract (same bound as any hash aggregate over the keys); for
+ * unbounded key cardinality use the window formulation, which
+ * sort-spills. Output is produced lazily per heap — no second
+ * whole-partition buffer.
+ *
+ * NULL order keys follow the SortOrder's null ordering exactly
+ * (NULLS FIRST sorts before every non-null under either direction),
+ * matching the row_number window semantics the optimizer rewrite
+ * replaces.
+ */
 final case class TopKPerKeyExec(child: SparkPlan, keys: Seq[Expression],
     order: SortOrder, k: Int) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -37,42 +50,52 @@ final case class TopKPerKeyExec(child: SparkPlan, keys: Seq[Expression],
     val keyExprs = keys
     val ordExpr = order.child
     val descending = order.direction == Descending
+    val nullsFirst = order.nullOrdering == org.apache.spark.sql.catalyst.expressions.NullsFirst
     val childOutput = child.output
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordEval = UnsafeProjection.create(Seq(ordExpr), childOutput)
-      // per key: a bounded "worst-first" ordered buffer of (ordValue, row)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Double, UnsafeRow)]]()
-      val cmp = new java.util.Comparator[(Double, UnsafeRow)] {
-        // head = the entry to evict = worst under the requested order
-        override def compare(a: (Double, UnsafeRow), b: (Double, UnsafeRow)): Int =
-          if (descending) java.lang.Double.compare(a._1, b._1)
-          else java.lang.Double.compare(b._1, a._1)
+      final case class Entry(isNull: Boolean, v: Double, row: UnsafeRow)
+      // output-order comparison: nulls placed per nullOrdering, non-null
+      // per direction — identical to SortOrder semantics
+      def cmpOut(a: Entry, b: Entry): Int =
+        if (a.isNull && b.isNull) 0
+        else if (a.isNull) { if (nullsFirst) -1 else 1 }
+        else if (b.isNull) { if (nullsFirst) 1 else -1 }
+        else if (descending) java.lang.Double.compare(b.v, a.v)
+        else java.lang.Double.compare(a.v, b.v)
+      // per key: a bounded heap; head = the entry to evict = worst (last
+      // in output order)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[Entry]]()
+      val cmp = new java.util.Comparator[Entry] {
+        override def compare(a: Entry, b: Entry): Int = cmpOut(b, a)
       }
       it.foreach { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[(Double, UnsafeRow)](k + 1, cmp)
+          heap = new java.util.PriorityQueue[Entry](k + 1, cmp)
           heaps.put(key.copy(), heap)
         }
-        val ord = ordEval(row).getDouble(0)
+        val ordRow = ordEval(row)
+        val entry =
+          if (ordRow.isNullAt(0)) Entry(isNull = true, 0.0, null)
+          else Entry(isNull = false, ordRow.getDouble(0), null)
         if (heap.size() < k) {
-          heap.add((ord, row.copy().asInstanceOf[UnsafeRow]))
-        } else {
-          val worst = heap.peek()
-          val better = if (descending) ord > worst._1 else ord < worst._1
-          if (better) { heap.poll(); heap.add((ord, row.copy().asInstanceOf[UnsafeRow])) }
+          heap.add(entry.copy(row = row.copy().asInstanceOf[UnsafeRow]))
+        } else if (cmpOut(entry, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(entry.copy(row = row.copy().asInstanceOf[UnsafeRow]))
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.forEach { (_, heap) =>
-        val rows = new Array[(Double, UnsafeRow)](heap.size())
+      // lazy per-heap drain: no second whole-partition buffer
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        val rows = new Array[Entry](heap.size())
         var i = rows.length - 1
         while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // best-first
-        rows.foreach(r => out += r._2)
+        rows.iterator.map(_.row)
       }
-      out.iterator
     }
   }
 

@@ -45,13 +45,16 @@ object DedupSuite {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "text", "doc_id", tau = 0.3)
         .orderBy("id_a", "id_b")),
 
-    // D5: embedding near-dup scan — 20 closest pairs by cosine (the test
-    // corpus has no true near-dups, so emit the closest-pairs frontier).
+    // D5: embedding closest-pairs frontier — 20 closest pairs by cosine
+    // (the test corpus has no true near-dups: the frontier sits at
+    // cosd ~0.4-0.56, barely above random, so no LSH banding separates
+    // it from the bulk). Exact all-pairs as a block-pair equi-join:
+    // evenly sharded, no BroadcastNestedLoopJoin. The sub-quadratic LSH
+    // path for the real near-dup regime is Dedup.embeddingNearDupPairs,
+    // recall-asserted in DedupSpec on planted duplicates.
     "dedup_embedding" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
+      Dedup.allPairsBlocked(e, "embedding", "vec_id", blocks = 16)
         .select(col("id_a"), col("id_b"),
           round(VF.cosineDistance(col("va"), col("vb")), 6).as("cosd"))
         .orderBy(col("cosd"), col("id_a"), col("id_b"))

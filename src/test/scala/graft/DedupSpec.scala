@@ -44,6 +44,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("blocked all-pairs equals the cartesian pair set, via equi-join") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val blocked = Dedup.allPairsBlocked(emb, "embedding", "vec_id", blocks = 7)
+    assert(!blocked.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"),
+      "block-pair join must plan as an equi-join")
+    val got = blocked.select("id_a", "id_b").as[(Long, Long)].collect()
+    val n = emb.count()
+    assert(got.length == n * (n - 1) / 2, s"expected all pairs once, got ${got.length}")
+    assert(got.toSet.size == got.length, "pair emitted twice")
+    assert(got.forall { case (a, b) => a < b })
+  }
+
+  test("LSH near-dup path recalls planted duplicates, sub-quadratically") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").limit(200).cache()
+    // plant near-dups: slightly perturbed copies with shifted ids
+    val planted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * 1.001f + 0.0005f).as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val pairs = Dedup.embeddingNearDupPairs(corpus, "embedding", "vec_id",
+        maxCosDist = 0.01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = emb.select("vec_id").as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed planted dups: ${(expected -- pairs).take(5)}")
+    // precision: verification stage guarantees only pairs <= maxCosDist
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
   test("connected components + survivors") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8))
       .toDF("id_a", "id_b", "jaccard")
