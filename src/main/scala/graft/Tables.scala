@@ -23,7 +23,13 @@ import org.apache.spark.sql.types.LongType
  * unchanged.
  */
 object Tables {
-  /** Tables at/below this on-disk size skip the spread (broadcast dims). */
+  /**
+   * Tables at/below this on-disk size skip the spread: the extra
+   * shuffle stage costs a fixed ~0.1-0.3s locally, which the tiny
+   * dimension tables can't amortize — and they must stay
+   * broadcast-shaped anyway. Everything bigger (fact tables, the text
+   * corpus, embeddings) wins: their scan-side kernels are the CPU cost.
+   */
   private val SpreadBytes = 256 * 1024L
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

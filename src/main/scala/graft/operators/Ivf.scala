@@ -112,12 +112,8 @@ object Ivf {
         round(VF.l2Distance(col(vecCol), col("qv")), 6).as("dist"))
     // bounded-heap partial agg: the qid shuffle carries <= k rows per
     // (query, partition), not the candidate set
-    val topk = udaf(new Knn.TopKAgg(k))
-    joined.groupBy(col("qid"))
-      .agg(topk(col("nid"), col("dist")).as("nn"))
-      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "e")))
-      .select(col("qid"), (col("pos") + 1).as("rank"),
-        col("e._1").as("nid"), col("e._2").as("dist"))
+    Knn.explodeTopK(joined.groupBy(col("qid"))
+      .agg(Knn.topKPairs(col("nid"), col("dist"), k).as("nn")))
   }
 
   /**

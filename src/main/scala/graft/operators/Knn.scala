@@ -1,11 +1,9 @@
 package graft.operators
 
-import graft.functions.{VectorFunctions => VF}
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import graft.functions.{TopKPairsAgg, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-
-import scala.collection.mutable
+import org.apache.spark.sql.graft.Bridge
 
 /**
  * Exact KNN operators (reference: contrib/datavec/src/ivfscan.cpp exact
@@ -29,37 +27,24 @@ object Knn {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
 
-  /** Heap entry ordering: worst (largest dist, then largest id) at head. */
-  private implicit val ord: Ordering[(Double, Long)] =
-    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+  /**
+   * Bounded top-k aggregate over (id, dist) pairs: a Catalyst
+   * TypedImperativeAggregate on primitive-array heaps (see TopKPairsAgg).
+   * Partial (map-side) aggregation ships at most k pairs per partition
+   * per group, as a flat 16-bytes-per-entry blob.
+   */
+  def topKPairs(idCol: Column, distCol: Column, k: Int): Column =
+    Bridge.column(TopKPairsAgg(Bridge.expression(idCol),
+      Bridge.expression(distCol), k).toAggregateExpression())
 
   /**
-   * Bounded top-k aggregator over (id, dist) pairs. The buffer is a
-   * max-heap capped at k entries, so partial (map-side) aggregation ships
-   * at most k pairs per partition per group.
+   * Expand the array<struct<nid,dist>> produced by [[topKPairs]] into
+   * (qid, rank, nid, dist) rows.
    */
-  final class TopKAgg(k: Int)
-      extends Aggregator[(Long, Double), mutable.PriorityQueue[(Double, Long)], Seq[(Long, Double)]] {
-    override def zero: mutable.PriorityQueue[(Double, Long)] =
-      mutable.PriorityQueue.empty[(Double, Long)]
-    override def reduce(h: mutable.PriorityQueue[(Double, Long)],
-        a: (Long, Double)): mutable.PriorityQueue[(Double, Long)] = {
-      h.enqueue((a._2, a._1))
-      if (h.size > k) h.dequeue()
-      h
-    }
-    override def merge(x: mutable.PriorityQueue[(Double, Long)],
-        y: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
-      y.foreach { e => x.enqueue(e); if (x.size > k) x.dequeue() }
-      x
-    }
-    override def finish(h: mutable.PriorityQueue[(Double, Long)]): Seq[(Long, Double)] =
-      h.dequeueAll[(Double, Long)].reverse.map(e => (e._2, e._1)).toIndexedSeq
-    override def bufferEncoder: Encoder[mutable.PriorityQueue[(Double, Long)]] =
-      Encoders.kryo[mutable.PriorityQueue[(Double, Long)]]
-    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
-  }
+  def explodeTopK(df: DataFrame): DataFrame =
+    df.select(col("qid"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("e.nid").as("nid"), col("e.dist").as("dist"))
 
   /**
    * KNN join: for every row of `queries`, the k nearest rows of `corpus`.
@@ -73,13 +58,8 @@ object Knn {
     val pairs = corpus.crossJoin(q)
       .select(col("qid"), col(idCol).cast("long").as("nid"),
         round(dist(col(vecCol), col("qv")), 6).as("dist"))
-    // bounded-heap partial aggregate per query id
-    val topk = udaf(new TopKAgg(k))
-    pairs
+    explodeTopK(pairs
       .groupBy(col("qid"))
-      .agg(topk(col("nid"), col("dist")).as("nn"))
-      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "e")))
-      .select(col("qid"), (col("pos") + 1).as("rank"),
-        col("e._1").as("nid"), col("e._2").as("dist"))
+      .agg(topKPairs(col("nid"), col("dist"), k).as("nn")))
   }
 }
