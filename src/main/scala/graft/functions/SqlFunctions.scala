@@ -38,7 +38,15 @@ object SqlFunctions {
     "vector_cmp" -> (args => VectorCompare(vec(args(0)), vec(args(1)))),
     "halfvec" -> (args => HalfVecRoundTrip(vec(args.head))),
     "simhash64" -> (args => SimHash64(args.head)),
-    "rolling_hash" -> (args => RollingHash(args.head))
+    "rolling_hash" -> (args => RollingHash(args.head)),
+    "parse_vector" -> (args => ParseVector(args.head)),
+    "vector_to_string" -> (args => VectorToString(vec(args.head))),
+    "parse_sparsevec" -> (args => ParseSparseVector(args.head)),
+    "sparsevec_to_string" -> (args => SparseVectorToString(
+      Cast(args(0), ArrayType(org.apache.spark.sql.types.IntegerType)),
+      vec(args(1)), Cast(args(2), org.apache.spark.sql.types.IntegerType))),
+    "sparsevec_l2_norm" -> (args => VectorL2Norm(vec(args.head))),
+    "sparsevec_l2_normalize" -> (args => VectorL2Normalize(vec(args.head)))
   )
 
   /** Register every kernel function as a SQL temp function. */

@@ -84,6 +84,36 @@ object VectorFunctions {
       ex(aIdx.cast("array<int>")), ex(aVal.cast("array<float>")),
       ex(bIdx.cast("array<int>")), ex(bVal.cast("array<float>")), metric))
 
+  // --- sparsevec norms (ref: sparsevec.cpp sparsevec_l2_norm /
+  // sparsevec_l2_normalize, sql:787-830): absent entries are exact
+  // zeros, so norms reduce to the stored values ---
+  /** sparsevec l2 norm over the stored values. */
+  def sparseL2Norm(values: Column): Column = l2Norm(values)
+  /** sparsevec l2_normalize: normalized values (indices unchanged). */
+  def sparseL2Normalize(values: Column): Column = l2Normalize(values)
+
+  // --- vector text I/O (ref: sql:8-23 vector_in/vector_out, :763
+  // sparsevec_in '{i:v,...}/dim') ---
+  /** parse_vector('[1,2,3]') → array<float>. */
+  def parseVector(s: Column): Column = lift(ParseVector(ex(s)))
+  /** vector_to_string: '[v1,v2,...]' (shortest round-trip formatting). */
+  def vectorToString(v: Column): Column = lift(VectorToString(ex(vec(v))))
+  /** parse_sparsevec('{1:1.5}/5') → struct(indices 0-based, values, dim). */
+  def parseSparsevec(s: Column): Column = lift(ParseSparseVector(ex(s)))
+  /** sparsevec_to_string(indices 0-based, values, dim) → '{i:v,...}/dim'. */
+  def sparsevecToString(idx: Column, vals: Column, dim: Column): Column =
+    lift(SparseVectorToString(ex(idx.cast("array<int>")),
+      ex(vals.cast("array<float>")), ex(dim.cast("int"))))
+
+  // --- halfvec aggregates (ref: sql:505-530 avg/sum(halfvec) via
+  // halfvec_accum: accumulate in float8, emit back on the fp16 grid) ---
+  /** avg(halfvec): fp64 accumulation over fp16-grid inputs, fp16 result. */
+  def halfvecAvg(c: Column): Column =
+    halfvec(VectorAggregates.vecAvg(halfvec(c)))
+  /** sum(halfvec): fp64 accumulation over fp16-grid inputs, fp16 result. */
+  def halfvecSum(c: Column): Column =
+    halfvec(VectorAggregates.vecSum(halfvec(c)))
+
   // --- elementwise arithmetic (ref: vector.cpp vector_add/sub/mul) ---
   // fp32 math like the reference: operate on float elements, keep float.
   /** vector_add: elementwise a+b. */

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Vector text I/O (reference: contrib/datavec/sql/datavec--0.7.2.sql:8-23
+ * vector_in/vector_out; :763 sparsevec_in — '{i:v,...}/dim').
+ *
+ * Dense format: '[1,2,3]' — comma separated, whitespace tolerated on
+ * input. Sparse format: '{i:v,...}/dim' with 1-BASED indices in the
+ * text form (the reference's convention); parsed structs carry 0-based
+ * ascending indices to match the rest of the graft sparse surface.
+ *
+ * Output formatting uses Java's shortest-round-trip float string —
+ * parse(format(v)) == v exactly, which is the property queries rely
+ * on; the reference prints %g with FLT_DIG digits instead, so the text
+ * differs cosmetically (e.g. "1.0" vs "1") but never in value.
+ */
+
+/** parse_vector('[1,2,3]') → array<float>. Malformed input throws. */
+case class ParseVector(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "parse_vector"
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString.trim
+    if (s.length < 2 || s.charAt(0) != '[' || s.charAt(s.length - 1) != ']')
+      throw new IllegalArgumentException(
+        s"graft: malformed vector literal (expected '[v1,v2,...]'): $s")
+    val body = s.substring(1, s.length - 1).trim
+    if (body.isEmpty) return new GenericArrayData(Array.emptyFloatArray)
+    val parts = body.split(",")
+    val out = new Array[Float](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      try out(i) = java.lang.Float.parseFloat(parts(i).trim)
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft: malformed vector element '${parts(i).trim}' in: $s")
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** vector_to_string(array<float>) → '[v1,v2,...]' (shortest round-trip). */
+case class VectorToString(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_to_string"
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder(2 + 10 * n)
+    sb.append('[')
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(arr.getFloat(i))
+      i += 1
+    }
+    sb.append(']')
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SparseVectorType {
+  val schema: StructType = StructType(Seq(
+    StructField("indices", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("values", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("dim", IntegerType, nullable = false)))
+}
+
+/**
+ * parse_sparsevec('{1:1.5,3:2}/5') → struct(indices, values, dim) with
+ * 0-based ascending indices. Requires strictly ascending 1-based input
+ * indices within [1, dim] (the reference rejects unsorted/out-of-range
+ * input too); malformed input throws.
+ */
+case class ParseSparseVector(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = SparseVectorType.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "parse_sparsevec"
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString.trim
+    val slash = s.lastIndexOf('/')
+    if (s.isEmpty || s.charAt(0) != '{' || slash < 0 ||
+        s.lastIndexOf('}') != slash - 1)
+      throw new IllegalArgumentException(
+        s"graft: malformed sparsevec literal (expected '{i:v,...}/dim'): $s")
+    val dim =
+      try Integer.parseInt(s.substring(slash + 1).trim)
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"graft: malformed sparsevec dim in: $s")
+      }
+    val body = s.substring(1, slash - 1).trim
+    val (idx, vals) =
+      if (body.isEmpty) (Array.emptyIntArray, Array.emptyFloatArray)
+      else {
+        val parts = body.split(",")
+        val ii = new Array[Int](parts.length)
+        val vv = new Array[Float](parts.length)
+        var i = 0
+        while (i < parts.length) {
+          val kv = parts(i).split(":", 2)
+          if (kv.length != 2)
+            throw new IllegalArgumentException(
+              s"graft: malformed sparsevec entry '${parts(i)}' in: $s")
+          try {
+            ii(i) = Integer.parseInt(kv(0).trim) - 1 // text is 1-based
+            vv(i) = java.lang.Float.parseFloat(kv(1).trim)
+          } catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"graft: malformed sparsevec entry '${parts(i)}' in: $s")
+          }
+          if (ii(i) < 0 || ii(i) >= dim)
+            throw new IllegalArgumentException(
+              s"graft: sparsevec index ${ii(i) + 1} out of range 1..$dim in: $s")
+          if (i > 0 && ii(i) <= ii(i - 1))
+            throw new IllegalArgumentException(
+              s"graft: sparsevec indices must be strictly ascending in: $s")
+          i += 1
+        }
+        (ii, vv)
+      }
+    InternalRow(new GenericArrayData(idx), new GenericArrayData(vals), dim)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** sparsevec_to_string(indices(0-based), values, dim) → '{i:v,...}/dim'. */
+case class SparseVectorToString(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sparsevec_to_string"
+  override def nullSafeEval(idxA: Any, valA: Any, dimA: Any): Any = {
+    val idx = idxA.asInstanceOf[ArrayData]
+    val vals = valA.asInstanceOf[ArrayData]
+    val dim = dimA.asInstanceOf[Int]
+    if (idx.numElements() != vals.numElements())
+      throw new IllegalArgumentException(
+        s"graft: sparsevec indices/values lengths differ: " +
+          s"${idx.numElements()} vs ${vals.numElements()}")
+    val n = idx.numElements()
+    val sb = new java.lang.StringBuilder(4 + 12 * n)
+    sb.append('{')
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(idx.getInt(i) + 1).append(':').append(vals.getFloat(i))
+      i += 1
+    }
+    sb.append("}/").append(dim)
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}

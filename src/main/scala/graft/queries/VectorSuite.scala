@@ -211,6 +211,79 @@ object VectorSuite {
         .select(col("label"), posexplode(col("c")))
         .select(col("label"), (col("pos") + 1).cast("int").as("i"),
           round(col("col").cast("double"), 4).as("vsum"))
+        .orderBy("label", "i")),
+
+    // A-series completion: vector text I/O (vector_in/out, sparsevec_in/
+    // out). The text form is engine-specific (shortest-round-trip floats),
+    // so the gated claim is the round-trip LAW: parse(format(v)) == v
+    // elementwise-exactly, plus a parsed literal both engines evaluate.
+    "vec_io" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      def spIdx(c: Column) = filter(transform(c, (x, i) => struct(i.as("i"), x.as("v"))),
+        t => abs(t.getField("v")) > 0.1f)
+      e.withColumn("se", spIdx(col("embedding")))
+        .withColumn("sidx", transform(col("se"), t => t.getField("i")))
+        .withColumn("svals", transform(col("se"), t => t.getField("v")))
+        .withColumn("srt", VF.parseSparsevec(VF.sparsevecToString(
+          col("sidx"), col("svals"), size(col("embedding")))))
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dims"),
+          (VF.parseVector(VF.vectorToString(col("embedding"))) ===
+            col("embedding").cast("array<float>")).as("rt_ok"),
+          (col("srt.indices") === col("sidx").cast("array<int>") &&
+            col("srt.values") === col("svals").cast("array<float>") &&
+            col("srt.dim") === size(col("embedding"))).as("sp_ok"),
+          round(VF.l2Norm(VF.parseVector(lit("[3,4]"))), 6).as("lit_norm"))
+        .orderBy("vec_id")
+    }),
+
+    // sparsevec norms: l2 norm of the stored values (absent entries are
+    // exact zeros) + l1 distance between sparsified vectors.
+    "vec_sparse_norm" -> ((s, dir) => {
+      def sp(c: Column) = filter(transform(c, (x, i) => struct(i.as("i"), x.as("v"))),
+        t => abs(t.getField("v")) > 0.1f)
+      embWithQ(s, dir)
+        .withColumn("se", sp(col("embedding")))
+        .withColumn("sq", sp(col("qv")))
+        .select(col("vec_id"),
+          round(VF.sparseL2Norm(transform(col("se"), t => t.getField("v"))), 6).as("snorm"),
+          round(VF.sparseDistance(
+            transform(col("se"), t => t.getField("i")),
+            transform(col("se"), t => t.getField("v")),
+            transform(col("sq"), t => t.getField("i")),
+            transform(col("sq"), t => t.getField("v")), "l1"), 6).as("sl1"))
+        .orderBy("vec_id")
+    }),
+
+    // sparsevec l2_normalize, scalarized to (vec_id, original 1-based
+    // dimension, normalized value) rows.
+    "vec_sparse_normalize" -> ((s, dir) => {
+      def sp(c: Column) = filter(transform(c, (x, i) => struct(i.as("i"), x.as("v"))),
+        t => abs(t.getField("v")) > 0.1f)
+      Tables(s, dir, "embeddings")
+        .withColumn("se", sp(col("embedding")))
+        .filter(size(col("se")) > 0)
+        .withColumn("idx", transform(col("se"), t => t.getField("i")))
+        .withColumn("nv", VF.sparseL2Normalize(transform(col("se"), t => t.getField("v"))))
+        .select(col("vec_id"), posexplode(arrays_zip(col("idx"), col("nv"))).as(Seq("p", "z")))
+        .select(col("vec_id"), (col("z.idx") + 1).cast("int").as("dim_i"),
+          round(col("z.nv"), 6).as("nval"))
+        .orderBy("vec_id", "dim_i")
+    }),
+
+    // avg/sum(halfvec): inputs quantized to the fp16 grid, elementwise
+    // fp64 accumulation (EXACT for fp16-grid addends: every partial sum
+    // fits in 53 bits), fp32 finish, fp16 re-quantize — mirrored in the
+    // oracle via the bit-exact binary16 emulation + ::FLOAT casts.
+    "vec_half_agg" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(VF.halfvecAvg(col("embedding")).as("ah"),
+          VF.halfvecSum(col("embedding")).as("sh"))
+        .select(col("label"), posexplode(arrays_zip(col("ah"), col("sh"))).as(Seq("p", "z")))
+        .select(col("label"), (col("p") + 1).cast("int").as("i"),
+          round(col("z.ah").cast("double"), 6).as("avg_h"),
+          round(col("z.sh").cast("double"), 6).as("sum_h"))
         .orderBy("label", "i"))
   )
 
@@ -356,6 +429,58 @@ object VectorSuite {
         |      FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
         |                   unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
         |      GROUP BY label, i)
-        |ORDER BY label, i""".stripMargin
+        |ORDER BY label, i""".stripMargin,
+
+    // The text form itself is engine-specific; the oracle checks the
+    // round-trip law (TRUE columns would flip on any parse/format bug)
+    // and the parsed-literal norm.
+    "vec_io" ->
+      """SELECT vec_id, len(embedding)::BIGINT AS dims,
+        |  TRUE AS rt_ok, TRUE AS sp_ok, 5.0 AS lit_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "vec_sparse_norm" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(sqrt(list_sum(list_transform(e.embedding,
+        |    x -> CASE WHEN abs(x) > 0.1 THEN x::DOUBLE * x::DOUBLE ELSE 0.0 END))), 6) AS snorm,
+        |  round(list_sum(list_transform(generate_series(1, len(e.embedding)), i ->
+        |    abs((CASE WHEN abs(e.embedding[i]) > 0.1 THEN e.embedding[i] ELSE 0 END)::DOUBLE -
+        |        (CASE WHEN abs(q.qv[i]) > 0.1 THEN q.qv[i] ELSE 0 END)::DOUBLE))), 6) AS sl1
+        |FROM embeddings e, q ORDER BY vec_id""".stripMargin,
+
+    "vec_sparse_normalize" ->
+      """WITH s AS (SELECT vec_id,
+        |    list_filter(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'i': i, 'v': embedding[i]}), t -> abs(t.v) > 0.1) AS se
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, se,
+        |    sqrt(list_sum(list_transform(se, t -> t.v::DOUBLE * t.v::DOUBLE))) AS nrm
+        |  FROM s WHERE len(se) > 0),
+        |u AS (SELECT vec_id, unnest(se) AS t, nrm FROM n)
+        |SELECT vec_id, t.i::INT AS dim_i, round(t.v::DOUBLE / nrm, 6) AS nval
+        |FROM u ORDER BY vec_id, dim_i""".stripMargin,
+
+    // fp16 emulation as in vec_half_l2, plus ::FLOAT::DOUBLE for the
+    // fp32 finish step of the aggregate. The fp64 elementwise sums are
+    // exact (fp16-grid addends), so no rounding-order divergence.
+    "vec_half_agg" ->
+      """WITH h AS (SELECT label, list_transform(embedding, x -> CASE WHEN x = 0 THEN 0.0
+        |    ELSE round_even(x::DOUBLE / pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10), 0)
+        |         * pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10) END) AS hv
+        |  FROM embeddings),
+        |g AS (SELECT label, i, sum(x) AS s, count(*) AS c
+        |      FROM (SELECT label, unnest(hv) AS x,
+        |                   unnest(generate_series(1, len(hv))) AS i FROM h)
+        |      GROUP BY label, i),
+        |f AS (SELECT label, i, (s / c)::FLOAT::DOUBLE AS a32, s::FLOAT::DOUBLE AS s32 FROM g)
+        |SELECT label, i::INT AS i,
+        |  round(CASE WHEN a32 = 0 THEN 0.0
+        |    ELSE round_even(a32 / pow(2.0, greatest(floor(log2(abs(a32))), -14) - 10), 0)
+        |         * pow(2.0, greatest(floor(log2(abs(a32))), -14) - 10) END, 6) AS avg_h,
+        |  round(CASE WHEN s32 = 0 THEN 0.0
+        |    ELSE round_even(s32 / pow(2.0, greatest(floor(log2(abs(s32))), -14) - 10), 0)
+        |         * pow(2.0, greatest(floor(log2(abs(s32))), -14) - 10) END, 6) AS sum_h
+        |FROM f ORDER BY label, i""".stripMargin
   )
 }

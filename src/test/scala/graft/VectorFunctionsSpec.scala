@@ -111,6 +111,55 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(avg(1) - 4.5f / 3) < 1e-6)
   }
 
+  test("vector text I/O: parse/format round trips and rejects malformed input") {
+    val v = Seq(Tuple1(Seq(1.5f, -2.25f, 3e-4f))).toDF("v")
+    val s = v.select(VF.vectorToString($"v")).as[String].head()
+    assert(s.startsWith("[") && s.endsWith("]") && s.contains(","))
+    assert(v.select(VF.parseVector(VF.vectorToString($"v")) === $"v").as[Boolean].head())
+    // whitespace-tolerant input, like the reference's vector_in
+    val p = v.select(VF.parseVector(lit(" [ 1, 2.5 ,3] "))).as[Seq[Float]].head()
+    assert(p == Seq(1f, 2.5f, 3f))
+    assert(v.select(VF.parseVector(lit("[]"))).as[Seq[Float]].head().isEmpty)
+    intercept[Exception] {
+      v.select(VF.parseVector(lit("1,2,3"))).collect()
+    }
+    // sparsevec text form is 1-based; parsed struct is 0-based
+    val sp = v.select(VF.parseSparsevec(lit("{1:1.5,3:2}/5")).as("s"))
+      .select($"s.indices", $"s.values", $"s.dim").head()
+    assert(sp.getSeq[Int](0) == Seq(0, 2) && sp.getSeq[Float](1) == Seq(1.5f, 2f)
+      && sp.getInt(2) == 5)
+    val rt = v.select(VF.parseSparsevec(VF.sparsevecToString(
+        typedlit(Seq(0, 2)), typedlit(Seq(1.5f, 2f)), lit(5))).as("s"))
+      .select($"s.indices", $"s.values", $"s.dim").head()
+    assert(rt.getSeq[Int](0) == Seq(0, 2) && rt.getInt(2) == 5)
+    intercept[Exception] { // unsorted indices rejected
+      v.select(VF.parseSparsevec(lit("{3:1,1:2}/5"))).collect()
+    }
+    intercept[Exception] { // out-of-range index rejected
+      v.select(VF.parseSparsevec(lit("{6:1}/5"))).collect()
+    }
+  }
+
+  test("vector I/O + sparse norms callable from SQL") {
+    graft.functions.SqlFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vector_to_string(parse_vector('[3,4]')) AS s,
+        |  sparsevec_l2_norm(array(3.0F, 4.0F)) AS n,
+        |  parse_sparsevec('{2:7}/9').dim AS d""".stripMargin).head()
+    assert(r.getString(0) == "[3.0,4.0]" && r.getDouble(1) == 5.0 && r.getInt(2) == 9)
+  }
+
+  test("halfvec aggregates stay on the fp16 grid") {
+    val d = Seq(Tuple1(Seq(0.1f, 1000.5f)), Tuple1(Seq(0.2f, 2000.5f))).toDF("v")
+    val r = d.agg(VF.halfvecAvg($"v").as("a"), VF.halfvecSum($"v").as("s")).head()
+    val a = r.getSeq[Float](0); val s = r.getSeq[Float](1)
+    // every output value must be exactly representable in binary16
+    (a ++ s).foreach { x =>
+      assert(graft.functions.HalfFloat.toFloat(graft.functions.HalfFloat.fromFloat(x)) == x,
+        s"$x not on fp16 grid")
+    }
+  }
+
   test("distance works under whole-stage codegen on real parquet") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.orderBy("vec_id").limit(1).select($"embedding").as[Seq[Float]].head()
