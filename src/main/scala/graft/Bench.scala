@@ -15,9 +15,9 @@ object Bench {
     "q1_pricing", "q3_shipping", "q5_volume", "q6_forecast",
     "q4_order_priority", "window_topn", "topk_perkey", "window_running", "rollup_agg",
     "distinct_agg", "percentiles", "set_ops",
-    "vec_l2_topk", "vec_cos_topk", "vec_norm", "vec_avg",
-    "knn_exact", "knn_join", "binquant_rerank", "lsh_ann", "ivf_search",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard",
+    "vec_l2_topk", "vec_cos_topk", "vec_norm", "vec_avg", "vec_half_agg", "vec_io",
+    "knn_exact", "knn_join", "binquant_rerank", "lsh_ann", "ivf_search", "hnsw_ann",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
     "mm_pipeline", "stream_window", "sessionize", "sessionize_stateful")
 

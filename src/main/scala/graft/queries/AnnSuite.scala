@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Ivf, Knn, Lsh}
+import graft.operators.{Hnsw, Ivf, Knn, Lsh}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,15 @@ object AnnSuite {
       val planes = Lsh.hyperplanes(dim = 64, nbits = 16)
       Lsh.annTopK(emb, "embedding", "vec_id", queryVec(s, dir), k = 10,
         planes, bands = 4, r = 4)
+    }),
+
+    // B5b: per-partition NSW graph ANN + beam search (the HNSW
+    // analogue; approximate — recall vs exact and vs IVF asserted in
+    // AnnSpec on equal candidate budgets).
+    "hnsw_ann" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 8)
+      Hnsw.search(index, queryVec(s, dir), k = 10)
     }),
 
     // B6: binary-quantize coarse + exact rerank (exact SQL oracle).

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ivf, Knn, Lsh}
+import graft.operators.{Hnsw, Ivf, Knn, Lsh}
 import org.apache.spark.sql.functions._
 
 class AnnSpec extends SparkSpec {
@@ -88,6 +88,39 @@ class AnnSpec extends SparkSpec {
         "embedding", "vec_id", 5)
       .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
     assert(viaIvf == viaBroadcast)
+  }
+
+  test("nsw graph: degree bounded, self found, recall >= ivf at equal budget") {
+    val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
+    val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4, params).cache()
+    val rows = index.collect()
+    assert(rows.length == emb.count())
+    assert(rows.forall(_.nbrs.length <= 2 * params.m), "degree cap violated")
+    val got = Hnsw.search(index, q, 10, params)
+      .select("vec_id").as[Long].collect()
+    assert(got.length == 10)
+    assert(got.head == 0L, "beam missed the query vector itself")
+    val recallH = (got.toSet & exactIds(10)).size / 10.0
+    // equal-budget comparison: 4 beams × ef 32 ≈ 128+ of 500 vectors
+    // visited (~1/4 of the corpus); IVF at nprobe 4/16 scans ~1/4 too.
+    val model = Ivf.build(emb, "embedding", nlists = 16)
+    val tagged = Ivf.assign(emb, "embedding", model)
+    val gotI = Ivf.search(tagged, "embedding", "vec_id", model, q, 10, 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recallI = (gotI & exactIds(10)).size / 10.0
+    assert(recallH >= recallI,
+      s"graph recall $recallH below ivf recall $recallI at equal budget")
+    assert(recallH >= 0.8, s"recall=$recallH")
+  }
+
+  test("nsw index round-trips through parquet") {
+    val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nsw").toString
+    index.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir).as[Hnsw.GraphRow]
+    val a = Hnsw.search(index, q, 10).collect().map(_.toSeq).toSeq
+    val b = Hnsw.search(reloaded, q, 10).collect().map(_.toSeq).toSeq
+    assert(a == b)
   }
 
   test("packed fp16 distance equals round-trip fp16 distance") {
