@@ -66,16 +66,66 @@ object Dedup {
     array((0 until bands).map(b => xxhash64(slice(sigCol, b * r + 1, r))): _*)
 
   /**
+   * Candidate (id_a < id_b) pairs from a banded/bucketed table via
+   * self-equi-join on the bucket key, with an optional width guard.
+   *
+   * An uncapped bucket of width w contributes w(w-1)/2 pairs — one
+   * degenerate bucket (empty/boilerplate docs all sharing a band value)
+   * floods the join at corpus scale. With maxBucket = B > 0, buckets
+   * wider than B switch from all-pairs to PIVOT CHAINING: every member
+   * pairs only with the bucket's min id — linear in w. For a true
+   * dup-flood bucket the cluster survives intact (members connect
+   * transitively through the pivot, so connected components and
+   * survivors are unchanged); what's sacrificed is completeness of the
+   * raw pair LIST inside pathological buckets, and that sacrifice is
+   * logged (bucket count + dropped pair mass) so nothing silently
+   * truncates. B = 0 disables the guard (the exact-oracle default).
+   */
+  def bucketCandidatePairs(bucketed: DataFrame, keyCols: Seq[String],
+      idCol: String, maxBucket: Int = 0): DataFrame = {
+    val keys = keyCols.map(col)
+    def pairJoin(d: DataFrame): DataFrame =
+      d.as("x").join(d.as("y"),
+          keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
+            .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    if (maxBucket <= 0) pairJoin(bucketed).dropDuplicates("id_a", "id_b")
+    else {
+      val sized = bucketed.join(
+        bucketed.groupBy(keys: _*).agg(count(lit(1)).as("w")), keyCols)
+      val flood = sized.filter(col("w") > maxBucket)
+      // visible truncation report: tiny aggregate (one row per flooded
+      // bucket), collected once — the guard path is explicitly opt-in
+      val stats = flood.groupBy(keys: _*).agg(count(lit(1)).as("w")).collect()
+      if (stats.nonEmpty) {
+        val droppedPairs = stats.map { r =>
+          val w = r.getLong(r.length - 1); w * (w - 1) / 2 - (w - 1)
+        }.sum
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"graft: ${stats.length} bucket(s) wider than $maxBucket; " +
+            s"pivot-chaining replaces ~$droppedPairs within-bucket pairs")
+      }
+      val pivots = flood.groupBy(keys: _*).agg(min(col(idCol)).as("id_a"))
+      val chained = flood.join(pivots, keyCols)
+        .filter(col(idCol) =!= col("id_a"))
+        .select(col("id_a"), col(idCol).as("id_b"))
+      pairJoin(sized.filter(col("w") <= maxBucket))
+        .unionByName(chained)
+        .dropDuplicates("id_a", "id_b")
+    }
+  }
+
+  /**
    * Near-dup candidate pairs via banded MinHash LSH, verified with exact
    * shingle Jaccard >= tau. Output: (id_a < id_b, jaccard).
    *
    * Scale shape: the per-doc index (hashed shingles + signature) is
    * computed once and cached; the band join carries only (id, band,
-   * bucket); a cheap signature-agreement estimate prunes the candidate
-   * flood before the exact intersect runs.
+   * bucket). maxBucket > 0 arms the flood guard (bucketCandidatePairs).
    */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5,
+      maxBucket: Int = 0): DataFrame = {
     val r = numHashes / bands
     val base = df.select(col(idCol).as("id"), hashedWordShingles(col(textCol)).as("hs"))
       .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
@@ -87,11 +137,7 @@ object Dedup {
     // pair ~2.4σ out on 64 hashes could be dropped while the query
     // declares an exact pair-set oracle), and exact verification already
     // bounds cost to bucket-colocated candidates.
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
-          && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = bucketCandidatePairs(banded, Seq("band", "bv"), "id", maxBucket)
     val hsA = base.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val hsB = base.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cand.join(hsA, "id_a").join(hsB, "id_b")
@@ -250,16 +296,12 @@ object Dedup {
    */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       maxCosDist: Double, nbits: Int = 128, bands: Int = 16,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      dim: Int = 64, seed: Long = 42L, maxBucket: Int = 0): DataFrame = {
     val r = nbits / bands
     val planes = Lsh.hyperplanes(dim, nbits, seed)
     val banded = Lsh.banded(df, vecCol, idCol, planes, bands, r)
       .select(col(idCol).as("id"), col("band"), col("bucket"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-          && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = bucketCandidatePairs(banded, Seq("band", "bucket"), "id", maxBucket)
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     cand.join(va, "id_a").join(vb, "id_b")
@@ -284,7 +326,7 @@ object Dedup {
    * bit_count(xor) filter then guarantees precision.
    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 6, nSegs: Int = 8): DataFrame = {
+      maxDist: Int = 6, nSegs: Int = 8, maxBucket: Int = 0): DataFrame = {
     require(64 % nSegs == 0 && maxDist <= nSegs - 2,
       s"pigeonhole bound: need maxDist <= nSegs-2 (got $maxDist, $nSegs)")
     val segLen = 64 / nSegs
@@ -298,14 +340,12 @@ object Dedup {
     val pairKeys = array((for (i <- 0 until nSegs; j <- i + 1 until nSegs) yield
       struct(lit(i * nSegs + j).as("seg"),
         shiftLeft(segv(i), segLen).bitwiseOR(segv(j)).as("sv"))): _*)
-    val seg = withSig.select(col("id"), col("sh"), explode(pairKeys).as("kv"))
-      .select(col("id"), col("sh"), col("kv.seg").as("seg"), col("kv.sv").as("sv"))
-    seg.as("x").join(seg.as("y"),
-        col("x.seg") === col("y.seg") && col("x.sv") === col("y.sv")
-          && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sh").as("sha"), col("y.sh").as("shb"))
-      .dropDuplicates("id_a", "id_b")
+    val seg = withSig.select(col("id"), explode(pairKeys).as("kv"))
+      .select(col("id"), col("kv.seg").as("seg"), col("kv.sv").as("sv"))
+    val shA = withSig.select(col("id").as("id_a"), col("sh").as("sha"))
+    val shB = withSig.select(col("id").as("id_b"), col("sh").as("shb"))
+    bucketCandidatePairs(seg, Seq("seg", "sv"), "id", maxBucket)
+      .join(shA, "id_a").join(shB, "id_b")
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))

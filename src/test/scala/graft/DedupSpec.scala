@@ -74,6 +74,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("bucket guard: flood stays linear, clusters survive, normal corpus unchanged") {
+    // on the normal corpus no bucket exceeds the cap: pair set identical
+    val base = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, 0.5, maxBucket = 200)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == base)
+    // adversarial flood: 1000 identical docs share every band bucket —
+    // 499,500 within-bucket pairs uncapped; the guard pivot-chains them
+    // into 999 candidates and the dup cluster still collapses to one
+    // survivor through the pivot.
+    val flood = spark.range(100000, 101000)
+      .select(col("id").as("doc_id"),
+        lit("spam spam spam spam spam wonderful spam").as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(flood)
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id", 64, 16,
+      tau = 0.7, maxBucket = 100).cache()
+    val floodPairs = pairs.filter(col("id_a") >= 100000L || col("id_b") >= 100000L)
+    assert(floodPairs.count() == 999, "flood should contribute exactly the pivot chain")
+    val surv = Dedup.survivorsFromPairs(corpus, "doc_id", pairs)
+    assert(surv.filter(col("id") >= 100000L && col("keep")).count() == 1,
+      "flood cluster must collapse to one survivor")
+  }
+
   test("connected components + survivors") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8))
       .toDF("id_a", "id_b", "jaccard")
