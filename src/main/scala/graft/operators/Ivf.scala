@@ -90,6 +90,39 @@ object Ivf {
   }
 
   /**
+   * Incremental index maintenance (reference: contrib/datavec/src/
+   * ivfinsert.cpp — inserted tuples are assigned to the nearest
+   * EXISTING list; the index grows without retraining). Deltas are
+   * tagged with the frozen centroids and appended into the partitioned
+   * layout: new files join their list's partition directory, so
+   * reader-level pruning keeps working over old + new rows alike. A
+   * real batch pipeline re-indexes deltas this way, not the world.
+   */
+  def appendToIndex(delta: DataFrame, vecCol: String, model: Model,
+      path: String): DataFrame = {
+    assign(delta, vecCol, model)
+      .write.mode("append").partitionBy("list_id").parquet(path)
+    delta.sparkSession.read.parquet(path)
+  }
+
+  /**
+   * Per-list health: (list_id, n, drift) where drift is the l2 distance
+   * between the frozen centroid and the CURRENT member mean. As appends
+   * shift the distribution, drift grows and list pruning degrades —
+   * schedule a re-train past a threshold (the reference's REINDEX
+   * guidance for degraded lists).
+   */
+  def centroidDrift(tagged: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val cents: Column = typedlit(model.centroids.map(_.toSeq).toSeq)
+    tagged.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VectorAggregates.vecAvg(col(vecCol)).as("mean"))
+      .select(col("list_id"), col("n"),
+        round(VF.l2Distance(col("mean"),
+          element_at(cents, col("list_id") + 1)), 6).as("drift"))
+  }
+
+  /**
    * Many-query KNN join through the IVF index: queries are tagged with
    * their nprobe probe lists, then equi-joined to the corpus on list_id —
    * a key-partitioned shuffle join (no broadcast requirement, no

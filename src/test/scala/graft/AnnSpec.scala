@@ -90,6 +90,38 @@ class AnnSpec extends SparkSpec {
     assert(viaIvf == viaBroadcast)
   }
 
+  test("incremental ivf: appended rows searchable without rebuild; drift measured") {
+    val model = Ivf.build(emb, "embedding", nlists = 16)
+    val old = emb.filter($"vec_id" % 10 =!= 0)
+    val delta = emb.filter($"vec_id" % 10 === 0) // the 10% arriving later
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    Ivf.writeIndex(old, "embedding", model, dir)
+    val index = Ivf.appendToIndex(delta, "embedding", model, dir)
+    assert(index.count() == emb.count())
+    // an appended vector is found by a PRUNED search with no rebuild:
+    // its own list is by construction the first-probed one
+    val qd = delta.filter($"vec_id" === 10).select($"embedding")
+      .as[Seq[Float]].head().toArray
+    val search = Ivf.search(index, "embedding", "vec_id", model, qd, 5, 4)
+    val scan = search.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters"), s"pruning lost after append: $scan")
+    assert(search.select("vec_id").as[Long].collect().head == 10L)
+    // per-list drift is ~0 on the training distribution (converged
+    // k-means centroids ARE the member means)...
+    val drift = Ivf.centroidDrift(index, "embedding", model).collect()
+    assert(drift.nonEmpty && drift.forall(_.getDouble(2) <= 0.1))
+    assert(drift.map(_.getLong(1)).sum == emb.count())
+    // ...and detects a shifted delta: appending displaced vectors must
+    // move the affected lists' means off their frozen centroids
+    val shifted = delta.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", x => x + lit(2.0f)).as("embedding"))
+    val index2 = Ivf.appendToIndex(shifted, "embedding", model, dir)
+    val drift2 = Ivf.centroidDrift(index2, "embedding", model).collect()
+    assert(drift2.exists(_.getDouble(2) > 0.5),
+      "drift metric failed to detect a shifted append")
+  }
+
   test("nsw graph: degree bounded, self found, recall >= ivf at equal budget") {
     val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
     val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4, params).cache()
