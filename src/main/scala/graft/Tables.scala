@@ -24,13 +24,18 @@ import org.apache.spark.sql.types.LongType
  */
 object Tables {
   /**
-   * Tables at/below this on-disk size skip the spread: the extra
-   * shuffle stage costs a fixed ~0.1-0.3s locally, which the tiny
-   * dimension tables can't amortize — and they must stay
-   * broadcast-shaped anyway. Everything bigger (fact tables, the text
-   * corpus, embeddings) wins: their scan-side kernels are the CPU cost.
+   * Spread policy: only the tables whose queries run CPU-heavy per-row
+   * kernels at the scan (text shingling/minhash/language-ID over
+   * `documents`, vector distance/all-pairs math over `embeddings`) —
+   * there a single-threaded scan serializes real compute, and the
+   * ~0.1-0.3s shuffle stage pays for itself many times over (measured:
+   * shingling 10s -> 0.5s, blocked all-pairs 2.4s -> 0.6s at sf0.1).
+   * The relational tables are cheap columnar scans feeding aggregations
+   * that shuffle on their own keys anyway; an up-front repartition adds
+   * a stage barrier per read (set_ops reads orders three times) and
+   * strictly loses.
    */
-  private val SpreadBytes = 256 * 1024L
+  private val SpreadTables = Set("documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -40,8 +45,8 @@ object Tables {
         df0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else df0
     val par = spark.sparkContext.defaultParallelism
-    if (new java.io.File(path).length > SpreadBytes &&
-        df.rdd.getNumPartitions < par) df.repartition(par)
+    if (SpreadTables(name) && df.rdd.getNumPartitions < par)
+      df.repartition(par)
     else df
   }
 }

@@ -205,18 +205,37 @@ object RelationalSuite {
           length(col("o_orderpriority")).as("plen"))
         .orderBy("o_orderkey").limit(1000)),
 
-    // C13: exact interpolated percentiles per group (one sort-aggregate
-    // computing all four, not four).
-    "percentiles" -> ((s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("ps"))
-        .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("p25"),
-          round(element_at(col("ps"), 2), 4).as("p50"),
-          round(element_at(col("ps"), 3), 4).as("p75"),
-          round(element_at(col("ps"), 4), 4).as("p95"))
-        .orderBy("l_returnflag")),
+    // C13: exact interpolated percentiles per group. Formulated as one
+    // sort + rank-targeted aggregation instead of the builtin exact
+    // `percentile`, whose object buffer is a value->count map per
+    // partial (near-unique doubles -> the full column round-trips
+    // through every partial-merge; measured ~2s at sf0.1 vs ~0.8s for
+    // the sort form). Same interpolation: pos = p*(n-1),
+    // lo + (hi-lo)*frac.
+    "percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ps = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75, "95" -> 0.95)
+      val ranked = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .select(col("l_returnflag"), col("v"),
+          (row_number().over(Window.partitionBy("l_returnflag").orderBy("v"))
+            - 1).cast("double").as("rn"),
+          count(lit(1)).over(Window.partitionBy("l_returnflag")).cast("double").as("n"))
+      val aggs = ps.flatMap { case (tag, p) =>
+        val pos = floor(lit(p) * (col("n") - 1))
+        Seq(max(when(col("rn") === pos, col("v"))).as(s"lo$tag"),
+          max(when(col("rn") === pos + 1, col("v"))).as(s"hi$tag"))
+      } :+ max(col("n")).as("n")
+      val grouped = ranked.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+      val outs = ps.map { case (tag, p) =>
+        val pos = lit(p) * (col("n") - 1)
+        val frac = pos - floor(pos)
+        round(col(s"lo$tag") +
+          (coalesce(col(s"hi$tag"), col(s"lo$tag")) - col(s"lo$tag")) * frac, 4)
+          .as(s"p$tag")
+      }
+      grouped.select(col("l_returnflag") +: outs: _*).orderBy("l_returnflag")
+    }),
 
     // C6 extension: RANGE frame (30-unit trailing window) + misc window
     // functions.
