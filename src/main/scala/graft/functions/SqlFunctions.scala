@@ -46,7 +46,10 @@ object SqlFunctions {
       Cast(args(0), ArrayType(org.apache.spark.sql.types.IntegerType)),
       vec(args(1)), Cast(args(2), org.apache.spark.sql.types.IntegerType))),
     "sparsevec_l2_norm" -> (args => VectorL2Norm(vec(args.head))),
-    "sparsevec_l2_normalize" -> (args => VectorL2Normalize(vec(args.head)))
+    "sparsevec_l2_normalize" -> (args => VectorL2Normalize(vec(args.head))),
+    "sparsevec_to_vector" -> (args => SparseToDense(
+      Cast(args(0), ArrayType(org.apache.spark.sql.types.IntegerType)),
+      vec(args(1)), Cast(args(2), org.apache.spark.sql.types.IntegerType)))
   )
 
   /** Register every kernel function as a SQL temp function. */

@@ -105,6 +105,32 @@ object VectorFunctions {
     lift(SparseVectorToString(ex(idx.cast("array<int>")),
       ex(vals.cast("array<float>")), ex(dim.cast("int"))))
 
+  // --- type conversions + comparisons (ref: sql 0.7.2
+  // vector_to_sparsevec / sparsevec_to_vector / halfvec_cmp /
+  // sparsevec_cmp; casts between the three vector types) ---
+  /** vector_to_sparsevec: keep nonzero entries as (indices asc, values). */
+  def toSparse(v: Column): Column = {
+    val kept = filter(transform(vec(v), (x, i) => struct(i.as("i"), x.as("v"))),
+      t => t.getField("v") =!= 0f)
+    struct(transform(kept, t => t.getField("i")).as("indices"),
+      transform(kept, t => t.getField("v")).as("values"),
+      size(v).as("dim"))
+  }
+  /** sparsevec_to_vector: scatter into a dense zero array. */
+  def sparseToDense(idx: Column, vals: Column, dim: Column): Column =
+    lift(SparseToDense(ex(idx.cast("array<int>")),
+      ex(vals.cast("array<float>")), ex(dim.cast("int"))))
+  /** halfvec_cmp: lexicographic compare on the fp16 grid. */
+  def halfvecCmp(a: Column, b: Column): Column =
+    vectorCmp(halfvec(a), halfvec(b))
+  /** sparsevec_cmp: dense-order compare without densifying. */
+  def sparseCmp(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column,
+      aDim: Column, bDim: Column): Column =
+    lift(SparseVectorCompare(
+      ex(aIdx.cast("array<int>")), ex(aVal.cast("array<float>")),
+      ex(bIdx.cast("array<int>")), ex(bVal.cast("array<float>")),
+      ex(aDim.cast("int")), ex(bDim.cast("int"))))
+
   // --- halfvec aggregates (ref: sql:505-530 avg/sum(halfvec) via
   // halfvec_accum: accumulate in float8, emit back on the fp16 grid) ---
   /** avg(halfvec): fp64 accumulation over fp16-grid inputs, fp16 result. */

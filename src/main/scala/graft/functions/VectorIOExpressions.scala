@@ -142,6 +142,85 @@ case class ParseSparseVector(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * sparsevec_to_vector: scatter (indices, values) into a dense
+ * array<float> of `dim` zeros (ref: sparsevec.cpp sparsevec_to_vector).
+ */
+case class SparseToDense(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sparsevec_to_vector"
+  override def nullSafeEval(idxA: Any, valA: Any, dimA: Any): Any = {
+    val idx = idxA.asInstanceOf[ArrayData]
+    val vals = valA.asInstanceOf[ArrayData]
+    val dim = dimA.asInstanceOf[Int]
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < idx.numElements()) {
+      val p = idx.getInt(i)
+      if (p < 0 || p >= dim)
+        throw new IllegalArgumentException(
+          s"graft: sparsevec index $p out of range 0..${dim - 1}")
+      out(p) = vals.getFloat(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/**
+ * sparsevec_cmp: lexicographic compare of two sparse vectors AS IF
+ * dense (absent entries are exact zeros), then by dim — the same order
+ * vector_cmp gives on their dense forms (ref: sparsevec.cpp
+ * sparsevec_cmp). Merge-scan over the index lists; never densifies.
+ */
+case class SparseVectorCompare(aIdx: Expression, aVal: Expression,
+    bIdx: Expression, bVal: Expression, aDim: Expression, bDim: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(aIdx, aVal, bIdx, bVal, aDim, bDim)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "sparsevec_cmp"
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val Seq(ai, av, bi, bv, adO, bdO) = vs
+    val aIdxD = ai.asInstanceOf[ArrayData]; val aValD = av.asInstanceOf[ArrayData]
+    val bIdxD = bi.asInstanceOf[ArrayData]; val bValD = bv.asInstanceOf[ArrayData]
+    val ad = adO.asInstanceOf[Int]; val bd = bdO.asInstanceOf[Int]
+    val shared = math.min(ad, bd)
+    var i = 0; var j = 0
+    while (i < aIdxD.numElements() || j < bIdxD.numElements()) {
+      val ia = if (i < aIdxD.numElements()) aIdxD.getInt(i) else Int.MaxValue
+      val ib = if (j < bIdxD.numElements()) bIdxD.getInt(j) else Int.MaxValue
+      val pos = math.min(ia, ib)
+      if (pos >= shared) {
+        // a nonzero past the shorter vector's dim decides like a
+        // dense compare of unequal lengths: prefix equal → shorter first
+        return Integer.compare(ad, bd) match {
+          case 0 =>
+            val va = if (ia == pos) aValD.getFloat(i) else 0f
+            val vb = if (ib == pos) bValD.getFloat(j) else 0f
+            java.lang.Float.compare(va, vb).sign
+          case c => c.sign
+        }
+      }
+      val va = if (ia == pos) aValD.getFloat(i) else 0f
+      val vb = if (ib == pos) bValD.getFloat(j) else 0f
+      val c = java.lang.Float.compare(va, vb)
+      if (c != 0) return c.sign
+      if (ia == pos) i += 1
+      if (ib == pos) j += 1
+    }
+    Integer.compare(ad, bd).sign
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(aIdx = cs(0), aVal = cs(1), bIdx = cs(2), bVal = cs(3), aDim = cs(4), bDim = cs(5))
+}
+
 /** sparsevec_to_string(indices(0-based), values, dim) → '{i:v,...}/dim'. */
 case class SparseVectorToString(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {

@@ -106,6 +106,40 @@ object Ivf {
   }
 
   /**
+   * Bulk delete from the persisted index (ref: contrib/datavec/src/
+   * ivfbuild.cpp ivfflatbulkdelete): remove victim ids by rewriting
+   * ONLY the list partitions that contain them — survivors of affected
+   * lists are written to a scratch dir, then swapped in per-partition
+   * with filesystem renames; untouched lists' files are never opened,
+   * which is the 100 TB behavior (delete 1k rows from a 10 PB index =
+   * rewrite a handful of partition directories). A list emptied
+   * entirely just stays deleted.
+   */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, victims: DataFrame): DataFrame = {
+    val index = spark.read.parquet(path)
+    val affected = index.join(victims, Seq(idCol), "left_semi")
+      .select("list_id").distinct().collect().map(_.getInt(0))
+    if (affected.nonEmpty) {
+      val affectedIds = affected.map(Integer.valueOf).toSeq
+      val tmp = path + "_delete_tmp"
+      index.filter(col("list_id").isin(affectedIds: _*))
+        .join(victims, Seq(idCol), "left_anti")
+        .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      affected.foreach { lid =>
+        val dst = new org.apache.hadoop.fs.Path(path, s"list_id=$lid")
+        val src = new org.apache.hadoop.fs.Path(tmp, s"list_id=$lid")
+        fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    spark.read.parquet(path)
+  }
+
+  /**
    * Per-list health: (list_id, n, drift) where drift is the l2 distance
    * between the frozen centroid and the CURRENT member mean. As appends
    * shift the distribution, drift grows and list pruning degrades —

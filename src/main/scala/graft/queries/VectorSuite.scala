@@ -271,6 +271,24 @@ object VectorSuite {
         .orderBy("vec_id", "dim_i")
     }),
 
+    // Type conversions + comparisons across the three vector types:
+    // dense→sparse→dense round-trip law, sparsevec_cmp == dense cmp
+    // (computed merge-scan on our side, dense CASE compare in the
+    // oracle), halfvec_cmp on the fp16 grid (emulated in the oracle).
+    "vec_convert" -> ((s, dir) => {
+      val df = embWithQ(s, dir)
+      val spE = VF.toSparse(col("embedding"))
+      val spQ = VF.toSparse(col("qv"))
+      df.select(col("vec_id"),
+          (VF.sparseToDense(spE.getField("indices"), spE.getField("values"),
+            spE.getField("dim")) === col("embedding").cast("array<float>")).as("d2s_ok"),
+          VF.sparseCmp(spE.getField("indices"), spE.getField("values"),
+            spQ.getField("indices"), spQ.getField("values"),
+            spE.getField("dim"), spQ.getField("dim")).as("scmp"),
+          VF.halfvecCmp(col("embedding"), col("qv")).as("hcmp"))
+        .orderBy("vec_id")
+    }),
+
     // avg/sum(halfvec): inputs quantized to the fp16 grid, elementwise
     // fp64 accumulation (EXACT for fp16-grid addends: every partial sum
     // fits in 53 bits), fp32 finish, fp16 re-quantize — mirrored in the
@@ -460,6 +478,21 @@ object VectorSuite {
         |u AS (SELECT vec_id, unnest(se) AS t, nrm FROM n)
         |SELECT vec_id, t.i::INT AS dim_i, round(t.v::DOUBLE / nrm, 6) AS nval
         |FROM u ORDER BY vec_id, dim_i""".stripMargin,
+
+    "vec_convert" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |h AS (SELECT vec_id, list_transform(embedding, x -> CASE WHEN x = 0 THEN 0.0
+        |    ELSE round_even(x::DOUBLE / pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10), 0)
+        |         * pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10) END) AS hv
+        |  FROM embeddings),
+        |hq AS (SELECT list_transform(qv, x -> CASE WHEN x = 0 THEN 0.0
+        |    ELSE round_even(x::DOUBLE / pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10), 0)
+        |         * pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10) END) AS hqv FROM q)
+        |SELECT e.vec_id, TRUE AS d2s_ok,
+        |  CASE WHEN e.embedding = q.qv THEN 0 WHEN e.embedding < q.qv THEN -1 ELSE 1 END AS scmp,
+        |  CASE WHEN h.hv = hq.hqv THEN 0 WHEN h.hv < hq.hqv THEN -1 ELSE 1 END AS hcmp
+        |FROM embeddings e, q, h, hq WHERE e.vec_id = h.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     // fp16 emulation as in vec_half_l2, plus ::FLOAT::DOUBLE for the
     // fp32 finish step of the aggregate. The fp64 elementwise sums are

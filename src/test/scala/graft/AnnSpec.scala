@@ -122,6 +122,38 @@ class AnnSpec extends SparkSpec {
       "drift metric failed to detect a shifted append")
   }
 
+  test("bulk delete rewrites only affected list partitions") {
+    val model = Ivf.build(emb, "embedding", nlists = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    Ivf.writeIndex(emb.select("vec_id", "embedding"), "embedding", model, dir)
+    val tagged = Ivf.assign(emb, "embedding", model)
+    // victims: every member of one list + a few ids from another
+    val victimList = tagged.groupBy("list_id").count().orderBy("count", "list_id")
+      .select("list_id").as[Int].head()
+    val wholeList = tagged.filter($"list_id" === victimList).select("vec_id")
+    val extras = tagged.filter($"list_id" =!= victimList)
+      .orderBy("vec_id").limit(3).select("vec_id")
+    val victims = wholeList.union(extras)
+    val nVictims = victims.count()
+    // snapshot an untouched partition's file timestamps
+    val untouched = tagged.filter($"list_id" =!= victimList)
+      .join(extras, Seq("vec_id"), "left_anti")
+      .select("list_id").distinct().orderBy("list_id").as[Int].head()
+    def mtimes(lid: Int) = new java.io.File(s"$dir/list_id=$lid")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val before = mtimes(untouched)
+    val after = Ivf.deleteFromIndex(spark, dir, "vec_id", victims)
+    assert(after.count() == emb.count() - nVictims)
+    assert(after.join(victims, Seq("vec_id"), "left_semi").count() == 0)
+    assert(!new java.io.File(s"$dir/list_id=$victimList").exists(),
+      "fully-emptied list partition should be gone")
+    assert(mtimes(untouched) == before,
+      "untouched list partition was rewritten")
+    // pruned search still works on the compacted index
+    val got = Ivf.search(after, "embedding", "vec_id", model, q, 5, 16)
+    assert(got.count() == 5)
+  }
+
   test("nsw graph: degree bounded, self found, recall >= ivf at equal budget") {
     val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
     val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4, params).cache()

@@ -149,6 +149,30 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.getString(0) == "[3.0,4.0]" && r.getDouble(1) == 5.0 && r.getInt(2) == 9)
   }
 
+  test("sparse/dense conversions round-trip; sparse cmp equals dense cmp") {
+    val v = Seq((Seq(0f, 1.5f, 0f, -2f), Seq(0f, 1.5f, 0f, -1f)),
+        (Seq(1f, 0f, 0f, 0f), Seq(1f, 0f, 0f, 0f)),
+        (Seq(0f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 0f)))
+      .toDF("a", "b")
+    val spA = VF.toSparse($"a"); val spB = VF.toSparse($"b")
+    val checked = v.select(
+      (VF.sparseToDense(spA.getField("indices"), spA.getField("values"),
+        spA.getField("dim")) === $"a").as("rt"),
+      VF.sparseCmp(spA.getField("indices"), spA.getField("values"),
+        spB.getField("indices"), spB.getField("values"),
+        spA.getField("dim"), spB.getField("dim")).as("sc"),
+      VF.vectorCmp($"a", $"b").as("dc")).collect()
+    assert(checked.forall(_.getBoolean(0)), "dense->sparse->dense must round-trip")
+    assert(checked.forall(r => r.getInt(1) == r.getInt(2)),
+      s"sparse cmp must equal dense cmp: ${checked.toSeq}")
+    // different dims: prefix-equal → shorter sorts first
+    val dims = Seq((Seq(1f, 2f), Seq(1f, 2f, 0f))).toDF("a", "b")
+    val sA = VF.toSparse($"a"); val sB = VF.toSparse($"b")
+    assert(dims.select(VF.sparseCmp(sA.getField("indices"), sA.getField("values"),
+      sB.getField("indices"), sB.getField("values"),
+      sA.getField("dim"), sB.getField("dim"))).as[Int].head() == -1)
+  }
+
   test("halfvec aggregates stay on the fp16 grid") {
     val d = Seq(Tuple1(Seq(0.1f, 1000.5f)), Tuple1(Seq(0.2f, 2000.5f))).toDF("v")
     val r = d.agg(VF.halfvecAvg($"v").as("a"), VF.halfvecSum($"v").as("s")).head()
