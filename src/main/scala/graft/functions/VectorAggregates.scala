@@ -1,48 +1,66 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
 
 /**
  * Elementwise vector aggregates — avg(vector) / sum(vector)
  * (reference: contrib/datavec/sql/datavec--0.7.2.sql vector_accum /
- * vector_avg / vector_combine: accumulate per-element in float8, emit fp32).
+ * vector_avg / vector_combine: accumulate per-element in float8, emit
+ * fp32).
  *
- * Implemented as Spark `Aggregator`s (ScalaAggregator is a true partial
- * aggregate: map-side combine per partition, merge of one double[] per
- * partition — no row explosion, scales to arbitrarily many rows).
+ * A Catalyst TypedImperativeAggregate over a primitive double[] buffer:
+ * map-side partials ship as flat 8-bytes-per-element blobs (the
+ * previous Aggregator round-tripped the accumulator through
+ * Encoders.kryo on every partial exchange). One buffer per group —
+ * no row explosion, scales to arbitrarily many rows.
  */
-private[graft] final class VecAccum(
-    var count: Long, var sums: Array[Double]) extends Serializable
+final class VecAccum(var count: Long, var sums: Array[Double])
 
-private[graft] sealed abstract class VecAggBase(avg: Boolean)
-    extends Aggregator[Seq[Float], VecAccum, Seq[Float]] {
-  override def zero: VecAccum = new VecAccum(0L, null)
-  override def reduce(b: VecAccum, a: Seq[Float]): VecAccum = {
-    if (a != null) {
-      if (b.sums == null) b.sums = new Array[Double](a.length)
-      else require(b.sums.length == a.length,
-        s"graft: vector dims differ in aggregate: ${b.sums.length} vs ${a.length}")
+case class VectorAccumAgg(child: Expression, avg: Boolean,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VecAccum] with UnaryLike[Expression] {
+
+  override def prettyName: String = if (avg) "vec_avg" else "vec_sum"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def createAggregationBuffer(): VecAccum = new VecAccum(0L, null)
+
+  override def update(b: VecAccum, input: InternalRow): VecAccum = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (b.sums == null) b.sums = new Array[Double](n)
+      else require(b.sums.length == n,
+        s"graft: vector dims differ in aggregate: ${b.sums.length} vs $n")
       var i = 0
-      while (i < a.length) { b.sums(i) += a(i).toDouble; i += 1 }
+      while (i < n) { b.sums(i) += arr.getFloat(i).toDouble; i += 1 }
       b.count += 1
     }
     b
   }
-  override def merge(x: VecAccum, y: VecAccum): VecAccum = {
+
+  override def merge(x: VecAccum, y: VecAccum): VecAccum =
     if (y.sums == null) x
     else if (x.sums == null) y
     else {
       require(x.sums.length == y.sums.length,
-        s"graft: vector dims differ in aggregate merge")
+        "graft: vector dims differ in aggregate merge")
       var i = 0
       while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
       x.count += y.count
       x
     }
-  }
-  override def finish(b: VecAccum): Seq[Float] =
+
+  override def eval(b: VecAccum): Any =
     if (b.sums == null) null
     else {
       val out = new Array[Float](b.sums.length)
@@ -51,22 +69,45 @@ private[graft] sealed abstract class VecAggBase(avg: Boolean)
         out(i) = (if (avg) b.sums(i) / b.count else b.sums(i)).toFloat
         i += 1
       }
-      out.toIndexedSeq
+      new GenericArrayData(out)
     }
-  override def bufferEncoder: Encoder[VecAccum] = Encoders.kryo[VecAccum]
-  override def outputEncoder: Encoder[Seq[Float]] =
-    org.apache.spark.sql.catalyst.encoders.AgnosticEncoders.IterableEncoder(
-      scala.reflect.classTag[Seq[Float]],
-      org.apache.spark.sql.catalyst.encoders.AgnosticEncoders.PrimitiveFloatEncoder,
-      containsNull = false, lenientSerialization = false
-    ).asInstanceOf[Encoder[Seq[Float]]]
+
+  override def serialize(b: VecAccum): Array[Byte] = {
+    val n = if (b.sums == null) -1 else b.sums.length
+    val bb = java.nio.ByteBuffer.allocate(12 + math.max(n, 0) * 8)
+    bb.putLong(b.count).putInt(n)
+    var i = 0
+    while (i < n) { bb.putDouble(b.sums(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecAccum = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val count = bb.getLong()
+    val n = bb.getInt()
+    if (n < 0) new VecAccum(count, null)
+    else {
+      val sums = new Array[Double](n)
+      var i = 0
+      while (i < n) { sums(i) = bb.getDouble(); i += 1 }
+      new VecAccum(count, sums)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorAccumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorAccumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VectorAccumAgg =
+    copy(child = c)
 }
 
 object VectorAggregates {
-  private object SumAgg extends VecAggBase(avg = false)
-  private object AvgAgg extends VecAggBase(avg = true)
+  private def agg(c: Column, avg: Boolean): Column =
+    Bridge.column(VectorAccumAgg(
+      Bridge.expression(c.cast("array<float>")), avg).toAggregateExpression())
   /** sum(vector): elementwise fp64 accumulation, fp32 result. */
-  def vecSum(c: Column): Column = udaf(SumAgg).apply(c.cast("array<float>"))
+  def vecSum(c: Column): Column = agg(c, avg = false)
   /** avg(vector): elementwise fp64 accumulation, fp32 result. */
-  def vecAvg(c: Column): Column = udaf(AvgAgg).apply(c.cast("array<float>"))
+  def vecAvg(c: Column): Column = agg(c, avg = true)
 }
