@@ -111,6 +111,56 @@ object RelationalSuite2 {
           count(lit(1)).as("n"))
     }),
 
+    // q13 shape: customer order-count distribution via outer join +
+    // double aggregation.
+    "q13_custdist" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+        .filter(!col("o_orderpriority").startsWith("1-"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // q17 shape: revenue from small-quantity orders of selected parts —
+    // a join against a correlated per-part average threshold.
+    "q17_small_qty" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val pa = Tables(s, dir, "part")
+        .filter(col("p_type") === "PROMO" && col("p_size") < 15)
+        .select(col("p_partkey"))
+      val thresh = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+      li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(thresh, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg(expr(s"round(CAST(sum($extD) AS DOUBLE) / 7.0, 6)").as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    // q22 shape: well-funded customers with no RECENT orders, grouped
+    // by nation (no phone column in this schema → nationkey plays the
+    // country code), against a global positive-balance average.
+    "q22_idle_rich" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= "2000-06-01")
+      // exact decimal sum / count, divided once → deterministic double
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)")
+          / count(lit(1))).as("ab"))
+      cust.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // q18 shape: large orders via HAVING + semi join back to orders.
     "q18_big_orders" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
@@ -339,6 +389,34 @@ object RelationalSuite2 {
         |   GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
         |WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey
         |ORDER BY tot_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority NOT LIKE '1-%'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_small_qty" ->
+      s"""SELECT round(CAST(sum($extD) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+         |  count(*) AS n
+         |FROM lineitem l, part p,
+         |  (SELECT l_partkey AS t_partkey, avg(l_quantity) * 0.2 AS qty_thresh
+         |   FROM lineitem GROUP BY l_partkey) t
+         |WHERE l.l_partkey = p.p_partkey AND p.p_type = 'PROMO' AND p.p_size < 15
+         |  AND l.l_partkey = t.t_partkey AND l.l_quantity < t.qty_thresh""".stripMargin,
+
+    "q22_idle_rich" ->
+      """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |              / count(*) AS ab FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
