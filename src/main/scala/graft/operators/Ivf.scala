@@ -140,6 +140,20 @@ object Ivf {
   }
 
   /**
+   * Streaming ingestion into the incremental index: a foreachBatch
+   * sink function appending every micro-batch through
+   * [[appendToIndex]] — continuous embedding arrival indexes into the
+   * same partitioned layout batch search reads, with no rebuild and no
+   * extra state (the frozen centroids are the only coordination).
+   * Usage: `stream.writeStream.foreachBatch(Ivf.streamingIndexWriter(
+   * model, path)).start()`.
+   */
+  def streamingIndexWriter(model: Model, vecCol: String, path: String)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) { appendToIndex(batch, vecCol, model, path); () }
+
+  /**
    * Per-list health: (list_id, n, drift) where drift is the l2 distance
    * between the frozen centroid and the CURRENT member mean. As appends
    * shift the distribution, drift grows and list pruning degrades —

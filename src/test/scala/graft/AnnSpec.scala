@@ -154,6 +154,35 @@ class AnnSpec extends SparkSpec {
     assert(got.count() == 5)
   }
 
+  test("streaming embeddings index into IVF via foreachBatch; search sees them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = Ivf.build(emb, "embedding", nlists = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    // seed the index with the first half; stream the rest in two batches
+    val seed = emb.filter($"vec_id" < 250).select("vec_id", "embedding")
+    Ivf.writeIndex(seed, "embedding", model, dir)
+    val rest = emb.filter($"vec_id" >= 250)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(Ivf.streamingIndexWriter(model, "embedding", dir))
+      .start()
+    try {
+      rest.grouped(rest.length / 2 + 1).foreach { c =>
+        mem.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val index = spark.read.parquet(dir)
+    assert(index.count() == emb.count())
+    // a late-arriving vector is found by pruned search, no rebuild
+    val late = rest.last
+    val got = Ivf.search(index, "embedding", "vec_id", model,
+      late._2.toArray, 3, 4).select("vec_id").as[Long].collect()
+    assert(got.head == late._1)
+  }
+
   test("nsw graph: degree bounded, self found, recall >= ivf at equal budget") {
     val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
     val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4, params).cache()
