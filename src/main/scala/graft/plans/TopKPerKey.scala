@@ -112,6 +112,9 @@ object TopKPerKey {
     }
   }
 
+  /** The planning strategy, for SparkSessionExtensions injection. */
+  def strategy: SparkStrategy = TopKStrategy
+
   /** Idempotently register the planning strategy on this session. */
   def register(spark: SparkSession): Unit = {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental

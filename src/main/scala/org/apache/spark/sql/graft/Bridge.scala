@@ -26,6 +26,15 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** What a SparkSessionExtensions instance would inject (for specs). */
+  def injectedRulesAndStrategies(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession)
+      : (Seq[org.apache.spark.sql.catalyst.rules.Rule[
+           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]],
+         Seq[org.apache.spark.sql.execution.SparkStrategy]) =
+    (ext.buildOptimizerRules(spark), ext.buildPlannerStrategies(spark))
+
   /** Register a named SQL function backed by a Catalyst expression builder. */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =

@@ -8,7 +8,19 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
-    assert(SparkEntry.queries.size >= 79)
+    assert(SparkEntry.queries.size >= 91)
+  }
+
+  test("GraftExtensions wires the topk rewrite rule and strategy") {
+    // getOrCreate would return the shared test session (ignoring the
+    // extensions conf), so exercise the injection path directly: this
+    // is exactly what session building runs under spark.sql.extensions.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val (rules, strategies) =
+      org.apache.spark.sql.graft.Bridge.injectedRulesAndStrategies(ext, spark)
+    assert(rules.contains(graft.plans.RewriteWindowTopK))
+    assert(strategies.contains(graft.plans.TopKPerKey.strategy))
   }
 
   test("ivf model save/load round-trips") {
