@@ -73,6 +73,35 @@ object DedupSuite {
           sum(when(!col("keep"), col("id"))).as("dropped_id_sum"))
     }),
 
+    // Flagship composition — the whole curation pipeline a training-data
+    // user runs, in one query: exact dedup -> minhash near-dup survivors
+    // (connected components, keep-min) -> language + quality gate ->
+    // corpus accounting. Every stage is individually oracled elsewhere;
+    // this query proves they compose (and the oracle recomputes the
+    // FULL pipeline in SQL, recursive CC included).
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val exactKeep = Dedup.exactSurvivors(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val d = docs.join(exactKeep, "doc_id").cache()
+      val pairs = Dedup.minhashPairs(d, "text", "doc_id", 64, 16, tau = 0.7)
+      val kept = Dedup.survivorsFromPairs(d, "doc_id", pairs)
+        .filter(col("keep")).select(col("id").as("doc_id"))
+        .join(d, "doc_id")
+      val feat = kept.select(col("doc_id"),
+        graft.operators.TextAnalysis.langId(col("text")).as("lang"),
+        graft.operators.TextAnalysis.qualityFeatures(col("text")).as("q"),
+        graft.operators.TextAnalysis.wsTokenCount(col("text")).as("ws"))
+      val fin = feat.filter(col("lang") === "en" && col("q.quality") >= 0.5)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(d.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_near")))
+        .crossJoin(fin.agg(count(lit(1)).as("n_final"),
+          sum(col("ws")).as("sum_tokens"),
+          round(expr("CAST(sum(CAST(q.quality AS DECIMAL(10,6))) AS DOUBLE)")
+            / count(lit(1)), 6).as("avg_quality")))
+    }),
+
     // D11: multimodal pipeline — payload bytes -> stub decode features.
     "mm_pipeline" -> ((s, dir) => {
       val media = Multimodal.asMedia(Tables(s, dir, "documents"), "text", "doc_id")
@@ -149,6 +178,56 @@ object DedupSuite {
         |         list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))), 6) AS cosd
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cosd, id_a, id_b LIMIT 20""".stripMargin,
+
+    // full-pipeline recompute: exact dedup, 3-gram Jaccard >= 0.7 pairs,
+    // recursive-CTE connected components, keep-min survivors, language +
+    // quality gate, corpus accounting. Quality sums go through exact
+    // DECIMAL(10,6) on both engines (order-independent), divided once.
+    "pipeline_curate" ->
+      """WITH RECURSIVE
+        |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')),
+        |d AS (SELECT c.doc_id, c.text FROM documents c JOIN exact_keep k USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM d),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.7),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |roots AS (SELECT a AS id, least(a, min(b)) AS root FROM reach GROUP BY a),
+        |kept AS (SELECT d.doc_id, d.text FROM d LEFT JOIN roots r ON d.doc_id = r.id
+        |         WHERE r.root IS NULL OR r.root = d.doc_id),
+        |f AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM kept),
+        |scored AS (SELECT doc_id, len(t)::BIGINT AS ws, len(t)::DOUBLE AS n,
+        |  len(list_distinct(t))::DOUBLE AS nd,
+        |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS sw_en,
+        |  len(list_filter(t, x -> list_contains(['el','la','de','los','las','y','que','en'], x))) AS sw_es,
+        |  len(list_filter(t, x -> list_contains(['der','die','das','und','nicht','ist','von','ein'], x))) AS sw_de,
+        |  len(list_filter(t, x -> list_contains(['le','la','les','et','de','un','une','est'], x))) AS sw_fr
+        |  FROM f),
+        |lang AS (SELECT doc_id, ws, n, nd, sw_en,
+        |  CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr) = 0 THEN 'und'
+        |       WHEN sw_en = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'en'
+        |       WHEN sw_es = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'es'
+        |       WHEN sw_de = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'de'
+        |       ELSE 'fr' END AS lang,
+        |  round(least(n / 400, 1.0) * 0.4 + (1.0 - (1.0 - nd / n)) * 0.4
+        |    + least(sw_en / n * 10, 1.0) * 0.2, 6) AS quality
+        |  FROM scored),
+        |fin AS (SELECT * FROM lang WHERE lang = 'en' AND quality >= 0.5)
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM d) AS n_exact,
+        |  (SELECT count(*) FROM kept) AS n_near,
+        |  count(*) AS n_final,
+        |  CAST(sum(ws) AS BIGINT) AS sum_tokens,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+        |FROM fin""".stripMargin,
 
     "mm_pipeline" ->
       """SELECT doc_id, length(text)::BIGINT AS n_bytes,
