@@ -378,15 +378,17 @@ object Dedup {
       val prop = edges.join(labels, col("v") === col("id"))
         .groupBy(col("u")).agg(min(col("root")).as("nbr_min"))
       val stepped = labels.join(prop, labels("id") === prop("u"), "left")
-        .select(labels("id"),
+        .select(labels("id"), col("root").as("prev"),
           least(col("root"), coalesce(col("nbr_min"), col("root"))).as("root"))
       val roots = stepped.select(col("id").as("rid"), col("root").as("rroot"))
+      // carry the previous label through so convergence detection is a
+      // plain scan of the checkpointed result, not another join
       val next = stepped.join(roots, stepped("root") === roots("rid"), "left")
-        .select(stepped("id"), coalesce(col("rroot"), col("root")).as("root"))
+        .select(stepped("id"), col("prev"),
+          coalesce(col("rroot"), col("root")).as("root"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.root") =!= col("l.root")).count()
-      labels = next
+      changed = next.filter(col("root") =!= col("prev")).count()
+      labels = next.select(col("id"), col("root"))
       it += 1
     }
     labels
