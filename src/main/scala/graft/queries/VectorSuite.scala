@@ -328,7 +328,7 @@ object VectorSuite {
       """WITH ex AS (SELECT vec_id, embedding,
         |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
         |SELECT vec_id, i::INT AS i,
-        |  round(embedding[i]::DOUBLE / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS u
+        |  round(embedding[i]::DOUBLE / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) + 0 AS u
         |FROM ex ORDER BY vec_id, i""".stripMargin,
 
     "vec_dims" -> "SELECT DISTINCT len(embedding) AS dims FROM embeddings",
@@ -337,16 +337,16 @@ object VectorSuite {
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |ix AS (SELECT unnest(range(1, 5))::INT AS i)
         |SELECT e.vec_id, ix.i AS i,
-        |  round(((e.embedding[ix.i] + q.qv[ix.i])::FLOAT)::DOUBLE, 6) AS va,
-        |  round(((e.embedding[ix.i] - q.qv[ix.i])::FLOAT)::DOUBLE, 6) AS vs,
-        |  round(((e.embedding[ix.i] * q.qv[ix.i])::FLOAT)::DOUBLE, 6) AS vm
+        |  round(((e.embedding[ix.i] + q.qv[ix.i])::FLOAT)::DOUBLE, 6) + 0 AS va,
+        |  round(((e.embedding[ix.i] - q.qv[ix.i])::FLOAT)::DOUBLE, 6) + 0 AS vs,
+        |  round(((e.embedding[ix.i] * q.qv[ix.i])::FLOAT)::DOUBLE, 6) + 0 AS vm
         |FROM embeddings e, q, ix WHERE e.vec_id < 50 ORDER BY vec_id, i""".stripMargin,
 
     "vec_slice_concat" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |ix AS (SELECT unnest(range(1, 9))::INT AS i)
         |SELECT e.vec_id, ix.i AS i,
-        |  round((e.embedding[1:4] || q.qv[1:4])[ix.i]::DOUBLE, 6) AS c
+        |  round((e.embedding[1:4] || q.qv[1:4])[ix.i]::DOUBLE, 6) + 0 AS c
         |FROM embeddings e, q, ix WHERE e.vec_id < 50 ORDER BY vec_id, i""".stripMargin,
 
     "vec_binquant" ->
@@ -434,7 +434,7 @@ object VectorSuite {
         |FROM sp s, q ORDER BY scd, vec_id LIMIT 10""".stripMargin,
 
     "vec_avg" ->
-      """SELECT label, i::INT AS i, round((s / cnt)::FLOAT::DOUBLE, 4) AS centroid
+      """SELECT label, i::INT AS i, round((s / cnt)::FLOAT::DOUBLE, 4) + 0 AS centroid
         |FROM (SELECT label, i, sum(x) AS s, count(*) AS cnt
         |      FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
         |                   unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
@@ -442,7 +442,7 @@ object VectorSuite {
         |ORDER BY label, i""".stripMargin,
 
     "vec_sum" ->
-      """SELECT label, i::INT AS i, round(s::FLOAT::DOUBLE, 4) AS vsum
+      """SELECT label, i::INT AS i, round(s::FLOAT::DOUBLE, 4) + 0 AS vsum
         |FROM (SELECT label, i, sum(x) AS s
         |      FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
         |                   unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
@@ -476,7 +476,7 @@ object VectorSuite {
         |    sqrt(list_sum(list_transform(se, t -> t.v::DOUBLE * t.v::DOUBLE))) AS nrm
         |  FROM s WHERE len(se) > 0),
         |u AS (SELECT vec_id, unnest(se) AS t, nrm FROM n)
-        |SELECT vec_id, t.i::INT AS dim_i, round(t.v::DOUBLE / nrm, 6) AS nval
+        |SELECT vec_id, t.i::INT AS dim_i, round(t.v::DOUBLE / nrm, 6) + 0 AS nval
         |FROM u ORDER BY vec_id, dim_i""".stripMargin,
 
     "vec_convert" ->
@@ -510,10 +510,10 @@ object VectorSuite {
         |SELECT label, i::INT AS i,
         |  round(CASE WHEN a32 = 0 THEN 0.0
         |    ELSE round_even(a32 / pow(2.0, greatest(floor(log2(abs(a32))), -14) - 10), 0)
-        |         * pow(2.0, greatest(floor(log2(abs(a32))), -14) - 10) END, 6) AS avg_h,
+        |         * pow(2.0, greatest(floor(log2(abs(a32))), -14) - 10) END, 6) + 0 AS avg_h,
         |  round(CASE WHEN s32 = 0 THEN 0.0
         |    ELSE round_even(s32 / pow(2.0, greatest(floor(log2(abs(s32))), -14) - 10), 0)
-        |         * pow(2.0, greatest(floor(log2(abs(s32))), -14) - 10) END, 6) AS sum_h
+        |         * pow(2.0, greatest(floor(log2(abs(s32))), -14) - 10) END, 6) + 0 AS sum_h
         |FROM f ORDER BY label, i""".stripMargin
   )
 }
