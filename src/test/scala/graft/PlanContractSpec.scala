@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape contracts for the gated queries: the properties that make
+ * them scale are asserted against the actual executed plans, so a
+ * refactor that silently degrades a plan (lost pushdown, surprise
+ * nested-loop join, resurrected interpreted HOF) fails here, not in a
+ * 100 TB run.
+ */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q6 scan keeps pushed filters and a pruned schema") {
+    val p = plan("q6_forecast")
+    assert(p.contains("PushedFilters: ["))
+    assert(!p.replaceAll("(?s)ReadSchema:.*", "").contains("l_comment"))
+  }
+
+  test("fact-to-dim joins broadcast the dims") {
+    for (q <- Seq("q3_shipping", "q5_volume", "q17_small_qty")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("outer-join distribution query keeps equi-joins only") {
+    val p = plan("q13_custdist")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("ngram jaccard is a pure equi-join + count plan (no arrays shuffled)") {
+    val p = plan("sim_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // count-based verification: no array_intersect materialization
+    assert(!p.contains("array_intersect"), "verify stage regressed to array joins")
+  }
+
+  test("text queries run the compiled single-pass kernel, not regex/HOF") {
+    for (q <- Seq("text_langid", "text_tokens", "text_quality")) {
+      val p = plan(q)
+      assert(p.contains("text_stats"), s"$q no longer uses TextStats")
+      assert(!p.contains("regexp_extract_all"), s"$q regressed to regex counting")
+      assert(!p.contains("ArrayFilter"), s"$q regressed to interpreted HOF filters")
+    }
+  }
+
+  test("embedding frontier query has no nested-loop join") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("knn join aggregates with map-side partial top-k heaps") {
+    val p = plan("knn_join")
+    assert(p.contains("topk_pairs"), "bounded-heap aggregate missing")
+    assert(p.contains("ObjectHashAggregate"))
+  }
+}
