@@ -161,6 +161,38 @@ object RelationalSuite2 {
         .orderBy(col("c_nationkey"))
     }),
 
+    // q12 shape: conditional aggregation by priority class over a
+    // receipt window.
+    "q12_priority" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("o_orderpriority").startsWith("1-")
+            || col("o_orderpriority").startsWith("2-"), 1L).otherwise(0L))
+            .cast("long").as("high_line_count"),
+          sum(when(!(col("o_orderpriority").startsWith("1-")
+            || col("o_orderpriority").startsWith("2-")), 1L).otherwise(0L))
+            .cast("long").as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // LATERAL correlated subquery (SQL-only surface): top-2 orders per
+    // rich customer, per-group via LATERAL ... LIMIT.
+    "lateral_topn" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_lv")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_lv")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM customer_lv c JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_lv o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+          |WHERE c_acctbal > 9900
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
+
     // q18 shape: large orders via HAVING + semi join back to orders.
     "q18_big_orders" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
@@ -389,6 +421,25 @@ object RelationalSuite2 {
         |   GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
         |WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey
         |ORDER BY tot_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q12_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_acctbal > 9900
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
