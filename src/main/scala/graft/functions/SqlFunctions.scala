@@ -49,8 +49,37 @@ object SqlFunctions {
     "sparsevec_l2_normalize" -> (args => VectorL2Normalize(vec(args.head))),
     "sparsevec_to_vector" -> (args => SparseToDense(
       Cast(args(0), ArrayType(org.apache.spark.sql.types.IntegerType)),
-      vec(args(1)), Cast(args(2), org.apache.spark.sql.types.IntegerType)))
+      vec(args(1)), Cast(args(2), org.apache.spark.sql.types.IntegerType))),
+    // halfvec distances: quantize both sides to the fp16 grid, then the
+    // shared kernels (ref: sql 0.7.2 halfvec_l2_squared_distance etc.)
+    "halfvec_l2_distance" -> halfDist(VectorMetrics.L2),
+    "halfvec_l2_squared_distance" -> halfDist(VectorMetrics.L2Sq),
+    "halfvec_inner_product" -> halfDist(VectorMetrics.Ip),
+    "halfvec_negative_inner_product" -> halfDist(VectorMetrics.NegIp),
+    "halfvec_cosine_distance" -> halfDist(VectorMetrics.Cosine),
+    "halfvec_l1_distance" -> halfDist(VectorMetrics.L1),
+    "halfvec_spherical_distance" -> halfDist(VectorMetrics.Spherical),
+    // sparsevec distances over (aIdx, aVal, bIdx, bVal)
+    "sparsevec_l2_distance" -> sparseDist("l2"),
+    "sparsevec_l2_squared_distance" -> sparseDist("l2sq"),
+    "sparsevec_inner_product" -> sparseDist("ip"),
+    "sparsevec_negative_inner_product" -> sparseDist("negip"),
+    "sparsevec_cosine_distance" -> sparseDist("cosine"),
+    "sparsevec_l1_distance" -> sparseDist("l1"),
+    // typmod analogue: vector(n) dimension enforcement at ingest
+    "assert_dims" -> (args => AssertDims(vec(args(0)),
+      Cast(args(1), org.apache.spark.sql.types.IntegerType)))
   )
+
+  private def halfDist(metric: String)(args: Seq[Expression]): Expression =
+    VectorDistance(HalfVecRoundTrip(vec(args(0))),
+      HalfVecRoundTrip(vec(args(1))), metric)
+
+  private def sparseDist(metric: String)(args: Seq[Expression]): Expression =
+    SparseVectorDistance(
+      Cast(args(0), ArrayType(org.apache.spark.sql.types.IntegerType)), vec(args(1)),
+      Cast(args(2), ArrayType(org.apache.spark.sql.types.IntegerType)), vec(args(3)),
+      metric)
 
   /** Register every kernel function as a SQL temp function. */
   def register(spark: SparkSession): Unit =

@@ -123,6 +123,9 @@ object VectorFunctions {
   /** halfvec_cmp: lexicographic compare on the fp16 grid. */
   def halfvecCmp(a: Column, b: Column): Column =
     vectorCmp(halfvec(a), halfvec(b))
+  /** vector(n) typmod analogue: pass through or throw on wrong dims. */
+  def assertDims(v: Column, dims: Int): Column =
+    lift(AssertDims(ex(vec(v)), ex(lit(dims))))
   /** sparsevec_cmp: dense-order compare without densifying. */
   def sparseCmp(aIdx: Column, aVal: Column, bIdx: Column, bVal: Column,
       aDim: Column, bDim: Column): Column =

@@ -143,6 +143,29 @@ case class ParseSparseVector(child: Expression)
 }
 
 /**
+ * Dimension enforcement — the analogue of the reference's typmod check
+ * on `vector(n)` columns (ref: sql 0.7.2 vector_typmod_in; inserts of
+ * wrong-dimension vectors error). Returns the vector unchanged or
+ * throws, so pipelines put it at ingest boundaries.
+ */
+case class AssertDims(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = left.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "assert_dims"
+  override def nullSafeEval(v: Any, d: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = d.asInstanceOf[Int]
+    if (arr.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"graft: expected vector($dim), got ${arr.numElements()} dimensions")
+    arr
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
  * sparsevec_to_vector: scatter (indices, values) into a dense
  * array<float> of `dim` zeros (ref: sparsevec.cpp sparsevec_to_vector).
  */

@@ -149,6 +149,23 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.getString(0) == "[3.0,4.0]" && r.getDouble(1) == 5.0 && r.getInt(2) == 9)
   }
 
+  test("halfvec/sparsevec distances + dims enforcement callable from SQL") {
+    graft.functions.SqlFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT halfvec_l2_squared_distance(array(1.0F, 2.0F), array(4.0F, 6.0F)) AS h,
+        |  sparsevec_l2_squared_distance(array(0, 2), array(1.0F, 2.0F),
+        |                                array(1), array(3.0F)) AS sp,
+        |  size(assert_dims(array(1.0F, 2.0F, 3.0F), 3)) AS ok""".stripMargin).head()
+    assert(r.getDouble(0) == 25.0) // fp16 grid holds small ints exactly
+    assert(r.getDouble(1) == 1 + 9 + 4.0)
+    assert(r.getInt(2) == 3)
+    val err = intercept[Exception] {
+      spark.sql("SELECT assert_dims(array(1.0F, 2.0F), 3)").collect()
+    }
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    assert(root(err).getMessage.contains("expected vector(3)"))
+  }
+
   test("sparse/dense conversions round-trip; sparse cmp equals dense cmp") {
     val v = Seq((Seq(0f, 1.5f, 0f, -2f), Seq(0f, 1.5f, 0f, -1f)),
         (Seq(1f, 0f, 0f, 0f), Seq(1f, 0f, 0f, 0f)),
