@@ -145,6 +145,38 @@ object Hnsw {
   }
 
   /**
+   * Many-query ANN through the shard graphs: every shard runs one beam
+   * PER QUERY (queries ride along as a broadcast-sized array, the same
+   * contract as Knn.knnJoin's broadcast side), then a bounded-heap
+   * partial aggregate per query id reranks the union of beams — the
+   * shuffle carries at most k rows per (query, shard), never the
+   * candidate sets. Output: (qid, rank, nid, dist).
+   */
+  def searchMany(index: Dataset[GraphRow], queries: Array[(Long, Array[Float])],
+      k: Int, params: Params = Params()): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val p = params
+    val qs = queries
+    val candidates = index.groupByKey(_.part_id)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_.id)
+        val vecs = rows.map(_.vec)
+        val adj = rows.map(_.nbrs.toIndexedSeq)
+        val entries = entryPoints(rows.length, p.nEntries)
+        qs.iterator.flatMap { case (qid, qv) =>
+          beam(vecs, adj(_), qv, math.max(p.efSearch, k), entries)
+            .toArray.map { case (d, i) => (qid, rows(i).id, math.sqrt(d)) }
+        }
+      }
+      .toDF("qid", "nid", "dist")
+      .select(col("qid"), col("nid"), round(col("dist"), 6).as("dist"))
+    graft.operators.Knn.explodeTopK(
+      candidates.groupBy(col("qid"))
+        .agg(graft.operators.Knn.topKPairs(col("nid"), col("dist"), k).as("nn")))
+  }
+
+  /**
    * Single-query ANN: one beam per shard graph (flatMapGroups on
    * part_id so a reloaded index works regardless of physical layout),
    * exact rerank of the union of beams. Output: (vec_id, dist) top-k.

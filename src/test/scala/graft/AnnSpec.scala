@@ -206,6 +206,23 @@ class AnnSpec extends SparkSpec {
     assert(recallH >= 0.8, s"recall=$recallH")
   }
 
+  test("nsw many-query search: per-query results match single-query search") {
+    val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
+    val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4, params).cache()
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    val many = Hnsw.searchMany(index, qs, 5, params)
+      .collect().groupBy(_.getLong(0))
+    for ((qid, qv) <- qs) {
+      val single = Hnsw.search(index, qv, 5, params)
+        .select("vec_id", "dist").as[(Long, Double)].collect().toSeq
+      val got = many(qid).sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == single, s"qid=$qid: $got != $single")
+    }
+  }
+
   test("nsw index round-trips through parquet") {
     val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft_nsw").toString
