@@ -48,8 +48,12 @@ object Bench {
       }
     val results = headline.filter(qs.contains).map { name =>
       // one warmup run (JIT + codegen compile), then the timed run:
-      // steady-state throughput is what a long-lived cluster job sees
+      // steady-state throughput is what a long-lived cluster job sees.
+      // Collect garbage between queries so one query's allocation debt
+      // doesn't land in the next query's measurement (observed 1.2-3.2s
+      // swings on the same query within one bench run).
       val warm = run(name)
+      System.gc()
       val t0 = System.nanoTime()
       val ok = warm && run(name)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -206,6 +206,25 @@ class AnnSpec extends SparkSpec {
     assert(recallH >= 0.8, s"recall=$recallH")
   }
 
+  test("clustered nsw shards route: pruned beams keep recall, full probe is exhaustive") {
+    val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 48)
+    val model = Ivf.build(emb, "embedding", nlists = 8)
+    val index = Hnsw.buildIndexClustered(emb, "embedding", "vec_id", model, params).cache()
+    assert(index.count() == emb.count())
+    // routed search at nprobe=4/8 — isotropic data is IVF's worst case,
+    // so assert a floor consistent with the ivf_search contract
+    val routed = Hnsw.searchRouted(index, model, q, 10, nprobe = 4, params)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (routed & exactIds(10)).size / 10.0
+    assert(recall >= 0.6, s"routed recall=$recall")
+    assert(routed.contains(0L))
+    // probing every shard must dominate the unrouted hash-shard search
+    val full = Hnsw.searchRouted(index, model, q, 10, nprobe = 8, params)
+      .select("vec_id").as[Long].collect().toSet
+    val fullRecall = (full & exactIds(10)).size / 10.0
+    assert(fullRecall >= recall)
+  }
+
   test("nsw many-query search: per-query results match single-query search") {
     val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
     val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4, params).cache()
