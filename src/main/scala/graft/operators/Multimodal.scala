@@ -70,6 +70,32 @@ object Multimodal {
   }
 
   /**
+   * Per-frame features over sampled frames: one row per kept frame with
+   * the stub-decoded byte statistics — the batch shape of per-frame
+   * feature extraction (a real model would consume the same rows).
+   */
+  def frameFeatures(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_len", LongType, nullable = false),
+      StructField("frame_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        bytes.grouped(frameSize).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (frame, idx) =>
+            val luma = fakeDecode(frame)
+            Row(id, idx, frame.length.toLong, luma.foldLeft(0L)(_ + _))
+          }
+      }
+    }(enc)
+  }
+
+  /**
    * Frame sampling: split the payload into fixed-size frames, keep every
    * `stride`-th, emit one row per kept frame.
    */

@@ -109,6 +109,14 @@ object DedupSuite {
         .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
           round(col("mean_luma"), 6).as("mean_luma"), col("n_frames"))
         .orderBy("doc_id")
+    }),
+
+    // D11: frame sampling — every 2nd 64-byte frame with stub-decoded
+    // per-frame statistics (the batch shape a frame model consumes).
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables(s, dir, "documents"), "text", "doc_id")
+      Multimodal.frameFeatures(media, frameSize = 64, stride = 2)
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -228,6 +236,18 @@ object DedupSuite {
         |  CAST(sum(ws) AS BIGINT) AS sum_tokens,
         |  round(CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS avg_quality
         |FROM fin""".stripMargin,
+
+    "mm_frames" ->
+      """WITH fr AS (SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS fi
+        |  FROM documents),
+        |kept AS (SELECT doc_id, fi, substr(text, CAST(fi * 64 + 1 AS INT), 64) AS frame
+        |         FROM fr WHERE fi % 2 = 0)
+        |SELECT doc_id, fi::INT AS frame_idx,
+        |  length(frame)::BIGINT AS frame_len,
+        |  CAST(list_sum(list_transform(range(1, length(frame) + 1),
+        |    i -> xor(ord(substr(frame, i, 1))::BIGINT, 90))) AS BIGINT) AS frame_sum
+        |FROM kept ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_pipeline" ->
       """SELECT doc_id, length(text)::BIGINT AS n_bytes,
