@@ -8,7 +8,7 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
-    assert(SparkEntry.queries.size >= 91)
+    assert(SparkEntry.queries.size >= 95)
   }
 
   test("GraftExtensions wires the topk rewrite rule and strategy") {
