@@ -22,6 +22,15 @@ object StreamingSuite {
         .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dups"))
         .orderBy("user_id", "event_type")),
 
+    // Streaming near-dup candidate filter (batch form of the stateful
+    // bucket-pioneer operator; stream==batch asserted in StreamingSpec;
+    // minhash-family values -> rows-only oracle).
+    "stream_neardup" -> ((s, dir) =>
+      graft.streaming.StreamDedup.batchVerdicts(
+          Tables(s, dir, "documents"), "text", "doc_id", "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("near_dup_candidate"), 1L).otherwise(0L)).as("n_candidates"))),
+
     // JSON property extraction from the events payload.
     "json_props" -> ((s, dir) =>
       Tables(s, dir, "events")

@@ -9,6 +9,34 @@ class StreamingSpec extends SparkSpec {
 
   private lazy val events = Tables(spark, sfDir, "events").cache()
 
+  test("streaming near-dup filter equals batch bucket-pioneer verdicts") {
+    import graft.streaming.StreamDedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val expected = StreamDedup.batchVerdicts(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id", "doc_id")
+      .as[(Long, Boolean)].collect().toMap
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val hits = StreamDedup.bandHits(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", "doc_id")
+    val q = StreamDedup.bandVerdicts(hits)
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { c =>
+        mem.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = StreamDedup.verdicts(spark.table("neardup_test"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got.size == expected.size)
+    assert(got == expected,
+      s"diff=${(got.toSet diff expected.toSet).take(5)}")
+    assert(expected.values.exists(identity), "corpus should contain candidates")
+  }
+
   test("stateful sessionization (batch mode) equals gaps-and-islands") {
     val batch = Sessionize.batchSessions(events, 30)
       .select("user_id", "n_events", "start_us", "end_us")
