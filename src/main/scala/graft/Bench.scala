@@ -20,7 +20,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
     "pipeline_curate",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-    "mm_pipeline", "stream_window", "sessionize", "sessionize_stateful")
+    "mm_pipeline", "stream_window", "stream_neardup", "sessionize", "sessionize_stateful")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
