@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 import scala.util.Random
 
@@ -25,27 +26,31 @@ object Lsh {
     Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** Sign-bit signature: array<int> of 0/1, one per hyperplane. */
-  def signature(vecCol: Column, planes: Array[Array[Float]]): Column = {
-    val p: Column = typedlit(planes.map(_.toSeq).toSeq)
-    transform(p, h => when(VF.innerProduct(vecCol, h) >= 0d, 1).otherwise(0))
+  /**
+   * All band buckets of a vector in one compiled pass: array<long> of
+   * length `bands`, element b = the packed sign bits of band b
+   * (MSB-first — same values as the original transform/aggregate HOF
+   * formulation, without its interpreted per-bit lambdas; see
+   * graft.functions.LshSignature).
+   */
+  def bandBuckets(vecCol: Column, planes: Array[Array[Float]],
+      bands: Int, r: Int): Column = {
+    require(planes.length == bands * r, s"need bands*r=${bands * r} planes")
+    val dim = planes.head.length
+    Bridge.column(graft.functions.LshSignature(
+      Bridge.expression(vecCol.cast("array<float>")),
+      planes.flatten.toIndexedSeq, dim, bands, r))
   }
-
-  /** Pack band `b` (r bits starting at b*r) of a signature into an int. */
-  def bandBucket(sigCol: Column, band: Int, r: Int): Column =
-    aggregate(slice(sigCol, band * r + 1, r), lit(0), (acc, x) => acc * 2 + x)
 
   /**
    * Explode a table into (band, bucket) rows for bucket-join candidate
    * generation. Keeps `idCol` and `vecCol` for the rerank stage.
    */
   def banded(df: DataFrame, vecCol: String, idCol: String,
-      planes: Array[Array[Float]], bands: Int, r: Int): DataFrame = {
-    val sig = signature(col(vecCol), planes)
-    val bandArr = array((0 until bands).map(b => bandBucket(sig, b, r)): _*)
+      planes: Array[Array[Float]], bands: Int, r: Int): DataFrame =
     df.select(col(idCol), col(vecCol),
-        posexplode(bandArr).as(Seq("band", "bucket")))
-  }
+      posexplode(bandBuckets(col(vecCol), planes, bands, r))
+        .as(Seq("band", "bucket")))
 
   /**
    * ANN top-k via banded LSH: candidates share ≥1 band bucket with the

@@ -54,6 +54,13 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("lsh queries use the compiled signature kernel, not interpreted HOFs") {
+    val p = plan("lsh_ann")
+    assert(p.contains("lsh_signature"), "lsh_ann lost the compiled LshSignature")
+    assert(!p.contains("ArrayTransform") && !p.contains("ArrayAggregate"),
+      "lsh_ann regressed to interpreted HOF signature math")
+  }
+
   test("knn join aggregates with map-side partial top-k heaps") {
     val p = plan("knn_join")
     assert(p.contains("topk_pairs"), "bounded-heap aggregate missing")
