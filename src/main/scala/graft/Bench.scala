@@ -34,8 +34,11 @@ object Bench {
       // maxPartitionBytes would make every scan single-threaded
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      s"target/graft-checkpoints/${java.util.UUID.randomUUID()}")
 
     // JVM/codegen warmup on the smallest sf
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

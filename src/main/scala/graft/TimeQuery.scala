@@ -22,8 +22,11 @@ object TimeQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      s"target/graft-checkpoints/${java.util.UUID.randomUUID()}")
     for (name <- args.drop(1)) {
       val q = SparkEntry.queries(name)
       q(spark, sfDir).write.format("noop").mode("overwrite").save()

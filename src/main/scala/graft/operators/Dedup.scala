@@ -352,46 +352,54 @@ object Dedup {
   }
 
   /**
-   * Connected components over dup pairs; returns (id, root). Each round
-   * does one-hop min-label propagation followed by pointer jumping
-   * (root := root's root), so label-tree height at least halves per
-   * round — O(log diameter) rounds. The loop runs to convergence
-   * (changed == 0) and THROWS if maxIter is hit first — silently
-   * returning unconverged roots would split dup clusters. Lineage is
-   * truncated every round (localCheckpoint): the iteration otherwise
-   * compounds the plan exponentially; on a real cluster use a reliable
-   * checkpoint dir instead.
+   * Connected components over dup pairs; returns (id, root) where root
+   * is the component's minimum id. The step is the alternating
+   * large-star / small-star algorithm (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", 2014): state is a canonical
+   * (u > v) edge set; large-star re-points every neighbor bigger than u
+   * at the minimum of u's neighborhood, small-star re-points u and its
+   * smaller neighbors the same way. Both phases are groupBy + equi-join
+   * rounds (the shuffle carries bare (u, v) longs), converging in
+   * O(log² n) rounds to per-component stars centered at the minimum
+   * node — at which point both phases are no-ops and the fixpoint's
+   * symmetric-difference test reads 0. Runs on [[Iterate.fixpoint]], so
+   * lineage truncation is a RELIABLE checkpoint whenever the session
+   * has a checkpoint dir (the gated mains all set one) — an executor
+   * loss mid-iteration recomputes from the last round's files instead
+   * of killing the job, which localCheckpoint could not survive.
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .cache()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("root", col("id"))
-    var changed = 1L
-    var it = 0
-    while (changed > 0) {
-      if (it >= maxIter)
-        throw new IllegalStateException(
-          s"graft: connectedComponents did not converge in $maxIter rounds " +
-            "(pointer-jumped min-label propagation needs O(log diameter))")
-      val prop = edges.join(labels, col("v") === col("id"))
-        .groupBy(col("u")).agg(min(col("root")).as("nbr_min"))
-      val stepped = labels.join(prop, labels("id") === prop("u"), "left")
-        .select(labels("id"), col("root").as("prev"),
-          least(col("root"), coalesce(col("nbr_min"), col("root"))).as("root"))
-      val roots = stepped.select(col("id").as("rid"), col("root").as("rroot"))
-      // carry the previous label through so convergence detection is a
-      // plain scan of the checkpointed result, not another join
-      val next = stepped.join(roots, stepped("root") === roots("rid"), "left")
-        .select(stepped("id"), col("prev"),
-          coalesce(col("rroot"), col("root")).as("root"))
-        .localCheckpoint()
-      changed = next.filter(col("root") =!= col("prev")).count()
-      labels = next.select(col("id"), col("root"))
-      it += 1
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 40): DataFrame = {
+    val init = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val stars = Iterate.fixpoint(init, maxIter, "connectedComponents") { e =>
+      // large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+      // Needs full neighborhoods, so symmetrize the canonical edge set.
+      val adj = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // truncated, not cache(): small-star consumes it twice, and a
+      // checkpoint keeps the round restartable (no executor-pinned state)
+      val ls = Iterate.truncate(
+        adj.join(lsMin, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")).distinct())
+      // small-star over (u > v) edges: m = min(N(u)); re-point u and all
+      // its smaller neighbors at m. Emits (x, m) for x ∈ N(u) \ {m} ∪ {u}.
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      ls.join(ssMin, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+    } { (prev, next) =>
+      // star sets are fixpoints of both phases, so exact set stability
+      // is the convergence test (distinct sets → except is exact)
+      next.except(prev).union(prev.except(next)).count()
     }
-    labels
+    stars.select(col("u").as("id"), col("v").as("root"))
+      .union(stars.select(col("v").as("id"), col("v").as("root")))
+      .distinct()
   }
 
   /**

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * General iterative / recursive query execution (reference capability:
+ * WITH RECURSIVE — src/common/backend/parser/gram.y:23981; the openGauss
+ * executor runs a recursive CTE's step query to a fixpoint). Spark has
+ * no recursive plan node, so the cluster-grade form is a
+ * driver-coordinated loop of DataFrame rounds with per-round lineage
+ * truncation — this operator is that loop, factored once: graph
+ * reachability, connected components, iterative label propagation and
+ * k-means-style refinement all instantiate it with a `step`.
+ *
+ * Contract per round: `next = step(state)` is truncated, then
+ * `changed(state, next)` is evaluated; the loop ends when it returns 0
+ * and THROWS if maxIter is hit first — returning an unconverged state
+ * would silently answer the recursive query wrong.
+ *
+ * Lineage truncation is what makes the loop survivable: without it the
+ * logical plan doubles per round (analysis alone kills the driver long
+ * before data does). When the SparkContext has a checkpoint dir set,
+ * rounds go through RELIABLE checkpoints — state lands in the
+ * checkpoint filesystem, so a lost executor recomputes from the last
+ * round's files instead of unrecoverably losing executor-resident
+ * blocks. Without one it falls back to localCheckpoint, which is
+ * correct but executor-resident — acceptable only in local mode. The
+ * graft session mains (Verify/Bench/TimeQuery) and the test fixture
+ * all set a checkpoint dir, so every gated run exercises the reliable
+ * path.
+ */
+object Iterate {
+
+  /**
+   * Truncate a DataFrame's lineage: reliable checkpoint when the
+   * context has a checkpoint dir, else localCheckpoint. Steps can also
+   * call this on round-internal intermediates that are consumed more
+   * than once (instead of cache(), which pins executor memory across
+   * rounds with no fault tolerance).
+   */
+  def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /**
+   * Run `step` from `init` until `changed` reports 0 differences.
+   * Returns the converged state (lineage-truncated — safe to consume
+   * or iterate further downstream).
+   */
+  def fixpoint(init: DataFrame, maxIter: Int, what: String = "fixpoint")(
+      step: DataFrame => DataFrame)(
+      changed: (DataFrame, DataFrame) => Long): DataFrame = {
+    var state = truncate(init)
+    var delta = 1L
+    var it = 0
+    while (delta > 0) {
+      if (it >= maxIter)
+        throw new IllegalStateException(
+          s"graft: $what did not converge in $maxIter rounds")
+      val next = truncate(step(state))
+      delta = changed(state, next)
+      state = next
+      it += 1
+    }
+    state
+  }
+}

@@ -102,6 +102,24 @@ object DedupSuite {
             / count(lit(1)), 6).as("avg_quality")))
     }),
 
+    // Iterative/recursive query (reference: WITH RECURSIVE,
+    // src/common/backend/parser/gram.y:23981): full transitive closure
+    // over the verified near-dup graph — (id_a < id_b) emitted iff the
+    // docs connect through ANY chain of exact-Jaccard >= 0.7 pairs.
+    // Runs connected components on Iterate.fixpoint (alternating
+    // large-star/small-star, reliable-checkpoint truncation), then a
+    // same-root self-join; the oracle recomputes reachability as a
+    // DuckDB recursive CTE.
+    "graph_reach" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
+      val cc = Dedup.connectedComponents(pairs)
+      cc.as("a").join(cc.as("b"),
+          col("a.root") === col("b.root") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // D11: multimodal pipeline — payload bytes -> stub decode features.
     "mm_pipeline" -> ((s, dir) => {
       val media = Multimodal.asMedia(Tables(s, dir, "documents"), "text", "doc_id")
@@ -157,6 +175,23 @@ object DedupSuite {
         |  CAST(sum(CASE WHEN root IS NULL OR root = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
         |  CAST(sum(CASE WHEN root IS NOT NULL AND root <> doc_id THEN doc_id END) AS BIGINT) AS dropped_id_sum
         |FROM documents LEFT JOIN roots ON doc_id = roots.id""".stripMargin,
+
+    // reachability oracle: same verified pair set as dedup_survivors,
+    // closed transitively with a recursive CTE; Spark's same-root pairs
+    // equal the closure's unordered pairs.
+    "graph_reach" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.7),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT DISTINCT a AS id_a, b AS id_b FROM reach WHERE a < b
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_exact" ->
       """SELECT count(*) AS n_groups, CAST(sum(keep_id) AS BIGINT) AS id_sum,

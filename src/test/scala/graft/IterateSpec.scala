@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Dedup, Iterate}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fixpoint-operator contracts: large-star/small-star connected
+ * components agree with a driver-side union-find on adversarial graph
+ * shapes, the reliable-checkpoint path survives losing every
+ * executor-resident block mid-iteration, and non-convergence throws
+ * instead of returning a wrong state.
+ */
+class IterateSpec extends SparkSpec {
+
+  /** Driver-side DSU oracle: (id -> min id of its component). */
+  private def dsu(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("large-star/small-star CC equals union-find on adversarial shapes") {
+    // long path (diameter 300 — one-hop propagation would need 300
+    // rounds; LS/SS must close it in O(log^2)), plus a star, a clique,
+    // two merged rings, and out-of-order ids
+    val path = (0L until 300L).map(i => (i, i + 1))
+    val star = (1L to 30L).map(i => (1000L, 1000L + i))
+    val clique = for (i <- 0 until 10; j <- i + 1 until 10)
+      yield (2000L + i, 2000L + j)
+    val rings = (0L until 40L).map(i => (3000L + i, 3000L + (i + 1) % 40)) ++
+      (0L until 40L).map(i => (3100L + i, 3100L + (i + 1) % 40)) :+ (3000L, 3100L)
+    val scrambled = Seq((7L, 9000L), (9000L, 4L), (8999L, 9000L))
+    val edges = scala.util.Random.shuffle(
+      path ++ star ++ clique ++ rings ++ scrambled)
+    assert(ccOf(edges) == dsu(edges))
+  }
+
+  test("fixpoint survives losing all executor-resident blocks mid-iteration") {
+    import spark.implicits._
+    // the session fixture sets a checkpoint dir, so Iterate truncates
+    // through RELIABLE checkpoints; simulate executor loss by dropping
+    // every cached/localCheckpoint block before EVERY round — recompute
+    // must come from checkpoint files, not the block manager
+    def wipe(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val n = 50
+    val edgeDf = (0 until n).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val sym = edgeDf.union(edgeDf.select(col("b"), col("a")).toDF("a", "b"))
+    val init = (0 to n).map(i => (i.toLong, i.toLong)).toDF("id", "root")
+    // one-hop min-label propagation: needs a full `n` rounds on a path,
+    // so every round exercises recompute-after-block-loss
+    val out = Iterate.fixpoint(init, 2 * n, "wipe-test") { st =>
+      wipe()
+      val prop = sym.join(st, sym("b") === st("id"))
+        .groupBy(col("a")).agg(min(col("root")).as("nr"))
+      st.join(prop, st("id") === prop("a"), "left")
+        .select(st("id"),
+          least(col("root"), coalesce(col("nr"), col("root"))).as("root"))
+    } { (prev, next) =>
+      wipe()
+      next.join(prev.select(col("id"), col("root").as("prev_root")), "id")
+        .filter(col("root") =!= col("prev_root")).count()
+    }
+    assert(out.select(max(col("root"))).head().getLong(0) == 0L,
+      "path did not fully converge to the min label")
+    // the gated CC operator under the same block loss
+    val edges = (0L until 200L).map(i => (i, i + 1))
+    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+    wipe()
+    assert(cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == dsu(edges))
+  }
+
+  test("non-convergence throws instead of returning a wrong state") {
+    import spark.implicits._
+    val init = Seq((0L, 1L)).toDF("u", "v")
+    val e = intercept[IllegalStateException] {
+      Iterate.fixpoint(init, 3, "oscillator") { s =>
+        s.select(col("u"), (lit(1L) - col("v")).as("v")) // flips forever
+      } { (prev, next) => next.except(prev).count() }
+    }
+    assert(e.getMessage.contains("oscillator"))
+  }
+}

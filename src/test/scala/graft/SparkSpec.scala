@@ -14,8 +14,11 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setCheckpointDir(
+      s"target/graft-checkpoints/test-${java.util.UUID.randomUUID()}")
     s
   }
   val sfDir = "/root/testdata/sf0.001"
