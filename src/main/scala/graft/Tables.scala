@@ -23,30 +23,26 @@ import org.apache.spark.sql.types.LongType
  * unchanged.
  */
 object Tables {
-  /**
-   * Spread policy: only the tables whose queries run CPU-heavy per-row
-   * kernels at the scan (text shingling/minhash/language-ID over
-   * `documents`, vector distance/all-pairs math over `embeddings`) —
-   * there a single-threaded scan serializes real compute, and the
-   * ~0.1-0.3s shuffle stage pays for itself many times over (measured:
-   * shingling 10s -> 0.5s, blocked all-pairs 2.4s -> 0.6s at sf0.1).
-   * The relational tables are cheap columnar scans feeding aggregations
-   * that shuffle on their own keys anyway; an up-front repartition adds
-   * a stage barrier per read (set_ops reads orders three times) and
-   * strictly loses.
-   */
-  private val SpreadTables = Set("documents", "embeddings")
-
+  /** Plain load: pushdown-friendly scan, no repartition barrier. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val df0 = spark.read.parquet(path)
-    val df =
-      if (name == "events" && df0.schema("ts").dataType == LongType)
-        df0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else df0
-    val par = spark.sparkContext.defaultParallelism
-    if (SpreadTables(name) && df.rdd.getNumPartitions < par)
-      df.repartition(par)
-    else df
+    if (name == "events" && df0.schema("ts").dataType == LongType)
+      df0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df0
   }
+
+  /**
+   * Spread load for CPU-heavy per-row kernels at the scan (text
+   * shingling/minhash/language-ID, multimodal decode, blocked all-pairs
+   * vector math): there a single-row-group file serializes real compute
+   * behind one task, and the ~0.1-0.3s repartition stage pays for
+   * itself many times over (measured: shingling 10s -> 0.5s, blocked
+   * all-pairs 2.4s -> 0.6s at sf0.1). The decision is PER CONSUMER, not
+   * per table — cheap scans (top-k distance, sha256, coarse quantize)
+   * measurably lose 0.15-0.3s to the barrier, so they call the plain
+   * loader (round-2 regression, reverted round 3).
+   */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }

@@ -25,13 +25,13 @@ object DedupSuite {
 
     // D2: MinHash LSH candidates verified to exact Jaccard >= 0.5.
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
+      Dedup.minhashPairs(Tables.spread(s, dir, "documents"), "text", "doc_id",
           numHashes = 64, bands = 16, tau = 0.5)
         .orderBy("id_a", "id_b")),
 
     // D3: SimHash pairs within hamming <= 6 via segment-pair pigeonhole.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxDist = 6)
+      Dedup.simhashPairs(Tables.spread(s, dir, "documents"), "text", "doc_id", maxDist = 6)
         .orderBy("id_a", "id_b")),
 
     // D4: exact n-gram Jaccard pairs. At permissive tau the prefix covers
@@ -42,7 +42,7 @@ object DedupSuite {
     // ngramJaccardPairsPrefix (PPJoin+) remains the high-tau / Zipfian-df
     // path; DedupSpec asserts both forms agree.
     "sim_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "text", "doc_id", tau = 0.3)
+      Dedup.ngramJaccardPairs(Tables.spread(s, dir, "documents"), "text", "doc_id", tau = 0.3)
         .orderBy("id_a", "id_b")),
 
     // D5: embedding closest-pairs frontier — 20 closest pairs by cosine
@@ -53,7 +53,7 @@ object DedupSuite {
     // path for the real near-dup regime is Dedup.embeddingNearDupPairs,
     // recall-asserted in DedupSpec on planted duplicates.
     "dedup_embedding" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val e = Tables.spread(s, dir, "embeddings")
       Dedup.allPairsBlocked(e, "embedding", "vec_id", blocks = 16)
         .select(col("id_a"), col("id_b"),
           round(VF.cosineDistance(col("va"), col("vb")), 6).as("cosd"))
@@ -65,7 +65,7 @@ object DedupSuite {
     // near-dup pairs (keep min doc id per cluster). Deterministic but CC
     // is not SQL-expressible without recursion -> rows-only.
     "dedup_survivors" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.spread(s, dir, "documents")
       val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
       Dedup.survivorsFromPairs(docs, "doc_id", pairs)
         .agg(count(lit(1)).as("n_docs"),
@@ -80,7 +80,7 @@ object DedupSuite {
     // this query proves they compose (and the oracle recomputes the
     // FULL pipeline in SQL, recursive CC included).
     "pipeline_curate" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val docs = Tables.spread(s, dir, "documents").select("doc_id", "text")
       val exactKeep = Dedup.exactSurvivors(docs, "text", "doc_id")
         .select(col("keep_id").as("doc_id"))
       val d = docs.join(exactKeep, "doc_id").cache()
@@ -111,7 +111,7 @@ object DedupSuite {
     // same-root self-join; the oracle recomputes reachability as a
     // DuckDB recursive CTE.
     "graph_reach" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.spread(s, dir, "documents")
       val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
       val cc = Dedup.connectedComponents(pairs)
       cc.as("a").join(cc.as("b"),
@@ -122,7 +122,7 @@ object DedupSuite {
 
     // D11: multimodal pipeline — payload bytes -> stub decode features.
     "mm_pipeline" -> ((s, dir) => {
-      val media = Multimodal.asMedia(Tables(s, dir, "documents"), "text", "doc_id")
+      val media = Multimodal.asMedia(Tables.spread(s, dir, "documents"), "text", "doc_id")
       Multimodal.decodeFeatures(media, frameSize = 64)
         .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
           round(col("mean_luma"), 6).as("mean_luma"), col("n_frames"))
@@ -132,7 +132,7 @@ object DedupSuite {
     // D11: frame sampling — every 2nd 64-byte frame with stub-decoded
     // per-frame statistics (the batch shape a frame model consumes).
     "mm_frames" -> ((s, dir) => {
-      val media = Multimodal.asMedia(Tables(s, dir, "documents"), "text", "doc_id")
+      val media = Multimodal.asMedia(Tables.spread(s, dir, "documents"), "text", "doc_id")
       Multimodal.frameFeatures(media, frameSize = 64, stride = 2)
         .orderBy("doc_id", "frame_idx")
     })

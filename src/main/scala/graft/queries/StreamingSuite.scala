@@ -27,7 +27,7 @@ object StreamingSuite {
     // minhash-family values -> rows-only oracle).
     "stream_neardup" -> ((s, dir) =>
       graft.streaming.StreamDedup.batchVerdicts(
-          Tables(s, dir, "documents"), "text", "doc_id", "doc_id")
+          Tables.spread(s, dir, "documents"), "text", "doc_id", "doc_id")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("near_dup_candidate"), 1L).otherwise(0L)).as("n_candidates"))),
 

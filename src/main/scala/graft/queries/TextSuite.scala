@@ -11,12 +11,12 @@ object TextSuite {
 
   val queries: Map[String, Q] = Map(
     "text_langid" -> ((s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.spread(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
     "text_quality" -> ((s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.spread(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("q"))
         .select(col("doc_id"), col("q.n_tokens"), col("q.n_distinct"),
           col("q.stopword_ratio"), col("q.repetition"), col("q.punct_ratio"),
@@ -24,14 +24,14 @@ object TextSuite {
         .orderBy("doc_id")),
 
     "text_tokens" -> ((s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.spread(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
           TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
 
     "text_fingerprint" -> ((s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.spread(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"))
   )
