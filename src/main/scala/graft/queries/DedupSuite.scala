@@ -61,6 +61,28 @@ object DedupSuite {
         .limit(20)
     }),
 
+    // D5b: the SUB-QUADRATIC near-dup regime — LSH-bucketed candidates +
+    // exact cosine verify (Dedup.embeddingNearDupPairs), gated with an
+    // exact oracle. The natural corpus has no near-dups (frontier cosd
+    // 0.399 at sf0.1), so the query plants them: every vec_id < 64 gets
+    // a copy at vec_id + 1000000 with element 0 perturbed by +0.05 —
+    // expressible identically in DuckDB, so the oracle recomputes the
+    // exact thresholded pair set over the same planted corpus. Margins
+    // are wide on both sides of the 0.2 threshold: planted pairs land
+    // at cosd ~0.001-0.005, everything else >= ~0.4; recall of the
+    // 16-band/16-bit banding at cosd 0.005 is 1 - ~1e-9 per pair.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 64)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x.cast("double") + lit(0.05)).cast("float"))
+              .otherwise(x)).as("embedding"))
+      Dedup.embeddingNearDupPairs(e.unionByName(planted), "embedding", "vec_id",
+          maxCosDist = 0.2, nbits = 256, bands = 16, dim = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
     // D2 end-to-end: survivors after connected components over verified
     // near-dup pairs (keep min doc id per cluster). Deterministic but CC
     // is not SQL-expressible without recursion -> rows-only.
@@ -211,6 +233,26 @@ object DedupSuite {
         |  round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
         |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact thresholded pair set over the planted corpus; the banding's
+    // recall at the planted similarity makes the LSH path complete here
+    "dedup_embedding_lsh" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(embedding, (x, i) -> CASE WHEN i = 1
+        |      THEN CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT) ELSE x END)
+        |  FROM embeddings WHERE vec_id < 64),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(1.0 - greatest(-1.0, least(1.0,
+        |      list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+        |           list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))), 6) AS cosd
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosd FROM scored WHERE cosd <= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding" ->
