@@ -83,6 +83,35 @@ object AnnSuite {
       Lsh.binQuantRerank(Tables(s, dir, "embeddings"), "embedding", "vec_id",
         queryVec(s, dir), k = 10, oversample = 5)),
 
+    // B7: incremental index maintenance end-to-end (ref: ivfinsert.cpp /
+    // ivfflatbulkdelete) — build the partitioned index WITHOUT a held-out
+    // delta, append the delta against the frozen centroids, bulk-delete a
+    // victim set (only its list partitions rewritten), then search
+    // exactly (nprobe = nlists) through the reloaded layout. Emits
+    // deterministic counts; rows-only gate (the layout is a filesystem
+    // artifact, not SQL-reachable).
+    "ivf_append" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = ivfModel(s, dir, 16)
+      val path = s"target/graft-ivf-append/${new java.io.File(dir).getName}"
+      val isDelta = pmod(col("vec_id"), lit(10)) === 7
+      Ivf.writeIndex(emb.filter(!isDelta), "embedding", model, path)
+      val index = Ivf.appendToIndex(emb.filter(isDelta), "embedding", model, path)
+      val victims = emb.filter(pmod(col("vec_id"), lit(1000)) === 123)
+        .select(col("vec_id"))
+      val afterDelete = Ivf.deleteFromIndex(s, path, "vec_id", victims)
+      val found = Ivf.search(afterDelete, "embedding", "vec_id", model,
+        queryVec(s, dir), k = 10, nprobe = 16)
+      val deltaIds = emb.filter(isDelta).select(col("vec_id"))
+      afterDelete.agg(count(lit(1)).as("n_total"))
+        .crossJoin(deltaIds.agg(count(lit(1)).as("n_delta")))
+        .crossJoin(victims.agg(count(lit(1)).as("n_deleted")))
+        .crossJoin(found.join(deltaIds, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_top10_from_delta")))
+        .crossJoin(found.orderBy(col("dist"), col("vec_id")).limit(1)
+          .select(col("vec_id").as("top1_id")))
+    }),
+
     // B2+B3: many-query KNN join routed through the IVF lists — the
     // scalable (equi-join, no broadcast) path. nprobe = nlists makes it
     // exact, so the SQL window-rank oracle applies.
