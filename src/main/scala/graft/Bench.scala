@@ -17,6 +17,7 @@ object Bench {
     "distinct_agg", "percentiles", "set_ops",
     "vec_l2_topk", "vec_cos_topk", "vec_norm", "vec_avg", "vec_half_agg", "vec_io",
     "knn_exact", "knn_join", "binquant_rerank", "lsh_ann", "ivf_search", "hnsw_ann",
+    "hnsw_routed",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
     "dedup_embedding_lsh", "graph_reach", "pipeline_curate",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",

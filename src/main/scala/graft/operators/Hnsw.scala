@@ -219,6 +219,55 @@ object Hnsw {
   }
 
   /**
+   * Routed MANY-query ANN over a cluster-sharded index — the 100 TB
+   * workload shape. Routing happens once on the driver (queries are
+   * broadcast-sized by the same contract as [[searchMany]]): each query
+   * maps to its nprobe nearest lists through the IVF quantizer, giving
+   * a shard -> queries table that rides into the shard pass as a
+   * closure. Each shard then beams ONLY its routed queries — total beam
+   * work is ~nprobe/nlists of [[searchMany]]'s — and shards routed by
+   * no query are dropped by a part_id filter BEFORE the group pass, so
+   * a partitionBy(part_id)-persisted index prunes them at the parquet
+   * reader. The qid shuffle still carries at most k rows per
+   * (query, shard) via the bounded-heap partial aggregate.
+   * Output: (qid, rank, nid, dist).
+   */
+  def searchManyRouted(index: Dataset[GraphRow], model: Ivf.Model,
+      queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+      params: Params = Params()): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val p = params
+    val byShard: Map[Int, Array[(Long, Array[Float])]] =
+      queries.flatMap { case (qid, qv) =>
+        model.probes(qv, nprobe).map(pid => (pid, (qid, qv)))
+      }.groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2) }
+    val probed = byShard.keys.map(Integer.valueOf).toSeq
+    val candidates = index
+      .filter(col("part_id").isin(probed: _*))
+      .groupByKey(_.part_id)
+      .flatMapGroups { (pid, it) =>
+        val qs = byShard.getOrElse(pid, Array.empty[(Long, Array[Float])])
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val rows = it.toArray.sortBy(_.id)
+          val vecs = rows.map(_.vec)
+          val adj = rows.map(_.nbrs.toIndexedSeq)
+          val entries = entryPoints(rows.length, p.nEntries)
+          qs.iterator.flatMap { case (qid, qv) =>
+            beam(vecs, adj(_), qv, math.max(p.efSearch, k), entries)
+              .toArray.map { case (d, i) => (qid, rows(i).id, math.sqrt(d)) }
+          }
+        }
+      }
+      .toDF("qid", "nid", "dist")
+      .select(col("qid"), col("nid"), round(col("dist"), 6).as("dist"))
+    graft.operators.Knn.explodeTopK(
+      candidates.groupBy(col("qid"))
+        .agg(graft.operators.Knn.topKPairs(col("nid"), col("dist"), k).as("nn")))
+  }
+
+  /**
    * Single-query ANN: one beam per shard graph (flatMapGroups on
    * part_id so a reloaded index works regardless of physical layout),
    * exact rerank of the union of beams. Output: (vec_id, dist) top-k.

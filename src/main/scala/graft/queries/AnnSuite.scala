@@ -78,6 +78,24 @@ object AnnSuite {
       Hnsw.search(index, queryVec(s, dir), k = 10)
     }),
 
+    // B5c: routed many-query search over CLUSTERED NSW shards — each
+    // query beams only in its nprobe nearest lists (the batch ANN shape
+    // at 100 TB: shard routing + per-shard graph search). Approximate →
+    // rows-only; recall vs unrouted searchMany asserted in AnnSpec.
+    "hnsw_routed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = ivfModel(s, dir, 16)
+      val index = Hnsw.buildIndexClustered(emb, "embedding", "vec_id", model)
+      val spark = s
+      import spark.implicits._
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+        .map { case (id, v) => (id, v.toArray) }
+      Hnsw.searchManyRouted(index, model, qs, k = 5, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // B6: binary-quantize coarse + exact rerank (exact SQL oracle).
     "binquant_rerank" -> ((s, dir) =>
       Lsh.binQuantRerank(Tables(s, dir, "embeddings"), "embedding", "vec_id",

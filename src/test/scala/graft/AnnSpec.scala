@@ -242,6 +242,41 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("routed many-query search: ~nprobe/nlists beam work, recall holds") {
+    val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
+    val model = Ivf.build(emb, "embedding", nlists = 8)
+    val clustered = Hnsw.buildIndexClustered(emb, "embedding", "vec_id", model, params).cache()
+    val hashed = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 8, params).cache()
+    val qs = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      qs.map { case (qid, qv) =>
+        val exact = Knn.exactTopK(emb, "embedding", "vec_id", qv, 5)
+          .select("vec_id").as[Long].collect().toSet
+        (got.getOrElse(qid, Set.empty) & exact).size / 5.0
+      }.sum / qs.length
+    }
+    // routed beams touch nprobe/nlists = half the shards; unrouted
+    // searchMany beams all of them on hash shards. Clustered routing
+    // must hold recall at half the beam work (isotropic data is the
+    // worst case for routing, hence >= unrouted - 0.1 not strict >=).
+    val routed = recallOf(Hnsw.searchManyRouted(clustered, model, qs, 5, nprobe = 4, params))
+    val unrouted = recallOf(Hnsw.searchMany(hashed, qs, 5, params))
+    assert(routed >= unrouted - 0.1,
+      s"routed recall $routed collapsed vs unrouted $unrouted")
+    assert(routed >= 0.6, s"routed recall=$routed")
+    // full-probe routing degenerates to searching every shard: results
+    // must match searchMany on the SAME clustered index exactly
+    val full = Hnsw.searchManyRouted(clustered, model, qs, 5, nprobe = 8, params)
+      .collect().map(_.toSeq).toSet
+    val all = Hnsw.searchMany(clustered, qs, 5, params)
+      .collect().map(_.toSeq).toSet
+    assert(full == all)
+  }
+
   test("nsw index round-trips through parquet") {
     val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft_nsw").toString
