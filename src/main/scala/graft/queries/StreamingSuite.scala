@@ -22,14 +22,18 @@ object StreamingSuite {
         .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dups"))
         .orderBy("user_id", "event_type")),
 
-    // Streaming near-dup candidate filter (batch form of the stateful
-    // bucket-pioneer operator; stream==batch asserted in StreamingSpec;
-    // minhash-family values -> rows-only oracle).
-    "stream_neardup" -> ((s, dir) =>
-      graft.streaming.StreamDedup.batchVerdicts(
-          Tables.spread(s, dir, "documents"), "text", "doc_id", "doc_id")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("near_dup_candidate"), 1L).otherwise(0L)).as("n_candidates"))),
+    // Streaming near-dup with EXACT VERIFICATION (batch form of the
+    // stateful per-bucket verify operator; stream==batch asserted in
+    // StreamingSpec). The distinct verified pair set equals batch
+    // minhashPairs at the same tau, so the exact-Jaccard SQL oracle
+    // applies — the stream path is hash-exact, not candidates-only.
+    "stream_neardup" -> ((s, dir) => {
+      val hits = graft.streaming.StreamDedup.bandDocs(
+        Tables.spread(s, dir, "documents"), "text", "doc_id", "doc_id")
+      graft.streaming.StreamDedup.verifiedPairs(hits, tau = 0.5).toDF()
+        .dropDuplicates("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
 
     // JSON property extraction from the events payload.
     "json_props" -> ((s, dir) =>
@@ -75,6 +79,24 @@ object StreamingSuite {
   // additional queries defined below reuse `queries`/`oracle` maps
 
   val oracle: Map[String, String] = Map(
+    // the verified stream pair set = the exact tau>=0.5 Jaccard pair
+    // set (same oracle shape as dedup_minhash; banding recall 1.0 at
+    // the verified similarity levels on this corpus, checked at sf0.01
+    // and sf0.1)
+    "stream_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "stream_dedup" ->
       """SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS n_dups
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

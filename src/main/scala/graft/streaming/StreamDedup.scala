@@ -15,10 +15,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
  * verdicts are deterministic under any micro-batch slicing of an
  * in-order stream, which is what the stream==batch spec asserts.
  *
- * This is the candidate stage only (same contract as batch
- * minhashPairs before verification): flagged docs go to an exact
- * verify against the retained corpus downstream; unflagged docs are
- * guaranteed novel at the banding's recall.
+ * Two tiers share the band-bucket state layout:
+ *  - candidate filter ([[bandVerdicts]]): per-bucket state is one long
+ *    (the pioneer seq) — near-zero memory, flags possible dups;
+ *  - VERIFIED pairs ([[verifiedPairs]]): per-bucket state retains the
+ *    hashed shingle sets of every doc seen in the bucket, so each
+ *    arrival is exact-Jaccard-verified against its bucket cohort and
+ *    the stream emits the same verified pair set batch minhashPairs
+ *    produces (asserted stream==batch in StreamingSpec). The state is
+ *    bucket-local — no joins against a global corpus per micro-batch —
+ *    and its bound is the same flood phenomenon the batch guard logs:
+ *    Σ bucket-width × shingles/doc. A pair colliding in several bands
+ *    is emitted once per colliding bucket (bucket state is
+ *    coordination-free); emissions carry identical exact values, so
+ *    the output contract is idempotent-by-key and consumers dedupe on
+ *    (id_a, id_b) — the gated query does exactly that.
  */
 object StreamDedup {
 
@@ -75,6 +86,79 @@ object StreamDedup {
   def verdicts(bandVerdicts: DataFrame): DataFrame =
     bandVerdicts.groupBy(col("doc_id"))
       .agg(max(col("dup_band")).as("near_dup_candidate"))
+
+  final case class BandDoc(bucket_key: Long, seq: Long, doc_id: Long,
+      hs: Array[Long])
+  final case class RetainedDoc(seq: Long, doc_id: Long, hs: Array[Long])
+  final case class VerifiedPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /**
+   * Band-bucket rows that also carry the doc's hashed shingle set —
+   * the input of the exact-verify tier. Same banding as [[bandHits]].
+   */
+  def bandDocs(docs: DataFrame, textCol: String, idCol: String, seqCol: String,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(seqCol).cast("long").as("seq"),
+        Dedup.hashedWordShingles(col(textCol)).as("hs"))
+      .withColumn("sig", Dedup.minhashSignatureFromHashes(col("hs"), numHashes))
+      .select(col("doc_id"), col("seq"), col("hs"),
+        posexplode(Dedup.minhashBands(col("sig"), bands, r)).as(Seq("band", "bv")))
+      .select(xxhash64(col("band"), col("bv")).as("bucket_key"),
+        col("seq"), col("doc_id"), col("hs"))
+  }
+
+  /** Same rounding as Spark SQL round(x, 6) — HALF_UP on the decimal. */
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /**
+   * Per-bucket exact verify: every arrival is Jaccard-checked against
+   * the bucket's retained cohort (arrivals processed in (seq, doc_id)
+   * order, so verdicts are deterministic under any micro-batch slicing
+   * of an in-order stream). Emits pairs with exact jaccard >= tau —
+   * the same values batch minhashPairs verifies, by the same double
+   * math and rounding.
+   */
+  private def verifyPerBucket(tau: Double)(key: Long, it: Iterator[BandDoc],
+      state: GroupState[Seq[RetainedDoc]]): Iterator[VerifiedPair] = {
+    val arrivals = it.toArray.sortBy(h => (h.seq, h.doc_id))
+    var retained = state.getOption.getOrElse(Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
+    arrivals.foreach { h =>
+      val hset = h.hs.toSet
+      retained.foreach { r0 =>
+        val inter = r0.hs.count(hset.contains)
+        val denom = r0.hs.length + h.hs.length - inter
+        if (denom > 0) {
+          val j = round6(inter.toDouble / denom.toDouble)
+          if (j >= tau)
+            out += VerifiedPair(math.min(r0.doc_id, h.doc_id),
+              math.max(r0.doc_id, h.doc_id), j)
+        }
+      }
+      retained = retained :+ RetainedDoc(h.seq, h.doc_id, h.hs)
+    }
+    state.update(retained)
+    out.iterator
+  }
+
+  /**
+   * Stateful VERIFIED near-dup pairs for a (possibly streaming)
+   * [[bandDocs]] set. Emissions are per colliding bucket — dedupe on
+   * (id_a, id_b) downstream (values are identical across emissions).
+   */
+  def verifiedPairs(hits: DataFrame, tau: Double): Dataset[VerifiedPair] = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    hits.as[BandDoc]
+      .groupByKey(_.bucket_key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(verifyPerBucket(tau))
+  }
 
   /**
    * Batch reference: the same verdicts from a global min-seq per

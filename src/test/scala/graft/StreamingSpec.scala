@@ -37,6 +37,33 @@ class StreamingSpec extends SparkSpec {
     assert(expected.values.exists(identity), "corpus should contain candidates")
   }
 
+  test("streaming VERIFIED pairs equal batch minhashPairs under micro-batch slicing") {
+    import graft.streaming.StreamDedup
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val expected = graft.operators.Dedup
+      .minhashPairs(docsDf, "text", "doc_id", 64, 16, tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "corpus should contain verified near-dups")
+    val docs = docsDf.select($"doc_id", $"text").orderBy("doc_id")
+      .as[(Long, String)].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val hits = StreamDedup.bandDocs(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id", "doc_id")
+    val q = StreamDedup.verifiedPairs(hits, tau = 0.5)
+      .writeStream.format("memory").queryName("verified_test")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { c =>
+        mem.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("verified_test")
+      .as[(Long, Long, Double)].collect().toSet // distinct across buckets
+    assert(got == expected,
+      s"stream/batch diff=${((got diff expected) ++ (expected diff got)).take(5)}")
+  }
+
   test("stateful sessionization (batch mode) equals gaps-and-islands") {
     val batch = Sessionize.batchSessions(events, 30)
       .select("user_id", "n_events", "start_us", "end_us")
