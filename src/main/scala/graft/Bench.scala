@@ -14,7 +14,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_shipping", "q5_volume", "q6_forecast",
     "q4_order_priority", "window_topn", "topk_perkey", "window_running", "rollup_agg",
-    "distinct_agg", "percentiles", "set_ops",
+    "distinct_agg", "percentiles", "approx_percentiles", "set_ops",
     "vec_l2_topk", "vec_cos_topk", "vec_norm", "vec_avg", "vec_half_agg", "vec_io",
     "knn_exact", "knn_join", "binquant_rerank", "lsh_ann", "ivf_search", "hnsw_ann",
     "hnsw_routed",

@@ -237,6 +237,21 @@ object RelationalSuite {
       grouped.select(col("l_returnflag") +: outs: _*).orderBy("l_returnflag")
     }),
 
+    // C13b: the 100 TB percentile path — mergeable t-digest sketch with
+    // map-side partials (O(compression) buffer per group per partition,
+    // merge order over partials is nondeterministic → rows-only gate;
+    // TDigestSpec asserts the rank-error bound vs the exact sort).
+    "approx_percentiles" -> ((s, dir) => {
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.TDigest
+          .percentilesApprox(col("l_extendedprice"), ps).as("qs"))
+        .select(col("l_returnflag") +: ps.zipWithIndex.map { case (p, i) =>
+          round(element_at(col("qs"), i + 1), 2).as(s"p${(p * 100).toInt}") }: _*)
+        .orderBy("l_returnflag")
+    }),
+
     // C6 extension: RANGE frame (30-unit trailing window) + misc window
     // functions.
     "window_range" -> ((s, dir) =>
