@@ -189,6 +189,65 @@ object Dedup {
   }
 
   /**
+   * Skew-salted form of [[ngramJaccardPairs]] for Zipfian gram
+   * distributions: a gram with document frequency d fans d² rows
+   * through ONE join key, so a stop-shingle shared by the whole corpus
+   * funnels the entire join through one reducer — AQE can split the
+   * partition, but the explicit salt also bounds the per-task pair
+   * block deterministically. Grams with df > maxDf are decomposed per
+   * gram into ceil(df/maxDf) id-hash blocks joined as block PAIRS
+   * (the allPairsBlocked scheme, keyed by (gram, i, j)): every
+   * unordered within-gram pair appears in exactly one bucket and no
+   * bucket holds more than ~maxDf² pairs. Light grams take the plain
+   * equi-join. Pair contributions from both regimes union BEFORE the
+   * intersection count, so the output is exactly ngramJaccardPairs's.
+   * Costs one extra shuffle (the df profile), so engage it when the
+   * gram df distribution is Zipfian — shingled natural text (measured
+   * max df 25 on the test corpus) doesn't need it.
+   */
+  def ngramJaccardPairsSalted(df: DataFrame, textCol: String, idCol: String,
+      tau: Double, maxDf: Int = 256): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        hashedWordShingles(col(textCol)).as("hs"))
+      .select(col("id"), size(col("hs")).as("n"), explode(col("hs")).as("gram"))
+    val dfreq = base.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val tagged = base.join(dfreq, "gram")
+    val lenOk =
+      least(col("a.n"), col("b.n")).cast("double") >=
+        greatest(col("a.n"), col("b.n")).cast("double") * tau
+    val light = tagged.filter(col("gdf") <= maxDf)
+    val lightPairs = light.as("a").join(light.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id") && lenOk)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+    val heavy = tagged.filter(col("gdf") > maxDf)
+      .withColumn("nblk", ceil(col("gdf") / maxDf).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("id")), col("nblk")).cast("int"))
+    val hLeft = heavy.select(col("id"), col("n"), col("gram"), col("nblk"),
+        col("blk"), explode(sequence(col("blk"), col("nblk") - 1)).as("j"))
+      .select(col("id"), col("n"), struct(col("gram"),
+        col("blk").as("i"), col("j")).as("bp"))
+    val hRight = heavy.select(col("id"), col("n"), col("gram"), col("nblk"),
+        col("blk"), explode(sequence(lit(0), col("blk"))).as("i"))
+      .select(col("id"), col("n"), struct(col("gram"),
+        col("i"), col("blk").as("j")).as("bp"))
+    val heavyPairs = hLeft.as("a").join(hRight.as("b"),
+        col("a.bp") === col("b.bp") &&
+          (col("a.bp.i") =!= col("a.bp.j") || col("a.id") < col("b.id")) && lenOk)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.n")).otherwise(col("b.n")).as("na"),
+        when(col("a.id") < col("b.id"), col("b.n")).otherwise(col("a.n")).as("nb"))
+    lightPairs.unionByName(heavyPairs)
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /**
    * Exact n-gram Jaccard pairs via prefix filtering (PPJoin-style): with
    * sets canonically ordered by ascending document frequency, any pair
    * with J >= tau must share a gram within each side's first

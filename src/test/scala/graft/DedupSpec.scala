@@ -44,6 +44,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("salted gram join equals the plain exact join on natural and Zipfian corpora") {
+    // natural corpus (max gram df ~25): salted with a low maxDf so the
+    // heavy branch actually engages, pair set must be identical
+    for (tau <- Seq(0.3, 0.7)) {
+      val plain = Dedup.ngramJaccardPairs(docs, "text", "doc_id", tau)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val salted = Dedup.ngramJaccardPairsSalted(docs, "text", "doc_id", tau, maxDf = 8)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(salted == plain,
+        s"tau=$tau diff=${(plain -- salted).take(3)} extra=${(salted -- plain).take(3)}")
+    }
+    // adversarial Zipfian corpus: 400 docs all sharing one stop-shingle
+    // run (df = corpus size -> 80k pairs through one gram key) plus
+    // per-doc unique content and a few planted near-dup clusters
+    val zipf = (0L until 400L).map { i =>
+      val unique = (0 until 12).map(j => s"tok${i}_$j").mkString(" ")
+      val planted = if (i % 100 < 2) "dup dup cluster body here now" else unique
+      (i, s"the of and $planted")
+    }.toDF("doc_id", "text")
+    val plainZ = Dedup.ngramJaccardPairs(zipf, "text", "doc_id", 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val saltedZ = Dedup.ngramJaccardPairsSalted(zipf, "text", "doc_id", 0.3, maxDf = 32)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(saltedZ == plainZ && plainZ.nonEmpty,
+      s"diff=${(plainZ -- saltedZ).take(3)} extra=${(saltedZ -- plainZ).take(3)}")
+  }
+
   test("blocked all-pairs equals the cartesian pair set, via equi-join") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val blocked = Dedup.allPairsBlocked(emb, "embedding", "vec_id", blocks = 7)
