@@ -223,6 +223,32 @@ case class PackHalf(child: Expression)
 }
 
 /**
+ * Decode a packed-fp16 binary column back to array<float> (exact:
+ * every binary16 value is representable in fp32) — the read side of
+ * the halfvec column codec. unpack_half(pack_half(v)) equals the
+ * fp16 round-trip of v.
+ */
+case class UnpackHalf(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unpack_half"
+  override def nullSafeEval(a: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    val n = bytes.length / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val h = ((bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)).toShort
+      out(i) = HalfFloat.toFloat(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
  * Distance between two packed-fp16 vectors, decoded on the fly with
  * double accumulation (same values as round-tripping through
  * HalfVecRoundTrip then VectorDistance). metric: l2|l2sq|ip|negip|cosine|l1.

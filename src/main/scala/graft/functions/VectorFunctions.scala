@@ -73,6 +73,8 @@ object VectorFunctions {
 
   /** Pack fp32 vector into fp16 bytes (2 per element) — halfvec storage. */
   def packHalf(a: Column): Column = lift(PackHalf(ex(vec(a))))
+  /** packed fp16 bytes -> array<float> (exact decode; codec read side). */
+  def unpackHalf(a: Column): Column = lift(UnpackHalf(ex(a)))
   /** Distance directly over packed-fp16 vectors (no unpack materialized). */
   def packedHalfDistance(a: Column, b: Column, metric: String): Column =
     lift(PackedHalfDistance(ex(a), ex(b), metric))

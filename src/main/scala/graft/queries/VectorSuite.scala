@@ -136,6 +136,26 @@ object VectorSuite {
             VF.packHalf(col("qv")), "l2"), 6).as("hd"))
         .orderBy(col("hd"), col("vec_id")).limit(10)),
 
+    "vec_half_store" -> ((s, dir) => {
+      // halfvec as a first-class COLUMN CODEC (ref: halfvec.cpp storage
+      // at 2 bytes/elem): vectors are written to parquet as packed-fp16
+      // BINARY — half the bytes of fp32 on disk — then scanned with
+      // distance computed DIRECTLY on the packed bytes (no unpack in the
+      // hot path) plus a norm through the exact unpack decode. Oracle:
+      // the bit-exact DuckDB binary16 emulation over the same values.
+      val emb = Tables(s, dir, "embeddings")
+      val path = s"target/graft-halfvec/${new java.io.File(dir).getName}"
+      emb.select(col("vec_id"), VF.packHalf(col("embedding")).as("hv"))
+        .write.mode("overwrite").parquet(path)
+      val packed = s.read.parquet(path)
+      val qv = packed.filter(col("vec_id") === 0)
+        .select(col("hv")).head().getAs[Array[Byte]](0)
+      packed.select(col("vec_id"),
+          round(VF.packedHalfDistance(col("hv"), lit(qv), "l2"), 6).as("hd"),
+          round(VF.l2Norm(VF.unpackHalf(col("hv"))), 6).as("nrm"))
+        .orderBy(col("hd"), col("vec_id")).limit(10)
+    }),
+
     "vec_sparse" -> ((s, dir) => {
       // sparsify: keep |x| > 0.1 as (indices asc, values); merge-scan l2sq
       // against the sparsified query vector.
@@ -403,6 +423,16 @@ object VectorSuite {
         |  FROM embeddings),
         |q AS (SELECT hv AS qv FROM h WHERE vec_id = 0)
         |SELECT e.vec_id, round(list_distance(e.hv, q.qv), 6) AS hd
+        |FROM h e, q ORDER BY hd, vec_id LIMIT 10""".stripMargin,
+
+    "vec_half_store" ->
+      """WITH h AS (SELECT vec_id, list_transform(embedding, x -> CASE WHEN x = 0 THEN 0.0
+        |    ELSE round_even(x::DOUBLE / pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10), 0)
+        |         * pow(2.0, greatest(floor(log2(abs(x::DOUBLE))), -14) - 10) END) AS hv
+        |  FROM embeddings),
+        |q AS (SELECT hv AS qv FROM h WHERE vec_id = 0)
+        |SELECT e.vec_id, round(list_distance(e.hv, q.qv), 6) AS hd,
+        |  round(sqrt(list_inner_product(e.hv, e.hv)), 6) AS nrm
         |FROM h e, q ORDER BY hd, vec_id LIMIT 10""".stripMargin,
 
     "vec_half_cos" ->

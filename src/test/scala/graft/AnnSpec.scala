@@ -297,6 +297,11 @@ class AnnSpec extends SparkSpec {
         VF.packHalf(lit(q)), "l2").as("d"))
       .orderBy("vec_id").as[(Long, Double)].collect()
     assert(rt.sameElements(pk))
+    // codec law: decode(encode(v)) == the fp16 round-trip of v
+    val un = emb.select(VF.unpackHalf(VF.packHalf($"embedding")))
+      .as[Seq[Float]].collect()
+    val rt2 = emb.select(VF.halfvec($"embedding")).as[Seq[Float]].collect()
+    assert(un.zip(rt2).forall { case (a, b) => a == b })
   }
 
   test("binquant rerank finds exact top-1 and mostly exact top-10") {
