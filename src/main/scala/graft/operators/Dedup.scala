@@ -439,11 +439,13 @@ object Dedup {
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val lsMin = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      // truncated, not cache(): small-star consumes it twice, and a
-      // checkpoint keeps the round restartable (no executor-pinned state)
-      val ls = Iterate.truncate(
-        adj.join(lsMin, "u").filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v")).distinct())
+      // cached, not checkpointed: small-star consumes it twice within
+      // the round, and an executor loss only recomputes THIS round from
+      // the previous round's reliable checkpoint — cross-round lineage
+      // is what the fixpoint truncates. Old rounds' caches are
+      // unreferenced after the round and GC-cleaned by ContextCleaner.
+      val ls = adj.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct().cache()
       // small-star over (u > v) edges: m = min(N(u)); re-point u and all
       // its smaller neighbors at m. Emits (x, m) for x ∈ N(u) \ {m} ∪ {u}.
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
