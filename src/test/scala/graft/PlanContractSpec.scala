@@ -61,6 +61,27 @@ class PlanContractSpec extends SparkSpec {
       "lsh_ann regressed to interpreted HOF signature math")
   }
 
+  test("routed nsw query prunes unrouted shard partitions at the reader") {
+    val p = plan("hnsw_routed")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("graft-nsw")).getOrElse("")
+    assert(scan.contains("PartitionFilters") && scan.contains("part_id"),
+      s"no shard pruning in: $scan")
+  }
+
+  test("approx percentiles reads only the two referenced columns") {
+    val p = plan("approx_percentiles")
+    assert(p.contains("tdigest_percentiles"))
+    val pruned = p.replaceAll("(?s)ReadSchema:.*", "")
+    assert(!pruned.contains("l_comment") && !pruned.contains("l_quantity"))
+  }
+
+  test("planted-corpus lsh near-dup query stays equi-join only") {
+    val p = plan("dedup_embedding_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("lsh_signature"), "compiled signature kernel missing")
+  }
+
   test("knn join aggregates with map-side partial top-k heaps") {
     val p = plan("knn_join")
     assert(p.contains("topk_pairs"), "bounded-heap aggregate missing")
