@@ -361,10 +361,137 @@ object RelationalSuite2 {
           pmod(col("s_suppkey"), lit(7)).as("m7"),
           ceil(col("s_acctbal")).as("ceil_bal"),
           floor(col("s_acctbal")).as("floor_bal"))
-        .orderBy("s_suppkey"))
+        .orderBy("s_suppkey")),
+
+    // q19 shape: disjunctive multi-predicate join (OR of conjunction
+    // groups across both join sides) — exercises predicate pushdown
+    // splitting and join planning under non-conjunctive conditions.
+    "q19_disjunct" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val part = Tables(s, dir, "part")
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35)
+          && col("l_quantity").between(20, 30))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // q15 shape: aggregate view + max-of-aggregate scalar + join back
+    // (the revenue-view pattern). Revenue stays exact DECIMAL until the
+    // final cast, so the max-equality join is bit-safe cross-engine.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .groupBy(col("l_suppkey"))
+        .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.join(broadcast(maxRev), col("total_revenue") === col("mr"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue"), 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // q21 shape: suppliers who were the SOLE late supplier on a
+    // multi-supplier finalized order (late = shipped > 90 days after
+    // the order date; this corpus has no commit/receipt dates). Spark
+    // formulates the two correlated EXISTS / NOT EXISTS as one
+    // per-order stats aggregate — same semantics, one shuffle instead
+    // of two correlated joins; the oracle keeps the classic
+    // EXISTS/NOT-EXISTS form, proving the rewrite equivalent.
+    "q21_late_solo" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val stats = l.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      l.filter(col("late"))
+        .join(stats, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .select(col("l_suppkey"), col("l_orderkey")).distinct()
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+        .limit(20)
+    }),
+
+    // Deterministic train/val/test split — the reproducible sampling
+    // operator of a training-data pipeline: a multiplicative hash of
+    // the id (not RNG) buckets every doc 80/10/10, so the split is
+    // stable across runs, engines, and cluster layouts. (Production
+    // splits use xxhash64 the same way; this query uses an arithmetic
+    // mixer so the SQL oracle reproduces it exactly.)
+    "data_split" -> ((s, dir) => {
+      val bucket = pmod(col("doc_id") * 48271 + 11, lit(100))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("len"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("split")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "q19_disjunct" ->
+      s"""SELECT CAST(sum($discPrice) AS DOUBLE) AS revenue, count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, CAST(sum($discPrice) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    // classic correlated EXISTS / NOT-EXISTS formulation — proves the
+    // Spark per-order-stats rewrite equivalent
+    "q21_late_solo" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT l1.l_suppkey, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM l l1
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+        |                  AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY l1.l_suppkey
+        |ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
+
+    "data_split" ->
+      """SELECT CASE WHEN (doc_id * 48271 + 11) % 100 < 80 THEN 'train'
+        |            WHEN (doc_id * 48271 + 11) % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q7_nation_volume" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          |  year(l_shipdate) AS l_year,
