@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /**
  * General iterative / recursive query execution (reference capability:
@@ -47,6 +48,31 @@ object Iterate {
    * Returns the converged state (lineage-truncated — safe to consume
    * or iterate further downstream).
    */
+  /**
+   * Multi-source BFS hop distances over an undirected pair set —
+   * a second instantiation of the fixpoint (distance relaxation, not
+   * label propagation): frontier distances propagate one hop per
+   * round and min-aggregate against the current state; convergence =
+   * no node's distance changed and no new node was reached. Input
+   * `pairs` has (id_a, id_b); `sources` has (id); output (id, hops)
+   * covers exactly the nodes reachable from any source.
+   */
+  def hopDistances(pairs: DataFrame, sources: DataFrame,
+      maxIter: Int = 60): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().cache()
+    val init = sources.select(col("id"), lit(0L).as("hops"))
+    fixpoint(init, maxIter, "hopDistances") { st =>
+      val prop = edges.join(st, edges("u") === st("id"))
+        .select(col("v").as("id"), (col("hops") + 1L).as("hops"))
+      st.unionByName(prop).groupBy(col("id")).agg(min(col("hops")).as("hops"))
+    } { (prev, next) =>
+      next.join(prev.withColumnRenamed("hops", "ph"), Seq("id"), "left")
+        .filter(col("ph").isNull || col("ph") =!= col("hops")).count()
+    }
+  }
+
   def fixpoint(init: DataFrame, maxIter: Int, what: String = "fixpoint")(
       step: DataFrame => DataFrame)(
       changed: (DataFrame, DataFrame) => Long): DataFrame = {

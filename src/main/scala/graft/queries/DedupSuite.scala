@@ -142,6 +142,18 @@ object DedupSuite {
         .orderBy("id_a", "id_b")
     }),
 
+    // Iterative query #2 — BFS hop distance from each dup cluster's
+    // root (min id) over the verified near-dup graph: the fixpoint's
+    // distance-relaxation form, oracled by a DuckDB recursive
+    // shortest-path CTE. Every node of the pair graph gets (id, hops).
+    "graph_hops" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
+      val cc = Dedup.connectedComponents(pairs)
+      val roots = cc.filter(col("id") === col("root")).select(col("id"))
+      graft.operators.Iterate.hopDistances(pairs, roots).orderBy("id")
+    }),
+
     // D11: multimodal pipeline — payload bytes -> stub decode features.
     "mm_pipeline" -> ((s, dir) => {
       val media = Multimodal.asMedia(Tables.spread(s, dir, "documents"), "text", "doc_id")
@@ -214,6 +226,26 @@ object DedupSuite {
         |reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT DISTINCT a AS id_a, b AS id_b FROM reach WHERE a < b
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // recursive shortest-path oracle: BFS frontier capped at depth 100
+    // (dup-cluster diameters are tiny; the cap only bounds the CTE)
+    "graph_hops" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.7),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |roots AS (SELECT a AS id, least(a, min(b)) AS root FROM reach GROUP BY a),
+        |srcs AS (SELECT DISTINCT root AS id FROM roots),
+        |hops(id, d) AS (SELECT id, 0 FROM srcs
+        |  UNION SELECT e.b, h.d + 1 FROM hops h JOIN edges e ON e.a = h.id WHERE h.d < 100)
+        |SELECT id, CAST(min(d) AS BIGINT) AS hops FROM hops GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT count(*) AS n_groups, CAST(sum(keep_id) AS BIGINT) AS id_sum,

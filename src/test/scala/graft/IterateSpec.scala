@@ -86,6 +86,19 @@ class IterateSpec extends SparkSpec {
     assert(cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == dsu(edges))
   }
 
+  test("hop distances equal driver-side BFS on a path-plus-shortcut graph") {
+    import spark.implicits._
+    // path 0..20 plus a shortcut 0-15: BFS must prefer the shortcut
+    val edges = (0L until 20L).map(i => (i, i + 1)) :+ (0L, 15L)
+    val got = Iterate
+      .hopDistances(edges.toDF("id_a", "id_b"), Seq(0L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    val expect = (0L to 20L).map { i =>
+      i -> math.min(i, math.abs(15 - i) + 1) // along the path vs via 0-15
+    }.toMap
+    assert(got == expect)
+  }
+
   test("non-convergence throws instead of returning a wrong state") {
     import spark.implicits._
     val init = Seq((0L, 1L)).toDF("u", "v")
