@@ -38,8 +38,7 @@ object Bench {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.setCheckpointDir(
-      s"target/graft-checkpoints/${java.util.UUID.randomUUID()}")
+    Sessions.initCheckpoints(spark)
 
     // JVM/codegen warmup on the smallest sf
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

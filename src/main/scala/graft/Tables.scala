@@ -43,6 +43,11 @@ object Tables {
    * measurably lose 0.15-0.3s to the barrier, so they call the plain
    * loader (round-2 regression, reverted round 3).
    */
-  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
-    apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val par = spark.sparkContext.defaultParallelism
+    // only widen: a production corpus already scanning with more
+    // partitions than cores must NOT be shuffled down to core count
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }

@@ -25,8 +25,7 @@ object TimeQuery {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.setCheckpointDir(
-      s"target/graft-checkpoints/${java.util.UUID.randomUUID()}")
+    Sessions.initCheckpoints(spark)
     for (name <- args.drop(1)) {
       val q = SparkEntry.queries(name)
       q(spark, sfDir).write.format("noop").mode("overwrite").save()

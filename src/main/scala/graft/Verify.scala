@@ -16,10 +16,7 @@ object Verify {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // reliable-checkpoint dir: iterative operators (Iterate.fixpoint)
-    // truncate lineage through the checkpoint filesystem, not executors
-    spark.sparkContext.setCheckpointDir(
-      s"target/graft-checkpoints/${java.util.UUID.randomUUID()}")
+    Sessions.initCheckpoints(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -44,35 +44,41 @@ object Iterate {
     else df.localCheckpoint()
 
   /**
-   * Run `step` from `init` until `changed` reports 0 differences.
-   * Returns the converged state (lineage-truncated — safe to consume
-   * or iterate further downstream).
-   */
-  /**
    * Multi-source BFS hop distances over an undirected pair set —
    * a second instantiation of the fixpoint (distance relaxation, not
-   * label propagation): frontier distances propagate one hop per
-   * round and min-aggregate against the current state; convergence =
-   * no node's distance changed and no new node was reached. Input
-   * `pairs` has (id_a, id_b); `sources` has (id); output (id, hops)
-   * covers exactly the nodes reachable from any source.
+   * label propagation). Classic frontier BFS: only rows whose
+   * distance was set or improved LAST round (`fresh`) propagate, so
+   * total edge work is O(E) over the whole run, not O(E × diameter) —
+   * settled nodes are never re-expanded. Input `pairs` has
+   * (id_a, id_b); `sources` has (id); output (id, hops) covers
+   * exactly the nodes reachable from any source.
    */
   def hopDistances(pairs: DataFrame, sources: DataFrame,
       maxIter: Int = 60): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().cache()
-    val init = sources.select(col("id"), lit(0L).as("hops"))
-    fixpoint(init, maxIter, "hopDistances") { st =>
-      val prop = edges.join(st, edges("u") === st("id"))
-        .select(col("v").as("id"), (col("hops") + 1L).as("hops"))
-      st.unionByName(prop).groupBy(col("id")).agg(min(col("hops")).as("hops"))
-    } { (prev, next) =>
-      next.join(prev.withColumnRenamed("hops", "ph"), Seq("id"), "left")
-        .filter(col("ph").isNull || col("ph") =!= col("hops")).count()
-    }
+    val init = sources.select(col("id"), lit(0L).as("hops"),
+      lit(true).as("fresh"))
+    val settled = fixpoint(init, maxIter, "hopDistances") { st =>
+      val cand = edges.join(st.filter(col("fresh")), edges("u") === st("id"))
+        .groupBy(col("v").as("id")).agg((min(col("hops")) + 1L).as("cand"))
+      st.select(col("id"), col("hops"))
+        .join(cand, Seq("id"), "full_outer")
+        .select(col("id"),
+          least(coalesce(col("hops"), col("cand")),
+            coalesce(col("cand"), col("hops"))).as("hops"),
+          (col("hops").isNull ||
+            (col("cand").isNotNull && col("cand") < col("hops"))).as("fresh"))
+    } { (_, next) => next.filter(col("fresh")).count() }
+    settled.select(col("id"), col("hops"))
   }
 
+  /**
+   * Run `step` from `init` until `changed` reports 0 differences.
+   * Returns the converged state (lineage-truncated — safe to consume
+   * or iterate further downstream).
+   */
   def fixpoint(init: DataFrame, maxIter: Int, what: String = "fixpoint")(
       step: DataFrame => DataFrame)(
       changed: (DataFrame, DataFrame) => Long): DataFrame = {

@@ -88,11 +88,22 @@ object AnnSuite {
     // rows-only; recall vs unrouted searchMany asserted in AnnSpec.
     "hnsw_routed" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val model = ivfModel(s, dir, 16)
       val path = s"target/graft-nsw/${new java.io.File(dir).getName}"
-      if (!new java.io.File(path, "_SUCCESS").exists())
-        Hnsw.buildIndexClustered(emb, "embedding", "vec_id", model)
+      // the quantizer model is part of the index artifact: persist it
+      // WITH the shards and always route with the persisted centroids —
+      // a per-process retrain could disagree with the stored part_id
+      // layout and silently misroute
+      val modelPath = s"$path-model"
+      // both artifacts or neither: a shard layout without its quantizer
+      // (or vice versa) must trigger a rebuild
+      if (!new java.io.File(path, "_SUCCESS").exists()
+          || !new java.io.File(modelPath, "_SUCCESS").exists()) {
+        val m = ivfModel(s, dir, 16)
+        Ivf.saveModel(s, m, modelPath)
+        Hnsw.buildIndexClustered(emb, "embedding", "vec_id", m)
           .write.mode("overwrite").partitionBy("part_id").parquet(path)
+      }
+      val model = Ivf.loadModel(s, modelPath)
       val spark = s
       import spark.implicits._
       val index = s.read.parquet(path).as[Hnsw.GraphRow]

@@ -121,11 +121,22 @@ object StreamDedup {
    * of an in-order stream). Emits pairs with exact jaccard >= tau —
    * the same values batch minhashPairs verifies, by the same double
    * math and rounding.
+   *
+   * maxCohort > 0 arms the stream form of the batch flood guard
+   * (bucketCandidatePairs maxBucket): a degenerate bucket stops
+   * RETAINING docs past the cap — arrivals still verify against the
+   * capped cohort (so every doc keeps pairing with the bucket's
+   * pioneers, the pivot-chaining analogue), but per-bucket state and
+   * per-arrival work are bounded by maxCohort instead of growing with
+   * the stream. 0 = unbounded (the exact-oracle default; the gate
+   * corpus has no flood buckets).
    */
-  private def verifyPerBucket(tau: Double)(key: Long, it: Iterator[BandDoc],
+  private def verifyPerBucket(tau: Double, maxCohort: Int)(key: Long,
+      it: Iterator[BandDoc],
       state: GroupState[Seq[RetainedDoc]]): Iterator[VerifiedPair] = {
     val arrivals = it.toArray.sortBy(h => (h.seq, h.doc_id))
-    var retained = state.getOption.getOrElse(Seq.empty)
+    val retained = scala.collection.mutable.ArrayBuffer.empty[RetainedDoc]
+    retained ++= state.getOption.getOrElse(Seq.empty)
     val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
     arrivals.foreach { h =>
       val hset = h.hs.toSet
@@ -139,9 +150,10 @@ object StreamDedup {
               math.max(r0.doc_id, h.doc_id), j)
         }
       }
-      retained = retained :+ RetainedDoc(h.seq, h.doc_id, h.hs)
+      if (maxCohort <= 0 || retained.length < maxCohort)
+        retained += RetainedDoc(h.seq, h.doc_id, h.hs)
     }
-    state.update(retained)
+    state.update(retained.toSeq)
     out.iterator
   }
 
@@ -150,14 +162,15 @@ object StreamDedup {
    * [[bandDocs]] set. Emissions are per colliding bucket — dedupe on
    * (id_a, id_b) downstream (values are identical across emissions).
    */
-  def verifiedPairs(hits: DataFrame, tau: Double): Dataset[VerifiedPair] = {
+  def verifiedPairs(hits: DataFrame, tau: Double,
+      maxCohort: Int = 0): Dataset[VerifiedPair] = {
     val spark = hits.sparkSession
     import spark.implicits._
     hits.as[BandDoc]
       .groupByKey(_.bucket_key)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(verifyPerBucket(tau))
+        GroupStateTimeout.NoTimeout())(verifyPerBucket(tau, maxCohort))
   }
 
   /**

@@ -17,8 +17,7 @@ object SparkTestSession {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s.sparkContext.setCheckpointDir(
-      s"target/graft-checkpoints/test-${java.util.UUID.randomUUID()}")
+    Sessions.initCheckpoints(s)
     s
   }
   val sfDir = "/root/testdata/sf0.001"
