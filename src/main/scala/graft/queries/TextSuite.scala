@@ -33,7 +33,26 @@ object TextSuite {
     "text_fingerprint" -> ((s, dir) =>
       Tables.spread(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Two-pass exact heavy hitters — corpus vocabulary top-20. Pass 1:
+    // ONE map-side-combinable Misra-Gries sketch pass (O(k) state per
+    // partial — no full-vocabulary shuffle at 100 TB) yields a
+    // candidate superset (every token with freq > ~2n/k survives any
+    // merge order). Pass 2: exact counts of candidates only, filtered
+    // BEFORE the shuffle. The final top-20 is deterministic despite
+    // the sketch's merge-order-dependent internals → hash-exact gate.
+    "vocab_topk" -> ((s, dir) => {
+      val toks = Tables.spread(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val cands = toks
+        .agg(graft.functions.HeavyHitters.sketch(col("tok"), 64).as("hh"))
+        .select(explode(col("hh")).as("e")).select(col("e.item").as("tok"))
+      toks.join(broadcast(cands), Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)
+    })
   )
 
   private val swEn = "['the','a','of','and','to','in','is','that']"
@@ -85,6 +104,11 @@ object TextSuite {
         |  list_reduce(list_prepend(0::BIGINT,
         |    list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))::BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |SELECT tok, count(*) AS n FROM t WHERE tok <> ''
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
   )
 }

@@ -53,6 +53,37 @@ class TDigestSpec extends SparkSpec {
     }
   }
 
+  test("misra-gries: frequent items survive any partitioning; two-pass topk exact") {
+    import graft.functions.HeavyHitters
+    // Zipfian stream with distinct >> k: item i has weight ~ 1/(i+1)
+    val rnd = new scala.util.Random(13)
+    val data = Array.fill(80000) {
+      val r = rnd.nextDouble()
+      // inverse-CDF-ish Zipf over 5000 items
+      val i = math.min(4999, math.floor(math.exp(r * math.log(5000.0))).toLong - 1)
+      s"item_$i"
+    }
+    val exact = data.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top20 = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    for (parts <- Seq(1, 13)) {
+      val toks = data.toSeq.toDF("tok").repartition(parts)
+      val cands = toks.agg(HeavyHitters.sketch(col("tok"), 256).as("hh"))
+        .select(explode(col("hh")).as("e")).select(col("e.item").as("tok"))
+      val candSet = cands.as[String].collect().toSet
+      assert(candSet.size <= 256)
+      // guarantee: every item with freq > 2n/k is a candidate
+      val mustHave = exact.filter(_._2 > 2.0 * data.length / 256).keySet
+      assert(mustHave.subsetOf(candSet),
+        s"parts=$parts missing=${mustHave -- candSet}")
+      // the full two-pass query is EXACT
+      val got = toks.join(broadcast(cands), Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20)
+        .as[(String, Long)].collect().toSeq
+      assert(got == top20, s"parts=$parts got=$got")
+    }
+  }
+
   test("buffer serialize round-trips and merges; tails are exact") {
     val a = new TDigestBuffer(100.0)
     val b = new TDigestBuffer(100.0)
