@@ -57,7 +57,8 @@ final class MGBuffer(val k: Int) {
       counts.put(e.getKey, counts.get(e.getKey) + e.getValue)
     }
     if (counts.size > k) {
-      val vals = new java.util.ArrayList[Long](counts.values())
+      val vals = new java.util.ArrayList[java.lang.Long](
+        counts.values().asInstanceOf[java.util.Collection[java.lang.Long]])
       java.util.Collections.sort(vals)
       decrementAll(vals.get(vals.size - k - 1))
     }
