@@ -30,9 +30,29 @@ object DedupSuite {
         .orderBy("id_a", "id_b")),
 
     // D3: SimHash pairs within hamming <= 6 via segment-pair pigeonhole.
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.spread(s, dir, "documents"), "text", "doc_id", maxDist = 6)
-        .orderBy("id_a", "id_b")),
+    // Gate design: simhash signatures are hash-family values, so the
+    // NATURAL corpus's hamming-<=6 pair set is not SQL-recomputable.
+    // The query therefore unions a PLANTED sub-corpus built identically
+    // in both engines — 16 groups of 3 byte-identical synthetic docs
+    // with pairwise-disjoint vocabularies — and gates the planted pair
+    // subset: identical docs have identical signatures (hamming 0) and
+    // the segment-pair pigeonhole is COMPLETE to hamming <= nSegs-2, so
+    // every within-group pair MUST surface; docs with disjoint token
+    // sets have independent 64-bit signatures, so a cross-group (or
+    // natural-planted) pair within hamming 6 has probability ~5e-12 per
+    // pair. The full natural corpus still flows through signature +
+    // candidate generation (same work as the ungated form); DedupSpec
+    // asserts the natural pair set against brute force.
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = s.range(48).select(
+        (col("id") + 1000000L).as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => concat(lit("tok"), expr("id DIV 3"), lit("x"), j)), " ").as("text"))
+      Dedup.simhashPairs(docs.unionByName(planted), "text", "doc_id", maxDist = 6)
+        .filter(col("id_a") >= 1000000L)
+        .orderBy("id_a", "id_b")
+    }),
 
     // D4: exact n-gram Jaccard pairs. At permissive tau the prefix covers
     // ~(1-tau) of each doc, so PPJoin prefix-candidates degenerate toward
@@ -173,6 +193,15 @@ object DedupSuite {
   )
 
   val oracle: Map[String, String] = Map(
+    // the planted pair set: all within-group pairs of the 16×3 synthetic
+    // groups, hamming 0 (byte-identical docs). Completeness of the
+    // pigeonhole at hamming 0 and signature determinism make this exact.
+    "dedup_simhash" ->
+      """WITH p AS (SELECT 1000000 + i AS id, i // 3 AS g FROM range(48) t(i))
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM p a JOIN p b ON a.g = b.g AND a.id < b.id
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // minhash is seeded-deterministic and its verification stage keeps
     // only exact-Jaccard >= 0.5 pairs; banding recall at the verified
     // pairs' similarity levels is 1.0 on this corpus (checked at sf0.01

@@ -149,11 +149,18 @@ object RelationalSuite {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
-    // C8: approx count distinct (HLL; rows-only — sketches differ by engine).
+    // C8: approx count distinct (HLL++). The sketch value is
+    // engine-specific, so the gated output is the EXACT distinct count
+    // (SQL-recomputable) plus a within-bound boolean on the sketch's
+    // relative error (rsd 0.05; 0.15 = 3σ margin) the oracle emits as
+    // constant TRUE.
     "approx_distinct" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_nd"),
-          countDistinct(col("l_partkey")).as("exact_nd"))),
+          countDistinct(col("l_partkey")).as("exact_nd"))
+        .select(col("exact_nd"),
+          (abs(col("approx_nd").cast("double") / col("exact_nd") - 1.0)
+            <= 0.15).as("within_bound"))),
 
     // C9: rollup with grouping-null keys folded to 'ALL' for stable compare.
     "rollup_agg" -> ((s, dir) =>
@@ -238,17 +245,32 @@ object RelationalSuite {
     }),
 
     // C13b: the 100 TB percentile path — mergeable t-digest sketch with
-    // map-side partials (O(compression) buffer per group per partition,
-    // merge order over partials is nondeterministic → rows-only gate;
-    // TDigestSpec asserts the rank-error bound vs the exact sort).
+    // map-side partials (O(compression) buffer per group per partition).
+    // The sketch values are merge-order-dependent, so the gated output
+    // is per-group cardinality (exact) plus rank-error booleans: the
+    // fraction of the group at or below each estimated quantile must
+    // sit within 0.02 of p — robust to merge order, and exactly the
+    // bound TDigestSpec asserts vs the exact sort. The oracle
+    // recomputes the counts and emits the booleans as constant TRUE.
     "approx_percentiles" -> ((s, dir) => {
       val ps = Seq(0.25, 0.5, 0.75, 0.95)
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val td = li.groupBy(col("l_returnflag"))
         .agg(graft.functions.TDigest
-          .percentilesApprox(col("l_extendedprice"), ps).as("qs"))
-        .select(col("l_returnflag") +: ps.zipWithIndex.map { case (p, i) =>
-          round(element_at(col("qs"), i + 1), 2).as(s"p${(p * 100).toInt}") }: _*)
+          .percentilesApprox(col("v"), ps).as("qs"))
+      val aggs = ps.indices.flatMap { i =>
+        val q = element_at(col("qs"), i + 1)
+        Seq(sum(when(col("v") <= q, 1L).otherwise(0L)).as(s"le$i"),
+          sum(when(col("v") < q, 1L).otherwise(0L)).as(s"lt$i"))
+      } :+ count(lit(1)).as("n")
+      li.join(broadcast(td), "l_returnflag")
+        .groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+        .select(col("l_returnflag") +: col("n") +:
+          ps.zipWithIndex.map { case (p, i) =>
+            ((col(s"lt$i").cast("double") / col("n") <= p + 0.02) &&
+              (col(s"le$i").cast("double") / col("n") >= p - 0.02))
+              .as(s"ok${(p * 100).toInt}") }: _*)
         .orderBy("l_returnflag")
     }),
 
@@ -280,6 +302,15 @@ object RelationalSuite {
   )
 
   val oracle: Map[String, String] = Map(
+    "approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_nd, TRUE AS within_bound
+        |FROM lineitem""".stripMargin,
+
+    "approx_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  TRUE AS ok25, TRUE AS ok50, TRUE AS ok75, TRUE AS ok95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q6_forecast" ->
       s"""SELECT CAST(sum($extD * $discD) AS DOUBLE) AS revenue, count(*) AS n
          |FROM lineitem
