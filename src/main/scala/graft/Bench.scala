@@ -49,22 +49,36 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
+    // one warmup run (JIT + codegen compile), then MEDIAN of 3 timed
+    // runs: single-sample local timings swing ±20%+ run-to-run (GC,
+    // thread scheduling), which repeatedly read as phantom regressions
+    // across rounds. The median is robust to one bad run; the per-query
+    // relative spread ((max-min)/median) is reported alongside so a
+    // noisy measurement is visible instead of silently trusted.
+    // System.gc() between runs keeps one query's allocation debt out of
+    // the next measurement.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = headline.filter(qs.contains).map { name =>
-      // one warmup run (JIT + codegen compile), then the timed run:
-      // steady-state throughput is what a long-lived cluster job sees.
-      // Collect garbage between queries so one query's allocation debt
-      // doesn't land in the next query's measurement (observed 1.2-3.2s
-      // swings on the same query within one bench run).
       val warm = run(name)
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok = warm && run(name)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val ok = warm && run(name)
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      if (times.contains(-1.0)) (name, -1.0, 0.0)
+      else {
+        val sorted = times.sorted
+        val med = sorted(sorted.length / 2)
+        (name, med, if (med > 0) (sorted.last - sorted.head) / med else 0.0)
+      }
     }
-    val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qJson = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val sJson = results.map { case (k, _, s) => "\"" + k + f"""\":$s%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"spread":$sJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
