@@ -47,7 +47,12 @@ object Tables {
     val df = apply(spark, dir, name)
     val par = spark.sparkContext.defaultParallelism
     // only widen: a production corpus already scanning with more
-    // partitions than cores must NOT be shuffled down to core count
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // partitions than cores must NOT be shuffled down to core count.
+    // Decide from the file listing (metadata already held by the scan's
+    // FileIndex) — df.rdd.getNumPartitions would materialize the RDD
+    // lineage on every load just to read a number. File count
+    // under-estimates scan partitions when files get byte-split, but a
+    // corpus with >= cores files already scans wide enough either way.
+    if (df.inputFiles.length < par) df.repartition(par) else df
   }
 }

@@ -431,7 +431,48 @@ object Dedup {
     val init = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v")).distinct().cache()
+    // Broadcast-small dup graphs (the common case: verified pairs are a
+    // tiny fraction of the corpus even at 100TB) skip the LS/SS rounds
+    // entirely — one driver union-find pass costs less than a single
+    // round's scheduling overhead. Union-by-min keeps the smaller id as
+    // root at every link, so the final root of each tree is the
+    // component minimum — the exact output contract of the star
+    // fixpoint below. Above the threshold the distributed path is
+    // unchanged.
+    Iterate.collectIfSmall(init) match {
+      case Some(edges) =>
+        val out = localUnionFind(edges)
+        init.unpersist()
+        val s = pairs.sparkSession
+        import s.implicits._
+        out.toSeq.toDF("id", "root")
+      case None => ccDistributed(init, maxIter)
+    }
+  }
+
+  /** Driver-local union-find with path compression; returns (id, minRoot)
+   *  for every id appearing in the edge set (roots map to themselves). */
+  private def localUnionFind(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      if (!parent.contains(u)) parent(u) = u
+      if (!parent.contains(v)) parent(v) = v
+      val ru = find(u); val rv = find(v)
+      if (ru < rv) parent(rv) = ru
+      else if (rv < ru) parent(ru) = rv
+    }
+    parent.keys.toArray.map(id => (id, find(id)))
+  }
+
+  private def ccDistributed(init: DataFrame, maxIter: Int): DataFrame = {
     val stars = Iterate.fixpoint(init, maxIter, "connectedComponents") { e =>
       // large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
       // Needs full neighborhoods, so symmetrize the canonical edge set.
