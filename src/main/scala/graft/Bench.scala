@@ -57,7 +57,9 @@ object Bench {
     // noisy measurement is visible instead of silently trusted.
     // System.gc() between runs keeps one query's allocation debt out of
     // the next measurement.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // clamp: 0/negative/garbage would crash the median index below
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.trim.toIntOption).getOrElse(3))
     val results = headline.filter(qs.contains).map { name =>
       val warm = run(name)
       val times = (1 to reps).map { _ =>

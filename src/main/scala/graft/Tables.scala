@@ -48,11 +48,15 @@ object Tables {
     val par = spark.sparkContext.defaultParallelism
     // only widen: a production corpus already scanning with more
     // partitions than cores must NOT be shuffled down to core count.
-    // Decide from the file listing (metadata already held by the scan's
-    // FileIndex) — df.rdd.getNumPartitions would materialize the RDD
-    // lineage on every load just to read a number. File count
-    // under-estimates scan partitions when files get byte-split, but a
-    // corpus with >= cores files already scans wide enough either way.
-    if (df.inputFiles.length < par) df.repartition(par) else df
+    // Few files (< cores) always need the spread — decided from the
+    // file listing alone, metadata the scan's FileIndex already holds.
+    // Many SMALL files can still bin-pack into fewer scan partitions
+    // than cores (maxPartitionBytes/openCostInBytes packing), so that
+    // branch confirms against the scan's actual partition count; the
+    // RDD materialization cost is paid only on this rarer branch, never
+    // on the single-file local layout or a healthy wide corpus.
+    if (df.inputFiles.length < par || df.rdd.getNumPartitions < par)
+      df.repartition(par)
+    else df
   }
 }

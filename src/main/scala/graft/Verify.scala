@@ -20,6 +20,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Sessions.initCheckpoints(spark)
     new java.io.File(outDir).mkdirs()
+    // filtered runs must not leave stale parquet from earlier full runs:
+    // check_oracle.py compares EVERY subdir, so a leftover dir would
+    // silently (re)validate outdated results as current. Keep only the
+    // selected queries' dirs.
+    if (only.nonEmpty) {
+      val keep = only + "oracle_sql.json"
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => !keep(f.getName))
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete()
+          }
+          rm(f)
+        }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -440,15 +440,20 @@ object Dedup {
     // component minimum — the exact output contract of the star
     // fixpoint below. Above the threshold the distributed path is
     // unchanged.
-    Iterate.collectIfSmall(init) match {
-      case Some(edges) =>
-        val out = localUnionFind(edges)
-        init.unpersist()
-        val s = pairs.sparkSession
-        import s.implicits._
-        out.toSeq.toDF("id", "root")
-      case None => ccDistributed(init, maxIter)
-    }
+    // unpersist on BOTH branches: the fast path has consumed init by
+    // collect, and the distributed fixpoint materializes its first
+    // checkpoint from init eagerly — after either returns, the cached
+    // blocks are dead weight for the rest of the session.
+    try {
+      Iterate.collectIfSmall(init) match {
+        case Some(edges) =>
+          val out = localUnionFind(edges)
+          val s = pairs.sparkSession
+          import s.implicits._
+          out.toSeq.toDF("id", "root")
+        case None => ccDistributed(init, maxIter)
+      }
+    } finally init.unpersist()
   }
 
   /** Driver-local union-find with path compression; returns (id, minRoot)

@@ -51,11 +51,21 @@ object Iterate {
    * broadcast-small (default 1M edges = ~16MB of longs, the same order
    * as a broadcast join side), one driver pass answers the whole
    * recursion for less than a single round costs. Above the threshold
-   * the distributed path keeps 100TB-safe semantics. Set to 0 to force
-   * the distributed path (parity tests do).
+   * the distributed path keeps 100TB-safe semantics. Setting it to 0
+   * forces the distributed path — IterateSpec's forced-path fixtures do
+   * exactly that and assert (via [[fixpointRuns]]) that the distributed
+   * code actually executed.
    */
   private[graft] def localEdgeThreshold(df: DataFrame): Long =
     df.sparkSession.conf.get("graft.fixpoint.localEdgeThreshold", "1000000").toLong
+
+  /**
+   * Execution proof for path-selection tests: bumped once per
+   * [[fixpoint]] invocation. A driver fast path must leave it untouched;
+   * a forced distributed run must move it — specs assert the delta, so
+   * "the distributed path is tested" is itself a tested claim.
+   */
+  private[graft] val fixpointRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /**
    * Collect a (Long, Long) edge set to the driver iff the fast path is
@@ -81,12 +91,62 @@ object Iterate {
    * settled nodes are never re-expanded. Input `pairs` has
    * (id_a, id_b); `sources` has (id); output (id, hops) covers
    * exactly the nodes reachable from any source.
+   *
+   * `maxIter` bounds DISTRIBUTED rounds only (one frontier hop per
+   * round, so it caps the reachable diameter — exceeding it throws
+   * rather than returning partial distances); the driver BFS fast
+   * path is exact at any diameter.
    */
   def hopDistances(pairs: DataFrame, sources: DataFrame,
       maxIter: Int = 60): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().cache()
+    try {
+      // Same fast-path contract as Dedup.connectedComponents: a
+      // broadcast-small edge set answers the whole recursion in one
+      // driver BFS pass for less than a single distributed round's
+      // scheduling overhead. Sources are nodes of (or roots over) the
+      // same graph, so they are bounded by the edge threshold too.
+      collectIfSmall(edges) match {
+        case Some(es) =>
+          val srcIds = sources.select(col("id").cast("long"))
+            .collect().map(_.getLong(0))
+          val s = pairs.sparkSession
+          import s.implicits._
+          localBfs(es, srcIds).toSeq.toDF("id", "hops")
+        case None => hopDistancesDistributed(edges, sources, maxIter)
+      }
+    } finally edges.unpersist()
+  }
+
+  /** Driver-local multi-source BFS over a symmetrized distinct edge set;
+   *  covers exactly the sources plus nodes reachable from any source —
+   *  the same output contract as the distributed relaxation. */
+  private def localBfs(edges: Array[(Long, Long)],
+      sources: Array[Long]): Array[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, mutable.ArrayBuffer.empty[Long]) += v
+    }
+    val dist = mutable.LongMap.empty[Long]
+    val queue = mutable.Queue.empty[Long]
+    sources.foreach { s =>
+      if (!dist.contains(s)) { dist(s) = 0L; queue.enqueue(s) }
+    }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      val du = dist(u)
+      adj.get(u).foreach(_.foreach { v =>
+        if (!dist.contains(v)) { dist(v) = du + 1L; queue.enqueue(v) }
+      })
+    }
+    dist.toArray
+  }
+
+  private def hopDistancesDistributed(edges: DataFrame, sources: DataFrame,
+      maxIter: Int): DataFrame = {
     val init = sources.select(col("id"), lit(0L).as("hops"),
       lit(true).as("fresh"))
     val settled = fixpoint(init, maxIter, "hopDistances") { st =>
@@ -111,6 +171,7 @@ object Iterate {
   def fixpoint(init: DataFrame, maxIter: Int, what: String = "fixpoint")(
       step: DataFrame => DataFrame)(
       changed: (DataFrame, DataFrame) => Long): DataFrame = {
+    fixpointRuns.incrementAndGet()
     var state = truncate(init)
     var delta = 1L
     var it = 0

@@ -33,10 +33,11 @@ object AnnSuite {
    */
   private def recallGate(found: DataFrame, exact: DataFrame,
       idCol: String, minHits: Int): DataFrame =
-    found.join(exact.select(col(idCol)), Seq(idCol), "left_semi")
-      .agg(count(lit(1)).as("n_hits"))
-      .crossJoin(found.agg(count(lit(1)).as("n_results")))
-      .select(col("n_results"), (col("n_hits") >= minHits).as("recall_ok"))
+    // single pass: mark hits with a left join, count rows and hits in
+    // one aggregate (no 1×1 crossJoin pattern to trip plan audits)
+    found.join(exact.select(col(idCol), lit(1).as("hit")), Seq(idCol), "left")
+      .agg(count(lit(1)).as("n_results"),
+        (coalesce(sum(col("hit")), lit(0)) >= minHits).as("recall_ok"))
 
   // the IVF index is built once per corpus in reality; memoize the
   // (deterministic, seeded) model per data dir so queries don't re-run

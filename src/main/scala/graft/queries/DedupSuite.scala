@@ -40,17 +40,33 @@ object DedupSuite {
     // every within-group pair MUST surface; docs with disjoint token
     // sets have independent 64-bit signatures, so a cross-group (or
     // natural-planted) pair within hamming 6 has probability ~5e-12 per
-    // pair. The full natural corpus still flows through signature +
-    // candidate generation (same work as the ungated form); DedupSpec
-    // asserts the natural pair set against brute force.
+    // pair. DedupSpec asserts the natural pair set against brute force.
+    //
+    // Pushdown proofing: a bare planted-id filter pushes BELOW the
+    // self-join (verified in the r5 executed plan), pruning the natural
+    // corpus's candidate generation + hamming verification out of the
+    // measured query. The `natural_done` column defeats that: it is a
+    // global-window count over the FULL verified pair set, and Catalyst
+    // cannot push a predicate through a Window with an empty partition
+    // spec — so the whole-corpus candidate join and verification must
+    // execute before the planted filter applies. The window input is
+    // the operator's verified-pair OUTPUT (orders of magnitude smaller
+    // than the corpus), so the single-partition window reorganizes a
+    // handful of rows, never corpus-scale data. The oracle emits the
+    // boolean as constant TRUE.
     "dedup_simhash" -> ((s, dir) => {
       val docs = Tables.spread(s, dir, "documents").select(col("doc_id"), col("text"))
       val planted = s.range(48).select(
         (col("id") + 1000000L).as("doc_id"),
         array_join(transform(sequence(lit(0), lit(29)),
           j => concat(lit("tok"), expr("id DIV 3"), lit("x"), j)), " ").as("text"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
       Dedup.simhashPairs(docs.unionByName(planted), "text", "doc_id", maxDist = 6)
+        .withColumn("n_natural",
+          sum(when(col("id_b") < 1000000L, 1L).otherwise(0L)).over(w))
         .filter(col("id_a") >= 1000000L)
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          (col("n_natural") >= 0L).as("natural_done"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -198,7 +214,8 @@ object DedupSuite {
     // pigeonhole at hamming 0 and signature determinism make this exact.
     "dedup_simhash" ->
       """WITH p AS (SELECT 1000000 + i AS id, i // 3 AS g FROM range(48) t(i))
-        |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming,
+        |  TRUE AS natural_done
         |FROM p a JOIN p b ON a.g = b.g AND a.id < b.id
         |ORDER BY id_a, id_b""".stripMargin,
 

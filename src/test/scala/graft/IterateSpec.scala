@@ -4,9 +4,13 @@ import graft.operators.{Dedup, Iterate}
 import org.apache.spark.sql.functions._
 
 /**
- * Fixpoint-operator contracts: large-star/small-star connected
- * components agree with a driver-side union-find on adversarial graph
- * shapes, the reliable-checkpoint path survives losing every
+ * Fixpoint-operator contracts, on BOTH execution paths: the driver
+ * fast path (union-find / BFS under graft.fixpoint.localEdgeThreshold)
+ * and the distributed large-star/small-star + frontier-relaxation path
+ * that runs at 100TB scale. Forced-path fixtures set the threshold to 0
+ * and assert via Iterate.fixpointRuns that the distributed code really
+ * executed — so the claim "the 100TB path is tested" is itself tested.
+ * Also: the reliable-checkpoint path survives losing every
  * executor-resident block mid-iteration, and non-convergence throws
  * instead of returning a wrong state.
  */
@@ -33,10 +37,48 @@ class IterateSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("large-star/small-star CC equals union-find on adversarial shapes") {
-    // long path (diameter 300 — one-hop propagation would need 300
-    // rounds; LS/SS must close it in O(log^2)), plus a star, a clique,
-    // two merged rings, and out-of-order ids
+  private def hopsOf(edges: Seq[(Long, Long)], sources: Seq[Long]): Map[Long, Long] = {
+    import spark.implicits._
+    Iterate.hopDistances(edges.toDF("id_a", "id_b"), sources.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Pin graft.fixpoint.localEdgeThreshold for the body; 0 forces the
+   *  distributed path. Restores the previous value afterwards. */
+  private def withEdgeThreshold[T](n: Long)(body: => T): T = {
+    val key = "graft.fixpoint.localEdgeThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Assert `body` ran >= 1 distributed fixpoint (proof the LS/SS or
+   *  relaxation code executed, not the driver fast path). */
+  private def assertDistributed[T](body: => T): T = {
+    val before = Iterate.fixpointRuns.get()
+    val out = body
+    assert(Iterate.fixpointRuns.get() > before,
+      "expected the distributed fixpoint path to execute; it did not")
+    out
+  }
+
+  /** Assert `body` ran ZERO distributed fixpoints (fast path taken). */
+  private def assertFastPath[T](body: => T): T = {
+    val before = Iterate.fixpointRuns.get()
+    val out = body
+    assert(Iterate.fixpointRuns.get() == before,
+      "expected the driver fast path; a distributed fixpoint ran")
+    out
+  }
+
+  // long path (diameter 300 — one-hop propagation would need 300
+  // rounds; LS/SS must close it in O(log^2)), plus a star, a clique,
+  // two merged rings, and out-of-order ids
+  private def adversarialEdges: Seq[(Long, Long)] = {
     val path = (0L until 300L).map(i => (i, i + 1))
     val star = (1L to 30L).map(i => (1000L, 1000L + i))
     val clique = for (i <- 0 until 10; j <- i + 1 until 10)
@@ -44,9 +86,25 @@ class IterateSpec extends SparkSpec {
     val rings = (0L until 40L).map(i => (3000L + i, 3000L + (i + 1) % 40)) ++
       (0L until 40L).map(i => (3100L + i, 3100L + (i + 1) % 40)) :+ (3000L, 3100L)
     val scrambled = Seq((7L, 9000L), (9000L, 4L), (8999L, 9000L))
-    val edges = scala.util.Random.shuffle(
-      path ++ star ++ clique ++ rings ++ scrambled)
-    assert(ccOf(edges) == dsu(edges))
+    scala.util.Random.shuffle(path ++ star ++ clique ++ rings ++ scrambled)
+  }
+
+  test("fast-path CC (driver union-find) equals union-find oracle") {
+    val edges = adversarialEdges
+    assert(assertFastPath(ccOf(edges)) == dsu(edges))
+  }
+
+  test("FORCED distributed LS/SS CC equals union-find on adversarial shapes") {
+    val edges = adversarialEdges
+    val got = withEdgeThreshold(0)(assertDistributed(ccOf(edges)))
+    assert(got == dsu(edges))
+  }
+
+  test("fast path and distributed path agree on the same pair set") {
+    val edges = adversarialEdges
+    val fast = assertFastPath(ccOf(edges))
+    val dist = withEdgeThreshold(0)(assertDistributed(ccOf(edges)))
+    assert(fast == dist)
   }
 
   test("fixpoint survives losing all executor-resident blocks mid-iteration") {
@@ -79,24 +137,41 @@ class IterateSpec extends SparkSpec {
     }
     assert(out.select(max(col("root"))).head().getLong(0) == 0L,
       "path did not fully converge to the min label")
-    // the gated CC operator under the same block loss
+    // the gated CC operator under the same block loss — FORCED onto the
+    // distributed LS/SS path (the fast path never touches the block
+    // manager, so only the forced form exercises recovery)
     val edges = (0L until 200L).map(i => (i, i + 1))
-    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-    wipe()
-    assert(cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == dsu(edges))
+    withEdgeThreshold(0) {
+      val cc = assertDistributed {
+        val df = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        wipe()
+        df.collect()
+      }
+      assert(cc.map(r => r.getLong(0) -> r.getLong(1)).toMap == dsu(edges))
+    }
   }
 
   test("hop distances equal driver-side BFS on a path-plus-shortcut graph") {
-    import spark.implicits._
     // path 0..20 plus a shortcut 0-15: BFS must prefer the shortcut
     val edges = (0L until 20L).map(i => (i, i + 1)) :+ (0L, 15L)
-    val got = Iterate
-      .hopDistances(edges.toDF("id_a", "id_b"), Seq(0L).toDF("id"))
-      .as[(Long, Long)].collect().toMap
+    val got = assertFastPath(hopsOf(edges, Seq(0L)))
     val expect = (0L to 20L).map { i =>
       i -> math.min(i, math.abs(15 - i) + 1) // along the path vs via 0-15
     }.toMap
     assert(got == expect)
+  }
+
+  test("FORCED distributed hop relaxation equals the driver BFS fast path") {
+    // multi-source: two components, one source each, plus a shortcut
+    // that the relaxation must prefer over the long way
+    val edges = ((0L until 30L).map(i => (i, i + 1)) :+ (0L, 25L)) ++
+      (100L until 110L).map(i => (i, i + 1))
+    val sources = Seq(0L, 100L)
+    val fast = assertFastPath(hopsOf(edges, sources))
+    val dist = withEdgeThreshold(0)(assertDistributed(hopsOf(edges, sources)))
+    assert(fast == dist)
+    assert(dist(26L) == 2L, "shortcut 0-25 not preferred") // 0→25→26
+    assert(dist(105L) == 5L)
   }
 
   test("non-convergence throws instead of returning a wrong state") {
