@@ -268,6 +268,69 @@ object Hnsw {
   }
 
   /**
+   * Routed many-query ANN with the queries as a DATAFRAME — the form
+   * whose query count is unbounded by driver memory (millions of
+   * queries: [[searchManyRouted]]'s Array contract caps out at
+   * broadcast size). Routing itself is distributed: each query row is
+   * tagged with its nprobe nearest lists through the broadcast-literal
+   * centroid table (same codegen'd argmin shape as Ivf.knnJoin), then
+   * EXPLODED to (part_id, qid, qv) and cogrouped with the index shards
+   * on part_id — queries reach their shards through a key-partitioned
+   * shuffle, never a driver array. Shards routed by no query are
+   * dropped by a left-semi join BEFORE the group pass (reader-level
+   * pruning on a partitionBy(part_id)-persisted index). Per-shard beam
+   * + bounded-heap rerank are identical to the array form, and
+   * AnnSpec asserts row-for-row agreement between the two.
+   * Output: (qid, rank, nid, dist).
+   */
+  def searchManyRoutedDF(index: Dataset[GraphRow], model: Ivf.Model,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nprobe: Int, params: Params = Params()): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val p = params
+    val cents = typedlit(model.centroids.map(_.toSeq).toSeq)
+    val dists = transform(cents,
+      c => graft.functions.VectorFunctions.l2SquaredDistance(col(qVecCol), c))
+    // nprobe smallest centroid distances, (dist, id) tiebreak — the
+    // same order Model.probes produces on the driver
+    val probes = slice(transform(array_sort(
+      zip_with(dists, sequence(lit(0), lit(model.nlists - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))),
+      s => s.getField("i")), 1, nprobe)
+    val routed = queries.select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<float>").as("qv"),
+        explode(probes).as("part_id")) // sequence() ids are already int
+      .as[(Long, Array[Float], Int)]
+    val probedShards = routed.select(col("part_id")).distinct()
+    val pruned = index.join(probedShards, Seq("part_id"), "left_semi")
+      .as[GraphRow]
+    val candidates = pruned.groupByKey(_.part_id)
+      .cogroup(routed.groupByKey(_._3)) { (_, idxIt, qIt) =>
+        val qs = qIt.toArray
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val rows = idxIt.toArray.sortBy(_.id)
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val vecs = rows.map(_.vec)
+            val adj = rows.map(_.nbrs.toIndexedSeq)
+            val entries = entryPoints(rows.length, p.nEntries)
+            qs.iterator.flatMap { case (qid, qv, _) =>
+              beam(vecs, adj(_), qv, math.max(p.efSearch, k), entries)
+                .toArray.map { case (d, i) => (qid, rows(i).id, math.sqrt(d)) }
+            }
+          }
+        }
+      }
+      .toDF("qid", "nid", "dist")
+      .select(col("qid"), col("nid"), round(col("dist"), 6).as("dist"))
+    graft.operators.Knn.explodeTopK(
+      candidates.groupBy(col("qid"))
+        .agg(graft.operators.Knn.topKPairs(col("nid"), col("dist"), k).as("nn")))
+  }
+
+  /**
    * Single-query ANN: one beam per shard graph (flatMapGroups on
    * part_id so a reloaded index works regardless of physical layout),
    * exact rerank of the union of beams. Output: (vec_id, dist) top-k.

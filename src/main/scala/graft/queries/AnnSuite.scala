@@ -150,11 +150,13 @@ object AnnSuite {
       val spark = s
       import spark.implicits._
       val index = s.read.parquet(path).as[Hnsw.GraphRow]
+      // DataFrame-native routing: queries stay distributed end-to-end
+      // (no driver collect), so |Q| is unbounded — the 100 TB shape.
+      // AnnSpec asserts this form row-for-row equals the array form.
       val qs = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Seq[Float])].collect()
-        .map { case (id, v) => (id, v.toArray) }
-      val routed = Hnsw.searchManyRouted(index, model, qs, k = 5, nprobe = 6)
+        .select(col("vec_id"), col("embedding"))
+      val routed = Hnsw.searchManyRoutedDF(index, model, qs,
+        "vec_id", "embedding", k = 5, nprobe = 6)
       // per-query invariants: exactly k results, recall@5 vs the
       // in-query exact KNN join >= 3/5 (routing probes 6/16 shards;
       // nprobe=4 left one query at 2/5 — isotropic data is routing's

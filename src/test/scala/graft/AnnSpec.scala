@@ -277,6 +277,23 @@ class AnnSpec extends SparkSpec {
     assert(full == all)
   }
 
+  test("DataFrame-form routed many-query search equals the array form") {
+    val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
+    val model = Ivf.build(emb, "embedding", nlists = 8)
+    val clustered = Hnsw.buildIndexClustered(emb, "embedding", "vec_id", model, params).cache()
+    val qsDf = emb.filter($"vec_id" < 10).select($"vec_id", $"embedding")
+    val qs = qsDf.as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
+    // the DF form must agree row-for-row (same probes, same beams, same
+    // rerank) — distributed routing is a pure re-plumbing of the array
+    // form, not a different algorithm
+    val arr = Hnsw.searchManyRouted(clustered, model, qs, 5, nprobe = 4, params)
+      .collect().map(_.toSeq).toSet
+    val dfForm = Hnsw.searchManyRoutedDF(clustered, model, qsDf,
+        "vec_id", "embedding", 5, nprobe = 4, params)
+      .collect().map(_.toSeq).toSet
+    assert(dfForm == arr)
+  }
+
   test("nsw index round-trips through parquet") {
     val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft_nsw").toString
