@@ -21,7 +21,8 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
     "dedup_embedding_lsh", "graph_reach", "pipeline_curate",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-    "mm_pipeline", "stream_window", "stream_neardup", "sessionize", "sessionize_stateful")
+    "mm_pipeline", "mm_decode",
+    "stream_window", "stream_neardup", "sessionize", "sessionize_stateful")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

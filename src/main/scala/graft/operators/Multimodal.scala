@@ -9,11 +9,17 @@ import org.apache.spark.sql.types._
  * opaque `binary` columns plus typed metadata, with batch decode /
  * feature-extract / frame-sample operators.
  *
- * The codec itself is STUBBED (this container has no image/audio
- * libraries): `fakeDecode` derives deterministic pseudo-pixels from the
- * bytes. Everything Spark-side is real — schema, partition-parallel
- * mapPartitions execution, batch shapes — so swapping in a real codec is
- * a one-function change.
+ * Two codec tiers:
+ *  - REAL image codec: [[syntheticImages]] encodes deterministic
+ *    grayscale PNGs with the JDK's `javax.imageio` (no external deps)
+ *    and [[decodeImageFeatures]] decodes them back on executors —
+ *    an actual byte→pixel decode in the mapPartitions batch shape a
+ *    production pipeline uses. PNG grayscale is lossless, so decoded
+ *    pixels equal the generating formula and the features have an
+ *    exact SQL oracle.
+ *  - STUB byte codec: `fakeDecode` derives pseudo-pixels from raw
+ *    payload bytes, for payloads with no decodable format (the generic
+ *    opaque-binary path used by decodeFeatures/frameFeatures).
  */
 object Multimodal {
 
@@ -46,6 +52,84 @@ object Multimodal {
   /** STUB codec: deterministic fake "decode" of payload bytes to luma. */
   private def fakeDecode(payload: Array[Byte]): Array[Int] =
     payload.map(b => (b & 0xff) ^ 0x5a)
+
+  /** Deterministic test-pattern pixel: (id*31 + 7x + 13y) mod 256 — the
+   *  generating formula is plain integer SQL, so decoded-pixel features
+   *  are exactly recomputable by an engine that never sees the PNG. */
+  private def patternPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Image dims derived from the id (same formula as [[asMedia]]). */
+  private def patternDims(id: Long): (Int, Int) =
+    (((id % 4) * 16 + 32).toInt, ((id % 3) * 16 + 32).toInt)
+
+  /**
+   * Encode one REAL grayscale PNG per id with `javax.imageio` — the
+   * payload is genuine compressed image bytes, produced on executors in
+   * partition-parallel batches (the write half of a real codec).
+   */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", metaSchema, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long").as("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = patternDims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, patternPixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, Row("png", w, h))
+      }
+    }(enc)
+  }
+
+  /**
+   * REAL decode + feature extraction: `javax.imageio` parses the PNG
+   * payload back to pixels on executors (grayscale PNG is lossless, so
+   * pixels round-trip exactly); dims come from the DECODED image, not
+   * the metadata — the decode is load-bearing, not decorative. Output:
+   * (doc_id, width, height, n_pixels, luma_sum, mean_luma).
+   */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("luma_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"graft: undecodable image payload for id=$id")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Row(id, w, h, w.toLong * h, sum)
+      }
+    }(enc).withColumn("mean_luma",
+      round(col("luma_sum").cast("double") / col("n_pixels"), 6))
+  }
 
   /**
    * Batch decode + feature extraction over partitions (the real-codec

@@ -199,6 +199,17 @@ object DedupSuite {
         .orderBy("doc_id")
     }),
 
+    // D11: REAL image codec round-trip — one deterministic grayscale
+    // PNG per doc encoded with javax.imageio on executors, then decoded
+    // back (dims + pixels read from the DECODED image). Grayscale PNG
+    // is lossless and the test pattern is integer SQL, so the oracle
+    // recomputes every feature without ever seeing a PNG.
+    "mm_decode" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents").select(col("doc_id"))
+      Multimodal.decodeImageFeatures(Multimodal.syntheticImages(docs, "doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // D11: frame sampling — every 2nd 64-byte frame with stub-decoded
     // per-frame statistics (the batch shape a frame model consumes).
     "mm_frames" -> ((s, dir) => {
@@ -403,6 +414,20 @@ object DedupSuite {
         |  CAST(list_sum(list_transform(range(1, length(frame) + 1),
         |    i -> xor(ord(substr(frame, i, 1))::BIGINT, 90))) AS BIGINT) AS frame_sum
         |FROM kept ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // recompute the decoded-pixel features from the generating formula:
+    // pixel(x,y) = (doc_id*31 + 7x + 13y) mod 256 over w×h, with
+    // w = (doc_id%4)*16+32 (<=80), h = (doc_id%3)*16+32 (<=64)
+    "mm_decode" ->
+      """WITH d AS (SELECT doc_id, CAST((doc_id % 4) * 16 + 32 AS INT) AS w,
+        |                 CAST((doc_id % 3) * 16 + 32 AS INT) AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, (doc_id * 31 + x.i * 7 + y.j * 13) % 256 AS p
+        |       FROM d, range(0, 80) x(i), range(0, 64) y(j)
+        |       WHERE x.i < w AND y.j < h)
+        |SELECT doc_id, w AS width, h AS height, CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum(p) AS BIGINT) AS luma_sum,
+        |  round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_luma
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "mm_pipeline" ->
       """SELECT doc_id, length(text)::BIGINT AS n_bytes,

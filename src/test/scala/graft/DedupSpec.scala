@@ -147,6 +147,23 @@ class DedupSpec extends SparkSpec {
       .count() == expect)
   }
 
+  test("PNG codec round-trips: decoded features equal the generating formula") {
+    val media = Multimodal.syntheticImages(docs.limit(20).select($"doc_id"), "doc_id")
+    // payloads are genuine PNGs (magic bytes), not raw pixel dumps
+    val magic = media.select($"payload").as[Array[Byte]].head()
+    assert(magic.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val got = Multimodal.decodeImageFeatures(media)
+      .select($"doc_id", $"width", $"height", $"luma_sum")
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (id, w, h, sum) =>
+      assert(w == ((id % 4) * 16 + 32).toInt && h == ((id % 3) * 16 + 32).toInt)
+      val expect = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(sum == expect, s"id=$id luma_sum $sum != $expect")
+    }
+  }
+
   test("langid is deterministic and covers all docs") {
     val n = docs.count()
     assert(docs.select(TextAnalysis.langId($"text").as("l")).filter($"l".isNotNull).count() == n)
