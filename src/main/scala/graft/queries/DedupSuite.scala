@@ -178,6 +178,28 @@ object DedupSuite {
         .orderBy("id_a", "id_b")
     }),
 
+    // C17 at the SQL SURFACE (ref: gram.y:23981): the same transitive
+    // closure as graph_reach, but EXPRESSED as a WITH RECURSIVE ...
+    // UNION query — the distinct-union recursion form openGauss accepts
+    // and Spark's native recursive CTE rejects (and the only form that
+    // terminates on this cyclic edge set). RecursiveSql rewrites it
+    // onto Iterate.fixpoint (semi-naive delta evaluation); the oracle
+    // is DuckDB's native recursive CTE over the same pair graph.
+    "sql_recursive" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
+      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        .createOrReplaceTempView("dup_edges")
+      graft.operators.RecursiveSql.sql(s,
+        """WITH RECURSIVE reach(a, b) AS (
+          |  SELECT a, b FROM dup_edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN dup_edges e ON r.b = e.a)
+          |SELECT DISTINCT a AS id_a, b AS id_b FROM reach WHERE a < b
+          |ORDER BY id_a, id_b""".stripMargin)
+    }),
+
     // Iterative query #2 — BFS hop distance from each dup cluster's
     // root (min id) over the verified near-dup graph: the fixpoint's
     // distance-relaxation form, oracled by a DuckDB recursive
@@ -271,6 +293,23 @@ object DedupSuite {
     // closed transitively with a recursive CTE; Spark's same-root pairs
     // equal the closure's unordered pairs.
     "graph_reach" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.7),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT DISTINCT a AS id_a, b AS id_b FROM reach WHERE a < b
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the SQL-surface recursion gate shares graph_reach's oracle shape:
+    // DuckDB executes its own native WITH RECURSIVE over the same
+    // verified pair graph
+    "sql_recursive" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),

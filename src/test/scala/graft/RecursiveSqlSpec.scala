@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.RecursiveSql
+import org.apache.spark.sql.functions._
+
+/**
+ * SQL-surface recursion contracts: the UNION (distinct) linear-recursion
+ * rewrite terminates on cyclic graphs and matches a driver-side closure;
+ * UNION ALL and plain SQL delegate to the native parser; the column-list
+ * rename applies; divergence throws instead of looping forever.
+ */
+class RecursiveSqlSpec extends SparkSpec {
+
+  test("UNION-distinct recursion computes transitive closure on a CYCLIC graph") {
+    import spark.implicits._
+    // ring 0-1-2-3-0 plus a separate edge 10-11; symmetrized edges are
+    // cyclic, so UNION ALL recursion would never terminate — UNION must
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (10L, 11L))
+    edges.toDF("ea", "eb")
+      .select(col("ea").as("a"), col("eb").as("b"))
+      .union(edges.toDF("ea", "eb").select(col("eb").as("a"), col("ea").as("b")))
+      .createOrReplaceTempView("rs_edges")
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE reach(a, b) AS (
+        |  SELECT a, b FROM rs_edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN rs_edges e ON r.b = e.a)
+        |SELECT DISTINCT a AS id_a, b AS id_b FROM reach WHERE a < b
+        |ORDER BY id_a, id_b""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    // closure of the 4-ring is all ordered pairs within {0,1,2,3}
+    // (self-pairs excluded by a < b); the 2-component contributes one
+    val ring = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    assert(got == ring.toSet + ((10L, 11L)))
+  }
+
+  test("UNION ALL recursion and plain SQL delegate to the native parser") {
+    import spark.implicits._
+    val nums = RecursiveSql.sql(spark,
+      "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM t WHERE n < 5) " +
+        "SELECT * FROM t ORDER BY n").as[Int].collect().toSeq
+    assert(nums == (1 to 5))
+    assert(RecursiveSql.sql(spark, "SELECT 2 + 2").head().getInt(0) == 4)
+  }
+
+  test("column list renames the CTE's output columns") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L)).toDF("x", "y").createOrReplaceTempView("rs_cl")
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE hop(src, dst) AS (
+        |  SELECT x, y FROM rs_cl
+        |  UNION
+        |  SELECT h.src, e.y FROM hop h JOIN rs_cl e ON h.dst = e.x)
+        |SELECT src, dst FROM hop ORDER BY src, dst""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("divergent recursion throws at maxIter instead of running forever") {
+    import spark.implicits._
+    Seq(Tuple1(0L)).toDF("n").createOrReplaceTempView("rs_div")
+    val e = intercept[IllegalStateException] {
+      RecursiveSql.sql(spark,
+        """WITH RECURSIVE t(n) AS (
+          |  SELECT n FROM rs_div
+          |  UNION
+          |  SELECT n + 1 FROM t)
+          |SELECT count(*) AS c FROM t""".stripMargin, maxIter = 5)
+    }
+    assert(e.getMessage.contains("WITH RECURSIVE t"))
+  }
+}
