@@ -173,6 +173,25 @@ object Hnsw {
   }
 
   /**
+   * Periodic shard compaction — completes the append story (reference:
+   * contrib/datavec/src/hnswinsert.cpp maintains ONE graph in place;
+   * the batch analogue appends as NEW shards, so shard count and beam
+   * work grow with every append batch and never consolidate). Compaction
+   * rebuilds a single clustered layout over the union of all current
+   * shards' rows: vectors re-assign to their quantizer list and each
+   * list's graph is rebuilt in deterministic id order. Because the
+   * build is deterministic, compacting a fragmented index yields
+   * byte-for-byte the index a fresh buildIndexClustered would produce
+   * on the same rows (asserted in AnnSpec) — run it when the shard
+   * count has drifted ~2× past nlists, like the reference's REINDEX
+   * guidance for degraded graphs.
+   */
+  def compactShards(index: Dataset[GraphRow], model: Ivf.Model,
+      params: Params = Params()): Dataset[GraphRow] =
+    buildIndexClustered(
+      index.toDF.select(col("id"), col("vec")), "vec", "id", model, params)
+
+  /**
    * Routed single-query ANN over a cluster-sharded index: beam only in
    * the nprobe shards whose centroids are nearest the query. Search
    * cost drops by ~shards/nprobe vs [[search]]; recall follows the IVF

@@ -294,6 +294,22 @@ class AnnSpec extends SparkSpec {
     assert(dfForm == arr)
   }
 
+  test("shard compaction equals a fresh clustered build on the same rows") {
+    val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
+    val model = Ivf.build(emb, "embedding", nlists = 8)
+    // fragmented index: base build plus an "append" that arrived as its
+    // own clustered shards (disjoint halves of the corpus)
+    val baseHalf = emb.filter($"vec_id" % 2 === 0)
+    val delta = emb.filter($"vec_id" % 2 === 1)
+    val fragmented = Hnsw.buildIndexClustered(baseHalf, "embedding", "vec_id", model, params)
+      .union(Hnsw.buildIndexClustered(delta, "embedding", "vec_id", model, params))
+    val compacted = Hnsw.compactShards(fragmented, model, params)
+      .collect().map(_.toString).sorted.toSeq
+    val fresh = Hnsw.buildIndexClustered(emb, "embedding", "vec_id", model, params)
+      .collect().map(_.toString).sorted.toSeq
+    assert(compacted == fresh)
+  }
+
   test("nsw index round-trips through parquet") {
     val index = Hnsw.buildIndex(emb, "embedding", "vec_id", numParts = 4)
     val dir = java.nio.file.Files.createTempDirectory("graft_nsw").toString
