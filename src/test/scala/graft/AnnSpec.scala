@@ -303,10 +303,13 @@ class AnnSpec extends SparkSpec {
     val delta = emb.filter($"vec_id" % 2 === 1)
     val fragmented = Hnsw.buildIndexClustered(baseHalf, "embedding", "vec_id", model, params)
       .union(Hnsw.buildIndexClustered(delta, "embedding", "vec_id", model, params))
-    val compacted = Hnsw.compactShards(fragmented, model, params)
-      .collect().map(_.toString).sorted.toSeq
-    val fresh = Hnsw.buildIndexClustered(emb, "embedding", "vec_id", model, params)
-      .collect().map(_.toString).sorted.toSeq
+    // structural comparison — GraphRow holds Array fields, whose
+    // toString/equals are JVM identity, so compare value tuples
+    def canon(ds: org.apache.spark.sql.Dataset[Hnsw.GraphRow]) =
+      ds.collect().map(r => (r.part_id, r.id, r.vec.toSeq, r.nbrs.toSeq))
+        .sortBy(r => (r._1, r._2)).toSeq
+    val compacted = canon(Hnsw.compactShards(fragmented, model, params))
+    val fresh = canon(Hnsw.buildIndexClustered(emb, "embedding", "vec_id", model, params))
     assert(compacted == fresh)
   }
 
