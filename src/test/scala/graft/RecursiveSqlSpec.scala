@@ -56,6 +56,76 @@ class RecursiveSqlSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("trailing CTEs after the recursive one are honored") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+      .createOrReplaceTempView("rs_multi")
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE hop(src, dst) AS (
+        |  SELECT x, y FROM rs_multi
+        |  UNION
+        |  SELECT h.src, e.y FROM hop h JOIN rs_multi e ON h.dst = e.x),
+        |far AS (SELECT src, max(dst) AS m FROM hop GROUP BY src)
+        |SELECT src, m FROM far ORDER BY src""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("comments and quoted literals inside the CTE body don't corrupt the split") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L)).toDF("x", "y").createOrReplaceTempView("rs_cm")
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE hop(src, dst) AS (
+        |  -- base case ) UNION (this comment must be skipped
+        |  SELECT x, y FROM rs_cm /* ) another UNION trap */
+        |  UNION
+        |  SELECT h.src, e.y -- it''s the step
+        |  FROM hop h JOIN rs_cm e ON h.dst = e.x)
+        |SELECT src, dst FROM hop ORDER BY src, dst""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("non-linear recursion (two self-references) is rejected, not miscomputed") {
+    import spark.implicits._
+    Seq((1L, 2L)).toDF("x", "y").createOrReplaceTempView("rs_nl")
+    val e = intercept[IllegalArgumentException] {
+      RecursiveSql.sql(spark,
+        """WITH RECURSIVE r(a, b) AS (
+          |  SELECT x, y FROM rs_nl
+          |  UNION
+          |  SELECT r1.a, r2.b FROM r r1 JOIN r r2 ON r1.b = r2.a)
+          |SELECT * FROM r""".stripMargin)
+    }
+    assert(e.getMessage.contains("more than once"))
+  }
+
+  test("a pre-existing temp view with the CTE's name is shadowed, not clobbered") {
+    import spark.implicits._
+    Seq(Tuple1(99L)).toDF("marker").createOrReplaceTempView("shadowed")
+    Seq((1L, 2L)).toDF("x", "y").createOrReplaceTempView("rs_sh")
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE shadowed(a, b) AS (
+        |  SELECT x, y FROM rs_sh
+        |  UNION
+        |  SELECT s.a, e.y FROM shadowed s JOIN rs_sh e ON s.b = e.x)
+        |SELECT a, b FROM shadowed""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+    // the outer view survives the query untouched
+    assert(spark.table("shadowed").as[Long].head() == 99L)
+  }
+
+  test("a first CTE that never references itself delegates to the native parser") {
+    import spark.implicits._
+    Seq((1L, 2L)).toDF("x", "y").createOrReplaceTempView("rs_nr")
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE t(a) AS (SELECT x FROM rs_nr UNION SELECT y FROM rs_nr)
+        |SELECT a FROM t ORDER BY a""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
   test("divergent recursion throws at maxIter instead of running forever") {
     import spark.implicits._
     Seq(Tuple1(0L)).toDF("n").createOrReplaceTempView("rs_div")
