@@ -52,11 +52,40 @@ object Tables {
     // file listing alone, metadata the scan's FileIndex already holds.
     // Many SMALL files can still bin-pack into fewer scan partitions
     // than cores (maxPartitionBytes/openCostInBytes packing), so that
-    // branch confirms against the scan's actual partition count; the
-    // RDD materialization cost is paid only on this rarer branch, never
-    // on the single-file local layout or a healthy wide corpus.
-    if (df.inputFiles.length < par || df.rdd.getNumPartitions < par)
+    // branch estimates the packed partition count from the FileIndex's
+    // total size with Spark's own split formula — pure driver-side
+    // arithmetic on the cached listing, never an RDD materialization.
+    if (df.inputFiles.length < par || estScanPartitions(df, par) < par)
       df.repartition(par)
     else df
+  }
+
+  /**
+   * Estimate the file-scan partition count the way Spark packs splits
+   * (FilePartition.maxSplitBytes): totalBytes includes one openCost per
+   * file, the split ceiling is min(maxPartitionBytes, max(openCost,
+   * totalBytes/parallelism)), and packed partitions ≈ totalBytes /
+   * maxSplit. Reads only the logical relation's FileIndex (listing is
+   * already cached from the load) — unlike df.rdd.getNumPartitions this
+   * never plans or materializes the physical scan. Falls back to the
+   * exact physical count for non-file relations.
+   */
+  private def estScanPartitions(df: DataFrame, par: Int): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.logical.collectFirst {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    } match {
+      case Some(fs) =>
+        val conf = df.sparkSession.sessionState.conf
+        val openCost = conf.filesOpenCostInBytes
+        val nFiles = fs.location.inputFiles.length.toLong
+        val totalBytes = fs.location.sizeInBytes + nFiles * openCost
+        val bytesPerCore = totalBytes / math.max(1, par)
+        val maxSplit =
+          math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+        math.max(1L, (totalBytes + maxSplit - 1) / math.max(1L, maxSplit))
+      case None => df.rdd.getNumPartitions.toLong
+    }
   }
 }

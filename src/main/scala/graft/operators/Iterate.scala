@@ -108,15 +108,23 @@ object Iterate {
       // driver BFS pass for less than a single distributed round's
       // scheduling overhead. Sources are nodes of (or roots over) the
       // same graph, so they are bounded by the edge threshold too.
-      collectIfSmall(edges) match {
-        case Some(es) =>
-          val srcIds = sources.select(col("id").cast("long"))
-            .collect().map(_.getLong(0))
-          val s = pairs.sparkSession
-          import s.implicits._
-          localBfs(es, srcIds).toSeq.toDF("id", "hops")
-        case None => hopDistancesDistributed(edges, sources, maxIter)
-      }
+      // the source set must pass the same driver-size gate as the
+      // edges: "sources are usually nodes of the graph" is a heuristic,
+      // not a contract — an oversized (or null-laden) source table must
+      // fall back to the distributed path, not OOM the driver
+      val srcDf = sources.select(col("id").cast("long").as("id"))
+        .filter(col("id").isNotNull).distinct().cache()
+      try {
+        val srcSmall = srcDf.count() <= localEdgeThreshold(srcDf)
+        collectIfSmall(edges) match {
+          case Some(es) if srcSmall =>
+            val srcIds = srcDf.collect().map(_.getLong(0))
+            val s = pairs.sparkSession
+            import s.implicits._
+            localBfs(es, srcIds).toSeq.toDF("id", "hops")
+          case _ => hopDistancesDistributed(edges, srcDf, maxIter)
+        }
+      } finally srcDf.unpersist()
     } finally edges.unpersist()
   }
 

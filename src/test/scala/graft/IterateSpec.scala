@@ -174,6 +174,28 @@ class IterateSpec extends SparkSpec {
     assert(dist(105L) == 5L)
   }
 
+  test("null source ids are filtered, and an oversized source set falls back") {
+    import spark.implicits._
+    val edges = (0L until 5L).map(i => (i, i + 1))
+    // a null id among the sources must neither NPE nor seed the BFS
+    val srcWithNull = Seq(Some(0L), None).toDF("id")
+    val got = Iterate.hopDistances(edges.toDF("id_a", "id_b"), srcWithNull)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 5L).map(i => i -> i).toMap)
+    // sources above the driver threshold force the distributed path
+    // even when the edge set is tiny (the edge gate alone used to
+    // collect sources unconditionally); isolated sources are part of
+    // the output contract (hops 0) on both paths
+    val manySources = spark.range(0, 50).select((col("id") % 20).as("id"))
+    val viaDistributed = assertDistributed {
+      withEdgeThreshold(10) { // sym edges = 10 pass; 20 sources don't
+        Iterate.hopDistances(edges.toDF("id_a", "id_b"), manySources)
+          .as[(Long, Long)].collect().toMap
+      }
+    }
+    assert(viaDistributed == (0L until 20L).map(i => i -> 0L).toMap)
+  }
+
   test("non-convergence throws instead of returning a wrong state") {
     import spark.implicits._
     val init = Seq((0L, 1L)).toDF("u", "v")
