@@ -87,4 +87,25 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("topk_pairs"), "bounded-heap aggregate missing")
     assert(p.contains("ObjectHashAggregate"))
   }
+
+  test("simhash gate keeps the planted filter ABOVE the full-corpus window") {
+    // the benched query must execute the WHOLE natural corpus's
+    // candidate join + hamming verification: the planted-id filter is
+    // held above a global (empty-partition-spec) Window so Catalyst
+    // cannot push it below the self-join and silently re-narrow the
+    // measured workload (round-5 regression, fixed round 6 — this
+    // pins it as a contract, not a comment)
+    val p = plan("dedup_simhash")
+    val iWin = p.indexOf("Window")
+    val iJoin = p.indexOf("Join")
+    assert(iWin >= 0, "global window gone from the gate")
+    assert(iJoin >= 0, "candidate self-join gone from the gate")
+    assert(iWin < iJoin, "window no longer sits above the candidate join")
+    // below the join: no resurrected planted-id filter (the 1000000
+    // literal below the join is only legal inside the planted-corpus
+    // PROJECTION, never a Filter)
+    val below = p.substring(iJoin)
+    assert(!"""(?m)Filter[^\n]*1000000""".r.findFirstIn(below).isDefined,
+      "planted-id filter pushed below the candidate join again")
+  }
 }
