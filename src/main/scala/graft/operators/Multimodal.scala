@@ -75,6 +75,14 @@ object Multimodal {
       StructField("meta", metaSchema, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col(idCol).cast("long").as("doc_id")).mapPartitions { it =>
+      // ImageIO's stream cache is DISK-backed by default: every
+      // write/read over a byte-array stream creates and deletes a temp
+      // file, serializing 15k-image partitions behind the filesystem
+      // (measured 1.4s → 5-7s run-to-run on the same data as /tmp state
+      // varied). In-memory stream cache is strictly better for
+      // byte-array payloads. Per-partition setter: it's a JVM-global
+      // static, cheap to re-set, and this is the executor-side entry.
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(0)
         val (w, h) = patternDims(id)
@@ -110,6 +118,7 @@ object Multimodal {
       StructField("luma_sum", LongType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     media.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see syntheticImages
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -174,6 +183,195 @@ object Multimodal {
           .map { case (frame, idx) =>
             val luma = fakeDecode(frame)
             Row(id, idx, frame.length.toLong, luma.foldLeft(0L)(_ + _))
+          }
+      }
+    }(enc)
+  }
+
+  /** Audio sample count / DC offset derived from the id: n is a
+   *  multiple of 256 so the 17-step residue walk (gcd(17,256)=1) covers
+   *  full cycles — the sample SUM then has the closed form
+   *  dc*n - 128*(n/256), plain integer SQL for the oracle. */
+  private def audioParams(id: Long): (Int, Int) =
+    ((1024 + (id % 4) * 256).toInt, (id % 7).toInt)
+
+  /** Deterministic PCM sample i for doc `id`: a full-cycle residue walk
+   *  plus a per-doc DC offset, range [-128, 133] — fits 16-bit PCM. */
+  private def audioSample(id: Long, i: Int, dc: Int): Short =
+    (((id * 31 + i.toLong * 17) % 256) - 128 + dc).toShort
+
+  /**
+   * REAL audio codec, write half: one deterministic 16-bit mono PCM
+   * waveform per id, encoded to WAV on executors with
+   * `javax.sound.sampled.AudioSystem` (JDK-native RIFF/WAVE writer —
+   * the audio analogue of [[syntheticImages]]). PCM is lossless, so
+   * decoded samples round-trip exactly and the generating formula is
+   * the oracle.
+   */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", metaSchema, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long").as("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (n, dc) = audioParams(id)
+        val pcm = new Array[Byte](n * 2) // 16-bit little-endian PCM
+        var i = 0
+        while (i < n) {
+          val s = audioSample(id, i, dc)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray, Row("wav", n, 1))
+      }
+    }(enc)
+  }
+
+  /**
+   * REAL audio decode + feature extraction: `AudioSystem` parses the
+   * WAV container back to PCM on executors; the sample count comes from
+   * the DECODED stream's frame length and every statistic from the
+   * decoded samples — load-bearing, like [[decodeImageFeatures]].
+   * Output: (doc_id, n_samples, sample_sum, peak_abs).
+   */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sample_sum", LongType, nullable = false),
+      StructField("peak_abs", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"graft: unexpected WAV format for id=$id: $fmt")
+        val n = ais.getFrameLength.toInt
+        val pcm = ais.readAllBytes()
+        require(pcm.length == n * 2, s"graft: truncated PCM for id=$id")
+        var sum = 0L
+        var peak = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+          sum += s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        Row(id, n.toLong, sum, peak)
+      }
+    }(enc)
+  }
+
+  /** Per-(id, frame) constant luma — integer SQL for the oracle. */
+  private def frameLuma(id: Long, fidx: Int): Int =
+    ((7 * id + 13 * fidx) % 256).toInt
+
+  private def videoFrameCount(id: Long): Int = (4 + id % 3).toInt
+
+  /**
+   * REAL video-frame codec, write half: a Motion-PNG stream — each
+   * frame an 8×8 grayscale PNG encoded with `javax.imageio`, frames
+   * concatenated with a 4-byte big-endian length prefix (the same
+   * container shape as raw MJPEG: independently-decodable keyframes,
+   * which is what a frame-sampling pipeline consumes; inter-frame
+   * codecs would decode groups-of-pictures here instead).
+   */
+  def syntheticVideo(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", metaSchema, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long").as("doc_id")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see syntheticImages
+      it.map { r =>
+        val id = r.getLong(0)
+        val nf = videoFrameCount(id)
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(bos)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          val luma = frameLuma(id, f)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { raster.setSample(x, y, 0, luma); x += 1 }
+            y += 1
+          }
+          val frame = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", frame)
+          out.writeInt(frame.size())
+          frame.writeTo(out)
+          f += 1
+        }
+        Row(id, bos.toByteArray, Row("mpng", nf, 8))
+      }
+    }(enc)
+  }
+
+  /**
+   * REAL frame sampling + decode: parse the Motion-PNG container, keep
+   * every `stride`-th frame, decode each kept frame with
+   * `javax.imageio`, and emit per-frame features from the DECODED
+   * pixels. Output: (doc_id, frame_idx, width, height, luma_sum).
+   */
+  def videoFrameFeatures(media: DataFrame, stride: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("luma_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        Iterator.continually {
+          if (in.available() < 4) None
+          else {
+            val len = in.readInt()
+            val frame = new Array[Byte](len)
+            in.readFully(frame)
+            Some(frame)
+          }
+        }.takeWhile(_.isDefined).map(_.get).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (frame, fidx) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frame))
+            require(img != null, s"graft: undecodable frame $fidx for id=$id")
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Row(id, fidx, w, h, sum)
           }
       }
     }(enc)

@@ -238,6 +238,28 @@ object DedupSuite {
       val media = Multimodal.asMedia(Tables.spread(s, dir, "documents"), "text", "doc_id")
       Multimodal.frameFeatures(media, frameSize = 64, stride = 2)
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // D11: REAL audio codec round-trip — one deterministic 16-bit PCM
+    // waveform per doc, WAV-encoded and decoded with the JDK's
+    // javax.sound.sampled on executors; n_samples comes from the
+    // decoded stream and every statistic from decoded samples. PCM is
+    // lossless and the waveform formula walks full mod-256 cycles, so
+    // the oracle recomputes the features in closed-form integer SQL.
+    "mm_audio" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents").select(col("doc_id"))
+      Multimodal.decodeAudioFeatures(Multimodal.syntheticAudio(docs, "doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // D11: REAL video-frame sampling — a Motion-PNG stream (length-
+    // prefixed real PNG keyframes) parsed on executors, every 2nd frame
+    // ImageIO-decoded, per-frame features from the decoded pixels.
+    "mm_video" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents").select(col("doc_id"))
+      Multimodal.videoFrameFeatures(Multimodal.syntheticVideo(docs, "doc_id"),
+          stride = 2)
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -467,6 +489,30 @@ object DedupSuite {
         |  CAST(sum(p) AS BIGINT) AS luma_sum,
         |  round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_luma
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // closed forms: n = 1024 + (id%4)*256 samples (a multiple of 256,
+    // so the 17-step residue walk covers n/256 full cycles, each
+    // summing to 32640 - 128*256 = -128 after centering); with the
+    // per-doc DC offset dc = id%7, sample_sum = dc*n - 128*(n/256);
+    // residues -128..127 all occur, so peak_abs = max(128-dc, 127+dc)
+    "mm_audio" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1024 + (doc_id % 4) * 256 AS BIGINT) AS n,
+        |    CAST(doc_id % 7 AS BIGINT) AS dc FROM documents)
+        |SELECT doc_id, n AS n_samples,
+        |  CAST(dc * n - 128 * (n // 256) AS BIGINT) AS sample_sum,
+        |  CAST(CASE WHEN dc = 0 THEN 128 ELSE 127 + dc END AS BIGINT) AS peak_abs
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // one row per kept frame (stride 2) of nf = 4 + id%3 frames; every
+    // frame is a constant-luma 8x8, luma = (7*id + 13*fi) mod 256
+    "mm_video" ->
+      """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 3 AS INT) AS nf FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM d)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(64 * ((7 * doc_id + 13 * fi) % 256) AS BIGINT) AS luma_sum
+        |FROM fr WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_pipeline" ->
       """SELECT doc_id, length(text)::BIGINT AS n_bytes,

@@ -164,6 +164,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("WAV codec round-trips: decoded samples equal the generating formula") {
+    val media = Multimodal.syntheticAudio(docs.limit(20).select($"doc_id"), "doc_id")
+    // payloads are genuine RIFF/WAVE containers, not raw PCM dumps
+    val magic = media.select($"payload").as[Array[Byte]].head()
+    assert(magic.take(4).map(_.toChar).mkString == "RIFF")
+    assert(magic.slice(8, 12).map(_.toChar).mkString == "WAVE")
+    val got = Multimodal.decodeAudioFeatures(media)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, sum, peak) =>
+      val expN = 1024 + (id % 4) * 256
+      val dc = id % 7
+      assert(n == expN, s"id=$id n_samples $n != $expN")
+      assert(sum == dc * expN - 128 * (expN / 256), s"id=$id sample_sum $sum")
+      assert(peak == (if (dc == 0) 128 else 127 + dc), s"id=$id peak_abs $peak")
+    }
+  }
+
+  test("Motion-PNG frames round-trip: each kept frame decodes to its luma") {
+    val media = Multimodal.syntheticVideo(docs.limit(20).select($"doc_id"), "doc_id")
+    // first frame of the container is a genuine PNG after its length prefix
+    val payload = media.select($"payload").as[Array[Byte]].head()
+    assert(payload.slice(4, 8).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val got = Multimodal.videoFrameFeatures(media, stride = 2)
+      .as[(Long, Int, Int, Int, Long)].collect()
+    assert(got.nonEmpty)
+    val byDoc = got.groupBy(_._1)
+    byDoc.foreach { case (id, frames) =>
+      val nf = (4 + id % 3).toInt
+      assert(frames.map(_._2).sorted.toSeq == (0 until nf by 2).toSeq,
+        s"id=$id sampled frame indexes wrong")
+      frames.foreach { case (_, fidx, w, h, sum) =>
+        assert(w == 8 && h == 8)
+        assert(sum == 64L * ((7 * id + 13 * fidx) % 256),
+          s"id=$id frame=$fidx luma_sum $sum")
+      }
+    }
+  }
+
   test("langid is deterministic and covers all docs") {
     val n = docs.count()
     assert(docs.select(TextAnalysis.langId($"text").as("l")).filter($"l".isNotNull).count() == n)
