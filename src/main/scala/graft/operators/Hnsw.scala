@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
@@ -308,15 +308,24 @@ object Hnsw {
     val spark = index.sparkSession
     import spark.implicits._
     val p = params
-    val cents = typedlit(model.centroids.map(_.toSeq).toSeq)
-    val dists = transform(cents,
-      c => graft.functions.VectorFunctions.l2SquaredDistance(col(qVecCol), c))
-    // nprobe smallest centroid distances, (dist, id) tiebreak — the
-    // same order Model.probes produces on the driver
-    val probes = slice(transform(array_sort(
-      zip_with(dists, sequence(lit(0), lit(model.nlists - 1)),
-        (d, i) => struct(d.as("d"), i.as("i")))),
-      s => s.getField("i")), 1, nprobe)
+    // small centroid tables ride the plan as a codegen'd literal; big
+    // ones a broadcast variable + UDF (same threshold + rationale as
+    // Ivf.assign — O(nlists×dim) plan payload is the scale killer).
+    // Both produce Model.probes' exact (dist, id)-tiebreak order.
+    val probes: Column =
+      if (model.nlists <= Ivf.literalCentroidLimit(spark)) {
+        val cents = typedlit(model.centroids.map(_.toSeq).toSeq)
+        val dists = transform(cents,
+          c => graft.functions.VectorFunctions.l2SquaredDistance(col(qVecCol), c))
+        slice(transform(array_sort(
+          zip_with(dists, sequence(lit(0), lit(model.nlists - 1)),
+            (d, i) => struct(d.as("d"), i.as("i")))),
+          s => s.getField("i")), 1, nprobe)
+      } else {
+        val bc = spark.sparkContext.broadcast(model)
+        udf { qv: Seq[Float] => bc.value.probes(qv.toArray, nprobe).toArray }
+          .apply(col(qVecCol))
+      }
     val routed = queries.select(col(qIdCol).cast("long").as("qid"),
         col(qVecCol).cast("array<float>").as("qv"),
         explode(probes).as("part_id")) // sequence() ids are already int

@@ -53,12 +53,30 @@ object Ivf {
    * centroid table is a broadcast literal scanned per row with
    * transform/array_position (stays inside whole-stage codegen).
    */
-  def assign(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val cents: Column = typedlit(model.centroids.map(_.toSeq).toSeq)
-    val dists = transform(cents, c => VF.l2SquaredDistance(col(vecCol), c))
-    corpus.withColumn("list_id",
-      (array_position(dists, array_min(dists)) - 1).cast("int"))
-  }
+  /**
+   * Centroid-table size up to which routing/assignment embeds the
+   * centroids as a codegen'd array LITERAL (fastest per row: no UDF
+   * boxing, whole-stage codegen). Above it the centroids ride a Spark
+   * BROADCAST variable consumed by a UDF — the literal would otherwise
+   * grow the plan/codegen O(nlists×dim) (a 64k-list × 128-dim table is
+   * a 32MB plan re-analyzed per query). Tests set it to 0 to force the
+   * broadcast path and assert parity.
+   */
+  private[graft] def literalCentroidLimit(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("graft.ivf.literalCentroidLimit", "1024").toInt
+
+  def assign(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
+    if (model.nlists <= literalCentroidLimit(corpus.sparkSession)) {
+      val cents: Column = typedlit(model.centroids.map(_.toSeq).toSeq)
+      val dists = transform(cents, c => VF.l2SquaredDistance(col(vecCol), c))
+      corpus.withColumn("list_id",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+    } else {
+      val bc = corpus.sparkSession.sparkContext.broadcast(model)
+      val nearest = udf { qv: Seq[Float] => bc.value.probes(qv.toArray, 1).head }
+      corpus.withColumn("list_id", nearest(col(vecCol)))
+    }
 
   /** Persist centroids as a tiny parquet table (index metadata). */
   def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,

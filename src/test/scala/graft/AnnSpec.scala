@@ -294,6 +294,33 @@ class AnnSpec extends SparkSpec {
     assert(dfForm == arr)
   }
 
+  test("broadcast-centroid routing equals the literal-centroid plan") {
+    // force the big-nlists path (broadcast variable + UDF) and assert
+    // row-for-row parity with the codegen'd literal form for both
+    // assignment and DF-routed search
+    val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
+    val model = Ivf.build(emb, "embedding", nlists = 8)
+    val qsDf = emb.filter($"vec_id" < 10).select($"vec_id", $"embedding")
+    def both[T](f: => T): (T, T) = {
+      val lit = f
+      spark.conf.set("graft.ivf.literalCentroidLimit", "0")
+      try { (lit, f) }
+      finally spark.conf.unset("graft.ivf.literalCentroidLimit")
+    }
+    val (assignLit, assignBc) = both {
+      Ivf.assign(emb, "embedding", model)
+        .select($"vec_id", $"list_id").collect().map(_.toSeq).toSet
+    }
+    assert(assignLit == assignBc)
+    val (routedLit, routedBc) = both {
+      val clustered = Hnsw.buildIndexClustered(emb, "embedding", "vec_id", model, params)
+      Hnsw.searchManyRoutedDF(clustered, model, qsDf,
+          "vec_id", "embedding", 5, nprobe = 4, params)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(routedLit == routedBc)
+  }
+
   test("shard compaction equals a fresh clustered build on the same rows") {
     val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
     val model = Ivf.build(emb, "embedding", nlists = 8)
