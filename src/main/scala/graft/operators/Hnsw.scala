@@ -302,9 +302,19 @@ object Hnsw {
    * AnnSpec asserts row-for-row agreement between the two.
    * Output: (qid, rank, nid, dist).
    */
+  /**
+   * `querySalt` addresses cogroup SKEW under Zipfian query load: the
+   * shard shuffle keys by part_id, so a shard most queries route to is
+   * one task. With querySalt = S the queries split into S salt buckets
+   * (by qid) and the pruned shard rows replicate to every bucket — the
+   * hot shard's beam work spreads across S tasks at the cost of S×
+   * index shuffle volume. Results are salt-invariant (each query still
+   * beams against its full shard; AnnSpec asserts parity), so salt only
+   * when the query distribution is actually skewed.
+   */
   def searchManyRoutedDF(index: Dataset[GraphRow], model: Ivf.Model,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
-      nprobe: Int, params: Params = Params()): DataFrame = {
+      nprobe: Int, params: Params = Params(), querySalt: Int = 1): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val p = params
@@ -326,27 +336,33 @@ object Hnsw {
         udf { qv: Seq[Float] => bc.value.probes(qv.toArray, nprobe).toArray }
           .apply(col(qVecCol))
       }
+    require(querySalt >= 1, "querySalt must be >= 1")
     val routed = queries.select(col(qIdCol).cast("long").as("qid"),
         col(qVecCol).cast("array<float>").as("qv"),
-        explode(probes).as("part_id")) // sequence() ids are already int
-      .as[(Long, Array[Float], Int)]
+        explode(probes).as("part_id"), // sequence() ids are already int
+        pmod(col(qIdCol).cast("long"), lit(querySalt)).cast("int").as("salt"))
+      .as[(Long, Array[Float], Int, Int)]
     val probedShards = routed.select(col("part_id")).distinct()
     val pruned = index.join(probedShards, Seq("part_id"), "left_semi")
       .as[GraphRow]
-    val candidates = pruned.groupByKey(_.part_id)
-      .cogroup(routed.groupByKey(_._3)) { (_, idxIt, qIt) =>
+    // shard rows fan out to every salt bucket; queries keep one bucket
+    val prunedSalted = pruned
+      .withColumn("salt", explode(array((0 until querySalt).map(lit): _*)))
+      .as[(Int, Long, Array[Float], Array[Int], Int)]
+    val candidates = prunedSalted.groupByKey(r => (r._1, r._5))
+      .cogroup(routed.groupByKey(r => (r._3, r._4))) { (_, idxIt, qIt) =>
         val qs = qIt.toArray
         if (qs.isEmpty) Iterator.empty
         else {
-          val rows = idxIt.toArray.sortBy(_.id)
+          val rows = idxIt.toArray.sortBy(_._2)
           if (rows.isEmpty) Iterator.empty
           else {
-            val vecs = rows.map(_.vec)
-            val adj = rows.map(_.nbrs.toIndexedSeq)
+            val vecs = rows.map(_._3)
+            val adj = rows.map(_._4.toIndexedSeq)
             val entries = entryPoints(rows.length, p.nEntries)
-            qs.iterator.flatMap { case (qid, qv, _) =>
+            qs.iterator.flatMap { case (qid, qv, _, _) =>
               beam(vecs, adj(_), qv, math.max(p.efSearch, k), entries)
-                .toArray.map { case (d, i) => (qid, rows(i).id, math.sqrt(d)) }
+                .toArray.map { case (d, i) => (qid, rows(i)._2, math.sqrt(d)) }
             }
           }
         }

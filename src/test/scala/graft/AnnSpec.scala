@@ -292,6 +292,12 @@ class AnnSpec extends SparkSpec {
         "vec_id", "embedding", 5, nprobe = 4, params)
       .collect().map(_.toSeq).toSet
     assert(dfForm == arr)
+    // skew-salted form: shard replication across salt buckets must be
+    // result-invariant (each query still beams against its full shard)
+    val salted = Hnsw.searchManyRoutedDF(clustered, model, qsDf,
+        "vec_id", "embedding", 5, nprobe = 4, params, querySalt = 3)
+      .collect().map(_.toSeq).toSet
+    assert(salted == arr)
   }
 
   test("broadcast-centroid routing equals the literal-centroid plan") {
