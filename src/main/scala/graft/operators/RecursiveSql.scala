@@ -3,98 +3,141 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /**
  * SQL-level recursive CTE surface (reference capability: WITH RECURSIVE,
- * src/common/backend/parser/gram.y:23981 — openGauss accepts both
- * `UNION ALL` and `UNION` recursion).
+ * src/common/backend/parser/gram.y:23981 — openGauss accepts a CTE LIST
+ * after WITH RECURSIVE, any member may be recursive, and recursion may
+ * use `UNION ALL` or `UNION`).
  *
  * Spark 4.1 parses recursive CTEs natively but only in `UNION ALL` form
  * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE otherwise) — yet the UNION
  * (distinct) form is exactly the one graph queries need: on a cyclic
  * edge set a UNION ALL recursion re-derives the same rows forever,
  * while UNION's set semantics make the fixpoint finite. This object
- * closes that gap: the linear-recursion shape
+ * closes that gap for the full list shape
  *
- *   WITH RECURSIVE name[(cols)] AS (base UNION step) [, more ctes] rest
+ *   WITH RECURSIVE a AS (...), r(cols) AS (base UNION step), b AS (...)
+ *   SELECT ...
  *
- * is rewritten onto [[Iterate.fixpoint]] with semi-naive (delta)
- * evaluation — each round runs `step` with `name` bound to only the
- * rows DISCOVERED last round, keeps the set-difference against the
- * accumulated result, and stops when a round adds nothing. Rounds are
- * lineage-truncated through reliable checkpoints like every other graft
- * fixpoint. Anything that doesn't match the shape (UNION ALL recursion,
- * non-recursive WITH, a first CTE that never references itself, plain
- * SQL) delegates to `spark.sql` untouched.
+ * Each CTE is processed in order (PostgreSQL scoping: a CTE sees itself
+ * and earlier CTEs only):
+ *  - non-recursive members become lazy temp views;
+ *  - `UNION ALL` self-recursive members are evaluated by the NATIVE
+ *    recursive-CTE executor (a one-CTE sub-query) and registered;
+ *  - `UNION` (distinct) self-recursive members are rewritten onto
+ *    [[Iterate.fixpoint]] with semi-naive (delta) evaluation — each
+ *    round runs `step` with the CTE name bound to only the rows
+ *    DISCOVERED last round, keeps the set-difference against the
+ *    accumulated result, and stops when a round adds nothing. Rounds
+ *    are lineage-truncated through reliable checkpoints like every
+ *    other graft fixpoint.
+ * A query with no UNION-distinct recursion anywhere delegates to
+ * `spark.sql` untouched, as does anything that doesn't parse as a
+ * WITH RECURSIVE list.
  *
- * Scoping: the recursive CTE materializes under a UNIQUIFIED temp-view
- * name and every self/downstream reference is rewritten to it, so a
- * pre-existing temp view with the CTE's name is shadowed for this query
- * only (standard CTE scoping) and survives intact. Trailing CTEs after
- * the recursive one become a plain `WITH` over that view. Both scanners
- * are comment- (`--`, `/* */`) and quote-aware (`'…''…'`, `"…"`,
+ * Scoping: every CTE materializes under a UNIQUIFIED temp-view name and
+ * references are rewritten to it, so a pre-existing temp view with a
+ * CTE's name is shadowed for this query only (standard CTE scoping) and
+ * survives intact; all views drop in a finally. The scanners are
+ * comment- (`--`, `/* */`) and quote-aware (`'…''…'`, `"…"`,
  * backticks), so tokens inside literals or comments never corrupt the
- * split.
+ * parse.
  *
  * Like the reference (and PostgreSQL), recursion must be LINEAR: a step
- * that references the CTE more than once is rejected with an error
- * (PostgreSQL: "recursive reference ... must not appear more than
- * once") rather than silently evaluated against the delta twice, which
- * would under-compute the fixpoint. Only the FIRST CTE in the list may
- * be the recursive one — same restriction documented for the reference's
- * common case; later self-referential CTEs fail in the native parser.
+ * that references its CTE more than once is rejected (PostgreSQL:
+ * "recursive reference ... must not appear more than once"), as is a
+ * self-reference in the non-recursive term; mutual recursion is
+ * impossible by construction (forward references never resolve).
  */
 object RecursiveSql {
 
-  private final case class Parsed(name: String, cols: Option[Seq[String]],
-      base: String, step: String, rest: String)
+  private final case class Cte(name: String, cols: Option[Seq[String]], body: String)
 
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Run `query`, rewriting a UNION-distinct recursive CTE onto the
+  /** Run `query`, rewriting UNION-distinct recursive CTEs onto the
    *  fixpoint operator; all other SQL goes to the native parser. */
   def sql(spark: SparkSession, query: String, maxIter: Int = 100): DataFrame =
-    parse(query) match {
+    parseList(query) match {
       case None => spark.sql(query)
-      case Some(p) =>
-        val refs = countRefs(p.step, p.name)
-        if (refs == 0) spark.sql(query) // not actually recursive — native
-        else if (refs > 1) throw new IllegalArgumentException(
-          s"recursive reference to query \"${p.name}\" must not appear " +
-            "more than once (linear recursion only, as in PostgreSQL/openGauss)")
+      case Some((ctes, rest)) =>
+        val needsRewrite = ctes.exists { c =>
+          countRefs(c.body, c.name) > 0 &&
+            splitTopUnion(c.body).exists(!_._3) // UNION distinct
+        }
+        if (!needsRewrite) spark.sql(query) // native covers the whole list
         else {
-          // uniquified working view: a temp view named `name` outside
-          // this query is shadowed, not clobbered
-          val view = s"${p.name}__graft_rec_${viewSeq.incrementAndGet()}"
-          val step = replaceIdent(p.step, p.name, view)
-          val rest = {
-            val r = replaceIdent(p.rest, p.name, view)
-            // trailing CTEs in the WITH RECURSIVE list: the recursive
-            // view is materialized, so they are a plain WITH
-            if (r.startsWith(",")) "WITH " + r.drop(1) else r
-          }
-          val base0 = spark.sql(p.base).distinct()
-          val base = p.cols.map(cs => base0.toDF(cs: _*)).getOrElse(base0)
-          val outCols = base.columns.toSeq
+          val registered = mutable.ListBuffer.empty[String]
+          var mapping = List.empty[(String, String)] // orig -> uniq, in order
+          def rename(s: String): String =
+            mapping.foldLeft(s) { case (acc, (o, u)) => replaceIdent(acc, o, u) }
           try {
-            // state = accumulated rows; __fresh marks last round's delta
-            // (the same marker shape as Iterate.hopDistances' frontier)
-            val init = base.withColumn("__fresh", lit(true))
-            val acc = Iterate.fixpoint(init, maxIter, s"WITH RECURSIVE ${p.name}") { st =>
-              st.filter(col("__fresh")).drop("__fresh")
-                .createOrReplaceTempView(view)
-              val prev = st.drop("__fresh")
-              val fresh = spark.sql(step).toDF(outCols: _*).except(prev)
-              prev.withColumn("__fresh", lit(false))
-                .unionByName(fresh.withColumn("__fresh", lit(true)))
-            } { (_, next) => next.filter(col("__fresh")).count() }
-            acc.drop("__fresh").createOrReplaceTempView(view)
-            spark.sql(rest)
-          } finally spark.catalog.dropTempView(view)
+            for (c <- ctes) {
+              val uniq = s"${c.name}__graft_rec_${viewSeq.incrementAndGet()}"
+              // earlier CTE names rebind to their views; self-references
+              // stay on the original name (mapping excludes `c` itself)
+              val body = rename(c.body)
+              val selfRefs = countRefs(body, c.name)
+              val df = splitTopUnion(body) match {
+                case Some((base, step, false)) if selfRefs > 0 =>
+                  fixpointCte(spark, c, base, step, uniq, maxIter)
+                case _ if selfRefs > 0 =>
+                  // UNION ALL (or non-UNION) self-recursion: the native
+                  // executor handles it as a one-CTE sub-query
+                  val colsSpec = c.cols.map(_.mkString("(", ", ", ")")).getOrElse("")
+                  spark.sql(
+                    s"WITH RECURSIVE ${c.name}$colsSpec AS ($body) SELECT * FROM ${c.name}")
+                case _ =>
+                  val d0 = spark.sql(body)
+                  c.cols.map(cs => d0.toDF(cs: _*)).getOrElse(d0)
+              }
+              df.createOrReplaceTempView(uniq)
+              registered += uniq
+              mapping = mapping :+ (c.name -> uniq)
+            }
+            spark.sql(rename(rest))
+          } finally registered.foreach { v =>
+            try spark.catalog.dropTempView(v) catch { case _: Exception => }
+          }
         }
     }
 
-  private val Head =
-    """(?is)^\s*WITH\s+RECURSIVE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*AS\s*\(""".r
+  /** Semi-naive fixpoint for one UNION-distinct recursive CTE. */
+  private def fixpointCte(spark: SparkSession, c: Cte, base0Sql: String,
+      step0Sql: String, uniq: String, maxIter: Int): DataFrame = {
+    if (countRefs(base0Sql, c.name) > 0)
+      throw new IllegalArgumentException(
+        s"recursive reference to query \"${c.name}\" must not appear " +
+          "within its non-recursive term")
+    if (countRefs(step0Sql, c.name) > 1)
+      throw new IllegalArgumentException(
+        s"recursive reference to query \"${c.name}\" must not appear " +
+          "more than once (linear recursion only, as in PostgreSQL/openGauss)")
+    // the per-round delta view carries the uniquified name; rebind the
+    // step's self-reference to it
+    val step = replaceIdent(step0Sql, c.name, uniq)
+    val base0 = spark.sql(base0Sql).distinct()
+    val base = c.cols.map(cs => base0.toDF(cs: _*)).getOrElse(base0)
+    val outCols = base.columns.toSeq
+    // state = accumulated rows; __fresh marks last round's delta
+    // (the same marker shape as Iterate.hopDistances' frontier)
+    val init = base.withColumn("__fresh", lit(true))
+    val acc = Iterate.fixpoint(init, maxIter, s"WITH RECURSIVE ${c.name}") { st =>
+      st.filter(col("__fresh")).drop("__fresh")
+        .createOrReplaceTempView(uniq)
+      val prev = st.drop("__fresh")
+      val fresh = spark.sql(step).toDF(outCols: _*).except(prev)
+      prev.withColumn("__fresh", lit(false))
+        .unionByName(fresh.withColumn("__fresh", lit(true)))
+    } { (_, next) => next.filter(col("__fresh")).count() }
+    acc.drop("__fresh")
+  }
+
+  private val ListHead = """(?is)^\s*WITH\s+RECURSIVE\s+""".r
+  private val CteHead =
+    """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*AS\s*\(""".r
 
   /**
    * If position `i` in `s` starts a non-code region (comment, string
@@ -121,35 +164,65 @@ object RecursiveSql {
     else -1
   }
 
-  private def parse(q: String): Option[Parsed] =
-    Head.findPrefixMatchOf(q).flatMap { m =>
-      val name = m.group(1)
-      val cols = Option(m.group(3)).map(_.split(",").map(_.trim).toSeq)
-      // scan the CTE body to its balanced closing paren, skipping
-      // comments and quoted regions
-      var depth = 1
-      var i = m.end
-      while (i < q.length && depth > 0) {
-        val skip = skipNonCode(q, i)
-        if (skip >= 0) i = skip
-        else {
-          q(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case _ =>
-          }
-          i += 1
-        }
-      }
-      if (depth != 0) None
+  /** Index just past the paren that balances an already-open '(' at
+   *  depth 1 starting from `start`; -1 if unbalanced. */
+  private def scanBalanced(q: String, start: Int): Int = {
+    var depth = 1
+    var i = start
+    while (i < q.length && depth > 0) {
+      val skip = skipNonCode(q, i)
+      if (skip >= 0) i = skip
       else {
-        val body = q.substring(m.end, i - 1)
-        val rest = q.substring(i).trim
-        splitTopUnion(body).collect {
-          // UNION ALL recursion parses natively — delegate by no-match
-          case (base, step, false) => Parsed(name, cols, base, step, rest)
+        q(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    if (depth == 0) i else -1
+  }
+
+  /** Skip whitespace and comments starting at `i`. */
+  private def skipWs(q: String, i0: Int): Int = {
+    var i = i0
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < q.length && q(i).isWhitespace) { i += 1; moved = true }
+      if (i < q.length && (q.startsWith("--", i) || q.startsWith("/*", i))) {
+        i = skipNonCode(q, i); moved = true
+      }
+    }
+    i
+  }
+
+  /** Parse `WITH RECURSIVE cte[, cte]* rest` → (ctes, rest). */
+  private def parseList(q: String): Option[(Seq[Cte], String)] =
+    ListHead.findPrefixMatchOf(q).flatMap { pm =>
+      val ctes = mutable.ListBuffer.empty[Cte]
+      var pos = pm.end
+      var bad = false
+      var more = true
+      while (more && !bad) {
+        CteHead.findPrefixMatchOf(q.substring(pos)) match {
+          case None => bad = true
+          case Some(m) =>
+            val bodyStart = pos + m.end
+            val end = scanBalanced(q, bodyStart)
+            if (end < 0) bad = true
+            else {
+              ctes += Cte(m.group(1),
+                Option(m.group(3)).map(_.split(",").map(_.trim).toSeq),
+                q.substring(bodyStart, end - 1))
+              pos = skipWs(q, end)
+              if (pos < q.length && q(pos) == ',') pos = skipWs(q, pos + 1)
+              else more = false
+            }
         }
       }
+      if (bad || ctes.isEmpty) None else Some((ctes.toSeq, q.substring(pos)))
     }
 
   /** First top-level UNION in `body` → (base, step, isUnionAll). */

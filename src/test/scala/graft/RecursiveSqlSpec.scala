@@ -126,6 +126,67 @@ class RecursiveSqlSpec extends SparkSpec {
     assert(got == Seq(1L, 2L))
   }
 
+  test("a non-recursive CTE BEFORE the recursive one is honored") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("x", "y")
+      .createOrReplaceTempView("rs_lead")
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE small AS (SELECT x, y FROM rs_lead WHERE x < 5),
+        |hop(src, dst) AS (
+        |  SELECT x, y FROM small
+        |  UNION
+        |  SELECT h.src, e.y FROM hop h JOIN small e ON h.dst = e.x)
+        |SELECT src, dst FROM hop ORDER BY src, dst""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("two independent recursive CTEs in one list, the second reading the first") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L)).toDF("x", "y").createOrReplaceTempView("rs_two")
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE hop(src, dst) AS (
+        |  SELECT x, y FROM rs_two
+        |  UNION
+        |  SELECT h.src, e.y FROM hop h JOIN rs_two e ON h.dst = e.x),
+        |cnt(src, n) AS (
+        |  SELECT src, CAST(1 AS BIGINT) FROM hop WHERE src = 1
+        |  UNION
+        |  SELECT src, n + 1 FROM cnt WHERE n < 3)
+        |SELECT src, max(n) AS m FROM cnt GROUP BY src""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L)))
+  }
+
+  test("UNION ALL recursion inside a list with UNION-distinct recursion") {
+    import spark.implicits._
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE ser(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM ser WHERE n < 4),
+        |dbl(n) AS (
+        |  SELECT n * 2 FROM ser
+        |  UNION
+        |  SELECT n + 2 FROM dbl WHERE n < 10)
+        |SELECT n FROM dbl ORDER BY n""".stripMargin)
+      .as[Int].collect().toSeq
+    // base {2,4,6,8}; step adds 2 while n < 10 → closure {2,4,6,8,10}
+    assert(got == Seq(2, 4, 6, 8, 10))
+  }
+
+  test("self-reference in the non-recursive term is rejected") {
+    import spark.implicits._
+    Seq((1L, 2L)).toDF("x", "y").createOrReplaceTempView("rs_bt")
+    val e = intercept[IllegalArgumentException] {
+      RecursiveSql.sql(spark,
+        """WITH RECURSIVE r(a, b) AS (
+          |  SELECT x, y FROM r
+          |  UNION
+          |  SELECT a, b FROM r WHERE a < 5)
+          |SELECT * FROM r""".stripMargin)
+    }
+    assert(e.getMessage.contains("non-recursive term"))
+  }
+
   test("divergent recursion throws at maxIter instead of running forever") {
     import spark.implicits._
     Seq(Tuple1(0L)).toDF("n").createOrReplaceTempView("rs_div")
