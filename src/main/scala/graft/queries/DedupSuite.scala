@@ -187,17 +187,23 @@ object DedupSuite {
     // is DuckDB's native recursive CTE over the same pair graph.
     "sql_recursive" -> ((s, dir) => {
       val docs = Tables.spread(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
-      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-        .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-        .createOrReplaceTempView("dup_edges")
+      Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
+        .createOrReplaceTempView("dup_pairs")
+      // the full CTE-list shape: a leading non-recursive CTE
+      // (symmetrization), the UNION-distinct recursive member, and a
+      // trailing CTE — all inside one WITH RECURSIVE, as openGauss/
+      // PostgreSQL accept it
       graft.operators.RecursiveSql.sql(s,
-        """WITH RECURSIVE reach(a, b) AS (
-          |  SELECT a, b FROM dup_edges
+        """WITH RECURSIVE edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM dup_pairs
           |  UNION
-          |  SELECT r.a, e.b FROM reach r JOIN dup_edges e ON r.b = e.a)
-          |SELECT DISTINCT a AS id_a, b AS id_b FROM reach WHERE a < b
-          |ORDER BY id_a, id_b""".stripMargin)
+          |  SELECT id_b, id_a FROM dup_pairs),
+          |reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          |closure AS (SELECT DISTINCT a AS id_a, b AS id_b FROM reach WHERE a < b)
+          |SELECT id_a, id_b FROM closure ORDER BY id_a, id_b""".stripMargin)
     }),
 
     // Iterative query #2 — BFS hop distance from each dup cluster's
