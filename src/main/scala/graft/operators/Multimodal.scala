@@ -201,12 +201,51 @@ object Multimodal {
     (((id * 31 + i.toLong * 17) % 256) - 128 + dc).toShort
 
   /**
+   * The `AudioSystem` facade re-scans the SPI provider registry on
+   * EVERY call (OpenJDK's getProviders has no cache) — measured ~9ms
+   * per tiny WAV, which dominates executor codec time the same way
+   * ImageIO's disk cache did. Resolve the JDK's WAVE writer and the
+   * reader list once per JVM and call the providers directly: same
+   * provider classes, same bytes, none of the per-row registry walk.
+   */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator.asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("graft: no WAVE writer SPI"))
+  }
+  private lazy val wavReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator.asScala.toArray
+  }
+  // remember the provider that last succeeded: probing starts there, so
+  // steady-state decode pays zero UnsupportedAudioFileException throws
+  // from the readers registered ahead of the WAVE one
+  private val preferredReader = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def readWav(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val start = preferredReader.get()
+    var k = 0
+    while (k < wavReaders.length) {
+      val i = (start + k) % wavReaders.length
+      try {
+        val ais = wavReaders(i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        if (i != start) preferredReader.set(i)
+        return ais
+      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      k += 1
+    }
+    throw new IllegalArgumentException("graft: undecodable audio payload")
+  }
+
+  /**
    * REAL audio codec, write half: one deterministic 16-bit mono PCM
-   * waveform per id, encoded to WAV on executors with
-   * `javax.sound.sampled.AudioSystem` (JDK-native RIFF/WAVE writer —
-   * the audio analogue of [[syntheticImages]]). PCM is lossless, so
-   * decoded samples round-trip exactly and the generating formula is
-   * the oracle.
+   * waveform per id, encoded to WAV on executors with the JDK's
+   * RIFF/WAVE provider (the audio analogue of [[syntheticImages]]).
+   * PCM is lossless, so decoded samples round-trip exactly and the
+   * generating formula is the oracle.
    */
   def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(
@@ -230,8 +269,7 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         Row(id, bos.toByteArray, Row("wav", n, 1))
       }
     }(enc)
@@ -255,8 +293,7 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val ais = readWav(bytes)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           !fmt.isBigEndian, s"graft: unexpected WAV format for id=$id: $fmt")
