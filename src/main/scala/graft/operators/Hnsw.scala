@@ -346,8 +346,10 @@ object Hnsw {
     val pruned = index.join(probedShards, Seq("part_id"), "left_semi")
       .as[GraphRow]
     // shard rows fan out to every salt bucket; queries keep one bucket
-    val prunedSalted = pruned
-      .withColumn("salt", explode(array((0 until querySalt).map(lit): _*)))
+    // (salt=1: constant column, no generator in the index scan)
+    val prunedSalted = (if (querySalt == 1) pruned.toDF.withColumn("salt", lit(0))
+      else pruned.toDF.withColumn("salt",
+        explode(array((0 until querySalt).map(lit): _*))))
       .as[(Int, Long, Array[Float], Array[Int], Int)]
     val candidates = prunedSalted.groupByKey(r => (r._1, r._5))
       .cogroup(routed.groupByKey(r => (r._3, r._4))) { (_, idxIt, qIt) =>
