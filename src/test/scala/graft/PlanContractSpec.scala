@@ -88,6 +88,18 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"))
   }
 
+  test("multimodal codec queries are pure per-partition pipelines") {
+    // codec work happens inside mapPartitions batches; the only plan
+    // structure allowed around it is the deliberate spread repartition
+    // and the gate's orderBy — never a join or aggregate
+    for (q <- Seq("mm_decode", "mm_audio", "mm_video")) {
+      val p = plan(q)
+      assert(p.contains("MapPartitions"), s"$q lost its batch-codec operator")
+      assert(!p.contains("Join"), s"$q grew a join")
+      assert(!p.contains("HashAggregate"), s"$q grew an aggregate")
+    }
+  }
+
   test("simhash gate keeps the planted filter ABOVE the full-corpus window") {
     // the benched query must execute the WHOLE natural corpus's
     // candidate join + hamming verification: the planted-id filter is
