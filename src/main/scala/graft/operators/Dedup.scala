@@ -127,10 +127,10 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, tau: Double = 0.5,
       maxBucket: Int = 0): DataFrame = {
     val r = numHashes / bands
-    val base = df.select(col(idCol).as("id"), hashedWordShingles(col(textCol)).as("hs"))
-      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
-      .select(col("id"), col("hs"), col("sig"))
-      .cache()
+    val base = graft.Caching.ensureCached(
+      df.select(col(idCol).as("id"), hashedWordShingles(col(textCol)).as("hs"))
+        .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
+        .select(col("id"), col("hs"), col("sig")))
     val banded = base.select(col("id"),
       posexplode(minhashBands(col("sig"), bands, r)).as(Seq("band", "bv")))
     // No signature-agreement pre-prune here: it risked recall (a true
@@ -258,10 +258,9 @@ object Dedup {
    */
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       tau: Double): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-        hashedWordShingles(col(textCol)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .cache()
+    val base = graft.Caching.ensureCached(
+      df.select(col(idCol).as("id"), hashedWordShingles(col(textCol)).as("hs"))
+        .filter(size(col("hs")) > 0))
     val dfreq = base.select(explode(col("hs")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
     // canonical order: ascending df, gram hash as tiebreak. Positions via
@@ -392,8 +391,8 @@ object Dedup {
     val mask = (1L << segLen) - 1
     // cache: the self-join would otherwise recompute every signature on
     // both sides (tokenize + 64-bit fold per doc)
-    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-      .cache()
+    val withSig = graft.Caching.ensureCached(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")))
     def segv(q: Int): Column =
       shiftrightunsigned(col("sh"), q * segLen).bitwiseAND(mask)
     val pairKeys = array((for (i <- 0 until nSegs; j <- i + 1 until nSegs) yield
