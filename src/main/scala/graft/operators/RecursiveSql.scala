@@ -261,7 +261,7 @@ object RecursiveSql {
         (!s(i + ident.length).isLetterOrDigit && s(i + ident.length) != '_'))
 
   /** Count unqualified whole-word references to `ident` in code regions. */
-  private[operators] def countRefs(s: String, ident: String): Int = {
+  private[graft] def countRefs(s: String, ident: String): Int = {
     var n = 0; var i = 0
     while (i < s.length) {
       val skip = skipNonCode(s, i)
@@ -274,7 +274,7 @@ object RecursiveSql {
 
   /** Replace unqualified whole-word references to `ident` in code
    *  regions with `to` (literals/comments/quoted identifiers intact). */
-  private[operators] def replaceIdent(s: String, ident: String, to: String): String = {
+  private[graft] def replaceIdent(s: String, ident: String, to: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

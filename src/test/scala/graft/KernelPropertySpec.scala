@@ -64,4 +64,48 @@ class KernelPropertySpec extends AnyFunSuite {
       v >= 0 && v < 1000000007L && v == h(s)
     })
   }
+
+  // ---- RecursiveSql scanner primitives (pure string logic) ----
+
+  private val ident: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  // SQL-ish fragments: code tokens, literals with doubled quotes,
+  // line/block comments, parens
+  private val sqlFragment: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> ident,
+    3 -> Gen.oneOf(" ", "\n", "(", ")", ",", "=", "<", "."),
+    2 -> ident.map(w => s"'$w''x'"),
+    1 -> ident.map(w => s"-- $w ) union (\n"),
+    1 -> ident.map(w => s"/* $w ) union */"),
+    1 -> ident.map(w => s""""$w""""),
+    1 -> ident.map(w => s"`$w`"))).map(_.mkString(" "))
+
+  test("replaceIdent is identity when the target is absent or equal") {
+    import graft.operators.RecursiveSql.{countRefs, replaceIdent}
+    check("replace-identity", Prop.forAll(sqlFragment, ident) { (s, name) =>
+      replaceIdent(s, name, name) == s &&
+        (countRefs(s, name) > 0 || replaceIdent(s, name, name + "_z") == s)
+    })
+  }
+
+  test("replaceIdent eliminates every code-region reference") {
+    import graft.operators.RecursiveSql.{countRefs, replaceIdent}
+    check("replace-complete", Prop.forAll(sqlFragment, ident) { (s, name) =>
+      // a fresh target that cannot collide with generated idents
+      // (length 6 + suffix) nor swallow neighbours
+      val to = name + "_graft9"
+      countRefs(replaceIdent(s, name, to), name) == 0
+    })
+  }
+
+  test("countRefs never counts occurrences inside literals or comments") {
+    import graft.operators.RecursiveSql.countRefs
+    check("refs-noncode", Prop.forAll(ident) { name =>
+      val s = s"'$name' \"$name\" `$name` -- $name\n /* $name */ '$name''$name'"
+      countRefs(s, name) == 0
+    })
+  }
 }
