@@ -315,7 +315,10 @@ object Multimodal {
     }(enc)
   }
 
-  /** Per-(id, frame) constant luma — integer SQL for the oracle. */
+  /** Per-(id, frame) base luma; pixels ramp along x so a decoder must
+   *  read the whole raster (a constant frame could be faked from one
+   *  pixel). Row sum stays closed-form: for l = base luma,
+   *  sum_x (l+x)%256 = 8l + 28 - 256*max(0, l-248) — integer SQL. */
   private def frameLuma(id: Long, fidx: Int): Int =
     ((7 * id + 13 * fidx) % 256).toInt
 
@@ -351,7 +354,7 @@ object Multimodal {
           var y = 0
           while (y < 8) {
             var x = 0
-            while (x < 8) { raster.setSample(x, y, 0, luma); x += 1 }
+            while (x < 8) { raster.setSample(x, y, 0, (luma + x) % 256); x += 1 }
             y += 1
           }
           val frame = new java.io.ByteArrayOutputStream()

@@ -510,15 +510,19 @@ object DedupSuite {
         |  CAST(CASE WHEN dc = 0 THEN 128 ELSE 127 + dc END AS BIGINT) AS peak_abs
         |FROM d ORDER BY doc_id""".stripMargin,
 
-    // one row per kept frame (stride 2) of nf = 4 + id%3 frames; every
-    // frame is a constant-luma 8x8, luma = (7*id + 13*fi) mod 256
+    // one row per kept frame (stride 2) of nf = 4 + id%3 frames; pixels
+    // ramp along x from base luma l = (7*id + 13*fi) mod 256, so a row
+    // sums to 8l + 28 - 256*max(0, l-248) (wrap past 255) and the frame
+    // to 8 rows of that
     "mm_video" ->
       """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 3 AS INT) AS nf FROM documents),
-        |fr AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM d)
+        |fr AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM d),
+        |k AS (SELECT doc_id, fi, (7 * doc_id + 13 * fi) % 256 AS l
+        |      FROM fr WHERE fi % 2 = 0)
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
         |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
-        |  CAST(64 * ((7 * doc_id + 13 * fi) % 256) AS BIGINT) AS luma_sum
-        |FROM fr WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+        |  CAST(8 * (8 * l + 28 - 256 * greatest(0, l - 248)) AS BIGINT) AS luma_sum
+        |FROM k ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_pipeline" ->
       """SELECT doc_id, length(text)::BIGINT AS n_bytes,

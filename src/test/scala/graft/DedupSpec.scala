@@ -197,8 +197,9 @@ class DedupSpec extends SparkSpec {
         s"id=$id sampled frame indexes wrong")
       frames.foreach { case (_, fidx, w, h, sum) =>
         assert(w == 8 && h == 8)
-        assert(sum == 64L * ((7 * id + 13 * fidx) % 256),
-          s"id=$id frame=$fidx luma_sum $sum")
+        val l = (7 * id + 13 * fidx) % 256
+        val rowSum = (0 until 8).map(x => (l + x) % 256).sum
+        assert(sum == 8L * rowSum, s"id=$id frame=$fidx luma_sum $sum")
       }
     }
   }
