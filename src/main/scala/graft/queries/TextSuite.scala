@@ -52,6 +52,18 @@ object TextSuite {
       toks.join(broadcast(cands), Seq("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(20)
+    }),
+
+    // Sequence packing: documents binned into 256-token training
+    // sequences, 8 independent id-hash streams, deterministic greedy
+    // walk in id order — the oracle marches the identical walk as a
+    // recursive CTE, so the gate is hash-exact (see Pack.packGreedy).
+    "pack_sequences" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).as("tok"))
+      graft.operators.Pack.packGreedy(docs, "doc_id", "tok",
+          budget = 256, nGroups = 8)
+        .orderBy("doc_id")
     })
   )
 
@@ -109,6 +121,26 @@ object TextSuite {
     "vocab_topk" ->
       """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
         |SELECT tok, count(*) AS n FROM t WHERE tok <> ''
-        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    // the identical greedy walk, one step per recursion round: fill
+    // resets to the doc's own count when it would pass the budget,
+    // bumping the per-stream sequence counter
+    "pack_sequences" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT doc_id, doc_id % 8 AS g,
+        |    len(string_split(lower(text), ' ')) AS tok,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |walk(g, rn, doc_id, tok, fill, seq) AS (
+        |  SELECT g, rn, doc_id, tok, tok, 0 FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.g, o.rn, o.doc_id, o.tok,
+        |    CASE WHEN w.fill + o.tok > 256 THEN o.tok ELSE w.fill + o.tok END,
+        |    CASE WHEN w.fill + o.tok > 256 THEN w.seq + 1 ELSE w.seq END
+        |  FROM walk w JOIN o ON o.g = w.g AND o.rn = w.rn + 1)
+        |SELECT doc_id, CAST(g * 1000000000 + seq AS BIGINT) AS seq_id,
+        |  CAST(tok AS BIGINT) AS n_tokens
+        |FROM walk ORDER BY doc_id""".stripMargin
   )
 }

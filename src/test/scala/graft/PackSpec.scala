@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Pack
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence-packing contracts: the distributed greedy pack equals a
+ * serial reference walk, respects the budget (single oversized docs
+ * excepted), and is a pure function of the input SET — repartitioning
+ * must not change one assignment.
+ */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val budget = 100L
+  private val nGroups = 4
+
+  private def serialPack(rows: Seq[(Long, Long)]): Map[Long, Long] =
+    rows.groupBy(r => r._1 % nGroups).flatMap { case (g, docs) =>
+      var fill = 0L; var seq = 0L; var first = true
+      docs.sortBy(_._1).map { case (id, tok) =>
+        if (first) { fill = tok; first = false }
+        else if (fill + tok > budget) { seq += 1; fill = tok }
+        else fill += tok
+        id -> (g * 1000000000L + seq)
+      }
+    }
+
+  private val docs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(11)
+    (0L until 500L).map(i => (i, 1L + rnd.nextInt(60).toLong)) ++
+      Seq((500L, 130L), (501L, 7L)) // one doc larger than the budget
+  }
+
+  test("distributed pack equals the serial greedy walk") {
+    val got = Pack.packGreedy(docs.toDF("doc_id", "tok"), "doc_id", "tok",
+        budget, nGroups)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == serialPack(docs))
+    assert(got.map(_._1).sorted.toSeq == docs.map(_._1).sorted)
+  }
+
+  test("every sequence fits the budget unless it is a single oversized doc") {
+    val got = Pack.packGreedy(docs.toDF("doc_id", "tok"), "doc_id", "tok",
+        budget, nGroups)
+    val perSeq = got.groupBy("seq_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    perSeq.foreach { case (seqId, fill, n) =>
+      assert(fill <= budget || n == 1, s"seq $seqId overfilled: $fill with $n docs")
+    }
+  }
+
+  test("packing is invariant to input partitioning and order") {
+    val base = docs.toDF("doc_id", "tok")
+    val a = Pack.packGreedy(base, "doc_id", "tok", budget, nGroups)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Pack.packGreedy(base.repartition(13).orderBy(col("tok").desc),
+        "doc_id", "tok", budget, nGroups)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+}
