@@ -21,7 +21,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
     "dedup_embedding_lsh", "graph_reach", "pipeline_curate",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-    "mm_pipeline", "mm_decode", "mm_audio", "mm_video",
+    "mm_pipeline", "mm_decode", "mm_audio", "mm_video", "pack_sequences",
     "stream_window", "stream_neardup", "sessionize", "sessionize_stateful")
 
   def main(args: Array[String]): Unit = {
