@@ -30,6 +30,31 @@ import org.apache.spark.sql.functions._
  */
 object Pack {
 
+  /**
+   * Context-window chunking — the other half of sequence assembly:
+   * split each document into consecutive ≤`budget`-token chunks
+   * (whitespace tokens, same tokenization as TextAnalysis.wsTokenCount's
+   * oracle). Pure declarative plan: sequence + explode + slice, no
+   * state, fully codegen'd — chunk boundaries are fixed offsets so the
+   * whole operator is closed-form SQL.
+   * Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+   */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        split(lower(col(textCol)), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          ceil(size(col("toks")).cast("double") / budget).cast("int") - 1))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * budget + 1, lit(budget)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
   /** Pack to (doc_id, seq_id, n_tokens); seq_id encodes the stream in
    *  its high digits so sequences are globally unique. */
   def packGreedy(df: DataFrame, idCol: String, tokCol: String,

@@ -64,7 +64,14 @@ object TextSuite {
       graft.operators.Pack.packGreedy(docs, "doc_id", "tok",
           budget = 256, nGroups = 8)
         .orderBy("doc_id")
-    })
+    }),
+
+    // context-window chunking: fixed 64-token windows, boundaries are
+    // pure offsets — closed-form in SQL, exact text round-trip
+    "chunk_docs" -> ((s, dir) =>
+      graft.operators.Pack.chunkByTokens(
+          Tables.spread(s, dir, "documents"), "doc_id", "text", budget = 64)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   private val swEn = "['the','a','of','and','to','in','is','that']"
@@ -141,6 +148,16 @@ object TextSuite {
         |  FROM walk w JOIN o ON o.g = w.g AND o.rn = w.rn + 1)
         |SELECT doc_id, CAST(g * 1000000000 + seq AS BIGINT) AS seq_id,
         |  CAST(tok AS BIGINT) AS n_tokens
-        |FROM walk ORDER BY doc_id""".stripMargin
+        |FROM walk ORDER BY doc_id""".stripMargin,
+
+    "chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(len(toks) / 64.0) AS INT))) AS ci FROM d),
+        |s AS (SELECT doc_id, ci, list_slice(toks, ci * 64 + 1, ci * 64 + 64) AS ct FROM c)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(len(ct) AS BIGINT) AS n_tokens,
+        |  array_to_string(ct, ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -51,6 +51,22 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("chunking is a partition of the document: concat round-trips, sizes fit") {
+    val texts = Seq(
+      (0L, "a b c d e f g"), (1L, "x"), (2L, ""),
+      (3L, (1 to 23).map(i => s"t$i").mkString(" ")))
+    val got = Pack.chunkByTokens(texts.toDF("doc_id", "text"), "doc_id", "text", 4)
+      .as[(Long, Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    texts.foreach { case (id, t) =>
+      val chunks = got(id)
+      assert(chunks.map(_._4).mkString(" ") == t.toLowerCase)
+      assert(chunks.forall(_._3 <= 4))
+      assert(chunks.init.forall(_._3 == 4), s"only the last chunk may be short: $id")
+      assert(chunks.map(_._2).toSeq == chunks.indices.toSeq)
+    }
+  }
+
   test("packing is invariant to input partitioning and order") {
     val base = docs.toDF("doc_id", "tok")
     val a = Pack.packGreedy(base, "doc_id", "tok", budget, nGroups)
