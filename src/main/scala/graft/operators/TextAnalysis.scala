@@ -70,6 +70,19 @@ object TextAnalysis {
           + least(sw / n * 10d, lit(1.0)) * 0.2, 6).as("quality"))
   }
 
+  /**
+   * PII scrubbing: mask email addresses and URLs — the redaction pass a
+   * training corpus takes before packing. Patterns deliberately use
+   * only syntax with IDENTICAL semantics in Java regex (Spark codegen)
+   * and RE2 (DuckDB oracle): character classes, +, bounded repeats —
+   * no backrefs or lookaround, so the gate can assert the scrubbed TEXT
+   * hash-exactly. URL first (an URL may embed an @), then email.
+   */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "https?://[^ ]+", "<URL>"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = stats(text).getField("n_tokens")
 

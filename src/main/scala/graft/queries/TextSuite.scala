@@ -71,7 +71,19 @@ object TextSuite {
     "chunk_docs" -> ((s, dir) =>
       graft.operators.Pack.chunkByTokens(
           Tables.spread(s, dir, "documents"), "doc_id", "text", budget = 64)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // PII scrubbing over text with PLANTED addresses (the natural corpus
+    // has none, so the gate synthesizes one email + one URL per doc —
+    // both engines build and scrub the identical string)
+    "text_scrub" -> ((s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(concat(col("text"),
+            lit(" mail u"), col("doc_id"), lit("@ex-a.mple.org or "),
+            lit("https://h"), col("doc_id"), lit(".example.com/p?q=1 end")))
+            .as("scrubbed"))
+        .orderBy("doc_id"))
   )
 
   private val swEn = "['the','a','of','and','to','in','is','that']"
@@ -158,6 +170,17 @@ object TextSuite {
         |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
         |  CAST(len(ct) AS BIGINT) AS n_tokens,
         |  array_to_string(ct, ' ') AS chunk_text
-        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' mail u' || doc_id || '@ex-a.mple.org or '
+        |           || 'https://h' || doc_id || '.example.com/p?q=1 end',
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g')
+        |    AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -204,6 +204,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("PII scrub masks every email and url, leaves clean text intact") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      "write a@b.com and c.d+x@e-f.org today",
+      "see https://x.org/a?b=c#d and http://y.io now",
+      "user@site.com via https://l.me/u@v", // url embedding an @
+      "no pii here 3.14 a@b (bare @, no tld)").toDF("t")
+    val got = rows.select(TextAnalysis.scrubPii($"t")).as[String].collect().toSeq
+    assert(got == Seq(
+      "write <EMAIL> and <EMAIL> today",
+      "see <URL> and <URL> now",
+      "<EMAIL> via <URL>",
+      "no pii here 3.14 a@b (bare @, no tld)"))
+  }
+
   test("langid is deterministic and covers all docs") {
     val n = docs.count()
     assert(docs.select(TextAnalysis.langId($"text").as("l")).filter($"l".isNotNull).count() == n)
