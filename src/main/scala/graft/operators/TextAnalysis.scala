@@ -83,6 +83,31 @@ object TextAnalysis {
       regexp_replace(text, "https?://[^ ]+", "<URL>"),
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
 
+  /**
+   * Average unigram log-probability under the corpus's own empirical
+   * distribution — the classic cheap LM-quality proxy (documents of
+   * common words score high; gibberish and boilerplate outliers score
+   * low). Two aggregations over the exploded token stream: term
+   * frequencies (equi-join — the vocabulary is NOT broadcast, it can be
+   * billions of terms at 100 TB) and the scalar total (1-row broadcast).
+   * avg(ln(tf/total)) is order-robust to 1e-13, rounded at 1e-6 for the
+   * exact gate. Output: (id, n_scored, logprob).
+   */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freqs = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(freqs, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_scored"),
+        round(avg(log(col("tf").cast("double") / col("n_total"))), 6)
+          .as("logprob"))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = stats(text).getField("n_tokens")
 

@@ -73,6 +73,16 @@ object TextSuite {
           Tables.spread(s, dir, "documents"), "doc_id", "text", budget = 64)
         .orderBy("doc_id", "chunk_idx")),
 
+    // corpus-frequency quality score: avg unigram log-prob under the
+    // corpus's own empirical distribution (LM-quality proxy); term
+    // frequencies equi-join (vocab never broadcast), scalar total as a
+    // 1-row broadcast
+    "text_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(
+          Tables.spread(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // PII scrubbing over text with PLANTED addresses (the natural corpus
     // has none, so the gate synthesizes one email + one URL per doc —
     // both engines build and scrub the identical string)
@@ -171,6 +181,17 @@ object TextSuite {
         |  CAST(len(ct) AS BIGINT) AS n_tokens,
         |  array_to_string(ct, ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |           FROM documents),
+        |tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+        |f AS (SELECT tok, count(*) AS tf FROM tt GROUP BY tok),
+        |n AS (SELECT count(*) AS nt FROM tt)
+        |SELECT doc_id, count(*) AS n_scored,
+        |  round(avg(ln(tf::DOUBLE / nt)), 6) AS logprob
+        |FROM tt JOIN f USING (tok) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_scrub" ->
       """SELECT doc_id,
