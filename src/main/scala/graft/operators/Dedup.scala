@@ -518,4 +518,38 @@ object Dedup {
       .join(cc, Seq("id"), "left")
       .withColumn("keep", col("root").isNull || col("root") === col("id"))
   }
+
+  /** Distinct word trigrams of lower-cased text; empty below 3 tokens. */
+  private def wordTrigrams(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    array_distinct(when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /**
+   * Benchmark decontamination — the eval-leakage check every LLM
+   * training pipeline runs before packing: flag training documents
+   * sharing any word trigram with the benchmark set. The benchmark is
+   * small by nature, so its distinct gram set BROADCASTS (never a
+   * shuffle of the corpus side); the corpus grams stream through the
+   * broadcast hash join and aggregate per doc. Benchmark members are
+   * excluded from the output (they trivially share all their grams).
+   * Output: (id, n_shared, contaminated) for every non-benchmark doc.
+   */
+  def contaminationFlags(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String): DataFrame = {
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(wordTrigrams(col(textCol))).as("gram"))
+    val benchGrams = bench
+      .select(explode(wordTrigrams(col(benchTextCol))).as("gram")).distinct()
+    val hits = docGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("hits"), lit(0L)).as("n_shared"),
+        (coalesce(col("hits"), lit(0L)) > 0L).as("contaminated"))
+  }
 }

@@ -73,6 +73,18 @@ object TextSuite {
           Tables.spread(s, dir, "documents"), "doc_id", "text", budget = 64)
         .orderBy("doc_id", "chunk_idx")),
 
+    // benchmark decontamination: flag docs sharing any word trigram
+    // with a small "benchmark" slice (doc_id % 97 == 0), which is
+    // broadcast; benchmark members excluded from the output
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+      graft.operators.Dedup.contaminationFlags(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "text", "doc_id",
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // corpus-frequency quality score: avg unigram log-prob under the
     // corpus's own empirical distribution (LM-quality proxy); term
     // frequencies equi-join (vocab never broadcast), scalar total as a
@@ -181,6 +193,18 @@ object TextSuite {
         |  CAST(len(ct) AS BIGINT) AS n_tokens,
         |  array_to_string(ct, ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "decontaminate" ->
+      """WITH g AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM g),
+        |b AS (SELECT DISTINCT gram FROM tg WHERE doc_id % 97 = 0),
+        |h AS (SELECT tg.doc_id, count(*) AS hits FROM tg JOIN b USING (gram)
+        |      WHERE tg.doc_id % 97 <> 0 GROUP BY tg.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS n_shared,
+        |  coalesce(h.hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
 
     "text_logprob" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

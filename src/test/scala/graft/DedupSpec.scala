@@ -204,6 +204,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contamination flags exactly the docs sharing a benchmark trigram") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a sentence with the quick brown fox inside"), // shares 2 trigrams
+      (2L, "quick brown unrelated words entirely"),       // bigram only - clean
+      (3L, "completely disjoint vocabulary here"),
+      (4L, "short text")                                  // < 3 tokens in common
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationFlags(train, "text", "doc_id", bench, "text")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, true), (2L, 0L, false),
+      (3L, 0L, false), (4L, 0L, false)))
+  }
+
   test("PII scrub masks every email and url, leaves clean text intact") {
     import graft.operators.TextAnalysis
     val rows = Seq(

@@ -88,6 +88,13 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"))
   }
 
+  test("decontamination broadcasts the benchmark gram set") {
+    // the benchmark side is small by nature — it must ride a broadcast
+    // hash join, never shuffle the corpus grams
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark grams not broadcast")
+  }
+
   test("multimodal codec queries are pure per-partition pipelines") {
     // codec work happens inside mapPartitions batches; the only plan
     // structure allowed around it is the deliberate spread repartition
