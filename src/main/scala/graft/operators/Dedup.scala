@@ -519,6 +519,31 @@ object Dedup {
       .withColumn("keep", col("root").isNull || col("root") === col("id"))
   }
 
+  /**
+   * Quality-aware survivor selection: within each duplicate cluster
+   * keep the ARGMAX-score document (ties broken by min id) instead of
+   * blindly keeping the min id — the form a curation pipeline actually
+   * wants (keep the longest/cleanest copy, drop the rest). Clusters
+   * come from [[connectedComponents]] over the verified pair set; the
+   * per-cluster pick is a window rank over (score desc, id asc) —
+   * clusters are tiny relative to the corpus, so the window partitions
+   * stay small at any scale. Score must be deterministic (use an
+   * integer feature like token count for exact gating).
+   * Output: (id, root, keep).
+   */
+  def survivorsByScore(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs)
+    df.select(col(idCol).as("id"), col(scoreCol).as("score"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("root", coalesce(col("root"), col("id")))
+      .withColumn("keep",
+        row_number().over(Window.partitionBy(col("root"))
+          .orderBy(col("score").desc, col("id"))) === 1)
+      .select(col("id"), col("root"), col("keep"))
+  }
+
   /** Distinct word trigrams of lower-cased text; empty below 3 tokens. */
   private def wordTrigrams(text: Column): Column = {
     val toks = split(lower(text), " ")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -129,6 +129,19 @@ object DedupSuite {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
           sum(when(!col("keep"), col("id"))).as("dropped_id_sum"))
+    }),
+
+    // Quality-aware survivor selection: per duplicate cluster keep the
+    // ARGMAX token-count doc (min-id tiebreak) — integer score, so the
+    // full per-doc (id, root, keep) assignment gates hash-exactly
+    "dedup_best" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("score"))
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
+      Dedup.survivorsByScore(scored, "doc_id", "score", pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }),
 
     // Flagship composition — the whole curation pipeline a training-data
@@ -316,6 +329,29 @@ object DedupSuite {
         |  CAST(sum(CASE WHEN root IS NULL OR root = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
         |  CAST(sum(CASE WHEN root IS NOT NULL AND root <> doc_id THEN doc_id END) AS BIGINT) AS dropped_id_sum
         |FROM documents LEFT JOIN roots ON doc_id = roots.id""".stripMargin,
+
+    // same pair graph + closure as dedup_survivors, then per-cluster
+    // argmax token count (min-id tiebreak) — integer score, exact
+    "dedup_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.7),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |roots AS (SELECT a AS id, least(a, min(b)) AS root FROM reach GROUP BY a),
+        |allc AS (SELECT d.doc_id, coalesce(r.root, d.doc_id) AS root
+        |         FROM documents d LEFT JOIN roots r ON d.doc_id = r.id),
+        |tk AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS score FROM documents),
+        |rk AS (SELECT a.doc_id, a.root,
+        |         row_number() OVER (PARTITION BY a.root ORDER BY t.score DESC, a.doc_id) AS rn
+        |       FROM allc a JOIN tk t USING (doc_id))
+        |SELECT doc_id, CAST(root AS BIGINT) AS root, rn = 1 AS keep
+        |FROM rk ORDER BY doc_id""".stripMargin,
 
     // reachability oracle: same verified pair set as dedup_survivors,
     // closed transitively with a recursive CTE; Spark's same-root pairs

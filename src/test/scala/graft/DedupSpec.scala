@@ -204,6 +204,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("score-aware survivors keep the argmax-score doc per cluster") {
+    // clusters {1,2,3} and {10,11}; 4 isolated. scores pick 2 (max),
+    // and the 10-11 tie resolves to the smaller id
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (4L, 1L)).toDF("id", "score")
+    val got = Dedup.survivorsByScore(scored, "id", "score", pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("contamination flags exactly the docs sharing a benchmark trigram") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
