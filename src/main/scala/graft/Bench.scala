@@ -20,7 +20,8 @@ object Bench {
     "hnsw_routed",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
     "dedup_embedding_lsh", "graph_reach", "pipeline_curate",
-    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_logprob",
+    "decontaminate", "dedup_best",
     "mm_pipeline", "mm_decode", "mm_audio", "mm_video", "pack_sequences",
     "stream_window", "stream_neardup", "sessionize", "sessionize_stateful")
 

@@ -260,13 +260,24 @@ object RecursiveSql {
       (i + ident.length >= s.length ||
         (!s(i + ident.length).isLetterOrDigit && s(i + ident.length) != '_'))
 
-  /** Count unqualified whole-word references to `ident` in code regions. */
+  /** True iff the occurrence at `i` is a column QUALIFIER (`ident.col`)
+   *  — a use of the table's implicit alias, not a new table reference.
+   *  PostgreSQL counts self-references the same way: `FROM r JOIN e ON
+   *  r.b = e.a` is ONE reference to r plus two qualifier uses. */
+  private def isQualifier(s: String, i: Int, ident: String): Boolean =
+    i + ident.length < s.length && s(i + ident.length) == '.'
+
+  /** Count unqualified whole-word TABLE references to `ident` in code
+   *  regions (qualifier uses `ident.col` excluded). */
   private[graft] def countRefs(s: String, ident: String): Int = {
     var n = 0; var i = 0
     while (i < s.length) {
       val skip = skipNonCode(s, i)
       if (skip >= 0) i = skip
-      else if (wordAt(s, i, ident)) { n += 1; i += ident.length }
+      else if (wordAt(s, i, ident)) {
+        if (!isQualifier(s, i, ident)) n += 1
+        i += ident.length
+      }
       else i += 1
     }
     n

@@ -187,6 +187,37 @@ class RecursiveSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("non-recursive term"))
   }
 
+  test("fixpoint closure equals a driver BFS closure on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 3) {
+      val n = 12 + trial * 4
+      val edges = (0 until n * 2).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      edges.toDF("a", "b").createOrReplaceTempView("rs_rand")
+      val got = RecursiveSql.sql(spark,
+        """WITH RECURSIVE r(a, b) AS (
+          |  SELECT a, b FROM rs_rand
+          |  UNION
+          |  SELECT r.a, e.b FROM r JOIN rs_rand e ON r.b = e.a)
+          |SELECT a, b FROM r""".stripMargin)
+        .as[(Long, Long)].collect().toSet
+      // reference closure: directed reachability in >= 1 hops
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def reach(s: Long): Set[Long] = {
+        var seen = Set.empty[Long]
+        var frontier = adj.getOrElse(s, Set.empty)
+        while (frontier.nonEmpty) {
+          seen ++= frontier
+          frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty)) -- seen
+        }
+        seen
+      }
+      val expect = adj.keySet.flatMap(s => reach(s).map(t => (s, t)))
+      assert(got == expect, s"trial $trial: closure mismatch")
+    }
+  }
+
   test("divergent recursion throws at maxIter instead of running forever") {
     import spark.implicits._
     Seq(Tuple1(0L)).toDF("n").createOrReplaceTempView("rs_div")
