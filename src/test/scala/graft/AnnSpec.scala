@@ -300,6 +300,32 @@ class AnnSpec extends SparkSpec {
     assert(salted == arr)
   }
 
+  test("pq: codes are m bytes, encode is deterministic, adc+rerank recalls") {
+    import graft.operators.Pq
+    val model = Pq.build(emb, "embedding", m = 8, k = 16)
+    assert(model.m == 8 && model.k == 16 && model.subDim == 8)
+    val enc = Pq.encode(emb, "embedding", "vec_id", model)
+    val codes = enc.as[(Long, Array[Byte])].collect()
+    assert(codes.forall(_._2.length == 8), "code must be one byte per subspace")
+    // deterministic: re-encoding produces identical codes
+    val again = Pq.encode(emb, "embedding", "vec_id", model)
+      .as[(Long, Array[Byte])].collect().map(c => c._1 -> c._2.toSeq).toMap
+    assert(codes.forall(c => again(c._1) == c._2.toSeq))
+    // a corpus vector used as its own query must be found at rank 1
+    // after exact rerank (its ADC distance is minimal for its own code)
+    val qv = emb.filter($"vec_id" === 7).select($"embedding")
+      .as[Seq[Float]].head().toArray
+    val top = Pq.search(enc, emb, "embedding", "vec_id", model, qv, 10,
+      rerank = 16).collect()
+    assert(top.head.getLong(0) == 7L, "self-query must rerank to top-1")
+    // recall vs exact at the gate budget
+    val found = top.map(_.getLong(0)).toSet
+    val exact = graft.operators.Knn.exactTopK(emb, "embedding", "vec_id", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((found intersect exact).size >= 6,
+      s"pq recall too low: ${(found intersect exact).size}/10")
+  }
+
   test("broadcast-centroid routing equals the literal-centroid plan") {
     // force the big-nlists path (broadcast variable + UDF) and assert
     // row-for-row parity with the codegen'd literal form for both
