@@ -119,6 +119,92 @@ object Pq {
   }
 
   /**
+   * IVF-PQ, build half: tag rows with their IVF list, subtract the
+   * list centroid (RESIDUAL — residuals concentrate near zero, so the
+   * same code budget quantizes them much finer than raw vectors), and
+   * train the PQ codebooks on the residuals. Encode emits
+   * (id, list_id, pq_code); persisted partitionBy(list_id) the probed
+   * scan prunes at the reader like [[Ivf.writeIndex]].
+   */
+  def buildResidual(corpus: DataFrame, vecCol: String, idCol: String,
+      ivf: Ivf.Model, m: Int = 8, k: Int = 256, seed: Long = 42L,
+      sampleFraction: Double = 1.0): (Model, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcIvf = spark.sparkContext.broadcast(ivf)
+    val tagged = Ivf.assign(corpus, vecCol, ivf)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"), col("list_id"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val cents = bcIvf.value.centroids
+        it.map { case (id, v, list) =>
+          val cent = cents(list)
+          val res = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) { res(i) = v(i) - cent(i); i += 1 }
+          (id, res, list)
+        }
+      }
+      .toDF("id", "residual", "list_id")
+    val model = build(tagged, "residual", m, k, seed, sampleFraction)
+    val bcPq = spark.sparkContext.broadcast(model)
+    val encoded = tagged.as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val mdl = bcPq.value
+        it.map { case (id, res, list) => (id, list, mdl.encodeOne(res)) }
+      }
+      .toDF("id", "list_id", "pq_code")
+    (model, encoded)
+  }
+
+  /**
+   * IVF-PQ search: probe the nprobe nearest lists, build one residual
+   * ADC table PER PROBED LIST (the query residual differs per list),
+   * scan only those lists' codes (partition-pruned when the encoded
+   * table is persisted partitionBy(list_id)), shortlist, exact rerank.
+   */
+  def searchIvfPq(encoded: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, ivf: Ivf.Model, pq: Model, q: Array[Float], k: Int,
+      nprobe: Int, rerank: Int = 4): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val probes = ivf.probes(q, nprobe)
+    val tables: Map[Int, Array[Array[Double]]] = probes.map { list =>
+      val cent = ivf.centroids(list)
+      val qres = new Array[Float](q.length)
+      var i = 0
+      while (i < q.length) { qres(i) = q(i) - cent(i); i += 1 }
+      list -> pq.adcTable(qres)
+    }.toMap
+    val bcTables = spark.sparkContext.broadcast(tables)
+    val probeIds = probes.map(Integer.valueOf)
+    val shortlist = encoded
+      .filter(col("list_id").isin(probeIds: _*))
+      .select(col("id"), col("list_id"), col("pq_code"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val tbls = bcTables.value
+        it.map { case (id, list, code) =>
+          val table = tbls(list)
+          var d = 0.0
+          var s = 0
+          while (s < code.length) { d += table(s)(code(s) & 0xff); s += 1 }
+          (id, d)
+        }
+      }
+      .toDF("id", "adc")
+      .orderBy(col("adc"), col("id")).limit(k * rerank)
+    val qc = typedlit(q.toSeq)
+    corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .join(shortlist.select("id"), Seq("id"), "left_semi")
+      .select(col("id"),
+        round(graft.functions.VectorFunctions.l2Distance(col("v"), qc), 6).as("dist"))
+      .orderBy(col("dist"), col("id")).limit(k)
+  }
+
+  /**
    * ADC top-k over encoded codes with exact rerank: scan codes with the
    * query's lookup table (map-only; TakeOrderedAndProject shortlist of
    * k·rerank), join the shortlist back to the vectors, exact top-k.

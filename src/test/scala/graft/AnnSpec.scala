@@ -326,6 +326,26 @@ class AnnSpec extends SparkSpec {
       s"pq recall too low: ${(found intersect exact).size}/10")
   }
 
+  test("ivf-pq: residual codes recall within probed lists, self-query top-1") {
+    import graft.operators.Pq
+    val ivf = Ivf.build(emb, "embedding", nlists = 8)
+    val (pq, enc) = Pq.buildResidual(emb, "embedding", "vec_id", ivf, m = 8, k = 16)
+    assert(enc.columns.toSeq == Seq("id", "list_id", "pq_code"))
+    // every row encoded exactly once, lists within range
+    assert(enc.count() == emb.count())
+    val qv = emb.filter($"vec_id" === 3).select($"embedding")
+      .as[Seq[Float]].head().toArray
+    val top = Pq.searchIvfPq(enc, emb, "embedding", "vec_id", ivf, pq, qv,
+      10, nprobe = 8, rerank = 16).collect()
+    assert(top.head.getLong(0) == 3L, "self-query must rerank to top-1")
+    val found = top.map(_.getLong(0)).toSet
+    val exact = graft.operators.Knn.exactTopK(emb, "embedding", "vec_id", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    // nprobe = nlists: no pruning loss, only PQ shortlist loss
+    assert((found intersect exact).size >= 6,
+      s"ivf-pq recall too low: ${(found intersect exact).size}/10")
+  }
+
   test("broadcast-centroid routing equals the literal-centroid plan") {
     // force the big-nlists path (broadcast variable + UDF) and assert
     // row-for-row parity with the codegen'd literal form for both
