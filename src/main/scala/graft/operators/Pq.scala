@@ -36,7 +36,7 @@ object Pq {
     def k: Int = codebooks(0).length
     def subDim: Int = codebooks(0)(0).length
 
-    private[operators] def encodeOne(v: Array[Float]): Array[Byte] = {
+    private[graft] def encodeOne(v: Array[Float]): Array[Byte] = {
       val code = new Array[Byte](m)
       var s = 0
       while (s < m) {
@@ -63,7 +63,7 @@ object Pq {
     }
 
     /** ADC lookup table for one query: table(s)(c) = l2sq(q_sub, cent). */
-    private[operators] def adcTable(q: Array[Float]): Array[Array[Double]] =
+    private[graft] def adcTable(q: Array[Float]): Array[Array[Double]] =
       Array.tabulate(m) { s =>
         Array.tabulate(k) { c =>
           var d = 0.0

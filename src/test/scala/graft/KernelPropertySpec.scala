@@ -65,7 +65,29 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
-  // ---- RecursiveSql scanner primitives (pure string logic) ----
+  // ---- PQ kernel (pure JVM: encode/table math, no Spark) ----
+
+  test("pq encode picks the argmin centroid; adc of own centroid is exact") {
+    val gen = for {
+      seed <- Gen.chooseNum(0L, 1000L)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      val m = 4; val k = 8; val subDim = 4
+      val books = Array.fill(m, k, subDim)(rnd.nextFloat() * 2 - 1)
+      val v = Array.fill(m * subDim)(rnd.nextFloat() * 2 - 1)
+      (graft.operators.Pq.Model(books), v)
+    }
+    check("pq-argmin", Prop.forAll(gen) { case (model, v) =>
+      val code = model.encodeOne(v)
+      val table = model.adcTable(v)
+      // the chosen centroid's table entry is the minimum of its row
+      // (ties excluded by construction of random floats)
+      code.indices.forall { s =>
+        val row = table(s)
+        row(code(s) & 0xff) == row.min
+      }
+    })
+  }
 
   private val ident: Gen[String] = for {
     h <- Gen.alphaChar

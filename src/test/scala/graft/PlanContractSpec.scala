@@ -88,6 +88,17 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"))
   }
 
+  test("pq searches shortlist via bounded heaps and never sort-merge-join") {
+    for (q <- Seq("pq_search", "ivfpq_search")) {
+      val p = plan(q)
+      // ADC scan feeds TakeOrderedAndProject (per-partition heaps, no
+      // full sort); the tiny shortlist must broadcast into the rerank
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost the bounded top-k")
+      assert(!p.contains("SortMergeJoin"), s"$q reranks through a sort-merge join")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
   test("decontamination broadcasts the benchmark gram set") {
     // the benchmark side is small by nature — it must ride a broadcast
     // hash join, never shuffle the corpus grams
