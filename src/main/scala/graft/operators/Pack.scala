@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: streams pack independently (one shuffle on the group
  * key), so parallelism = nGroups — size it like shuffle partitions.
- * A stream's (id, tok) pairs must fit in one task (16 bytes/doc; 10M
- * docs/stream = 160MB — the same per-group residency contract as the
- * NSW shard build). First-fit-decreasing would pack ~1% tighter but is
+ * The id-order walk is realized as `repartition(g)` +
+ * `sortWithinPartitions(g, id)` + a streaming `mapPartitions`, so the
+ * ordering runs through Spark's external (spillable) sort and the task
+ * itself carries only O(1) running state per stream — (group, fill,
+ * seq), 24 bytes — never the stream's rows. A 100 TB corpus therefore
+ * costs one shuffle plus a disk-backed sort; no task ever materializes
+ * a stream. First-fit-decreasing would pack ~1% tighter but is
  * order-dependent within a bin; greedy-by-id keeps the exact-oracle
  * property, which is worth more here than the last percent of fill.
  */
@@ -65,15 +69,18 @@ object Pack {
     df.select(col(idCol).cast("long").as("id"),
         col(tokCol).cast("long").as("tok"),
         pmod(col(idCol).cast("long"), lit(nGroups)).cast("int").as("g"))
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("id"))
       .as[(Long, Long, Int)]
-      .groupByKey(_._3)
-      .flatMapGroups { (g, it) =>
-        val rows = it.toArray.sortBy(_._1)
+      .mapPartitions { it =>
+        // Rows arrive clustered by g and id-sorted within each g (one g
+        // never spans partitions under hash repartition), so a stream's
+        // walk is a pure scan: reset the running state on group change.
+        var curG = -1
         var fill = 0L
         var seq = 0L
-        var first = true
-        rows.iterator.map { case (id, tok, _) =>
-          if (first) { fill = tok; first = false }
+        it.map { case (id, tok, g) =>
+          if (g != curG) { curG = g; seq = 0L; fill = tok }
           else if (fill + tok > budget) { seq += 1; fill = tok }
           else fill += tok
           (id, g.toLong * 1000000000L + seq, tok)

@@ -67,6 +67,19 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("a single stream of 200k docs packs exactly (O(1) task state)") {
+    // nGroups=1 routes the whole corpus through ONE stream — the shape
+    // that under the pre-r8 whole-group materialization held every row
+    // in a single task's heap and sorted it there. The streaming walk
+    // carries only (g, fill, seq). Constant tok=7 against budget=100
+    // gives the closed form seq_id = doc_id / 14 (14·7 = 98 ≤ 100 < 105).
+    val n = 200000L
+    val df = spark.range(n).select(col("id").as("doc_id"), lit(7L).as("tok"))
+    val got = Pack.packGreedy(df, "doc_id", "tok", 100L, 1)
+    assert(got.filter(col("seq_id") =!= floor(col("doc_id") / 14)).count() == 0)
+    assert(got.count() == n)
+  }
+
   test("packing is invariant to input partitioning and order") {
     val base = docs.toDF("doc_id", "tok")
     val a = Pack.packGreedy(base, "doc_id", "tok", budget, nGroups)

@@ -138,4 +138,17 @@ class PlanContractSpec extends SparkSpec {
     assert(!"""(?m)Filter[^\n]*1000000""".r.findFirstIn(below).isDefined,
       "planted-id filter pushed below the candidate join again")
   }
+
+  test("sequence packing sorts in the PLAN, not in the task") {
+    // the id-order walk must run through Spark's external (spillable)
+    // sort — a partial Sort above a hash exchange on the stream key —
+    // feeding a streaming MapPartitions; a regression to
+    // flatMapGroups + in-task toArray.sort would OOM at 100 TB
+    val p = plan("pack_sequences")
+    assert(p.contains("Sort ["), "plan-level sortWithinPartitions gone")
+    assert(p.contains("hashpartitioning(g#"), "stream-key repartition gone")
+    assert(p.contains("MapPartitions"), "streaming walk operator gone")
+    assert(!p.contains("FlatMapGroups"),
+      "regressed to whole-group materialization in one task")
+  }
 }
