@@ -27,7 +27,7 @@ object DedupSuite {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables.spread(s, dir, "documents"), "text", "doc_id",
           numHashes = 64, bands = 16, tau = 0.5)
-        .orderBy("id_a", "id_b")),
+        .transform(Gate.ordered(_, "id_a", "id_b"))),
 
     // D3: SimHash pairs within hamming <= 6 via segment-pair pigeonhole.
     // Gate design: simhash signatures are hash-family values, so the
@@ -67,7 +67,7 @@ object DedupSuite {
         .filter(col("id_a") >= 1000000L)
         .select(col("id_a"), col("id_b"), col("hamming"),
           (col("n_natural") >= 0L).as("natural_done"))
-        .orderBy("id_a", "id_b")
+        .transform(Gate.ordered(_, "id_a", "id_b"))
     }),
 
     // D4: exact n-gram Jaccard pairs. At permissive tau the prefix covers
@@ -79,7 +79,7 @@ object DedupSuite {
     // path; DedupSpec asserts both forms agree.
     "sim_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.spread(s, dir, "documents"), "text", "doc_id", tau = 0.3)
-        .orderBy("id_a", "id_b")),
+        .transform(Gate.ordered(_, "id_a", "id_b"))),
 
     // D5: embedding closest-pairs frontier — 20 closest pairs by cosine
     // (the test corpus has no true near-dups: the frontier sits at
@@ -116,7 +116,7 @@ object DedupSuite {
               .otherwise(x)).as("embedding"))
       Dedup.embeddingNearDupPairs(e.unionByName(planted), "embedding", "vec_id",
           maxCosDist = 0.2, nbits = 256, bands = 16, dim = 64)
-        .orderBy("id_a", "id_b")
+        .transform(Gate.ordered(_, "id_a", "id_b"))
     }),
 
     // D2 end-to-end: survivors after connected components over verified
@@ -141,7 +141,7 @@ object DedupSuite {
       val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
       Dedup.survivorsByScore(scored, "doc_id", "score", pairs)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        .transform(Gate.ordered(_, "doc_id"))
     }),
 
     // Flagship composition — the whole curation pipeline a training-data
@@ -188,7 +188,7 @@ object DedupSuite {
       cc.as("a").join(cc.as("b"),
           col("a.root") === col("b.root") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .orderBy("id_a", "id_b")
+        .transform(Gate.ordered(_, "id_a", "id_b"))
     }),
 
     // C17 at the SQL SURFACE (ref: gram.y:23981): the same transitive
@@ -228,7 +228,7 @@ object DedupSuite {
       val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
       val cc = Dedup.connectedComponents(pairs)
       val roots = cc.filter(col("id") === col("root")).select(col("id"))
-      graft.operators.Iterate.hopDistances(pairs, roots).orderBy("id")
+      Gate.ordered(graft.operators.Iterate.hopDistances(pairs, roots), "id")
     }),
 
     // D11: multimodal pipeline — payload bytes -> stub decode features.
@@ -237,7 +237,7 @@ object DedupSuite {
       Multimodal.decodeFeatures(media, frameSize = 64)
         .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
           round(col("mean_luma"), 6).as("mean_luma"), col("n_frames"))
-        .orderBy("doc_id")
+        .transform(Gate.ordered(_, "doc_id"))
     }),
 
     // D11: REAL image codec round-trip — one deterministic grayscale
@@ -248,7 +248,7 @@ object DedupSuite {
     "mm_decode" -> ((s, dir) => {
       val docs = Tables.spread(s, dir, "documents").select(col("doc_id"))
       Multimodal.decodeImageFeatures(Multimodal.syntheticImages(docs, "doc_id"))
-        .orderBy("doc_id")
+        .transform(Gate.ordered(_, "doc_id"))
     }),
 
     // D11: frame sampling — every 2nd 64-byte frame with stub-decoded
@@ -256,7 +256,7 @@ object DedupSuite {
     "mm_frames" -> ((s, dir) => {
       val media = Multimodal.asMedia(Tables.spread(s, dir, "documents"), "text", "doc_id")
       Multimodal.frameFeatures(media, frameSize = 64, stride = 2)
-        .orderBy("doc_id", "frame_idx")
+        .transform(Gate.ordered(_, "doc_id", "frame_idx"))
     }),
 
     // D11: REAL audio codec round-trip — one deterministic 16-bit PCM
@@ -268,7 +268,7 @@ object DedupSuite {
     "mm_audio" -> ((s, dir) => {
       val docs = Tables.spread(s, dir, "documents").select(col("doc_id"))
       Multimodal.decodeAudioFeatures(Multimodal.syntheticAudio(docs, "doc_id"))
-        .orderBy("doc_id")
+        .transform(Gate.ordered(_, "doc_id"))
     }),
 
     // D11: REAL video-frame sampling — a Motion-PNG stream (length-
@@ -278,7 +278,7 @@ object DedupSuite {
       val docs = Tables.spread(s, dir, "documents").select(col("doc_id"))
       Multimodal.videoFrameFeatures(Multimodal.syntheticVideo(docs, "doc_id"),
           stride = 2)
-        .orderBy("doc_id", "frame_idx")
+        .transform(Gate.ordered(_, "doc_id", "frame_idx"))
     })
   )
 

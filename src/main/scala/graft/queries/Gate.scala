@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/**
+ * Deterministic total ordering for gate outputs without the
+ * double-execution tax of a global sort.
+ *
+ * `df.orderBy(...)` plans a range-partitioned exchange, and Spark
+ * computes the range boundaries by running a separate SAMPLING JOB over
+ * the child plan first. An uncached child therefore EXECUTES TWICE —
+ * for a gate whose upstream is the expensive part (a gram self-join, a
+ * per-row codec pipeline) the measured query costs ~2× the real
+ * operator, and run-to-run spread doubles with it (root-caused in
+ * round 8: sim_ngram_jaccard's pipeline runs in ~0.9s, the orderBy
+ * gate measured 1.5-1.9s).
+ *
+ * Gate outputs are small by construction (verified pair sets, per-doc
+ * feature rows), so the right plan is a single-partition exchange plus
+ * one local sort: same total order, one upstream execution, no
+ * sampling pass. This is a GATE device — production callers consume
+ * the operators' unordered output directly.
+ */
+object Gate {
+  def ordered(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.map(col): _*)
+}

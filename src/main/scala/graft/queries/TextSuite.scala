@@ -13,7 +13,7 @@ object TextSuite {
     "text_langid" -> ((s, dir) =>
       Tables.spread(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")),
+        .transform(Gate.ordered(_, "doc_id"))),
 
     "text_quality" -> ((s, dir) =>
       Tables.spread(s, dir, "documents")
@@ -21,19 +21,19 @@ object TextSuite {
         .select(col("doc_id"), col("q.n_tokens"), col("q.n_distinct"),
           col("q.stopword_ratio"), col("q.repetition"), col("q.punct_ratio"),
           col("q.quality"))
-        .orderBy("doc_id")),
+        .transform(Gate.ordered(_, "doc_id"))),
 
     "text_tokens" -> ((s, dir) =>
       Tables.spread(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
           TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
-        .orderBy("doc_id")),
+        .transform(Gate.ordered(_, "doc_id"))),
 
     "text_fingerprint" -> ((s, dir) =>
       Tables.spread(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")),
+        .transform(Gate.ordered(_, "doc_id"))),
 
     // Two-pass exact heavy hitters — corpus vocabulary top-20. Pass 1:
     // ONE map-side-combinable Misra-Gries sketch pass (O(k) state per
@@ -63,7 +63,7 @@ object TextSuite {
         .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).as("tok"))
       graft.operators.Pack.packGreedy(docs, "doc_id", "tok",
           budget = 256, nGroups = 8)
-        .orderBy("doc_id")
+        .transform(Gate.ordered(_, "doc_id"))
     }),
 
     // context-window chunking: fixed 64-token windows, boundaries are
@@ -71,7 +71,7 @@ object TextSuite {
     "chunk_docs" -> ((s, dir) =>
       graft.operators.Pack.chunkByTokens(
           Tables.spread(s, dir, "documents"), "doc_id", "text", budget = 64)
-        .orderBy("doc_id", "chunk_idx")),
+        .transform(Gate.ordered(_, "doc_id", "chunk_idx"))),
 
     // benchmark decontamination: flag docs sharing any word trigram
     // with a small "benchmark" slice (doc_id % 97 == 0), which is
@@ -82,7 +82,7 @@ object TextSuite {
           docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "text", "doc_id",
           docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        .transform(Gate.ordered(_, "doc_id"))
     }),
 
     // corpus-frequency quality score: avg unigram log-prob under the
@@ -93,7 +93,7 @@ object TextSuite {
       TextAnalysis.unigramLogProb(
           Tables.spread(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
+        .transform(Gate.ordered(_, "doc_id"))),
 
     // PII scrubbing over text with PLANTED addresses (the natural corpus
     // has none, so the gate synthesizes one email + one URL per doc —
@@ -105,7 +105,7 @@ object TextSuite {
             lit(" mail u"), col("doc_id"), lit("@ex-a.mple.org or "),
             lit("https://h"), col("doc_id"), lit(".example.com/p?q=1 end")))
             .as("scrubbed"))
-        .orderBy("doc_id"))
+        .transform(Gate.ordered(_, "doc_id")))
   )
 
   private val swEn = "['the','a','of','and','to','in','is','that']"
