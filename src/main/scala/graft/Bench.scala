@@ -19,7 +19,8 @@ object Bench {
     "knn_exact", "knn_join", "binquant_rerank", "lsh_ann", "ivf_search", "pq_search", "ivfpq_search", "hnsw_ann",
     "hnsw_routed",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
-    "dedup_embedding_lsh", "graph_reach", "pipeline_curate",
+    "dedup_embedding_lsh", "graph_reach", "graph_hops", "sql_recursive", "pipeline_curate",
+    "vocab_topk",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_logprob",
     "decontaminate", "dedup_best",
     "mm_pipeline", "mm_decode", "mm_audio", "mm_video", "pack_sequences",
@@ -82,7 +83,18 @@ object Bench {
     val sJson = results.map { case (k, _, s) => "\"" + k + f"""\":$s%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"spread":$sJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"spread":$sJson,"sf":"$sfDir"}"""
+    // the driver keeps a bounded TAIL of the output, and r7's shutdown
+    // log noise pushed the head of the (long) JSON line out of that
+    // window. Emit the line twice — before shutdown and as the very
+    // last stdout with shutdown logs suppressed — so at least one copy
+    // survives any capture window intact.
+    println(line)
+    Console.out.flush()
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }

@@ -560,9 +560,12 @@ object Dedup {
    * sharing any word trigram with the benchmark set. The benchmark is
    * small by nature, so its distinct gram set BROADCASTS (never a
    * shuffle of the corpus side); the corpus grams stream through the
-   * broadcast hash join and aggregate per doc. Benchmark members are
-   * excluded from the output (they trivially share all their grams).
-   * Output: (id, n_shared, contaminated) for every non-benchmark doc.
+   * broadcast hash join and aggregate per doc. Output: (id, n_shared,
+   * contaminated) for EVERY row of `docs` — the function does not know
+   * which docs are benchmark members (`bench` needs no id column), so
+   * callers must pass a `docs` frame with the benchmark rows already
+   * removed, or benchmark docs will be flagged against themselves
+   * (they trivially share all their grams).
    */
   def contaminationFlags(docs: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String): DataFrame = {

@@ -301,20 +301,24 @@ object Hnsw {
    * + bounded-heap rerank are identical to the array form, and
    * AnnSpec asserts row-for-row agreement between the two.
    * Output: (qid, rank, nid, dist).
-   */
-  /**
+   *
    * `querySalt` addresses cogroup SKEW under Zipfian query load: the
    * shard shuffle keys by part_id, so a shard most queries route to is
-   * one task. With querySalt = S the queries split into S salt buckets
-   * (by qid) and the pruned shard rows replicate to every bucket — the
-   * hot shard's beam work spreads across S tasks at the cost of S×
-   * index shuffle volume. Results are salt-invariant (each query still
-   * beams against its full shard; AnnSpec asserts parity), so salt only
-   * when the query distribution is actually skewed.
+   * one task. With salt S the queries split into S salt buckets (by
+   * qid) and the pruned shard rows replicate to every bucket — the hot
+   * shard's beam work spreads across S tasks at the cost of S× index
+   * shuffle volume. The default (querySalt = 0) DERIVES the salt from
+   * the routing itself: one count-per-shard aggregate over the routing
+   * rows (bounded by nlists — a tiny collect), salt 1 when the load is
+   * near-uniform (max ≤ 3× mean: plan unchanged, no replication tax),
+   * else ceil(max/mean) capped at 16. Pass an explicit salt ≥ 1 to
+   * override. Results are salt-invariant (each query still beams
+   * against its full shard; AnnSpec asserts parity under a Zipfian
+   * load with no caller-side flag).
    */
   def searchManyRoutedDF(index: Dataset[GraphRow], model: Ivf.Model,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
-      nprobe: Int, params: Params = Params(), querySalt: Int = 1): DataFrame = {
+      nprobe: Int, params: Params = Params(), querySalt: Int = 0): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val p = params
@@ -336,20 +340,36 @@ object Hnsw {
         udf { qv: Seq[Float] => bc.value.probes(qv.toArray, nprobe).toArray }
           .apply(col(qVecCol))
       }
-    require(querySalt >= 1, "querySalt must be >= 1")
-    val routed = queries.select(col(qIdCol).cast("long").as("qid"),
+    require(querySalt >= 0, "querySalt must be >= 0 (0 = derive from routing)")
+    val routed0 = queries.select(col(qIdCol).cast("long").as("qid"),
         col(qVecCol).cast("array<float>").as("qv"),
-        explode(probes).as("part_id"), // sequence() ids are already int
-        pmod(col(qIdCol).cast("long"), lit(querySalt)).cast("int").as("salt"))
+        explode(probes).as("part_id")) // sequence() ids are already int
+    val salt =
+      if (querySalt >= 1) querySalt
+      else {
+        // derive: per-shard routed-query counts (≤ nlists rows). The agg
+        // runs the routing pass once more; safe-by-default beats the
+        // opt-in flag that left Zipfian loads funneled through one task.
+        val cs = routed0.groupBy(col("part_id")).agg(count(lit(1)).as("c"))
+          .select(col("c")).as[Long].collect()
+        if (cs.isEmpty) 1
+        else {
+          val mean = math.max(1L, cs.sum / cs.length)
+          val skew = cs.max.toDouble / mean
+          if (skew <= 3.0) 1 else math.min(math.ceil(skew).toInt, 16)
+        }
+      }
+    val routed = routed0.withColumn("salt",
+        pmod(col("qid"), lit(salt)).cast("int"))
       .as[(Long, Array[Float], Int, Int)]
     val probedShards = routed.select(col("part_id")).distinct()
     val pruned = index.join(probedShards, Seq("part_id"), "left_semi")
       .as[GraphRow]
     // shard rows fan out to every salt bucket; queries keep one bucket
     // (salt=1: constant column, no generator in the index scan)
-    val prunedSalted = (if (querySalt == 1) pruned.toDF.withColumn("salt", lit(0))
+    val prunedSalted = (if (salt == 1) pruned.toDF.withColumn("salt", lit(0))
       else pruned.toDF.withColumn("salt",
-        explode(array((0 until querySalt).map(lit): _*))))
+        explode(array((0 until salt).map(lit): _*))))
       .as[(Int, Long, Array[Float], Array[Int], Int)]
     val candidates = prunedSalted.groupByKey(r => (r._1, r._5))
       .cogroup(routed.groupByKey(r => (r._3, r._4))) { (_, idxIt, qIt) =>

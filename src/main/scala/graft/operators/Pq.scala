@@ -132,7 +132,11 @@ object Pq {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bcIvf = spark.sparkContext.broadcast(ivf)
-    val tagged = Ivf.assign(corpus, vecCol, ivf)
+    // cached: build() walks this m+1 times (dim probe + m sub-k-means
+    // fits) and the final encode is one more pass — uncached, the IVF
+    // assignment + residual subtraction over the full corpus would be
+    // recomputed by every one of those jobs
+    val tagged = graft.Caching.ensureCached(Ivf.assign(corpus, vecCol, ivf)
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"), col("list_id"))
       .as[(Long, Array[Float], Int)]
@@ -146,16 +150,24 @@ object Pq {
           (id, res, list)
         }
       }
-      .toDF("id", "residual", "list_id")
-    val model = build(tagged, "residual", m, k, seed, sampleFraction)
-    val bcPq = spark.sparkContext.broadcast(model)
-    val encoded = tagged.as[(Long, Array[Float], Int)]
-      .mapPartitions { it =>
-        val mdl = bcPq.value
-        it.map { case (id, res, list) => (id, list, mdl.encodeOne(res)) }
-      }
-      .toDF("id", "list_id", "pq_code")
-    (model, encoded)
+      .toDF("id", "residual", "list_id"))
+    try {
+      val model = build(tagged, "residual", m, k, seed, sampleFraction)
+      val bcPq = spark.sparkContext.broadcast(model)
+      val encoded = tagged.as[(Long, Array[Float], Int)]
+        .mapPartitions { it =>
+          val mdl = bcPq.value
+          it.map { case (id, res, list) => (id, list, mdl.encodeOne(res)) }
+        }
+        .toDF("id", "list_id", "pq_code")
+      // materialize the codes (m+16 bytes/row — tiny next to the fp32
+      // residuals) so the residual cache can be dropped before return:
+      // build is the natural barrier, and callers persist `encoded`
+      // partitionBy(list_id) right after anyway
+      val out = graft.Caching.ensureCached(encoded)
+      out.count()
+      (model, out)
+    } finally tagged.unpersist()
   }
 
   /**

@@ -50,6 +50,11 @@ import scala.collection.mutable
  * "recursive reference ... must not appear more than once"), as is a
  * self-reference in the non-recursive term; mutual recursion is
  * impossible by construction (forward references never resolve).
+ * References are counted POSITIONALLY (after FROM/JOIN/TABLE or a
+ * FROM-list comma), so an alias or column that merely shares the CTE's
+ * name — legal shadowing in PostgreSQL — is not mistaken for
+ * recursion. `UNION DISTINCT` is accepted as the explicit spelling of
+ * plain `UNION`.
  */
 object RecursiveSql {
 
@@ -241,10 +246,17 @@ object RecursiveSql {
             (i + 5 >= body.length || !body(i + 5).isLetterOrDigit) =>
           val after = body.substring(i + 5)
           val trimmed = after.dropWhile(_.isWhitespace)
-          val isAll = trimmed.regionMatches(true, 0, "ALL", 0, 3) &&
-            (trimmed.length == 3 || !trimmed(3).isLetterOrDigit)
-          return Some((body.substring(0, i),
-            if (isAll) trimmed.substring(3) else after, isAll))
+          def kw(w: String): Boolean = trimmed.regionMatches(true, 0, w, 0, w.length) &&
+            (trimmed.length == w.length || !trimmed(w.length).isLetterOrDigit)
+          val isAll = kw("ALL")
+          // UNION DISTINCT is PostgreSQL/openGauss-legal spelling of
+          // plain UNION: consume the token or the step would begin
+          // "DISTINCT SELECT ..." and fail to parse downstream
+          val step =
+            if (isAll) trimmed.substring(3)
+            else if (kw("DISTINCT")) trimmed.substring(8)
+            else after
+          return Some((body.substring(0, i), step, isAll))
         case _ => i += 1
       }
     }
@@ -260,31 +272,68 @@ object RecursiveSql {
       (i + ident.length >= s.length ||
         (!s(i + ident.length).isLetterOrDigit && s(i + ident.length) != '_'))
 
-  /** True iff the occurrence at `i` is a column QUALIFIER (`ident.col`)
-   *  — a use of the table's implicit alias, not a new table reference.
-   *  PostgreSQL counts self-references the same way: `FROM r JOIN e ON
-   *  r.b = e.a` is ONE reference to r plus two qualifier uses. */
-  private def isQualifier(s: String, i: Int, ident: String): Boolean =
-    i + ident.length < s.length && s(i + ident.length) == '.'
-
-  /** Count unqualified whole-word TABLE references to `ident` in code
-   *  regions (qualifier uses `ident.col` excluded). */
+  /**
+   * Count TABLE references to `ident`: whole-word occurrences standing
+   * in table-reference POSITION — the previous significant token is
+   * FROM, JOIN, or TABLE, or a comma while inside a FROM list. Mere
+   * name sharing does not count (PostgreSQL scoping lets an alias or a
+   * bare column shadow the CTE name: `SELECT x FROM t2 r` inside CTE r
+   * is NOT a self-reference), and neither do qualifier uses `ident.col`
+   * (their previous token is ON/=/AND/...) nor schema prefixes
+   * `ident.tbl` (excluded by the trailing-dot check).
+   *
+   * State machine: `inFrom` tracks whether a depth-0 comma separates
+   * FROM-list items (set by FROM, cleared by the clause keywords that
+   * end a FROM list); parens push/pop it so a subquery's SELECT list
+   * never sees the outer FROM state. ON/USING/join-type words do NOT
+   * clear it — `FROM a JOIN b ON c.x = d.y, t2` keeps t2 a table ref.
+   */
   private[graft] def countRefs(s: String, ident: String): Int = {
+    val endsFrom = Set("select", "where", "group", "having", "order",
+      "limit", "offset", "window", "union", "intersect", "except", "qualify")
     var n = 0; var i = 0
+    var inFrom = false
+    var stack = List.empty[Boolean]
+    var prev = ""
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < s.length) {
       val skip = skipNonCode(s, i)
       if (skip >= 0) i = skip
-      else if (wordAt(s, i, ident)) {
-        if (!isQualifier(s, i, ident)) n += 1
-        i += ident.length
+      else {
+        val c = s(i)
+        if (wordChar(c)) {
+          var j = i
+          while (j < s.length && wordChar(s(j))) j += 1
+          val word = s.substring(i, j).toLowerCase
+          val tablePos = prev == "from" || prev == "join" || prev == "table" ||
+            (prev == "," && inFrom)
+          if (tablePos && wordAt(s, i, ident) && j - i == ident.length &&
+              !(j < s.length && s(j) == '.')) n += 1
+          if (word == "from") inFrom = true
+          else if (endsFrom(word)) inFrom = false
+          prev = word
+          i = j
+        } else {
+          if (c == '(') { stack = inFrom :: stack; inFrom = false }
+          else if (c == ')') stack match {
+            case h :: t => inFrom = h; stack = t
+            case Nil => inFrom = false
+          }
+          if (!c.isWhitespace) prev = c.toString
+          i += 1
+        }
       }
-      else i += 1
     }
     n
   }
 
   /** Replace unqualified whole-word references to `ident` in code
-   *  regions with `to` (literals/comments/quoted identifiers intact). */
+   *  regions with `to` (literals/comments/quoted identifiers intact).
+   *  Unlike [[countRefs]] this is position-BLIND: it also rewrites an
+   *  alias or bare column that happens to share `ident`'s name — a
+   *  query that shadows an EARLIER CTE's name with a local alias and
+   *  needs the rewrite path is the one documented unsupported corner
+   *  (quote the alias to disambiguate). */
   private[graft] def replaceIdent(s: String, ident: String, to: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0

@@ -300,6 +300,29 @@ class AnnSpec extends SparkSpec {
     assert(salted == arr)
   }
 
+  test("auto salt (default): Zipfian query load matches the array form, no flag") {
+    val params = Hnsw.Params(m = 8, efConstruction = 48, efSearch = 32)
+    val model = Ivf.build(emb, "embedding", nlists = 8)
+    val clustered = Hnsw.buildIndexClustered(emb, "embedding", "vec_id", model, params).cache()
+    // Zipfian load: 60 queries reuse vector 0's embedding (distinct
+    // qids), so their probes all land on the same shard set; 4 uniform
+    // queries ride along. max/mean per-shard routed counts > 3 → the
+    // DEFAULT path must derive salt > 1 on its own and still agree with
+    // the (salt-free) array form row for row.
+    val hot = emb.filter($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+    val hotDf = spark.range(100, 160).select($"id".cast("long").as("vec_id"),
+      typedlit(hot).cast("array<float>").as("embedding"))
+    val qsDf = emb.filter($"vec_id" < 4).select($"vec_id", $"embedding")
+      .unionByName(hotDf)
+    val qs = qsDf.as[(Long, Seq[Float])].collect().map { case (id, v) => (id, v.toArray) }
+    val arr = Hnsw.searchManyRouted(clustered, model, qs, 5, nprobe = 2, params)
+      .collect().map(_.toSeq).toSet
+    val auto = Hnsw.searchManyRoutedDF(clustered, model, qsDf,
+        "vec_id", "embedding", 5, nprobe = 2, params)
+      .collect().map(_.toSeq).toSet
+    assert(auto == arr)
+  }
+
   test("pq: codes are m bytes, encode is deterministic, adc+rerank recalls") {
     import graft.operators.Pq
     val model = Pq.build(emb, "embedding", m = 8, k = 16)

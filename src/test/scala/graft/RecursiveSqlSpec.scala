@@ -218,6 +218,52 @@ class RecursiveSqlSpec extends SparkSpec {
     }
   }
 
+  test("UNION DISTINCT is accepted as the explicit spelling of UNION") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("x", "y")
+      .createOrReplaceTempView("rs_ud")
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE hop(src, dst) AS (
+        |  SELECT x, y FROM rs_ud
+        |  UNION DISTINCT
+        |  SELECT h.src, e.y FROM hop h JOIN rs_ud e ON h.dst = e.x)
+        |SELECT DISTINCT src, dst FROM hop WHERE src < dst
+        |ORDER BY src, dst""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("an alias sharing the CTE's name is shadowing, not self-reference") {
+    import spark.implicits._
+    // PostgreSQL scoping: inside CTE r, `FROM rs_sh r` binds r to the
+    // TABLE ALIAS — the CTE is not referenced, so this is a plain
+    // non-recursive CTE and must not be rejected or routed through the
+    // fixpoint. Pre-r8 counting flagged the alias (and the bare column
+    // named r) as self-references.
+    Seq((1L, 5L), (2L, 6L)).toDF("k", "r").createOrReplaceTempView("rs_sh")
+    val got = RecursiveSql.sql(spark,
+      """WITH RECURSIVE r AS (
+        |  SELECT r.k, r FROM rs_sh r
+        |  UNION
+        |  SELECT k + 10, r FROM rs_sh)
+        |SELECT k FROM r ORDER BY k""".stripMargin)
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 11L, 12L))
+  }
+
+  test("reference counting is positional: FROM-list commas count, SELECT-list commas don't") {
+    assert(RecursiveSql.countRefs("SELECT a, r FROM t", "r") == 0)
+    assert(RecursiveSql.countRefs("SELECT x FROM t, r", "r") == 1)
+    assert(RecursiveSql.countRefs("SELECT x FROM r JOIN r ON 1=1", "r") == 2)
+    assert(RecursiveSql.countRefs("SELECT x FROM t WHERE y IN (SELECT z FROM r)", "r") == 1)
+    // GROUP BY commas are outside the FROM list; qualifiers/schema refs don't count
+    assert(RecursiveSql.countRefs("SELECT a, count(*) FROM t GROUP BY a, r", "r") == 0)
+    assert(RecursiveSql.countRefs("SELECT r.x FROM t r WHERE r.x > 0", "r") == 0)
+    assert(RecursiveSql.countRefs("SELECT x FROM r.t", "r") == 0)
+    // a subquery's SELECT list never inherits the outer FROM state
+    assert(RecursiveSql.countRefs("SELECT x FROM t, (SELECT a, r FROM u) s", "r") == 0)
+  }
+
   test("divergent recursion throws at maxIter instead of running forever") {
     import spark.implicits._
     Seq(Tuple1(0L)).toDF("n").createOrReplaceTempView("rs_div")
