@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.VectorSuite.queries ++
       graft.queries.RelationalSuite.queries ++
       graft.queries.RelationalSuite2.queries ++
+      graft.queries.RelationalSuite3.queries ++
       graft.queries.AnnSuite.queries ++
       graft.queries.TextSuite.queries ++
       graft.queries.DedupSuite.queries ++
@@ -25,6 +26,7 @@ object SparkEntry {
     graft.queries.VectorSuite.oracle ++
       graft.queries.RelationalSuite.oracle ++
       graft.queries.RelationalSuite2.oracle ++
+      graft.queries.RelationalSuite3.oracle ++
       graft.queries.AnnSuite.oracle ++
       graft.queries.TextSuite.oracle ++
       graft.queries.DedupSuite.oracle ++

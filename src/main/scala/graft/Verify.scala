@@ -36,7 +36,13 @@ object Verify {
           rm(f)
         }
     }
+    // the partsupp-dependent TPC-H keys run only when the driver data
+    // actually ships a partsupp table (today it doesn't — they gate at
+    // spec level against synthetic partsupp; this auto-enables them)
+    val havePartsupp = Files.exists(Paths.get(s"$sfDir/partsupp.parquet"))
     SparkEntry.queries
+      .filter { case (name, _) =>
+        havePartsupp || !graft.queries.RelationalSuite3.partsuppKeys(name) }
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The four TPC-H shapes that need `partsupp` (Q2/Q11/Q16/Q20 — ref:
+ * the openGauss kernel parses all 22, src/common/backend/parser/gram.y
+ * SQL surface), adapted to the driver schema's columns (no p_mfgr /
+ * s_address / s_comment). The driver's test data ships no partsupp
+ * table, so these gate at SPEC level against [[graft.sources.Partsupp]]
+ * synthetic data (TpchPartsuppSpec runs DataFrame vs oracle SQL on the
+ * same session); the keys and oracle entries are wired into SparkEntry
+ * regardless, and graft.Verify auto-includes them the moment a
+ * `partsupp.parquet` appears next to the other tables.
+ *
+ * Scale shapes: partsupp is the big fact here (0.8 rows per lineitem
+ * at TPC-H ratios) — every plan keeps it streaming: dims broadcast,
+ * the Q2 per-part min is one window over the already-filtered join
+ * (never a second scan), Q11's threshold is a 1-row broadcast, Q16's
+ * exclusion list is a broadcast anti-join, and Q20's per-(part,supp)
+ * shipment totals aggregate lineitem BEFORE joining partsupp.
+ */
+object RelationalSuite3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Query keys that require a partsupp table in the sf dir. */
+  val partsuppKeys: Set[String] =
+    Set("q2_min_cost", "q11_important_stock", "q16_supplier_cnt",
+      "q20_potential_promo")
+
+  val queries: Map[String, Q] = Map(
+    // Q2 shape: cheapest EUROPE supplier per qualifying part — the
+    // correlated-min subquery expressed as a per-part window over the
+    // filtered join (same rows touched once; no LIMIT so the result
+    // is order-free and hash-exact)
+    "q2_min_cost" -> ((s, dir) => {
+      val part = Tables(s, dir, "part")
+        .filter(col("p_size") <= 25 && col("p_type") === "LARGE")
+        .select("p_partkey")
+      val euNations = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val euSupp = Tables(s, dir, "supplier")
+        .join(broadcast(euNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val joined = Tables(s, dir, "partsupp")
+        .join(broadcast(part), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(euSupp), col("ps_suppkey") === col("s_suppkey"))
+      val w = Window.partitionBy(col("p_partkey"))
+      joined.withColumn("min_cost", min(col("ps_supplycost")).over(w))
+        .filter(col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"))
+        .transform(Gate.ordered(_, "p_partkey", "s_name"))
+    }),
+
+    // Q11 shape: stock value concentrated in one nation's suppliers;
+    // HAVING threshold = scalar aggregate, broadcast as one row. The
+    // synthetic ps_supplycost is integer-valued so value sums are
+    // exact in fp64 under any aggregation order (see Partsupp).
+    "q11_important_stock" -> ((s, dir) => {
+      val natSupp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = Tables(s, dir, "partsupp")
+        .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost") * col("ps_availqty")).as("v"))
+      val thresh = vals.agg((sum(col("v")) * 0.005).as("thresh"))
+      vals.groupBy(col("ps_partkey")).agg(sum(col("v")).as("value"))
+        .join(broadcast(thresh))
+        .filter(col("value") > col("thresh"))
+        .select(col("ps_partkey"), col("value"))
+        .transform(Gate.ordered(_, "ps_partkey"))
+    }),
+
+    // Q16 shape: distinct supplier count per (brand, type, size) bucket
+    // with a NOT IN supplier exclusion (s_acctbal < 1000 stands in for
+    // the missing s_comment complaints filter) — the exclusion list is
+    // tiny, so it rides a broadcast LEFT ANTI join (s_suppkey is
+    // non-null by construction, making anti-join NOT IN-equivalent)
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val part = Tables(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#19" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49))
+      val excluded = Tables(s, dir, "supplier")
+        .filter(col("s_acctbal") < 1000).select("s_suppkey")
+      Tables(s, dir, "partsupp")
+        .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(part), col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .transform(Gate.ordered(_, "p_brand", "p_type", "p_size"))
+    }),
+
+    // Q20 shape: suppliers holding excess stock of 'blue%' parts —
+    // availqty above half their 1996 shipments of that part. The
+    // correlated scalar subquery becomes a pre-aggregation of lineitem
+    // per (partkey, suppkey) BEFORE touching partsupp (the inner join
+    // drops pairs with no 1996 shipments, matching SQL's NULL > x);
+    // l_quantity is integral in the data so the half-sum compare is
+    // exact.
+    "q20_potential_promo" -> ((s, dir) => {
+      val bluePart = Tables(s, dir, "part")
+        .filter(col("p_name").like("blue%")).select("p_partkey")
+      val shipped = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val excess = Tables(s, dir, "partsupp")
+        .join(broadcast(bluePart), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > col("qty") * 0.5)
+        .select("ps_suppkey")
+      Tables(s, dir, "supplier")
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .transform(Gate.ordered(_, "s_name"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q2_min_cost" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey
+        |FROM part, supplier, partsupp, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size <= 25 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost)
+        |    FROM partsupp ps2, supplier s2, nation n2, region r2
+        |    WHERE part.p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY p_partkey, s_name""".stripMargin,
+
+    "q11_important_stock" ->
+      """SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value
+        |FROM partsupp, supplier, nation
+        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY ps_partkey
+        |HAVING sum(ps_supplycost * ps_availqty) > (
+        |  SELECT sum(ps_supplycost * ps_availqty) * 0.005
+        |  FROM partsupp, supplier, nation
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3')
+        |ORDER BY ps_partkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp, part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#19' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY p_brand, p_type, p_size""".stripMargin,
+
+    "q20_potential_promo" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT ps_suppkey FROM partsupp
+        |  WHERE ps_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+        |    AND ps_availqty > (
+        |      SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+        |ORDER BY s_name""".stripMargin
+  )
+}

@@ -12,7 +12,7 @@ exactly first and with 1e-9 relative tolerance as a diagnostic.
 import json, math, os, sys
 import duckdb
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+TABLES = "region nation customer supplier part orders lineitem partsupp events documents embeddings".split()
 
 def norm(v):
     import numpy as np
@@ -39,7 +39,9 @@ def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # a Spark-written table is a directory
+            p = f"{p}/*.parquet"
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
