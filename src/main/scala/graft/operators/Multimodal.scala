@@ -9,17 +9,20 @@ import org.apache.spark.sql.types._
  * opaque `binary` columns plus typed metadata, with batch decode /
  * feature-extract / frame-sample operators.
  *
- * Two codec tiers:
- *  - REAL image codec: [[syntheticImages]] encodes deterministic
- *    grayscale PNGs with the JDK's `javax.imageio` (no external deps)
- *    and [[decodeImageFeatures]] decodes them back on executors —
- *    an actual byte→pixel decode in the mapPartitions batch shape a
- *    production pipeline uses. PNG grayscale is lossless, so decoded
- *    pixels equal the generating formula and the features have an
- *    exact SQL oracle.
+ * Codec tiers:
+ *  - REAL lossless codecs: [[syntheticImages]]/[[decodeImageFeatures]]
+ *    (grayscale PNG), [[syntheticAudio]]/[[decodeAudioFeatures]]
+ *    (16-bit PCM WAV), [[syntheticVideo]]/[[videoFrameFeatures]]
+ *    (Motion-PNG frame stream) — all `javax.imageio`/`javax.sound`
+ *    on executors, mapPartitions batch shape, decoded values equal the
+ *    generating formula exactly → exact SQL oracles.
+ *  - REAL lossy codec: [[syntheticJpegs]]/[[decodeImageStats]]
+ *    (grayscale JPEG at pinned quality) — decoded statistics verified
+ *    against closed-form TOLERANCE BANDS, the honest oracle shape for
+ *    lossy formats.
  *  - STUB byte codec: `fakeDecode` derives pseudo-pixels from raw
- *    payload bytes, for payloads with no decodable format (the generic
- *    opaque-binary path used by decodeFeatures/frameFeatures).
+ *    payload bytes, for payloads with no JDK-decodable format (the
+ *    generic opaque-binary path used by decodeFeatures/frameFeatures).
  */
 object Multimodal {
 
@@ -138,6 +141,109 @@ object Multimodal {
       }
     }(enc).withColumn("mean_luma",
       round(col("luma_sum").cast("double") / col("n_pixels"), 6))
+  }
+
+  /** JPEG dims derived from the id (16-48 px, both axes varied). */
+  private def jpegDims(id: Long): (Int, Int) =
+    (((id % 3) * 16 + 16).toInt, ((id % 2) * 16 + 16).toInt)
+
+  /** Smooth gradient pixel base+x+y, no mod wrap (max 205 < 256): JPEG
+   *  is LOSSY, and a low-frequency pattern keeps the loss in a narrow
+   *  verifiable band — the DCT preserves the mean (DC) almost exactly,
+   *  so band-checked statistics make an honest oracle where the PNG
+   *  path's exact equality cannot exist. Closed forms for the oracle:
+   *  mean = base + (w-1)/2 + (h-1)/2, range = [base, base+w+h-2]. */
+  private def jpegPixel(id: Long, x: Int, y: Int): Int =
+    ((id % 128) + x + y).toInt
+
+  /**
+   * REAL lossy-image codec, write half: one grayscale JPEG per id,
+   * encoded on executors with the JDK's `javax.imageio` JPEG writer at
+   * a pinned quality (deterministic bytes within a JVM). A training
+   * corpus is mostly JPEG, not PNG — this is the representative path;
+   * the writer is created once per PARTITION (the registry lookup is
+   * not free) and disposed when the partition iterator drains.
+   */
+  def syntheticJpegs(df: DataFrame, idCol: String,
+      quality: Float = 0.9f): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", metaSchema, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long").as("doc_id")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see syntheticImages
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = jpegDims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, jpegPixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+        ios.close()
+        Row(id, bos.toByteArray, Row("jpeg", w, h))
+      } ++ { writer.dispose(); Iterator.empty }
+    }(enc)
+  }
+
+  /**
+   * REAL decode + pixel statistics for ANY ImageIO-decodable payload
+   * (JPEG, PNG, ...): dims, pixel count, luma sum/min/max all from the
+   * DECODED raster. For lossy formats the gate compares these against
+   * closed-form TOLERANCE BANDS; for lossless ones they are exact.
+   * Output: (doc_id, width, height, n_pixels, luma_sum, min_luma,
+   * max_luma).
+   */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("luma_sum", LongType, nullable = false),
+      StructField("min_luma", IntegerType, nullable = false),
+      StructField("max_luma", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"graft: undecodable image payload for id=$id")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, w, h, w.toLong * h, sum, mn, mx)
+      }
+    }(enc)
   }
 
   /**

@@ -271,6 +271,32 @@ object DedupSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // D11: REAL lossy-image codec — grayscale JPEG encoded at pinned
+    // quality with javax.imageio, decoded back on executors. JPEG loss
+    // makes exact pixel equality impossible by design, so the gate is
+    // TOLERANCE-BANDED: dims and pixel count from the DECODED image
+    // are exact; the decoded mean must sit within ±1.0 of the smooth
+    // pattern's closed-form mean (the DCT preserves DC almost exactly;
+    // measured |err| ≤ 0.012 at q=0.9) and the decoded min/max within
+    // ±8 of the closed-form range. The oracle recomputes dims/count in
+    // SQL and emits the band booleans as constant TRUE.
+    "mm_jpeg" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents").select(col("doc_id"))
+      val stats = Multimodal.decodeImageStats(Multimodal.syntheticJpegs(docs, "doc_id"))
+      val base = pmod(col("doc_id"), lit(128))
+      stats.select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"),
+          (abs(col("luma_sum").cast("double") / col("n_pixels") -
+            (base + (col("width") - 1) / 2.0 + (col("height") - 1) / 2.0))
+            <= 1.0).as("mean_ok"),
+          (col("min_luma") >= base - 8 &&
+            col("max_luma") <= base + col("width") + col("height") - 2 + 8)
+            .as("range_ok"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // D11: REAL video-frame sampling — a Motion-PNG stream (length-
     // prefixed real PNG keyframes) parsed on executors, every 2nd frame
     // ImageIO-decoded, per-frame features from the decoded pixels.
@@ -545,6 +571,17 @@ object DedupSuite {
         |  CAST(dc * n - 128 * (n // 256) AS BIGINT) AS sample_sum,
         |  CAST(CASE WHEN dc = 0 THEN 128 ELSE 127 + dc END AS BIGINT) AS peak_abs
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // lossy-codec gate: dims/pixel count recomputed in SQL (exact); the
+    // pixel-statistic band checks are Spark-computed booleans, TRUE here
+    "mm_jpeg" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 3) * 16 + 16 AS BIGINT) AS width,
+        |  CAST((doc_id % 2) * 16 + 16 AS BIGINT) AS height,
+        |  CAST(((doc_id % 3) * 16 + 16) * ((doc_id % 2) * 16 + 16) AS BIGINT)
+        |    AS n_pixels,
+        |  TRUE AS mean_ok, TRUE AS range_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // one row per kept frame (stride 2) of nf = 4 + id%3 frames; pixels
     // ramp along x from base luma l = (7*id + 13*fi) mod 256, so a row

@@ -164,6 +164,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("JPEG codec: genuine JFIF bytes, exact dims, pixel stats in band") {
+    val media = Multimodal.syntheticJpegs(docs.limit(20).select($"doc_id"), "doc_id")
+    // payloads are genuine JPEGs (SOI marker), not raw pixel dumps
+    val magic = media.select($"payload").as[Array[Byte]].head()
+    assert((magic(0) & 0xff) == 0xff && (magic(1) & 0xff) == 0xd8,
+      "payload must start with the JPEG SOI marker")
+    val got = Multimodal.decodeImageStats(media)
+      .as[(Long, Int, Int, Long, Long, Int, Int)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (id, w, h, np, sum, mn, mx) =>
+      assert(w == ((id % 3) * 16 + 16).toInt && h == ((id % 2) * 16 + 16).toInt)
+      assert(np == w.toLong * h)
+      val base = (id % 128).toInt
+      // lossy: mean within ±1.0 of the closed form, range within ±8
+      val mean = sum.toDouble / np
+      val expMean = base + (w - 1) / 2.0 + (h - 1) / 2.0
+      assert(math.abs(mean - expMean) <= 1.0, s"id=$id mean $mean vs $expMean")
+      assert(mn >= base - 8 && mx <= base + w + h - 2 + 8,
+        s"id=$id range [$mn,$mx] outside band")
+    }
+  }
+
   test("WAV codec round-trips: decoded samples equal the generating formula") {
     val media = Multimodal.syntheticAudio(docs.limit(20).select($"doc_id"), "doc_id")
     // payloads are genuine RIFF/WAVE containers, not raw PCM dumps
