@@ -308,13 +308,14 @@ object Hnsw {
    * qid) and the pruned shard rows replicate to every bucket — the hot
    * shard's beam work spreads across S tasks at the cost of S× index
    * shuffle volume. The default (querySalt = 0) DERIVES the salt from
-   * the routing itself: one count-per-shard aggregate over the routing
-   * rows (bounded by nlists — a tiny collect), salt 1 when the load is
-   * near-uniform (max ≤ 3× mean: plan unchanged, no replication tax),
-   * else ceil(max/mean) capped at 16. Pass an explicit salt ≥ 1 to
-   * override. Results are salt-invariant (each query still beams
-   * against its full shard; AnnSpec asserts parity under a Zipfian
-   * load with no caller-side flag).
+   * the routing itself: per-shard routed counts over a capped 100k
+   * query prefix (LocalLimit early-exit, so the probe pass costs O(cap)
+   * regardless of query-DF size; ≤ nlists result rows collect), salt 1
+   * when the load is near-uniform (max ≤ 3× mean: plan unchanged, no
+   * replication tax), else ceil(max/mean) capped at 16. Pass an
+   * explicit salt ≥ 1 to override. Results are salt-invariant (each
+   * query still beams against its full shard; AnnSpec asserts parity
+   * under a Zipfian load with no caller-side flag).
    */
   def searchManyRoutedDF(index: Dataset[GraphRow], model: Ivf.Model,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
@@ -347,10 +348,16 @@ object Hnsw {
     val salt =
       if (querySalt >= 1) querySalt
       else {
-        // derive: per-shard routed-query counts (≤ nlists rows). The agg
-        // runs the routing pass once more; safe-by-default beats the
+        // derive: per-shard routed counts over a CAPPED query prefix
+        // (LocalLimit early-exits the scan, so the extra routing pass
+        // costs O(cap) probes no matter how many queries the DF holds;
+        // ≤ nlists result rows collect). Skew detection only needs the
+        // count SHAPE, not exact totals — safe-by-default beats the
         // opt-in flag that left Zipfian loads funneled through one task.
-        val cs = routed0.groupBy(col("part_id")).agg(count(lit(1)).as("c"))
+        val cap = 100000
+        val cs = queries.select(col(qVecCol)).limit(cap)
+          .select(explode(probes).as("part_id"))
+          .groupBy(col("part_id")).agg(count(lit(1)).as("c"))
           .select(col("c")).as[Long].collect()
         if (cs.isEmpty) 1
         else {

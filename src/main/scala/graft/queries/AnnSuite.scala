@@ -78,7 +78,7 @@ object AnnSuite {
       val emb = Tables(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
       Knn.knnJoin(qs, "embedding", "vec_id", emb, "embedding", "vec_id", 5)
-        .orderBy("qid", "rank")
+        .transform(Gate.ordered(_, "qid", "rank"))
     }),
 
     // B3: IVF build — coverage invariants: every corpus row lands in
@@ -223,7 +223,7 @@ object AnnSuite {
       nres.join(hits, Seq("qid"), "left")
         .select(col("qid"), col("n_results"),
           (coalesce(col("n_hits"), lit(0L)) >= 3).as("recall_ok"))
-        .orderBy("qid")
+        .transform(Gate.ordered(_, "qid"))
     }),
 
     // B6: binary-quantize coarse + exact rerank (exact SQL oracle).
@@ -272,7 +272,7 @@ object AnnSuite {
       val qs = emb.filter(col("vec_id") < 5)
       Ivf.knnJoin(qs, "embedding", "vec_id", tagged, "embedding", "vec_id",
           model, k = 5, nprobe = 16)
-        .orderBy("qid", "rank")
+        .transform(Gate.ordered(_, "qid", "rank"))
     })
   )
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 
 /**
@@ -25,4 +25,8 @@ import org.apache.spark.sql.functions.col
 object Gate {
   def ordered(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.map(col): _*)
+
+  /** Column-expression form (desc orders, computed sort keys). */
+  def orderedCols(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
 }

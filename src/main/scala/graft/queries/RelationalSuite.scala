@@ -48,7 +48,7 @@ object RelationalSuite {
           expr(s"CAST(sum($extD) AS DOUBLE) / count(*)").as("avg_price"),
           expr("sum(l_quantity) / count(*)").as("avg_qty"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .transform(Gate.ordered(_, "l_returnflag", "l_linestatus"))),
 
     // C3: 3-way join (broadcast dim) + agg + top-k.
     "q3_shipping" -> ((s, dir) => {
@@ -80,7 +80,7 @@ object RelationalSuite {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .transform(Gate.orderedCols(_, col("revenue").desc, col("n_name")))
     }),
 
     // C4: semi join (EXISTS): orders having a lineitem shipped >90 days later.
@@ -94,7 +94,7 @@ object RelationalSuite {
         "left_semi")
       lateJoin.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(Gate.ordered(_, "o_orderpriority"))
     }),
 
     // C4: anti join (NOT EXISTS): customers with no 1997 order over 200k.
@@ -114,7 +114,7 @@ object RelationalSuite {
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
           expr("CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)").as("total"))
-        .orderBy("c_custkey")),
+        .transform(Gate.ordered(_, "c_custkey"))),
 
     // C6/C14: top-n per group via row_number window.
     "window_topn" -> ((s, dir) => {
@@ -124,7 +124,7 @@ object RelationalSuite {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
-        .orderBy("o_custkey", "rk")
+        .transform(Gate.ordered(_, "o_custkey", "rk"))
     }),
 
     // C6: running sum + lag over event-time ordered frame.
@@ -137,7 +137,7 @@ object RelationalSuite {
             "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)").as("running"),
           lag(col("o_orderkey"), 1).over(w).as("prev_order"))
-        .orderBy("o_custkey", "o_orderkey")
+        .transform(Gate.ordered(_, "o_custkey", "o_orderkey"))
     }),
 
     // C7: distinct + count(distinct).
@@ -147,7 +147,7 @@ object RelationalSuite {
         .agg(countDistinct(col("l_partkey")).as("nd_part"),
           countDistinct(col("l_suppkey")).as("nd_supp"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
+        .transform(Gate.ordered(_, "l_returnflag"))),
 
     // C8: approx count distinct (HLL++). The sketch value is
     // engine-specific, so the gated output is the EXACT distinct count
@@ -170,7 +170,7 @@ object RelationalSuite {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("sum_qty"), col("n"))
-        .orderBy("rf", "ls")),
+        .transform(Gate.ordered(_, "rf", "ls"))),
 
     // C10: scalar subquery in a filter (avg over the whole table).
     "subquery_scalar" -> ((s, dir) => {
@@ -193,7 +193,7 @@ object RelationalSuite {
       big.intersect(y97).union(rich).except(
           ord.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
         .distinct()
-        .orderBy("o_custkey")
+        .transform(Gate.ordered(_, "o_custkey"))
     }),
 
     // C12: CASE / string / date expression surface.
@@ -241,7 +241,7 @@ object RelationalSuite {
           (coalesce(col(s"hi$tag"), col(s"lo$tag")) - col(s"lo$tag")) * frac, 4)
           .as(s"p$tag")
       }
-      grouped.select(col("l_returnflag") +: outs: _*).orderBy("l_returnflag")
+      grouped.select(col("l_returnflag") +: outs: _*).transform(Gate.ordered(_, "l_returnflag"))
     }),
 
     // C13b: the 100 TB percentile path — mergeable t-digest sketch with
@@ -271,7 +271,7 @@ object RelationalSuite {
             ((col(s"lt$i").cast("double") / col("n") <= p + 0.02) &&
               (col(s"le$i").cast("double") / col("n") >= p - 0.02))
               .as(s"ok${(p * 100).toInt}") }: _*)
-        .orderBy("l_returnflag")
+        .transform(Gate.ordered(_, "l_returnflag"))
     }),
 
     // C6 extension: RANGE frame (30-unit trailing window) + misc window
@@ -285,7 +285,7 @@ object RelationalSuite {
              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)""").as("tot30"),
           expr("""count(*) OVER (PARTITION BY o_custkey ORDER BY day
              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""").as("n30"))
-        .orderBy("o_custkey", "o_orderkey")),
+        .transform(Gate.ordered(_, "o_custkey", "o_orderkey"))),
 
     "window_misc" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -298,7 +298,7 @@ object RelationalSuite {
           expr("""last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""").as("last_ok"),
           expr("lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)").as("next_ok"))
-        .orderBy("o_custkey", "o_orderkey"))
+        .transform(Gate.ordered(_, "o_custkey", "o_orderkey")))
   )
 
   val oracle: Map[String, String] = Map(

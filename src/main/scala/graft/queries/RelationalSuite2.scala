@@ -38,7 +38,7 @@ object RelationalSuite2 {
           year(col("l_shipdate")).as("l_year"))
         .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("revenue"),
           count(lit(1)).as("n"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .transform(Gate.ordered(_, "supp_nation", "cust_nation", "l_year"))
     }),
 
     // q8 shape: brand market share inside a region by order year.
@@ -60,7 +60,7 @@ object RelationalSuite2 {
             s" / CAST(sum($discPrice) AS DOUBLE)").as("share"),
           count(lit(1)).as("n"))
         .select(col("o_year"), round(col("share"), 6).as("share"), col("n"))
-        .orderBy("o_year")
+        .transform(Gate.ordered(_, "o_year"))
     }),
 
     // q9 shape: pseudo-profit (revenue minus retail-price cost) by
@@ -80,7 +80,7 @@ object RelationalSuite2 {
         .agg(expr(
           s"CAST(sum($discPrice - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE)")
           .as("profit"))
-        .orderBy("n_name", "o_year")
+        .transform(Gate.ordered(_, "n_name", "o_year"))
     }),
 
     // q10 shape: top customers by returned revenue.
@@ -122,7 +122,7 @@ object RelationalSuite2 {
         .agg(count(col("o_orderkey")).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
+        .transform(Gate.orderedCols(_, col("custdist").desc, col("c_count").desc))
     }),
 
     // q17 shape: revenue from small-quantity orders of selected parts —
@@ -158,7 +158,7 @@ object RelationalSuite2 {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
           expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("totacctbal"))
-        .orderBy(col("c_nationkey"))
+        .transform(Gate.orderedCols(_, col("c_nationkey")))
     }),
 
     // q12 shape: conditional aggregation by priority class over a
@@ -175,7 +175,7 @@ object RelationalSuite2 {
           sum(when(!(col("o_orderpriority").startsWith("1-")
             || col("o_orderpriority").startsWith("2-")), 1L).otherwise(0L))
             .cast("long").as("low_line_count"))
-        .orderBy("l_returnflag")
+        .transform(Gate.ordered(_, "l_returnflag"))
     }),
 
     // LATERAL correlated subquery (SQL-only surface): top-2 orders per
@@ -233,7 +233,7 @@ object RelationalSuite2 {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("sum_qty"), col("sum_price"), col("n"))
-        .orderBy("rf", "ls")),
+        .transform(Gate.ordered(_, "rf", "ls"))),
 
     // IN (subquery) + HAVING.
     "having_in" -> ((s, dir) => {
@@ -245,7 +245,7 @@ object RelationalSuite2 {
         .agg(count(lit(1)).as("n"),
           expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("tot"))
         .filter(col("n") > 50)
-        .orderBy("o_orderpriority")
+        .transform(Gate.ordered(_, "o_orderpriority"))
     }),
 
     // full outer join with null-side handling.
@@ -259,7 +259,7 @@ object RelationalSuite2 {
           coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
           coalesce(col("n_big"), lit(0)).as("n_big"),
           coalesce(col("c_acctbal"), lit(-1.0)).as("bal"))
-        .orderBy("custkey")
+        .transform(Gate.ordered(_, "custkey"))
     }),
 
     // bag-semantics set ops (INTERSECT ALL / EXCEPT ALL).
@@ -274,7 +274,7 @@ object RelationalSuite2 {
         .select(col("l_suppkey"),
           coalesce(col("n_inter"), lit(0)).as("n_inter"),
           coalesce(col("n_except"), lit(0)).as("n_except"))
-        .orderBy("l_suppkey")
+        .transform(Gate.ordered(_, "l_suppkey"))
     }),
 
     // correlated scalar subquery (per-row lookup aggregate).
@@ -297,7 +297,7 @@ object RelationalSuite2 {
         .withColumn("ordv", col("o_totalprice") * 1e6 - col("o_orderkey"))
       graft.plans.TopKPerKey.perKey(df, Seq("o_custkey"), "ordv", 3, desc = true)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy("o_custkey", "o_orderkey")
+        .transform(Gate.ordered(_, "o_custkey", "o_orderkey"))
     }),
 
     // full-SQL entry: the whole pipeline as one spark.sql text (CTE,
@@ -361,7 +361,7 @@ object RelationalSuite2 {
           pmod(col("s_suppkey"), lit(7)).as("m7"),
           ceil(col("s_acctbal")).as("ceil_bal"),
           floor(col("s_acctbal")).as("floor_bal"))
-        .orderBy("s_suppkey")),
+        .transform(Gate.ordered(_, "s_suppkey"))),
 
     // q19 shape: disjunctive multi-predicate join (OR of conjunction
     // groups across both join sides) — exercises predicate pushdown
@@ -396,7 +396,7 @@ object RelationalSuite2 {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           round(col("total_revenue"), 2).as("total_revenue"))
-        .orderBy("s_suppkey")
+        .transform(Gate.ordered(_, "s_suppkey"))
     }),
 
     // q21 shape: suppliers who were the SOLE late supplier on a
@@ -442,7 +442,7 @@ object RelationalSuite2 {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"),
           sum(col("doc_id")).as("id_sum"))
-        .orderBy("split")
+        .transform(Gate.ordered(_, "split"))
     })
   )
 

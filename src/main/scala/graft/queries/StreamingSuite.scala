@@ -20,7 +20,7 @@ object StreamingSuite {
       Tables(s, dir, "events")
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dups"))
-        .orderBy("user_id", "event_type")),
+        .transform(Gate.ordered(_, "user_id", "event_type"))),
 
     // Streaming near-dup with EXACT VERIFICATION (batch form of the
     // stateful per-bucket verify operator; stream==batch asserted in
@@ -32,7 +32,7 @@ object StreamingSuite {
         Tables.spread(s, dir, "documents"), "text", "doc_id", "doc_id")
       graft.streaming.StreamDedup.verifiedPairs(hits, tau = 0.5).toDF()
         .dropDuplicates("id_a", "id_b")
-        .orderBy("id_a", "id_b")
+        .transform(Gate.ordered(_, "id_a", "id_b"))
     }),
 
     // JSON property extraction from the events payload.
@@ -41,11 +41,11 @@ object StreamingSuite {
         .groupBy(col("event_type"))
         .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
           count(lit(1)).as("n"))
-        .orderBy("event_type")),
+        .transform(Gate.ordered(_, "event_type"))),
 
     "stream_window" -> ((s, dir) =>
       StreamAgg.windowedAgg(Tables(s, dir, "events"))
-        .orderBy("window_start", "event_type")),
+        .transform(Gate.ordered(_, "window_start", "event_type"))),
 
     // stream-stream join semantics (time-bounded click -> purchase),
     // run batch for the gate; stream/batch equivalence in StreamingSpec.
@@ -55,12 +55,12 @@ object StreamingSuite {
         .groupBy(col("l_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           expr("CAST(sum(CAST(r_value AS DECIMAL(18,2))) AS DOUBLE)").as("purchase_value"))
-        .orderBy("user_id")
+        .transform(Gate.ordered(_, "user_id"))
     }),
 
     "sessionize" -> ((s, dir) =>
       Sessionize.batchSessions(Tables(s, dir, "events"), gapMinutes = 30)
-        .orderBy("user_id", "session_idx")),
+        .transform(Gate.ordered(_, "user_id", "session_idx"))),
 
     // stateful operator on the same data: session_idx derived from start
     // order, so the SQL oracle checks it exactly too.
@@ -72,7 +72,7 @@ object StreamingSuite {
         .withColumn("session_idx", row_number().over(w))
         .select(col("user_id"), col("session_idx"), col("n_events"),
           col("start_us"), col("end_us"))
-        .orderBy("user_id", "session_idx")
+        .transform(Gate.ordered(_, "user_id", "session_idx"))
     })
   )
 

@@ -51,7 +51,7 @@ object VectorSuite {
     "vec_norm" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), round(VF.l2Norm(col("embedding")), 6).as("nrm"))
-        .orderBy("vec_id")),
+        .transform(Gate.ordered(_, "vec_id"))),
 
     // Scalarized (vec_id, i, u) rows: the driver's comparator sorts pandas
     // values and cannot hash array cells, so array-typed outputs are banned
@@ -61,7 +61,7 @@ object VectorSuite {
         .select(col("vec_id"), posexplode(VF.l2Normalize(col("embedding"))))
         .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
           round(col("col").cast("double"), 6).as("u"))
-        .orderBy("vec_id", "i")),
+        .transform(Gate.ordered(_, "vec_id", "i"))),
 
     "vec_dims" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
@@ -79,7 +79,7 @@ object VectorSuite {
           "round(CAST(element_at(va_arr, i) AS DOUBLE), 6) AS va",
           "round(CAST(element_at(vs_arr, i) AS DOUBLE), 6) AS vs",
           "round(CAST(element_at(vm_arr, i) AS DOUBLE), 6) AS vm")
-        .orderBy("vec_id", "i")),
+        .transform(Gate.ordered(_, "vec_id", "i"))),
 
     "vec_slice_concat" -> ((s, dir) =>
       embWithQ(s, dir).where(col("vec_id") < 50)
@@ -88,7 +88,7 @@ object VectorSuite {
         .withColumn("i", explode(sequence(lit(1), lit(8))))
         .selectExpr("vec_id", "i",
           "round(CAST(element_at(cc, i) AS DOUBLE), 6) AS c")
-        .orderBy("vec_id", "i")),
+        .transform(Gate.ordered(_, "vec_id", "i"))),
 
     "vec_binquant" -> ((s, dir) => {
       val zero = lit(Array.fill(64)(0f))
@@ -96,7 +96,7 @@ object VectorSuite {
         .select(col("vec_id"),
           VF.hammingDistance(VF.binaryQuantize(col("embedding")),
             VF.binaryQuantize(zero)).cast("long").as("popcnt"))
-        .orderBy("vec_id")
+        .transform(Gate.ordered(_, "vec_id"))
     }),
 
     "vec_hamming" -> ((s, dir) =>
@@ -222,7 +222,7 @@ object VectorSuite {
         .select(col("label"), posexplode(col("c")))
         .select(col("label"), (col("pos") + 1).cast("int").as("i"),
           round(col("col").cast("double"), 4).as("centroid"))
-        .orderBy("label", "i")),
+        .transform(Gate.ordered(_, "label", "i"))),
 
     "vec_sum" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
@@ -231,7 +231,7 @@ object VectorSuite {
         .select(col("label"), posexplode(col("c")))
         .select(col("label"), (col("pos") + 1).cast("int").as("i"),
           round(col("col").cast("double"), 4).as("vsum"))
-        .orderBy("label", "i")),
+        .transform(Gate.ordered(_, "label", "i"))),
 
     // A-series completion: vector text I/O (vector_in/out, sparsevec_in/
     // out). The text form is engine-specific (shortest-round-trip floats),
@@ -254,7 +254,7 @@ object VectorSuite {
             col("srt.values") === col("svals").cast("array<float>") &&
             col("srt.dim") === size(col("embedding"))).as("sp_ok"),
           round(VF.l2Norm(VF.parseVector(lit("[3,4]"))), 6).as("lit_norm"))
-        .orderBy("vec_id")
+        .transform(Gate.ordered(_, "vec_id"))
     }),
 
     // sparsevec norms: l2 norm of the stored values (absent entries are
@@ -272,7 +272,7 @@ object VectorSuite {
             transform(col("se"), t => t.getField("v")),
             transform(col("sq"), t => t.getField("i")),
             transform(col("sq"), t => t.getField("v")), "l1"), 6).as("sl1"))
-        .orderBy("vec_id")
+        .transform(Gate.ordered(_, "vec_id"))
     }),
 
     // sparsevec l2_normalize, scalarized to (vec_id, original 1-based
@@ -288,7 +288,7 @@ object VectorSuite {
         .select(col("vec_id"), posexplode(arrays_zip(col("idx"), col("nv"))).as(Seq("p", "z")))
         .select(col("vec_id"), (col("z.idx") + 1).cast("int").as("dim_i"),
           round(col("z.nv"), 6).as("nval"))
-        .orderBy("vec_id", "dim_i")
+        .transform(Gate.ordered(_, "vec_id", "dim_i"))
     }),
 
     // Type conversions + comparisons across the three vector types:
@@ -306,7 +306,7 @@ object VectorSuite {
             spQ.getField("indices"), spQ.getField("values"),
             spE.getField("dim"), spQ.getField("dim")).as("scmp"),
           VF.halfvecCmp(col("embedding"), col("qv")).as("hcmp"))
-        .orderBy("vec_id")
+        .transform(Gate.ordered(_, "vec_id"))
     }),
 
     // avg/sum(halfvec): inputs quantized to the fp16 grid, elementwise
@@ -322,7 +322,7 @@ object VectorSuite {
         .select(col("label"), (col("p") + 1).cast("int").as("i"),
           round(col("z.ah").cast("double"), 6).as("avg_h"),
           round(col("z.sh").cast("double"), 6).as("sum_h"))
-        .orderBy("label", "i"))
+        .transform(Gate.ordered(_, "label", "i")))
   )
 
   val oracle: Map[String, String] = Map(
