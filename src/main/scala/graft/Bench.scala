@@ -24,7 +24,8 @@ object Bench {
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_logprob",
     "decontaminate", "dedup_best",
     "mm_pipeline", "mm_decode", "mm_audio", "mm_video", "mm_jpeg", "pack_sequences",
-    "stream_window", "stream_neardup", "sessionize", "sessionize_stateful")
+    "stream_window", "stream_neardup", "sessionize", "sessionize_stateful",
+    "asof_join", "range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -58,6 +58,45 @@ object StreamingSuite {
         .transform(Gate.ordered(_, "user_id"))
     }),
 
+    // AS-OF join (backward): each purchase enriched with the user's
+    // most recent click at-or-before it — union+window plan, one
+    // shuffle, deterministic (event_id tiebreak on equal timestamps);
+    // left-join semantics (no prior click → NULLs). The SQL oracle
+    // replays the same pick via row_number over a range LEFT JOIN.
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.TemporalJoin.asOf(purchases, clicks, "user_id",
+          "ts", "ts", "event_id", Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"),
+          col("asof_event_id"), col("asof_value"))
+        .transform(Gate.ordered(_, "event_id"))
+    }),
+
+    // banded RANGE join: purchases within one hour after each error
+    // event of the same user — equi-join on (key, time bin) + residual
+    // filter (≤2 probe bins per left row), NEVER a nested-loop range
+    // join; exact-DECIMAL sum so aggregation order cannot drift.
+    "range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.TemporalJoin.rangeJoin(errors, purchases, "user_id",
+          "ts", "ts", 0L, 3600000000L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_in_window"),
+          sum(col("r_value").cast("decimal(18,2)")).cast("double")
+            .as("window_value"))
+        .transform(Gate.ordered(_, "event_id"))
+    }),
+
     "sessionize" -> ((s, dir) =>
       Sessionize.batchSessions(Tables(s, dir, "events"), gapMinutes = 30)
         .transform(Gate.ordered(_, "user_id", "session_idx"))),
@@ -120,6 +159,30 @@ object StreamingSuite {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, epoch_us(ts) AS rus, event_id AS rid, value AS rval
+        |      FROM events WHERE event_type = 'click'),
+        |c AS (SELECT l.event_id, l.user_id, l.ts_us, l.value,
+        |        r.rus, r.rid, r.rval,
+        |        row_number() OVER (PARTITION BY l.event_id
+        |          ORDER BY r.rus DESC, r.rid DESC) AS rn
+        |      FROM l LEFT JOIN r
+        |        ON l.user_id = r.user_id AND r.rus <= l.ts_us)
+        |SELECT event_id, user_id, ts_us, value,
+        |  rus AS asof_ts_us, rid AS asof_event_id, rval AS asof_value
+        |FROM c WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "range_join" ->
+      """SELECT l.event_id, count(*) AS n_in_window,
+        |  CAST(sum(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |  AND l.event_type = 'error' AND r.event_type = 'purchase'
+        |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+        |  AND epoch_us(r.ts) < epoch_us(l.ts) + 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
