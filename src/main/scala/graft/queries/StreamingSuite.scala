@@ -58,6 +58,30 @@ object StreamingSuite {
         .transform(Gate.ordered(_, "user_id"))
     }),
 
+    // Theta/KMV sketch set operations: distinct users per event type
+    // AND their intersection/union — the set-op question HLL cannot
+    // answer. Below k=4096 distinct values the sketch is EXACT by
+    // construction (theta = max, retained = the whole distinct hash
+    // set), so this gate is hash-exact against COUNT(DISTINCT) SQL;
+    // the approximate regime (50k values through k=256) is
+    // error-bound-asserted in ThetaSketchSpec.
+    "theta_sketch" -> ((s, dir) => {
+      import graft.functions.ThetaSketch
+      val ev = Tables(s, dir, "events")
+      val sk = ev.groupBy(col("event_type"))
+        .agg(ThetaSketch.sketch(col("user_id")).as("sk"))
+      val a = sk.filter(col("event_type") === "click").select(col("sk").as("ska"))
+      val b = sk.filter(col("event_type") === "purchase").select(col("sk").as("skb"))
+      a.crossJoin(b) // 1×1
+        .select(
+          ThetaSketch.estimate(col("ska")).cast("long").as("n_click_users"),
+          ThetaSketch.estimate(col("skb")).cast("long").as("n_purchase_users"),
+          ThetaSketch.intersectionEstimate(col("ska"), col("skb")).cast("long")
+            .as("n_both"),
+          ThetaSketch.unionEstimate(col("ska"), col("skb")).cast("long")
+            .as("n_either"))
+    }),
+
     // AS-OF join (backward): each purchase enriched with the user's
     // most recent click at-or-before it — union+window plan, one
     // shuffle, deterministic (event_id tiebreak on equal timestamps);
@@ -159,6 +183,20 @@ object StreamingSuite {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact below k: the sketch gate equals plain COUNT(DISTINCT) SQL
+    "theta_sketch" ->
+      """SELECT
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'click') AS n_click_users,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'purchase') AS n_purchase_users,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'click' AND user_id IN (
+        |     SELECT user_id FROM events WHERE event_type = 'purchase'))
+        |    AS n_both,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type IN ('click', 'purchase')) AS n_either""".stripMargin,
 
     "asof_join" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
