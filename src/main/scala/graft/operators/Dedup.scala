@@ -580,4 +580,52 @@ object Dedup {
       .select(col("id"), coalesce(col("hits"), lit(0L)).as("n_shared"),
         (coalesce(col("hits"), lit(0L)) > 0L).as("contaminated"))
   }
+
+  /**
+   * Exact duplicated-SPAN detection — substring-level dedup (public
+   * design: Lee et al. 2022, "Deduplicating Training Data Makes
+   * Language Models Better"): the duplication whole-doc hashing and
+   * near-dup pairing both miss is a verbatim passage repeated inside
+   * otherwise-distinct documents. A w-token gram is DUPLICATED when it
+   * occurs ≥ 2 times corpus-wide (across documents or repeated within
+   * one); per document, duplicated gram positions at distance ≤ w merge
+   * into maximal runs. Output: (id, start_tok, end_tok, n_grams) with
+   * 1-based token indexes, end_tok = the last token any of the run's
+   * grams covers.
+   *
+   * Scale shape: explode to (id, pos, gram-hash) → one map-side-combined
+   * count per gram → left-semi join positions against the duplicated
+   * grams (narrow 8-byte keys; the gram TEXT never shuffles) → one
+   * per-doc window (partition width bounded by document length). The
+   * oracle recomputes everything from gram STRINGS, pinning the
+   * hash-vs-text equivalence the other dedup gates also rely on.
+   */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 5): DataFrame = {
+    require(w >= 2, "graft: span grams need w >= 2")
+    val toks = df.select(col(idCol).as("id"),
+      split(lower(col(textCol)), " ").as("t"))
+    val grams = toks.select(col("id"),
+        posexplode(when(size(col("t")) >= w,
+          transform(sequence(lit(1), size(col("t")) - (w - 1)),
+            p => xxhash64(concat_ws(" ", slice(col("t"), p, lit(w))))))
+          .otherwise(array().cast("array<long>"))).as(Seq("p0", "g")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+    val dupGrams = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g"))
+    val dupPos = grams.join(dupGrams, Seq("g"), "left_semi")
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("newrun",
+        when(col("pos") - lag(col("pos"), 1).over(wnd) <= w, 0).otherwise(1))
+      .withColumn("run", sum(col("newrun")).over(
+        wnd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("id"), col("run"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + (w - 1)).as("end_tok"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id"), col("start_tok"), col("end_tok"), col("n_grams"))
+  }
 }

@@ -119,6 +119,16 @@ object DedupSuite {
         .transform(Gate.ordered(_, "id_a", "id_b"))
     }),
 
+    // Exact duplicated-SPAN detection (substring-level dedup): maximal
+    // per-doc runs of 5-token grams occurring >= 2 times corpus-wide —
+    // the verbatim-passage duplication whole-doc/near-dup dedup misses.
+    // Fully exact gate: positions and run extents are deterministic.
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.spread(s, dir, "documents"),
+          "text", "doc_id", w = 5)
+        .withColumnRenamed("id", "doc_id")
+        .transform(Gate.ordered(_, "doc_id", "start_tok"))),
+
     // D2 end-to-end: survivors after connected components over verified
     // near-dup pairs (keep min doc id per cluster). Deterministic but CC
     // is not SQL-expressible without recursion -> rows-only.
@@ -571,6 +581,27 @@ object DedupSuite {
         |  CAST(dc * n - 128 * (n // 256) AS BIGINT) AS sample_sum,
         |  CAST(CASE WHEN dc = 0 THEN 128 ELSE 127 + dc END AS BIGINT) AS peak_abs
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // span dedup: recompute duplicated 5-gram positions from the gram
+    // STRINGS and merge runs with the same <= w distance rule
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        array_to_string(t[i:i+4], ' ') AS gram
+        |      FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+        |      WHERE len(t) >= 5),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |r AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+        |             THEN 0 ELSE 1 END AS newrun
+        |      FROM p),
+        |s AS (SELECT doc_id, pos, sum(newrun) OVER (PARTITION BY doc_id
+        |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM r)
+        |SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
+        |  count(*) AS n_grams
+        |FROM s GROUP BY doc_id, run ORDER BY doc_id, start_tok""".stripMargin,
 
     // lossy-codec gate: dims/pixel count recomputed in SQL (exact); the
     // pixel-statistic band checks are Spark-computed booleans, TRUE here

@@ -226,6 +226,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicated spans: planted shared passage found with exact extent") {
+    // docs 1 and 2 share an exact 7-token passage embedded in otherwise
+    // disjoint text; doc 3 is fully unique. With w=5 the shared passage
+    // contributes duplicated grams at positions covering exactly it.
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"u1a u1b u1c $shared v1a v1b"),
+      (2L, s"w2a $shared x2a x2b x2c x2d"),
+      (3L, "y3a y3b y3c y3d y3e y3f y3g y3h y3i y3j")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "text", "doc_id", w = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: passage = tokens 4-10 → gram positions 4,5,6 → run (4, 10, 3)
+    // doc 2: passage = tokens 2-8  → gram positions 2,3,4 → run (2, 8, 3)
+    assert(got.toSeq == Seq((1L, 4L, 10L, 3L), (2L, 2L, 8L, 3L)))
+  }
+
   test("score-aware survivors keep the argmax-score doc per cluster") {
     // clusters {1,2,3} and {10,11}; 4 isolated. scores pick 2 (max),
     // and the 10-11 tie resolves to the smaller id
