@@ -139,6 +139,26 @@ class PlanContractSpec extends SparkSpec {
       "planted-id filter pushed below the candidate join again")
   }
 
+  test("as-of join is JOIN-FREE: one union + one window, no per-row probe") {
+    // the whole point of the union+window form — a correlated/range
+    // join would put a Join (or worse, a BNLJ) in this plan
+    val p = plan("asof_join")
+    assert(p.contains("Window"), "as-of lost its window")
+    assert(!p.contains("Join"), s"as-of regressed to a join:\n$p")
+  }
+
+  test("theta sketch aggregates through mergeable object-hash partials") {
+    val p = plan("theta_sketch")
+    assert(p.contains("theta_sketch"), "sketch aggregate missing")
+    assert(p.contains("ObjectHashAggregate"), "sketch lost map-side partials")
+  }
+
+  test("duplicated-span detection joins on hashes, never shuffles gram text") {
+    val p = plan("dedup_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("xxhash64"), "gram hashing gone — text would shuffle")
+  }
+
   test("sequence packing sorts in the PLAN, not in the task") {
     // the id-order walk must run through Spark's external (spillable)
     // sort — a partial Sort above a hash exchange on the stream key —
