@@ -277,6 +277,34 @@ object RelationalSuite2 {
         .transform(Gate.ordered(_, "l_suppkey"))
     }),
 
+    // PostgreSQL DISTINCT ON (r8): each customer's single highest-value
+    // order (orderkey tiebreak). Spark has no DISTINCT ON form — the
+    // idiomatic re-expression is a row_number window; the oracle uses
+    // DuckDB's NATIVE DISTINCT ON, pinning the semantics equivalence.
+    "distinct_on" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .transform(Gate.ordered(_, "o_custkey"))
+    }),
+
+    // PostgreSQL string_agg with ORDER BY (r8): deterministic ordered
+    // concatenation — collect_list carries no order guarantee, so the
+    // Spark form sorts the collected array before joining (numeric sort,
+    // then cast), which is exactly string_agg(... ORDER BY k).
+    "string_agg" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 495000)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+            k => k.cast("string")), ",").as("keys"))
+        .transform(Gate.ordered(_, "o_orderpriority"))),
+
     // correlated scalar subquery (per-row lookup aggregate).
     "subquery_correlated" -> ((s, dir) => {
       Tables(s, dir, "customer").createOrReplaceTempView("cust_corr")
@@ -640,6 +668,18 @@ object RelationalSuite2 {
         |  coalesce(n_inter, 0) AS n_inter, coalesce(n_except, 0) AS n_except
         |FROM i FULL OUTER JOIN e ON i.l_suppkey = e.l_suppkey
         |ORDER BY l_suppkey""".stripMargin,
+
+    // DuckDB's native DISTINCT ON pins the row_number re-expression
+    "distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "string_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys
+        |FROM orders WHERE o_totalprice > 495000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "subquery_correlated" ->
       """SELECT c_custkey,
