@@ -148,4 +148,35 @@ class StreamingSpec extends SparkSpec {
     val recall = (got & expectedClosed).size.toDouble / math.max(1, expectedClosed.size)
     assert(recall >= 0.95, s"recall=$recall")
   }
+
+  test("theta sketch aggregates through streaming state: equals batch") {
+    // the sketch is a TypedImperativeAggregate — its partials serialize
+    // into the state store and merge across micro-batches. Because the
+    // k-smallest set is order-free, incremental arrival CANNOT change
+    // the result: streaming estimate == batch estimate, exactly.
+    import graft.functions.ThetaSketch
+    val data = events.select($"event_type", $"user_id")
+      .as[(String, Long)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val agg = mem.toDF().toDF("event_type", "user_id")
+      .groupBy($"event_type")
+      .agg(ThetaSketch.sketch($"user_id", 1024).as("sk"))
+      .select($"event_type", ThetaSketch.estimate($"sk").as("est"))
+    val q = agg.writeStream.format("memory").queryName("theta_stream")
+      .outputMode("complete").start()
+    try {
+      data.grouped(math.max(1, data.length / 5)).foreach { c =>
+        mem.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("theta_stream")
+      .as[(String, Double)].collect().toMap
+    val batch = events.groupBy($"event_type")
+      .agg(ThetaSketch.sketch($"user_id", 1024).as("sk"))
+      .select($"event_type", ThetaSketch.estimate($"sk"))
+      .as[(String, Double)].collect().toMap
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(batch.values.forall(_ > 0))
+  }
 }
