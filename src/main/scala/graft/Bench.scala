@@ -65,7 +65,12 @@ object Bench {
     val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.trim.toIntOption).getOrElse(3))
     val results = headline.filter(qs.contains).map { name =>
-      val warm = run(name)
+      // TWO warmups: for the widest-codegen queries one warm run is not
+      // enough — dedup_simhash's first TIMED rep sat ~60% above steady
+      // state across a 10-rep experiment (1.94s vs 1.14-1.31s, r8),
+      // polluting both the median and the spread metric. The second
+      // warmup costs ~10s across the whole bench and stabilizes JIT.
+      val warm = run(name) && run(name)
       val times = (1 to reps).map { _ =>
         System.gc()
         val t0 = System.nanoTime()

@@ -68,8 +68,65 @@ object SqlFunctions {
     "sparsevec_l1_distance" -> sparseDist("l1"),
     // typmod analogue: vector(n) dimension enforcement at ingest
     "assert_dims" -> (args => AssertDims(vec(args(0)),
-      Cast(args(1), org.apache.spark.sql.types.IntegerType)))
+      Cast(args(1), org.apache.spark.sql.types.IntegerType))),
+    // theta/KMV sketch family for SQL users: theta_sketch(x[, k]) is an
+    // AGGREGATE (an AggregateExpression is an Expression, so it rides
+    // the same registry); estimators are scalar struct arithmetic.
+    // Builders must emit RAW Catalyst nodes — a Column built through the
+    // functions API wraps ColumnNodeExpressions the analyzer won't
+    // resolve when they arrive via the FunctionRegistry.
+    "theta_sketch" -> (args => {
+      val k = if (args.length < 2) 4096 else args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.asInstanceOf[Number].intValue
+        case other => throw new IllegalArgumentException(
+          s"graft: theta_sketch k must be a literal, got $other")
+      }
+      // same hashing as ThetaSketch.sketch: xxhash64 seed 42, nulls out
+      // (xxhash64 of null would return the seed, not null)
+      import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, XxHash64}
+      val hashed = If(IsNull(args(0)),
+        Literal(null, org.apache.spark.sql.types.LongType),
+        XxHash64(Seq(args(0)), 42L))
+      ThetaSketchAgg(hashed, k).toAggregateExpression()
+    }),
+    "theta_estimate" -> (args =>
+      ThetaSql.est(ThetaSql.sizeOf(ThetaSql.hashes(args(0))),
+        ThetaSql.theta(args(0)))),
+    "theta_intersection" -> (args => {
+      import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Least}
+      val th = Least(Seq(ThetaSql.theta(args(0)), ThetaSql.theta(args(1))))
+      ThetaSql.est(ThetaSql.sizeOf(ThetaSql.below(
+        ArrayIntersect(ThetaSql.hashes(args(0)), ThetaSql.hashes(args(1))), th)), th)
+    }),
+    "theta_union" -> (args => {
+      import org.apache.spark.sql.catalyst.expressions.{ArrayUnion, Least}
+      val th = Least(Seq(ThetaSql.theta(args(0)), ThetaSql.theta(args(1))))
+      ThetaSql.est(ThetaSql.sizeOf(ThetaSql.below(
+        ArrayUnion(ThetaSql.hashes(args(0)), ThetaSql.hashes(args(1))), th)), th)
+    })
   )
+
+  /** Raw-Catalyst builders for the theta estimators (see note above). */
+  private object ThetaSql {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.DoubleType
+    def theta(sk: Expression): Expression =
+      UnresolvedExtractValue(sk, Literal("theta"))
+    def hashes(sk: Expression): Expression =
+      UnresolvedExtractValue(sk, Literal("hashes"))
+    def sizeOf(arr: Expression): Expression = Size(arr, legacySizeOfNull = false)
+    def below(arr: Expression, th: Expression): Expression = {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      ArrayFilter(arr, LambdaFunction(LessThan(x, th), Seq(x)))
+    }
+    /** count / P(theta) — same formula as ThetaSketch.estimate. */
+    def est(cnt: Expression, th: Expression): Expression =
+      Divide(Cast(cnt, DoubleType),
+        Divide(Add(Cast(th, DoubleType), Literal(9.223372036854776e18)),
+          Literal(1.8446744073709552e19)))
+  }
 
   private def halfDist(metric: String)(args: Seq[Expression]): Expression =
     VectorDistance(HalfVecRoundTrip(vec(args(0))),

@@ -52,6 +52,21 @@ class ThetaSketchSpec extends SparkSpec {
       s"union estimate ${row._2}")
   }
 
+  test("SQL surface: theta_sketch/theta_estimate/theta_intersection register") {
+    graft.functions.SqlFunctions.register(spark)
+    spark.range(0, 300).createOrReplaceTempView("theta_sql_a")
+    spark.range(100, 500).createOrReplaceTempView("theta_sql_b")
+    val row = spark.sql(
+      """SELECT theta_estimate(ska) AS na, theta_estimate(skb) AS nb,
+        |  theta_intersection(ska, skb) AS ni, theta_union(ska, skb) AS nu
+        |FROM (SELECT theta_sketch(id, 1024) AS ska FROM theta_sql_a),
+        |     (SELECT theta_sketch(id, 1024) AS skb FROM theta_sql_b)""".stripMargin)
+      .head()
+    // both below k → everything exact: |A|=300, |B|=400, |A∩B|=200, |A∪B|=500
+    assert(row.getDouble(0) == 300.0 && row.getDouble(1) == 400.0)
+    assert(row.getDouble(2) == 200.0 && row.getDouble(3) == 500.0)
+  }
+
   test("merge handles empty groups and null inputs") {
     val df = Seq((Some(1L), 0L), (None, 0L), (Some(2L), 0L))
       .toDF("v", "g")
