@@ -23,7 +23,7 @@ object Bench {
     "vocab_topk",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_logprob",
     "decontaminate", "dedup_best",
-    "mm_pipeline", "mm_decode", "mm_audio", "mm_video", "mm_jpeg", "pack_sequences",
+    "mm_pipeline", "mm_decode", "mm_audio", "mm_video", "mm_jpeg", "mm_resize", "pack_sequences",
     "stream_window", "stream_neardup", "sessionize", "sessionize_stateful",
     "asof_join", "range_join", "theta_sketch")
 

@@ -307,6 +307,23 @@ object DedupSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // D11: REAL image resize — decode PNG → nearest-neighbor scale to
+    // 16×16 → re-encode PNG → DECODE AGAIN for the gate stats, so the
+    // whole decode→resize→encode→decode chain is load-bearing. Nearest
+    // neighbor is a pure index remap, so the resized statistics are
+    // exact integer SQL over the generating pattern.
+    "mm_resize" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents").select(col("doc_id"))
+      val resized = Multimodal.resizeImages(
+        Multimodal.syntheticImages(docs, "doc_id"), 16, 16)
+      Multimodal.decodeImageStats(resized.select(col("doc_id"), col("payload")))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("luma_sum"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // D11: REAL video-frame sampling — a Motion-PNG stream (length-
     // prefixed real PNG keyframes) parsed on executors, every 2nd frame
     // ImageIO-decoded, per-frame features from the decoded pixels.
@@ -602,6 +619,18 @@ object DedupSuite {
         |SELECT doc_id, min(pos) AS start_tok, max(pos) + 4 AS end_tok,
         |  count(*) AS n_grams
         |FROM s GROUP BY doc_id, run ORDER BY doc_id, start_tok""".stripMargin,
+
+    // nearest-neighbor resize: out(x,y) = pattern(id, x·w/16, y·h/16)
+    // with integer floor division — exact closed form
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id, CAST((doc_id % 4) * 16 + 32 AS BIGINT) AS w,
+        |             CAST((doc_id % 3) * 16 + 32 AS BIGINT) AS h FROM documents),
+        |px AS (SELECT doc_id,
+        |         (doc_id * 31 + ((x.i * w) // 16) * 7 + ((y.j * h) // 16) * 13) % 256 AS p
+        |       FROM d, range(0, 16) x(i), range(0, 16) y(j))
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(256 AS BIGINT) AS n_pixels, CAST(sum(p) AS BIGINT) AS luma_sum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // lossy-codec gate: dims/pixel count recomputed in SQL (exact); the
     // pixel-statistic band checks are Spark-computed booleans, TRUE here

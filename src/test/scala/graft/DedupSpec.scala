@@ -164,6 +164,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearest-neighbor resize: re-decoded pixels equal the index remap") {
+    val media = Multimodal.syntheticImages(docs.limit(20).select($"doc_id"), "doc_id")
+    val resized = Multimodal.resizeImages(media, 16, 16)
+    val got = Multimodal.decodeImageStats(resized.select($"doc_id", $"payload"))
+      .select($"doc_id", $"width", $"height", $"luma_sum")
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (id, w16, h16, sum) =>
+      assert(w16 == 16 && h16 == 16)
+      val (w, h) = (((id % 4) * 16 + 32).toInt, ((id % 3) * 16 + 32).toInt)
+      val expect = (for (y <- 0 until 16; x <- 0 until 16)
+        yield (id * 31 + (x * w / 16) * 7 + (y * h / 16) * 13) % 256).sum
+      assert(sum == expect, s"id=$id resized luma_sum $sum != $expect")
+    }
+  }
+
   test("JPEG codec: genuine JFIF bytes, exact dims, pixel stats in band") {
     val media = Multimodal.syntheticJpegs(docs.limit(20).select($"doc_id"), "doc_id")
     // payloads are genuine JPEGs (SOI marker), not raw pixel dumps

@@ -110,7 +110,7 @@ class PlanContractSpec extends SparkSpec {
     // codec work happens inside mapPartitions batches; the only plan
     // structure allowed around it is the deliberate spread repartition
     // and the gate's orderBy — never a join or aggregate
-    for (q <- Seq("mm_decode", "mm_audio", "mm_video", "mm_jpeg")) {
+    for (q <- Seq("mm_decode", "mm_audio", "mm_video", "mm_jpeg", "mm_resize")) {
       val p = plan(q)
       assert(p.contains("MapPartitions"), s"$q lost its batch-codec operator")
       assert(!p.contains("Join"), s"$q grew a join")
