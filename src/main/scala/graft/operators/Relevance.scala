@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus relevance scoring — Okapi BM25 (Robertson & Spärck Jones;
+ * the ranking function behind PG/openGauss full-text `ts_rank`-style
+ * retrieval, re-expressed for a batch corpus scan).
+ *
+ * Shape chosen for 100 TB: the query term list is tiny and KNOWN, so
+ * nothing per-document ever shuffles —
+ *   pass 1: one map-side-combinable global aggregate produces the ONLY
+ *           coordination state: N, Σdl, and one document-frequency
+ *           counter per term (a single 1-row result);
+ *   pass 2: map-only scoring — per-doc tf_t comes from
+ *           `size(filter(tokens, = term))` (codegen'd, no explode, no
+ *           groupBy), the 1-row stats frame rides a broadcast join.
+ * Contrast with the naive explode→groupBy(doc,term)→join plan, which
+ * shuffles one row per (doc, term) occurrence — O(corpus tokens) —
+ * for the same answer.
+ *
+ * Determinism: tf/df/dl/N are integers, Σdl an integer sum, and the
+ * per-doc score sums the per-term weights in the FIXED order of
+ * `terms` (a literal expression chain, not a float aggregation), so
+ * the result is a pure function of the input set — no
+ * aggregation-order float drift, which is what lets the gate be
+ * hash-exact at round(6).
+ */
+object Relevance {
+
+  /**
+   * BM25 scores for every document matching at least one query term.
+   * Output: (id, n_hits, score) where n_hits = total query-term
+   * occurrences and score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+   * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+   */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = TextAnalysis.tokens(col(textCol))
+    def tfCol(i: Int) = col(s"tf_$i")
+    // single map-only pass: doc length + one tf counter per term
+    val base = docs.select(
+      col(idCol).as("id") +: size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$i")
+        }: _*)
+    // the ONLY aggregate: 1 row, map-side combinable, integer-exact
+    val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+      terms.indices.map(i => sum((tfCol(i) > 0L).cast("long")).as(s"df_$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    def weight(i: Int): Column = {
+      val tf = tfCol(i).cast("double")
+      val dfT = col(s"df_$i").cast("double")
+      val idf = log((col("n").cast("double") - dfT + lit(0.5)) /
+        (dfT + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }
+    // fixed-order chain: term 0 + term 1 + ... — deterministic fp sum
+    val score = terms.indices.map(weight).reduce(_ + _)
+    val hits = terms.indices.map(tfCol(_)).reduce(_ + _)
+    base.join(broadcast(stats))
+      .filter(hits > 0L)
+      .select(col("id"), hits.as("n_hits"), round(score, 6).as("score"))
+  }
+}

@@ -95,6 +95,17 @@ object TextSuite {
         .withColumnRenamed("id", "doc_id")
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // BM25 relevance: one 1-row global aggregate (N, Σdl, per-term df)
+    // + a map-only scoring pass — nothing per-document ever shuffles
+    // (see Relevance.bm25). Terms chosen with a real idf spread:
+    // 'dup' is rare (df≈25/500), 'spark'/'key' are common.
+    "text_bm25" -> ((s, dir) =>
+      graft.operators.Relevance.bm25(
+          Tables.spread(s, dir, "documents"), "doc_id", "text",
+          Seq("dup", "spark", "key"))
+        .withColumnRenamed("id", "doc_id")
+        .transform(Gate.ordered(_, "doc_id"))),
+
     // PII scrubbing over text with PLANTED addresses (the natural corpus
     // has none, so the gate synthesizes one email + one URL per doc —
     // both engines build and scrub the identical string)
@@ -216,6 +227,31 @@ object TextSuite {
         |  round(avg(ln(tf::DOUBLE / nt)), 6) AS logprob
         |FROM tt JOIN f USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical fixed-order BM25 arithmetic: tf/df/dl/N integer-exact,
+    // per-term weights summed in literal order t0+t1+t2
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+        |  len(list_filter(toks, x -> x = 'dup'))::BIGINT AS tf0,
+        |  len(list_filter(toks, x -> x = 'spark'))::BIGINT AS tf1,
+        |  len(list_filter(toks, x -> x = 'key'))::BIGINT AS tf2
+        |FROM t),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+        |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        |FROM b)
+        |SELECT doc_id, (tf0 + tf1 + tf2)::BIGINT AS n_hits,
+        |  round(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n))), 6) AS score
+        |FROM b CROSS JOIN g
+        |WHERE tf0 + tf1 + tf2 > 0 ORDER BY doc_id""".stripMargin,
 
     "text_scrub" ->
       """SELECT doc_id,

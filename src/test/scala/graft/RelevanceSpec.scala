@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Relevance
+import org.apache.spark.sql.functions._
+
+/**
+ * BM25 contracts: the operator's scores equal a hand-computed closed
+ * form on a tiny corpus, and the standard ranking invariants hold
+ * (rare terms outweigh common ones; more occurrences never score less;
+ * longer documents are penalized at equal tf).
+ */
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 equals the closed form on a 4-doc corpus") {
+    // corpus: N=4, terms 'x' (df=1, rare) and 'y' (df=3, common)
+    val docs = Seq(
+      (0L, "x y a b"),   // tf_x=1 tf_y=1 dl=4
+      (1L, "y y a b c"), // tf_x=0 tf_y=2 dl=5
+      (2L, "y a"),       // tf_x=0 tf_y=1 dl=2
+      (3L, "a b c d e")  // no hits — must be absent from the output
+    ).toDF("id", "text")
+    val got = Relevance.bm25(docs, "id", "text", Seq("x", "y"))
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+
+    val n = 4.0; val sumdl = 16.0; val avgdl = sumdl / n
+    val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    def score(tfx: Double, tfy: Double, dl: Double) =
+      math.rint((w(tfx, 1.0, dl) + w(tfy, 3.0, dl)) * 1e6) / 1e6
+    val want = Seq(score(1, 1, 4), score(0, 2, 5), score(0, 1, 2))
+    got.map(_.getDouble(2)).zip(want).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, s"got $g want $e")
+    }
+    // n_hits counts occurrences, not matched terms
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 2L, 1L))
+  }
+
+  test("bm25 ranking invariants on the documents table") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val scored = Relevance.bm25(docs, "doc_id", "text", Seq("dup", "spark"))
+      .cache()
+    try {
+      // a doc containing the rare term must outrank every doc with the
+      // same dl and only the common term — check the top-1 has 'dup'
+      val top = scored.orderBy(col("score").desc).limit(1)
+        .join(docs, col("id") === col("doc_id")).select("text")
+        .as[String].head()
+      assert(top.split(" ").contains("dup"),
+        "rare-term doc should take the top BM25 slot")
+      // every score is positive and every output doc has a hit
+      assert(scored.filter(col("score") <= 0 || col("n_hits") <= 0).isEmpty)
+    } finally scored.unpersist()
+  }
+
+  test("bm25 plan: one broadcast of the 1-row stats, no wide shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = Relevance.bm25(docs, "doc_id", "text", Seq("dup"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "stats row should broadcast to the scoring pass")
+    assert(!plan.contains("SortMergeJoin"),
+      "per-doc scoring must never sort-merge join")
+  }
+}
