@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * pg_trgm-compatible trigram similarity (PostgreSQL `contrib/pg_trgm`,
+ * which the openGauss kernel ships; ref similarity semantics:
+ * shared/union over padded word trigrams). The reference's vector side
+ * handles embedding similarity; pg_trgm is the STRING-similarity
+ * surface a user porting PG/openGauss SQL would reach for
+ * (`similarity(a,b)`, `a % b`, trigram-index LIKE acceleration).
+ *
+ * Trigram extraction matches PG: lowercase, split into words on
+ * non-alphanumeric runs, pad each word with two leading and one
+ * trailing space, emit every 3-char window, dedupe across the whole
+ * string — e.g. show_trgm('word') = {"  w"," wo","wor","ord","rd "}.
+ *
+ * Everything is pure Column arithmetic (codegen'd, no UDF). The
+ * pair-search form is the batch analog of a pg_trgm GiST `%` scan:
+ * candidates from a trigram equi-join with a count lower bound
+ * (sim ≥ τ ⟺ shared ≥ τ·(na+nb)/(1+τ)), never all-pairs.
+ */
+object Trgm {
+
+  /** PG-semantics padded word trigram set (distinct, order not
+    * meaningful — comparisons use set intersection). */
+  def trigrams(text: Column): Column = {
+    val words = filter(split(lower(text), "[^a-z0-9]+"), w => length(w) > 0)
+    array_distinct(flatten(transform(words, w =>
+      transform(sequence(lit(1), length(w) + 1), i =>
+        concat(lit("  "), w, lit(" ")).substr(i, lit(3))))))
+  }
+
+  /** similarity() over two precomputed trigram sets. */
+  def similarityOfSets(ta: Column, tb: Column): Column = {
+    val shared = size(array_intersect(ta, tb)).cast("double")
+    val uni = (size(ta) + size(tb)).cast("double") - shared
+    when(uni <= 0.0, lit(0.0)).otherwise(shared / uni)
+  }
+
+  /** PG `similarity(text, text)`: trigram-set Jaccard in [0,1]. */
+  def similarity(a: Column, b: Column): Column =
+    similarityOfSets(trigrams(a), trigrams(b))
+
+  /**
+   * All pairs with similarity ≥ tau — the `a % b` search as a batch
+   * join. Shape: explode distinct trigrams, equi-join on the trigram,
+   * count shared per pair, keep pairs passing the exact count bound.
+   * `maxDf` guards stop-trigrams (a trigram in d docs fans d² join
+   * rows): grams with df > maxDf are dropped from CANDIDATE generation
+   * only — a pair relying solely on ultra-common trigrams can be
+   * missed, which mirrors pg_trgm's own signature saturation; pass
+   * maxDf = Int.MaxValue for the exact join (or use the salted
+   * decomposition in Dedup.ngramJaccardPairsSalted for exact + skew).
+   */
+  def similarPairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double, maxDf: Int = 4096): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), trigrams(col(textCol)).as("tg"))
+      .select(col("id"), size(col("tg")).as("n"), col("tg"))
+    val ex = base.select(col("id"), col("n"), explode(col("tg")).as("g"))
+    val light = if (maxDf == Int.MaxValue) ex else {
+      val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      ex.join(dfreq.filter(col("gdf") <= maxDf), "g")
+    }
+    val cands = light.as("a").join(light.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")).cast("double") * tau)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_cand"))
+    // verify on the FULL trigram sets (candidate counts may miss
+    // heavy grams): re-join the two set columns and compute exactly
+    cands.join(base.select(col("id").as("id_a"), col("tg").as("tga")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("tg").as("tgb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(similarityOfSets(col("tga"), col("tgb")), 6).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+}

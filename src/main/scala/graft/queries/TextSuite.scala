@@ -106,6 +106,21 @@ object TextSuite {
         .withColumnRenamed("id", "doc_id")
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // pg_trgm similarity(): PG-semantics padded word trigrams, gated
+    // as consecutive-id pairs (an equi-join — no global window, no
+    // all-pairs). The scaled `%`-search form is Trgm.similarPairs,
+    // spec-gated (this corpus's shared 30-word vocab makes every doc
+    // pair ~0.9-similar, so a threshold search would return O(n²)).
+    "sim_trgm" -> ((s, dir) => {
+      val d = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("next_id"),
+          round(graft.operators.Trgm.similarity(col("a.text"), col("b.text")), 6)
+            .as("sim"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // PII scrubbing over text with PLANTED addresses (the natural corpus
     // has none, so the gate synthesizes one email + one URL per doc —
     // both engines build and scrub the identical string)
@@ -227,6 +242,21 @@ object TextSuite {
         |  round(avg(ln(tf::DOUBLE / nt)), 6) AS logprob
         |FROM tt JOIN f USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical PG trigram construction: pad '  w ', all 3-char
+    // windows, distinct across the string; sim = |∩| / |∪|
+    "sim_trgm" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |FROM documents),
+        |t AS (SELECT doc_id, list_distinct(flatten(list_transform(ws, w ->
+        |    list_transform(range(1, length(w) + 2), i -> substr('  ' || w || ' ', i, 3))))) AS tg
+        |FROM w)
+        |SELECT a.doc_id AS doc_id, b.doc_id AS next_id,
+        |  round(len(list_intersect(a.tg, b.tg))::DOUBLE
+        |    / (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))), 6) AS sim
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_id""".stripMargin,
 
     // identical fixed-order BM25 arithmetic: tf/df/dl/N integer-exact,
     // per-term weights summed in literal order t0+t1+t2

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Trgm
+import org.apache.spark.sql.functions._
+
+/**
+ * pg_trgm compatibility: trigram extraction and similarity() reproduce
+ * PostgreSQL's documented values, and the pair-search form agrees with
+ * the brute-force cross product on a corpus with genuinely distinct
+ * vocabularies.
+ */
+class TrgmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sim(a: String, b: String): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(Trgm.similarity(col("a"), col("b")).as("s"))
+      .as[Double].head()
+
+  test("trigram set matches PG show_trgm semantics") {
+    val tg = Seq("word").toDF("t")
+      .select(Trgm.trigrams(col("t")).as("tg")).as[Seq[String]].head()
+    assert(tg.toSet == Set("  w", " wo", "wor", "ord", "rd "))
+    // one-char word: two trigrams, like show_trgm('a')
+    val tg1 = Seq("a").toDF("t")
+      .select(Trgm.trigrams(col("t")).as("tg")).as[Seq[String]].head()
+    assert(tg1.toSet == Set("  a", " a "))
+    // punctuation splits words; case folds; duplicates collapse
+    val tg2 = Seq("Word, word!").toDF("t")
+      .select(Trgm.trigrams(col("t")).as("tg")).as[Seq[String]].head()
+    assert(tg2.toSet == Set("  w", " wo", "wor", "ord", "rd "))
+  }
+
+  test("similarity matches PG documented values") {
+    // PG docs: similarity('word', 'two words') = 4/11
+    assert(math.abs(sim("word", "two words") - 4.0 / 11.0) < 1e-12)
+    assert(math.abs(sim("boat", "boats") - 4.0 / 7.0) < 1e-12)
+    assert(sim("word", "word") == 1.0)
+    assert(sim("", "word") == 0.0)   // PG: empty side → 0, not NULL/NaN
+    assert(sim("", "") == 0.0)
+  }
+
+  test("similarPairs equals brute force on a distinct-vocab corpus") {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    // doc i = a sliding window of 4 words → neighbors overlap 3/4
+    val docs = (0 until 7).map { i =>
+      (i.toLong, (0 until 4).map(j => words((i + j) % words.length)).mkString(" "))
+    }.toDF("id", "text")
+    val tau = 0.4
+    val got = Trgm.similarPairs(docs, "id", "text", tau, maxDf = Int.MaxValue)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = docs.select(col("id"), Trgm.trigrams(col("text")).as("tg"))
+    val brute = base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Trgm.similarityOfSets(col("a.tg"), col("b.tg")), 6).as("sim"))
+      .filter(col("sim") >= tau).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == brute)
+    assert(brute.nonEmpty, "overlapping windows should clear tau")
+    // default maxDf (no gram here is heavy) gives the same answer
+    val dflt = Trgm.similarPairs(docs, "id", "text", tau)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(dflt == brute)
+  }
+}
