@@ -106,6 +106,16 @@ object TextSuite {
         .withColumnRenamed("id", "doc_id")
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // stratified exact-n sampling: per-language 25-doc deterministic
+    // sample by Knuth-mix order — one shuffle on the stratum key, the
+    // per-stratum sort is Spark's external (spillable) sort; the
+    // map-only hashFraction form is spec-gated (see Sampling)
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedExactN(
+          Tables.spread(s, dir, "documents")
+            .select(col("doc_id"), col("lang")), "lang", "doc_id", 25)
+        .transform(Gate.ordered(_, "doc_id"))),
+
     // pg_trgm similarity(): PG-semantics padded word trigrams, gated
     // as consecutive-id pairs (an equi-join — no global window, no
     // all-pairs). The scaled `%`-search form is Trgm.similarPairs,
@@ -242,6 +252,15 @@ object TextSuite {
         |  round(avg(ln(tf::DOUBLE / nt)), 6) AS logprob
         |FROM tt JOIN f USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical Knuth-mix permutation in exact BIGINT arithmetic
+    "sample_stratified" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |FROM documents)
+        |SELECT doc_id, lang, rk::INTEGER AS rk FROM r
+        |WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
 
     // identical PG trigram construction: pad '  w ', all 3-char
     // windows, distinct across the string; sim = |∩| / |∪|

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/**
+ * Sampling contracts: both forms are pure functions of the input set
+ * (partitioning-invariant), stratifiedExactN caps every stratum at n,
+ * and hashFraction is a map-only plan with the expected keep rate.
+ */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "lang")
+
+  test("stratifiedExactN: exact cap, determinism under repartition") {
+    val s1 = Sampling.stratifiedExactN(docs, "lang", "doc_id", 10)
+    val perStratum = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (l, n) =>
+      assert(perStratum(l) == math.min(10L, n), s"stratum $l")
+    }
+    val a = s1.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val b = Sampling.stratifiedExactN(docs.repartition(7), "lang", "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(a == b, "sample must not depend on physical partitioning")
+  }
+
+  test("hashFraction: map-only plan, deterministic, ~frac keep rate") {
+    val s = Sampling.hashFraction(docs, "doc_id", 0.2)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling filter must not shuffle:\n$plan")
+    val n = docs.count().toDouble
+    val kept = s.count().toDouble
+    assert(math.abs(kept / n - 0.2) < 0.1, s"keep rate ${kept / n}")
+    // deterministic: same rows on re-run and under repartition
+    val a = s.collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashFraction(docs.repartition(5), "doc_id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // nested property: a 0.1 sample is a subset of the 0.2 sample
+    // (threshold filters nest), which is what makes sample sizes
+    // adjustable without resampling churn
+    val c = Sampling.hashFraction(docs, "doc_id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+  }
+}
