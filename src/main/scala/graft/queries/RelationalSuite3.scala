@@ -32,6 +32,51 @@ object RelationalSuite3 {
       "q20_potential_promo")
 
   val queries: Map[String, Q] = Map(
+    // PG array-type surface (openGauss inherits PG arrays): array_agg
+    // with deterministic order, @> containment (forall+array_contains),
+    // && overlap (arrays_overlap), || concat, position, intersection —
+    // all pure codegen'd Column ops over a per-user event-type set
+    "array_ops" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .select(col("user_id"),
+          // arrays serialize to joined strings for the gate (the
+          // driver's hash can't take array cells); the ops themselves
+          // run on the real array type
+          array_join(col("types"), ",").as("types_str"),
+          size(col("types")).as("n_types"),
+          forall(array(lit("click"), lit("error")),
+            x => array_contains(col("types"), x)).as("has_all"),
+          arrays_overlap(col("types"),
+            array(lit("signup"), lit("purchase"))).as("has_any"),
+          array_position(col("types"), "error").as("err_pos"),
+          array_join(array_sort(array_intersect(col("types"),
+            array(lit("click"), lit("view"), lit("signup")))), ",").as("common_str"),
+          array_join(concat(col("types"), array(lit("zz"))), "|").as("cat"),
+          element_at(col("types"), 1).as("first_type"))
+        .transform(Gate.ordered(_, "user_id"))),
+
+    // Z-order layout: Morton-interleave (user_id, ⌊value⌋) into a
+    // 16-bit z-key, static 16-way equal-width bucket split, per-bucket
+    // extent stats — the gate proves the z-math and that each bucket
+    // covers a tight z-range (data-skipping precondition). The
+    // production writer path is Layout.clusterByZ (range-repartition,
+    // sampler-dependent boundaries → spec-level, not oracle-gated).
+    "zorder_layout" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").select(
+        col("event_id"),
+        pmod(col("user_id"), lit(256)).cast("int").as("x"),
+        pmod(floor(col("value")).cast("long"), lit(256)).cast("int").as("y"))
+      graft.operators.Layout.zorderBuckets(ev, "x", "y", bits = 8, nBuckets = 16)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("zval")).as("z_min"), max(col("zval")).as("z_max"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .transform(Gate.ordered(_, "bucket"))
+    }),
+
     // Q2 shape: cheapest EUROPE supplier per qualifying part — the
     // correlated-min subquery expressed as a per-part window over the
     // filtered join (same rows touched once; no LIMIT so the result
@@ -125,7 +170,40 @@ object RelationalSuite3 {
     })
   )
 
+  /** Morton interleave as plain SQL bit arithmetic (bit i of x →
+    * output bit 2i, bit i of y → 2i+1) — identical to Layout.zValue. */
+  private val zExprSql: String = (0 until 8).map(i =>
+    s"((((x >> $i) & 1)::BIGINT << ${2 * i}) + (((y >> $i) & 1)::BIGINT << ${2 * i + 1}))")
+    .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "array_ops" ->
+      """WITH t AS (SELECT user_id,
+        |  list_sort(list_distinct(list(event_type))) AS types
+        |FROM events GROUP BY user_id)
+        |SELECT user_id, array_to_string(types, ',') AS types_str,
+        |  len(types)::INTEGER AS n_types,
+        |  list_has_all(types, ['click','error']) AS has_all,
+        |  list_has_any(types, ['signup','purchase']) AS has_any,
+        |  coalesce(list_position(types, 'error'), 0)::BIGINT AS err_pos,
+        |  array_to_string(list_sort(list_intersect(types, ['click','view','signup'])), ',') AS common_str,
+        |  array_to_string(list_concat(types, ['zz']), '|') AS cat,
+        |  types[1] AS first_type
+        |FROM t ORDER BY user_id""".stripMargin,
+
+    "zorder_layout" ->
+      s"""WITH e AS (SELECT event_id,
+         |  (user_id % 256)::INTEGER AS x,
+         |  (CAST(floor(value) AS BIGINT) % 256)::INTEGER AS y
+         |FROM events),
+         |z AS (SELECT x, y, ($zExprSql) AS zval FROM e),
+         |b AS (SELECT x, y, zval, ((zval * 16) >> 16)::INTEGER AS bucket FROM z)
+         |SELECT bucket, count(*)::BIGINT AS n,
+         |  min(zval) AS z_min, max(zval) AS z_max,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q2_min_cost" ->
       """SELECT s_acctbal, s_name, n_name, p_partkey
         |FROM part, supplier, partsupp, nation, region

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order contracts: the Column z-value equals a reference Morton
+ * interleave, static buckets are aligned Morton tiles (the
+ * data-skipping locality guarantee), and the production writer path
+ * produces partitions with disjoint, increasing z-ranges.
+ */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refZ(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map(i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+
+  test("zValue equals the reference interleave on random points") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(500)((rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 12).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == refZ(r.getLong(0), r.getLong(1), 12))
+    }
+  }
+
+  test("buckets are aligned Morton tiles: every extent fits 64x64") {
+    // 16 buckets over a 16-bit z-span: each bucket is one aligned
+    // 2^12 z-block = exactly a 64x64 (x, y) tile — so per-bucket
+    // min/max stats prune scans on EITHER dimension
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").select(
+      pmod(col("user_id"), lit(256)).cast("int").as("x"),
+      pmod(floor(col("value")).cast("long"), lit(256)).cast("int").as("y"))
+    val ext = Layout.zorderBuckets(ev, "x", "y", bits = 8, nBuckets = 16)
+      .groupBy("bucket")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"),
+        min("zval").as("zlo"), max("zval").as("zhi"))
+      .collect()
+    assert(ext.nonEmpty)
+    ext.foreach { r =>
+      assert(r.getInt(1) < 64 && r.getInt(2) < 64,
+        s"bucket ${r.getInt(0)} extent ${r.getInt(1)}x${r.getInt(2)}")
+      val b = r.getInt(0).toLong
+      assert(r.getLong(3) >= b * 4096 && r.getLong(4) < (b + 1) * 4096)
+    }
+  }
+
+  test("clusterByZ partitions carry disjoint increasing z-ranges") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").select(
+      pmod(col("user_id"), lit(256)).cast("int").as("x"),
+      pmod(floor(col("value")).cast("long"), lit(256)).cast("int").as("y"))
+    val parts = Layout.clusterByZ(ev, "x", "y", bits = 8, nFiles = 8)
+      .select("zval").as[Long].rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        val s = it.toSeq
+        if (s.isEmpty) Iterator.empty
+        else Iterator((i, s.min, s.max, s.sliding(2).forall(p => p.head <= p.last)))
+      }.collect().sortBy(_._1)
+    assert(parts.length > 1, "expected multiple non-empty partitions")
+    parts.foreach { case (i, _, _, sorted) => assert(sorted, s"partition $i unsorted") }
+    parts.sliding(2).foreach { case Array((_, _, hi, _), (_, lo, _, _)) =>
+      assert(hi <= lo, "partition z-ranges must not overlap")
+    case _ => ()
+    }
+  }
+}
