@@ -26,7 +26,8 @@ object Bench {
     "mm_pipeline", "mm_decode", "mm_audio", "mm_video", "mm_jpeg", "mm_resize", "pack_sequences",
     "stream_window", "stream_neardup", "sessionize", "sessionize_stateful",
     "asof_join", "range_join", "theta_sketch",
-    "sample_stratified", "array_ops", "zorder_layout")
+    "sample_stratified", "array_ops", "zorder_layout",
+    "within_group", "pivot_events", "gap_fill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -77,6 +77,59 @@ object RelationalSuite3 {
         .transform(Gate.ordered(_, "bucket"))
     }),
 
+    // PG ordered-set aggregates (WITHIN GROUP): mode() with a pinned
+    // tie-break (highest count, then smallest value — PG leaves ties
+    // implementation-defined, so the gate pins them), percentile_disc
+    // (smallest value with cumulative fraction ≥ p = 1-based rank
+    // ⌈p·n⌉) and percentile_cont (linear interpolation at (n−1)·p) —
+    // disc/mode via one count aggregate + per-group windows over the
+    // DISTINCT value set (bounded: ≤50 quantities), cont via the exact
+    // percentile aggregate
+    "within_group" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val wMode = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity"))
+      val mode = counts.withColumn("rn", row_number().over(wMode))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val disc = counts
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("tot", sum(col("n")).over(wAll))
+        .filter(col("cum") - col("n") < ceil(col("tot") * 0.5) &&
+          ceil(col("tot") * 0.5) <= col("cum"))
+        .select(col("l_returnflag"), col("l_quantity").as("p50_disc"))
+      val cont = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25_cont"))
+      mode.join(disc, Seq("l_returnflag")).join(cont, Seq("l_returnflag"))
+        .transform(Gate.ordered(_, "l_returnflag"))
+    }),
+
+    // PG crosstab/pivot: per-user event-type counts as columns (the
+    // tablefunc crosstab shape) — Spark native pivot with an explicit
+    // column list (no extra distinct-values job), nulls → 0
+    "pivot_events" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "error", "purchase", "signup"))
+        .count()
+        .na.fill(0L)
+        .transform(Gate.ordered(_, "user_id"))),
+
+    // PG generate_series + LOCF idiom: hourly gap fill per user with
+    // last-observation-carried-forward (TimeSeries.gapFillLocf); the
+    // grid is generated PER KEY from its own span (no global calendar
+    // cross join), one shuffle + one per-key ordered window
+    "gap_fill" -> ((s, dir) =>
+      graft.operators.TimeSeries.gapFillLocf(
+          Tables(s, dir, "events").filter(col("user_id") < 50),
+          "user_id", "ts", "value", truncUnit = "hour", step = "1 hour")
+        .withColumnRenamed("key", "user_id")
+        .transform(Gate.ordered(_, "user_id", "bucket"))),
+
     // Q2 shape: cheapest EUROPE supplier per qualifying part — the
     // correlated-min subquery expressed as a per-part window over the
     // filtered join (same rows touched once; no LIMIT so the result
@@ -203,6 +256,41 @@ object RelationalSuite3 {
          |  min(x) AS x_min, max(x) AS x_max,
          |  min(y) AS y_min, max(y) AS y_max
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "within_group" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, l_quantity AS mode_qty,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rn
+        |  FROM c),
+        |d AS (SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS p50_disc,
+        |  quantile_cont(l_quantity, 0.25) AS p25_cont FROM lineitem GROUP BY 1)
+        |SELECT m.l_returnflag, m.mode_qty, d.p50_disc, d.p25_cont
+        |FROM m JOIN d USING (l_returnflag) WHERE m.rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "pivot_events" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "gap_fill" ->
+      """WITH o AS (SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+        |    max(value) AS v_obs
+        |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM o GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM s),
+        |j AS (SELECT g.user_id, g.bucket, o.v_obs
+        |  FROM g LEFT JOIN o ON o.user_id = g.user_id AND o.bucket = g.bucket)
+        |SELECT user_id, bucket,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+        |  v_obs IS NOT NULL AS observed
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
 
     "q2_min_cost" ->
       """SELECT s_acctbal, s_name, n_name, p_partkey
