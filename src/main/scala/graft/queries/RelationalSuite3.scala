@@ -119,6 +119,16 @@ object RelationalSuite3 {
         .na.fill(0L)
         .transform(Gate.ordered(_, "user_id"))),
 
+    // column profiling (the pre-ingest data-quality pass): row/null/
+    // distinct counts + typed min/max per column, one aggregation row
+    // exploded to per-column rows; exact distinct here (gate), the
+    // 100 TB path flips to the single-pass HLL regime (see Profile)
+    "profile_stats" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+          Tables(s, dir, "events"),
+          Seq("event_id", "user_id", "event_type", "value", "props"))
+        .transform(Gate.ordered(_, "col_name"))),
+
     // PG generate_series + LOCF idiom: hourly gap fill per user with
     // last-observation-carried-forward (TimeSeries.gapFillLocf); the
     // grid is generated PER KEY from its own span (no global calendar
@@ -277,6 +287,38 @@ object RelationalSuite3 {
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "profile_stats" ->
+      """SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  count(DISTINCT event_id)::BIGINT AS n_distinct,
+        |  min(event_id)::DOUBLE AS min_num, max(event_id)::DOUBLE AS max_num,
+        |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*)::BIGINT,
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT user_id)::BIGINT,
+        |  min(user_id)::DOUBLE, max(user_id)::DOUBLE,
+        |  NULL::VARCHAR, NULL::VARCHAR FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*)::BIGINT,
+        |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT event_type)::BIGINT,
+        |  NULL::DOUBLE, NULL::DOUBLE,
+        |  min(event_type), max(event_type) FROM events
+        |UNION ALL
+        |SELECT 'value', count(*)::BIGINT,
+        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT value)::BIGINT,
+        |  min(value)::DOUBLE, max(value)::DOUBLE,
+        |  NULL::VARCHAR, NULL::VARCHAR FROM events
+        |UNION ALL
+        |SELECT 'props', count(*)::BIGINT,
+        |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT props)::BIGINT,
+        |  NULL::DOUBLE, NULL::DOUBLE,
+        |  min(props), max(props) FROM events
+        |ORDER BY col_name""".stripMargin,
 
     "gap_fill" ->
       """WITH o AS (SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS bucket,

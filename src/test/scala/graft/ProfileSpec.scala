@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Profile
+import org.apache.spark.sql.functions._
+
+/**
+ * Profile contracts: the exact and approx regimes agree on everything
+ * but the distinct estimator, and the approx plan drops the Expand
+ * (the c× row multiplication exactness costs).
+ */
+class ProfileSpec extends SparkSpec {
+
+  private lazy val ev = spark.read.parquet(s"$sfDir/events.parquet")
+  private val cols = Seq("event_id", "user_id", "event_type", "value")
+
+  test("exact vs approx: identical except the distinct estimate") {
+    val e = Profile.profile(ev, cols, exact = true).orderBy("col_name").collect()
+    val a = Profile.profile(ev, cols, exact = false).orderBy("col_name").collect()
+    e.zip(a).foreach { case (re, ra) =>
+      assert(re.getString(0) == ra.getString(0))
+      assert(re.getLong(1) == ra.getLong(1) && re.getLong(2) == ra.getLong(2))
+      // HLL estimate within its documented error band
+      val (de, da) = (re.getLong(3).toDouble, ra.getLong(3).toDouble)
+      assert(math.abs(da - de) / de < 0.1, s"${re.getString(0)}: $da vs $de")
+      assert(re.get(4) == ra.get(4) && re.get(5) == ra.get(5))
+    }
+  }
+
+  test("approx regime plans without Expand; exact pays it") {
+    val exact = Profile.profile(ev, cols, exact = true)
+      .queryExecution.executedPlan.toString
+    val approx = Profile.profile(ev, cols, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"),
+      "multi-column exact distinct should plan an Expand")
+    assert(!approx.contains("Expand"),
+      "HLL profile must be a single pass with no row multiplication")
+  }
+
+  test("null accounting: planted nulls are counted, not distinct-inflated") {
+    import spark.implicits._
+    val df = Seq((Some(1), "a"), (None, "b"), (None, "a"), (Some(2), null))
+      .toDF("x", "s")
+    val p = Profile.profile(df, Seq("x", "s")).orderBy("col_name").collect()
+    val s = p(0); val x = p(1)
+    assert(s.getString(0) == "s" && s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.getString(6) == "a" && s.getString(7) == "b")
+    assert(x.getString(0) == "x" && x.getLong(2) == 2 && x.getLong(3) == 2)
+    assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 2.0)
+  }
+}
