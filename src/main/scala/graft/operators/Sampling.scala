@@ -48,6 +48,40 @@ object Sampling {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
   }
 
+  /**
+   * Temperature-weighted source mixing — the mixture-flattening pass
+   * LLM pipelines run so a 100× bigger source doesn't contribute 100×
+   * the tokens: each source's quota scales as scale·n^temp (temp < 1
+   * flattens; temp = 0.5 is the common sqrt mix), members picked in
+   * Knuth-mix order. Per-source quotas are INDEPENDENT (no
+   * cross-source normalization sum, whose float accumulation order
+   * would be engine-dependent): quota = round(scale · n^temp), exact
+   * for temp = 0.5 since sqrt is IEEE correctly-rounded in every
+   * engine and a rational sqrt forces an integer (no .5 rounding
+   * boundary exists). One count aggregate + the stratified window —
+   * two shuffles on the source key total.
+   * Output: input columns + rk (1-based pick order within source).
+   */
+  def mixBySource(df: DataFrame, sourceCol: String, idCol: String,
+      temp: Double = 0.5, scale: Double = 5.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sqrt is IEEE correctly-rounded everywhere; pow(x, y) is not —
+    // route the common temp through sqrt so the quota is engine-exact
+    def tempPow(n: Column): Column =
+      if (temp == 0.5) sqrt(n)
+      else if (temp == 1.0) n
+      else pow(n, temp)
+    val quotas = df.groupBy(col(sourceCol))
+      .agg(round(tempPow(count(lit(1)).cast("double")) * scale, 0)
+        .cast("long").as("_quota"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(mix(col(idCol)), col(idCol))
+    df.join(quotas, Seq(sourceCol))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("_quota"))
+      .drop("_quota")
+  }
+
   /** Bernoulli-by-hash sample keeping ~frac of rows: map-only filter,
     * deterministic, stratum-free. `mod` sets the resolution (defaults
     * to 1e6 → frac quantized to 1e-6). */

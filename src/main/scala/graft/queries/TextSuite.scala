@@ -116,6 +116,17 @@ object TextSuite {
             .select(col("doc_id"), col("lang")), "lang", "doc_id", 25)
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // temperature-weighted mixture flattening: per-language quota
+    // ∝ sqrt(n) (en keeps ~34% of its docs, fr ~63% — the sqrt mix),
+    // members picked in Knuth-mix order; quotas are per-source
+    // independent so no engine-ordered float accumulation exists
+    "mix_sources" -> ((s, dir) =>
+      graft.operators.Sampling.mixBySource(
+          Tables.spread(s, dir, "documents")
+            .select(col("doc_id"), col("lang")), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .transform(Gate.ordered(_, "doc_id"))),
+
     // pg_trgm similarity(): PG-semantics padded word trigrams, gated
     // as consecutive-id pairs (an equi-join — no global window, no
     // all-pairs). The scaled `%`-search form is Trgm.similarPairs,
@@ -252,6 +263,19 @@ object TextSuite {
         |  round(avg(ln(tf::DOUBLE / nt)), 6) AS logprob
         |FROM tt JOIN f USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical per-source quota arithmetic (sqrt correctly-rounded
+    // in both engines) + the identical Knuth-mix pick order
+    "mix_sources" ->
+      """WITH q AS (SELECT lang,
+        |  CAST(round(sqrt(count(*)::DOUBLE) * 5, 0) AS BIGINT) AS quota
+        |FROM documents GROUP BY lang),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |FROM documents)
+        |SELECT r.doc_id, r.lang, r.rk::INTEGER AS rk
+        |FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+        |ORDER BY doc_id""".stripMargin,
 
     // identical Knuth-mix permutation in exact BIGINT arithmetic
     "sample_stratified" ->

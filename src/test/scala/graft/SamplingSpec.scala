@@ -28,6 +28,30 @@ class SamplingSpec extends SparkSpec {
     assert(a == b, "sample must not depend on physical partitioning")
   }
 
+  test("mixBySource: sqrt quotas flatten the mixture, deterministic") {
+    import org.apache.spark.sql.functions.count
+    val mixed = Sampling.mixBySource(docs, "lang", "doc_id")
+    val kept = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (l, n) =>
+      val quota = math.round(math.sqrt(n.toDouble) * 5.0)
+      assert(kept(l) == math.min(quota, n), s"lang $l: ${kept(l)} vs $quota")
+    }
+    // flattening: the biggest source keeps a SMALLER share than the
+    // smallest one
+    val (big, small) = (sizes.maxBy(_._2)._1, sizes.minBy(_._2)._1)
+    if (sizes(big) > sizes(small)) {
+      assert(kept(big).toDouble / sizes(big) < kept(small).toDouble / sizes(small))
+    }
+    // pure function of the input set
+    val a = mixed.collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val b = Sampling.mixBySource(docs.repartition(9), "lang", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+
   test("hashFraction: map-only plan, deterministic, ~frac keep rate") {
     val s = Sampling.hashFraction(docs, "doc_id", 0.2)
     val plan = s.queryExecution.executedPlan.toString
