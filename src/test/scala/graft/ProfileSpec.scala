@@ -26,15 +26,21 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
-  test("approx regime plans without Expand; exact pays it") {
+  test("neither regime plans an Expand; exact is per-column branches") {
+    // a single wide aggregate with c count_distincts makes Spark plan
+    // an Expand ((c+1)× every row through the shuffle — measured 2×
+    // the union's cost at c=5); the per-column union keeps each branch
+    // a pruned single-column scan with the single-distinct rewrite
     val exact = Profile.profile(ev, cols, exact = true)
       .queryExecution.executedPlan.toString
     val approx = Profile.profile(ev, cols, exact = false)
       .queryExecution.executedPlan.toString
-    assert(exact.contains("Expand"),
-      "multi-column exact distinct should plan an Expand")
+    assert(!exact.contains("Expand"),
+      "exact profile must union per-column branches, not Expand")
     assert(!approx.contains("Expand"),
       "HLL profile must be a single pass with no row multiplication")
+    assert(approx.contains("Union") == false, "approx is one aggregate")
+    assert(exact.contains("Union"), "exact unions one branch per column")
   }
 
   test("null accounting: planted nulls are counted, not distinct-inflated") {
