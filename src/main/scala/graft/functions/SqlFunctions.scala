@@ -39,6 +39,22 @@ object SqlFunctions {
     "halfvec" -> (args => HalfVecRoundTrip(vec(args.head))),
     "simhash64" -> (args => SimHash64(args.head)),
     "rolling_hash" -> (args => RollingHash(args.head)),
+    // pg_trgm surface (PG contrib the openGauss kernel ships) — raw
+    // Catalyst trees (a Column round-trip through the Bridge leaves a
+    // ColumnNodeExpression the registry path cannot codegen; same
+    // constraint as the theta estimators below)
+    "similarity" -> (args => TrgmSql.similarity(args(0), args(1))),
+    "show_trgm" -> (args => TrgmSql.trigrams(args.head)),
+    // z-order key (bits must be a literal, like PG's fixed-width ops)
+    "zvalue" -> (args => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val bits = args(2) match {
+        case Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"graft: zvalue bits must be an integer literal, got $other")
+      }
+      TrgmSql.zValue(args(0), args(1), bits)
+    }),
     "parse_vector" -> (args => ParseVector(args.head)),
     "vector_to_string" -> (args => VectorToString(vec(args.head))),
     "parse_sparsevec" -> (args => ParseSparseVector(args.head)),
@@ -106,6 +122,47 @@ object SqlFunctions {
         ArrayUnion(ThetaSql.hashes(args(0)), ThetaSql.hashes(args(1))), th)), th)
     })
   )
+
+  /** Raw-Catalyst builders for the pg_trgm + z-order SQL surface —
+    * mirrors graft.operators.{Trgm, Layout} exactly (PG padded word
+    * trigrams; Morton interleave). */
+  private object TrgmSql {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+
+    def trigrams(t: Expression): Expression = {
+      val w = UnresolvedNamedLambdaVariable(Seq("w"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val words = ArrayFilter(
+        StringSplit(Lower(t), Literal("[^a-z0-9]+"), Literal(-1)),
+        LambdaFunction(GreaterThan(Length(w), Literal(0)), Seq(w)))
+      val padded = Concat(Seq(Literal("  "), w, Literal(" ")))
+      val grams = ArrayTransform(
+        new Sequence(Literal(1), Add(Length(w), Literal(1)), None),
+        LambdaFunction(Substring(padded, i, Literal(3)), Seq(i)))
+      ArrayDistinct(Flatten(ArrayTransform(words, LambdaFunction(grams, Seq(w)))))
+    }
+
+    def similarity(a: Expression, b: Expression): Expression = {
+      val ta = trigrams(a); val tb = trigrams(b)
+      val shared = Size(ArrayIntersect(ta, tb), legacySizeOfNull = false)
+      val uni = Subtract(
+        Add(Size(ta, legacySizeOfNull = false), Size(tb, legacySizeOfNull = false)),
+        shared)
+      If(LessThanOrEqual(uni, Literal(0)), Literal(0.0),
+        Divide(Cast(shared, DoubleType), Cast(uni, DoubleType)))
+    }
+
+    def zValue(x: Expression, y: Expression, bits: Int): Expression = {
+      require(bits >= 1 && bits <= 31, "bits must be in [1,31]")
+      val xs = Cast(x, LongType); val ys = Cast(y, LongType)
+      (0 until bits).map { i =>
+        Add(
+          ShiftLeft(BitwiseAnd(ShiftRight(xs, Literal(i)), Literal(1L)), Literal(2 * i)),
+          ShiftLeft(BitwiseAnd(ShiftRight(ys, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
+      }.reduce[Expression](Add(_, _))
+    }
+  }
 
   /** Raw-Catalyst builders for the theta estimators (see note above). */
   private object ThetaSql {

@@ -27,6 +27,17 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: zvalue() matches the Column API; bits must be literal") {
+    graft.functions.SqlFunctions.register(spark)
+    val r = spark.sql("SELECT zvalue(5, 3, 4) AS z").head().getLong(0)
+    assert(r == refZ(5L, 3L, 4))
+    val e = intercept[Exception] {
+      spark.sql("SELECT zvalue(5, 3, 1 + 3) AS z").head()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("buckets are aligned Morton tiles: every extent fits 64x64") {
     // 16 buckets over a 16-bit z-span: each bucket is one aligned
     // 2^12 z-block = exactly a 64x64 (x, y) tile — so per-bucket

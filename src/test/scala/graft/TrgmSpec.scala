@@ -40,6 +40,16 @@ class TrgmSpec extends SparkSpec {
     assert(sim("", "") == 0.0)
   }
 
+  test("SQL surface: similarity()/show_trgm() match the Column API") {
+    graft.functions.SqlFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT similarity('word', 'two words') AS s, show_trgm('word') AS t")
+      .head()
+    assert(math.abs(r.getDouble(0) - 4.0 / 11.0) < 1e-12)
+    assert(r.getSeq[String](1).toSet ==
+      Set("  w", " wo", "wor", "ord", "rd "))
+  }
+
   test("similarPairs equals brute force on a distinct-vocab corpus") {
     val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
       "foxtrot", "golf", "hotel", "india", "juliet")
