@@ -47,6 +47,15 @@ object StreamingSuite {
       StreamAgg.windowedAgg(Tables(s, dir, "events"))
         .transform(Gate.ordered(_, "window_start", "event_type"))),
 
+    // stream-static enrichment: the customer dim BROADCASTS (no join
+    // state — only the windowed agg holds state, watermark-bounded);
+    // batch run of the identical plan is the gate
+    "stream_enrich" -> ((s, dir) =>
+      StreamAgg.enrichedWindowedAgg(
+          Tables(s, dir, "events"), Tables(s, dir, "customer"),
+          "user_id", "c_custkey", "c_nationkey")
+        .transform(Gate.ordered(_, "window_start", "c_nationkey"))),
+
     // stream-stream join semantics (time-bounded click -> purchase),
     // run batch for the gate; stream/batch equivalence in StreamingSpec.
     "stream_join" -> ((s, dir) => {
@@ -183,6 +192,13 @@ object StreamingSuite {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, c_nationkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // exact below k: the sketch gate equals plain COUNT(DISTINCT) SQL
     "theta_sketch" ->

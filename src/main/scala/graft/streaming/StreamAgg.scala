@@ -35,6 +35,28 @@ object StreamAgg {
   }
 
   /**
+   * Stream-static enrichment + windowed rollup (SURVEY §2 E4): the
+   * fact stream joins a STATIC dimension — Spark plans a broadcast
+   * hash join with NO join state (only the aggregation keeps state,
+   * bounded by the watermark), which is the right 100 TB shape: the
+   * dim ships once per executor, the stream never shuffles for the
+   * join. Same plan runs batch (watermark is a no-op) — the batch
+   * result is the stream's oracle.
+   */
+  def enrichedWindowedAgg(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String, dimGroup: String,
+      windowDur: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(dimKey), col(dimGroup))),
+        col(eventKey) === col(dimKey))
+      .groupBy(window(col("ts"), windowDur), col(dimGroup))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+      .select(col("window.start").as("window_start"), col(dimGroup),
+        col("n"), col("total"))
+
+  /**
    * Tumbling-window counts/sums per event type. Streaming-safe:
    * watermarked event time, exact DECIMAL value sums.
    */

@@ -96,6 +96,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stream-static enriched agg equals batch; join keeps no state") {
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val batch = StreamAgg.enrichedWindowedAgg(events, customer,
+        "user_id", "c_custkey", "c_nationkey")
+      .select($"window_start".cast("long"), $"c_nationkey".cast("long"),
+        $"n", $"total")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val enriched = StreamAgg.enrichedWindowedAgg(stream, customer,
+      "user_id", "c_custkey", "c_nationkey")
+    val q = enriched.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // stream-static join must be stateless: only the aggregation
+      // appears in the state operators
+      val progress = q.lastProgress
+      assert(progress.stateOperators.length == 1,
+        s"expected only the agg to keep state: ${progress.stateOperators.toSeq}")
+    } finally q.stop()
+    val got = spark.table("enrich_test")
+      .select($"window_start".cast("long"), $"c_nationkey".cast("long"),
+        $"n", $"total")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == batch)
+  }
+
   test("stream-stream time-bounded join equals the batch range join") {
     val batch = StreamAgg.eventJoin(events, events, "click", "purchase", 30)
       .select($"l_event", $"r_event").as[(Long, Long)].collect().toSet
