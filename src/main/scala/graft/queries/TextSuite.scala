@@ -116,6 +116,22 @@ object TextSuite {
             .select(col("doc_id"), col("lang")), "lang", "doc_id", 25)
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // one BPE merge-training round, exactly gated: the winning pair is
+    // the global top adjacent-pair count (lexicographic tie-break) and
+    // the greedy left-to-right merge's effect is verified per doc
+    // (n_after) — the SQL oracle reproduces greedy non-overlap as
+    // ceil(run/2) over gaps-and-islands of match positions
+    "bpe_step" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("n_before", size(col("toks")).cast("long"))
+      val Some(((a, b, n), merged)) = graft.operators.Bpe.step(docs, "toks")
+      merged.select(col("doc_id"), lit(a).as("pair_a"), lit(b).as("pair_b"),
+          lit(n).as("pair_n"), col("n_before"),
+          size(col("toks")).cast("long").as("n_after"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // temperature-weighted mixture flattening: per-language quota
     // ∝ sqrt(n) (en keeps ~34% of its docs, fr ~63% — the sqrt mix),
     // members picked in Knuth-mix order; quotas are per-source
@@ -263,6 +279,27 @@ object TextSuite {
         |  round(avg(ln(tf::DOUBLE / nt)), 6) AS logprob
         |FROM tt JOIN f USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // greedy non-overlapping merges per doc = Σ ceil(run/2) over
+    // islands of consecutive match positions (identical to the
+    // left-to-right fold: within a run of overlapping matches exactly
+    // the 1st, 3rd, ... merge)
+    "bpe_step" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |pr AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+        |p2 AS (SELECT doc_id, i, toks[i] AS a, toks[i+1] AS b FROM pr),
+        |top AS (SELECT a, b, count(*) AS n FROM p2 GROUP BY a, b
+        |        ORDER BY n DESC, a, b LIMIT 1),
+        |m AS (SELECT p2.doc_id, p2.i FROM p2 JOIN top USING (a, b)),
+        |isl AS (SELECT doc_id, i,
+        |        i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g FROM m),
+        |runs AS (SELECT doc_id, g, count(*) AS run FROM isl GROUP BY doc_id, g),
+        |mg AS (SELECT doc_id, sum((run + 1) // 2) AS merged FROM runs GROUP BY doc_id)
+        |SELECT t.doc_id, top.a AS pair_a, top.b AS pair_b, top.n AS pair_n,
+        |  len(t.toks)::BIGINT AS n_before,
+        |  (len(t.toks) - coalesce(mg.merged, 0))::BIGINT AS n_after
+        |FROM t CROSS JOIN top LEFT JOIN mg ON t.doc_id = mg.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // identical per-source quota arithmetic (sqrt correctly-rounded
     // in both engines) + the identical Knuth-mix pick order
