@@ -19,7 +19,7 @@ object Bench {
     "knn_exact", "knn_join", "binquant_rerank", "lsh_ann", "ivf_search", "pq_search", "ivfpq_search", "hnsw_ann",
     "hnsw_routed",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
-    "dedup_embedding_lsh", "dedup_spans", "sim_trgm", "graph_reach", "graph_hops", "sql_recursive", "pipeline_curate",
+    "dedup_embedding_lsh", "dedup_spans", "dedup_incremental", "sim_trgm", "graph_reach", "graph_hops", "sql_recursive", "pipeline_curate",
     "vocab_topk",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_logprob", "text_bm25",
     "decontaminate", "dedup_best",

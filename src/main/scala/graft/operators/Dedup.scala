@@ -149,6 +149,59 @@ object Dedup {
   }
 
   /**
+   * Persistable near-dup index: (id, hs, sig) per document — hashed
+   * shingles for exact verification plus the minhash signature for
+   * banding. Band rows are DERIVED at query time (cheap arithmetic on
+   * sig), so the stored index is one row per doc, not bands× that.
+   */
+  def dedupIndex(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"), hashedWordShingles(col(textCol)).as("hs"))
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
+
+  /**
+   * Incremental near-dup — the daily-drop shape: verify a small DELTA
+   * against an existing corpus index without re-pairing the corpus
+   * with itself. Candidates = delta×corpus band-bucket equi-join (the
+   * delta side is small, AQE broadcasts it; corpus×corpus pairs are
+   * never generated) ∪ delta×delta (the usual banded self-join, flood
+   * guard available). Verification is exact shingle Jaccard, so the
+   * output EQUALS minhashPairs(corpus ∪ delta) restricted to pairs
+   * touching a delta doc (spec-asserted). Ids must be disjoint across
+   * index and delta. A corpus-side stop bucket fans w_corpus·w_delta
+   * candidate rows — bounded by the delta's bucket width, not the
+   * corpus's square.
+   */
+  def incrementalMinhashPairs(index: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+    val r = numHashes / bands
+    val newIdx = graft.Caching.ensureCached(
+      dedupIndex(newDocs, textCol, idCol, numHashes))
+    def banded(df: DataFrame): DataFrame = df.select(col("id"),
+      posexplode(minhashBands(col("sig"), bands, r)).as(Seq("band", "bv")))
+    val cross = banded(newIdx).as("x").join(banded(index).as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+    val within = bucketCandidatePairs(banded(newIdx), Seq("band", "bv"),
+      "id", maxBucket)
+    val cand = cross.unionByName(within).dropDuplicates("id_a", "id_b")
+    val all = index.select(col("id"), col("hs"))
+      .unionByName(newIdx.select(col("id"), col("hs")))
+    cand
+      .join(all.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(all.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for all pairs above tau via a single
    * gram equi-join with count-based verification.
    *

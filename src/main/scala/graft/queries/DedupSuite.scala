@@ -29,6 +29,20 @@ object DedupSuite {
           numHashes = 64, bands = 16, tau = 0.5)
         .transform(Gate.ordered(_, "id_a", "id_b"))),
 
+    // incremental near-dup: every 10th doc is the "daily drop", the
+    // rest the indexed corpus; the delta verifies against the index
+    // without corpus×corpus pairing — the output equals the full-batch
+    // pair set restricted to pairs touching a delta doc
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+      val idx = Dedup.dedupIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "text", "doc_id")
+      Dedup.incrementalMinhashPairs(idx,
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text", "doc_id",
+          numHashes = 64, bands = 16, tau = 0.5)
+        .transform(Gate.ordered(_, "id_a", "id_b"))
+    }),
+
     // D3: SimHash pairs within hamming <= 6 via segment-pair pigeonhole.
     // Gate design: simhash signatures are hash-family values, so the
     // NATURAL corpus's hamming-<=6 pair set is not SQL-recomputable.
@@ -350,6 +364,23 @@ object DedupSuite {
     // only exact-Jaccard >= 0.5 pairs; banding recall at the verified
     // pairs' similarity levels is 1.0 on this corpus (checked at sf0.01
     // and sf0.1), so the exact pair set is the oracle.
+    // the full exact-Jaccard pair set restricted to pairs touching a
+    // delta doc (doc_id % 10 = 0)
+    "dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE, 6) AS jaccard
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.5
+        |  AND (id_a % 10 = 0 OR id_b % 10 = 0)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_minhash" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

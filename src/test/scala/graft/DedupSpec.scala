@@ -303,4 +303,18 @@ class DedupSpec extends SparkSpec {
     val n = docs.count()
     assert(docs.select(TextAnalysis.langId($"text").as("l")).filter($"l".isNotNull).count() == n)
   }
+
+  test("incremental near-dup equals the full batch restricted to the delta") {
+    val old = docs.filter(pmod($"doc_id", lit(7)) =!= 0)
+    val delta = docs.filter(pmod($"doc_id", lit(7)) === 0)
+    val idx = Dedup.dedupIndex(old, "text", "doc_id")
+    val inc = Dedup.incrementalMinhashPairs(idx, delta, "text", "doc_id",
+        tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashPairs(docs, "text", "doc_id", tau = 0.5)
+      .filter($"id_a" % 7 === 0 || $"id_b" % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full, s"incremental=$inc full-restricted=$full")
+    assert(inc.nonEmpty, "expected at least one delta-touching pair")
+  }
 }
