@@ -116,6 +116,30 @@ object TextSuite {
             .select(col("doc_id"), col("lang")), "lang", "doc_id", 25)
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // end-to-end pretrain prep: decontaminate → temperature mix →
+    // greedy sequence packing, per-doc sequence assignment gated
+    // hash-exact THROUGH THE WHOLE CHAIN (each stage's determinism
+    // composes: order-free contamination flags, per-source quota
+    // arithmetic, partitioning-invariant pack walk)
+    "pipeline_pretrain" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val clean = train.join(
+        graft.operators.Dedup.contaminationFlags(train, "text", "doc_id",
+            bench, "text")
+          .filter(!col("contaminated")).select(col("id").as("doc_id")),
+        "doc_id")
+      val mixed = graft.operators.Sampling.mixBySource(
+        clean.select(col("doc_id"), col("lang"), col("text")),
+        "lang", "doc_id")
+      val toks = mixed.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("tok"))
+      graft.operators.Pack.packGreedy(toks, "doc_id", "tok",
+          budget = 256, nGroups = 8)
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // one BPE merge-training round, exactly gated: the winning pair is
     // the global top adjacent-pair count (lexicographic tie-break) and
     // the greedy left-to-right merge's effect is verified per doc
@@ -279,6 +303,38 @@ object TextSuite {
         |  round(avg(ln(tf::DOUBLE / nt)), 6) AS logprob
         |FROM tt JOIN f USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same three stages as CTEs: contamination filter → sqrt-quota
+    // mix → the recursive-CTE pack walk over the selected set
+    "pipeline_pretrain" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |tg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram FROM t),
+        |b AS (SELECT DISTINCT gram FROM tg WHERE doc_id % 97 = 0),
+        |h AS (SELECT tg.doc_id, count(*) AS hits FROM tg JOIN b USING (gram)
+        |      WHERE tg.doc_id % 97 <> 0 GROUP BY tg.doc_id),
+        |clean AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+        |      LEFT JOIN h ON d.doc_id = h.doc_id
+        |      WHERE d.doc_id % 97 <> 0 AND coalesce(h.hits, 0) = 0),
+        |q AS (SELECT lang, CAST(round(sqrt(count(*)::DOUBLE) * 5, 0) AS BIGINT) AS quota
+        |      FROM clean GROUP BY lang),
+        |r AS (SELECT doc_id, lang, text, row_number() OVER (PARTITION BY lang
+        |        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk FROM clean),
+        |sel AS (SELECT r.doc_id, r.text FROM r JOIN q USING (lang) WHERE r.rk <= q.quota),
+        |o AS (SELECT doc_id, doc_id % 8 AS g,
+        |        len(string_split(lower(text), ' ')) AS tok,
+        |        row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |      FROM sel),
+        |walk(g, rn, doc_id, tok, fill, seq) AS (
+        |  SELECT g, rn, doc_id, tok, tok, 0 FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.g, o.rn, o.doc_id, o.tok,
+        |    CASE WHEN w.fill + o.tok > 256 THEN o.tok ELSE w.fill + o.tok END,
+        |    CASE WHEN w.fill + o.tok > 256 THEN w.seq + 1 ELSE w.seq END
+        |  FROM walk w JOIN o ON o.g = w.g AND o.rn = w.rn + 1)
+        |SELECT doc_id, CAST(g * 1000000000 + seq AS BIGINT) AS seq_id,
+        |  CAST(tok AS BIGINT) AS n_tokens
+        |FROM walk ORDER BY doc_id""".stripMargin,
 
     // greedy non-overlapping merges per doc = Σ ceil(run/2) over
     // islands of consecutive match positions (identical to the
