@@ -119,6 +119,47 @@ object RelationalSuite3 {
         .na.fill(0L)
         .transform(Gate.ordered(_, "user_id"))),
 
+    // PG statistical aggregates (stddev_pop/var_pop/covar_pop/corr)
+    // made hash-exact: float built-ins accumulate in partition order
+    // (ulp drift between engines), so the moments Σx, Σy, Σx², Σy²,
+    // Σxy are summed as DECIMALs (exact — the inputs have ≤2 decimal
+    // digits) and the closed-form formulas evaluate in fixed order on
+    // the exact moments; one map-side-combinable aggregate
+    "stats_agg" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val x = expr("CAST(l_quantity AS DECIMAL(18,2))")
+      val y = expr("CAST(l_extendedprice AS DECIMAL(18,2))")
+      val g = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      val n = col("n").cast("double")
+      val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+      val (sxx, syy, sxy) =
+        (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      g.select(col("l_returnflag"),
+        round((sxx / n) - (sx / n) * (sx / n), 6).as("var_qty"),
+        round(sqrt((sxx / n) - (sx / n) * (sx / n)), 6).as("stddev_qty"),
+        round((sxy / n) - (sx / n) * (sy / n), 6).as("covar"),
+        round(((sxy / n) - (sx / n) * (sy / n)) /
+          (sqrt((sxx / n) - (sx / n) * (sx / n)) *
+            sqrt((syy / n) - (sy / n) * (sy / n))), 6).as("corr"))
+        .transform(Gate.ordered(_, "l_returnflag"))
+    }),
+
+    // equi-width histogram: 20 global bins over l_extendedprice from
+    // a 1-row min/max broadcast; bin = ⌊(v−lo)·20/(hi−lo)⌋ clamped —
+    // identical double arithmetic in both engines, then integer counts
+    "histogram" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+      val ext = li.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      li.crossJoin(broadcast(ext))
+        .select(least(floor((col("v") - col("lo")) * 20 / (col("hi") - col("lo"))),
+          lit(19L)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .transform(Gate.ordered(_, "bin"))
+    }),
+
     // column profiling (the pre-ingest data-quality pass): row/null/
     // distinct counts + typed min/max per column, one aggregation row
     // exploded to per-column rows; exact distinct here (gate), the
@@ -287,6 +328,29 @@ object RelationalSuite3 {
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stats_agg" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round((sxx::DOUBLE / n) - (sx::DOUBLE / n) * (sx::DOUBLE / n), 6) AS var_qty,
+        |  round(sqrt((sxx::DOUBLE / n) - (sx::DOUBLE / n) * (sx::DOUBLE / n)), 6) AS stddev_qty,
+        |  round((sxy::DOUBLE / n) - (sx::DOUBLE / n) * (sy::DOUBLE / n), 6) AS covar,
+        |  round(((sxy::DOUBLE / n) - (sx::DOUBLE / n) * (sy::DOUBLE / n)) /
+        |    (sqrt((sxx::DOUBLE / n) - (sx::DOUBLE / n) * (sx::DOUBLE / n)) *
+        |     sqrt((syy::DOUBLE / n) - (sy::DOUBLE / n) * (sy::DOUBLE / n))), 6) AS corr
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "histogram" ->
+      """WITH e AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+        |b AS (SELECT CAST(least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) AS BIGINT) AS bin
+        |      FROM lineitem CROSS JOIN e)
+        |SELECT bin, count(*) AS n FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "profile_stats" ->
       """SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
