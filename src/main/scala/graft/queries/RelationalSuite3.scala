@@ -119,6 +119,27 @@ object RelationalSuite3 {
         .na.fill(0L)
         .transform(Gate.ordered(_, "user_id"))),
 
+    // PG jsonb operator surface beyond plain extraction (json_props):
+    // nested paths (#>>), array indexing, array length, missing-key
+    // NULLs — over a nested JSON doc both engines construct from the
+    // same deterministic integer-only concatenation (no float
+    // formatting in the payload)
+    "json_ops" -> ((s, dir) => {
+      val j = concat(lit("{\"id\":"), col("o_orderkey").cast("string"),
+        lit(",\"cust\":{\"key\":"), col("o_custkey").cast("string"),
+        lit("},\"tags\":[\"t"), pmod(col("o_orderkey"), lit(5)).cast("string"),
+        lit("\",\"x\"]}"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), j.as("j"))
+        .select(col("o_orderkey"),
+          get_json_object(col("j"), "$.cust.key").cast("long").as("cust_key"),
+          get_json_object(col("j"), "$.tags[0]").as("tag0"),
+          get_json_object(col("j"), "$.tags[1]").as("tag1"),
+          json_array_length(get_json_object(col("j"), "$.tags")).as("n_tags"),
+          get_json_object(col("j"), "$.missing").as("miss"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // PG statistical aggregates (stddev_pop/var_pop/covar_pop/corr)
     // made hash-exact: float built-ins accumulate in partition order
     // (ulp drift between engines), so the moments Σx, Σy, Σx², Σy²,
@@ -328,6 +349,19 @@ object RelationalSuite3 {
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "json_ops" ->
+      """WITH d AS (SELECT o_orderkey,
+        |  '{"id":' || o_orderkey::VARCHAR || ',"cust":{"key":' || o_custkey::VARCHAR
+        |    || '},"tags":["t' || (o_orderkey % 5)::VARCHAR || '","x"]}' AS j
+        |FROM orders)
+        |SELECT o_orderkey,
+        |  json_extract_string(j, '$.cust.key')::BIGINT AS cust_key,
+        |  json_extract_string(j, '$.tags[0]') AS tag0,
+        |  json_extract_string(j, '$.tags[1]') AS tag1,
+        |  json_array_length(json_extract(j, '$.tags'))::INTEGER AS n_tags,
+        |  json_extract_string(j, '$.missing') AS miss
+        |FROM d ORDER BY o_orderkey""".stripMargin,
 
     "stats_agg" ->
       """WITH g AS (SELECT l_returnflag, count(*) AS n,
