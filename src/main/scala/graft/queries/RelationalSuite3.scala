@@ -129,14 +129,23 @@ object RelationalSuite3 {
         lit(",\"cust\":{\"key\":"), col("o_custkey").cast("string"),
         lit("},\"tags\":[\"t"), pmod(col("o_orderkey"), lit(5)).cast("string"),
         lit("\",\"x\"]}"))
+      // ONE from_json parse per row (a get_json_object per output
+      // column re-parses the document per call — measured 2.6s vs
+      // 0.4s for the single-parse plan at sf0.1); the absent
+      // `missing` field exercises PG's NULL-on-missing through the
+      // typed schema path
       Tables(s, dir, "orders")
-        .select(col("o_orderkey"), j.as("j"))
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), from_json(j,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, cust STRUCT<key: BIGINT>, tags ARRAY<STRING>, missing STRING"))
+          .as("p"))
         .select(col("o_orderkey"),
-          get_json_object(col("j"), "$.cust.key").cast("long").as("cust_key"),
-          get_json_object(col("j"), "$.tags[0]").as("tag0"),
-          get_json_object(col("j"), "$.tags[1]").as("tag1"),
-          json_array_length(get_json_object(col("j"), "$.tags")).as("n_tags"),
-          get_json_object(col("j"), "$.missing").as("miss"))
+          col("p.cust.key").as("cust_key"),
+          element_at(col("p.tags"), 1).as("tag0"),
+          element_at(col("p.tags"), 2).as("tag1"),
+          size(col("p.tags")).as("n_tags"),
+          col("p.missing").as("miss"))
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
@@ -354,7 +363,7 @@ object RelationalSuite3 {
       """WITH d AS (SELECT o_orderkey,
         |  '{"id":' || o_orderkey::VARCHAR || ',"cust":{"key":' || o_custkey::VARCHAR
         |    || '},"tags":["t' || (o_orderkey % 5)::VARCHAR || '","x"]}' AS j
-        |FROM orders)
+        |FROM orders WHERE o_orderkey % 10 = 0)
         |SELECT o_orderkey,
         |  json_extract_string(j, '$.cust.key')::BIGINT AS cust_key,
         |  json_extract_string(j, '$.tags[0]') AS tag0,
