@@ -116,6 +116,27 @@ object TextSuite {
             .select(col("doc_id"), col("lang")), "lang", "doc_id", 25)
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // PG fuzzystrmatch + unaccent contribs (the openGauss kernel ships
+    // both): levenshtein between consecutive docs' leading tokens, and
+    // accent folding via an explicit translate map over PLANTED
+    // accented text (the corpus is ASCII, so the gate synthesizes the
+    // accents — both engines fold the identical string). soundex has
+    // no DuckDB analogue → spec-gated against PG's documented values.
+    "fuzzy_ops" -> ((s, dir) => {
+      val d = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(split(lower(col("text")), " "), 1).as("w"),
+          concat(lit("résumé café naïve jalapeño über v"),
+            col("doc_id").cast("string")).as("acc"))
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          col("a.w").as("w_a"), col("b.w").as("w_b"),
+          levenshtein(col("a.w"), col("b.w")).as("lev"),
+          translate(col("a.acc"), "éèêëàâäçïîíñóôöúûüý",
+            "eeeeaaaciiinooouuuy").as("unaccented"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // end-to-end pretrain prep: decontaminate → temperature mix →
     // greedy sequence packing, per-doc sequence assignment gated
     // hash-exact THROUGH THE WHOLE CHAIN (each stage's determinism
@@ -303,6 +324,17 @@ object TextSuite {
         |  round(avg(ln(tf::DOUBLE / nt)), 6) AS logprob
         |FROM tt JOIN f USING (tok) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "fuzzy_ops" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ')[1] AS w,
+        |  'résumé café naïve jalapeño über v' || doc_id::VARCHAR AS acc
+        |FROM documents)
+        |SELECT a.doc_id AS doc_id, a.w AS w_a, b.w AS w_b,
+        |  levenshtein(a.w, b.w)::INTEGER AS lev,
+        |  translate(a.acc, 'éèêëàâäçïîíñóôöúûüý',
+        |    'eeeeaaaciiinooouuuy') AS unaccented
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_id""".stripMargin,
 
     // the same three stages as CTEs: contamination filter → sqrt-quota
     // mix → the recursive-CTE pack walk over the selected set

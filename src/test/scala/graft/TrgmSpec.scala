@@ -40,6 +40,21 @@ class TrgmSpec extends SparkSpec {
     assert(sim("", "") == 0.0)
   }
 
+  test("fuzzystrmatch: soundex matches PG's documented values") {
+    // PG fuzzystrmatch docs: soundex('Anne')=A500, soundex('Andrew')=A536,
+    // soundex('Margaret')=M626; plus the classic Robert/Rupert pair
+    val got = Seq(("Anne", "Andrew", "Margaret", "Robert", "Rupert"))
+      .toDF("a", "b", "c", "d", "e")
+      .select(soundex(col("a")), soundex(col("b")), soundex(col("c")),
+        soundex(col("d")), soundex(col("e")))
+      .head()
+    assert(got.toSeq == Seq("A500", "A536", "M626", "R163", "R163"))
+    // levenshtein agrees with the PG/DuckDB definition
+    val lev = Seq(("kitten", "sitting")).toDF("x", "y")
+      .select(levenshtein(col("x"), col("y"))).head().getInt(0)
+    assert(lev == 3)
+  }
+
   test("SQL surface: similarity()/show_trgm() match the Column API") {
     graft.functions.SqlFunctions.register(spark)
     val r = spark.sql(
