@@ -230,4 +230,48 @@ object Ivf {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
   }
+
+  /**
+   * Per-list enclosing radius: max member↔centroid L2 per list — index
+   * metadata computed in one aggregate at build/append time (tiny:
+   * nlists rows). Enables LOSSLESS pruning for radius queries.
+   */
+  def listRadii(tagged: DataFrame, vecCol: String, model: Model): Array[Double] = {
+    val perList = tagged
+      .groupBy(col("list_id"))
+      .agg(max(VF.l2Distance(col(vecCol),
+        element_at(typedlit(model.centroids.map(_.toSeq).toSeq),
+          col("list_id") + 1))).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    Array.tabulate(model.nlists)(i => perList.getOrElse(i, 0.0))
+  }
+
+  /**
+   * Radius (range) search — the `WHERE embedding <-> q < ε` shape
+   * (pgvector/datavec query form beyond top-k): every corpus vector
+   * within `eps` of the query, with list pruning that is PROVABLY
+   * LOSSLESS by the triangle inequality — for x in list L,
+   * ||q−x|| ≥ ||q−c_L|| − radius_L, so any list with
+   * ||q−c_L|| − radius_L > eps cannot contain a result and its
+   * partition is skipped AT THE READER (`list_id IN (...)` over the
+   * partitionBy(list_id) layout — same pruning contract as `search`,
+   * but with zero recall loss rather than nprobe-approximate).
+   * Output: (id, dist ≤ eps), exactly the brute-force filter's rows.
+   */
+  def rangeSearch(tagged: DataFrame, vecCol: String, idCol: String,
+      model: Model, radii: Array[Double], query: Array[Float],
+      eps: Double): DataFrame = {
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    val keep = model.centroids.indices
+      .filter(i => l2(query, model.centroids(i)) - radii(i) <= eps)
+      .map(Integer.valueOf)
+    tagged
+      .filter(col("list_id").isin(keep: _*))
+      .select(col(idCol), round(VF.l2Distance(col(vecCol), lit(query)), 6).as("dist"))
+      .filter(col("dist") <= eps)
+  }
 }

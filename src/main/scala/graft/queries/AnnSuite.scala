@@ -73,6 +73,21 @@ object AnnSuite {
       Knn.exactTopK(Tables(s, dir, "embeddings"), "embedding", "vec_id",
         queryVec(s, dir), 20)),
 
+    // B11: radius search (`WHERE embedding <-> q < ε`) with LOSSLESS
+    // IVF list pruning — the triangle inequality proves a list whose
+    // ||q−c|| − radius exceeds ε holds no result, so the oracle is the
+    // plain brute-force distance filter (zero recall qualifier) while
+    // the plan skips unprunable partitions at the reader
+    "vec_range" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = ivfModel(s, dir, 16)
+      val tagged = Ivf.assign(emb, "embedding", model)
+      val radii = Ivf.listRadii(tagged, "embedding", model)
+      Ivf.rangeSearch(tagged, "embedding", "vec_id", model, radii,
+          queryVec(s, dir), eps = 1.2)
+        .transform(graft.queries.Gate.ordered(_, "vec_id"))
+    }),
+
     // B2: many-query KNN join with bounded-heap partial aggregation.
     "knn_join" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -284,6 +299,13 @@ object AnnSuite {
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, $distSql AS dist
          |FROM embeddings e, q ORDER BY dist, vec_id LIMIT 20""".stripMargin,
+
+    // brute-force filter IS the oracle — the pruning is lossless
+    "vec_range" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $distSql AS dist
+         |FROM embeddings e, q WHERE $distSql <= 1.2
+         |ORDER BY vec_id""".stripMargin,
 
     "knn_join" ->
       """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

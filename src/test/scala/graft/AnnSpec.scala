@@ -449,4 +449,41 @@ class AnnSpec extends SparkSpec {
     val recall = (got.toSet & exactIds(10)).size / 10.0
     assert(recall >= 0.5, s"recall=$recall")
   }
+
+  test("radius search: triangle-inequality pruning is lossless and prunes") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = Ivf.build(emb, "embedding", nlists = 8)
+    val tagged = Ivf.assign(emb, "embedding", model).cache()
+    try {
+      val radii = Ivf.listRadii(tagged, "embedding", model)
+      assert(radii.length == model.nlists && radii.forall(_ >= 0.0))
+      val rnd = new scala.util.Random(3)
+      val ids = emb.select("vec_id").as[Long].collect()
+      var prunedAtLeastOnce = false
+      (1 to 5).foreach { _ =>
+        val q = emb.filter(col("vec_id") === ids(rnd.nextInt(ids.length)))
+          .select("embedding").head().getSeq[Float](0).toArray
+        val eps = 1.0 + rnd.nextDouble() * 0.4
+        val got = Ivf.rangeSearch(tagged, "embedding", "vec_id", model,
+            radii, q, eps)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        val brute = emb.select(col("vec_id"),
+            round(graft.functions.VectorFunctions
+              .l2Distance(col("embedding"), lit(q)), 6).as("d"))
+          .filter(col("d") <= eps)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        assert(got == brute, s"pruned result must equal brute force at eps=$eps")
+        // count lists the pruning keeps — must drop some for small eps
+        def l2(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+          math.sqrt(acc)
+        }
+        val kept = model.centroids.indices
+          .count(i => l2(q, model.centroids(i)) - radii(i) <= eps)
+        if (kept < model.nlists) prunedAtLeastOnce = true
+      }
+      assert(prunedAtLeastOnce, "pruning never dropped a list — radii too wide")
+    } finally tagged.unpersist()
+  }
 }
