@@ -119,6 +119,34 @@ object RelationalSuite3 {
         .na.fill(0L)
         .transform(Gate.ordered(_, "user_id"))),
 
+    // SCD2 interval derivation (warehouse dimension versioning): per
+    // user, collapse the event stream into change intervals — a new
+    // version starts where event_type differs from the previous row;
+    // valid_to = next version's start, open intervals closed with the
+    // standard 9999-12-31 sentinel (a NULL timestamp is NaT on the
+    // oracle side, and NaT != NaT breaks the compare). One shuffle on
+    // the key; gaps-and-islands + lead, all windows
+    "scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val marked = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          (lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type")).cast("int"))
+        .withColumn("version", sum(col("chg")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val iv = marked.filter(col("chg") === 1)
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts").as("valid_from"))
+      iv.withColumn("valid_to",
+          coalesce(lead(col("valid_from"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("version"))),
+            lit("9999-12-31 00:00:00").cast("timestamp")))
+        .transform(Gate.ordered(_, "user_id", "version"))
+    }),
+
     // PG jsonb operator surface beyond plain extraction (json_props):
     // nested paths (#>>), array indexing, array length, missing-key
     // NULLs — over a nested JSON doc both engines construct from the
@@ -358,6 +386,22 @@ object RelationalSuite3 {
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "scd2_intervals" ->
+      """WITH m AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |FROM events),
+        |v AS (SELECT user_id, ts, event_id, event_type, chg,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |FROM m),
+        |iv AS (SELECT user_id, version, event_type, ts AS valid_from
+        |       FROM v WHERE chg = 1)
+        |SELECT user_id, version::BIGINT AS version, event_type, valid_from,
+        |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |FROM iv ORDER BY user_id, version""".stripMargin,
 
     "json_ops" ->
       """WITH d AS (SELECT o_orderkey,
