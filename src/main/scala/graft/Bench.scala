@@ -24,7 +24,7 @@ object Bench {
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_logprob", "text_bm25", "fuzzy_ops",
     "decontaminate", "dedup_best",
     "mm_pipeline", "mm_decode", "mm_audio", "mm_video", "mm_jpeg", "mm_resize", "pack_sequences",
-    "stream_window", "stream_neardup", "stream_enrich", "sessionize", "sessionize_stateful",
+    "stream_window", "stream_neardup", "stream_enrich", "stream_sample", "sessionize", "sessionize_stateful",
     "asof_join", "range_join", "theta_sketch",
     "sample_stratified", "array_ops", "zorder_layout",
     "within_group", "pivot_events", "gap_fill", "scd2_intervals", "profile_stats", "stats_agg", "histogram", "json_ops", "mix_sources", "bpe_step", "pipeline_pretrain")

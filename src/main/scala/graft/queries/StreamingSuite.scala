@@ -47,6 +47,17 @@ object StreamingSuite {
       StreamAgg.windowedAgg(Tables(s, dir, "events"))
         .transform(Gate.ordered(_, "window_start", "event_type"))),
 
+    // stateless stream sampling: the deterministic hash-threshold
+    // filter needs NO state, NO watermark — the same rows pass in any
+    // micro-batch slicing (stream==batch in StreamingSpec with zero
+    // state operators), which is what makes downsampling a stream
+    // reproducible and replay-safe
+    "stream_sample" -> ((s, dir) =>
+      graft.operators.Sampling.hashFraction(
+          Tables(s, dir, "events"), "event_id", 0.1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .transform(Gate.ordered(_, "event_id"))),
+
     // stream-static enrichment: the customer dim BROADCASTS (no join
     // state — only the windowed agg holds state, watermark-bounded);
     // batch run of the identical plan is the gate
@@ -192,6 +203,11 @@ object StreamingSuite {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_sample" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE ((event_id * 2654435761) % 4294967296) % 1000000 < 100000
+        |ORDER BY event_id""".stripMargin,
 
     "stream_enrich" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, c_nationkey,

@@ -96,6 +96,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stateless stream sampling: equals batch with ZERO state operators") {
+    val batch = graft.operators.Sampling
+      .hashFraction(events, "event_id", 0.1)
+      .select("event_id").as[Long].collect().toSet
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = graft.operators.Sampling.hashFraction(stream, "event_id", 0.1)
+      .select("event_id")
+      .writeStream.format("memory").queryName("sample_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "a hash filter must keep no streaming state")
+    } finally q.stop()
+    val got = spark.table("sample_test").as[Long].collect().toSet
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("stream-static enriched agg equals batch; join keeps no state") {
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
     val batch = StreamAgg.enrichedWindowedAgg(events, customer,
