@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Source-format coverage: the same rows round-trip through JSONL and
+ * CSV with explicit schemas (no inference job — at 100 TB schema
+ * inference is a full extra scan), and a partitioned-parquet write
+ * prunes at the reader.
+ */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "lang", "n_chars")
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    d.toFile.deleteOnExit()
+    d.resolve("out").toString
+  }
+
+  test("JSONL round-trip with explicit schema") {
+    val path = tmp("jsonl")
+    docs.write.mode("overwrite").json(path)
+    val back = spark.read.schema(docs.schema).json(path)
+    assert(back.schema == docs.schema)
+    assert(back.as[(Long, String, Long)].collect().toSet ==
+      docs.as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("CSV round-trip with explicit schema and header") {
+    val path = tmp("csv")
+    docs.write.mode("overwrite").option("header", "true").csv(path)
+    val back = spark.read.schema(docs.schema)
+      .option("header", "true").csv(path)
+    assert(back.as[(Long, String, Long)].collect().toSet ==
+      docs.as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("schema given, no inference job: reads plan a single scan") {
+    val path = tmp("noinf")
+    docs.write.mode("overwrite").json(path)
+    // with an explicit schema the read is lazy (no job); force a
+    // pushdown check instead: filter + projection reach the scan
+    val back = spark.read.schema(docs.schema).json(path)
+      .filter(col("lang") === "en").select("doc_id")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"projection should prune to the needed columns:\n$plan")
+  }
+
+  test("partitioned parquet write prunes partitions at the reader") {
+    val path = tmp("part")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    val one = spark.read.parquet(path).filter(col("lang") === "de")
+    val scanned = one.queryExecution.executedPlan.toString
+    assert(scanned.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter should prune partitions:\n$scanned")
+    assert(one.count() == docs.filter(col("lang") === "de").count())
+  }
+}
