@@ -77,23 +77,31 @@ object Bpe {
   }
 
   /** k rounds of merge training. Returns the merge table (in rank
-    * order) and the final corpus. Each round re-reads the previous
-    * round's frame — callers running many rounds should checkpoint
-    * every few rounds (Iterate.fixpoint discipline) to truncate
-    * lineage; at the word level k is small (phrases). */
+    * order) and the final corpus. Each round's frame is CACHED before
+    * the pair-count pass (which would otherwise re-run every prior
+    * round's merge fold) and the previous round's cache is dropped
+    * once the next is built — O(1) cached frames, lineage bounded by
+    * one fold per round; for very large k add Iterate.fixpoint-style
+    * checkpoints. */
   def train(docs: DataFrame, toksCol: String, rounds: Int)
       : (Seq[(String, String, Long)], DataFrame) = {
-    var cur = docs
+    var cur = docs.cache()
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[(String, String, Long)]
     var r = 0
     var continue = true
     while (r < rounds && continue) {
       step(cur, toksCol) match {
-        case Some((m, next)) => merges += m; cur = next
+        case Some((m, next)) =>
+          merges += m
+          if (prev != null) prev.unpersist()
+          prev = cur
+          cur = next.cache()
         case None => continue = false
       }
       r += 1
     }
+    if (prev != null) prev.unpersist()
     (merges.result(), cur)
   }
 }

@@ -56,8 +56,12 @@ object Trgm {
    */
   def similarPairs(docs: DataFrame, idCol: String, textCol: String,
       tau: Double, maxDf: Int = 4096): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), trigrams(col(textCol)).as("tg"))
-      .select(col("id"), size(col("tg")).as("n"), col("tg"))
+    // the trigram table feeds THREE consumers (the exploded candidate
+    // join and both verify joins) — cache it once instead of
+    // re-extracting trigrams per consumer
+    val base = graft.Caching.ensureCached(
+      docs.select(col(idCol).as("id"), trigrams(col(textCol)).as("tg"))
+        .select(col("id"), size(col("tg")).as("n"), col("tg")))
     val ex = base.select(col("id"), col("n"), explode(col("tg")).as("g"))
     val light = if (maxDf == Int.MaxValue) ex else {
       val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
