@@ -152,6 +152,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("heavy-hitters sketch through streaming state: MG guarantee holds") {
+    import graft.functions.HeavyHitters
+    // ground truth: exact event_type counts
+    val exact = events.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val k = 8
+
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sfDir)
+    val q = stream.agg(HeavyHitters.sketch(col("event_type"), k).as("hh"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val entries = spark.table("hh_stream")
+      .select(explode(col("hh")).as("e"))
+      .select($"e.item", $"e.count").as[(String, Long)].collect().toMap
+    // Misra-Gries guarantee survives the state-store partials: every
+    // item with true frequency > n/k is present, and reported counts
+    // under-estimate by at most n/k
+    exact.foreach { case (item, f) =>
+      if (f > n / k) assert(entries.contains(item), s"$item freq=$f missing")
+    }
+    entries.foreach { case (item, c) =>
+      val f = exact.getOrElse(item, 0L)
+      assert(c <= f && c >= f - n / k, s"$item: sketch=$c exact=$f n/k=${n / k}")
+    }
+  }
+
   test("stream-stream time-bounded join equals the batch range join") {
     val batch = StreamAgg.eventJoin(events, events, "click", "purchase", 30)
       .select($"l_event", $"r_event").as[(Long, Long)].collect().toSet
