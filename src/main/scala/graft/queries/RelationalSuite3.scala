@@ -119,6 +119,29 @@ object RelationalSuite3 {
         .na.fill(0L)
         .transform(Gate.ordered(_, "user_id"))),
 
+    // MERGE/upsert (openGauss SQL MERGE, batch-snapshot form): every
+    // 7th customer gets an update (+100 balance), every 13th spawns an
+    // insert under a shifted key; matched keys take the delta row,
+    // everything else carries over — one full-outer join + coalesce,
+    // then a WHEN MATCHED DELETE of every 11th key via anti-join
+    "merge_upsert" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val updates = base.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_nationkey"))
+      val inserts = base.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(col("c_name"), lit("_new")).as("c_name"),
+          col("c_acctbal"), col("c_nationkey"))
+      val merged = graft.operators.Upsert.merge(base,
+        updates.unionByName(inserts), "c_custkey")
+      graft.operators.Upsert.delete(merged,
+          base.filter(pmod(col("c_custkey"), lit(11)) === 0)
+            .select(col("c_custkey")), "c_custkey")
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
     // SCD2 interval derivation (warehouse dimension versioning): per
     // user, collapse the event stream into change intervals — a new
     // version starts where event_type differs from the previous row;
@@ -386,6 +409,23 @@ object RelationalSuite3 {
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH b AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer),
+        |d AS (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, c_nationkey
+        |      FROM b WHERE c_custkey % 7 = 0
+        |      UNION ALL
+        |      SELECT c_custkey + 1000000 AS c_custkey, c_name || '_new' AS c_name,
+        |        c_acctbal, c_nationkey
+        |      FROM b WHERE c_custkey % 13 = 0),
+        |m AS (SELECT coalesce(d.c_custkey, b.c_custkey) AS c_custkey,
+        |        coalesce(d.c_name, b.c_name) AS c_name,
+        |        coalesce(d.c_acctbal, b.c_acctbal) AS c_acctbal,
+        |        coalesce(d.c_nationkey, b.c_nationkey) AS c_nationkey
+        |      FROM b FULL OUTER JOIN d ON b.c_custkey = d.c_custkey)
+        |SELECT m.* FROM m
+        |WHERE m.c_custkey NOT IN (SELECT c_custkey FROM b WHERE c_custkey % 11 = 0)
+        |ORDER BY c_custkey""".stripMargin,
 
     "scd2_intervals" ->
       """WITH m AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
