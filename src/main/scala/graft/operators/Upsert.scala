@@ -34,4 +34,35 @@ object Upsert {
     * `deleteKeys` (left anti join — broadcast when small). */
   def delete(base: DataFrame, deleteKeys: DataFrame, keyCol: String): DataFrame =
     base.join(deleteKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
+
+  /**
+   * CDC apply — the change-stream form of merge: `changes` carries
+   * (key, version, op ∈ {U, D}, payload). Changes may arrive OUT OF
+   * ORDER and duplicated (at-least-once feeds); per key the highest
+   * (version, op) wins (op 'U' < 'D' breaks a same-version tie toward
+   * the delete, the conservative choice), a winning D is a tombstone,
+   * a winning U replaces the row. Base rows rank as version −∞.
+   * One union + one per-key window (shuffle on the key), no driver
+   * state — re-applying any subset of the same changes is idempotent
+   * (spec-asserted).
+   */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCol: String,
+      versionCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = base.columns
+    require(changes.columns.toSet == cols.toSet + versionCol + opCol,
+      "graft: changes must carry the base columns plus version and op")
+    val tagged = base
+      .withColumn(versionCol, lit(Long.MinValue))
+      .withColumn(opCol, lit("U"))
+      .unionByName(changes.select(
+        (cols.map(col) :+ col(versionCol).cast("long") :+ col(opCol)): _*))
+    // op ASCENDING: 'D' < 'U', so a same-version tie ranks the delete
+    // first (the conservative winner)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col(opCol).asc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) === "U")
+      .select(cols.map(col): _*)
+  }
 }

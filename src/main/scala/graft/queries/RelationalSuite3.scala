@@ -142,6 +142,36 @@ object RelationalSuite3 {
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 
+    // CDC apply: out-of-order, duplicated change feed — per key the
+    // highest (version, op) wins with delete breaking same-version
+    // ties; %7 keys get updates v1+v2 (v2 payload must win), %11 keys
+    // a v3 tombstone, %13 keys an inserted row; the v1 updates and a
+    // duplicate of every v2 are fed TWICE to exercise at-least-once
+    "cdc_apply" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val u1 = base.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1.0).as("c_acctbal"),
+          lit(1L).as("ver"), lit("U").as("op"))
+      val u2 = base.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey"), concat(col("c_name"), lit("_v2")).as("c_name"),
+          (col("c_acctbal") + 2.0).as("c_acctbal"),
+          lit(2L).as("ver"), lit("U").as("op"))
+      val del = base.filter(pmod(col("c_custkey"), lit(11)) === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit(3L).as("ver"), lit("D").as("op"))
+      val ins = base.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_name"), col("c_acctbal"), lit(1L).as("ver"), lit("U").as("op"))
+      // out-of-order + duplicated delivery
+      val changes = u2.unionByName(del).unionByName(u1)
+        .unionByName(ins).unionByName(u2).unionByName(u1)
+      graft.operators.Upsert.applyCdc(base, changes,
+          "c_custkey", "ver", "op")
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
     // SCD2 interval derivation (warehouse dimension versioning): per
     // user, collapse the event stream into change intervals — a new
     // version starts where event_type differs from the previous row;
@@ -409,6 +439,26 @@ object RelationalSuite3 {
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "cdc_apply" ->
+      """WITH b AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |u2 AS (SELECT c_custkey, c_name || '_v2' AS c_name, c_acctbal + 2.0 AS c_acctbal,
+        |         2::BIGINT AS ver, 'U' AS op FROM b WHERE c_custkey % 7 = 0),
+        |u1 AS (SELECT c_custkey, c_name, c_acctbal + 1.0 AS c_acctbal,
+        |         1::BIGINT AS ver, 'U' AS op FROM b WHERE c_custkey % 7 = 0),
+        |dl AS (SELECT c_custkey, c_name, c_acctbal,
+        |         3::BIGINT AS ver, 'D' AS op FROM b WHERE c_custkey % 11 = 0),
+        |ins AS (SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal,
+        |         1::BIGINT AS ver, 'U' AS op FROM b WHERE c_custkey % 13 = 0),
+        |t AS (SELECT c_custkey, c_name, c_acctbal,
+        |        (-9223372036854775807 - 1)::BIGINT AS ver, 'U' AS op FROM b
+        |      UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM dl
+        |      UNION ALL SELECT * FROM u1 UNION ALL SELECT * FROM ins
+        |      UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM u1),
+        |r AS (SELECT t.*, row_number() OVER (PARTITION BY c_custkey
+        |        ORDER BY ver DESC, op ASC) AS rn FROM t)
+        |SELECT c_custkey, c_name, c_acctbal FROM r
+        |WHERE rn = 1 AND op = 'U' ORDER BY c_custkey""".stripMargin,
 
     "merge_upsert" ->
       """WITH b AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer),

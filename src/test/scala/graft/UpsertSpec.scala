@@ -32,6 +32,28 @@ class UpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("identical column sets"))
   }
 
+  test("applyCdc: out-of-order + duplicated changes, tombstone tie wins") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", 2L, "U"),   // delivered before the older...
+      (1L, "a1", 1L, "U"),   // ...v1 update: v2 must win
+      (2L, "b9", 5L, "U"),   // same version as...
+      (2L, "bX", 5L, "D"),   // ...a delete: delete wins the tie
+      (4L, "d", 1L, "U"),    // insert
+      (1L, "a2", 2L, "U"))   // duplicate delivery
+      .toDF("k", "v", "ver", "op")
+    val got = Upsert.applyCdc(base, changes, "k", "ver", "op")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+    // idempotent: applying the changes to the already-applied state
+    // (as fresh base) yields the same state
+    val again = Upsert.applyCdc(
+        Upsert.applyCdc(base, changes, "k", "ver", "op"),
+        changes, "k", "ver", "op")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(again == got)
+  }
+
   test("merge is idempotent: re-applying the same delta changes nothing") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
     val delta = Seq((2L, "b2", 99.0)).toDF("k", "name", "v")
