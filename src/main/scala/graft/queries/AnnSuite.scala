@@ -73,6 +73,16 @@ object AnnSuite {
       Knn.exactTopK(Tables(s, dir, "embeddings"), "embedding", "vec_id",
         queryVec(s, dir), 20)),
 
+    // filtered KNN — pgvector's `WHERE label = ? ORDER BY emb <-> q
+    // LIMIT k`: the metadata predicate REACHES THE SCAN (PushedFilters,
+    // plan-asserted in AnnSpec) and the top-k is still a bounded-heap
+    // TakeOrderedAndProject over only the filtered rows — no
+    // post-search re-filtering that would under-fill k
+    "knn_filtered" -> ((s, dir) =>
+      Knn.exactTopK(
+        Tables(s, dir, "embeddings").filter(col("label") === 2),
+        "embedding", "vec_id", queryVec(s, dir), 10)),
+
     // B11: radius search (`WHERE embedding <-> q < ε`) with LOSSLESS
     // IVF list pruning — the triangle inequality proves a list whose
     // ||q−c|| − radius exceeds ε holds no result, so the oracle is the
@@ -299,6 +309,12 @@ object AnnSuite {
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, $distSql AS dist
          |FROM embeddings e, q ORDER BY dist, vec_id LIMIT 20""".stripMargin,
+
+    "knn_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $distSql AS dist
+         |FROM embeddings e, q WHERE e.label = 2
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
     // brute-force filter IS the oracle — the pruning is lossless
     "vec_range" ->

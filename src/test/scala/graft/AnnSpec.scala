@@ -450,6 +450,25 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("filtered KNN: predicate reaches the scan, heap top-k, exact k") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val res = Knn.exactTopK(emb.filter(col("label") === 2),
+      "embedding", "vec_id", q, 10)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,2)]"),
+      s"label predicate should push to the parquet scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Exchange"),
+      s"filtered top-k must stay a shuffle-free bounded heap:\n$plan")
+    val rows = res.collect()
+    assert(rows.length == 10, "k rows from the filtered population")
+    // every result actually satisfies the predicate
+    val labels = emb.filter(col("label") === 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rows.forall(r => labels(r.getLong(0))))
+  }
+
   test("radius search: triangle-inequality pruning is lossless and prunes") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val model = Ivf.build(emb, "embedding", nlists = 8)
