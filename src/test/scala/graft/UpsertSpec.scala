@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Upsert
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** MERGE semantics: matched keys take the delta row wholesale,
@@ -52,6 +53,52 @@ class UpsertSpec extends SparkSpec {
         changes, "k", "ver", "op")
       .orderBy("k").as[(Long, String)].collect().toSeq
     assert(again == got)
+  }
+
+  test("streaming CDC: foreachBatch incremental applies converge to batch") {
+    // the production streaming shape: a change feed lands in
+    // micro-batches, each foreachBatch applies its slice onto the
+    // running snapshot. applyCdc's max-(version, op) semantics make the
+    // fold ORDER-FREE across slices — the final snapshot equals one
+    // batch apply of the whole feed, whatever the slicing.
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a2", 2L, "U"), (1L, "a1", 1L, "U"), (2L, "bX", 5L, "D"),
+      (4L, "d", 1L, "U"), (4L, "d2", 2L, "U"), (3L, "c9", 7L, "U"),
+      (1L, "a2", 2L, "U"), (2L, "b7", 4L, "U"))
+    val expect = Upsert.applyCdc(base,
+        changes.toDF("k", "v", "ver", "op"), "k", "ver", "op")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String)]
+    // the running snapshot must keep surviving versions so a LATER
+    // slice with an older version cannot resurrect: carry (k, v, ver,
+    // op) through the fold and strip at the end
+    var snapshot = base
+      .withColumn("ver", lit(Long.MinValue)).withColumn("op", lit("U"))
+    val q = mem.toDF().toDF("k", "v", "ver", "op")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = snapshot.unionByName(batch)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("ver").desc, col("op").asc)
+        snapshot = merged.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+          .collect() // pin each fold step (a real pipeline writes a table)
+          .toSeq match { case rows =>
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(rows), merged.schema)
+          }
+      }.start()
+    try {
+      changes.grouped(3).foreach { slice =>
+        mem.addData(slice); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = snapshot.filter(col("op") === "U").select("k", "v")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == expect, s"got=$got expect=$expect")
   }
 
   test("merge is idempotent: re-applying the same delta changes nothing") {
