@@ -159,6 +159,30 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("xxhash64"), "gram hashing gone — text would shuffle")
   }
 
+  test("merge/CDC/gap-fill plans: equi-joins and windows only, no BNLJ") {
+    Seq("merge_upsert", "cdc_apply", "gap_fill", "scd2_intervals").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q plans a nested-loop/cartesian join:\n$p")
+    }
+  }
+
+  test("bm25 plan: 1-row stats broadcast, no explode of the corpus") {
+    val p = plan("text_bm25")
+    assert(p.contains("BroadcastExchange"), "stats row should broadcast")
+    assert(!p.contains("Generate explode"),
+      "per-doc tf must come from size(filter(...)), not explode+groupBy")
+    assert(!p.contains("SortMergeJoin"), "scoring must never sort-merge join")
+  }
+
+  test("zorder gate is map-only below the single bucket aggregate") {
+    val p = plan("zorder_layout")
+    // exactly the agg's exchange pair (partial/final) plus the gate's
+    // single-partition exchange — no join, no extra shuffle
+    assert(!p.contains("Join"), s"zorder bucketing must not join:\n$p")
+    assert(p.contains("HashAggregate"), "bucket stats should hash-aggregate")
+  }
+
   test("sequence packing sorts in the PLAN, not in the task") {
     // the id-order walk must run through Spark's external (spillable)
     // sort — a partial Sort above a hash exchange on the stream key —
