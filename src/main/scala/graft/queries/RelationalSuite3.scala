@@ -142,6 +142,26 @@ object RelationalSuite3 {
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 
+    // ordered conversion funnel (click → view → purchase): per user
+    // the earliest timestamp of each stage, a stage counts only if it
+    // happens strictly AFTER the previous stage's first occurrence —
+    // one conditional-min aggregate per user (single shuffle), then a
+    // 1-row rollup; no joins, no per-stage passes
+    "funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val stages = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      stages.agg(
+        sum(col("t_click").isNotNull.cast("long")).as("n_click"),
+        sum((col("t_click").isNotNull && col("t_view").isNotNull &&
+          col("t_view") > col("t_click")).cast("long")).as("n_click_view"),
+        sum((col("t_click").isNotNull && col("t_view").isNotNull &&
+          col("t_view") > col("t_click") && col("t_buy").isNotNull &&
+          col("t_buy") > col("t_view")).cast("long")).as("n_full_funnel"))
+    }),
+
     // CDC apply: out-of-order, duplicated change feed — per key the
     // highest (version, op) wins with delete breaking same-version
     // ties; %7 keys get updates v1+v2 (v2 payload must win), %11 keys
@@ -439,6 +459,21 @@ object RelationalSuite3 {
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "funnel" ->
+      """WITH s AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |FROM events GROUP BY user_id)
+        |SELECT
+        |  sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        |  sum(CASE WHEN t_click IS NOT NULL AND t_view IS NOT NULL
+        |        AND t_view > t_click THEN 1 ELSE 0 END)::BIGINT AS n_click_view,
+        |  sum(CASE WHEN t_click IS NOT NULL AND t_view IS NOT NULL
+        |        AND t_view > t_click AND t_buy IS NOT NULL
+        |        AND t_buy > t_view THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
+        |FROM s""".stripMargin,
 
     "cdc_apply" ->
       """WITH b AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
