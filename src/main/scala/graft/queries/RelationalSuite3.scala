@@ -195,9 +195,13 @@ object RelationalSuite3 {
     // SCD2 interval derivation (warehouse dimension versioning): per
     // user, collapse the event stream into change intervals — a new
     // version starts where event_type differs from the previous row;
-    // valid_to = next version's start, open intervals closed with the
-    // standard 9999-12-31 sentinel (a NULL timestamp is NaT on the
-    // oracle side, and NaT != NaT breaks the compare). One shuffle on
+    // valid_to = next version's start, open intervals closed with a
+    // 2261-12-31 sentinel (a NULL timestamp is NaT on the oracle side
+    // and NaT != NaT breaks the compare; the conventional 9999-12-31
+    // overflows pandas datetime64[ns] — int64 nanoseconds max out at
+    // 2262-04-11 — and pyarrow silently WRAPS it, so the driver-side
+    // hash of the Spark parquet diverges from the DuckDB oracle even
+    // though both engines hold the identical value). One shuffle on
     // the key; gaps-and-islands + lead, all windows
     "scd2_intervals" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -216,7 +220,7 @@ object RelationalSuite3 {
       iv.withColumn("valid_to",
           coalesce(lead(col("valid_from"), 1).over(
             Window.partitionBy(col("user_id")).orderBy(col("version"))),
-            lit("9999-12-31 00:00:00").cast("timestamp")))
+            lit("2261-12-31 00:00:00").cast("timestamp")))
         .transform(Gate.ordered(_, "user_id", "version"))
     }),
 
@@ -525,7 +529,7 @@ object RelationalSuite3 {
         |       FROM v WHERE chg = 1)
         |SELECT user_id, version::BIGINT AS version, event_type, valid_from,
         |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
-        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |    TIMESTAMP '2261-12-31 00:00:00') AS valid_to
         |FROM iv ORDER BY user_id, version""".stripMargin,
 
     "json_ops" ->

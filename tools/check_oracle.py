@@ -11,6 +11,7 @@ exactly first and with 1e-9 relative tolerance as a diagnostic.
 """
 import json, math, os, sys
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem partsupp events documents embeddings".split()
 
@@ -92,6 +93,21 @@ def main(out_dir, sf_dir):
             continue
         if len(got) != len(exp):
             print(f"{name:24s} FAIL rows: spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        # The driver reads the Spark parquet through pyarrow->pandas, which
+        # coerces timestamps to datetime64[ns]; values outside the int64-ns
+        # range (1677-09-21 .. 2262-04-11) silently WRAP there while the
+        # DuckDB-read oracle stays datetime64[us] — hash-mismatch with both
+        # engines holding identical values (bit us in r8: 9999-12-31 SCD2
+        # sentinel). Reject out-of-ns-range timestamps up front.
+        ts_lo, ts_hi = pd.Timestamp.min, pd.Timestamp.max
+        oob = [c for c in gcols if got[c].dtype.kind == "M" and len(got) and
+               ((got[c].dropna() < ts_lo.to_datetime64()) |
+                (got[c].dropna() > ts_hi.to_datetime64())).any()]
+        if oob:
+            print(f"{name:24s} FAIL timestamp outside pandas-ns range "
+                  f"(driver pyarrow read wraps it): {oob}")
             n_fail += 1
             continue
         grows = sorted([tuple(norm(v) for v in r) for r in got[gcols].itertuples(index=False)], key=repr)
