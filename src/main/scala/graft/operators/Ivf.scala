@@ -257,6 +257,13 @@ object Ivf {
    * partitionBy(list_id) layout — same pruning contract as `search`,
    * but with zero recall loss rather than nprobe-approximate).
    * Output: (id, dist ≤ eps), exactly the brute-force filter's rows.
+   *
+   * The output filter compares the distance ROUNDED to 6dp (float
+   * determinism vs the oracle), so a vector with true distance in
+   * (eps, eps + 5e-7] still passes it; the pruning bound must admit
+   * those lists too or "lossless" breaks at the rounding boundary.
+   * Hence lists are pruned against eps + 1e-6 (the 6dp half-step
+   * plus margin), not bare eps.
    */
   def rangeSearch(tagged: DataFrame, vecCol: String, idCol: String,
       model: Model, radii: Array[Double], query: Array[Float],
@@ -267,7 +274,7 @@ object Ivf {
       math.sqrt(acc)
     }
     val keep = model.centroids.indices
-      .filter(i => l2(query, model.centroids(i)) - radii(i) <= eps)
+      .filter(i => l2(query, model.centroids(i)) - radii(i) <= eps + 1e-6)
       .map(Integer.valueOf)
     tagged
       .filter(col("list_id").isin(keep: _*))

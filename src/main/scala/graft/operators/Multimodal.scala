@@ -162,7 +162,8 @@ object Multimodal {
    * a pinned quality (deterministic bytes within a JVM). A training
    * corpus is mostly JPEG, not PNG — this is the representative path;
    * the writer is created once per PARTITION (the registry lookup is
-   * not free) and disposed when the partition iterator drains.
+   * not free) and disposed on task completion — a listener, because a
+   * downstream limit may abandon the iterator before it drains.
    */
   def syntheticJpegs(df: DataFrame, idCol: String,
       quality: Float = 0.9f): DataFrame = {
@@ -174,6 +175,11 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("doc_id")).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // see syntheticImages
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      // Dispose via the task-completion listener, not an iterator tail:
+      // a downstream limit/take abandons the iterator before it drains,
+      // which would leak the native ImageWriter per task.
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => writer.dispose()))
       val param = writer.getDefaultWriteParam
       param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       param.setCompressionQuality(quality)
@@ -195,7 +201,7 @@ object Multimodal {
         writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
         ios.close()
         Row(id, bos.toByteArray, Row("jpeg", w, h))
-      } ++ { writer.dispose(); Iterator.empty }
+      }
     }(enc)
   }
 

@@ -287,10 +287,17 @@ object RecursiveSql {
    * end a FROM list); parens push/pop it so a subquery's SELECT list
    * never sees the outer FROM state. ON/USING/join-type words do NOT
    * clear it — `FROM a JOIN b ON c.x = d.y, t2` keeps t2 a table ref.
+   * A '(' in table position (after FROM/JOIN/comma-in-FROM) opens a
+   * parenthesized join tree, not a scalar expression: `prev` is kept
+   * so the first identifier inside still counts as a table reference
+   * (`FROM (r JOIN e ON ...)` is legal PG), and the inside stays a
+   * FROM list. A derived table `FROM (SELECT ...)` is unaffected —
+   * its leading SELECT clears the state.
    */
   private[graft] def countRefs(s: String, ident: String): Int = {
     val endsFrom = Set("select", "where", "group", "having", "order",
-      "limit", "offset", "window", "union", "intersect", "except", "qualify")
+      "limit", "offset", "window", "union", "intersect", "except", "qualify",
+      "values")
     var n = 0; var i = 0
     var inFrom = false
     var stack = List.empty[Boolean]
@@ -314,12 +321,20 @@ object RecursiveSql {
           prev = word
           i = j
         } else {
-          if (c == '(') { stack = inFrom :: stack; inFrom = false }
-          else if (c == ')') stack match {
+          var keepPrev = false
+          if (c == '(') {
+            val tablePos = prev == "from" || prev == "join" ||
+              prev == "table" || (prev == "," && inFrom)
+            stack = inFrom :: stack
+            // paren'd join tree: still a FROM list inside, and the
+            // first identifier is still in table position
+            inFrom = tablePos
+            keepPrev = tablePos
+          } else if (c == ')') stack match {
             case h :: t => inFrom = h; stack = t
             case Nil => inFrom = false
           }
-          if (!c.isWhitespace) prev = c.toString
+          if (!c.isWhitespace && !keepPrev) prev = c.toString
           i += 1
         }
       }

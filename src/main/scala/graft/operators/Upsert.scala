@@ -11,23 +11,31 @@ import org.apache.spark.sql.functions._
  * the WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT semantics.
  *
  * Scale shape: ONE full-outer join on the key (delta side broadcasts
- * when small — AQE decides), per-column coalesce is codegen'd; no
- * driver state. Deletes are the companion anti-join. Writing the
+ * when small — AQE decides), per-column row selection is codegen'd;
+ * no driver state. Deletes are the companion anti-join. Writing the
  * result partitioned/bucketed by the key keeps successive merges
  * co-located (Bucketing).
  */
 object Upsert {
 
   /** Upsert: delta rows win on key collision, both sides' unmatched
-    * rows survive. Schemas must share `keyCol` and column names. */
+    * rows survive. Schemas must share `keyCol` and column names.
+    *
+    * Row selection keys off a non-null marker column on the delta
+    * side, NOT per-column coalesce: a matched delta row whose payload
+    * column is legitimately NULL must null out the base value (SQL
+    * MERGE WHEN MATCHED UPDATE semantics), which coalesce would
+    * silently keep. */
   def merge(base: DataFrame, delta: DataFrame, keyCol: String): DataFrame = {
     val cols = base.columns
     require(delta.columns.sameElements(cols),
       "graft: merge requires identical column sets")
-    val b = base.as("b"); val d = delta.as("d")
+    val b = base.as("b")
+    val d = delta.withColumn("_from_delta", lit(true)).as("d")
     b.join(d, col(s"b.$keyCol") === col(s"d.$keyCol"), "full_outer")
       .select(cols.map(c =>
-        coalesce(col(s"d.$c"), col(s"b.$c")).as(c)): _*)
+        when(col("d._from_delta").isNotNull, col(s"d.$c"))
+          .otherwise(col(s"b.$c")).as(c)): _*)
   }
 
   /** WHEN MATCHED DELETE: drop base rows whose key appears in

@@ -507,10 +507,10 @@ object RelationalSuite3 {
         |      SELECT c_custkey + 1000000 AS c_custkey, c_name || '_new' AS c_name,
         |        c_acctbal, c_nationkey
         |      FROM b WHERE c_custkey % 13 = 0),
-        |m AS (SELECT coalesce(d.c_custkey, b.c_custkey) AS c_custkey,
-        |        coalesce(d.c_name, b.c_name) AS c_name,
-        |        coalesce(d.c_acctbal, b.c_acctbal) AS c_acctbal,
-        |        coalesce(d.c_nationkey, b.c_nationkey) AS c_nationkey
+        |m AS (SELECT CASE WHEN d.c_custkey IS NOT NULL THEN d.c_custkey ELSE b.c_custkey END AS c_custkey,
+        |        CASE WHEN d.c_custkey IS NOT NULL THEN d.c_name ELSE b.c_name END AS c_name,
+        |        CASE WHEN d.c_custkey IS NOT NULL THEN d.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        |        CASE WHEN d.c_custkey IS NOT NULL THEN d.c_nationkey ELSE b.c_nationkey END AS c_nationkey
         |      FROM b FULL OUTER JOIN d ON b.c_custkey = d.c_custkey)
         |SELECT m.* FROM m
         |WHERE m.c_custkey NOT IN (SELECT c_custkey FROM b WHERE c_custkey % 11 = 0)

@@ -262,6 +262,17 @@ class RecursiveSqlSpec extends SparkSpec {
     assert(RecursiveSql.countRefs("SELECT x FROM r.t", "r") == 0)
     // a subquery's SELECT list never inherits the outer FROM state
     assert(RecursiveSql.countRefs("SELECT x FROM t, (SELECT a, r FROM u) s", "r") == 0)
+    // parenthesized join trees: the first identifier inside '(' after
+    // FROM/JOIN/comma is still in table position (legal PG syntax)
+    assert(RecursiveSql.countRefs("SELECT x FROM (r JOIN e ON r.k = e.k)", "r") == 1)
+    assert(RecursiveSql.countRefs("SELECT x FROM ((r JOIN e ON 1=1) JOIN f ON 1=1)", "r") == 1)
+    assert(RecursiveSql.countRefs("SELECT x FROM t, (r JOIN e ON 1=1)", "r") == 1)
+    assert(RecursiveSql.countRefs("SELECT x FROM t JOIN (r JOIN e ON 1=1) ON 1=1", "r") == 1)
+    // ...but a derived table's SELECT list still doesn't count, and a
+    // scalar paren (not in table position) is unaffected
+    assert(RecursiveSql.countRefs("SELECT x FROM (SELECT a, r FROM u) s", "r") == 0)
+    assert(RecursiveSql.countRefs("SELECT x FROM t WHERE y = (1 + 2)", "r") == 0)
+    assert(RecursiveSql.countRefs("SELECT x FROM (VALUES (1), (2)) v(r)", "r") == 0)
   }
 
   test("divergent recursion throws at maxIter instead of running forever") {

@@ -24,6 +24,18 @@ class UpsertSpec extends SparkSpec {
     assert(afterDelete == Seq((2L, "b2", 99.0), (3L, "c", 30.0)))
   }
 
+  test("merge: a matched delta row with NULL payload nulls the base value") {
+    // WHEN MATCHED UPDATE takes the delta row ENTIRELY — a per-column
+    // coalesce would silently keep base's "b"/20.0 here
+    val base = Seq((1L, Some("a"), Some(10.0)), (2L, Some("b"), Some(20.0)))
+      .toDF("k", "name", "v")
+    val delta = Seq((2L, None: Option[String], None: Option[Double]))
+      .toDF("k", "name", "v")
+    val got = Upsert.merge(base, delta, "k").orderBy("k")
+      .as[(Long, Option[String], Option[Double])].collect().toSeq
+    assert(got == Seq((1L, Some("a"), Some(10.0)), (2L, None, None)))
+  }
+
   test("merge rejects mismatched column sets") {
     val base = Seq((1L, "a")).toDF("k", "name")
     val bad = Seq((1L, 2.0)).toDF("k", "v")
