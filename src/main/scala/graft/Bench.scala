@@ -27,7 +27,9 @@ object Bench {
     "stream_window", "stream_neardup", "stream_enrich", "stream_sample", "sessionize", "sessionize_stateful",
     "asof_join", "range_join", "theta_sketch",
     "sample_stratified", "array_ops", "zorder_layout",
-    "within_group", "pivot_events", "gap_fill", "scd2_intervals", "merge_upsert", "cdc_apply", "funnel", "profile_stats", "stats_agg", "histogram", "json_ops", "mix_sources", "bpe_step", "pipeline_pretrain")
+    "within_group", "pivot_events", "gap_fill", "scd2_intervals", "merge_upsert", "cdc_apply", "funnel", "profile_stats", "stats_agg", "histogram", "json_ops", "mix_sources", "bpe_step", "pipeline_pretrain",
+    "text_repetition", "quality_classifier", "bm25_search", "shuffle_batches",
+    "dedup_semantic", "agg_filter", "grouping_fn", "unnest_ord", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -422,6 +422,39 @@ object Dedup {
       .filter(col("cosd") <= maxCosDist)
   }
 
+  /**
+   * SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540
+   * — the public recipe behind semantic pruning of web-scale corpora):
+   * cluster embeddings with k-means, then inside each cluster drop
+   * every doc that has a SMALLER-id neighbor within `maxCosDist` (the
+   * paper keeps one representative per epsilon-ball; min-id is the
+   * deterministic choice). Near-identical paraphrases that exact and
+   * n-gram dedup miss are exactly what lands inside a ball.
+   *
+   * Scale shape: candidate pairs form ONLY within a cluster (an
+   * equi-join on list_id — never all-pairs), clusters are k-means-
+   * balanced, and the verify is an exact cosine on the pair set.
+   * `maxBucket` arms the flood guard for degenerate clusters. At the
+   * gate's tiny thresholds detection is exhaustive (every true pair
+   * co-clusters), so the survivor set equals the brute-force oracle's.
+   *
+   * Output: the surviving rows of `df` (all columns), one per kept id.
+   */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      model: graft.operators.Ivf.Model, maxCosDist: Double,
+      maxBucket: Int = 0): DataFrame = {
+    val tagged = graft.operators.Ivf.assign(df, vecCol, model)
+      .select(col(idCol).as("id"), col("list_id"))
+    val cand = bucketCandidatePairs(tagged, Seq("list_id"), "id", maxBucket)
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val dropped = cand.join(va, "id_a").join(vb, "id_b")
+      .filter(round(graft.functions.VectorFunctions.cosineDistance(
+        col("va"), col("vb")), 6) <= maxCosDist)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash of lower-cased tokens, packed into one long. */
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(split(lower(text), " "))))

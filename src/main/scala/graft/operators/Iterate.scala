@@ -194,4 +194,65 @@ object Iterate {
     }
     state
   }
+
+  /**
+   * PageRank, fixed iteration count, ENGINE-EXACT arithmetic — the
+   * iterative-analytics capability beyond reachability (the reference
+   * kernel runs arbitrary recursive CTEs; PageRank is the canonical
+   * one that needs numeric state, not just set growth).
+   *
+   * Float determinism: a naive double accumulation is aggregation-
+   * order-dependent, so ranks would drift between engines (and between
+   * runs!). Here every per-edge contribution is double-DIVIDED (IEEE
+   * division is correctly rounded — deterministic), ROUNDED to 12dp,
+   * and summed as DECIMAL(28,12) — exact, order-invariant — then the
+   * damping update rounds back to 12dp. Both engines compute the
+   * identical bits, so the gate is hash-exact with no tolerance.
+   *
+   * Variant: dangling-node mass is NOT redistributed (their rank
+   * leaks, the common simplification); nodes with no in-edges hold
+   * the teleport term. Scale shape per iteration: edges join ranks on
+   * src (shuffle or broadcast — AQE decides; ranks is nodes-sized,
+   * edges corpus-sized), one groupBy dst — the standard distributed
+   * PR round. `iters` is fixed (no convergence test): lineage is
+   * truncated per round.
+   *
+   * Output: (node, rank) — rank as DOUBLE (12dp-rounded value, exact
+   * in fp64).
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank needs iters >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count() // 1 scalar to the driver: the teleport term
+    require(n > 0, "pageRank needs at least one node")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    // both round() calls run in-engine (Spark HALF_UP == DuckDB
+    // ties-away for positive values), never on the driver (whose
+    // math.rint is half-EVEN)
+    val teleport = round(lit((1.0 - damping) / n), 12)
+    val init = nodes.withColumn("rank",
+      round(lit(1.0 / n), 12).cast("decimal(28,12)"))
+    var ranks = truncate(init)
+    var it = 0
+    while (it < iters) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst"),
+          round(col("rank").cast("double") / col("odeg").cast("double"), 12)
+            .cast("decimal(28,12)").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = truncate(nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          round(teleport +
+              lit(damping) * coalesce(col("s"), lit(0)).cast("double"), 12)
+            .cast("decimal(28,12)").as("rank")))
+      it += 1
+    }
+    ranks.select(col("node"), col("rank").cast("double").as("rank"))
+  }
 }

@@ -66,4 +66,74 @@ object Relevance {
       .filter(hits > 0L)
       .select(col("id"), hits.as("n_hits"), round(score, 6).as("score"))
   }
+
+  /**
+   * BM25 RETRIEVAL: top-k documents per query for a query TABLE — the
+   * batch search surface over [[bm25]]'s scoring (a user of the
+   * reference's full-text retrieval runs many queries, not one
+   * literal term list).
+   *
+   * Scale asymmetry (the decontaminate/eval-set shape): queries are
+   * tiny, the corpus is 100 TB. The query vocabulary BROADCASTS; the
+   * corpus tokenizes once and explodes ONLY tokens that survive the
+   * broadcast semi-join — the (doc, term) shuffle is bounded by
+   * query-vocabulary hits, not corpus tokens. Stats stay 1-row (N,
+   * Σdl) + per-term df (vocabulary-sized, broadcast back).
+   *
+   * Determinism: per-(doc, term) BM25 weights are double expressions
+   * (fixed form, no accumulation), ROUNDED to 6dp and summed as
+   * DECIMAL(18,6) — exact and order-invariant, unlike a double SUM
+   * whose partial order differs per engine. Ranking orders by the
+   * exact decimal score (doc id tiebreak), so top-k sets match the
+   * oracle bit-for-bit.
+   *
+   * Output: (qid, rank 1..k, doc_id, score DOUBLE).
+   */
+  def searchTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "searchTopK needs k >= 1")
+    val qterms = queries.select(col(qidCol).as("qid"),
+        explode(array_distinct(filter(
+          TextAnalysis.tokens(col(qtextCol)), t => t =!= ""))).as("term"))
+    val vocab = qterms.select(col("term")).distinct()
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    // 1-row global stats: integer-exact, map-side combinable
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("sumdl"))
+    // corpus explode survives only through the broadcast vocabulary
+    val tf = base
+      .select(col("id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(vocab), "term")
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), "term")
+      .join(broadcast(stats))
+      .select(col("id"), col("term"), {
+        val tfD = col("tf").cast("double")
+        val dfD = col("df").cast("double")
+        val nD = col("n").cast("double")
+        val avgdl = col("sumdl").cast("double") / nD
+        val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+        val w = idf * (tfD * lit(k1 + 1.0)) /
+          (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+        round(w, 6).cast("decimal(18,6)").as("w")
+      })
+    val perQuery = scored
+      .join(broadcast(qterms), "term")
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("w")).as("sw"), count(lit(1)).as("n_terms"))
+    val win = Window.partitionBy(col("qid"))
+      .orderBy(col("sw").desc, col("id"))
+    perQuery
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("doc_id"),
+        col("n_terms"), col("sw").cast("double").as("score"))
+  }
 }

@@ -91,4 +91,62 @@ object Sampling {
     df.filter(pmod(mix(col(idCol)), lit(mod.toLong)) <
       lit(math.round(frac * mod)))
   }
+
+  /** Epoch-salted permutation key: (id + epoch·1e9+7) · 2654435761
+    * mod 2³² — epoch 0 is [[mix]]; each epoch is an independent
+    * deterministic reshuffle of the same corpus. */
+  def epochMix(id: Column, epoch: Long): Column =
+    pmod((id.cast("long") + lit(epoch * 1000000007L)) * lit(2654435761L),
+      lit(4294967296L))
+
+  /**
+   * Deterministic GLOBAL shuffle + fixed-size batch assignment — the
+   * data-ordering step a pretrain run needs after curation: every doc
+   * gets a global position in a pseudo-random total order and a batch
+   * id `position / batchSize`, reproducibly (same corpus + epoch →
+   * byte-identical order on any cluster).
+   *
+   * Computing a global rank at 100 TB without a global sort: the
+   * permutation key `epochMix` is uniform on [0, 2³²), so its top
+   * `log2(nBuckets)` bits split the order into nBuckets contiguous,
+   * EVENLY LOADED ranges. rank = (docs in all lower buckets) +
+   * (row_number within my bucket) — one tiny aggregate for the bucket
+   * histogram (nBuckets rows to the driver, broadcast back as a
+   * literal offset array) + ONE window shuffle on the bucket key with
+   * a spillable per-bucket sort of (key, id) pairs. No global
+   * `orderBy` (whose range-partitioner SAMPLES the child in a second
+   * job — nondeterministic boundaries and a double execution), no
+   * driver-side ordering, batches exactly batchSize (last one
+   * ragged).
+   *
+   * Output: input columns + (pos, batch_id), pos ∈ [0, n).
+   */
+  def shuffleBatches(df: DataFrame, idCol: String, batchSize: Long,
+      epoch: Long = 0L, nBuckets: Int = 4096): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0 &&
+      nBuckets <= (1 << 20), "nBuckets must be a power of 2 (<= 2^20)")
+    import org.apache.spark.sql.expressions.Window
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val keyed = df.withColumn("_ord", epochMix(col(idCol), epoch))
+      .withColumn("_bkt", shiftright(col("_ord"), shift).cast("int"))
+    // bucket histogram: nBuckets rows — the only driver round-trip
+    val counts = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = Array.ofDim[Long](nBuckets)
+    var acc = 0L
+    var i = 0
+    while (i < nBuckets) {
+      offsets(i) = acc; acc += counts.getOrElse(i, 0L); i += 1
+    }
+    val w = Window.partitionBy(col("_bkt"))
+      .orderBy(col("_ord"), col(idCol))
+    keyed
+      .withColumn("pos",
+        element_at(typedlit(offsets.toSeq), col("_bkt") + 1) +
+          row_number().over(w) - 1)
+      // `div`, not `/`: Column `/` is DOUBLE division (lossy past 2^53)
+      .withColumn("batch_id", expr(s"pos div ${batchSize}L"))
+      .drop("_ord", "_bkt")
+  }
 }

@@ -108,6 +108,78 @@ object TextAnalysis {
           .as("logprob"))
   }
 
+  /**
+   * Intra-document REPETITION signals — the Gopher/MassiveText
+   * repetition filters (Rae et al. 2021, arXiv:2112.11446 §A1.1):
+   * fraction of duplicated n-grams within a doc. Boilerplate, scraped
+   * nav bars, and looping generations all score high while whole-doc
+   * dedup can't see them. dupN = 1 − distinct_ngrams/ngrams.
+   *
+   * Entirely MAP-ONLY (per-doc array expressions inside codegen — no
+   * explode, no shuffle, no state): the shape that runs at 100 TB as
+   * a pure scan next to the other text kernels.
+   * Output struct: (n_tokens, dup2_ratio, dup3_ratio) at 6dp.
+   */
+  def repetitionStats(text: Column): Column = {
+    val toks = filter(tokens(text), t => t =!= "")
+    def grams(w: Int): Column = {
+      val n = size(toks)
+      // sequence() DECREASES when the doc is shorter than w — guard
+      when(n < w, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), n - (w - 1)), i =>
+          array_join(slice(toks, i, lit(w)), " ")))
+    }
+    def dupRatio(w: Int): Column = {
+      val g = grams(w)
+      when(size(g) === 0, lit(0.0)).otherwise(
+        round(lit(1.0) - size(array_distinct(g)).cast("double") /
+          size(g).cast("double"), 6))
+    }
+    struct(size(toks).cast("long").as("n_tokens"),
+      dupRatio(2).as("dup2_ratio"), dupRatio(3).as("dup3_ratio"))
+  }
+
+  /**
+   * Model-based quality filtering — the fastText-classifier stage of
+   * a pretrain pipeline (CCNet / LLaMA-style: a LINEAR text classifier
+   * scores each doc, a threshold keeps or drops) with the weight table
+   * standing in for trained parameters: top-`vocabSize` corpus tokens
+   * by frequency, weight(rank) = (rank mod 7 − 3)/10 — deterministic,
+   * so the gate is exact; a real deployment joins the same-shaped
+   * table loaded from a trained model instead.
+   *
+   * Scale shape (the ONLY part that matters at 100 TB): weights apply
+   * via an EQUI-JOIN on the token (a trained vocabulary can be tens of
+   * millions of terms — never a broadcast literal), logits sum as
+   * exact DECIMAL(18,1) per doc (one-decimal weights × integer tf —
+   * order-invariant, engine-exact), decision at logit > 0.
+   *
+   * Output: (id, n_scored, logit DOUBLE, keep BOOLEAN).
+   */
+  def classifierQuality(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int = 200): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    // top-V via TakeOrderedAndProject (bounded heap, no global sort);
+    // the V-row window that assigns ranks runs over vocabSize rows only
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(vocabSize)
+    val ranked = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("tok"))))
+      .select(col("tok"),
+        ((pmod(col("rank"), lit(7)) - 3).cast("decimal(18,1)") / 10)
+          .cast("decimal(18,1)").as("w"))
+    toks.join(ranked, "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("w")).as("logit"))
+      .select(col("id"), col("n_scored"),
+        col("logit").cast("double").as("logit"),
+        (col("logit") > 0).as("keep"))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = stats(text).getField("n_tokens")
 

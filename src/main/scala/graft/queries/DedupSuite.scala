@@ -15,7 +15,35 @@ import org.apache.spark.sql.functions._
 object DedupSuite {
   type Q = (SparkSession, String) => DataFrame
 
+  // build-once k-means model per data dir (deterministic, seeded) for
+  // the semantic-dedup gate — same memoization discipline as AnnSuite
+  private val semModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ivf.Model]()
+
   val queries: Map[String, Q] = Map(
+    // D23: SemDeDup (cluster + intra-cluster epsilon-ball pruning).
+    // Same planted corpus as dedup_embedding_lsh: every vec_id < 64
+    // gets a near-copy at vec_id + 1000000 (cosd ~0.001-0.005 pairs;
+    // natural frontier >= ~0.4). Candidate pairs form ONLY inside a
+    // k-means cluster; at these margins the copy co-clusters with its
+    // original, so the survivor set equals the brute-force oracle's
+    // star rule (drop any id with a smaller-id neighbor within 0.2).
+    "dedup_semantic" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 64)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x.cast("double") + lit(0.05)).cast("float"))
+              .otherwise(x)).as("embedding"))
+      val corpus = e.unionByName(planted)
+      val model = semModelCache.computeIfAbsent(dir,
+        _ => graft.operators.Ivf.build(corpus, "embedding", nlists = 16))
+      Dedup.semanticDedup(corpus, "embedding", "vec_id", model,
+          maxCosDist = 0.2)
+        .select(col("vec_id"))
+        .transform(Gate.ordered(_, "vec_id"))
+    }),
+
     // D1: exact dedup summary over normalized text.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactSurvivors(Tables(s, dir, "documents"), "text", "doc_id")
@@ -510,6 +538,29 @@ object DedupSuite {
         |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // brute-force star rule over the planted corpus: survivors = ids
+    // with no smaller-id neighbor within cosd 0.2 (the cluster-bounded
+    // Spark pair set is complete at these margins — every true pair
+    // co-clusters)
+    "dedup_semantic" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(embedding, (x, i) -> CASE WHEN i = 1
+        |      THEN CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT) ELSE x END)
+        |  FROM embeddings WHERE vec_id < 64),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(1.0 - greatest(-1.0, least(1.0,
+        |      list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) *
+        |           list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))), 6) AS cosd
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT vec_id FROM corpus
+        |WHERE vec_id NOT IN (SELECT id_b FROM scored WHERE cosd <= 0.2)
+        |ORDER BY vec_id""".stripMargin,
 
     // exact thresholded pair set over the planted corpus; the banding's
     // recall at the planted similarity makes the LSH path complete here

@@ -406,6 +406,56 @@ object RelationalSuite3 {
         .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
         .select(col("s_name"), col("s_acctbal"))
         .transform(Gate.ordered(_, "s_name"))
+    }),
+
+    // SQL aggregate FILTER clause (PG/openGauss surface; Spark parses
+    // it natively since 3.0) — conditional aggregation without the
+    // CASE-WHEN contortion, one grouped pass, integer/decimal-exact
+    "agg_filter" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_af")
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(*) AS n_all,
+          |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+          |  count(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+          |FROM li_af GROUP BY l_returnflag""".stripMargin)
+        .transform(Gate.ordered(_, "l_returnflag"))
+    }),
+
+    // GROUPING()/grouping_id over ROLLUP — the disambiguation surface
+    // for super-aggregate rows (a NULL group key vs a rollup total);
+    // grouping_id bit order pinned per-column so both engines agree
+    "grouping_fn" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"),
+          col("o_totalprice"))
+        .rollup(col("pri"), col("st"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("pri")).as("g_pri"), grouping(col("st")).as("g_st"))
+        .transform(Gate.ordered(_, "pri", "st", "g_pri", "g_st"))),
+
+    // UNNEST WITH ORDINALITY (PG) == posexplode: token position is
+    // part of the result contract, not an artifact of row order
+    "unnest_ord" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(
+          slice(split(lower(col("text")), " "), 1, 6)).as(Seq("pos", "tok")))
+        .transform(Gate.ordered(_, "doc_id", "pos"))),
+
+    // PageRank, 3 fixed iterations over the customer→order key graph —
+    // iterative numeric recursion (beyond reachability's set growth)
+    // with engine-exact arithmetic: per-edge contributions are IEEE
+    // double divisions rounded to 12dp and summed as DECIMAL(28,12)
+    // (order-invariant), so ranks match the oracle bit-for-bit
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = Tables(s, dir, "orders")
+        .select(pmod(col("o_custkey"), lit(30)).as("src"),
+          pmod(col("o_orderkey"), lit(30)).as("dst"))
+      graft.operators.Iterate.pageRank(edges, "src", "dst", iters = 3)
+        .transform(Gate.ordered(_, "node"))
     })
   )
 
@@ -665,6 +715,69 @@ object RelationalSuite3 {
         |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
         |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
-        |ORDER BY s_name""".stripMargin
+        |ORDER BY s_name""".stripMargin,
+
+    "agg_filter" ->
+      """SELECT l_returnflag,
+        |  count(*)::BIGINT AS n_all,
+        |  (count(*) FILTER (WHERE l_quantity > 25))::BIGINT AS n_big,
+        |  (count(*) FILTER (WHERE l_discount = 0))::BIGINT AS n_nodisc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "grouping_fn" ->
+      """SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |  count(*)::BIGINT AS n,
+        |  GROUPING(o_orderpriority)::INTEGER AS g_pri,
+        |  GROUPING(o_orderstatus)::INTEGER AS g_st
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY pri, st, g_pri, g_st""".stripMargin,
+
+    // parallel unnests zip positionally in DuckDB == posexplode;
+    // ordinality is 0-based to match Spark's pos
+    "unnest_ord" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_slice(string_split(lower(text), ' '), 1, 6) AS toks
+        |FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok
+        |FROM t ORDER BY doc_id, pos""".stripMargin,
+
+    // 3 unrolled PR iterations; every round: contribution =
+    // round(rank/odeg, 12) summed as DECIMAL(28,12) (exact), update =
+    // round(teleport + 0.85*s, 12) — identical IEEE ops to the Spark
+    // loop, so ranks are bit-equal. (1.0 - 0.85) is written out so
+    // both engines compute the same inexact double, not a 0.15
+    // literal.
+    "graph_pagerank" ->
+      """WITH e AS (SELECT DISTINCT o_custkey % 30 AS src, o_orderkey % 30 AS dst
+        |           FROM orders),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |g AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |od AS (SELECT src, count(*)::BIGINT AS odeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(round(1.0 / g.n, 12) AS DECIMAL(28,12)) AS rank
+        |       FROM nodes CROSS JOIN g),
+        |s1 AS (SELECT e.dst, sum(CAST(round(r.rank::DOUBLE / od.odeg, 12)
+        |         AS DECIMAL(28,12))) AS s
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n2.node, CAST(round(round((1.0 - 0.85) / g.n, 12) +
+        |         0.85 * COALESCE(s.s, 0)::DOUBLE, 12) AS DECIMAL(28,12)) AS rank
+        |       FROM nodes n2 CROSS JOIN g LEFT JOIN s1 s ON n2.node = s.dst),
+        |s2 AS (SELECT e.dst, sum(CAST(round(r.rank::DOUBLE / od.odeg, 12)
+        |         AS DECIMAL(28,12))) AS s
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n2.node, CAST(round(round((1.0 - 0.85) / g.n, 12) +
+        |         0.85 * COALESCE(s.s, 0)::DOUBLE, 12) AS DECIMAL(28,12)) AS rank
+        |       FROM nodes n2 CROSS JOIN g LEFT JOIN s2 s ON n2.node = s.dst),
+        |s3 AS (SELECT e.dst, sum(CAST(round(r.rank::DOUBLE / od.odeg, 12)
+        |         AS DECIMAL(28,12))) AS s
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n2.node, CAST(round(round((1.0 - 0.85) / g.n, 12) +
+        |         0.85 * COALESCE(s.s, 0)::DOUBLE, 12) AS DECIMAL(28,12)) AS rank
+        |       FROM nodes n2 CROSS JOIN g LEFT JOIN s3 s ON n2.node = s.dst)
+        |SELECT node, CAST(rank AS DOUBLE) AS rank FROM r3 ORDER BY node""".stripMargin
   )
 }

@@ -106,6 +106,52 @@ object TextSuite {
         .withColumnRenamed("id", "doc_id")
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // Gopher-style intra-doc repetition filters: duplicated 2-/3-gram
+    // fractions per doc, entirely map-only (array expressions inside
+    // codegen — no explode/shuffle; the 100 TB shape is a pure scan)
+    "text_repetition" -> ((s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_tokens"),
+          col("r.dup2_ratio"), col("r.dup3_ratio"))
+        .transform(Gate.ordered(_, "doc_id"))),
+
+    // model-based quality filtering (CCNet/LLaMA fastText stage): a
+    // linear classifier over the corpus's top-200 tokens, weights
+    // applied via equi-join (a trained vocab never broadcasts), exact
+    // DECIMAL logit sums, keep = logit > 0
+    "quality_classifier" -> ((s, dir) =>
+      graft.operators.TextAnalysis.classifierQuality(
+          Tables.spread(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .transform(Gate.ordered(_, "doc_id"))),
+
+    // BM25 RETRIEVAL: top-5 docs per query for a 3-query table (each
+    // query = a doc's first 4 tokens). Query vocab broadcasts, corpus
+    // streams; 6dp-rounded weights sum as DECIMAL so ranking ties out
+    // bit-for-bit against the oracle
+    "bm25_search" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
+            .as("qtext"))
+      graft.operators.Relevance.searchTopK(
+          docs, "doc_id", "text", qs, "qid", "qtext", k = 5)
+        .transform(Gate.ordered(_, "qid", "rank"))
+    }),
+
+    // deterministic global shuffle + fixed-size batch assignment (the
+    // pretrain data-ordering step): global rank from a bucket
+    // histogram + ONE within-bucket window — no global orderBy (whose
+    // range sampling double-executes the child), no driver ordering
+    "shuffle_batches" -> ((s, dir) =>
+      graft.operators.Sampling.shuffleBatches(
+          Tables.spread(s, dir, "documents").select(col("doc_id")),
+          "doc_id", batchSize = 64)
+        .transform(Gate.ordered(_, "doc_id"))),
+
     // stratified exact-n sampling: per-language 25-doc deterministic
     // sample by Knuth-mix order — one shuffle on the stratum key, the
     // per-stratum sort is Spark's external (spillable) sort; the
@@ -425,6 +471,88 @@ object TextSuite {
         |    / (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))), 6) AS sim
         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_id""".stripMargin,
+
+    // same map-only gram construction: range(1, n-w+2) == Spark's
+    // sequence(1, n-w+1); identical double division + 6dp round
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |FROM documents),
+        |g AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  CASE WHEN len(toks) < 2 THEN []::VARCHAR[] ELSE
+        |    list_transform(range(1, len(toks)), i ->
+        |      array_to_string(list_slice(toks, i, i + 1), ' ')) END AS g2,
+        |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
+        |    list_transform(range(1, len(toks) - 1), i ->
+        |      array_to_string(list_slice(toks, i, i + 2), ' ')) END AS g3
+        |FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+        |    round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2)::DOUBLE, 6)
+        |  END AS dup2_ratio,
+        |  CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+        |    round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3)::DOUBLE, 6)
+        |  END AS dup3_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // identical vocabulary (top-200 by count desc, token asc), identical
+    // one-decimal weights, DECIMAL logit sums — order-invariant
+    "quality_classifier" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT tok, count(*)::BIGINT AS tf FROM toks
+        |       WHERE tok <> '' GROUP BY tok),
+        |top AS (SELECT tok, row_number() OVER (ORDER BY tf DESC, tok) AS rank
+        |        FROM tf ORDER BY tf DESC, tok LIMIT 200),
+        |wt AS (SELECT tok,
+        |         CAST(CAST(rank % 7 - 3 AS DOUBLE) / 10 AS DECIMAL(18,1)) AS w
+        |       FROM top)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_scored,
+        |  CAST(sum(wt.w) AS DOUBLE) AS logit, sum(wt.w) > 0 AS keep
+        |FROM toks t JOIN wt ON t.tok = wt.tok
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // retrieval: same broadcast-vocab tf/df/dl/N arithmetic as
+    // text_bm25, weights rounded then DECIMAL-summed per (query, doc),
+    // rank by exact decimal score with doc-id tiebreak
+    "bm25_search" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id AS qid,
+        |        list_filter(list_slice(string_split(lower(text), ' '), 1, 4),
+        |          x -> x <> '') AS qtoks
+        |      FROM documents WHERE doc_id < 3),
+        |qt AS (SELECT qid, unnest(list_distinct(qtoks)) AS term FROM q),
+        |vocab AS (SELECT DISTINCT term FROM qt),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS sumdl FROM d),
+        |ex AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        |       FROM ex JOIN vocab USING (term) GROUP BY doc_id, dl, term),
+        |dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |wts AS (SELECT doc_id, term, CAST(round(
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n))), 6)
+        |    AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN g),
+        |pq AS (SELECT qt.qid, w.doc_id, sum(w.w) AS sw,
+        |         count(*)::BIGINT AS n_terms
+        |       FROM wts w JOIN qt ON w.term = qt.term GROUP BY qt.qid, w.doc_id),
+        |r AS (SELECT qid, doc_id, n_terms, sw, row_number() OVER
+        |        (PARTITION BY qid ORDER BY sw DESC, doc_id) AS rank
+        |      FROM pq)
+        |SELECT qid, rank, doc_id, n_terms, CAST(sw AS DOUBLE) AS score
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // global pseudo-random order: same Knuth mix, rank via row_number
+    // (the Spark side computes it bucket-histogram + window — same
+    // total order), integer batch division
+    "shuffle_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |  (doc_id * 2654435761) % 4294967296 AS ord FROM documents),
+        |r AS (SELECT doc_id,
+        |  (row_number() OVER (ORDER BY ord, doc_id) - 1)::BIGINT AS pos
+        |FROM t)
+        |SELECT doc_id, pos, (pos // 64)::BIGINT AS batch_id
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // identical fixed-order BM25 arithmetic: tf/df/dl/N integer-exact,
     // per-term weights summed in literal order t0+t1+t2

@@ -101,6 +101,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("semanticDedup drops exactly the planted near-copies, keeps originals") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").limit(200).cache()
+    val planted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * 1.001f + 0.0005f).as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val model = graft.operators.Ivf.build(corpus, "embedding", nlists = 8)
+    val kept = graft.operators.Dedup.semanticDedup(
+        corpus, "embedding", "vec_id", model, maxCosDist = 0.01)
+      .select("vec_id").as[Long].collect().toSet
+    val originals = emb.select("vec_id").as[Long].collect().toSet
+    // every original survives (smaller id in its ball), every planted
+    // copy is dropped (its original co-clusters at cosd ~1e-6)
+    assert(originals.subsetOf(kept), "an original was dropped")
+    assert(kept.intersect(originals.map(_ + 100000L)).isEmpty,
+      s"planted copies survived: ${kept.filter(_ >= 100000L).take(5)}")
+    // idempotent: running again on the survivors changes nothing
+    val again = graft.operators.Dedup.semanticDedup(
+        corpus.join(kept.toSeq.toDF("vec_id"), Seq("vec_id")),
+        "embedding", "vec_id", model, maxCosDist = 0.01)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("bucket guard: flood stays linear, clusters survive, normal corpus unchanged") {
     // on the normal corpus no bucket exceeds the cap: pair set identical
     val base = Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, 0.5)

@@ -206,4 +206,33 @@ class IterateSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("oscillator"))
   }
+
+  test("pageRank matches a driver-side reference on a small graph") {
+    import spark.implicits._
+    // star into 0 plus a 2-cycle and a sink: covers hub accumulation,
+    // mutual recursion, a dangling node, and a no-in-edge node
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (1L, 2L),
+      (4L, 3L)).toDF("s", "d")
+    val got = Iterate.pageRank(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand-derived closed form (teleport 0.03, r0 = 0.2 each):
+    //   iter1: 0→.455  1→.2     2→.115    3→.2     4→.03
+    //   iter2: 0→.38275 1→.41675 2→.115   3→.0555  4→.03
+    //   iter3: 0→.03+.85·(.41675/2+.115+.0555)  1→.03+.85·.38275  …
+    // (independently reproduced by a Python Decimal replica; the
+    // DuckDB oracle gate proves the same bits on the real data)
+    val rank = Map(0L -> 0.35204375, 1L -> 0.3553375,
+      2L -> 0.20711875, 3L -> 0.0555, 4L -> 0.03)
+    assert(got.keySet == rank.keySet)
+    rank.foreach { case (v, r) => assert(got(v) == r, s"node $v: ${got(v)} vs $r") }
+    // mass check: with one dangling node (3 -> nothing... node 2 and 3
+    // both dangle) total rank stays <= 1 and every rank is positive
+    assert(got.values.sum <= 1.0 + 1e-9)
+    assert(got.values.forall(_ > 0))
+    // the sink that only the dangling node feeds, and the dangling
+    // node itself, sit at the bottom; the hub and its successor at
+    // the top (node 1 overtakes the hub at iter 3 — it receives the
+    // hub's large iter-2 rank undivided)
+    assert(Seq(got(4L), got(3L)).max < Seq(got(0L), got(1L)).min)
+  }
 }

@@ -56,6 +56,38 @@ class RelevanceSpec extends SparkSpec {
     } finally scored.unpersist()
   }
 
+  test("searchTopK: a query that IS a document retrieves it in the top k") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(300).cache()
+    // query text = doc 7's full text: doc 7 matches every query term,
+    // so it must appear in its own top-5 (exact rank 1 is not a BM25
+    // guarantee — a denser doc can outrank the source)
+    val q = docs.filter(col("doc_id") === 7)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val hits = Relevance.searchTopK(docs, "doc_id", "text", q, "qid", "qtext",
+      k = 5).collect()
+    assert(hits.length == 5)
+    assert(hits.map(_.getInt(1)).toSeq.sorted == Seq(1, 2, 3, 4, 5))
+    assert(hits.exists(_.getLong(2) == 7L),
+      s"self-query missed doc 7: ${hits.map(_.getLong(2)).toSeq}")
+    // scores are positive and non-increasing in rank
+    val scores = hits.sortBy(_.getInt(1)).map(_.getDouble(4))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("searchTopK plan: query vocabulary broadcasts, corpus never does") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    val plan = Relevance.searchTopK(docs, "doc_id", "text", q, "qid", "qtext",
+      k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+    // the exploded corpus side must reach the vocab via broadcast hash
+    // join — a sort-merge join would shuffle O(corpus tokens)
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-side token join must not sort-merge")
+  }
+
   test("bm25 plan: one broadcast of the 1-row stats, no wide shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = Relevance.bm25(docs, "doc_id", "text", Seq("dup"))

@@ -71,4 +71,36 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(c.subsetOf(a))
   }
+
+  test("shuffleBatches: dense global positions, exact batch sizes, " +
+      "partitioning-invariant, epochs differ") {
+    val n = docs.count()
+    val sb = Sampling.shuffleBatches(docs.select("doc_id"), "doc_id", 64)
+    val rows = sb.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positions are a permutation of [0, n)
+    assert(rows.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // every batch except the last is exactly 64 docs
+    val byBatch = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    val lastBatch = byBatch.keys.max
+    byBatch.foreach { case (b, c) =>
+      if (b < lastBatch) assert(c == 64, s"batch $b has $c docs")
+    }
+    assert(byBatch(lastBatch) == (if (n % 64 == 0) 64 else n % 64))
+    // batch is position div 64
+    rows.foreach { case (_, p, b) => assert(b == p / 64) }
+    // pure function of the input set
+    val again = Sampling.shuffleBatches(
+        docs.select("doc_id").repartition(11), "doc_id", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.toSet == again)
+    // a different epoch is a genuinely different permutation
+    val e1 = Sampling.shuffleBatches(docs.select("doc_id"), "doc_id", 64,
+        epoch = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val e0 = rows.map(r => (r._1, r._2)).toMap
+    assert(e0.count { case (id, p) => e1(id) != p } > n / 2)
+    // plan contract: no RangePartitioning (a global orderBy would
+    // sample-and-double-execute the child), exactly one Window sort
+    val plan = sb.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
 }
