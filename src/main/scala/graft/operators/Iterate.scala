@@ -224,7 +224,28 @@ object Iterate {
       iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "pageRank needs iters >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().cache()
+    try {
+      // same fast-path contract as connectedComponents/hopDistances: a
+      // broadcast-small edge set answers all `iters` rounds in one
+      // driver pass for less than one distributed round's scheduling
+      // overhead (each distributed round = 2 joins + an agg + a
+      // reliable checkpoint). The arithmetic below and in
+      // localPageRank is IDENTICAL bit-for-bit (IEEE divide → HALF_UP
+      // 12dp round → exact decimal sums), so the paths agree exactly
+      // (forced-path parity is spec-asserted).
+      collectIfSmall(e) match {
+        case Some(es) =>
+          val s = edges.sparkSession
+          import s.implicits._
+          localPageRank(es, iters, damping).toSeq.toDF("node", "rank")
+        case None => pageRankDistributed(e, iters, damping)
+      }
+    } finally e.unpersist()
+  }
+
+  private def pageRankDistributed(e: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val n = nodes.count() // 1 scalar to the driver: the teleport term
@@ -254,5 +275,33 @@ object Iterate {
       it += 1
     }
     ranks.select(col("node"), col("rank").cast("double").as("rank"))
+  }
+
+  /** Driver replica of one-rank-per-node PR with the SAME rounding
+    * discipline as the distributed loop: scala.BigDecimal(double) is
+    * repr-based exactly like Spark's Round, HALF_UP matches, and the
+    * per-dst contribution sum is an exact BigDecimal sum (the
+    * DECIMAL(28,12) analogue). */
+  private def localPageRank(es: Array[(Long, Long)], iters: Int,
+      damping: Double): Array[(Long, Double)] = {
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = es.flatMap(e => Array(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    require(n > 0, "pageRank needs at least one node")
+    val odeg = es.groupBy(_._1).map { case (s, l) => s -> l.length }
+    val teleport = r12((1.0 - damping) / n)
+    var rank = nodes.map(_ -> r12(1.0 / n)).toMap
+    var it = 0
+    while (it < iters) {
+      val prev = rank
+      val in = es.groupBy(_._2).map { case (d, l) =>
+        d -> l.map { case (s, _) => BigDecimal(r12(prev(s) / odeg(s))) }.sum
+      }
+      rank = nodes.map(v => v ->
+        r12(teleport + damping * in.getOrElse(v, BigDecimal(0)).toDouble)).toMap
+      it += 1
+    }
+    nodes.map(v => v -> rank(v))
   }
 }

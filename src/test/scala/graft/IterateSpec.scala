@@ -235,4 +235,26 @@ class IterateSpec extends SparkSpec {
     // hub's large iter-2 rank undivided)
     assert(Seq(got(4L), got(3L)).max < Seq(got(0L), got(1L)).min)
   }
+
+  test("pageRank: FORCED distributed path equals the driver fast path " +
+      "bit-for-bit") {
+    import spark.implicits._
+    // a denser deterministic graph than the closed-form fixture: ring +
+    // chords + a star, ids scrambled — division results exercise many
+    // 12dp rounding boundaries
+    val es = (0L until 40L).map(i => (i, (i + 1) % 40)) ++
+      (0L until 40L by 3).map(i => (i, (i * 7 + 5) % 40)) ++
+      (1L to 10L).map(i => (500L, 500L + i))
+    val edges = es.toDF("s", "d")
+    val fast = Iterate.pageRank(edges, "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = withEdgeThreshold(0) {
+      Iterate.pageRank(edges, "s", "d", iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(fast.keySet == dist.keySet)
+    fast.foreach { case (v, r) =>
+      assert(dist(v) == r, s"node $v: fast $r vs distributed ${dist(v)}")
+    }
+  }
 }
