@@ -161,4 +161,23 @@ object VectorFunctions {
   /** subvector(v, start(1-based), count) (ref: vector.cpp subvector). */
   def subvector(a: Column, start: Int, count: Int): Column =
     slice(vec(a), start, count)
+
+  /**
+   * Scalar (int8) quantization — the compression tier between halfvec
+   * (A18) and binary_quantize (A12): code = round((x−lo)/(hi−lo)·254 −
+   * 127) ∈ [−127, 127] against a corpus-wide [lo, hi] range (pgvector
+   * 0.7's scalar-quantized index storage shape; the reference's
+   * datavec stops at fp16 + bit — this extends the same axis).
+   * 4× smaller than fp32, and quantized L2 is pure INTEGER arithmetic:
+   * dist²(a, b) = Σ(qa−qb)² scaled by ((hi−lo)/254)² — so rankings
+   * are engine-exact with no float tolerance at all.
+   */
+  def int8Quantize(v: Column, lo: Column, hi: Column): Column =
+    transform(vec(v), x =>
+      round((x.cast("double") - lo) / (hi - lo) * 254 - 127, 0).cast("int"))
+
+  /** Integer squared L2 between two int8 code arrays. */
+  def int8DistSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => ((x - y) * (x - y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.{VectorFunctions => VF}
 import graft.operators.{Hnsw, Ivf, Knn, Lsh, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -96,6 +97,26 @@ object AnnSuite {
       Ivf.rangeSearch(tagged, "embedding", "vec_id", model, radii,
           queryVec(s, dir), eps = 1.2)
         .transform(graft.queries.Gate.ordered(_, "vec_id"))
+    }),
+
+    // B12: scalar (int8) quantized search — the compression tier
+    // between halfvec and binary_quantize (pgvector 0.7's int8 axis;
+    // the reference's datavec stops at fp16 + bit). Corpus-wide
+    // [lo, hi] from ONE aggregate, codes 4× smaller than fp32, and
+    // quantized L2 is pure INTEGER arithmetic (Σ(qa−qb)²) — rankings
+    // engine-exact with no float tolerance at all
+    "vec_int8_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val r = emb.agg(
+        min(array_min(col("embedding").cast("array<double>"))).as("lo"),
+        max(array_max(col("embedding").cast("array<double>"))).as("hi")).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val codes = emb.select(col("vec_id"),
+        VF.int8Quantize(col("embedding"), lit(lo), lit(hi)).as("c"))
+      val q = codes.filter(col("vec_id") === 0).select(col("c").as("qc"))
+      codes.crossJoin(broadcast(q))
+        .select(col("vec_id"), VF.int8DistSq(col("c"), col("qc")).as("dist2"))
+        .orderBy(col("dist2"), col("vec_id")).limit(10)
     }),
 
     // B2: many-query KNN join with bounded-heap partial aggregation.
@@ -322,6 +343,20 @@ object AnnSuite {
          |SELECT e.vec_id, $distSql AS dist
          |FROM embeddings e, q WHERE $distSql <= 1.2
          |ORDER BY vec_id""".stripMargin,
+
+    // identical quantization arithmetic: IEEE (x−lo)/(hi−lo)·254−127,
+    // HALF_UP round (ties away from zero in both engines), then pure
+    // integer Σ(qa−qb)²
+    "vec_int8_topk" ->
+      """WITH g AS (SELECT min(list_min(embedding))::DOUBLE AS lo,
+        |             max(list_max(embedding))::DOUBLE AS hi FROM embeddings),
+        |codes AS (SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(round((x::DOUBLE - lo) / (hi - lo) * 254 - 127, 0) AS INTEGER)) AS c
+        |  FROM embeddings CROSS JOIN g),
+        |q AS (SELECT c AS qc FROM codes WHERE vec_id = 0)
+        |SELECT vec_id, CAST(list_sum(list_transform(range(1, len(c) + 1),
+        |    i -> CAST(c[i] - qc[i] AS BIGINT) * (c[i] - qc[i]))) AS BIGINT) AS dist2
+        |FROM codes, q ORDER BY dist2, vec_id LIMIT 10""".stripMargin,
 
     "knn_join" ->
       """WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -445,6 +445,64 @@ object RelationalSuite3 {
           slice(split(lower(col("text")), " "), 1, 6)).as(Seq("pos", "tok")))
         .transform(Gate.ordered(_, "doc_id", "pos"))),
 
+    // window NAVIGATION surface: lag/lead with defaults, first_value/
+    // last_value IGNORE NULLS (the LOCF building block), nth_value over
+    // the full frame — over a column with PLANTED NULLs so the
+    // ignore-nulls semantics provably fire
+    "window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runningW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fullW = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          // NULL wherever the event is a click: ignore-nulls must skip
+          nullif(col("event_type"), lit("click")).as("nc"))
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_type"), 1, "none").over(w).as("prev_type"),
+          lead(col("event_type"), 1, "none").over(w).as("next_type"),
+          last(col("nc"), ignoreNulls = true).over(runningW).as("last_nc"),
+          first(col("nc"), ignoreNulls = true).over(fullW).as("first_nc"),
+          nth_value(col("event_id"), 3).over(fullW).as("third_event"))
+        .transform(Gate.ordered(_, "user_id", "event_id"))
+    }),
+
+    // rank-family window functions: ntile bucketing, percent_rank and
+    // cume_dist (exact rational doubles — (r-1)/(n-1) and r/n IEEE
+    // divisions are bit-identical in both engines), rank/dense_rank
+    // under real ties (o_totalprice rounded to whole dollars)
+    "window_rank_fns" -> ((s, dir) => {
+      val tied = floor(col("o_totalprice") / 1000).cast("long").as("price_k")
+      val w = Window.partitionBy(col("pri")).orderBy(col("price_k"), col("o_orderkey"))
+      val wTies = Window.partitionBy(col("pri")).orderBy(col("price_k"))
+      Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+        .select(col("o_orderpriority").as("pri"), col("o_orderkey"), tied)
+        .select(col("pri"), col("o_orderkey"), col("price_k"),
+          ntile(4).over(w).as("quartile"),
+          rank().over(wTies).as("rk"),
+          dense_rank().over(wTies).as("drk"),
+          percent_rank().over(wTies).as("prk"),
+          cume_dist().over(wTies).as("cd"))
+        .transform(Gate.ordered(_, "pri", "o_orderkey"))
+    }),
+
+    // null-safe equality (<=> / IS NOT DISTINCT FROM) + the NULL-logic
+    // function family (nullif/nvl/nvl2/coalesce) over planted NULLs
+    "null_safe_eq" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          nullif(pmod(col("c_custkey"), lit(7)), lit(3)).as("a"),
+          nullif(pmod(col("c_custkey"), lit(5)), lit(2)).as("b"))
+        .select(col("c_custkey"), col("a"), col("b"),
+          (col("a") <=> col("b")).as("nseq"),
+          (!(col("a") <=> col("b"))).as("nsneq"),
+          coalesce(col("a"), col("b"), lit(-1)).as("c1"),
+          when(col("a").isNotNull, col("a") * 10).otherwise(col("b")).as("n2"))
+        .transform(Gate.ordered(_, "c_custkey"))),
+
     // PageRank, 3 fixed iterations over the customer→order key graph —
     // iterative numeric recursion (beyond reachability's set growth)
     // with engine-exact arithmetic: per-edge contributions are IEEE
@@ -742,6 +800,52 @@ object RelationalSuite3 {
         |FROM documents WHERE doc_id < 20)
         |SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok
         |FROM t ORDER BY doc_id, pos""".stripMargin,
+
+    "window_nav" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |  nullif(event_type, 'click') AS nc
+        |FROM events WHERE user_id < 50)
+        |SELECT user_id, event_id,
+        |  lag(event_type, 1, 'none') OVER w AS prev_type,
+        |  lead(event_type, 1, 'none') OVER w AS next_type,
+        |  last_value(nc IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nc,
+        |  first_value(nc IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nc,
+        |  nth_value(event_id, 3) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_event
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "window_rank_fns" ->
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey,
+        |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k
+        |FROM orders WHERE o_orderkey % 20 = 0)
+        |SELECT pri, o_orderkey, price_k,
+        |  ntile(4) OVER (PARTITION BY pri ORDER BY price_k, o_orderkey) AS quartile,
+        |  rank() OVER wt AS rk,
+        |  dense_rank() OVER wt AS drk,
+        |  percent_rank() OVER wt AS prk,
+        |  cume_dist() OVER wt AS cd
+        |FROM o
+        |WINDOW wt AS (PARTITION BY pri ORDER BY price_k)
+        |ORDER BY pri, o_orderkey""".stripMargin,
+
+    "null_safe_eq" ->
+      """SELECT c_custkey,
+        |  nullif(c_custkey % 7, 3) AS a,
+        |  nullif(c_custkey % 5, 2) AS b,
+        |  (nullif(c_custkey % 7, 3) IS NOT DISTINCT FROM nullif(c_custkey % 5, 2)) AS nseq,
+        |  (nullif(c_custkey % 7, 3) IS DISTINCT FROM nullif(c_custkey % 5, 2)) AS nsneq,
+        |  coalesce(nullif(c_custkey % 7, 3), nullif(c_custkey % 5, 2), -1) AS c1,
+        |  CASE WHEN nullif(c_custkey % 7, 3) IS NOT NULL
+        |    THEN nullif(c_custkey % 7, 3) * 10
+        |    ELSE nullif(c_custkey % 5, 2) END AS n2
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // 3 unrolled PR iterations; every round: contribution =
     // round(rank/odeg, 12) summed as DECIMAL(28,12) (exact), update =
