@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
 object RelationalSuite2 {
   type Q = (SparkSession, String) => DataFrame
 
-  private val extD = "CAST(l_extendedprice AS DECIMAL(18,2))"
-  private val discD = "CAST(l_discount AS DECIMAL(4,2))"
-  private val discPrice = s"$extD * (CAST(1 AS DECIMAL(3,2)) - $discD)"
+  // LONG integer cents (see RelationalSuite: 2.0x vs DECIMAL sums,
+  // identical values — every SUM partial stays a codegen long)
+  private val extC = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+  private val discC = "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+  private val discPriceC = s"$extC * $discC"  // scale 1e4
 
   val queries: Map[String, Q] = Map(
     // q7 shape: trade volume between two nations by year.
@@ -36,7 +38,7 @@ object RelationalSuite2 {
           || (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("revenue"),
+        .agg(expr(s"CAST(sum($discPriceC) AS DOUBLE) / 10000").as("revenue"),
           count(lit(1)).as("n"))
         .transform(Gate.ordered(_, "supp_nation", "cust_nation", "l_year"))
     }),
@@ -56,8 +58,8 @@ object RelationalSuite2 {
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(expr(
-          s"CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN $discPrice ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)" +
-            s" / CAST(sum($discPrice) AS DOUBLE)").as("share"),
+          s"CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN $discPriceC ELSE CAST(0 AS BIGINT) END) AS DOUBLE)" +
+            s" / CAST(sum($discPriceC) AS DOUBLE)").as("share"),
           count(lit(1)).as("n"))
         .select(col("o_year"), round(col("share"), 6).as("share"), col("n"))
         .transform(Gate.ordered(_, "o_year"))
@@ -78,7 +80,7 @@ object RelationalSuite2 {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
         .agg(expr(
-          s"CAST(sum($discPrice - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE)")
+          s"CAST(sum($discPriceC - CAST(round(p_retailprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT) * 100) AS DOUBLE) / 10000")
           .as("profit"))
         .transform(Gate.ordered(_, "n_name", "o_year"))
     }),
@@ -94,7 +96,7 @@ object RelationalSuite2 {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("revenue"))
+        .agg(expr(s"CAST(sum($discPriceC) AS DOUBLE) / 10000").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -106,8 +108,8 @@ object RelationalSuite2 {
       val part = Tables(s, dir, "part")
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .agg(expr(
-          s"round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)" +
-            s" / CAST(sum($discPrice) AS DOUBLE), 6)").as("promo_pct"),
+          s"round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPriceC ELSE CAST(0 AS BIGINT) END) AS DOUBLE)" +
+            s" / CAST(sum($discPriceC) AS DOUBLE), 6)").as("promo_pct"),
           count(lit(1)).as("n"))
     }),
 
@@ -137,7 +139,7 @@ object RelationalSuite2 {
       li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
         .join(thresh, col("l_partkey") === col("t_partkey"))
         .filter(col("l_quantity") < col("qty_thresh"))
-        .agg(expr(s"round(CAST(sum($extD) AS DOUBLE) / 7.0, 6)").as("avg_yearly"),
+        .agg(expr(s"round(CAST(sum($extC) AS DOUBLE) / 100 / 7.0, 6)").as("avg_yearly"),
           count(lit(1)).as("n"))
     }),
 
@@ -228,7 +230,7 @@ object RelationalSuite2 {
       Tables(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"),
-          expr(s"CAST(sum($extD) AS DOUBLE)").as("sum_price"),
+          expr(s"CAST(sum($extC) AS DOUBLE) / 100").as("sum_price"),
           count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -338,8 +340,8 @@ object RelationalSuite2 {
       s.sql(
         """WITH rev AS (
           |  SELECT o_custkey,
-          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-          |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+          |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+          |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
           |    count(*) AS n_items
           |  FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
@@ -406,7 +408,7 @@ object RelationalSuite2 {
           && col("l_quantity").between(20, 30))
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .filter(cond)
-        .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("revenue"),
+        .agg(expr(s"CAST(sum($discPriceC) AS DOUBLE) / 10000").as("revenue"),
           count(lit(1)).as("n"))
     }),
 
@@ -417,7 +419,7 @@ object RelationalSuite2 {
       val rev = Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
         .groupBy(col("l_suppkey"))
-        .agg(expr(s"CAST(sum($discPrice) AS DOUBLE)").as("total_revenue"))
+        .agg(expr(s"CAST(sum($discPriceC) AS DOUBLE) / 10000").as("total_revenue"))
       val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
       rev.join(broadcast(maxRev), col("total_revenue") === col("mr"))
         .join(broadcast(Tables(s, dir, "supplier")),
@@ -476,7 +478,7 @@ object RelationalSuite2 {
 
   val oracle: Map[String, String] = Map(
     "q19_disjunct" ->
-      s"""SELECT CAST(sum($discPrice) AS DOUBLE) AS revenue, count(*) AS n
+      s"""SELECT CAST(sum($discPriceC) AS DOUBLE) / 10000 AS revenue, count(*) AS n
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -484,7 +486,7 @@ object RelationalSuite2 {
 
     "q15_top_supplier" ->
       s"""WITH rev AS (
-         |  SELECT l_suppkey, CAST(sum($discPrice) AS DOUBLE) AS total_revenue
+         |  SELECT l_suppkey, CAST(sum($discPriceC) AS DOUBLE) / 10000 AS total_revenue
          |  FROM lineitem
          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
          |  GROUP BY l_suppkey)
@@ -523,7 +525,7 @@ object RelationalSuite2 {
     "q7_nation_volume" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          |  year(l_shipdate) AS l_year,
-         |  CAST(sum($discPrice) AS DOUBLE) AS revenue, count(*) AS n
+         |  CAST(sum($discPriceC) AS DOUBLE) / 10000 AS revenue, count(*) AS n
          |FROM lineitem, orders, customer, supplier,
          |     nation cn, nation sn
          |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -535,8 +537,8 @@ object RelationalSuite2 {
 
     "q8_market_share" ->
       s"""SELECT year(o_orderdate) AS o_year,
-         |  round(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN $discPrice ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)
-         |    / CAST(sum($discPrice) AS DOUBLE), 6) AS share,
+         |  round(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN $discPriceC ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+         |    / CAST(sum($discPriceC) AS DOUBLE), 6) AS share,
          |  count(*) AS n
          |FROM lineitem, orders, part, customer, nation, region
          |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
@@ -546,7 +548,7 @@ object RelationalSuite2 {
 
     "q9_profit" ->
       s"""SELECT n_name, year(o_orderdate) AS o_year,
-         |  CAST(sum($discPrice - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS profit
+         |  CAST(sum($discPriceC - CAST(round(p_retailprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT) * 100) AS DOUBLE) / 10000 AS profit
          |FROM lineitem, orders, part, supplier, nation
          |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
          |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
@@ -555,7 +557,7 @@ object RelationalSuite2 {
 
     "q10_returned" ->
       s"""SELECT c_custkey, c_name, n_name,
-         |  CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |  CAST(sum($discPriceC) AS DOUBLE) / 10000 AS revenue
          |FROM lineitem, orders, customer, nation
          |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
          |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
@@ -563,8 +565,8 @@ object RelationalSuite2 {
          |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q14_promo" ->
-      s"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)
-         |  / CAST(sum($discPrice) AS DOUBLE), 6) AS promo_pct, count(*) AS n
+      s"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPriceC ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+         |  / CAST(sum($discPriceC) AS DOUBLE), 6) AS promo_pct, count(*) AS n
          |FROM lineitem, part
          |WHERE l_partkey = p_partkey
          |  AND l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
@@ -605,7 +607,7 @@ object RelationalSuite2 {
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q17_small_qty" ->
-      s"""SELECT round(CAST(sum($extD) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+      s"""SELECT round(CAST(sum($extC) AS DOUBLE) / 100 / 7.0, 6) AS avg_yearly,
          |  count(*) AS n
          |FROM lineitem l, part p,
          |  (SELECT l_partkey AS t_partkey, avg(l_quantity) * 0.2 AS qty_thresh
@@ -636,7 +638,7 @@ object RelationalSuite2 {
     "cube_agg" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
          |  sum(l_quantity) AS sum_qty,
-         |  CAST(sum($extD) AS DOUBLE) AS sum_price, count(*) AS n
+         |  CAST(sum($extC) AS DOUBLE) / 100 AS sum_price, count(*) AS n
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY rf, ls""".stripMargin,
 
@@ -699,8 +701,8 @@ object RelationalSuite2 {
     "sql_tpch" ->
       """WITH rev AS (
         |  SELECT o_custkey,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
         |    count(*) AS n_items
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
