@@ -262,16 +262,25 @@ object RelationalSuite3 {
     // the exact moments; one map-side-combinable aggregate
     "stats_agg" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
-      val x = expr("CAST(l_quantity AS DECIMAL(18,2))")
-      val y = expr("CAST(l_extendedprice AS DECIMAL(18,2))")
+      // integer moments (see RelationalSuite: long sums stay in codegen,
+      // wide-decimal sums don't): qty is integer-valued → plain BIGINT;
+      // price in cents; ONLY Σprice² needs decimal (cents² ≈ 1.2e14/row
+      // would overflow a long sum past ~7.6e4 rows/group)
+      val x = expr("CAST(l_quantity AS BIGINT)")
+      val yc = expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
       val g = li.groupBy(col("l_returnflag")).agg(
         count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        sum(x).as("sx"), sum(yc).as("syc"),
+        sum(x * x).as("sxx"),
+        sum(expr("CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(18,0))") * yc)
+          .as("syycc"),
+        sum(x * yc).as("sxyc"))
       val n = col("n").cast("double")
-      val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
-      val (sxx, syy, sxy) =
-        (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      val sx = col("sx").cast("double")
+      val sy = col("syc").cast("double") / 100
+      val sxx = col("sxx").cast("double")
+      val syy = col("syycc").cast("double") / 10000
+      val sxy = col("sxyc").cast("double") / 100
       g.select(col("l_returnflag"),
         round((sxx / n) - (sx / n) * (sx / n), 6).as("var_qty"),
         round(sqrt((sxx / n) - (sx / n) * (sx / n)), 6).as("stddev_qty"),
@@ -654,20 +663,26 @@ object RelationalSuite3 {
         |FROM d ORDER BY o_orderkey""".stripMargin,
 
     "stats_agg" ->
-      """WITH g AS (SELECT l_returnflag, count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
-        |FROM lineitem GROUP BY 1)
+      """WITH g0 AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syc,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |  sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(18,0)) *
+        |      CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syycc,
+        |  sum(CAST(l_quantity AS BIGINT) *
+        |      CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxyc
+        |FROM lineitem GROUP BY 1),
+        |g AS (SELECT l_returnflag, n::DOUBLE AS n, sx::DOUBLE AS sx,
+        |  syc::DOUBLE / 100 AS sy, sxx::DOUBLE AS sxx,
+        |  syycc::DOUBLE / 10000 AS syy, sxyc::DOUBLE / 100 AS sxy
+        |FROM g0)
         |SELECT l_returnflag,
-        |  round((sxx::DOUBLE / n) - (sx::DOUBLE / n) * (sx::DOUBLE / n), 6) AS var_qty,
-        |  round(sqrt((sxx::DOUBLE / n) - (sx::DOUBLE / n) * (sx::DOUBLE / n)), 6) AS stddev_qty,
-        |  round((sxy::DOUBLE / n) - (sx::DOUBLE / n) * (sy::DOUBLE / n), 6) AS covar,
-        |  round(((sxy::DOUBLE / n) - (sx::DOUBLE / n) * (sy::DOUBLE / n)) /
-        |    (sqrt((sxx::DOUBLE / n) - (sx::DOUBLE / n) * (sx::DOUBLE / n)) *
-        |     sqrt((syy::DOUBLE / n) - (sy::DOUBLE / n) * (sy::DOUBLE / n))), 6) AS corr
+        |  round((sxx / n) - (sx / n) * (sx / n), 6) AS var_qty,
+        |  round(sqrt((sxx / n) - (sx / n) * (sx / n)), 6) AS stddev_qty,
+        |  round((sxy / n) - (sx / n) * (sy / n), 6) AS covar,
+        |  round(((sxy / n) - (sx / n) * (sy / n)) /
+        |    (sqrt((sxx / n) - (sx / n) * (sx / n)) *
+        |     sqrt((syy / n) - (sy / n) * (sy / n))), 6) AS corr
         |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "histogram" ->
