@@ -30,7 +30,8 @@ object Bench {
     "within_group", "pivot_events", "gap_fill", "scd2_intervals", "merge_upsert", "cdc_apply", "funnel", "profile_stats", "stats_agg", "histogram", "json_ops", "mix_sources", "bpe_step", "pipeline_pretrain",
     "text_repetition", "quality_classifier", "bm25_search", "shuffle_batches",
     "dedup_semantic", "agg_filter", "grouping_fn", "unnest_ord", "graph_pagerank",
-    "window_nav", "window_rank_fns", "null_safe_eq", "vec_int8_topk")
+    "window_nav", "window_rank_fns", "null_safe_eq", "vec_int8_topk",
+    "date_extract", "regexp_fns", "hop_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -512,6 +512,59 @@ object RelationalSuite3 {
           when(col("a").isNotNull, col("a") * 10).otherwise(col("b")).as("n2"))
         .transform(Gate.ordered(_, "c_custkey"))),
 
+    // PG date-part surface: extract(year/quarter/month/week/dow/doy/
+    // epoch) + date_trunc/last_day — week is ISO in both engines, dow
+    // normalized to PG's 0=Sunday (Spark's dayofweek is 1=Sunday),
+    // calendar outputs serialized as strings (date-vs-timestamp dtype
+    // drift is a driver hash-miss; strings are dtype-proof)
+    "date_extract" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("mo"),
+          weekofyear(col("o_orderdate")).as("wk"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          unix_timestamp(col("o_orderdate")).as("epoch"),
+          date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+            .as("q_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"))
+        .transform(Gate.ordered(_, "o_orderkey"))),
+
+    // regexp surface beyond PII scrubbing: group extraction, global
+    // replace, match predicate, split_part — the RE2∩Java-compatible
+    // subset so both engines agree byte-for-byte
+    "regexp_fns" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          concat(lit("doc-"), col("doc_id").cast("string"), lit("-v2.txt"))
+            .as("fname"),
+          col("text"))
+        .select(col("doc_id"),
+          regexp_extract(col("fname"), "doc-([0-9]+)-v([0-9]+)", 1).as("id_part"),
+          regexp_extract(col("fname"), "doc-([0-9]+)-v([0-9]+)", 2).as("ver_part"),
+          regexp_replace(col("fname"), "[0-9]+", "#").as("masked"),
+          col("fname").rlike("v[0-9]+\\.txt$").as("is_versioned"),
+          split_part(col("fname"), lit("-"), lit(2)).as("mid"),
+          substring(regexp_replace(col("text"), "\\s+", " "), 1, 40).as("head40"))
+        .transform(Gate.ordered(_, "doc_id"))),
+
+    // HOPPING (sliding) windows in batch — window(ts, 10 min, 5 min):
+    // every event lands in exactly size/slide = 2 windows; the oracle
+    // enumerates both phase-shifted tumbling assignments. Window start
+    // emitted as epoch seconds (dtype-proof); integer aggregates
+    "hop_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+          min(col("event_id")).as("first_id"))
+        .select(col("window.start").cast("long").as("ws_epoch"),
+          col("n"), col("id_sum"), col("first_id"))
+        .transform(Gate.ordered(_, "ws_epoch"))),
+
     // PageRank, 3 fixed iterations over the customer→order key graph —
     // iterative numeric recursion (beyond reachability's set growth)
     // with engine-exact arithmetic: per-edge contributions are IEEE
@@ -815,6 +868,45 @@ object RelationalSuite3 {
         |FROM documents WHERE doc_id < 20)
         |SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok
         |FROM t ORDER BY doc_id, pos""".stripMargin,
+
+    "date_extract" ->
+      """SELECT o_orderkey,
+        |  extract(year FROM o_orderdate)::INTEGER AS y,
+        |  extract(quarter FROM o_orderdate)::INTEGER AS q,
+        |  extract(month FROM o_orderdate)::INTEGER AS mo,
+        |  extract(week FROM o_orderdate)::INTEGER AS wk,
+        |  extract(dow FROM o_orderdate)::INTEGER AS dow,
+        |  extract(doy FROM o_orderdate)::INTEGER AS doy,
+        |  CAST(extract(epoch FROM o_orderdate) AS BIGINT) AS epoch,
+        |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start,
+        |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS eom
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "regexp_fns" ->
+      """WITH d AS (SELECT doc_id,
+        |  'doc-' || doc_id::VARCHAR || '-v2.txt' AS fname, text
+        |FROM documents WHERE doc_id < 500)
+        |SELECT doc_id,
+        |  regexp_extract(fname, 'doc-([0-9]+)-v([0-9]+)', 1) AS id_part,
+        |  regexp_extract(fname, 'doc-([0-9]+)-v([0-9]+)', 2) AS ver_part,
+        |  regexp_replace(fname, '[0-9]+', '#', 'g') AS masked,
+        |  regexp_matches(fname, 'v[0-9]+\.txt$') AS is_versioned,
+        |  split_part(fname, '-', 2) AS mid,
+        |  substring(regexp_replace(text, '\s+', ' ', 'g'), 1, 40) AS head40
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "hop_window" ->
+      """WITH e AS (SELECT event_id,
+        |    -- floor, not CAST: epoch carries fractional seconds and
+        |    -- DuckDB's double->BIGINT cast ROUNDS (a x.5+ fraction in
+        |    -- second 299 of a bucket would hop windows)
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ep FROM events),
+        |a AS (SELECT event_id, ep - ep % 300 AS ws FROM e
+        |      UNION ALL
+        |      SELECT event_id, (ep - ep % 300) - 300 FROM e)
+        |SELECT ws AS ws_epoch, count(*)::BIGINT AS n,
+        |  sum(event_id)::BIGINT AS id_sum, min(event_id)::BIGINT AS first_id
+        |FROM a GROUP BY ws ORDER BY ws""".stripMargin,
 
     "window_nav" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type,
