@@ -47,6 +47,13 @@ object StreamingSuite {
       StreamAgg.windowedAgg(Tables(s, dir, "events"))
         .transform(Gate.ordered(_, "window_start", "event_type"))),
 
+    // HOPPING windows on the stream path (E6): slide < size, each
+    // event in 2 overlapping windows; batch run of the identical plan
+    // is the gate, stream==batch in StreamingSpec
+    "stream_hop" -> ((s, dir) =>
+      StreamAgg.hoppingAgg(Tables(s, dir, "events"))
+        .transform(Gate.ordered(_, "ws_epoch"))),
+
     // stateless stream sampling: the deterministic hash-threshold
     // filter needs NO state, NO watermark — the same rows pass in any
     // micro-batch slicing (stream==batch in StreamingSpec with zero
@@ -203,6 +210,19 @@ object StreamingSuite {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical to hop_window's enumeration (each event in exactly 2
+    // phase-shifted 5-min-aligned 10-min windows); floor the epoch —
+    // DuckDB's double→BIGINT cast rounds fractional seconds
+    "stream_hop" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ep FROM events),
+        |a AS (SELECT event_id, ep - ep % 300 AS ws FROM e
+        |      UNION ALL
+        |      SELECT event_id, (ep - ep % 300) - 300 FROM e)
+        |SELECT ws AS ws_epoch, count(*)::BIGINT AS n,
+        |  sum(event_id)::BIGINT AS id_sum, min(event_id)::BIGINT AS first_id
+        |FROM a GROUP BY ws ORDER BY ws""".stripMargin,
 
     "stream_sample" ->
       """SELECT event_id, user_id, event_type FROM events

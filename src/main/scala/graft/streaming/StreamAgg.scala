@@ -69,4 +69,25 @@ object StreamAgg {
         expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
+
+  /**
+   * HOPPING (sliding) windowed aggregation — `window(ts, size, slide)`
+   * with slide < size, so each event contributes to size/slide
+   * overlapping windows (the trend-smoothing form: a 10-minute rate
+   * refreshed every 5). Same watermark-bounded state story as
+   * [[windowedAgg]] — state per OPEN window is size/slide × the
+   * tumbling case, still bounded by the watermark horizon; identical
+   * plan runs batch (the gate) and under readStream (stream==batch in
+   * StreamingSpec). Integer aggregates only, window key as epoch
+   * seconds — dtype-proof and order-free.
+   */
+  def hoppingAgg(events: DataFrame, windowDur: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+        min(col("event_id")).as("first_id"))
+      .select(col("window.start").cast("long").as("ws_epoch"),
+        col("n"), col("id_sum"), col("first_id"))
 }

@@ -96,6 +96,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("hopping windowed agg over a file stream equals the batch result") {
+    val batch = StreamAgg.hoppingAgg(events)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = StreamAgg.hoppingAgg(stream)
+      .writeStream.format("memory").queryName("hop_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hop_test")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    // every event lands in exactly size/slide = 2 windows
+    assert(batch.toSeq.map(_._2).sum == events.count() * 2)
+  }
+
   test("stateless stream sampling: equals batch with ZERO state operators") {
     val batch = graft.operators.Sampling
       .hashFraction(events, "event_id", 0.1)
