@@ -152,6 +152,26 @@ object TextSuite {
           "doc_id", batchSize = 64)
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // end-to-end curate-to-batches (r9 composition): Gopher repetition
+    // filter → classifier keep → deterministic global shuffle into
+    // fixed-size batches — the LAST mile of pretrain prep, gated
+    // hash-exact THROUGH THE CHAIN (per-doc batch assignments, not
+    // counts); every stage's determinism composes
+    "pipeline_batches" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+      val lowRep = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.repetitionStats(col("text")).as("r"))
+        .filter(col("r.dup3_ratio") <= 0.5)
+        .select(col("doc_id"), col("text"))
+      val kept = lowRep.join(
+        graft.operators.TextAnalysis.classifierQuality(docs, "doc_id", "text")
+          .filter(col("keep")).select(col("id").as("doc_id")),
+        "doc_id")
+      graft.operators.Sampling.shuffleBatches(
+          kept.select(col("doc_id")), "doc_id", batchSize = 32)
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // stratified exact-n sampling: per-language 25-doc deterministic
     // sample by Knuth-mix order — one shuffle on the stratum key, the
     // per-stratum sort is Spark's external (spillable) sort; the
@@ -541,6 +561,39 @@ object TextSuite {
         |      FROM pq)
         |SELECT qid, rank, doc_id, n_terms, CAST(sw AS DOUBLE) AS score
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the three stages as CTEs: classifier keep-set over the FULL
+    // corpus vocabulary, dup3-ratio filter (same n−2 denominator as
+    // the map-only Spark form), then the Knuth-mix global order over
+    // the surviving intersection
+    "pipeline_batches" ->
+      """WITH toksall AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |                FROM documents),
+        |tf AS (SELECT tok, count(*)::BIGINT AS tf FROM toksall
+        |       WHERE tok <> '' GROUP BY tok),
+        |top AS (SELECT tok, row_number() OVER (ORDER BY tf DESC, tok) AS rank
+        |        FROM tf ORDER BY tf DESC, tok LIMIT 200),
+        |wt AS (SELECT tok,
+        |         CAST(CAST(rank % 7 - 3 AS DOUBLE) / 10 AS DECIMAL(18,1)) AS w
+        |       FROM top),
+        |keepers AS (SELECT t.doc_id FROM toksall t JOIN wt ON t.tok = wt.tok
+        |            GROUP BY t.doc_id HAVING sum(wt.w) > 0),
+        |g3 AS (SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |       FROM documents),
+        |rep AS (SELECT doc_id FROM g3 WHERE
+        |  CASE WHEN len(toks) < 3 THEN 0.0 ELSE
+        |    round(1.0 - len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(list_slice(toks, i, i + 2), ' '))))::DOUBLE
+        |      / (len(toks) - 2)::DOUBLE, 6) END <= 0.5),
+        |sel AS (SELECT doc_id FROM documents
+        |        WHERE doc_id IN (SELECT doc_id FROM keepers)
+        |          AND doc_id IN (SELECT doc_id FROM rep)),
+        |r AS (SELECT doc_id, (row_number() OVER
+        |        (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) - 1)::BIGINT AS pos
+        |      FROM sel)
+        |SELECT doc_id, pos, (pos // 32)::BIGINT AS batch_id
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // global pseudo-random order: same Knuth mix, rank via row_number
     // (the Spark side computes it bucket-histogram + window — same

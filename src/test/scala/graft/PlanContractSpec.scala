@@ -195,4 +195,33 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("FlatMapGroups"),
       "regressed to whole-group materialization in one task")
   }
+
+  test("semantic dedup pairs only within a cluster: equi-joins, no all-pairs") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "semanticDedup regressed to an all-pairs join")
+  }
+
+  test("shuffle-batches rank has no range partitioning (no sampling pass)") {
+    // a global orderBy would range-partition, whose boundary sampling
+    // EXECUTES THE CHILD TWICE; the bucket-histogram + window form
+    // must never plan one
+    val p = plan("shuffle_batches")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      "global rank regressed to a sampled range sort")
+  }
+
+  test("classifier weights apply via a join, vocabulary via bounded heap") {
+    val p = plan("quality_classifier")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V vocabulary lost its bounded-heap TakeOrdered")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("hopping-window agg is a single pass: explode to 2 windows, one agg") {
+    val p = plan("hop_window")
+    // one hash aggregate pair over the window-exploded input; no join
+    assert(!p.contains("Join"), "hopping windows must not join")
+    assert(p.contains("HashAggregate"), "windowed aggregation gone")
+  }
 }
