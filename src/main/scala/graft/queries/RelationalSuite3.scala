@@ -512,6 +512,41 @@ object RelationalSuite3 {
           when(col("a").isNotNull, col("a") * 10).otherwise(col("b")).as("n2"))
         .transform(Gate.ordered(_, "c_custkey"))),
 
+    // LIKE-family pattern matching: %/_ wildcards, ESCAPE'd literal
+    // underscores, ILIKE case folding, NOT LIKE — over strings built
+    // to hit every branch (planted '_' and mixed case)
+    "like_escape" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .filter(col("c_custkey") < 500)
+        .select(col("c_custkey"),
+          concat(lit("It_"), pmod(col("c_custkey"), lit(7)).cast("string"),
+            lit("-x")).as("v"))
+        .selectExpr("c_custkey", "v",
+          "v LIKE 'It%' AS starts_it",
+          // '!' escape: no backslash double-escaping through the Scala
+          // and SQL string-literal layers
+          "v LIKE 'It!_3%' ESCAPE '!' AS is_three",
+          "lower(v) LIKE 'it!_%' ESCAPE '!' AS ci_underscore",
+          "v ILIKE 'it%' AS ci_prefix",
+          "v LIKE '%-x' AS ends_x",
+          "v NOT LIKE '%5%' AS no_five")
+        .transform(Gate.ordered(_, "c_custkey"))),
+
+    // interval / date arithmetic: +INTERVAL days, add_months (both
+    // engines clamp at month end), datediff — calendar outputs as
+    // strings (dtype-proof)
+    "interval_arith" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"),
+          date_format(expr("o_orderdate + INTERVAL 90 DAYS"), "yyyy-MM-dd")
+            .as("plus90"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+            .as("plus3mo"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .as("days_since"))
+        .transform(Gate.ordered(_, "o_orderkey"))),
+
     // PG date-part surface: extract(year/quarter/month/week/dow/doy/
     // epoch) + date_trunc/last_day — week is ISO in both engines, dow
     // normalized to PG's 0=Sunday (Spark's dayofweek is 1=Sunday),
@@ -868,6 +903,31 @@ object RelationalSuite3 {
         |FROM documents WHERE doc_id < 20)
         |SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok
         |FROM t ORDER BY doc_id, pos""".stripMargin,
+
+    "like_escape" ->
+      """WITH d AS (SELECT c_custkey,
+        |  'It_' || (c_custkey % 7)::VARCHAR || '-x' AS v
+        |FROM customer WHERE c_custkey < 500)
+        |SELECT c_custkey, v,
+        |  v LIKE 'It%' AS starts_it,
+        |  v LIKE 'It!_3%' ESCAPE '!' AS is_three,
+        |  lower(v) LIKE 'it!_%' ESCAPE '!' AS ci_underscore,
+        |  v ILIKE 'it%' AS ci_prefix,
+        |  v LIKE '%-x' AS ends_x,
+        |  v NOT LIKE '%5%' AS no_five
+        |FROM d ORDER BY c_custkey""".stripMargin,
+
+    "interval_arith" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS plus90,
+        |  -- ::DATE, not the bare timestamp: DuckDB v1.0.0 folds two
+        |  -- same-shaped `col + INTERVAL n UNIT` expressions in one
+        |  -- SELECT into ONE (the 3-MONTH add silently became +90 DAY);
+        |  -- the distinct ::DATE operand defeats the bad fold and also
+        |  -- matches Spark's add_months-on-date semantics
+        |  strftime(o_orderdate::DATE + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+        |  datediff('day', DATE '1995-01-01', o_orderdate::DATE)::INTEGER AS days_since
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "date_extract" ->
       """SELECT o_orderkey,
