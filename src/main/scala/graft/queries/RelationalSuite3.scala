@@ -512,6 +512,19 @@ object RelationalSuite3 {
           when(col("a").isNotNull, col("a") * 10).otherwise(col("b")).as("n2"))
         .transform(Gate.ordered(_, "c_custkey"))),
 
+    // explicit hot-key SALTED join (the pathological-skew form AQE's
+    // split can't fix): left rows take a per-row salt, the dim side
+    // replicates across all salts — the RESULT SET is provably salt-
+    // invariant, which is exactly what this gate checks (oracle = the
+    // plain unsalted join)
+    "skew_join" -> ((s, dir) =>
+      graft.operators.Skew.saltedJoin(
+          Tables(s, dir, "orders"), Tables(s, dir, "customer"),
+          "o_custkey", "c_custkey", salts = 8)
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("key_sum"))
+        .transform(Gate.ordered(_, "c_custkey"))),
+
     // LIKE-family pattern matching: %/_ wildcards, ESCAPE'd literal
     // underscores, ILIKE case folding, NOT LIKE — over strings built
     // to hit every branch (planted '_' and mixed case)
@@ -903,6 +916,12 @@ object RelationalSuite3 {
         |FROM documents WHERE doc_id < 20)
         |SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok
         |FROM t ORDER BY doc_id, pos""".stripMargin,
+
+    "skew_join" ->
+      """SELECT c_custkey, count(*)::BIGINT AS n_orders,
+        |  sum(o_orderkey)::BIGINT AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "like_escape" ->
       """WITH d AS (SELECT c_custkey,
