@@ -128,8 +128,16 @@ object Sampling {
       nBuckets <= (1 << 20), "nBuckets must be a power of 2 (<= 2^20)")
     import org.apache.spark.sql.expressions.Window
     val shift = 32 - java.lang.Integer.numberOfTrailingZeros(nBuckets)
-    val keyed = df.withColumn("_ord", epochMix(col(idCol), epoch))
-      .withColumn("_bkt", shiftright(col("_ord"), shift).cast("int"))
+    // CACHE the keyed frame: the bucket histogram below executes the
+    // plan once at construction time, and the ranked result executes
+    // it again — uncached, an expensive upstream (a whole curation
+    // chain) would run TWICE per action. The cached projection is the
+    // full input row + 12 bytes; at 100 TB pre-project to the id
+    // column before calling (as the gates do) so the cache holds
+    // (id, ord, bkt) only — spillable MEMORY_AND_DISK either way.
+    val keyed = graft.Caching.ensureCached(
+      df.withColumn("_ord", epochMix(col(idCol), epoch))
+        .withColumn("_bkt", shiftright(col("_ord"), shift).cast("int")))
     // bucket histogram: nBuckets rows — the only driver round-trip
     val counts = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
