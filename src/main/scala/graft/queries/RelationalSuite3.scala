@@ -512,6 +512,21 @@ object RelationalSuite3 {
           when(col("a").isNotNull, col("a") * 10).otherwise(col("b")).as("n2"))
         .transform(Gate.ordered(_, "c_custkey"))),
 
+    // explicit Bloom-filter runtime pruning (C51): the dim side builds
+    // a broadcast Bloom filter, the fact scan drops definite-non-
+    // matches MAP-SIDE before the shuffle; no false negatives + a
+    // verifying semi-join ⇒ the result provably equals the plain
+    // semi-join, which is the oracle
+    "bloom_join" -> ((s, dir) => {
+      val dim = Tables(s, dir, "supplier")
+        .filter(pmod(col("s_suppkey"), lit(7)) === 0)
+      graft.operators.BloomJoin.prunedSemiJoin(
+          Tables(s, dir, "lineitem"), "l_suppkey", dim, "s_suppkey")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("key_sum"))
+        .transform(Gate.ordered(_, "l_suppkey"))
+    }),
+
     // explicit hot-key SALTED join (the pathological-skew form AQE's
     // split can't fix): left rows take a per-row salt, the dim side
     // replicates across all salts — the RESULT SET is provably salt-
@@ -916,6 +931,13 @@ object RelationalSuite3 {
         |FROM documents WHERE doc_id < 20)
         |SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok
         |FROM t ORDER BY doc_id, pos""".stripMargin,
+
+    "bloom_join" ->
+      """SELECT l_suppkey, count(*)::BIGINT AS n,
+        |  sum(l_orderkey)::BIGINT AS key_sum
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "skew_join" ->
       """SELECT c_custkey, count(*)::BIGINT AS n_orders,

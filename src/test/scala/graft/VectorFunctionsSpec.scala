@@ -209,4 +209,27 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(top.length == 5)
     assert(top.head.getDouble(1) == 0.0) // itself
   }
+
+  test("int8 quantization: codes in [-127,127], reconstruction within half a step") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    val r = emb.agg(min(array_min($"embedding".cast("array<double>"))),
+      max(array_max($"embedding".cast("array<double>")))).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val step = (hi - lo) / 254.0
+    val rows = emb.select($"embedding".cast("array<double>").as("v"),
+        VF.int8Quantize($"embedding", lit(lo), lit(hi)).as("c"))
+      .as[(Seq[Double], Seq[Int])].collect()
+    rows.foreach { case (v, c) =>
+      assert(c.forall(q => q >= -127 && q <= 127), "code out of int8 range")
+      v.zip(c).foreach { case (x, q) =>
+        val recon = lo + (q + 127) * step
+        assert(math.abs(recon - x) <= step / 2 + 1e-9,
+          s"reconstruction error ${math.abs(recon - x)} exceeds step/2 $step")
+      }
+    }
+    // quantized self-distance is zero; integer distance is symmetric
+    val c0 = rows.head._2
+    val d = VF.int8DistSq(lit(c0.toArray), lit(c0.toArray))
+    assert(emb.select(d).head().getLong(0) == 0L)
+  }
 }
