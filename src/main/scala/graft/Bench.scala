@@ -105,11 +105,17 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","spread":$sJson,"queries":$qJson}"""
     val summary =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
-    // full copy into the repo: immune to any stdout capture window
+    // full copy into the repo: immune to any stdout capture window.
+    // Path resolves explicitly (env override, repo-root default) so the
+    // artifact lands in the repo regardless of the launcher's cwd; only
+    // NonFatal write errors are swallowed — an OOM/VM error must
+    // propagate, not be silently eaten here.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL.json")
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     println(summary)
     println(line)
     Console.out.flush()

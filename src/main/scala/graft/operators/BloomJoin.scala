@@ -31,11 +31,36 @@ object BloomJoin {
   def prunedSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    // dim.stat.bloomFilter hashes the column's NATIVE type, so the probe
+    // must dispatch on the same dtype: a long probe against a
+    // string-built filter would hash differently (or null out on the
+    // cast) and silently DROP matching fact rows — breaking the
+    // no-false-negative guarantee. Integral keys probe via
+    // mightContainLong; strings via mightContainString; anything else
+    // fails loudly rather than corrupting.
+    val keyType = fact.schema(factKey).dataType
+    val dimType = dim.schema(dimKey).dataType
+    require(keyType == dimType,
+      s"prunedSemiJoin key dtypes differ: $factKey is $keyType, $dimKey is $dimType")
+    val integral = keyType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case t => throw new IllegalArgumentException(
+        s"prunedSemiJoin supports integral or string keys, got $t for $factKey")
+    }
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey).cast("long")))
-      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+    val pruned =
+      if (integral) {
+        val mightContain =
+          udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+        fact.filter(mightContain(col(factKey).cast("long")))
+      } else {
+        val mightContain =
+          udf((k: String) => k != null && bc.value.mightContainString(k))
+        fact.filter(mightContain(col(factKey)))
+      }
+    pruned.join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
   }
 }

@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
  */
 object Relevance {
 
+  /** Bounded top-k (id, dist, payload) aggregate (see
+    * [[graft.functions.TopKPayloadAgg]]). */
+  private def topKPayload(idCol: Column, distCol: Column,
+      payloadCol: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.TopKPayloadAgg(
+        org.apache.spark.sql.graft.Bridge.expression(idCol),
+        org.apache.spark.sql.graft.Bridge.expression(distCol),
+        org.apache.spark.sql.graft.Bridge.expression(payloadCol),
+        k).toAggregateExpression())
+
   /**
    * BM25 scores for every document matching at least one query term.
    * Output: (id, n_hits, score) where n_hits = total query-term
@@ -92,7 +103,6 @@ object Relevance {
   def searchTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, "searchTopK needs k >= 1")
     val qterms = queries.select(col(qidCol).as("qid"),
         explode(array_distinct(filter(
@@ -128,12 +138,25 @@ object Relevance {
       .join(broadcast(qterms), "term")
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("w")).as("sw"), count(lit(1)).as("n_terms"))
-    val win = Window.partitionBy(col("qid"))
-      .orderBy(col("sw").desc, col("id"))
+    // Per-query top-k via the BOUNDED HEAP aggregate, not a row_number
+    // window: with common query terms the per-qid candidate set grows
+    // with the corpus, and a window sorts ALL of it to keep k rows. The
+    // heap keeps k*(24 bytes) per qid, map-side partials ship at most k
+    // entries per partition — the shuffle never carries the candidates.
+    // Order equivalence with the old (sw DESC, id ASC) window: sw is an
+    // exact DECIMAL(·,6), so sw*1e6 is an exact integer long; negating
+    // it makes the heap's ascending (dist, id) order exactly (sw desc,
+    // id asc). |sw|*1e6 < 2^53 so the long→double carry is lossless,
+    // and score = dist / -1e6 is the same correctly-rounded double as
+    // the old sw.cast(double).
+    val negMicros = (col("sw") * lit(-1000000)).cast("long").cast("double")
     perQuery
-      .withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("doc_id"),
-        col("n_terms"), col("sw").cast("double").as("score"))
+      .groupBy(col("qid"))
+      .agg(topKPayload(col("id").cast("long"), negMicros,
+        col("n_terms"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("qid"), (col("i") + 1).as("rank"), col("e.nid").as("doc_id"),
+        col("e.payload").as("n_terms"),
+        (col("e.dist") / lit(-1000000.0)).as("score"))
   }
 }

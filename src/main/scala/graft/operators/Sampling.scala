@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
+  /** Last keyed frame cached by [[shuffleBatches]] — see the eviction
+    * note there. One slot per JVM bounds the pinned cache footprint. */
+  private val lastKeyed =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Stable pseudo-random permutation key: id · 2654435761 mod 2³².
     * (Ids must fit the product in a signed 64-bit long — true for any
     * id < ~3.5e9; larger ids wrap in Spark but ERROR in engines with
@@ -135,9 +140,18 @@ object Sampling {
     // full input row + 12 bytes; at 100 TB pre-project to the id
     // column before calling (as the gates do) so the cache holds
     // (id, ord, bkt) only — spillable MEMORY_AND_DISK either way.
+    // The pinned footprint is BOUNDED to one frame: each call evicts
+    // the previous call's cache (different epochs produce different
+    // plans, so an epoch loop would otherwise pin one full copy per
+    // epoch until LRU pressure). Unpersist is correctness-safe — a
+    // straggler still reading the evicted frame just recomputes.
     val keyed = graft.Caching.ensureCached(
       df.withColumn("_ord", epochMix(col(idCol), epoch))
         .withColumn("_bkt", shiftright(col("_ord"), shift).cast("int")))
+    val prev = lastKeyed.getAndSet(keyed)
+    if (prev != null && (prev ne keyed) &&
+        prev.queryExecution.logical != keyed.queryExecution.logical)
+      prev.unpersist(blocking = false)
     // bucket histogram: nBuckets rows — the only driver round-trip
     val counts = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -218,6 +218,18 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bm25 retrieval ranks via bounded heaps, never a per-query window sort") {
+    // with common query terms the per-qid candidate set grows with the
+    // corpus; a row_number window sorts ALL of it to keep k rows. The
+    // ranking must go through the TopKPayloadAgg object-hash aggregate
+    // (k bounded entries per group, map-side partials).
+    val p = plan("bm25_search")
+    assert(p.contains("topk_payload"), "bm25_search lost the bounded-heap top-k")
+    assert(!p.contains("Window"), "bm25_search regressed to a window sort")
+    assert(!p.contains("SortAggregate"),
+      "top-k heap fell back to sort-based aggregation")
+  }
+
   test("hopping-window agg is a single pass: explode to 2 windows, one agg") {
     val p = plan("hop_window")
     // one hash aggregate pair over the window-exploded input; no join
