@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Full-text boolean/phrase retrieval — the batch analogue of the
+ * reference's `tsvector @@ tsquery` match operator
+ * (src/common/backend/utils/adt/tsvector_op.cpp: TS_execute over a
+ * tsquery tree; phrase `<->` distance via tsCheckTypePhrase).
+ *
+ * Query language (tsquery subset): terms combined with `&` (AND),
+ * `|` (OR), `!` (NOT), parentheses, and `<->` (phrase: adjacent
+ * tokens in order). Example: `(spark <-> key | dup) & !slow`.
+ *
+ * Scale shape: the QUERY is tiny and parsed once on the driver; the
+ * compiled result is a pure boolean Column over the document text —
+ * `locate` on the space-padded lowercased text (token membership and
+ * token adjacency are both exact substring tests against
+ * ' '+join(tokens,' ')+' ', which for space-tokenized text is the
+ * text itself). Everything stays inside whole-stage codegen: no
+ * explode, no HOF lambdas, no shuffle — a 100 TB match is a map-only
+ * scan that composes with pushdown and partition pruning.
+ *
+ * Determinism: substring containment is exact — the gate mirrors it
+ * in SQL as `position(' t ' IN ' '||lower(text)||' ') > 0`.
+ */
+object FullText {
+
+  /** tsquery AST. */
+  sealed trait Node
+  /** 1 term = membership; ≥2 terms = exact adjacency in order. */
+  final case class Phrase(terms: Seq[String]) extends Node
+  final case class And(l: Node, r: Node) extends Node
+  final case class Or(l: Node, r: Node) extends Node
+  final case class Not(c: Node) extends Node
+
+  /** Parse a tsquery-subset string. Precedence: ! > <-> > & > |. */
+  def parseQuery(q: String): Node = {
+    val toks = lex(q)
+    val p = new Parser(toks)
+    val n = p.parseOr()
+    require(p.atEnd, s"trailing input in tsquery at token ${p.pos}: '$q'")
+    n
+  }
+
+  private def lex(q: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if ("&|!()".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else if (q.startsWith("<->", i)) { out += "<->"; i += 3 }
+      else {
+        val start = i
+        while (i < q.length && !q.charAt(i).isWhitespace &&
+          "&|!()<".indexOf(q.charAt(i)) < 0) i += 1
+        require(i > start, s"unexpected character '${q.charAt(i)}' in tsquery")
+        out += q.substring(start, i).toLowerCase
+      }
+    }
+    out.toArray
+  }
+
+  private final class Parser(ts: Array[String]) {
+    var pos = 0
+    def atEnd: Boolean = pos >= ts.length
+    private def peek: String = if (atEnd) "" else ts(pos)
+    private def expect(t: String): Unit = {
+      require(peek == t, s"expected '$t' at token $pos, found '$peek'")
+      pos += 1
+    }
+    def parseOr(): Node = {
+      var n = parseAnd()
+      while (peek == "|") { pos += 1; n = Or(n, parseAnd()) }
+      n
+    }
+    private def parseAnd(): Node = {
+      var n = parseNot()
+      while (peek == "&") { pos += 1; n = And(n, parseNot()) }
+      n
+    }
+    private def parseNot(): Node =
+      if (peek == "!") { pos += 1; Not(parseNot()) } else parsePrimary()
+    private def parsePrimary(): Node =
+      if (peek == "(") { pos += 1; val n = parseOr(); expect(")"); n }
+      else parsePhrase()
+    private def parsePhrase(): Node = {
+      val terms = scala.collection.mutable.ArrayBuffer(term())
+      while (peek == "<->") { pos += 1; terms += term() }
+      Phrase(terms.toSeq)
+    }
+    private def term(): String = {
+      val t = peek
+      require(t.nonEmpty && "&|!()".indexOf(t) < 0 && t != "<->",
+        s"expected a term at token $pos, found '$t'")
+      pos += 1
+      t
+    }
+  }
+
+  /** ' ' + lower(text) + ' ' — the padded form both atoms probe. */
+  private def padded(text: Column): Column =
+    concat(lit(" "), lower(text), lit(" "))
+
+  private def compile(n: Node, pad: Column): Column = n match {
+    case Phrase(terms) =>
+      // token membership / adjacency == substring match on the padded
+      // joined-token string (text itself, for space-tokenized docs)
+      locate(" " + terms.mkString(" ") + " ", pad) > 0
+    case And(l, r) => compile(l, pad) && compile(r, pad)
+    case Or(l, r) => compile(l, pad) || compile(r, pad)
+    case Not(c) => !compile(c, pad)
+  }
+
+  /** Boolean match Column for `query` over raw document text. */
+  def tsMatch(text: Column, query: String): Column =
+    compile(parseQuery(query), padded(text))
+
+  /** The query's POSITIVE terms (everything not under a NOT) — the
+    * term set BM25 ranking should score after a boolean filter. */
+  def positiveTerms(query: String): Seq[String] = {
+    def walk(n: Node, neg: Boolean): Seq[String] = n match {
+      case Phrase(ts) => if (neg) Nil else ts
+      case And(l, r) => walk(l, neg) ++ walk(r, neg)
+      case Or(l, r) => walk(l, neg) ++ walk(r, neg)
+      case Not(c) => walk(c, !neg)
+    }
+    walk(parseQuery(query), neg = false).distinct
+  }
+}

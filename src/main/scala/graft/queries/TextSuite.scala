@@ -269,6 +269,38 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // Full-text boolean/phrase match (tsvector @@ tsquery analogue):
+    // AND/OR/NOT + <-> phrase adjacency compile to pure-codegen
+    // substring probes on the padded text — a map-only scan, mirrored
+    // in SQL with position(). Output keeps two sub-atom booleans so
+    // the gate checks the atoms, not just the conjunction.
+    "fts_match" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      Tables.spread(s, dir, "documents")
+        .filter(FT.tsMatch(col("text"),
+          "(spark <-> key | dup) & !(slow <-> query)"))
+        .select(col("doc_id"),
+          FT.tsMatch(col("text"), "spark <-> key").as("phrase_hit"),
+          FT.tsMatch(col("text"), "dup").as("dup_hit"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // Boolean-filtered BM25 retrieval in ONE query (the reference's
+    // `tsquery @@ ... ORDER BY ts_rank` shape): tsMatch prunes the
+    // corpus map-side, BM25 then scores the query's positive terms
+    // over the MATCHED subcorpus (stats N/Σdl/df computed on the
+    // filtered set, as PG ranks within the matched result)
+    "fts_bm25" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      val q = "(spark <-> key | dup) & !(slow <-> query)"
+      val matched = Tables.spread(s, dir, "documents")
+        .filter(FT.tsMatch(col("text"), q))
+      graft.operators.Relevance.bm25(matched, "doc_id", "text",
+          FT.positiveTerms(q))
+        .withColumnRenamed("id", "doc_id")
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // PII scrubbing over text with PLANTED addresses (the natural corpus
     // has none, so the gate synthesizes one email + one URL per doc —
     // both engines build and scrub the identical string)
@@ -615,6 +647,48 @@ object TextSuite {
         |  len(list_filter(toks, x -> x = 'dup'))::BIGINT AS tf0,
         |  len(list_filter(toks, x -> x = 'spark'))::BIGINT AS tf1,
         |  len(list_filter(toks, x -> x = 'key'))::BIGINT AS tf2
+        |FROM t),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+        |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        |FROM b)
+        |SELECT doc_id, (tf0 + tf1 + tf2)::BIGINT AS n_hits,
+        |  round(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n))), 6) AS score
+        |FROM b CROSS JOIN g
+        |WHERE tf0 + tf1 + tf2 > 0 ORDER BY doc_id""".stripMargin,
+
+    // fts atoms mirror tsMatch exactly: token membership / adjacency
+    // == substring containment on the space-padded lowercased text
+    "fts_match" ->
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents)
+        |SELECT doc_id,
+        |  position(' spark key ' IN pad) > 0 AS phrase_hit,
+        |  position(' dup ' IN pad) > 0 AS dup_hit
+        |FROM p
+        |WHERE (position(' spark key ' IN pad) > 0
+        |       OR position(' dup ' IN pad) > 0)
+        |  AND NOT position(' slow query ' IN pad) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // same bm25 arithmetic as text_bm25, over the tsMatch-filtered
+    // subcorpus; positive terms in tree order: spark, key, dup
+    "fts_bm25" ->
+      """WITH m AS (SELECT doc_id, text FROM documents
+        |  WHERE (position(' spark key ' IN ' '||lower(text)||' ') > 0
+        |         OR position(' dup ' IN ' '||lower(text)||' ') > 0)
+        |    AND NOT position(' slow query ' IN ' '||lower(text)||' ') > 0),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM m),
+        |b AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+        |  len(list_filter(toks, x -> x = 'spark'))::BIGINT AS tf0,
+        |  len(list_filter(toks, x -> x = 'key'))::BIGINT AS tf1,
+        |  len(list_filter(toks, x -> x = 'dup'))::BIGINT AS tf2
         |FROM t),
         |g AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
         |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.FullText
+import org.apache.spark.sql.functions._
+
+class FullTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def matches(query: String, texts: String*): Seq[Boolean] =
+    texts.toSeq.toDF("text")
+      .select(FullText.tsMatch(col("text"), query).as("m"))
+      .as[Boolean].collect().toSeq
+
+  test("single-term membership, case-insensitive, whole-token only") {
+    assert(matches("spark", "a Spark row", "sparkle row", "row a") ==
+      Seq(true, false, false))
+  }
+
+  test("phrase <-> requires adjacency in order") {
+    assert(matches("spark <-> key",
+      "a spark key b", "key spark a", "spark a key", "spark key") ==
+      Seq(true, false, false, true))
+  }
+
+  test("three-term phrase chains adjacency") {
+    assert(matches("a <-> b <-> c", "x a b c y", "a b x c", "b c a") ==
+      Seq(true, false, false))
+  }
+
+  test("boolean operators and precedence: ! binds tighter than & than |") {
+    // a | b & !c  ==  a | (b & (!c))
+    assert(matches("a | b & !c", "a c", "b", "b c", "x") ==
+      Seq(true, true, false, false))
+    // parens override
+    assert(matches("(a | b) & !c", "a c", "b", "a x") ==
+      Seq(false, true, true))
+  }
+
+  test("matches the gate's compound query on a crafted corpus") {
+    val q = "(spark <-> key | dup) & !(slow <-> query)"
+    assert(matches(q,
+      "spark key here",        // phrase hit
+      "a dup doc",             // term hit
+      "spark key slow query",  // hit negated away
+      "key spark dup",         // dup hit (phrase reversed)
+      "slow query only") ==
+      Seq(true, true, false, true, false))
+  }
+
+  test("positiveTerms collects non-negated terms in tree order") {
+    assert(FullText.positiveTerms("(spark <-> key | dup) & !(slow <-> query)")
+      == Seq("spark", "key", "dup"))
+    assert(FullText.positiveTerms("!a & b") == Seq("b"))
+    // double negation flips back to positive
+    assert(FullText.positiveTerms("!(!a)") == Seq("a"))
+  }
+
+  test("malformed queries fail loudly") {
+    intercept[IllegalArgumentException](FullText.parseQuery("a &"))
+    intercept[IllegalArgumentException](FullText.parseQuery("(a | b"))
+    intercept[IllegalArgumentException](FullText.parseQuery("a <->"))
+    intercept[IllegalArgumentException](FullText.parseQuery(""))
+    intercept[IllegalArgumentException](FullText.parseQuery("a b"))
+  }
+
+  test("match column is pure codegen: no HOFs, no explode, no shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = docs.filter(FullText.tsMatch(col("text"),
+        "(spark <-> key | dup) & !(slow <-> query)"))
+      .select(col("doc_id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "fts match must be map-only")
+    assert(!plan.contains("Generate"), "fts match must not explode")
+    assert(!plan.contains("ArrayExists") && !plan.contains("ArrayFilter"),
+      "fts match must not use interpreted HOFs")
+  }
+}
