@@ -37,6 +37,16 @@ object Knn {
     Bridge.column(TopKPairsAgg(Bridge.expression(idCol),
       Bridge.expression(distCol), k).toAggregateExpression())
 
+  /** [[topKPairs]] with a long payload column riding along each entry
+    * (see [[graft.functions.TopKPayloadAgg]]) — for rankings that must
+    * emit an auxiliary per-candidate aggregate without re-joining the
+    * ranked rows back to the scored set. */
+  def topKPayloadPairs(idCol: Column, distCol: Column, payloadCol: Column,
+      k: Int): Column =
+    Bridge.column(graft.functions.TopKPayloadAgg(Bridge.expression(idCol),
+      Bridge.expression(distCol), Bridge.expression(payloadCol),
+      k).toAggregateExpression())
+
   /**
    * Expand the array<struct<nid,dist>> produced by [[topKPairs]] into
    * (qid, rank, nid, dist) rows.

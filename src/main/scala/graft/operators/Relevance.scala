@@ -29,17 +29,6 @@ import org.apache.spark.sql.functions._
  */
 object Relevance {
 
-  /** Bounded top-k (id, dist, payload) aggregate (see
-    * [[graft.functions.TopKPayloadAgg]]). */
-  private def topKPayload(idCol: Column, distCol: Column,
-      payloadCol: Column, k: Int): Column =
-    org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.TopKPayloadAgg(
-        org.apache.spark.sql.graft.Bridge.expression(idCol),
-        org.apache.spark.sql.graft.Bridge.expression(distCol),
-        org.apache.spark.sql.graft.Bridge.expression(payloadCol),
-        k).toAggregateExpression())
-
   /**
    * BM25 scores for every document matching at least one query term.
    * Output: (id, n_hits, score) where n_hits = total query-term
@@ -152,7 +141,7 @@ object Relevance {
     val negMicros = (col("sw") * lit(-1000000)).cast("long").cast("double")
     perQuery
       .groupBy(col("qid"))
-      .agg(topKPayload(col("id").cast("long"), negMicros,
+      .agg(Knn.topKPayloadPairs(col("id").cast("long"), negMicros,
         col("n_terms"), k).as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("i", "e")))
       .select(col("qid"), (col("i") + 1).as("rank"), col("e.nid").as("doc_id"),

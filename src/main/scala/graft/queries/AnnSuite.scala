@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{VectorFunctions => VF}
 import graft.operators.{Hnsw, Ivf, Knn, Lsh, Pq}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -319,6 +319,28 @@ object AnnSuite {
       Ivf.knnJoin(qs, "embedding", "vec_id", tagged, "embedding", "vec_id",
           model, k = 5, nprobe = 16)
         .transform(Gate.ordered(_, "qid", "rank"))
+    }),
+
+    // Sparse-vector top-k via inverted postings (SparseAnn): sparsify
+    // |x| > 0.1 (the A19 convention), floor-quantize to milli-units,
+    // equi-join postings with 3 broadcast query entry sets, exact LONG
+    // dot sums, bounded payload heap per query. The oracle recomputes
+    // the identical quantized dot DENSELY — the gate proves the
+    // postings plan equals the merge-scan arithmetic bit-for-bit.
+    "vec_sparse_topk" -> ((s, dir) => {
+      def entries(c: Column) =
+        filter(transform(c, (x, i) => struct(i.as("i"), x.as("v"))),
+          e => abs(e.getField("v")) > 0.1f)
+      val sp = Tables(s, dir, "embeddings")
+        .withColumn("se", entries(col("embedding")))
+        .select(col("vec_id"),
+          transform(col("se"), e => e.getField("i")).as("sidx"),
+          transform(col("se"), e => e.getField("v")).as("sval"))
+      graft.operators.SparseAnn.topKInnerProduct(
+          sp, "vec_id", "sidx", "sval",
+          sp.filter(col("vec_id") < 3), "vec_id", "sidx", "sval", k = 10)
+        .withColumnRenamed("id", "vec_id")
+        .transform(Gate.ordered(_, "qid", "rank"))
     })
   )
 
@@ -434,6 +456,30 @@ object AnnSuite {
         |SELECT c.vec_id,
         |  round(list_distance(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
         |FROM coarse c, q
-        |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+        |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    // dense recomputation of the quantized sparse dot: floor(v*1000)
+    // milli-units, integer products — order-invariant exact sums, so
+    // the postings plan must match bit-for-bit. Candidates require
+    // >= 1 shared stored dimension (the inverted-index contract).
+    "vec_sparse_topk" ->
+      """WITH s AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CASE WHEN abs(x) > 0.1
+        |              THEN CAST(floor(x::DOUBLE * 1000) AS BIGINT)
+        |              ELSE 0 END) AS qe FROM embeddings),
+        |q AS (SELECT vec_id AS qid, qe AS qq FROM s WHERE vec_id < 3),
+        |d AS (SELECT q.qid, s.vec_id,
+        |        list_sum(list_transform(generate_series(1, len(s.qe)),
+        |          i -> s.qe[i] * q.qq[i]))::BIGINT AS dot,
+        |        len(list_filter(generate_series(1, len(s.qe)),
+        |          i -> s.qe[i] != 0 AND q.qq[i] != 0))::BIGINT AS n_common
+        |      FROM s, q),
+        |r AS (SELECT qid, vec_id, n_common, dot,
+        |        row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+        |          AS rank
+        |      FROM d WHERE n_common > 0)
+        |SELECT qid, rank::INT AS rank, vec_id, n_common,
+        |  CAST(dot AS DOUBLE) / 1000000 AS score
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   )
 }

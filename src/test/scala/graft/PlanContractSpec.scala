@@ -230,6 +230,16 @@ class PlanContractSpec extends SparkSpec {
       "top-k heap fell back to sort-based aggregation")
   }
 
+  test("sparse top-k is postings equi-join + payload heap: no cross join, no window") {
+    val p = plan("vec_sparse_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "sparse top-k regressed to an all-pairs join")
+    assert(!p.contains("Window"), "sparse top-k regressed to a window sort")
+    assert(p.contains("topk_payload"), "sparse top-k lost the bounded heap")
+    assert(!p.contains("SortAggregate"),
+      "top-k heap fell back to sort-based aggregation")
+  }
+
   test("hopping-window agg is a single pass: explode to 2 windows, one agg") {
     val p = plan("hop_window")
     // one hash aggregate pair over the window-exploded input; no join
