@@ -17,7 +17,7 @@ object Bench {
     "distinct_agg", "percentiles", "approx_percentiles", "set_ops",
     "vec_l2_topk", "vec_cos_topk", "vec_norm", "vec_avg", "vec_half_agg", "vec_io",
     "knn_exact", "knn_join", "vec_range", "knn_filtered", "binquant_rerank", "lsh_ann", "ivf_search", "pq_search", "ivfpq_search", "hnsw_ann",
-    "hnsw_routed", "vec_sparse_topk",
+    "hnsw_routed", "vec_sparse_topk", "ivf_half_search", "ivf_int8_search",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
     "dedup_embedding_lsh", "dedup_spans", "dedup_incremental", "sim_trgm", "graph_reach", "graph_hops", "sql_recursive", "pipeline_curate",
     "vocab_topk",

@@ -341,6 +341,61 @@ object AnnSuite {
           sp.filter(col("vec_id") < 3), "vec_id", "sidx", "sval", k = 10)
         .withColumnRenamed("id", "vec_id")
         .transform(Gate.ordered(_, "qid", "rank"))
+    }),
+
+    // IVF search END-TO-END over packed-fp16 BINARY storage: the index
+    // is WRITTEN as partitionBy(list_id) parquet holding 2-byte/elem
+    // packed halfvecs (half the fp32 footprint), the nprobe filter
+    // prunes list partitions AT THE READER, and distance runs DIRECTLY
+    // on the packed bytes (no unpack in the hot path). Recall gated vs
+    // exact fp32 KNN — fp16 rounding costs ~nothing on these corpora.
+    "ivf_half_search" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = ivfModel(s, dir, 16)
+      val path = s"target/graft-ivfhalf/${new java.io.File(dir).getName}"
+      Ivf.assign(emb, "embedding", model)
+        .select(col("vec_id"), VF.packHalf(col("embedding")).as("hv"),
+          col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(path)
+      val packed = s.read.parquet(path)
+      val qv = queryVec(s, dir)
+      val probeIds = model.probes(qv, 4).map(Integer.valueOf)
+      val found = packed.filter(col("list_id").isin(probeIds: _*))
+        .select(col("vec_id"),
+          round(VF.packedHalfDistance(col("hv"), VF.packHalf(lit(qv)), "l2"), 6)
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+      recallGate(found, Knn.exactTopK(emb, "embedding", "vec_id", qv, 10),
+        "vec_id", minHits = 5)
+    }),
+
+    // IVF search over int8 scalar-quantized codes (B13 storage tier,
+    // 4x smaller than fp32): same partitioned layout + reader pruning,
+    // candidates ranked by the integer-exact quantized L2. Recall vs
+    // exact fp32 KNN (quantization grid ~(hi-lo)/255 ≈ 0.03σ here).
+    "ivf_int8_search" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = ivfModel(s, dir, 16)
+      val r = emb.agg(
+        min(array_min(col("embedding").cast("array<double>"))).as("lo"),
+        max(array_max(col("embedding").cast("array<double>"))).as("hi")).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val path = s"target/graft-ivfint8/${new java.io.File(dir).getName}"
+      Ivf.assign(emb, "embedding", model)
+        .select(col("vec_id"),
+          VF.int8Quantize(col("embedding"), lit(lo), lit(hi)).as("c"),
+          col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(path)
+      val codes = s.read.parquet(path)
+      val qv = queryVec(s, dir)
+      val probeIds = model.probes(qv, 4).map(Integer.valueOf)
+      val qc = codes.filter(col("vec_id") === 0).select(col("c").as("qc"))
+      val found = codes.filter(col("list_id").isin(probeIds: _*))
+        .crossJoin(broadcast(qc))
+        .select(col("vec_id"), VF.int8DistSq(col("c"), col("qc")).as("dist2"))
+        .orderBy(col("dist2"), col("vec_id")).limit(10)
+      recallGate(found, Knn.exactTopK(emb, "embedding", "vec_id", qv, 10),
+        "vec_id", minHits = 5)
     })
   )
 
@@ -419,6 +474,12 @@ object AnnSuite {
       "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
 
     "ivfpq_search" ->
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
+
+    "ivf_half_search" ->
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
+
+    "ivf_int8_search" ->
       "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
 
     "hnsw_ann" ->

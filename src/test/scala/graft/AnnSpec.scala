@@ -52,6 +52,37 @@ class AnnSpec extends SparkSpec {
     assert(full == exactIds(10))
   }
 
+  test("packed-tier searches (fp16 / int8) keep full-probe recall = exact knn") {
+    // at nprobe = nlists the list pruning is exhaustive, so the ONLY
+    // error source left is the storage quantization — fp16 rounding and
+    // int8 scalar quantization must not reorder the top-10 materially
+    val model = Ivf.build(emb, "embedding", 16)
+    val tagged = Ivf.assign(emb, "embedding", model).cache()
+    try {
+      val exact = exactIds(10)
+      val halfGot = tagged.select($"vec_id",
+          graft.functions.VectorFunctions.packedHalfDistance(
+            graft.functions.VectorFunctions.packHalf($"embedding"),
+            graft.functions.VectorFunctions.packHalf(lit(q)), "l2").as("d"))
+        .orderBy($"d", $"vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      assert((halfGot & exact).size >= 9, s"fp16 recall ${(halfGot & exact).size}/10")
+      val r = emb.agg(min(array_min($"embedding".cast("array<double>"))),
+        max(array_max($"embedding".cast("array<double>")))).head()
+      val codes = tagged.select($"vec_id",
+        graft.functions.VectorFunctions.int8Quantize($"embedding",
+          lit(r.getDouble(0)), lit(r.getDouble(1))).as("c")).cache()
+      val qc = codes.filter($"vec_id" === 0).select($"c".as("qc"))
+      val intGot = codes.crossJoin(broadcast(qc))
+        .select($"vec_id",
+          graft.functions.VectorFunctions.int8DistSq($"c", $"qc").as("d"))
+        .orderBy($"d", $"vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      assert((intGot & exact).size >= 7, s"int8 recall ${(intGot & exact).size}/10")
+      codes.unpersist()
+    } finally tagged.unpersist()
+  }
+
   test("lsh ann returns candidates incl. self; recall reasonable") {
     val planes = Lsh.hyperplanes(64, 16)
     val got = Lsh.annTopK(emb, "embedding", "vec_id", q, 10, planes, 4, 4)

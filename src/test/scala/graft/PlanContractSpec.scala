@@ -240,6 +240,19 @@ class PlanContractSpec extends SparkSpec {
       "top-k heap fell back to sort-based aggregation")
   }
 
+  test("packed-tier ivf searches prune list partitions at the reader") {
+    for (q <- Seq("ivf_half_search", "ivf_int8_search")) {
+      val p = plan(q)
+      assert(p.contains("PartitionFilters: [") && p.contains("list_id"),
+        s"$q lost reader-level list pruning")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q top-k lost its bounded-heap TakeOrdered")
+    }
+    // the fp16 tier must rank on the packed bytes, never unpack
+    assert(!plan("ivf_half_search").contains("unpack_half"),
+      "ivf_half_search decodes fp16 in the hot path")
+  }
+
   test("hopping-window agg is a single pass: explode to 2 windows, one agg") {
     val p = plan("hop_window")
     // one hash aggregate pair over the window-exploded input; no join
