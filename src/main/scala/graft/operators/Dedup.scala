@@ -81,6 +81,16 @@ object Dedup {
    * logged (bucket count + dropped pair mass) so nothing silently
    * truncates. B = 0 disables the guard (the exact-oracle default).
    */
+  /** AUTO flood-guard cap from a bucket-width histogram: 4·median + 16.
+    * Balanced buckets sit far below it; a mass-dup flood sits far
+    * above, so only genuine pathology trips the (logged) pivot chain. */
+  private[graft] def autoBucketGuard(widths: Seq[Long]): Int =
+    if (widths.isEmpty) 0
+    else {
+      val sorted = widths.sorted
+      math.min(4L * sorted(sorted.length / 2) + 16L, Int.MaxValue.toLong).toInt
+    }
+
   def bucketCandidatePairs(bucketed: DataFrame, keyCols: Seq[String],
       idCol: String, maxBucket: Int = 0): DataFrame = {
     val keys = keyCols.map(col)
@@ -434,18 +444,37 @@ object Dedup {
    * Scale shape: candidate pairs form ONLY within a cluster (an
    * equi-join on list_id — never all-pairs), clusters are k-means-
    * balanced, and the verify is an exact cosine on the pair set.
-   * `maxBucket` arms the flood guard for degenerate clusters. At the
-   * gate's tiny thresholds detection is exhaustive (every true pair
-   * co-clusters), so the survivor set equals the brute-force oracle's.
+   *
+   * The flood guard is ON BY DEFAULT (maxBucket = -1 → AUTO): the
+   * pathological case — a mass-duplicated embedding collapsing one
+   * list — is exactly what semantic dedup runs INTO by design, so the
+   * unguarded quadratic pair join cannot be the default. AUTO derives
+   * the cap from the per-list width histogram (nlists rows, computed
+   * over the cached 16-byte (id, list_id) projection): 4·median + 16 —
+   * k-means-balanced lists sit well under it, only a flooded list
+   * trips pivot chaining (linear in width; survivors unchanged for a
+   * true dup ball, because every member pairs with the min-id pivot —
+   * the exact doc the SemDeDup min-id rule keeps). The truncation is
+   * logged by bucketCandidatePairs when it fires. maxBucket = 0
+   * forces the unguarded exact pair set; > 0 sets an explicit cap.
+   * At the gate's tiny thresholds detection is exhaustive (every true
+   * pair co-clusters), so the survivor set equals the brute-force
+   * oracle's.
    *
    * Output: the surviving rows of `df` (all columns), one per kept id.
    */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
       model: graft.operators.Ivf.Model, maxCosDist: Double,
-      maxBucket: Int = 0): DataFrame = {
-    val tagged = graft.operators.Ivf.assign(df, vecCol, model)
-      .select(col(idCol).as("id"), col("list_id"))
-    val cand = bucketCandidatePairs(tagged, Seq("list_id"), "id", maxBucket)
+      maxBucket: Int = -1): DataFrame = {
+    val tagged = graft.Caching.ensureCached(
+      graft.operators.Ivf.assign(df, vecCol, model)
+        .select(col(idCol).as("id"), col("list_id")))
+    val guard =
+      if (maxBucket >= 0) maxBucket
+      else autoBucketGuard(tagged.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("w")).collect().map(_.getLong(0)).toSeq)
+    val cand = bucketCandidatePairs(tagged, Seq("list_id"), "id", guard)
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     val dropped = cand.join(va, "id_a").join(vb, "id_b")

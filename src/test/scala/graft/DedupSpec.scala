@@ -149,6 +149,35 @@ class DedupSpec extends SparkSpec {
       "flood cluster must collapse to one survivor")
   }
 
+  test("semanticDedup auto guard: a 10k-dup degenerate list stays linear") {
+    // the pathological input semantic dedup exists FOR: one embedding
+    // mass-duplicated 10k times collapses into a single IVF list —
+    // unguarded that list alone is ~5e7 candidate pairs. The AUTO
+    // default must pivot-chain it (linear) and keep survivors exact:
+    // min-id ball member + every well-separated normal vector.
+    val nDup = 10000
+    val ball = (0 until nDup).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => 0.5f + (((i + d) % 7) * 1e-6f)))
+    }
+    // normals: +/- one-hots, pairwise cosd >= 1 — never within eps
+    val normals = (0 until 8).map(d =>
+      (100000L + d, Seq.tabulate(8)(j => if (j == d) 1.0f else 0.0f))) ++
+      (0 until 8).map(d =>
+        (100010L + d, Seq.tabulate(8)(j => if (j == d) -1.0f else 0.0f)))
+    val corpus = (ball ++ normals).toDF("vec_id", "embedding")
+    val model = graft.operators.Ivf.build(corpus, "embedding", nlists = 6)
+    // derived cap: median list width is tiny next to the flood list
+    val widths = graft.operators.Ivf.assign(corpus, "embedding", model)
+      .groupBy(col("list_id")).count().select("count").as[Long].collect().toSeq
+    val cap = graft.operators.Dedup.autoBucketGuard(widths)
+    assert(cap < nDup, s"auto cap $cap does not trip on the $nDup-wide list")
+    val kept = graft.operators.Dedup.semanticDedup(
+        corpus, "embedding", "vec_id", model, maxCosDist = 0.01)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (Set(0L) ++ normals.map(_._1)),
+      s"survivors wrong: ${kept.toSeq.sorted.take(20)}... (${kept.size} kept)")
+  }
+
   test("connected components + survivors") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8))
       .toDF("id_a", "id_b", "jaccard")
