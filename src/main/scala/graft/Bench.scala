@@ -21,7 +21,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
     "dedup_embedding_lsh", "dedup_spans", "dedup_incremental", "sim_trgm", "graph_reach", "graph_hops", "sql_recursive", "pipeline_curate",
     "vocab_topk",
-    "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_logprob", "text_bm25", "fuzzy_ops", "fts_match", "fts_bm25",
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_logprob", "text_bm25", "fuzzy_ops", "fts_match", "fts_bm25", "fts_gap",
     "decontaminate", "dedup_best",
     "mm_pipeline", "mm_decode", "mm_audio", "mm_video", "mm_jpeg", "mm_resize", "pack_sequences",
     "stream_window", "stream_neardup", "stream_enrich", "stream_sample", "sessionize", "sessionize_stateful",
@@ -54,8 +54,8 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     val qs = SparkEntry.queries
-    def run(name: String): Boolean =
-      try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+    def run(name: String, dir: String): Boolean =
+      try { qs(name)(spark, dir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
@@ -70,26 +70,38 @@ object Bench {
     // clamp: 0/negative/garbage would crash the median index below
     val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.trim.toIntOption).getOrElse(3))
-    val results = headline.filter(qs.contains).map { name =>
-      // TWO warmups: for the widest-codegen queries one warm run is not
-      // enough — dedup_simhash's first TIMED rep sat ~60% above steady
-      // state across a 10-rep experiment (1.94s vs 1.14-1.31s, r8),
-      // polluting both the median and the spread metric. The second
-      // warmup costs ~10s across the whole bench and stabilizes JIT.
-      val warm = run(name) && run(name)
-      val times = (1 to reps).map { _ =>
-        System.gc()
-        val t0 = System.nanoTime()
-        val ok = warm && run(name)
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    // TWO warmups (see timeSet): for the widest-codegen queries one
+    // warm run is not enough — dedup_simhash's first TIMED rep sat
+    // ~60% above steady state across a 10-rep experiment (1.94s vs
+    // 1.14-1.31s, r8), polluting both the median and the spread
+    // metric. The second warmup costs ~10s across the whole bench.
+    def timeSet(dir: String, warmups: Int): Seq[(String, Double, Double)] =
+      headline.filter(qs.contains).map { name =>
+        val warm = (1 to warmups).forall(_ => run(name, dir))
+        val times = (1 to reps).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          val ok = warm && run(name, dir)
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        if (times.contains(-1.0)) (name, -1.0, 0.0)
+        else {
+          val sorted = times.sorted
+          val med = sorted(sorted.length / 2)
+          (name, med, if (med > 0) (sorted.last - sorted.head) / med else 0.0)
+        }
       }
-      if (times.contains(-1.0)) (name, -1.0, 0.0)
-      else {
-        val sorted = times.sorted
-        val med = sorted(sorted.length / 2)
-        (name, med, if (med > 0) (sorted.last - sorted.head) / med else 0.0)
-      }
-    }
+    val results = timeSet(sfDir, warmups = 2)
+    // second, SMALLER sf: the per-query main/small time ratio flags
+    // super-linear plans (a >= 15x ratio on a 10x data step means a
+    // quadratic join or global sort is hiding somewhere) BEFORE a real
+    // scale-up does. One warmup suffices — the JIT is hot by now.
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL",
+      "/root/testdata/sf0.01")
+    val resultsSmall =
+      if (smallDir != sfDir && new java.io.File(smallDir).isDirectory)
+        timeSet(smallDir, warmups = 1)
+      else Seq.empty
     val qJson = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val sJson = results.map { case (k, _, s) => "\"" + k + f"""\":$s%.2f""" }
@@ -105,6 +117,25 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","spread":$sJson,"queries":$qJson}"""
     val summary =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
+    // dual-SF scaling block (file artifact only — the stdout line stays
+    // in the driver's expected shape): per-query main/small ratios plus
+    // the >= 15x outlier list, ready to audit without recomputation.
+    val scaleJson = if (resultsSmall.isEmpty) "" else {
+      val smallMap = resultsSmall.map { case (k, v, _) => k -> v }.toMap
+      val ratios = results.flatMap { case (k, v, _) =>
+        smallMap.get(k).filter(s => s > 0 && v >= 0)
+          .map(s => (k, v / math.max(s, 1e-3)))
+      }
+      val rJson = ratios.map { case (k, r) => "\"" + k + f"""\":$r%.1f""" }
+        .mkString("{", ",", "}")
+      val qsJson = resultsSmall.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val totalSmall = resultsSmall.map(_._2).filter(_ >= 0).sum
+      val outliers = ratios.filter(_._2 >= 15.0).map("\"" + _._1 + "\"")
+        .mkString("[", ",", "]")
+      f""","sf_small":"$smallDir","total_small":$totalSmall%.3f,"outliers_15x":$outliers,"queries_small":$qsJson,"scale_ratio":$rJson"""
+    }
+    val fileLine = line.dropRight(1) + scaleJson + "}"
     // full copy into the repo: immune to any stdout capture window.
     // Path resolves explicitly (env override, repo-root default) so the
     // artifact lands in the repo regardless of the launcher's cwd; only
@@ -114,7 +145,7 @@ object Bench {
       "/root/repo/BENCH_LOCAL.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes("UTF-8"))
+        (fileLine + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }
     println(summary)
     println(line)

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
  * tsquery tree; phrase `<->` distance via tsCheckTypePhrase).
  *
  * Query language (tsquery subset): terms combined with `&` (AND),
- * `|` (OR), `!` (NOT), parentheses, and `<->` (phrase: adjacent
- * tokens in order). Example: `(spark <-> key | dup) & !slow`.
+ * `|` (OR), `!` (NOT), parentheses, `<->` (phrase: adjacent tokens in
+ * order) and `<N>` (FOLLOWED BY at token distance exactly N; `<->` ≡
+ * `<1>`). Example: `(spark <2> key | dup) & !slow`.
  *
  * Scale shape: the QUERY is tiny and parsed once on the driver; the
  * compiled result is a pure boolean Column over the document text —
@@ -29,13 +30,15 @@ object FullText {
 
   /** tsquery AST. */
   sealed trait Node
-  /** 1 term = membership; ≥2 terms = exact adjacency in order. */
-  final case class Phrase(terms: Seq[String]) extends Node
+  /** 1 term = membership; ≥2 terms = positional chain where term j sits
+    * exactly `gaps(j-1)` tokens after term j−1 (`<->` ≡ gap 1,
+    * `<N>` ≡ gap N — PG's FOLLOWED BY with distance). */
+  final case class Phrase(terms: Seq[String], gaps: Seq[Int]) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(c: Node) extends Node
 
-  /** Parse a tsquery-subset string. Precedence: ! > <-> > & > |. */
+  /** Parse a tsquery-subset string. Precedence: ! > <->/<N> > & > |. */
   def parseQuery(q: String): Node = {
     val toks = lex(q)
     val p = new Parser(toks)
@@ -51,7 +54,15 @@ object FullText {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
       else if ("&|!()".indexOf(c) >= 0) { out += c.toString; i += 1 }
-      else if (q.startsWith("<->", i)) { out += "<->"; i += 3 }
+      else if (c == '<') {
+        val end = q.indexOf('>', i)
+        require(end > i, s"unterminated '<' operator in tsquery")
+        val body = q.substring(i + 1, end)
+        require(body == "-" || body.forall(_.isDigit) && body.nonEmpty,
+          s"bad followed-by operator '<$body>' in tsquery")
+        out += s"<$body>"
+        i = end + 1
+      }
       else {
         val start = i
         while (i < q.length && !q.charAt(i).isWhitespace &&
@@ -88,12 +99,20 @@ object FullText {
       else parsePhrase()
     private def parsePhrase(): Node = {
       val terms = scala.collection.mutable.ArrayBuffer(term())
-      while (peek == "<->") { pos += 1; terms += term() }
-      Phrase(terms.toSeq)
+      val gaps = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (peek.startsWith("<") && peek.endsWith(">")) {
+        val body = peek.substring(1, peek.length - 1)
+        val gap = if (body == "-") 1 else body.toInt
+        require(gap >= 1, s"followed-by distance must be >= 1, got <$body>")
+        pos += 1
+        gaps += gap
+        terms += term()
+      }
+      Phrase(terms.toSeq, gaps.toSeq)
     }
     private def term(): String = {
       val t = peek
-      require(t.nonEmpty && "&|!()".indexOf(t) < 0 && t != "<->",
+      require(t.nonEmpty && "&|!()".indexOf(t) < 0 && !t.startsWith("<"),
         s"expected a term at token $pos, found '$t'")
       pos += 1
       t
@@ -104,25 +123,31 @@ object FullText {
   private def padded(text: Column): Column =
     concat(lit(" "), lower(text), lit(" "))
 
-  private def compile(n: Node, pad: Column): Column = n match {
-    case Phrase(terms) =>
+  private def compile(n: Node, pad: Column, raw: Column): Column = n match {
+    case Phrase(terms, gaps) if gaps.forall(_ == 1) =>
       // token membership / adjacency == substring match on the padded
       // joined-token string (text itself, for space-tokenized docs)
       locate(" " + terms.mkString(" ") + " ", pad) > 0
-    case And(l, r) => compile(l, pad) && compile(r, pad)
-    case Or(l, r) => compile(l, pad) || compile(r, pad)
-    case Not(c) => !compile(c, pad)
+    case Phrase(terms, gaps) =>
+      // general <N> distances need position arithmetic — one compiled
+      // token scan per row (PhraseGapMatch), not a substring probe
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.PhraseGapMatch(
+          org.apache.spark.sql.graft.Bridge.expression(raw), terms, gaps))
+    case And(l, r) => compile(l, pad, raw) && compile(r, pad, raw)
+    case Or(l, r) => compile(l, pad, raw) || compile(r, pad, raw)
+    case Not(c) => !compile(c, pad, raw)
   }
 
   /** Boolean match Column for `query` over raw document text. */
   def tsMatch(text: Column, query: String): Column =
-    compile(parseQuery(query), padded(text))
+    compile(parseQuery(query), padded(text), text)
 
   /** The query's POSITIVE terms (everything not under a NOT) — the
     * term set BM25 ranking should score after a boolean filter. */
   def positiveTerms(query: String): Seq[String] = {
     def walk(n: Node, neg: Boolean): Seq[String] = n match {
-      case Phrase(ts) => if (neg) Nil else ts
+      case Phrase(ts, _) => if (neg) Nil else ts
       case And(l, r) => walk(l, neg) ++ walk(r, neg)
       case Or(l, r) => walk(l, neg) ++ walk(r, neg)
       case Not(c) => walk(c, !neg)

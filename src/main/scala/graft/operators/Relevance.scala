@@ -87,7 +87,12 @@ object Relevance {
    * exact decimal score (doc id tiebreak), so top-k sets match the
    * oracle bit-for-bit.
    *
-   * Output: (qid, rank 1..k, doc_id, score DOUBLE).
+   * Ranking device: the bounded PAYLOAD heap aggregate, not a
+   * row_number window — with common query terms the per-query
+   * candidate set grows with the corpus, and a window would sort all
+   * of it per qid to keep k rows (see the in-method comment).
+   *
+   * Output: (qid, rank 1..k, doc_id, n_terms, score DOUBLE).
    */
   def searchTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,

@@ -148,9 +148,16 @@ object Sampling {
     val keyed = graft.Caching.ensureCached(
       df.withColumn("_ord", epochMix(col(idCol), epoch))
         .withColumn("_bkt", shiftright(col("_ord"), shift).cast("int")))
+    // CANONICALIZED comparison: two constructions of the same query
+    // differ in raw ExprIds, and the CacheManager keys entries by the
+    // canonicalized analyzed plan — comparing raw logicals here would
+    // evict our OWN cache entry on every re-invocation (measured: the
+    // r9 pipeline_batches double-execution fix silently undone, 0.8s
+    // back to 14s).
     val prev = lastKeyed.getAndSet(keyed)
     if (prev != null && (prev ne keyed) &&
-        prev.queryExecution.logical != keyed.queryExecution.logical)
+        prev.queryExecution.analyzed.canonicalized !=
+          keyed.queryExecution.analyzed.canonicalized)
       prev.unpersist(blocking = false)
     // bucket histogram: nBuckets rows — the only driver round-trip
     val counts = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("c"))

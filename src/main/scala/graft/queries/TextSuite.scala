@@ -285,6 +285,21 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // FOLLOWED BY at distance N (tsquery `<N>`): position arithmetic
+    // substring probes can't express — one compiled token scan per row
+    // (PhraseGapMatch), still map-only; mirrored in SQL via
+    // generate_series position filters
+    "fts_gap" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      Tables.spread(s, dir, "documents")
+        .filter(FT.tsMatch(col("text"),
+          "(spark <2> key | key <2> spark) & !dup"))
+        .select(col("doc_id"),
+          FT.tsMatch(col("text"), "spark <2> key").as("gap_sk"),
+          FT.tsMatch(col("text"), "key <2> spark").as("gap_ks"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // Boolean-filtered BM25 retrieval in ONE query (the reference's
     // `tsquery @@ ... ORDER BY ts_rank` shape): tsMatch prunes the
     // corpus map-side, BM25 then scores the query's positive terms
@@ -675,6 +690,21 @@ object TextSuite {
         |WHERE (position(' spark key ' IN pad) > 0
         |       OR position(' dup ' IN pad) > 0)
         |  AND NOT position(' slow query ' IN pad) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // <N> positions via generate_series over the token list; 1-based
+    // lists, so toks[i] pairs with toks[i+N]
+    "fts_gap" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |             ' ' || lower(text) || ' ' AS pad FROM documents),
+        |g AS (SELECT doc_id, pad,
+        |  len(list_filter(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] = 'spark' AND toks[i+2] = 'key')) > 0 AS gap_sk,
+        |  len(list_filter(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] = 'key' AND toks[i+2] = 'spark')) > 0 AS gap_ks
+        |FROM t)
+        |SELECT doc_id, gap_sk, gap_ks FROM g
+        |WHERE (gap_sk OR gap_ks) AND NOT position(' dup ' IN pad) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // same bm25 arithmetic as text_bm25, over the tsMatch-filtered

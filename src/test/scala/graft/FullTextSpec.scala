@@ -27,6 +27,19 @@ class FullTextSpec extends SparkSpec {
       Seq(true, false, false))
   }
 
+  test("<N> followed-by matches at exactly distance N") {
+    assert(matches("a <2> b", "a x b", "a b", "a x x b", "b x a") ==
+      Seq(true, false, false, false))
+    // chain mixing <-> and <N>: positions p, p+1, p+3
+    assert(matches("a <-> b <2> c", "a b x c", "a b c", "a x b c") ==
+      Seq(true, false, false))
+    // <1> is exactly <->
+    assert(matches("a <1> b", "a b c", "a x b") == Seq(true, false))
+    intercept[IllegalArgumentException](FullText.parseQuery("a <0> b"))
+    intercept[IllegalArgumentException](FullText.parseQuery("a <x> b"))
+    intercept[IllegalArgumentException](FullText.parseQuery("a <2 b"))
+  }
+
   test("boolean operators and precedence: ! binds tighter than & than |") {
     // a | b & !c  ==  a | (b & (!c))
     assert(matches("a | b & !c", "a c", "b", "b c", "x") ==
