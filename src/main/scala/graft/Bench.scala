@@ -21,7 +21,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "sim_ngram_jaccard", "dedup_embedding",
     "dedup_embedding_lsh", "dedup_spans", "dedup_incremental", "sim_trgm", "graph_reach", "graph_hops", "sql_recursive", "pipeline_curate",
     "vocab_topk",
-    "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_logprob", "text_bm25", "fuzzy_ops", "fts_match", "fts_bm25", "fts_gap",
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_logprob", "text_bm25", "fuzzy_ops", "fts_match", "fts_bm25", "fts_gap", "fts_headline",
     "decontaminate", "dedup_best",
     "mm_pipeline", "mm_decode", "mm_audio", "mm_video", "mm_jpeg", "mm_resize", "pack_sequences",
     "stream_window", "stream_neardup", "stream_enrich", "stream_sample", "sessionize", "sessionize_stateful",

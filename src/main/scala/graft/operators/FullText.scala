@@ -143,6 +143,42 @@ object FullText {
   def tsMatch(text: Column, query: String): Column =
     compile(parseQuery(query), padded(text), text)
 
+  /** plainto_tsquery analogue: free text → AND of its tokens
+    * (`"fast spark join"` → `"fast & spark & join"`). */
+  def plainQuery(text: String): String = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    require(toks.nonEmpty, "plainQuery needs at least one token")
+    toks.mkString(" & ")
+  }
+
+  /**
+   * ts_headline analogue (ref: src/common/backend/tsearch/wparser.cpp
+   * ts_headline; the default single-fragment mode): a snippet of
+   * `window` tokens either side of the FIRST occurrence of any of the
+   * query's positive terms. PG picks a best cover; first-hit is the
+   * deterministic simplification — document order, no scoring state —
+   * and keeps the whole thing a map-only codegen expression
+   * (array_position / slice / array_join — no HOF, no shuffle).
+   * Returns NULL when no positive term occurs.
+   */
+  def headline(text: Column, query: String, window: Int = 2): Column = {
+    require(window >= 0, "window must be >= 0")
+    val terms = positiveTerms(query)
+    require(terms.nonEmpty, "headline needs a query with positive terms")
+    val toks = split(lower(text), " ")
+    // 1-based first position per term (array_position = 0 if absent →
+    // NULL via nullif); least() skips NULLs in both engines' min logic,
+    // but coalesce-to-sentinel is explicit and engine-agnostic
+    val firstPos = terms.map(t =>
+      coalesce(nullif(array_position(toks, lit(t)), lit(0L)),
+        lit(Long.MaxValue)))
+      .reduce((a, b) => least(a, b))
+    val start = greatest(firstPos - window, lit(1L))
+    when(firstPos =!= Long.MaxValue,
+      array_join(slice(toks, start.cast("int"),
+        (firstPos - start + 1 + window).cast("int")), " "))
+  }
+
   /** The query's POSITIVE terms (everything not under a NOT) — the
     * term set BM25 ranking should score after a boolean filter. */
   def positiveTerms(query: String): Seq[String] = {

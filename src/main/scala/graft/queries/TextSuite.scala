@@ -300,6 +300,19 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // ts_headline analogue: snippet of ±2 tokens around the first
+    // positive-term hit, for the matched docs — map-only codegen
+    // (array_position/slice/array_join), snippet string gated exactly
+    "fts_headline" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      val q = "(spark <-> key | dup) & !(slow <-> query)"
+      Tables.spread(s, dir, "documents")
+        .filter(FT.tsMatch(col("text"), q))
+        .select(col("doc_id"),
+          FT.headline(col("text"), q, window = 2).as("snippet"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // Boolean-filtered BM25 retrieval in ONE query (the reference's
     // `tsquery @@ ... ORDER BY ts_rank` shape): tsMatch prunes the
     // corpus map-side, BM25 then scores the query's positive terms
@@ -705,6 +718,27 @@ object TextSuite {
         |FROM t)
         |SELECT doc_id, gap_sk, gap_ks FROM g
         |WHERE (gap_sk OR gap_ks) AND NOT position(' dup ' IN pad) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // first positive-term hit via list_position; snippet is the
+    // inclusive token slice [fp-2, fp+2] clamped at the doc start
+    "fts_headline" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |             ' ' || lower(text) || ' ' AS pad FROM documents),
+        |p AS (SELECT doc_id, toks, pad,
+        |  least(
+        |    coalesce(nullif(list_position(toks, 'spark'), 0), 9223372036854775807),
+        |    coalesce(nullif(list_position(toks, 'key'), 0), 9223372036854775807),
+        |    coalesce(nullif(list_position(toks, 'dup'), 0), 9223372036854775807))
+        |    AS fp
+        |FROM t)
+        |SELECT doc_id,
+        |  array_to_string(list_slice(toks, greatest(fp - 2, 1), fp + 2), ' ')
+        |    AS snippet
+        |FROM p
+        |WHERE (position(' spark key ' IN pad) > 0
+        |       OR position(' dup ' IN pad) > 0)
+        |  AND NOT position(' slow query ' IN pad) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // same bm25 arithmetic as text_bm25, over the tsMatch-filtered

@@ -68,6 +68,27 @@ class FullTextSpec extends SparkSpec {
     assert(FullText.positiveTerms("!(!a)") == Seq("a"))
   }
 
+  test("headline: window around the first positive-term hit, clamped, null on miss") {
+    def snip(query: String, texts: String*): Seq[String] =
+      texts.toSeq.toDF("text")
+        .select(FullText.headline(col("text"), query, window = 2).as("s"))
+        .as[String].collect().toSeq
+    assert(snip("c | d", "x y c z w q") == Seq("x y c z w"))
+    // clamp at doc start; earliest hit across terms wins
+    assert(snip("c | a", "a b c d e") == Seq("a b c"))
+    // no positive term -> null
+    assert(snip("zzz", "a b c") == Seq(null))
+    // negated terms don't anchor the snippet
+    assert(snip("c & !a", "a b c d e f") == Seq("a b c d e"))
+  }
+
+  test("plainQuery ANDs free-text tokens") {
+    assert(FullText.plainQuery("Fast Spark join") == "fast & spark & join")
+    assert(matches(FullText.plainQuery("spark key"),
+      "key x spark", "spark only") == Seq(true, false))
+    intercept[IllegalArgumentException](FullText.plainQuery("   "))
+  }
+
   test("malformed queries fail loudly") {
     intercept[IllegalArgumentException](FullText.parseQuery("a &"))
     intercept[IllegalArgumentException](FullText.parseQuery("(a | b"))
