@@ -329,6 +329,26 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // The full retrieval stack in ONE query — PG's
+    // `WHERE doc @@ query ORDER BY ts_rank LIMIT k` + ts_headline
+    // shape: boolean prune (map-side) -> BM25 score over the matched
+    // subcorpus -> bounded top-10 (TakeOrderedAndProject) -> snippet
+    // for the survivors only (k rows, not the corpus)
+    "fts_retrieve" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      val q = "(spark <-> key | dup) & !(slow <-> query)"
+      val docs = Tables.spread(s, dir, "documents")
+      val matched = docs.filter(FT.tsMatch(col("text"), q))
+      val top = graft.operators.Relevance.bm25(matched, "doc_id", "text",
+          FT.positiveTerms(q))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+      top.join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("n_hits"), col("score"),
+          FT.headline(col("text"), q, window = 2).as("snippet"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // PII scrubbing over text with PLANTED addresses (the natural corpus
     // has none, so the gate synthesizes one email + one URL per doc —
     // both engines build and scrub the identical string)
