@@ -790,6 +790,48 @@ object TextSuite {
         |FROM b CROSS JOIN g
         |WHERE tf0 + tf1 + tf2 > 0 ORDER BY doc_id""".stripMargin,
 
+    // fts_bm25's scoring CTEs -> top-10 by (score DESC, doc_id) ->
+    // fts_headline's snippet for the 10 survivors only
+    "fts_retrieve" ->
+      """WITH m AS (SELECT doc_id, text FROM documents
+        |  WHERE (position(' spark key ' IN ' '||lower(text)||' ') > 0
+        |         OR position(' dup ' IN ' '||lower(text)||' ') > 0)
+        |    AND NOT position(' slow query ' IN ' '||lower(text)||' ') > 0),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM m),
+        |b AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+        |  len(list_filter(toks, x -> x = 'spark'))::BIGINT AS tf0,
+        |  len(list_filter(toks, x -> x = 'key'))::BIGINT AS tf1,
+        |  len(list_filter(toks, x -> x = 'dup'))::BIGINT AS tf2
+        |FROM t),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+        |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        |FROM b),
+        |s AS (SELECT doc_id, (tf0 + tf1 + tf2)::BIGINT AS n_hits,
+        |  round(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n))), 6) AS score
+        |FROM b CROSS JOIN g
+        |WHERE tf0 + tf1 + tf2 > 0),
+        |top AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10),
+        |p AS (SELECT doc_id, toks,
+        |  least(
+        |    coalesce(nullif(list_position(toks, 'spark'), 0), 9223372036854775807),
+        |    coalesce(nullif(list_position(toks, 'key'), 0), 9223372036854775807),
+        |    coalesce(nullif(list_position(toks, 'dup'), 0), 9223372036854775807))
+        |    AS fp
+        |FROM t)
+        |SELECT top.doc_id, top.n_hits, top.score,
+        |  array_to_string(list_slice(p.toks, greatest(p.fp - 2, 1), p.fp + 2), ' ')
+        |    AS snippet
+        |FROM top JOIN p ON top.doc_id = p.doc_id
+        |ORDER BY top.doc_id""".stripMargin,
+
     "text_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(
