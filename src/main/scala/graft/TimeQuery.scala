@@ -19,6 +19,10 @@ object TimeQuery {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are written tz-naive (timestamp[us], not UTC-
+      // adjusted); read them as LTZ under the UTC session zone, as every
+      // operator and oracle expects, instead of Spark 4's NTZ inference
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")

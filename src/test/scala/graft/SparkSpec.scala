@@ -13,6 +13,10 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are written tz-naive (timestamp[us], not UTC-
+      // adjusted); read them as LTZ under the UTC session zone, as every
+      // operator and oracle expects, instead of Spark 4's NTZ inference
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
@@ -21,6 +25,16 @@ object SparkTestSession {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Driver generations have written events.ts both as timestamp[ns]
+    * (read as LONG nanos under nanosAsLong) and as timestamp[us] (read
+    * as a timestamp directly) — normalize to a plain timestamp either
+    * way, the same guard Tables.apply applies. */
+  def normTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
 }
 
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {

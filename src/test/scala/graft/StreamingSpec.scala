@@ -85,7 +85,7 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(SparkTestSession.normTs)
     val q = StreamAgg.windowedAgg(stream)
       .writeStream.format("memory").queryName("win_test")
       .outputMode("complete").start()
@@ -103,7 +103,7 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(SparkTestSession.normTs)
     val q = StreamAgg.hoppingAgg(stream)
       .writeStream.format("memory").queryName("hop_test")
       .outputMode("complete").start()
@@ -124,7 +124,7 @@ class StreamingSpec extends SparkSpec {
       .option("pathGlobFilter", "events.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(SparkTestSession.normTs)
     val q = graft.operators.Sampling.hashFraction(stream, "event_id", 0.1)
       .select("event_id")
       .writeStream.format("memory").queryName("sample_test")
@@ -151,7 +151,7 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(SparkTestSession.normTs)
     val enriched = StreamAgg.enrichedWindowedAgg(stream, customer,
       "user_id", "c_custkey", "c_nationkey")
     val q = enriched.writeStream.format("memory").queryName("enrich_test")
@@ -210,7 +210,7 @@ class StreamingSpec extends SparkSpec {
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(SparkTestSession.normTs)
     val q = StreamAgg.eventJoin(stream, stream, "click", "purchase", 30)
       .select($"l_event", $"r_event")
       .writeStream.format("memory").queryName("sj_test")

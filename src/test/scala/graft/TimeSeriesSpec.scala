@@ -38,7 +38,7 @@ class TimeSeriesSpec extends SparkSpec {
 
   test("grid bounds and LOCF invariants on events") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(SparkTestSession.normTs)
     val filled = TimeSeries.gapFillLocf(ev, "user_id", "ts", "value",
       truncUnit = "hour", step = "1 hour").cache()
     try {
