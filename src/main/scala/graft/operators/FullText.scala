@@ -179,6 +179,128 @@ object FullText {
         (firstPos - start + 1 + window).cast("int")), " "))
   }
 
+  /**
+   * ts_rank analogue (ref: src/common/backend/utils/adt/tsrank.cpp
+   * calc_rank_or + the RANK_NORM_* bitmask): positional-frequency
+   * rank. PG's per-term contribution under uniform position weights
+   * (to_tsvector without setweight labels every position D = 0.1) is
+   *   w·(Σ_{j=1..tf} 1/j²) / (π²/6)
+   * — calc_rank_or's (wjm + resj − wjm/1²)/1.64493406685 with wjm = w
+   * and jm = 0, summed over the query's positive terms. PG stores at
+   * most 256 positions per lexeme (MAXNUMPOS), so tf saturates there.
+   *
+   * The per-tf contribution is PRECOMPUTED on the driver into a
+   * 257-entry literal table shared verbatim with the SQL oracle
+   * ([[rankTableSql]]) — both engines look up identical doubles, so
+   * the only floating arithmetic either side performs is the fixed-
+   * order sum over terms plus the normalization divisions: hash-exact
+   * at 6dp with no cross-engine transcendental risk in the core rank.
+   *
+   * `norm` is PG's normalization bitmask (applied in PG's order):
+   *   1  rank /= 1+log₂... — PG: rank /= log₂(dl+1)
+   *   2  rank /= dl
+   *   8  rank /= n_unique_tokens
+   *   16 rank /= log₂(n_unique+1)
+   *   32 rank /= rank+1
+   * (4 — extent distance — is ts_rank_cd's; not meaningful here.)
+   *
+   * Scale shape: map-only codegen scan, same as [[tsMatch]].
+   */
+  def tsRank(text: Column, query: String, norm: Int = 0): Column = {
+    require((norm & ~(1 | 2 | 8 | 16 | 32)) == 0,
+      s"unsupported ts_rank normalization bits in $norm")
+    val terms = positiveTerms(query)
+    require(terms.nonEmpty, "tsRank needs a query with positive terms")
+    val toks = split(lower(text), " ")
+    val table = typedLit(rankTable)
+    val raw = terms.map { t =>
+      val tf = size(filter(toks, x => x === lit(t)))
+      element_at(table, least(tf, lit(MaxNumPos)) + 1)
+    }.reduce(_ + _)
+    val dl = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double")
+    var r = raw
+    if ((norm & 1) != 0) r = when(dl > 1.0, r / (log(dl + 1.0) / math.log(2.0))).otherwise(r)
+    if ((norm & 2) != 0) r = when(dl > 0.0, r / dl).otherwise(r)
+    if ((norm & 8) != 0) r = when(uniq > 0.0, r / uniq).otherwise(r)
+    if ((norm & 16) != 0) r = when(uniq > 1.0, r / (log(uniq + 1.0) / math.log(2.0))).otherwise(r)
+    if ((norm & 32) != 0) r = r / (r + 1.0)
+    r
+  }
+
+  /** PG stores at most 256 positions per lexeme (MAXNUMPOS). */
+  val MaxNumPos = 256
+
+  /** rankTable(n) = 0.1·H₂(n)/1.64493406685 for n = 0..256 — the
+    * calc_rank_or per-term contribution at tf = n under uniform D
+    * weights (1.64493406685 is tsrank.cpp's π²/6 literal). */
+  lazy val rankTable: Array[Double] = {
+    val t = new Array[Double](MaxNumPos + 1)
+    var h = 0.0
+    var j = 1
+    while (j <= MaxNumPos) {
+      h += 1.0 / (j.toDouble * j.toDouble)
+      t(j) = 0.1 * h / 1.64493406685
+      j += 1
+    }
+    t
+  }
+
+  /** The same table as a DuckDB list literal (shortest-roundtrip digit
+    * strings parse back to the identical doubles), for SQL oracles. */
+  lazy val rankTableSql: String =
+    rankTable.map(_.toString).mkString("[", ", ", "]")
+
+  /**
+   * websearch_to_tsquery analogue (ref: to_tsany.c
+   * websearch_to_tsquery): free-form web-search syntax → tsquery
+   * string for [[tsMatch]]/[[tsRank]]. Double-quoted runs become
+   * `<->` phrases, a leading `-` negates its token/phrase, the word
+   * OR (case-insensitive, unquoted) joins the surrounding atoms with
+   * `|`, everything else joins with `&`.
+   */
+  def websearchQuery(s: String): String = {
+    final case class Atom(text: String, neg: Boolean)
+    val atoms = scala.collection.mutable.ArrayBuffer.empty[(Atom, Boolean)] // (atom, orWithPrev)
+    var orPending = false
+    var i = 0
+    def push(a: Atom): Unit = { atoms += ((a, orPending)); orPending = false }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else {
+        var neg = false
+        if (c == '-') { neg = true; i += 1 }
+        if (i < s.length && s.charAt(i) == '"') {
+          val end = s.indexOf('"', i + 1)
+          val body = if (end < 0) s.substring(i + 1) else s.substring(i + 1, end)
+          i = if (end < 0) s.length else end + 1
+          val toks = body.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          if (toks.nonEmpty) push(Atom(toks.mkString(" <-> "), neg))
+        } else {
+          val start = i
+          while (i < s.length && !s.charAt(i).isWhitespace && s.charAt(i) != '"') i += 1
+          val w = s.substring(start, i).toLowerCase
+          if (w == "or") { if (atoms.nonEmpty) orPending = true }
+          else if (w.nonEmpty) push(Atom(w, neg))
+        }
+      }
+    }
+    require(atoms.nonEmpty, "websearchQuery needs at least one token")
+    def render(a: Atom): String = {
+      val base = if (a.text.contains(" ")) s"(${a.text})" else a.text
+      if (a.neg) s"!$base" else base
+    }
+    // OR binds the two adjacent atoms; AND chains the rest. tsquery
+    // precedence (| lowest) matches, so parens are only needed around
+    // phrase groups (added in render).
+    val sb = new StringBuilder(render(atoms.head._1))
+    atoms.tail.foreach { case (a, or) =>
+      sb.append(if (or) " | " else " & ").append(render(a))
+    }
+    sb.toString
+  }
+
   /** The query's POSITIVE terms (everything not under a NOT) — the
     * term set BM25 ranking should score after a boolean filter. */
   def positiveTerms(query: String): Seq[String] = {

@@ -349,6 +349,38 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // ts_rank analogue (tsrank.cpp calc_rank_or under uniform D
+    // weights) with PG's normalization bitmask: the per-tf contribution
+    // table is ONE driver-computed literal shared verbatim with the
+    // oracle, so both engines look up identical doubles and the only
+    // live float arithmetic is the fixed-order term sum + norm divides
+    "fts_rank" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      val q = "spark <-> key | dup"
+      val txt = col("text")
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          round(FT.tsRank(txt, q), 6).as("r0"),
+          round(FT.tsRank(txt, q, norm = 1), 6).as("r1"),
+          round(FT.tsRank(txt, q, norm = 2 | 8), 6).as("r2u"),
+          round(FT.tsRank(txt, q, norm = 32), 6).as("r32"))
+        .filter(col("r0") > 0.0)
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // websearch_to_tsquery analogue end-to-end: free-form web syntax
+    // ("quoted phrase", OR, -negation) compiles on the driver to the
+    // tsquery tree, then matches AND ranks in one map-only scan
+    "fts_websearch" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      val q = FT.websearchQuery("\"spark key\" OR dup -\"slow query\"")
+      Tables.spread(s, dir, "documents")
+        .filter(FT.tsMatch(col("text"), q))
+        .select(col("doc_id"),
+          round(FT.tsRank(col("text"), q), 6).as("rank"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // PII scrubbing over text with PLANTED addresses (the natural corpus
     // has none, so the gate synthesizes one email + one URL per doc —
     // both engines build and scrub the identical string)
@@ -831,6 +863,47 @@ object TextSuite {
         |    AS snippet
         |FROM top JOIN p ON top.doc_id = p.doc_id
         |ORDER BY top.doc_id""".stripMargin,
+
+    // the rank table literal is the SAME driver-computed doubles the
+    // Spark expression looks up (shortest-roundtrip repr); term order
+    // spark, key, dup matches positiveTerms tree order
+    "fts_rank" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |b AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+         |  len(list_distinct(toks))::BIGINT AS uq,
+         |  list_extract(${graft.operators.FullText.rankTableSql},
+         |    least(len(list_filter(toks, x -> x = 'spark')), 256) + 1)
+         |  + list_extract(${graft.operators.FullText.rankTableSql},
+         |    least(len(list_filter(toks, x -> x = 'key')), 256) + 1)
+         |  + list_extract(${graft.operators.FullText.rankTableSql},
+         |    least(len(list_filter(toks, x -> x = 'dup')), 256) + 1) AS raw
+         |FROM t)
+         |SELECT doc_id, round(raw, 6) AS r0,
+         |  round(CASE WHEN dl > 1 THEN raw / (ln(dl + 1.0) / ln(2.0)) ELSE raw END, 6) AS r1,
+         |  round(CASE WHEN uq > 0 THEN (CASE WHEN dl > 0 THEN raw / dl ELSE raw END) / uq
+         |             ELSE (CASE WHEN dl > 0 THEN raw / dl ELSE raw END) END, 6) AS r2u,
+         |  round(raw / (raw + 1.0), 6) AS r32
+         |FROM b WHERE round(raw, 6) > 0 ORDER BY doc_id""".stripMargin,
+
+    // websearch '"spark key" OR dup -"slow query"' compiles to
+    // (spark <-> key) | dup & !(slow <-> query); rank over positive
+    // terms spark, key, dup with the shared contribution table
+    "fts_websearch" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         |             ' ' || lower(text) || ' ' AS pad FROM documents),
+         |b AS (SELECT doc_id, pad,
+         |  list_extract(${graft.operators.FullText.rankTableSql},
+         |    least(len(list_filter(toks, x -> x = 'spark')), 256) + 1)
+         |  + list_extract(${graft.operators.FullText.rankTableSql},
+         |    least(len(list_filter(toks, x -> x = 'key')), 256) + 1)
+         |  + list_extract(${graft.operators.FullText.rankTableSql},
+         |    least(len(list_filter(toks, x -> x = 'dup')), 256) + 1) AS raw
+         |FROM t)
+         |SELECT doc_id, round(raw, 6) AS rank FROM b
+         |WHERE position(' spark key ' IN pad) > 0
+         |   OR (position(' dup ' IN pad) > 0
+         |       AND NOT position(' slow query ' IN pad) > 0)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_scrub" ->
       """SELECT doc_id,

@@ -97,6 +97,63 @@ class FullTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](FullText.parseQuery("a b"))
   }
 
+  test("tsRank: calc_rank_or arithmetic under uniform D weights") {
+    def rank(query: String, norm: Int, texts: String*): Seq[Double] =
+      texts.toSeq.toDF("text")
+        .select(FullText.tsRank(col("text"), query, norm).as("r"))
+        .as[Double].collect().toSeq
+    // independent recomputation of the per-tf contribution
+    def contrib(tf: Int): Double = {
+      val h = (1 to math.min(tf, 256)).map(j => 1.0 / (j.toDouble * j)).sum
+      0.1 * h / 1.64493406685
+    }
+    val Seq(r) = rank("a | b", 0, "a b a")
+    assert(r == contrib(2) + contrib(1))
+    // phrase terms score like their AND of lexemes (calc_rank_or walks
+    // every positive lexeme)
+    assert(rank("a <-> b", 0, "a b a") == rank("a & b", 0, "a b a"))
+    // absent terms contribute zero; no terms present -> rank 0
+    assert(rank("a | zzz", 0, "a b a") == Seq(contrib(2)))
+    assert(rank("zzz", 0, "a b a") == Seq(0.0))
+    // tf saturates at PG's MAXNUMPOS = 256 positions per lexeme
+    val long = Seq.fill(300)("a").mkString(" ")
+    assert(rank("a", 0, long) == Seq(contrib(256)))
+    // normalizations: log-length, length, uniq, rank/(rank+1), PG order
+    val raw = contrib(2) + contrib(1)
+    assert(rank("a | b", 1, "a b a") ==
+      Seq(raw / (math.log(4.0) / math.log(2.0))))
+    assert(rank("a | b", 2, "a b a") == Seq(raw / 3.0))
+    assert(rank("a | b", 2 | 8, "a b a") == Seq(raw / 3.0 / 2.0))
+    assert(rank("a | b", 32, "a b a") == Seq(raw / (raw + 1.0)))
+    intercept[IllegalArgumentException](FullText.tsRank(col("text"), "a", 4))
+    intercept[IllegalArgumentException](FullText.tsRank(col("text"), "!a"))
+  }
+
+  test("rankTableSql literals roundtrip to the exact table doubles") {
+    val body = FullText.rankTableSql.stripPrefix("[").stripSuffix("]")
+    val parsed = body.split(", ").map(_.toDouble)
+    assert(parsed.toSeq == FullText.rankTable.toSeq)
+    assert(parsed.length == 257 && parsed(0) == 0.0)
+  }
+
+  test("websearchQuery compiles web syntax to tsquery") {
+    assert(FullText.websearchQuery("\"spark key\" OR dup -\"slow query\"")
+      == "(spark <-> key) | dup & !(slow <-> query)")
+    assert(FullText.websearchQuery("Fast Spark join") == "fast & spark & join")
+    assert(FullText.websearchQuery("-bad good") == "!bad & good")
+    assert(FullText.websearchQuery("a OR b OR c") == "a | b | c")
+    // dangling/leading OR is ignored, like PG's websearch parser
+    assert(FullText.websearchQuery("or a") == "a")
+    assert(FullText.websearchQuery("a or") == "a")
+    // unterminated quote swallows the rest as the phrase
+    assert(FullText.websearchQuery("\"a b") == "(a <-> b)")
+    intercept[IllegalArgumentException](FullText.websearchQuery("  "))
+    // the compiled string parses and matches end-to-end
+    assert(matches(FullText.websearchQuery("\"spark key\" OR dup -\"slow query\""),
+      "x spark key y", "a dup b", "dup slow query", "slow query spark") ==
+      Seq(true, true, false, false))
+  }
+
   test("match column is pure codegen: no HOFs, no explode, no shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = docs.filter(FullText.tsMatch(col("text"),
