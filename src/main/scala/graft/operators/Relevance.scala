@@ -153,4 +153,52 @@ object Relevance {
         col("e.payload").as("n_terms"),
         (col("e.dist") / lit(-1000000.0)).as("score"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+   * of per-query ranked lists — the HYBRID retrieval shape: fuse a
+   * dense (vector KNN) and a lexical (BM25) ranking without score
+   * calibration, rrf(d) = Σ_lists 1/(kRrf + rank_list(d)). This is
+   * how pgvector deployments combine `ORDER BY embedding <=> q` with
+   * full-text ranking, re-expressed for batch query tables.
+   *
+   * Inputs: each list is (qid, rank, doc_id) with rank 1-based; a doc
+   * missing from a list contributes nothing (standard RRF).
+   *
+   * Scale shape: the inputs are ALREADY top-k bounded (k·|queries|
+   * rows each — the expensive corpus passes happened inside the
+   * rankers), so fusion touches no corpus-sized data: one union, one
+   * (qid, doc) aggregate over ≤ Σk rows per query, and the bounded
+   * payload heap for the final order. Nothing here grows with corpus
+   * size.
+   *
+   * Determinism: each contribution 1/(kRrf+rank) is one IEEE divide of
+   * small integers (identical in any engine), rounded to 6dp and
+   * summed as DECIMAL(18,6) — order-invariant — and the final
+   * (rrf desc, doc_id) order rides the exact decimal through the
+   * heap's integer-micros key, the same device as [[searchTopK]].
+   *
+   * Output: (qid, rank 1..k, doc_id, n_lists, rrf DOUBLE).
+   */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1, "rrfFuse needs k >= 1")
+    require(kRrf >= 1, "rrfFuse needs kRrf >= 1")
+    val contribs = lists.map(_.select(col("qid"), col("doc_id"),
+      round(lit(1.0) / (lit(kRrf.toDouble) + col("rank").cast("double")), 6)
+        .cast("decimal(18,6)").as("c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).as("sc"), count(lit(1)).as("n_lists"))
+    // exact decimal micros → the ascending (dist, id) heap order is
+    // exactly (rrf desc, doc_id asc); see searchTopK for the argument
+    val negMicros = (col("sc") * lit(-1000000)).cast("long").cast("double")
+    fused.groupBy(col("qid"))
+      .agg(Knn.topKPayloadPairs(col("doc_id").cast("long"), negMicros,
+        col("n_lists"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("qid"), (col("i") + 1).as("rank"),
+        col("e.nid").as("doc_id"), col("e.payload").as("n_lists"),
+        (col("e.dist") / lit(-1000000.0)).as("rrf"))
+  }
 }

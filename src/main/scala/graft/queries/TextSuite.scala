@@ -142,6 +142,29 @@ object TextSuite {
         .transform(Gate.ordered(_, "qid", "rank"))
     }),
 
+    // HYBRID retrieval: BM25 lexical top-20 + vector-KNN dense top-20
+    // fused by reciprocal rank (RRF, Cormack 2009) — the pgvector
+    // `ORDER BY embedding <=> q` × full-text combination. Query ids
+    // double as vec ids (documents and embeddings share the id space);
+    // fusion touches only the already-bounded top-k lists
+    "hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
+            .as("qtext"))
+      val text = graft.operators.Relevance.searchTopK(
+          docs, "doc_id", "text", qs, "qid", "qtext", k = 20)
+        .select(col("qid"), col("rank"), col("doc_id"))
+      val emb = Tables(s, dir, "embeddings")
+      val vq = emb.filter(col("vec_id") < 3)
+      val vec = graft.operators.Knn.knnJoin(
+          vq, "embedding", "vec_id", emb, "embedding", "vec_id", 20)
+        .select(col("qid"), col("rank"), col("nid").as("doc_id"))
+      graft.operators.Relevance.rrfFuse(Seq(text, vec), k = 10)
+        .transform(Gate.ordered(_, "qid", "rank"))
+    }),
+
     // deterministic global shuffle + fixed-size batch assignment (the
     // pretrain data-ordering step): global rank from a bucket
     // histogram + ONE within-bucket window — no global orderBy (whose
@@ -673,6 +696,51 @@ object TextSuite {
         |      FROM pq)
         |SELECT qid, rank, doc_id, n_terms, CAST(sw AS DOUBLE) AS score
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // bm25_search's CTEs at k=20 + the knn_join ranking at k=20, fused:
+    // contribution = round(1/(60+rank), 6) summed as DECIMAL (order-
+    // invariant), final order (rrf DESC, doc_id)
+    "hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id AS qid,
+        |        list_filter(list_slice(string_split(lower(text), ' '), 1, 4),
+        |          x -> x <> '') AS qtoks
+        |      FROM documents WHERE doc_id < 3),
+        |qt AS (SELECT qid, unnest(list_distinct(qtoks)) AS term FROM q),
+        |vocab AS (SELECT DISTINCT term FROM qt),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS sumdl FROM d),
+        |ex AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        |       FROM ex JOIN vocab USING (term) GROUP BY doc_id, dl, term),
+        |dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |wts AS (SELECT doc_id, term, CAST(round(
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n))), 6)
+        |    AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN g),
+        |pq AS (SELECT qt.qid, w.doc_id, sum(w.w) AS sw
+        |       FROM wts w JOIN qt ON w.term = qt.term GROUP BY qt.qid, w.doc_id),
+        |tl AS (SELECT qid, doc_id, row_number() OVER
+        |         (PARTITION BY qid ORDER BY sw DESC, doc_id) AS rank
+        |       FROM pq),
+        |vqs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |vl AS (SELECT vqs.qid, e.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY vqs.qid
+        |      ORDER BY round(list_distance(e.embedding::DOUBLE[], vqs.qv::DOUBLE[]), 6),
+        |               e.vec_id) AS rank
+        |  FROM embeddings e, vqs),
+        |u AS (SELECT qid, doc_id, CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS c
+        |      FROM tl WHERE rank <= 20
+        |      UNION ALL
+        |      SELECT qid, doc_id, CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS c
+        |      FROM vl WHERE rank <= 20),
+        |f AS (SELECT qid, doc_id, sum(c) AS sc, count(*)::BIGINT AS n_lists
+        |      FROM u GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, n_lists, sc, row_number() OVER
+        |        (PARTITION BY qid ORDER BY sc DESC, doc_id) AS rank
+        |      FROM f)
+        |SELECT qid, rank, doc_id, n_lists, CAST(sc AS DOUBLE) AS rrf
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     // the three stages as CTEs: classifier keep-set over the FULL
     // corpus vocabulary, dup3-ratio filter (same n−2 denominator as

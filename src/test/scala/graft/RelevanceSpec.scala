@@ -97,4 +97,36 @@ class RelevanceSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "per-doc scoring must never sort-merge join")
   }
+
+  test("rrfFuse equals hand-computed reciprocal-rank fusion") {
+    // query 0: doc 10 ranks 1 in BOTH lists; doc 11 only lexical (2);
+    // doc 12 only dense (2). query 1: disjoint docs.
+    val lex = Seq((0L, 1, 10L), (0L, 2, 11L), (1L, 1, 20L))
+      .toDF("qid", "rank", "doc_id")
+    val den = Seq((0L, 1, 10L), (0L, 2, 12L), (1L, 1, 21L))
+      .toDF("qid", "rank", "doc_id")
+    val got = Relevance.rrfFuse(Seq(lex, den), k = 10)
+      .orderBy("qid", "rank")
+      .select("qid", "rank", "doc_id", "n_lists", "rrf").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    def c(rank: Int): BigDecimal =
+      BigDecimal(math.round(1.0 / (60 + rank) * 1e6)) / 1e6
+    val both = (c(1) + c(1)).toDouble
+    val one2 = c(2).toDouble
+    assert(got == Seq(
+      (0L, 1, 10L, 2L, both),
+      (0L, 2, 11L, 1L, one2), // ties with doc 12 — doc_id breaks the tie
+      (0L, 3, 12L, 1L, one2),
+      (1L, 1, 20L, 1L, c(1).toDouble),
+      (1L, 2, 21L, 1L, c(1).toDouble)))
+  }
+
+  test("rrfFuse plan: fusion is heap-ranked, no per-qid window sort") {
+    val l = Seq((0L, 1, 10L), (0L, 2, 11L)).toDF("qid", "rank", "doc_id")
+    val plan = Relevance.rrfFuse(Seq(l, l), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rrf ranking must not window-sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
