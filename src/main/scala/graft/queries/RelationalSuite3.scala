@@ -639,6 +639,24 @@ object RelationalSuite3 {
           pmod(col("o_orderkey"), lit(30)).as("dst"))
       graft.operators.Iterate.pageRank(edges, "src", "dst", iters = 3)
         .transform(Gate.ordered(_, "node"))
+    }),
+
+    // START WITH / CONNECT BY PRIOR (openGauss Oracle-compat
+    // hierarchical SQL): the decimal-digit forest over customer keys
+    // (parent = custkey div 10, roots = single-digit keys) expands
+    // with LEVEL, CONNECT_BY_ROOT, SYS_CONNECT_BY_PATH and
+    // CONNECT_BY_ISLEAF — level-synchronous frontier BFS, each round
+    // joining the edge table against the frontier only
+    "connect_by" -> ((s, dir) => {
+      // single-digit keys are roots with a sentinel parent: custkey 0
+      // would otherwise be its own parent (0 div 10 = 0), a self-loop
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), expr(
+          "CASE WHEN c_custkey <= 9 THEN -1 ELSE c_custkey DIV 10 END")
+          .as("c_parent"))
+      graft.operators.Hierarchy.connectBy(cust, "c_custkey", "c_parent",
+          startWith = col("c_custkey") <= 9)
+        .transform(Gate.ordered(_, "id"))
     })
   )
 
@@ -1090,6 +1108,25 @@ object RelationalSuite3 {
         |r3 AS (SELECT n2.node, CAST(round(round((1.0 - 0.85) / g.n, 12) +
         |         0.85 * COALESCE(s.s, 0)::DOUBLE, 12) AS DECIMAL(28,12)) AS rank
         |       FROM nodes n2 CROSS JOIN g LEFT JOIN s3 s ON n2.node = s.dst)
-        |SELECT node, CAST(rank AS DOUBLE) AS rank FROM r3 ORDER BY node""".stripMargin
+        |SELECT node, CAST(rank AS DOUBLE) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    // the recursive CTE mirrors the frontier expansion; is_leaf =
+    // nothing in the RESULT attaches under the row (same anti
+    // condition as the operator)
+    "connect_by" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT c_custkey AS id, 1 AS level, c_custkey AS root_id,
+        |         '/' || c_custkey AS path
+        |  FROM customer WHERE c_custkey <= 9
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.level + 1, h.root_id,
+        |         h.path || '/' || c.c_custkey
+        |  FROM customer c JOIN h ON c.c_custkey // 10 = h.id
+        |  WHERE c.c_custkey > 9
+        |)
+        |SELECT h.id, h.level, h.root_id, h.path,
+        |  NOT EXISTS (SELECT 1 FROM h h2
+        |              WHERE h2.level > 1 AND h2.id // 10 = h.id) AS is_leaf
+        |FROM h ORDER BY h.id""".stripMargin
   )
 }
