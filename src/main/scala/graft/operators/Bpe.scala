@@ -104,4 +104,27 @@ object Bpe {
     if (prev != null) prev.unpersist()
     (merges.result(), cur)
   }
+
+  /**
+   * ENCODE with a trained merge table (rank order) — the inference
+   * side of [[train]], i.e. the actual tokenize step of the data
+   * pipeline: each merge is the same greedy left-to-right fold
+   * training used, applied in training order, so encoding a corpus
+   * reproduces exactly the symbols training would have produced.
+   *
+   * Scale shape: the merge table is a driver-side constant and each
+   * merge compiles to one codegen'd `aggregate` fold — the whole
+   * encode is a map-only column rewrite chain, no shuffle, documents
+   * never move. (A production tokenizer ships ~30-50k merges; at that
+   * size batch non-interacting merges into single passes rather than
+   * 50k chained folds — the per-merge fold here matches the training
+   * fold bit-for-bit, which is what the gate proves.)
+   */
+  def encode(docs: DataFrame, toksCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "encode needs at least one merge")
+    merges.foldLeft(docs) { case (d, (a, b)) =>
+      d.withColumn(toksCol, mergeOnce(col(toksCol), a, b))
+    }
+  }
 }

@@ -142,6 +142,24 @@ object TextSuite {
         .transform(Gate.ordered(_, "qid", "rank"))
     }),
 
+    // BPE ENCODE: apply a merge table (rank order) to tokenize the
+    // corpus — the inference side of bpe_step's training; map-only
+    // fold chain, includes a CHAINED merge (table+table then +key)
+    // proving merged symbols compose in later ranks
+    "bpe_encode" -> ((s, dir) => {
+      val merges = Seq(("table", "table"), ("a", "a"),
+        ("table+table", "key"), ("fast", "spark"))
+      val toks = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      graft.operators.Bpe.encode(toks, "toks", merges)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(filter(col("toks"), t => t.contains("+"))).cast("long")
+            .as("n_merged"),
+          array_join(slice(col("toks"), 1, 8), " ").as("head"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // HYBRID retrieval: BM25 lexical top-20 + vector-KNN dense top-20
     // fused by reciprocal rank (RRF, Cormack 2009) — the pgvector
     // `ORDER BY embedding <=> q` × full-text combination. Query ids
@@ -696,6 +714,29 @@ object TextSuite {
         |      FROM pq)
         |SELECT qid, rank, doc_id, n_terms, CAST(sw AS DOUBLE) AS score
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // greedy left-to-right merge == leftmost non-overlapping replace
+    // over the DOUBLE-SPACE-joined token string (the single-space wrap
+    // keeps every token flanked by its own delimiter, so a match
+    // consumes one of the two gap spaces and the next occurrence still
+    // has its leading space — exactly the fold's pending semantics);
+    // merges nest innermost-first in training order
+    "bpe_encode" ->
+      """WITH t AS (SELECT doc_id,
+        |  ' ' || array_to_string(string_split(lower(text), ' '), '  ') || ' ' AS s
+        |FROM documents),
+        |m AS (SELECT doc_id,
+        |  replace(replace(replace(replace(s,
+        |    ' table  table ', ' table+table '),
+        |    ' a  a ', ' a+a '),
+        |    ' table+table  key ', ' table+table+key '),
+        |    ' fast  spark ', ' fast+spark ') AS s2
+        |FROM t),
+        |tok AS (SELECT doc_id, string_split(trim(s2), '  ') AS toks FROM m)
+        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  len(list_filter(toks, x -> contains(x, '+')))::BIGINT AS n_merged,
+        |  array_to_string(list_slice(toks, 1, 8), ' ') AS head
+        |FROM tok ORDER BY doc_id""".stripMargin,
 
     // bm25_search's CTEs at k=20 + the knn_join ranking at k=20, fused:
     // contribution = round(1/(60+rank), 6) summed as DECIMAL (order-

@@ -75,4 +75,28 @@ class BpeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"merge must not shuffle:\n$plan")
   }
+
+  test("encode applies the merge table in rank order, chains included") {
+    val docs = Seq(
+      (1L, Seq("a", "a", "b", "c")),
+      (2L, Seq("a", "a", "a")),       // overlap: greedy-left pairs once
+      (3L, Seq("x", "y"))             // untouched
+    ).toDF("id", "toks")
+    // rank order: (a,a) first, then the CHAINED (a+a, b)
+    val got = Bpe.encode(docs, "toks", Seq(("a", "a"), ("a+a", "b")))
+      .orderBy("id").as[(Long, Seq[String])].collect().map(_._2.toList)
+    assert(got.toSeq == Seq(
+      List("a+a+b", "c"), List("a+a", "a"), List("x", "y")))
+    // encode == replaying train's own merges over the same corpus
+    val (merges, trained) = Bpe.train(docs, "toks", rounds = 2)
+    val replayed = Bpe.encode(docs, "toks", merges.map(m => (m._1, m._2)))
+      .orderBy("id").as[(Long, Seq[String])].collect().map(_._2.toList)
+    val ref = trained.orderBy("id").as[(Long, Seq[String])]
+      .collect().map(_._2.toList)
+    assert(replayed.toSeq == ref.toSeq)
+    // encode is map-only end to end
+    val plan = Bpe.encode(docs, "toks", Seq(("a", "a"), ("a+a", "b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+  }
 }
