@@ -641,6 +641,32 @@ object RelationalSuite3 {
         .transform(Gate.ordered(_, "node"))
     }),
 
+    // INCREMENTAL MATERIALIZED VIEW refresh (openGauss IVM): the
+    // per-custkey order-count/revenue view maintained from a signed
+    // delta (H1-1997 inserts + every-97th-key deletes) WITHOUT
+    // re-scanning the base — delta aggregates first, then one
+    // union-reaggregate with the view; gated against the full
+    // recompute over the post-change base
+    "matview_inc" -> ((s, dir) => {
+      val cents = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+      val ord = Tables(s, dir, "orders")
+      val base = ord.filter(col("o_orderdate") < "1997-01-01")
+      val view = base.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(expr(cents)).as("cents"))
+      val inserts = ord.filter(col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1997-07-01")
+        .select(col("o_custkey"), expr(cents).as("cents"), lit(1).as("op"))
+      val deletes = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_custkey"), expr(cents).as("cents"), lit(-1).as("op"))
+      graft.operators.Matview.applyDelta(
+          view, inserts.unionByName(deletes), Seq("o_custkey"),
+          countCol = "n", sumCols = Seq("cents"), opCol = "op")
+        .select(col("o_custkey"), col("n"), col("cents"),
+          (col("cents").cast("double") / lit(100.0) / col("n"))
+            .as("avg_price"))
+        .transform(Gate.ordered(_, "o_custkey"))
+    }),
+
     // START WITH / CONNECT BY PRIOR (openGauss Oracle-compat
     // hierarchical SQL): the decimal-digit forest over customer keys
     // (parent = custkey div 10, roots = single-digit keys) expands
@@ -1109,6 +1135,23 @@ object RelationalSuite3 {
         |         0.85 * COALESCE(s.s, 0)::DOUBLE, 12) AS DECIMAL(28,12)) AS rank
         |       FROM nodes n2 CROSS JOIN g LEFT JOIN s3 s ON n2.node = s.dst)
         |SELECT node, CAST(rank AS DOUBLE) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    // FULL RECOMPUTE over the post-change base — the delta-applied
+    // view must equal it exactly (count/sum self-maintenance)
+    "matview_inc" ->
+      """WITH survivors AS (
+        |  SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01'
+        |)
+        |SELECT o_custkey, count(*)::BIGINT AS n,
+        |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS DOUBLE)
+        |    / 100.0 / count(*) AS avg_price
+        |FROM survivors GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // the recursive CTE mirrors the frontier expansion; is_leaf =
     // nothing in the RESULT attaches under the row (same anti
