@@ -228,6 +228,25 @@ object FullText {
     r
   }
 
+  /**
+   * ts_rank_cd analogue (tsrank.cpp calc_rank_cd + Cover): proximity
+   * ranking by minimal covers — windows spanning ALL the query's
+   * positive terms, each contributing 0.1/(1 + noise words) under
+   * uniform D weights. The cover walk runs in one compiled scan per
+   * row ([[graft.functions.CoverDensity]]) accumulating exact integer
+   * nanos, so the rank is order-invariant and oracle-mirrorable
+   * bit-for-bit. Documents missing any positive term rank 0 (no
+   * cover exists), exactly PG's behavior for AND queries.
+   */
+  def tsRankCd(text: Column, query: String): Column = {
+    val terms = positiveTerms(query)
+    require(terms.nonEmpty, "tsRankCd needs a query with positive terms")
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.CoverDensity(
+        org.apache.spark.sql.graft.Bridge.expression(text), terms))
+      .cast("double") / lit(1.0e9)
+  }
+
   /** PG stores at most 256 positions per lexeme (MAXNUMPOS). */
   val MaxNumPos = 256
 

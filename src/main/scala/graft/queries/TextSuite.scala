@@ -409,6 +409,20 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // ts_rank_cd analogue: cover-density proximity rank — minimal
+    // covers spanning all positive terms, each adding 0.1/(1+noise),
+    // accumulated as exact integer nanos in one compiled scan; for a
+    // 2-term query PG's covers are exactly the adjacent mixed pairs of
+    // the merged position list, which is what the oracle enumerates
+    "fts_rank_cd" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      Tables.spread(s, dir, "documents")
+        .filter(FT.tsMatch(col("text"), "spark & key"))
+        .select(col("doc_id"),
+          FT.tsRankCd(col("text"), "spark & key").as("rank_cd"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // websearch_to_tsquery analogue end-to-end: free-form web syntax
     // ("quoted phrase", OR, -negation) compiles on the driver to the
     // tsquery tree, then matches AND ranks in one map-only scan
@@ -993,6 +1007,26 @@ object TextSuite {
          |             ELSE (CASE WHEN dl > 0 THEN raw / dl ELSE raw END) END, 6) AS r2u,
          |  round(raw / (raw + 1.0), 6) AS r32
          |FROM b WHERE round(raw, 6) > 0 ORDER BY doc_id""".stripMargin,
+
+    // 2-term covers == adjacent mixed pairs of the merged sorted
+    // position list; per-cover nanos = round(1e8/token distance),
+    // summed exactly as integers
+    "fts_rank_cd" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |             ' ' || lower(text) || ' ' AS pad FROM documents),
+        |p AS (SELECT doc_id, toks, pad, list_sort(list_concat(
+        |        list_filter(generate_series(1, len(toks)), i -> toks[i] = 'spark'),
+        |        list_filter(generate_series(1, len(toks)), i -> toks[i] = 'key'))) AS ps
+        |      FROM t),
+        |s AS (SELECT doc_id, pad, coalesce(list_sum(list_transform(
+        |        list_filter(generate_series(1, len(ps) - 1),
+        |          j -> toks[ps[j]] <> toks[ps[j+1]]),
+        |        j -> CAST(round(100000000.0 / (ps[j+1] - ps[j]), 0) AS BIGINT))), 0) AS nanos
+        |      FROM p)
+        |SELECT doc_id, CAST(nanos AS DOUBLE) / 1000000000.0 AS rank_cd
+        |FROM s
+        |WHERE position(' spark ' IN pad) > 0 AND position(' key ' IN pad) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // websearch '"spark key" OR dup -"slow query"' compiles to
     // (spark <-> key) | dup & !(slow <-> query); rank over positive

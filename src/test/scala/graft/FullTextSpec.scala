@@ -129,6 +129,29 @@ class FullTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](FullText.tsRank(col("text"), "!a"))
   }
 
+  test("tsRankCd: PG cover enumeration on hand-checked layouts") {
+    def cd(query: String, texts: String*): Seq[Double] =
+      texts.toSeq.toDF("text")
+        .select(FullText.tsRankCd(col("text"), query).as("r"))
+        .as[Double].collect().toSeq
+    def n(xs: Long*): Double = xs.sum / 1.0e9
+    // a@1 b@3 a@5: covers [1,3] d=2 and [3,5] d=2
+    assert(cd("a & b", "a x b x a") == Seq(n(50000000L, 50000000L)))
+    // a@1 a@2 b@3: shrink keeps only [2,3], d=1
+    assert(cd("a & b", "a a b") == Seq(n(100000000L)))
+    // interleaved a@1 b@2 a@4 b@6: covers d=1, d=2, d=2
+    assert(cd("a & b", "a b x a x b") ==
+      Seq(n(100000000L, 50000000L, 50000000L)))
+    // single term: every occurrence is a cover worth 0.1
+    assert(cd("a", "a x a x a") == Seq(n(100000000L, 100000000L, 100000000L)))
+    // three terms, one cover [1,5] with entries=3: d = 5-1-3+2 = 3
+    assert(cd("a & b & c", "a x b x c") == Seq(n(33333333L)))
+    // a missing term -> no cover -> 0 (PG AND semantics)
+    assert(cd("a & b", "a x a") == Seq(0.0))
+    // phrase terms rank like their lexemes (positive-term extraction)
+    assert(cd("a <-> b", "a b") == cd("a & b", "a b"))
+  }
+
   test("rankTableSql literals roundtrip to the exact table doubles") {
     val body = FullText.rankTableSql.stripPrefix("[").stripSuffix("]")
     val parsed = body.split(", ").map(_.toDouble)
