@@ -47,6 +47,26 @@ object StreamingSuite {
       StreamAgg.windowedAgg(Tables(s, dir, "events"))
         .transform(Gate.ordered(_, "window_start", "event_type"))),
 
+    // E7: INCREMENTAL MATVIEW over a change stream — the batch form
+    // folds the same per-chunk delta applications foreachBatch
+    // performs on the stream (StreamingSpec proves stream==batch under
+    // micro-batch slicing; the delta algebra COMMUTES, so any slicing
+    // yields the same view); the last chunk retracts every 10th event
+    "stream_matview" -> ((s, dir) => {
+      import s.implicits._
+      val cents = "CAST(round(value * 100, 0) AS BIGINT)"
+      val ev = Tables(s, dir, "events")
+      def inserts(i: Int) = ev.filter(pmod(col("event_id"), lit(4)) === i)
+        .select(col("event_type"), expr(cents).as("c"), lit(1).as("op"))
+      val deletes = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("event_type"), expr(cents).as("c"), lit(-1).as("op"))
+      val empty = Seq.empty[(String, Long, Long)].toDF("event_type", "n", "c")
+      ((0 until 4).map(inserts) :+ deletes)
+        .foldLeft(empty)((v, d) => graft.operators.Matview.applyDelta(
+          v, d, Seq("event_type"), "n", Seq("c"), "op"))
+        .transform(Gate.ordered(_, "event_type"))
+    }),
+
     // HOPPING windows on the stream path (E6): slide < size, each
     // event in 2 overlapping windows; batch run of the identical plan
     // is the gate, stream==batch in StreamingSpec
@@ -210,6 +230,14 @@ object StreamingSuite {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // incremental refresh must land on the one-shot aggregate over the
+    // post-change base (inserts minus the every-10th retractions)
+    "stream_matview" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS c
+        |FROM events WHERE event_id % 10 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // identical to hop_window's enumeration (each event in exactly 2
     // phase-shifted 5-min-aligned 10-min windows); floor the epoch —

@@ -64,6 +64,39 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch diff=${((got diff expected) ++ (expected diff got)).take(5)}")
   }
 
+  test("foreachBatch-maintained incremental matview equals batch under slicing") {
+    import graft.operators.Matview
+    val cents = "CAST(round(value * 100, 0) AS BIGINT)"
+    val want = events.filter($"event_id" % 10 =!= 0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(expr(cents)).as("c"))
+      .as[(String, Long, Long)].collect().toSet
+    // change stream: every event as an insert, then every 10th
+    // retracted — deletes arrive in later micro-batches than the
+    // inserts they retract
+    val rows = events.select($"event_type", expr(cents), $"event_id")
+      .as[(String, Long, Long)].collect()
+    val changes = rows.map { case (t, c, _) => (t, c, 1) } ++
+      rows.filter(_._3 % 10 == 0).map { case (t, c, _) => (t, c, -1) }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Int)]
+    var view = Seq.empty[(String, Long, Long)].toDF("event_type", "n", "c")
+    val q = mem.toDF().toDF("event_type", "c", "op")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // materialize each refresh — the view is STATE carried across
+        // micro-batches, not a lazy plan over all of them
+        view = Matview.applyDelta(view, batch,
+          Seq("event_type"), "n", Seq("c"), "op").localCheckpoint()
+        ()
+      }.start()
+    try {
+      changes.grouped(math.max(1, changes.length / 6)).foreach { ch =>
+        mem.addData(ch.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(view.as[(String, Long, Long)].collect().toSet == want)
+  }
+
   test("stateful sessionization (batch mode) equals gaps-and-islands") {
     val batch = Sessionize.batchSessions(events, 30)
       .select("user_id", "n_events", "start_us", "end_us")
