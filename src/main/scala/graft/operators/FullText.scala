@@ -247,6 +247,59 @@ object FullText {
       .cast("double") / lit(1.0e9)
   }
 
+  /**
+   * ts_rank with POSITION WEIGHTS — the setweight surface (tsrank.cpp
+   * calc_rank_or with non-uniform wpos; to_tsany.c setweight): PG
+   * labels tsvector positions A/B/C/D and ranks with weights
+   * {1.0, 0.4, 0.2, 0.1}. Zone model here: the first `titleTokens`
+   * tokens carry weight A (1.0), the rest D (0.1) — how a
+   * `setweight(to_tsvector(title),'A') || to_tsvector(body)` document
+   * maps onto flat text.
+   *
+   * Faithful calc_rank_or per term over occurrences j = 1..tf in
+   * document order:
+   *   resj = Σ_j wpos_j / j²
+   *   wjm  = first STRICT maximum of wpos_j (so: the first A-zone
+   *          occurrence if any, else the first occurrence), jm = its j
+   *   contribution = (wjm + resj − wjm/jm²) / 1.64493406685
+   * Every occurrence term wpos_j/j² quantizes to integer NANOS
+   * (round(w·1e9/j²) — a .5 boundary needs j² to carry 2¹⁰, i.e.
+   * tf ≥ 160, beyond these docs), so per-term sums are exact longs and
+   * the only live doubles are the final fixed-order divisions — the
+   * same oracle-sharing discipline as [[tsRank]]'s table.
+   *
+   * Map-only HOF arithmetic (same class as BM25's tf counters); no
+   * shuffle, no explode.
+   */
+  def tsRankWeighted(text: Column, query: String, titleTokens: Int = 3): Column = {
+    require(titleTokens >= 0, "titleTokens must be >= 0")
+    val terms = positiveTerms(query)
+    require(terms.nonEmpty, "tsRankWeighted needs a query with positive terms")
+    val toks = split(lower(text), " ")
+    val T = lit(titleTokens)
+    def contribNanos(t: String): Column = {
+      // 1-based token positions of t, document order
+      val ps = filter(transform(toks, (x, i) =>
+        when(x === lit(t), i + 1).otherwise(lit(0))), p => p > 0)
+      val m = size(ps)
+      val seqJ = when(m >= 1, sequence(lit(1), m))
+        .otherwise(array().cast("array<int>"))
+      val occNanos = zip_with(ps, seqJ, (p, j) =>
+        round(when(p <= T, lit(1.0e9)).otherwise(lit(1.0e8)) /
+          (j * j).cast("double"), 0).cast("long"))
+      val resj = aggregate(occNanos, lit(0L), (acc, x) => acc + x)
+      val hasTitle = exists(ps, p => p <= T)
+      val jm = when(hasTitle,
+        array_position(transform(ps, p => p <= T), true)).otherwise(lit(1L))
+      val wjmN = when(hasTitle, lit(1000000000L)).otherwise(lit(100000000L))
+      when(m === 0, lit(0L)).otherwise(wjmN + resj -
+        round(wjmN.cast("double") / (jm * jm).cast("double"), 0).cast("long"))
+    }
+    terms.map(t => contribNanos(t).cast("double") / lit(1.0e9) /
+        lit(1.64493406685))
+      .reduce(_ + _)
+  }
+
   /** PG stores at most 256 positions per lexeme (MAXNUMPOS). */
   val MaxNumPos = 256
 

@@ -423,6 +423,20 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // setweight-style WEIGHTED ts_rank: first-3-token "title" zone at
+    // weight A (1.0), body at D (0.1) — faithful calc_rank_or with
+    // non-uniform wpos, every occurrence term quantized to integer
+    // nanos so both engines sum exact longs
+    "fts_rank_weighted" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          round(FT.tsRankWeighted(col("text"), "spark | key | dup",
+            titleTokens = 3), 9).as("wrank"))
+        .filter(col("wrank") > 0.0)
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // websearch_to_tsquery analogue end-to-end: free-form web syntax
     // ("quoted phrase", OR, -negation) compiles on the driver to the
     // tsquery tree, then matches AND ranks in one map-only scan
@@ -453,6 +467,23 @@ object TextSuite {
   private val swEs = "['el','la','de','los','las','y','que','en']"
   private val swDe = "['der','die','das','und','nicht','ist','von','ein']"
   private val swFr = "['le','la','les','et','de','un','une','est']"
+
+  /** Weighted calc_rank_or per-term contribution in integer nanos —
+    * the SQL twin of FullText.tsRankWeighted's contribNanos (title
+    * zone = first 3 tokens at weight 1.0, body 0.1). `ps` names a
+    * column holding the term's 1-based position list. */
+  private def wContribSql(ps: String): String =
+    s"""CASE WHEN len($ps) = 0 THEN 0 ELSE
+       |  (CASE WHEN len(list_filter($ps, p -> p <= 3)) > 0
+       |        THEN 1000000000 ELSE 100000000 END)
+       |  + coalesce(list_sum(list_transform(generate_series(1, len($ps)),
+       |      j -> CAST(round((CASE WHEN $ps[j] <= 3 THEN 1000000000.0
+       |                       ELSE 100000000.0 END) / (j * j), 0) AS BIGINT))), 0)
+       |  - CAST(round((CASE WHEN len(list_filter($ps, p -> p <= 3)) > 0
+       |                THEN 1000000000 ELSE 100000000 END)
+       |      / (coalesce(nullif(list_position(list_transform($ps, p -> p <= 3), true), 0), 1)
+       |         * coalesce(nullif(list_position(list_transform($ps, p -> p <= 3), true), 0), 1)),
+       |      0) AS BIGINT) END""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_langid" ->
@@ -1007,6 +1038,31 @@ object TextSuite {
          |             ELSE (CASE WHEN dl > 0 THEN raw / dl ELSE raw END) END, 6) AS r2u,
          |  round(raw / (raw + 1.0), 6) AS r32
          |FROM b WHERE round(raw, 6) > 0 ORDER BY doc_id""".stripMargin,
+
+    // weighted calc_rank_or: per-term nano contributions from the
+    // shared closed form, final fixed-order double divisions; term
+    // order spark, key, dup
+    "fts_rank_weighted" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |p AS (SELECT doc_id,
+         |  list_filter(generate_series(1, len(toks)), i -> toks[i] = 'spark') AS ps0,
+         |  list_filter(generate_series(1, len(toks)), i -> toks[i] = 'key') AS ps1,
+         |  list_filter(generate_series(1, len(toks)), i -> toks[i] = 'dup') AS ps2
+         |FROM t),
+         |c AS (SELECT doc_id,
+         |  ${wContribSql("ps0")} AS c0,
+         |  ${wContribSql("ps1")} AS c1,
+         |  ${wContribSql("ps2")} AS c2
+         |FROM p)
+         |SELECT doc_id, round(
+         |    CAST(c0 AS DOUBLE) / 1000000000.0 / 1.64493406685
+         |  + CAST(c1 AS DOUBLE) / 1000000000.0 / 1.64493406685
+         |  + CAST(c2 AS DOUBLE) / 1000000000.0 / 1.64493406685, 9) AS wrank
+         |FROM c
+         |WHERE round(CAST(c0 AS DOUBLE) / 1000000000.0 / 1.64493406685
+         |  + CAST(c1 AS DOUBLE) / 1000000000.0 / 1.64493406685
+         |  + CAST(c2 AS DOUBLE) / 1000000000.0 / 1.64493406685, 9) > 0
+         |ORDER BY doc_id""".stripMargin,
 
     // 2-term covers == adjacent mixed pairs of the merged sorted
     // position list; per-cover nanos = round(1e8/token distance),

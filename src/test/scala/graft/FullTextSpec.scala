@@ -152,6 +152,36 @@ class FullTextSpec extends SparkSpec {
     assert(cd("a <-> b", "a b") == cd("a & b", "a b"))
   }
 
+  test("tsRankWeighted: setweight zone arithmetic, hand-computed") {
+    def wr(query: String, T: Int, texts: String*): Seq[Double] =
+      texts.toSeq.toDF("text")
+        .select(FullText.tsRankWeighted(col("text"), query, T).as("r"))
+        .as[Double].collect().toSeq
+    val c = 1.64493406685
+    def nano(w: Double, j: Int): Long = math.round(w * 1e9 / (j * j))
+    // 'a' at pos 2 (title, w=1.0) and pos 5 (body, 0.1):
+    // resj = n(1,1)+n(0.1,2); wjm=1.0 at jm=1 → contrib = wjm + resj − wjm/1²
+    val expect1 = (1.0e9 + (nano(1.0, 1) + nano(0.1, 2)) - 1.0e9) / 1e9 / c
+    assert(wr("a", 3, "x a y z a") == Seq(expect1))
+    // body-only occurrences: wjm=0.1, jm=1
+    val expect2 = (1.0e8 + (nano(0.1, 1) + nano(0.1, 2)) - 1.0e8) / 1e9 / c
+    assert(wr("a", 3, "x y z a a") == Seq(expect2))
+    // first occurrence body, SECOND in title: jm moves to the title hit
+    // (strict-> update): ps = (4<=T? no with T=3... use T=5) —
+    // positions 4 (body w/ T=3) then 2? construct: T=3, a at 4 and... a
+    // title hit after a body hit needs pos_later <= 3 < pos_earlier —
+    // impossible for sorted positions, so PG's jm is ALWAYS the first
+    // title hit or 1; assert title-anywhere dominates body-everywhere
+    assert(wr("a", 3, "a x y").head > wr("a", 3, "x y z a").head)
+    // absent term → 0; title zone off (T=0) degrades to plain tsRank
+    assert(wr("zzz", 3, "a b") == Seq(0.0))
+    val flat = wr("a | b", 0, "a b a b")
+    val plain = Seq("a b a b").toDF("text")
+      .select(FullText.tsRank(col("text"), "a | b").as("r"))
+      .as[Double].collect().toSeq
+    assert(math.abs(flat.head - plain.head) < 1e-9)
+  }
+
   test("rankTableSql literals roundtrip to the exact table doubles") {
     val body = FullText.rankTableSql.stripPrefix("[").stripSuffix("]")
     val parsed = body.split(", ").map(_.toDouble)
