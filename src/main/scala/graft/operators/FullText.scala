@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -371,6 +371,62 @@ object FullText {
       sb.append(if (or) " | " else " & ").append(render(a))
     }
     sb.toString
+  }
+
+  /**
+   * Inverted postings with positions — the GIN index shape (ref: PG
+   * builds tsvector GIN entries per lexeme with position lists; the
+   * batch analogue is one (term, doc_id, positions) row per pair).
+   * Built ONCE per corpus, persisted like any table; queries then
+   * touch only the postings rows of their own terms.
+   */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos") + 1)).as("positions"))
+
+  /**
+   * INDEXED tsquery match over [[postings]] — the sub-linear path for
+   * SELECTIVE queries at 100 TB, where [[tsMatch]]'s map-only corpus
+   * scan is the wrong plan: drive the match from the query's terms.
+   * Each term is one equi-lookup on the postings table (partition/
+   * bucket by term and the scan prunes to the query's terms); AND
+   * arms semi-join, OR arms union-distinct, `NOT` anti-joins FROM its
+   * positive sibling, and phrases verify by position arithmetic over
+   * the joined position lists (exists p ∈ pos₀: ∀j p+off_j ∈ pos_j) —
+   * no document text is ever touched.
+   *
+   * Pure-negative queries (`!a` with no positive arm) throw, exactly
+   * as a GIN index cannot serve them — use [[tsMatch]]'s scan.
+   * Returns the matching doc_id set (one row per doc).
+   */
+  def indexedMatch(post: DataFrame, query: String): DataFrame =
+    evalIdx(post, parseQuery(query))
+
+  private def evalIdx(post: DataFrame, n: Node): DataFrame = n match {
+    case Phrase(Seq(t), _) =>
+      post.filter(col("term") === lit(t)).select(col("doc_id"))
+    case Phrase(terms, gaps) =>
+      val offs = gaps.scanLeft(0)(_ + _)
+      val joined = terms.zipWithIndex.map { case (t, i) =>
+        post.filter(col("term") === lit(t))
+          .select(col("doc_id"), col("positions").as(s"p_$i"))
+      }.reduce((a, b) => a.join(b, "doc_id"))
+      val ok = exists(col("p_0"), p =>
+        terms.indices.drop(1).map(j =>
+          array_contains(col(s"p_$j"), p + offs(j))).reduce(_ && _))
+      joined.filter(ok).select(col("doc_id"))
+    case And(l, Not(c)) =>
+      evalIdx(post, l).join(evalIdx(post, c), Seq("doc_id"), "left_anti")
+    case And(Not(c), r) =>
+      evalIdx(post, r).join(evalIdx(post, c), Seq("doc_id"), "left_anti")
+    case And(l, r) =>
+      evalIdx(post, l).join(evalIdx(post, r), Seq("doc_id"), "left_semi")
+    case Or(l, r) =>
+      evalIdx(post, l).union(evalIdx(post, r)).distinct()
+    case Not(_) => throw new IllegalArgumentException(
+      "graft: pure-negative tsquery cannot use the postings index; use tsMatch")
   }
 
   /** The query's POSITIVE terms (everything not under a NOT) — the

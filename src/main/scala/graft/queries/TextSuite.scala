@@ -423,6 +423,19 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // INDEXED tsquery match (the GIN shape): postings (term, doc,
+    // positions) built once; the query touches only ITS terms'
+    // postings rows — semi/anti joins + position-arithmetic phrase
+    // verify, no document text in the match path. Same compound query
+    // as fts_match, same answer, sub-linear plan for selective terms
+    "fts_indexed" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      val post = FT.postings(
+        Tables.spread(s, dir, "documents"), "doc_id", "text")
+      FT.indexedMatch(post, "(spark <-> key | dup) & !(slow <-> query)")
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // setweight-style WEIGHTED ts_rank: first-3-token "title" zone at
     // weight A (1.0), body at D (0.1) — faithful calc_rank_or with
     // non-uniform wpos, every occurrence term quantized to integer
@@ -1038,6 +1051,15 @@ object TextSuite {
          |             ELSE (CASE WHEN dl > 0 THEN raw / dl ELSE raw END) END, 6) AS r2u,
          |  round(raw / (raw + 1.0), 6) AS r32
          |FROM b WHERE round(raw, 6) > 0 ORDER BY doc_id""".stripMargin,
+
+    // the index path must land on exactly the scan path's answer
+    "fts_indexed" ->
+      """SELECT doc_id FROM
+        |  (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents)
+        |WHERE (position(' spark key ' IN pad) > 0
+        |       OR position(' dup ' IN pad) > 0)
+        |  AND NOT position(' slow query ' IN pad) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // weighted calc_rank_or: per-term nano contributions from the
     // shared closed form, final fixed-order double divisions; term

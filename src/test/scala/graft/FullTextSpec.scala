@@ -207,6 +207,29 @@ class FullTextSpec extends SparkSpec {
       Seq(true, true, false, false))
   }
 
+  test("indexedMatch equals the tsMatch scan across query shapes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val post = FullText.postings(docs, "doc_id", "text").cache()
+    try {
+      for (q <- Seq("spark", "spark & key", "spark | dup",
+          "spark <-> key", "spark <2> key", "key <-> spark <-> table",
+          "(spark <-> key | dup) & !(slow <-> query)",
+          "dup & !spark", "(a <-> a) | dup")) {
+        val scan = docs.filter(FullText.tsMatch(col("text"), q))
+          .select($"doc_id").as[Long].collect().toSet
+        val idx = FullText.indexedMatch(post, q)
+          .as[Long].collect().toSet
+        assert(idx == scan, s"index/scan diverge for '$q': " +
+          s"extra=${(idx diff scan).take(3)} missing=${(scan diff idx).take(3)}")
+      }
+      // one row per matching doc, even with repeated phrase hits
+      val m = FullText.indexedMatch(post, "table").as[Long].collect()
+      assert(m.length == m.distinct.length)
+      // a GIN index cannot serve pure-negative queries
+      intercept[IllegalArgumentException](FullText.indexedMatch(post, "!spark"))
+    } finally { post.unpersist(); () }
+  }
+
   test("match column is pure codegen: no HOFs, no explode, no shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = docs.filter(FullText.tsMatch(col("text"),
