@@ -423,6 +423,20 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // ts_stat analogue: corpus-wide lexeme statistics (word, ndoc,
+    // nentry) — PG's tsvector vocabulary inspection surface; two
+    // map-side-combined aggregates + a bounded top-50 (total order by
+    // nentry desc, word — deterministic at the cut)
+    "fts_stat" -> ((s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("ndoc"), sum(col("tf")).as("nentry"))
+        .orderBy(col("nentry").desc, col("word")).limit(50)
+        .transform(Gate.ordered(_, "word"))),
+
     // INDEXED tsquery match (the GIN shape): postings (term, doc,
     // positions) built once; the query touches only ITS terms'
     // postings rows — semi/anti joins + position-arithmetic phrase
@@ -1051,6 +1065,16 @@ object TextSuite {
          |             ELSE (CASE WHEN dl > 0 THEN raw / dl ELSE raw END) END, 6) AS r2u,
          |  round(raw / (raw + 1.0), 6) AS r32
          |FROM b WHERE round(raw, 6) > 0 ORDER BY doc_id""".stripMargin,
+
+    "fts_stat" ->
+      """WITH e AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |           FROM documents),
+        |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+        |       FROM e GROUP BY doc_id, word),
+        |st AS (SELECT word, count(*)::BIGINT AS ndoc, sum(tf)::BIGINT AS nentry
+        |       FROM tf GROUP BY word)
+        |SELECT word, ndoc, nentry FROM st
+        |ORDER BY nentry DESC, word LIMIT 50""".stripMargin,
 
     // the index path must land on exactly the scan path's answer
     "fts_indexed" ->
