@@ -291,6 +291,54 @@ object RelationalSuite3 {
         .transform(Gate.ordered(_, "l_returnflag"))
     }),
 
+    // PG linear-regression aggregates (regr_slope/intercept/r2/count/
+    // avgx/avgy) from the SAME exact integer moments as stats_agg —
+    // identical double arithmetic both engines, hash-exact at 6dp
+    "regr_agg" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val x = expr("CAST(l_quantity AS BIGINT)")
+      val yc = expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+      val g = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(yc).as("syc"),
+        sum(x * x).as("sxx"),
+        sum(expr("CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(18,0))") * yc)
+          .as("syycc"),
+        sum(x * yc).as("sxyc"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double")
+      val sy = col("syc").cast("double") / 100
+      val sxx = col("sxx").cast("double")
+      val syy = col("syycc").cast("double") / 10000
+      val sxy = col("sxyc").cast("double") / 100
+      val covar = (sxy / n) - (sx / n) * (sy / n)
+      val varx = (sxx / n) - (sx / n) * (sx / n)
+      val vary = (syy / n) - (sy / n) * (sy / n)
+      val slope = covar / varx
+      g.select(col("l_returnflag"),
+        col("n").as("regr_count"),
+        round(sx / n, 6).as("regr_avgx"),
+        round(sy / n, 6).as("regr_avgy"),
+        round(slope, 6).as("regr_slope"),
+        round((sy / n) - slope * (sx / n), 6).as("regr_intercept"),
+        round((covar * covar) / (varx * vary), 6).as("regr_r2"))
+        .transform(Gate.ordered(_, "l_returnflag"))
+    }),
+
+    // bool_and/bool_or + bit_and/bit_or/bit_xor aggregates — order-
+    // invariant by algebra (AND/OR/XOR commute), so exact everywhere
+    "bool_bit_aggs" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("bool_and(o_totalprice > 1000)").as("all_big"),
+          expr("bool_or(o_orderstatus = 'F')").as("any_final"),
+          expr("bool_and(o_orderkey % 2 = 0)").as("all_even"),
+          expr("bit_and(o_orderkey)").as("key_band"),
+          expr("bit_or(o_orderkey)").as("key_bor"),
+          expr("bit_xor(o_orderkey)").as("key_bxor"),
+          count(lit(1)).as("n"))
+        .transform(Gate.ordered(_, "o_orderpriority"))),
+
     // equi-width histogram: 20 global bins over l_extendedprice from
     // a 1-row min/max broadcast; bin = ⌊(v−lo)·20/(hi−lo)⌋ clamped —
     // identical double arithmetic in both engines, then integer counts
@@ -844,6 +892,45 @@ object RelationalSuite3 {
         |    (sqrt((sxx / n) - (sx / n) * (sx / n)) *
         |     sqrt((syy / n) - (sy / n) * (sy / n))), 6) AS corr
         |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "regr_agg" ->
+      """WITH g0 AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syc,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |  sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(18,0)) *
+        |      CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS syycc,
+        |  sum(CAST(l_quantity AS BIGINT) *
+        |      CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sxyc
+        |FROM lineitem GROUP BY 1),
+        |g AS (SELECT l_returnflag, n::BIGINT AS n0, n::DOUBLE AS n, sx::DOUBLE AS sx,
+        |  syc::DOUBLE / 100 AS sy, sxx::DOUBLE AS sxx,
+        |  syycc::DOUBLE / 10000 AS syy, sxyc::DOUBLE / 100 AS sxy
+        |FROM g0),
+        |d AS (SELECT l_returnflag, n0, n, sx, sy,
+        |  (sxy / n) - (sx / n) * (sy / n) AS covar,
+        |  (sxx / n) - (sx / n) * (sx / n) AS varx,
+        |  (syy / n) - (sy / n) * (sy / n) AS vary
+        |FROM g)
+        |SELECT l_returnflag, n0 AS regr_count,
+        |  round(sx / n, 6) AS regr_avgx,
+        |  round(sy / n, 6) AS regr_avgy,
+        |  round(covar / varx, 6) AS regr_slope,
+        |  round((sy / n) - (covar / varx) * (sx / n), 6) AS regr_intercept,
+        |  round((covar * covar) / (varx * vary), 6) AS regr_r2
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    "bool_bit_aggs" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_big,
+        |  bool_or(o_orderstatus = 'F') AS any_final,
+        |  bool_and(o_orderkey % 2 = 0) AS all_even,
+        |  bit_and(o_orderkey)::BIGINT AS key_band,
+        |  bit_or(o_orderkey)::BIGINT AS key_bor,
+        |  bit_xor(o_orderkey)::BIGINT AS key_bxor,
+        |  count(*)::BIGINT AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "histogram" ->
       """WITH e AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
