@@ -34,7 +34,52 @@ object TemporalJoin {
    */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, rightOrdCol: String,
-      payloadCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+      payloadCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    asOfDir(left, right, keyCol, leftTsCol, rightTsCol, rightOrdCol,
+      payloadCols, prefix, forward = false)
+
+  /**
+   * Forward AS-OF join: the mirror direction — attach the single right
+   * row with the same key and the SMALLEST `rightTsCol` ≥ the left
+   * row's timestamp (ties on right timestamp resolved to the smallest
+   * `rightOrdCol`). Same one-shuffle union+window plan, just ordered
+   * in reverse time.
+   */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, rightOrdCol: String,
+      payloadCols: Seq[String], prefix: String = "fwd_"): DataFrame =
+    asOfDir(left, right, keyCol, leftTsCol, rightTsCol, rightOrdCol,
+      payloadCols, prefix, forward = true)
+
+  /**
+   * Nearest AS-OF join: attach the right row closest in time in
+   * EITHER direction (pandas merge_asof direction='nearest'); equal
+   * distances resolve to the BACKWARD match (documented tie rule).
+   * Composes the two directional passes — two windows over the same
+   * key partitioning — then picks per row by microsecond distance.
+   */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, rightOrdCol: String,
+      payloadCols: Seq[String], prefix: String = "near_"): DataFrame = {
+    val attached = (rightTsCol +: payloadCols).distinct
+    val b = asOfDir(left, right, keyCol, leftTsCol, rightTsCol,
+      rightOrdCol, payloadCols, "__nb_", forward = false)
+    val both = asOfDir(b, right, keyCol, leftTsCol, rightTsCol,
+      rightOrdCol, payloadCols, "__nf_", forward = true)
+    val lus = unix_micros(col(leftTsCol).cast("timestamp"))
+    val bts = unix_micros(col(s"__nb_$rightTsCol").cast("timestamp"))
+    val fts = unix_micros(col(s"__nf_$rightTsCol").cast("timestamp"))
+    val useB = bts.isNotNull &&
+      (fts.isNull || (lus - bts) <= (fts - lus))
+    both.select(left.columns.toSeq.map(col) ++ attached.map(c =>
+      when(useB, col(s"__nb_$c")).otherwise(col(s"__nf_$c"))
+        .as(prefix + c)): _*)
+  }
+
+  private def asOfDir(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, rightOrdCol: String,
+      payloadCols: Seq[String], prefix: String,
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val attached = (rightTsCol +: payloadCols).distinct
     val lhs = left
@@ -48,10 +93,15 @@ object TemporalJoin {
       col(rightOrdCol).as("__ord"),
       struct(attached.map(col): _*).as("__p"))
     // right rows sort BEFORE left rows at equal ts (side 0 < 1), so
-    // equal timestamps match (ASOF ≥ semantics); among equal-ts right
-    // rows the greatest ord is last and wins
+    // equal timestamps match in both directions (ASOF ≥/≤ inclusive);
+    // backward: among equal-ts right rows the greatest ord is last and
+    // wins; forward (reverse-time order): ord desc puts the SMALLEST
+    // ord last, so it wins
+    val ordering =
+      if (forward) Seq(col("__ts").desc, col("__side").asc, col("__ord").desc)
+      else Seq(col("__ts").asc, col("__side").asc, col("__ord").asc)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"), col("__ord"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lhs.unionByName(rhs, allowMissingColumns = true)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

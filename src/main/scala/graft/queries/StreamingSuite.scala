@@ -149,6 +149,29 @@ object StreamingSuite {
         .transform(Gate.ordered(_, "event_id"))
     }),
 
+    // FORWARD and NEAREST as-of directions (pandas merge_asof's other
+    // two): same one-shuffle union+window device in reverse time;
+    // nearest picks per row by microsecond distance, ties backward
+    "asof_multi" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val TJ = graft.operators.TemporalJoin
+      val f = TJ.asOfForward(purchases, clicks, "user_id",
+        "ts", "ts", "event_id", Seq("event_id", "value"))
+      TJ.asOfNearest(f, clicks, "user_id",
+          "ts", "ts", "event_id", Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          unix_micros(col("fwd_ts")).as("fwd_ts_us"),
+          col("fwd_event_id"), col("fwd_value"),
+          unix_micros(col("near_ts")).as("near_ts_us"),
+          col("near_event_id"), col("near_value"))
+        .transform(Gate.ordered(_, "event_id"))
+    }),
+
     // banded RANGE join: purchases within one hour after each error
     // event of the same user — equi-join on (key, time bin) + residual
     // filter (≤2 probe bins per left row), NEVER a nested-loop range
@@ -292,6 +315,41 @@ object StreamingSuite {
         |SELECT event_id, user_id, ts_us, value,
         |  rus AS asof_ts_us, rid AS asof_event_id, rval AS asof_value
         |FROM c WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // forward rn=1 orders (rus ASC, rid ASC) — smallest following,
+    // smallest ord on ties; nearest CASEs on microsecond distance
+    // with the documented ties-backward rule
+    "asof_multi" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, epoch_us(ts) AS rus, event_id AS rid, value AS rval
+        |      FROM events WHERE event_type = 'click'),
+        |f0 AS (SELECT l.event_id, r.rus, r.rid, r.rval,
+        |        row_number() OVER (PARTITION BY l.event_id
+        |          ORDER BY r.rus ASC, r.rid ASC) AS rn
+        |      FROM l LEFT JOIN r
+        |        ON l.user_id = r.user_id AND r.rus >= l.ts_us),
+        |b0 AS (SELECT l.event_id, r.rus, r.rid, r.rval,
+        |        row_number() OVER (PARTITION BY l.event_id
+        |          ORDER BY r.rus DESC, r.rid DESC) AS rn
+        |      FROM l LEFT JOIN r
+        |        ON l.user_id = r.user_id AND r.rus <= l.ts_us),
+        |f AS (SELECT * FROM f0 WHERE rn = 1),
+        |b AS (SELECT * FROM b0 WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, l.ts_us, l.value,
+        |  f.rus AS fwd_ts_us, f.rid AS fwd_event_id, f.rval AS fwd_value,
+        |  CASE WHEN b.rus IS NOT NULL AND (f.rus IS NULL
+        |         OR (l.ts_us - b.rus) <= (f.rus - l.ts_us))
+        |       THEN b.rus ELSE f.rus END AS near_ts_us,
+        |  CASE WHEN b.rus IS NOT NULL AND (f.rus IS NULL
+        |         OR (l.ts_us - b.rus) <= (f.rus - l.ts_us))
+        |       THEN b.rid ELSE f.rid END AS near_event_id,
+        |  CASE WHEN b.rus IS NOT NULL AND (f.rus IS NULL
+        |         OR (l.ts_us - b.rus) <= (f.rus - l.ts_us))
+        |       THEN b.rval ELSE f.rval END AS near_value
+        |FROM l LEFT JOIN f ON l.event_id = f.event_id
+        |       LEFT JOIN b ON l.event_id = b.event_id
+        |ORDER BY l.event_id""".stripMargin,
 
     "range_join" ->
       """SELECT l.event_id, count(*) AS n_in_window,

@@ -44,6 +44,71 @@ class TemporalJoinSpec extends SparkSpec {
     }
   }
 
+  test("asOfForward and asOfNearest equal brute force, documented ties") {
+    val rnd = new scala.util.Random(23)
+    val left = (0 until 300).map { i =>
+      (i.toLong, (i % 7).toLong, 1000L + rnd.nextInt(500).toLong)
+    }
+    val right = (0 until 400).map { j =>
+      (1000L + j, (j % 7).toLong, 1000L + rnd.nextInt(500).toLong,
+        rnd.nextInt(100).toDouble)
+    }
+    val lDf = left.toDF("event_id", "k", "us")
+      .select(col("event_id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val rDf = right.toDF("event_id", "k", "us", "v")
+      .select(col("event_id"), col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val fwd = TemporalJoin.asOfForward(lDf, rDf, "k", "ts", "ts", "event_id",
+        Seq("event_id", "v"))
+      .select(col("event_id"), col("fwd_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    val near = TemporalJoin.asOfNearest(lDf, rDf, "k", "ts", "ts", "event_id",
+        Seq("event_id", "v"))
+      .select(col("event_id"), col("near_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    left.foreach { case (id, k, us) =>
+      val fw = right.filter(r => r._2 == k && r._3 >= us)
+      val fexp = if (fw.isEmpty) None
+        else Some(fw.minBy(c => (c._3, c._1))._1) // min ts, then MIN ord
+      assert(fwd(id) == fexp, s"forward left id=$id")
+      val bw = right.filter(r => r._2 == k && r._3 <= us)
+      val bexp = if (bw.isEmpty) None
+        else Some(bw.maxBy(c => (c._3, c._1)))
+      val nexp = (bexp, fexp.map(f => fw.filter(_._1 == f).head)) match {
+        case (None, None) => None
+        case (Some(b), None) => Some(b._1)
+        case (None, Some(f)) => Some(f._1)
+        // equal distance resolves BACKWARD (documented tie rule)
+        case (Some(b), Some(f)) =>
+          if (us - b._3 <= f._3 - us) Some(b._1) else Some(f._1)
+      }
+      assert(near(id) == nexp, s"nearest left id=$id")
+    }
+  }
+
+  test("asOfNearest picks by distance; equal ts matches both directions") {
+    val lDf = Seq((1L, 1L, 10L), (2L, 1L, 100L)).toDF("event_id", "k", "us")
+      .select(col("event_id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    // for left ts=10: right at 7 (d=3) and 12 (d=2) → forward wins;
+    // for left ts=100: right at 98 (d=2) and 102 (d=2) → tie → backward
+    val rDf = Seq((100L, 1L, 7L), (200L, 1L, 12L), (300L, 1L, 98L),
+        (400L, 1L, 102L)).toDF("event_id", "k", "us")
+      .select(col("event_id"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val got = TemporalJoin.asOfNearest(lDf, rDf, "k", "ts", "ts",
+        "event_id", Seq("event_id"))
+      .select(col("event_id"), col("near_event_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 200L, 2L -> 300L))
+    // forward is INCLUSIVE at equal timestamps
+    val eq = TemporalJoin.asOfForward(lDf,
+        Seq((500L, 1L, 10L)).toDF("event_id", "k", "us")
+          .select(col("event_id"), col("k"),
+            timestamp_micros(col("us")).as("ts")),
+        "k", "ts", "ts", "event_id", Seq("event_id"))
+      .select(col("event_id"), col("fwd_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(eq(1L) == Some(500L))
+  }
+
   test("asOf attaches all payload columns from the SAME right row") {
     // right row at ts=10 has v null; row at ts=5 has v set — a per-column
     // last(ignoreNulls) would stitch (id from ts=10, v from ts=5)
