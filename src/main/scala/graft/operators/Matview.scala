@@ -59,4 +59,36 @@ object Matview {
         sumCols.map(c => sum(col(c)).as(c)): _*)
       .filter(col(countCol) > 0)
   }
+
+  /**
+   * INSERT-ONLY maintenance for views that also carry min/max columns.
+   * min/max are NOT self-maintainable under deletes (retracting the
+   * current extremum needs the base table — openGauss's IMV restricts
+   * its aggregate set for the same reason), so this variant takes a
+   * plain insert batch with NO op column: delete-freedom is enforced
+   * by construction, not by a runtime scan. Merge algebra: counts and
+   * sums add, mins/maxes fold (both associative+commutative), so the
+   * refresh remains one delta-sized aggregate + one union-reaggregate
+   * — O(|view|+|delta|), no joins, base never re-read.
+   */
+  def applyInserts(view: DataFrame, inserts: DataFrame, keys: Seq[String],
+      countCol: String, sumCols: Seq[String], minCols: Seq[String],
+      maxCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyInserts needs at least one grouping key")
+    val stateCols = countCol +: (sumCols ++ minCols ++ maxCols)
+    require(stateCols.distinct.size == stateCols.size,
+      "count/sum/min/max columns must be distinct")
+    val dAgg = inserts.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(countCol),
+        (sumCols.map(c => sum(col(c)).as(c)) ++
+          minCols.map(c => min(col(c)).as(c)) ++
+          maxCols.map(c => max(col(c)).as(c))): _*)
+    val outCols = (keys ++ stateCols).map(col)
+    val u = view.select(outCols: _*).unionByName(dAgg.select(outCols: _*))
+    u.groupBy(keys.map(col): _*)
+      .agg(sum(col(countCol)).as(countCol),
+        (sumCols.map(c => sum(col(c)).as(c)) ++
+          minCols.map(c => min(col(c)).as(c)) ++
+          maxCols.map(c => max(col(c)).as(c))): _*)
+  }
 }

@@ -715,6 +715,26 @@ object RelationalSuite3 {
         .transform(Gate.ordered(_, "o_custkey"))
     }),
 
+    // insert-only IVM with min/max state (delete-freedom by
+    // construction — min/max can't retract): H1-1997 inserts fold into
+    // the pre-1997 view; equals the full recompute over both periods
+    "matview_minmax" -> ((s, dir) => {
+      val cents = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+      val ord = Tables(s, dir, "orders")
+      val base = ord.filter(col("o_orderdate") < "1997-01-01")
+      val view = base.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(expr(cents)).as("cents"),
+          min(expr(cents)).as("min_cents"), max(expr(cents)).as("max_cents"))
+      val inserts = ord.filter(col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1997-07-01")
+        .select(col("o_custkey"), expr(cents).as("cents"),
+          expr(cents).as("min_cents"), expr(cents).as("max_cents"))
+      graft.operators.Matview.applyInserts(view, inserts, Seq("o_custkey"),
+          countCol = "n", sumCols = Seq("cents"),
+          minCols = Seq("min_cents"), maxCols = Seq("max_cents"))
+        .transform(Gate.ordered(_, "o_custkey"))
+    }),
+
     // START WITH / CONNECT BY PRIOR (openGauss Oracle-compat
     // hierarchical SQL): the decimal-digit forest over customer keys
     // (parent = custkey div 10, roots = single-digit keys) expands
@@ -1239,6 +1259,14 @@ object RelationalSuite3 {
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS DOUBLE)
         |    / 100.0 / count(*) AS avg_price
         |FROM survivors GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "matview_minmax" ->
+      """SELECT o_custkey, count(*)::BIGINT AS n,
+        |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents,
+        |  min(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS min_cents,
+        |  max(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS max_cents
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // the recursive CTE mirrors the frontier expansion; is_leaf =
     // nothing in the RESULT attaches under the row (same anti

@@ -45,6 +45,31 @@ class MatviewSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("applyInserts: min/max fold equals recompute; no-delete by construction") {
+    val cents = "CAST(round(value * 100, 0) AS BIGINT)"
+    val ev = Tables(spark, sfDir, "events")
+    val base = ev.filter(col("event_id") % 3 === 0)
+    val view = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(expr(cents)).as("c"),
+        min(expr(cents)).as("lo"), max(expr(cents)).as("hi"))
+    val ins = ev.filter(col("event_id") % 3 =!= 0)
+      .select(col("event_type"), expr(cents).as("c"),
+        expr(cents).as("lo"), expr(cents).as("hi"))
+    val got = Matview.applyInserts(view, ins, Seq("event_type"),
+        "n", Seq("c"), Seq("lo"), Seq("hi"))
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val want = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(expr(cents)).as("c"),
+        min(expr(cents)).as("lo"), max(expr(cents)).as("hi"))
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // the API carries no op column — deletes are unrepresentable
+    intercept[IllegalArgumentException](Matview.applyInserts(
+      view, ins, Seq("event_type"), "n", Seq("c"), Seq("c"), Seq("hi")))
+  }
+
   test("maintenance is a union + re-aggregate: no join in the plan") {
     val view = Seq(("a", 1L, 2L)).toDF("k", "n", "s")
     val delta = Seq(("a", 3L, 1)).toDF("k", "s", "op")
