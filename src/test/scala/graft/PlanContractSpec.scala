@@ -259,4 +259,53 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Join"), "hopping windows must not join")
     assert(p.contains("HashAggregate"), "windowed aggregation gone")
   }
+
+  test("fts rank family is map-only compiled scans: no shuffle, no HOFs") {
+    for (q <- Seq("fts_rank", "fts_rank_cd", "fts_rank_weighted")) {
+      val p = plan(q)
+      // the only exchange allowed is the gate's output ordering
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q rank must be a map-only scan")
+      assert(!p.contains("ArrayTransform") && !p.contains("ArrayAggregate"),
+        s"$q regressed to interpreted HOF evaluation")
+    }
+  }
+
+  test("indexed fts match: semi/anti equi-joins only, never a nested loop") {
+    val p = plan("fts_indexed")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "indexed match must stay an equi-join tree")
+    assert(p.contains("LeftAnti"), "NOT arm lost its anti-join form")
+  }
+
+  test("bpe encode is a map-only fold chain") {
+    val p = plan("bpe_encode")
+    assert(!p.replaceAll("(?s)Exchange rangepartitioning.*", "")
+      .contains("Exchange hashpartitioning"),
+      "encode must not shuffle (the only exchange is the gate's ordering)")
+  }
+
+  test("matview refresh: union + re-aggregate, no join, base never re-read twice") {
+    for (q <- Seq("matview_inc", "matview_minmax", "stream_matview")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q IVM merge must not join")
+      assert(p.contains("Union"), s"$q lost its union-reaggregate shape")
+    }
+  }
+
+  test("forward/nearest as-of stay join-free window plans") {
+    val p = plan("asof_multi")
+    // the only joins allowed are none: both directions ride union+window
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      "as-of directions must not degrade to a real join")
+    assert(p.contains("Window"), "as-of lost its window form")
+  }
+
+  test("rrf fusion plan: bounded heaps, no per-query window sort") {
+    val p = plan("hybrid_rrf")
+    assert(!p.contains("Window"), "rrf ranking must not window-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
