@@ -54,6 +54,33 @@ object Sampling {
   }
 
   /**
+   * Deterministic OVERSAMPLING — mixture re-weighting WITH replacement
+   * (the epoch-aware upsampling step a pretrain mixture needs when a
+   * domain's weight exceeds its share): every row yields
+   * floor(w) copies plus one more iff its epoch-salted Knuth-mix hash
+   * falls under frac(w)·mod — the same device as [[hashFraction]], so
+   * realized counts are a PURE FUNCTION of (corpus, weights, epoch):
+   * reproducible on any cluster, no RNG state, and E[copies] = w
+   * exactly. Output adds `copy_id` (0-based) so downstream batching
+   * sees distinct rows; w < 1 downsamples (floor 0 + probabilistic
+   * keep), w ≤ 0 yields nothing.
+   *
+   * Scale shape: map-only — one explode(sequence(0, n−1)) per row, no
+   * shuffle, composes with the scan.
+   */
+  def oversample(df: DataFrame, idCol: String, weight: Column,
+      epoch: Long = 0L, mod: Int = 1000000): DataFrame = {
+    val floorW = floor(weight).cast("long")
+    val extra = (pmod(epochMix(col(idCol), epoch), lit(mod.toLong)) <
+      round((weight - floorW.cast("double")) * mod, 0).cast("long"))
+      .cast("long")
+    df.withColumn("__nc", floorW + extra)
+      .filter(col("__nc") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("__nc") - 1)))
+      .drop("__nc")
+  }
+
+  /**
    * Temperature-weighted source mixing — the mixture-flattening pass
    * LLM pipelines run so a 100× bigger source doesn't contribute 100×
    * the tokens: each source's quota scales as scale·n^temp (temp < 1
@@ -99,10 +126,21 @@ object Sampling {
 
   /** Epoch-salted permutation key: (id + epoch·1e9+7) · 2654435761
     * mod 2³² — epoch 0 is [[mix]]; each epoch is an independent
-    * deterministic reshuffle of the same corpus. */
-  def epochMix(id: Column, epoch: Long): Column =
-    pmod((id.cast("long") + lit(epoch * 1000000007L)) * lit(2654435761L),
-      lit(4294967296L))
+    * deterministic reshuffle of the same corpus.
+    *
+    * The multiply runs in two 16-bit halves after reducing the salted
+    * id mod 2³²: the naive (id + epoch·1e9+7)·2654435761 exceeds a
+    * SIGNED long once epoch ≥ 4 (ANSI mode throws ARITHMETIC_OVERFLOW
+    * — found by the oversample spec). The split is congruent mod 2³²
+    * ((hi·2¹⁶+lo)·m ≡ ((hi·m mod 2¹⁶)·2¹⁶ + lo·m)), so every value
+    * the old form could produce is unchanged. */
+  def epochMix(id: Column, epoch: Long): Column = {
+    val a = pmod(id.cast("long") + lit(epoch * 1000000007L), lit(4294967296L))
+    val hi = shiftright(a, 16)           // < 2^16
+    val lo = a.bitwiseAND(lit(65535L))
+    pmod(pmod(hi * lit(2654435761L), lit(65536L)) * lit(65536L) +
+      lo * lit(2654435761L), lit(4294967296L))
+  }
 
   /**
    * Deterministic GLOBAL shuffle + fixed-size batch assignment — the

@@ -142,6 +142,19 @@ object TextSuite {
         .transform(Gate.ordered(_, "qid", "rank"))
     }),
 
+    // deterministic OVERSAMPLING: per-lang mixture weights realized as
+    // floor(w) copies + one hash-decided extra — E[copies] = w exactly,
+    // reproducible (same corpus/weights/epoch → identical rows);
+    // map-only explode, no shuffle
+    "oversample" -> ((s, dir) => {
+      val w = expr("CASE lang WHEN 'en' THEN 0.7 WHEN 'zh' THEN 2.3 " +
+        "WHEN 'fr' THEN 1.5 WHEN 'es' THEN 1.0 ELSE 3.1 END")
+      graft.operators.Sampling.oversample(
+          Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", w, epoch = 1)
+        .transform(Gate.ordered(_, "doc_id", "copy_id"))
+    }),
+
     // BPE ENCODE: apply a merge table (rank order) to tokenize the
     // corpus — the inference side of bpe_step's training; map-only
     // fold chain, includes a CHAINED merge (table+table then +key)
@@ -786,6 +799,22 @@ object TextSuite {
         |      FROM pq)
         |SELECT qid, rank, doc_id, n_terms, CAST(sw AS DOUBLE) AS score
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // same epoch-salted Knuth mix as the Spark side; nc = 0 rows drop
+    // via unnest of the empty series
+    "oversample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 0.7 WHEN 'zh' THEN 2.3
+        |            WHEN 'fr' THEN 1.5 WHEN 'es' THEN 1.0 ELSE 3.1 END AS w
+        |FROM documents),
+        |n AS (SELECT doc_id, lang,
+        |  CAST(floor(w) AS BIGINT) +
+        |  CASE WHEN ((doc_id + 1000000007) * 2654435761) % 4294967296 % 1000000
+        |         < CAST(round((w - floor(w)) * 1000000, 0) AS BIGINT)
+        |       THEN 1 ELSE 0 END AS nc
+        |FROM t)
+        |SELECT doc_id, lang, unnest(generate_series(0, nc - 1)) AS copy_id
+        |FROM n ORDER BY doc_id, copy_id""".stripMargin,
 
     // greedy left-to-right merge == leftmost non-overlapping replace
     // over the DOUBLE-SPACE-joined token string (the single-space wrap

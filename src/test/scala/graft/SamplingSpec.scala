@@ -103,4 +103,32 @@ class SamplingSpec extends SparkSpec {
     val plan = sb.queryExecution.executedPlan.toString
     assert(!plan.contains("rangepartitioning"), plan)
   }
+
+  test("oversample: floor+frac copies, deterministic, map-only") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    // integer weight: exactly w copies each, copy_id 0..w-1
+    val w2 = Sampling.oversample(df, "id", lit(2.0))
+    assert(w2.count() == 4000L)
+    assert(w2.groupBy("id").count().filter(col("count") =!= 2).count() == 0)
+    // fractional weight: every row has 1 or 2 copies, mean ≈ 1.25
+    val w125 = Sampling.oversample(df, "id", lit(1.25))
+    val n125 = w125.count()
+    assert(n125 >= 2400 && n125 <= 2600, s"1.25x realized $n125 / 2000")
+    // w < 1 downsamples; w = 0 drops everything
+    val w04 = Sampling.oversample(df, "id", lit(0.4)).count()
+    assert(w04 >= 700 && w04 <= 900, s"0.4x realized $w04 / 2000")
+    assert(Sampling.oversample(df, "id", lit(0.0)).count() == 0L)
+    // deterministic per epoch; different epochs pick different extras
+    val a = Sampling.oversample(df, "id", lit(1.5), epoch = 3)
+      .select("id", "copy_id").as[(Long, Long)].collect().toSet
+    val b = Sampling.oversample(df, "id", lit(1.5), epoch = 3)
+      .select("id", "copy_id").as[(Long, Long)].collect().toSet
+    val c = Sampling.oversample(df, "id", lit(1.5), epoch = 4)
+      .select("id", "copy_id").as[(Long, Long)].collect().toSet
+    assert(a == b && a != c)
+    // map-only: no shuffle anywhere in the plan
+    assert(!Sampling.oversample(df, "id", lit(1.5))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
