@@ -109,6 +109,56 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram-LM per-document negative log-likelihood — the CCNet-style
+   * LM-perplexity quality stage (Wenzek et al. 2020: filter/bucket web
+   * text by a language-model perplexity score) one order above
+   * [[unigramLogProb]]. The "model" is an add-one-smoothed bigram
+   * table trained on the corpus itself:
+   *   p(b|a) = (n_ab + 1) / (n_a + V)
+   * and each doc scores nll = −Σ ln p(w_i | w_{i−1}) / n_pairs
+   * (perplexity = e^nll, monotone-equivalent — the gate keeps nll so
+   * no cross-engine exp enters the artifact).
+   *
+   * Scale shape: the bigram table is corpus-vocabulary-sized (a real
+   * web corpus has billions of bigrams) so it joins by EQUI-JOIN,
+   * never broadcast — the same discipline as the classifier weights;
+   * only V (one row) broadcasts. Per-doc sums are 6dp-rounded
+   * DECIMAL(18,6) — order-invariant, hash-exact.
+   *
+   * Output: (id, n_pairs, nll) for every doc with ≥ 2 tokens.
+   */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val pairsArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val docPairs = df.select(col(idCol).as("id"), explode(pairsArr).as("p"))
+      .select(col("id"), col("p.a").as("a"), col("p.b").as("b"))
+    val big = docPairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("nab"))
+    val unis = df.select(explode(toks).as("a"))
+    val uni = unis.groupBy(col("a")).agg(count(lit(1)).as("na"))
+    val vocab = unis.agg(countDistinct(col("a")).as("v"))
+    docPairs
+      .join(big, Seq("a", "b"))
+      .join(uni, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        round(log((col("nab").cast("double") + 1.0) /
+          (col("na").cast("double") + col("v").cast("double"))), 6)
+          .cast("decimal(18,6)").as("lnp"))
+      .groupBy(col("id"))
+      // total nll in exact integer MICROS (the 6dp decimal sum scaled)
+      // rather than a rounded avg: round(sum/n, 6) sits on a .5·1e-6
+      // boundary for real rows (found at sf0.1) where engines' double-
+      // rounding paths disagree; nll = nll_micros / n_pairs / 1e6
+      .agg(count(lit(1)).as("n_pairs"),
+        ((-sum(col("lnp"))) * lit(1000000)).cast("long").as("nll_micros"))
+  }
+
+  /**
    * Intra-document REPETITION signals — the Gopher/MassiveText
    * repetition filters (Rae et al. 2021, arXiv:2112.11446 §A1.1):
    * fraction of duplicated n-grams within a doc. Boilerplate, scraped

@@ -142,6 +142,15 @@ object TextSuite {
         .transform(Gate.ordered(_, "qid", "rank"))
     }),
 
+    // bigram-LM perplexity quality stage (CCNet-shaped): add-one
+    // smoothed bigram table equi-joined (never broadcast — web-scale
+    // tables are billions of rows), per-doc 6dp DECIMAL nll sums
+    "text_bigram_ppl" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bigramNll(
+          Tables.spread(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .transform(Gate.ordered(_, "doc_id"))),
+
     // deterministic OVERSAMPLING: per-lang mixture weights realized as
     // floor(w) copies + one hash-decided extra — E[copies] = w exactly,
     // reproducible (same corpus/weights/epoch → identical rows);
@@ -799,6 +808,23 @@ object TextSuite {
         |      FROM pq)
         |SELECT qid, rank, doc_id, n_terms, CAST(sw AS DOUBLE) AS score
         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "text_bigram_ppl" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |e AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+        |      FROM t WHERE len(toks) >= 2),
+        |pr AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM e),
+        |big AS (SELECT a, b, count(*)::BIGINT AS nab FROM pr GROUP BY a, b),
+        |uni AS (SELECT unnest(toks) AS a FROM t),
+        |unic AS (SELECT a, count(*)::BIGINT AS na FROM uni GROUP BY a),
+        |vs AS (SELECT count(DISTINCT a)::BIGINT AS v FROM uni),
+        |sc AS (SELECT pr.doc_id,
+        |         CAST(round(ln((big.nab + 1.0) / (unic.na + vs.v)), 6)
+        |           AS DECIMAL(18,6)) AS lnp
+        |       FROM pr JOIN big USING (a, b) JOIN unic USING (a) CROSS JOIN vs)
+        |SELECT doc_id, count(*)::BIGINT AS n_pairs,
+        |  CAST(-sum(lnp) * 1000000 AS BIGINT) AS nll_micros
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same epoch-salted Knuth mix as the Spark side; nc = 0 rows drop
     // via unnest of the empty series

@@ -357,6 +357,22 @@ class DedupSpec extends SparkSpec {
     assert(docs.select(TextAnalysis.langId($"text").as("l")).filter($"l".isNotNull).count() == n)
   }
 
+  test("bigramNll equals the closed form on a tiny corpus") {
+    val tiny = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x")).toDF("id", "text")
+    val got = TextAnalysis.bigramNll(tiny, "id", "text")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    // bigrams: (a,b)x3 across docs, (b,a)x1, (b,c)x1; unigrams:
+    // a=3 b=3 c=1 x=1, V=4
+    def lnp6(nab: Long, na: Long): BigDecimal =
+      BigDecimal(math.round(math.log((nab + 1.0) / (na + 4.0)) * 1e6)) / 1e6
+    val ab = lnp6(3, 3); val ba = lnp6(1, 3); val bc = lnp6(1, 3)
+    def micros(s: BigDecimal): Long = (-s * 1e6).toLongExact
+    assert(got == Seq(
+      (0L, 3L, micros(ab + ba + ab)),
+      (1L, 2L, micros(ab + bc))))
+    // the 1-token doc scores nothing; repeated bigrams count per use
+  }
+
   test("incremental near-dup equals the full batch restricted to the delta") {
     val old = docs.filter(pmod($"doc_id", lit(7)) =!= 0)
     val delta = docs.filter(pmod($"doc_id", lit(7)) === 0)
