@@ -472,6 +472,26 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // INDEX-DRIVEN ranked retrieval end-to-end: the selective-query
+    // shape at 100 TB — match entirely inside the postings index
+    // (document text never read), fetch text for the MATCHED subset
+    // only, BM25-rank it, bounded top-10. Same answer as the scan
+    // path's fts_retrieve ranking (index==scan), radically less I/O
+    // when the query is selective
+    "fts_indexed_retrieve" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      val q = "(spark <-> key | dup) & !(slow <-> query)"
+      val docs = Tables.spread(s, dir, "documents")
+      val post = FT.postings(docs, "doc_id", "text")
+      val matched = FT.indexedMatch(post, q)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      graft.operators.Relevance.bm25(matched, "doc_id", "text",
+          FT.positiveTerms(q))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // setweight-style WEIGHTED ts_rank: first-3-token "title" zone at
     // weight A (1.0), body at D (0.1) — faithful calc_rank_or with
     // non-uniform wpos, every occurrence term quantized to integer
@@ -1130,6 +1150,37 @@ object TextSuite {
         |       FROM tf GROUP BY word)
         |SELECT word, ndoc, nentry FROM st
         |ORDER BY nentry DESC, word LIMIT 50""".stripMargin,
+
+    // fts_retrieve's scoring CTEs without the snippet stage — the
+    // index path must produce the identical ranking
+    "fts_indexed_retrieve" ->
+      """WITH m AS (SELECT doc_id, text FROM documents
+        |  WHERE (position(' spark key ' IN ' '||lower(text)||' ') > 0
+        |         OR position(' dup ' IN ' '||lower(text)||' ') > 0)
+        |    AND NOT position(' slow query ' IN ' '||lower(text)||' ') > 0),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM m),
+        |b AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+        |  len(list_filter(toks, x -> x = 'spark'))::BIGINT AS tf0,
+        |  len(list_filter(toks, x -> x = 'key'))::BIGINT AS tf1,
+        |  len(list_filter(toks, x -> x = 'dup'))::BIGINT AS tf2
+        |FROM t),
+        |g AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+        |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        |FROM b),
+        |s AS (SELECT doc_id, (tf0 + tf1 + tf2)::BIGINT AS n_hits,
+        |  round(
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl::DOUBLE / n))), 6) AS score
+        |FROM b CROSS JOIN g
+        |WHERE tf0 + tf1 + tf2 > 0),
+        |top AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10)
+        |SELECT doc_id, n_hits, score FROM top ORDER BY doc_id""".stripMargin,
 
     // the index path must land on exactly the scan path's answer
     "fts_indexed" ->
