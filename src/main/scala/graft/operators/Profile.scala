@@ -66,4 +66,24 @@ object Profile {
       one.select(explode(array(cols.map(entry): _*)).as("p")).select(col("p.*"))
     }
   }
+
+  /**
+   * Per-column HEAVY-KEY report — the skew-detection pass that decides
+   * which join keys need salting / AQE skew handling BEFORE a 100 TB
+   * join hits them: the k most frequent values per column with their
+   * counts. One map-side-combined aggregate plus a bounded
+   * TakeOrdered per column (total (n desc, value) order — ties are
+   * deterministic); values surface as strings so mixed column types
+   * share one report row shape.
+   */
+  def heavyKeys(df: DataFrame, cols: Seq[String], k: Int = 5): DataFrame = {
+    require(cols.nonEmpty, "heavyKeys needs at least one column")
+    require(k >= 1, "heavyKeys needs k >= 1")
+    cols.map { c =>
+      df.groupBy(col(c).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("value")).limit(k)
+        .select(lit(c).as("col_name"), col("value"), col("n"))
+    }.reduce(_ unionByName _)
+  }
 }

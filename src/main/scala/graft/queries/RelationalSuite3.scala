@@ -362,6 +362,14 @@ object RelationalSuite3 {
           Seq("event_id", "user_id", "event_type", "value", "props"))
         .transform(Gate.ordered(_, "col_name"))),
 
+    // per-column heavy-key skew report (which join keys need salting
+    // BEFORE a 100 TB join): map-side-combined count + bounded top-5
+    // TakeOrdered per column, deterministic (n desc, value) order
+    "profile_skew" -> ((s, dir) =>
+      graft.operators.Profile.heavyKeys(
+          Tables(s, dir, "events"), Seq("user_id", "event_type"), k = 5)
+        .transform(Gate.ordered(_, "col_name", "value"))),
+
     // PG generate_series + LOCF idiom: hourly gap fill per user with
     // last-observation-carried-forward (TimeSeries.gapFillLocf); the
     // grid is generated PER KEY from its own span (no global calendar
@@ -1259,6 +1267,16 @@ object RelationalSuite3 {
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS DOUBLE)
         |    / 100.0 / count(*) AS avg_price
         |FROM survivors GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "profile_skew" ->
+      """WITH u AS (SELECT 'user_id' AS col_name, CAST(user_id AS VARCHAR) AS value,
+        |             count(*)::BIGINT AS n
+        |           FROM events GROUP BY 2 ORDER BY n DESC, value LIMIT 5),
+        |e AS (SELECT 'event_type' AS col_name, CAST(event_type AS VARCHAR) AS value,
+        |        count(*)::BIGINT AS n
+        |      FROM events GROUP BY 2 ORDER BY n DESC, value LIMIT 5)
+        |SELECT * FROM u UNION ALL SELECT * FROM e
+        |ORDER BY col_name, value""".stripMargin,
 
     "matview_minmax" ->
       """SELECT o_custkey, count(*)::BIGINT AS n,

@@ -54,4 +54,18 @@ class ProfileSpec extends SparkSpec {
     assert(x.getString(0) == "x" && x.getLong(2) == 2 && x.getLong(3) == 2)
     assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 2.0)
   }
+
+  test("heavyKeys: top-k per column, count-desc with value tiebreak") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "b", "b", "c", "d").toDF("k")
+      .withColumn("n2", org.apache.spark.sql.functions.lit(1))
+    val got = Profile.heavyKeys(df, Seq("k"), k = 3)
+      .as[(String, String, Long)].collect().toSeq
+    // ties at count 1 break on the value string: c before d
+    assert(got == Seq(("k", "a", 3L), ("k", "b", 2L), ("k", "c", 1L)))
+    // bounded: TakeOrdered, never a global sort of all groups
+    val plan = Profile.heavyKeys(df, Seq("k"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
