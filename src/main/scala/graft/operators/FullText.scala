@@ -237,8 +237,23 @@ object FullText {
    * nanos, so the rank is order-invariant and oracle-mirrorable
    * bit-for-bit. Documents missing any positive term rank 0 (no
    * cover exists), exactly PG's behavior for AND queries.
+   *
+   * CONJUNCTIVE/PHRASE QUERIES ONLY: PG's calc_rank_cd satisfies
+   * covers via TS_execute over the query tree, so an OR query can
+   * cover with a single arm; this cover walk requires ALL positive
+   * terms. Rather than silently rank OR-only matches 0, `|` queries
+   * are rejected — use [[tsRank]] for disjunctive ranking.
    */
   def tsRankCd(text: Column, query: String): Column = {
+    def noOr(n: Node): Boolean = n match {
+      case _: Phrase => true
+      case And(l, r) => noOr(l) && noOr(r)
+      case Not(c) => noOr(c)
+      case Or(_, _) => false
+    }
+    require(noOr(parseQuery(query)),
+      "tsRankCd requires a conjunctive/phrase query (no '|'): covers " +
+        "must span ALL positive terms; use tsRank for OR queries")
     val terms = positiveTerms(query)
     require(terms.nonEmpty, "tsRankCd needs a query with positive terms")
     org.apache.spark.sql.graft.Bridge.column(
@@ -263,8 +278,10 @@ object FullText {
    *          occurrence if any, else the first occurrence), jm = its j
    *   contribution = (wjm + resj − wjm/jm²) / 1.64493406685
    * Every occurrence term wpos_j/j² quantizes to integer NANOS
-   * (round(w·1e9/j²) — a .5 boundary needs j² to carry 2¹⁰, i.e.
-   * tf ≥ 160, beyond these docs), so per-term sums are exact longs and
+   * (round(w·1e9/j²) — a .5 boundary first occurs at j = 32 for
+   * weight A: 1e9/1024 = 976562.5; both Java's Math.round and
+   * DuckDB's round() round positive halves UP, which is the actual
+   * cross-engine invariant), so per-term sums are exact longs and
    * the only live doubles are the final fixed-order divisions — the
    * same oracle-sharing discipline as [[tsRank]]'s table.
    *
@@ -349,8 +366,10 @@ object FullText {
       val base = if (a.text.contains(" ")) s"(${a.text})" else a.text
       if (a.neg) s"!$base" else base
     }
-    // OR binds the two adjacent atoms; AND chains the rest. tsquery
-    // precedence (| lowest) matches, so parens are only needed around
+    // The rendered string re-parses with `|` as the LOWEST-precedence
+    // operator, so `a b OR c d` yields (a&b)|(c&d) — & binds the
+    // &-chains on each side of every OR, exactly PG's
+    // websearch_to_tsquery grouping. Parens are only needed around
     // phrase groups (added in render).
     val sb = new StringBuilder(render(atoms.head._1))
     atoms.tail.foreach { case (a, or) =>
@@ -383,14 +402,49 @@ object FullText {
    * the joined position lists (exists p ∈ pos₀: ∀j p+off_j ∈ pos_j) —
    * no document text is ever touched.
    *
-   * Pure-negative queries (`!a` with no positive arm) throw, exactly
-   * as a GIN index cannot serve them — use [[tsMatch]]'s scan.
+   * The tree is first normalized to DNF with negation pushed to the
+   * leaves (¬¬a = a, ¬(a∧b) = ¬a∨¬b, ¬(a∨b) = ¬a∧¬b), so shapes like
+   * `a & (b | !c)` — an Or holding a Not under an And arm — serve
+   * fine: (a∧b) ∨ (a∧¬c), each conjunct a semi-join chain with
+   * anti-joins for its negatives. A conjunct with NO positive literal
+   * (a pure-negative arm, e.g. `!a` or `a | !b`) throws, exactly as a
+   * GIN index cannot serve it — use [[tsMatch]]'s scan. Queries are
+   * tiny driver-side trees, so the DNF expansion is negligible.
    * Returns the matching doc_id set (one row per doc).
    */
-  def indexedMatch(post: DataFrame, query: String): DataFrame =
-    evalIdx(post, parseQuery(query))
+  def indexedMatch(post: DataFrame, query: String): DataFrame = {
+    val conjuncts = toDnf(parseQuery(query))
+    conjuncts.foreach { case (pos, _) =>
+      if (pos.isEmpty) throw new IllegalArgumentException(
+        "graft: a pure-negative DNF arm cannot use the postings index; " +
+          "use tsMatch")
+    }
+    conjuncts.map { case (pos, neg) =>
+      val base = pos.map(evalPhrase(post, _))
+        .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+      neg.foldLeft(base)((acc, p) =>
+        acc.join(evalPhrase(post, p), Seq("doc_id"), "left_anti"))
+    }.reduce(_ union _).distinct()
+  }
 
-  private def evalIdx(post: DataFrame, n: Node): DataFrame = n match {
+  /** DNF: list of (positive phrases, negated phrases) conjuncts. */
+  private def toDnf(n: Node): Seq[(Seq[Phrase], Seq[Phrase])] = n match {
+    case p: Phrase => Seq((Seq(p), Nil))
+    case Or(l, r) => toDnf(l) ++ toDnf(r)
+    case And(l, r) =>
+      for ((lp, ln) <- toDnf(l); (rp, rn) <- toDnf(r))
+        yield (lp ++ rp, ln ++ rn)
+    case Not(c) => c match {
+      case p: Phrase => Seq((Nil, Seq(p)))
+      case And(l, r) => toDnf(Or(Not(l), Not(r)))
+      case Or(l, r) => toDnf(And(Not(l), Not(r)))
+      case Not(inner) => toDnf(inner)
+    }
+  }
+
+  /** One phrase literal against the postings: per-term equi-lookups +
+    * position-arithmetic verify (no document text touched). */
+  private def evalPhrase(post: DataFrame, ph: Phrase): DataFrame = ph match {
     case Phrase(Seq(t), _) =>
       post.filter(col("term") === lit(t)).select(col("doc_id"))
     case Phrase(terms, gaps) =>
@@ -403,16 +457,6 @@ object FullText {
         terms.indices.drop(1).map(j =>
           array_contains(col(s"p_$j"), p + offs(j))).reduce(_ && _))
       joined.filter(ok).select(col("doc_id"))
-    case And(l, Not(c)) =>
-      evalIdx(post, l).join(evalIdx(post, c), Seq("doc_id"), "left_anti")
-    case And(Not(c), r) =>
-      evalIdx(post, r).join(evalIdx(post, c), Seq("doc_id"), "left_anti")
-    case And(l, r) =>
-      evalIdx(post, l).join(evalIdx(post, r), Seq("doc_id"), "left_semi")
-    case Or(l, r) =>
-      evalIdx(post, l).union(evalIdx(post, r)).distinct()
-    case Not(_) => throw new IllegalArgumentException(
-      "graft: pure-negative tsquery cannot use the postings index; use tsMatch")
   }
 
   /** The query's POSITIVE terms (everything not under a NOT) — the

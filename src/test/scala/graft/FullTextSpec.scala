@@ -150,6 +150,9 @@ class FullTextSpec extends SparkSpec {
     assert(cd("a & b", "a x a") == Seq(0.0))
     // phrase terms rank like their lexemes (positive-term extraction)
     assert(cd("a <-> b", "a b") == cd("a & b", "a b"))
+    // OR queries are rejected: covers here need ALL positive terms,
+    // while PG's TS_execute would cover via a single arm
+    intercept[IllegalArgumentException](cd("a | b", "a b"))
   }
 
   test("tsRankWeighted: setweight zone arithmetic, hand-computed") {
@@ -214,7 +217,10 @@ class FullTextSpec extends SparkSpec {
       for (q <- Seq("spark", "spark & key", "spark | dup",
           "spark <-> key", "spark <2> key", "key <-> spark <-> table",
           "(spark <-> key | dup) & !(slow <-> query)",
-          "dup & !spark", "(a <-> a) | dup")) {
+          "dup & !spark", "(a <-> a) | dup",
+          // Not-under-Or shapes: served via the DNF rewrite
+          "spark & (key | !dup)", "spark & !(key & !dup)",
+          "!(slow | dup) & spark")) {
         val scan = docs.filter(FullText.tsMatch(col("text"), q))
           .select($"doc_id").as[Long].collect().toSet
         val idx = FullText.indexedMatch(post, q)
@@ -225,8 +231,11 @@ class FullTextSpec extends SparkSpec {
       // one row per matching doc, even with repeated phrase hits
       val m = FullText.indexedMatch(post, "table").as[Long].collect()
       assert(m.length == m.distinct.length)
-      // a GIN index cannot serve pure-negative queries
+      // a GIN index cannot serve pure-negative queries — including a
+      // pure-negative DNF arm hiding under an OR
       intercept[IllegalArgumentException](FullText.indexedMatch(post, "!spark"))
+      intercept[IllegalArgumentException](
+        FullText.indexedMatch(post, "spark | !dup"))
     } finally { post.unpersist(); () }
   }
 
