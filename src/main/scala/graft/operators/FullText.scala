@@ -392,6 +392,34 @@ object FullText {
       .agg(sort_array(collect_list(col("pos") + 1)).as("positions"))
 
   /**
+   * [[postings]] plus a term-hash bucket column for PARTITIONED
+   * persistence: `write.partitionBy("tbucket")` and pass the same
+   * `buckets` to [[indexedMatch]]/[[indexedMatchMany]] — every term
+   * lookup then carries `tbucket = xxhash64(term) mod buckets` as an
+   * integer LITERAL (driver-evaluated via [[termBucket]], the same
+   * Catalyst xxhash64 the column uses), so the parquet reader PRUNES
+   * to the query terms' partitions. That is the GIN I/O shape at
+   * 100 TB: a selective query reads its own posting lists, not the
+   * index.
+   */
+  def postingsBucketed(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "postingsBucketed needs buckets >= 1")
+    postings(docs, idCol, textCol).withColumn("tbucket",
+      pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+  }
+
+  /** Driver-side twin of the `tbucket` column: the SAME Catalyst
+    * XxHash64 (seed 42) the write side computes, evaluated on a
+    * literal — guaranteed to agree with `pmod(xxhash64(term), b)`. */
+  def termBucket(t: String, buckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(t)))
+      .eval(null).asInstanceOf[Long]
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  /**
    * INDEXED tsquery match over [[postings]] — the sub-linear path for
    * SELECTIVE queries at 100 TB, where [[tsMatch]]'s map-only corpus
    * scan is the wrong plan: drive the match from the query's terms.
@@ -411,8 +439,12 @@ object FullText {
    * GIN index cannot serve it — use [[tsMatch]]'s scan. Queries are
    * tiny driver-side trees, so the DNF expansion is negligible.
    * Returns the matching doc_id set (one row per doc).
+   *
+   * Pass the `buckets` the postings were [[postingsBucketed]] with to
+   * add the partition-pruning `tbucket` literal to every term lookup
+   * (0 = unbucketed postings, no pruning filter).
    */
-  def indexedMatch(post: DataFrame, query: String): DataFrame = {
+  def indexedMatch(post: DataFrame, query: String, buckets: Int = 0): DataFrame = {
     val conjuncts = toDnf(parseQuery(query))
     conjuncts.foreach { case (pos, _) =>
       if (pos.isEmpty) throw new IllegalArgumentException(
@@ -420,10 +452,10 @@ object FullText {
           "use tsMatch")
     }
     conjuncts.map { case (pos, neg) =>
-      val base = pos.map(evalPhrase(post, _))
+      val base = pos.map(evalPhrase(post, _, buckets))
         .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
       neg.foldLeft(base)((acc, p) =>
-        acc.join(evalPhrase(post, p), Seq("doc_id"), "left_anti"))
+        acc.join(evalPhrase(post, p, buckets), Seq("doc_id"), "left_anti"))
     }.reduce(_ union _).distinct()
   }
 
@@ -442,21 +474,114 @@ object FullText {
     }
   }
 
+  /** One term's postings rows, with the partition-pruning bucket
+    * literal when the postings are bucketed. */
+  private def termRows(post: DataFrame, t: String, buckets: Int): DataFrame = {
+    val base = if (buckets > 0)
+      post.filter(col("tbucket") === lit(termBucket(t, buckets)))
+    else post
+    base.filter(col("term") === lit(t))
+  }
+
   /** One phrase literal against the postings: per-term equi-lookups +
     * position-arithmetic verify (no document text touched). */
-  private def evalPhrase(post: DataFrame, ph: Phrase): DataFrame = ph match {
-    case Phrase(Seq(t), _) =>
-      post.filter(col("term") === lit(t)).select(col("doc_id"))
-    case Phrase(terms, gaps) =>
-      val offs = gaps.scanLeft(0)(_ + _)
-      val joined = terms.zipWithIndex.map { case (t, i) =>
-        post.filter(col("term") === lit(t))
-          .select(col("doc_id"), col("positions").as(s"p_$i"))
-      }.reduce((a, b) => a.join(b, "doc_id"))
-      val ok = exists(col("p_0"), p =>
-        terms.indices.drop(1).map(j =>
-          array_contains(col(s"p_$j"), p + offs(j))).reduce(_ && _))
-      joined.filter(ok).select(col("doc_id"))
+  private def evalPhrase(post: DataFrame, ph: Phrase, buckets: Int): DataFrame =
+    ph match {
+      case Phrase(Seq(t), _) =>
+        termRows(post, t, buckets).select(col("doc_id"))
+      case Phrase(terms, gaps) =>
+        val offs = gaps.scanLeft(0)(_ + _)
+        val joined = terms.zipWithIndex.map { case (t, i) =>
+          termRows(post, t, buckets)
+            .select(col("doc_id"), col("positions").as(s"p_$i"))
+        }.reduce((a, b) => a.join(b, "doc_id"))
+        val ok = exists(col("p_0"), p =>
+          terms.indices.drop(1).map(j =>
+            array_contains(col(s"p_$j"), p + offs(j))).reduce(_ && _))
+        joined.filter(ok).select(col("doc_id"))
+    }
+
+  /** One row per (query term, DNF conjunct, literal, phrase slot) of a
+    * parsed query batch — the broadcast side of [[indexedMatchMany]]. */
+  final case class QueryLit(term: String, qid: Long, cid: Int, lid: Int,
+      slot: Int, offs: Seq[Int], nslots: Int, neg: Boolean)
+  /** Positive-literal count per DNF conjunct. */
+  final case class ConjMeta(qid: Long, cid: Int, npos: Int)
+
+  /**
+   * BATCH indexed tsquery match — the serving shape: a query TABLE
+   * evaluated in ONE postings pass. [[indexedMatch]] issues per-term
+   * lookups for one query; with many queries that re-scans the index
+   * per query. Here the union of every query's term literals (a tiny
+   * driver-parsed table: one row per term-slot of each DNF literal)
+   * BROADCASTS against a single postings scan; matching then
+   * aggregates bounded per-(query, conjunct, literal, doc) state:
+   *
+   *   1. postings ⋈ broadcast(literals) on term — the one corpus-index
+   *      pass, bounded by the queries' term hits;
+   *   2. per-(qid, cid, lid, doc): phrase verify — all slots present +
+   *      position arithmetic over the slot→positions map (single-term
+   *      literals skip the walk);
+   *   3. per-(qid, cid, doc): conjunct satisfied iff every positive
+   *      literal matched and no negated literal did;
+   *   4. distinct (qid, doc_id) across conjuncts (DNF union).
+   *
+   * Same DNF normalization and pure-negative-arm rule as
+   * [[indexedMatch]]. Output: (qid, doc_id).
+   */
+  def indexedMatchMany(post: DataFrame, queries: Seq[(Long, String)],
+      buckets: Int = 0): DataFrame = {
+    require(queries.nonEmpty, "indexedMatchMany needs at least one query")
+    val spark = post.sparkSession
+    import spark.implicits._
+    val lits = Seq.newBuilder[QueryLit]
+    val metas = Seq.newBuilder[ConjMeta]
+    for ((qid, q) <- queries) {
+      toDnf(parseQuery(q)).zipWithIndex.foreach { case ((pos, neg), cid) =>
+        if (pos.isEmpty) throw new IllegalArgumentException(
+          s"graft: pure-negative DNF arm in query $qid cannot use the " +
+            "postings index; use tsMatch")
+        metas += ConjMeta(qid, cid, pos.length)
+        (pos.map((_, false)) ++ neg.map((_, true))).zipWithIndex.foreach {
+          case ((Phrase(terms, gaps), isNeg), lid) =>
+            val offs = gaps.scanLeft(0)(_ + _)
+            terms.zipWithIndex.foreach { case (t, slot) =>
+              lits += QueryLit(t, qid, cid, lid, slot, offs, terms.length, isNeg)
+            }
+        }
+      }
+    }
+    val litRows = lits.result()
+    val pruned = if (buckets > 0)
+      post.filter(col("tbucket").isin(
+        litRows.map(l => termBucket(l.term, buckets)).distinct
+          .map(Integer.valueOf): _*))
+    else post
+    // 1: the single postings pass
+    val hits = pruned.join(broadcast(litRows.toDF()), "term")
+    // 2: literal-level phrase verify over the slot→positions map; the
+    // state per group is ≤ nslots position lists (query-sized, bounded)
+    val perLit = hits
+      .groupBy(col("qid"), col("cid"), col("lid"), col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("positions"))))
+          .as("m"),
+        first(col("offs")).as("offs"), first(col("nslots")).as("nslots"),
+        first(col("neg")).as("neg"))
+      .filter(size(col("m")) === col("nslots") &&
+        (col("nslots") === 1 ||
+          exists(element_at(col("m"), lit(0)), p =>
+            forall(sequence(lit(1), col("nslots") - 1), j =>
+              array_contains(element_at(col("m"), j),
+                p + element_at(col("offs"), j + 1))))))
+    // 3: conjunct satisfaction — every positive literal, no negative
+    val perConj = perLit
+      .groupBy(col("qid"), col("cid"), col("doc_id"))
+      .agg(sum(when(!col("neg"), 1L).otherwise(0L)).as("npos_hit"),
+        sum(when(col("neg"), 1L).otherwise(0L)).as("nneg_hit"))
+      .join(broadcast(metas.result().toDF()), Seq("qid", "cid"))
+      .filter(col("npos_hit") === col("npos") && col("nneg_hit") === 0L)
+    // 4: DNF union
+    perConj.select(col("qid"), col("doc_id")).distinct()
   }
 
   /** The query's POSITIVE terms (everything not under a NOT) — the

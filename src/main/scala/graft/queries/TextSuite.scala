@@ -460,16 +460,38 @@ object TextSuite {
         .transform(Gate.ordered(_, "word"))),
 
     // INDEXED tsquery match (the GIN shape): postings (term, doc,
-    // positions) built once; the query touches only ITS terms'
-    // postings rows — semi/anti joins + position-arithmetic phrase
-    // verify, no document text in the match path. Same compound query
-    // as fts_match, same answer, sub-linear plan for selective terms
+    // positions) built once and PERSISTED partitioned by term-hash
+    // bucket; each term lookup carries its bucket literal so the
+    // parquet reader prunes to the query terms' partitions (the
+    // plan-contract spec asserts PartitionFilters) — semi/anti joins +
+    // position-arithmetic phrase verify, no document text in the match
+    // path. Same compound query as fts_match, same answer, sub-linear
+    // I/O for selective terms
     "fts_indexed" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      val path = s"target/graft-postings/${new java.io.File(dir).getName}"
+      FT.postingsBucketed(Tables.spread(s, dir, "documents"),
+          "doc_id", "text", buckets = 8)
+        .write.mode("overwrite").partitionBy("tbucket").parquet(path)
+      FT.indexedMatch(s.read.parquet(path),
+          "(spark <-> key | dup) & !(slow <-> query)", buckets = 8)
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // BATCH indexed match — the serving shape: a query TABLE evaluated
+    // in ONE postings pass (union of every query's term literals
+    // broadcast against a single scan, bounded per-literal aggregate
+    // state), vs re-scanning the index per query. Per-qid match sets
+    // equal the one-query indexedMatch / tsMatch answers.
+    "fts_indexed_many" -> ((s, dir) => {
       val FT = graft.operators.FullText
       val post = FT.postings(
         Tables.spread(s, dir, "documents"), "doc_id", "text")
-      FT.indexedMatch(post, "(spark <-> key | dup) & !(slow <-> query)")
-        .transform(Gate.ordered(_, "doc_id"))
+      FT.indexedMatchMany(post, Seq(
+          0L -> "(spark <-> key | dup) & !(slow <-> query)",
+          1L -> "table & !batch",
+          2L -> "key <2> spark"))
+        .transform(Gate.ordered(_, "qid", "doc_id"))
     }),
 
     // INDEX-DRIVEN ranked retrieval end-to-end: the selective-query
@@ -1190,6 +1212,25 @@ object TextSuite {
         |       OR position(' dup ' IN pad) > 0)
         |  AND NOT position(' slow query ' IN pad) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // the one-pass batch form must land on each query's scan answer:
+    // per-qid arms union the padded-substring / generate_series forms
+    "fts_indexed_many" ->
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad,
+        |             string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT 0::BIGINT AS qid, doc_id FROM p
+        |WHERE (position(' spark key ' IN pad) > 0
+        |       OR position(' dup ' IN pad) > 0)
+        |  AND NOT position(' slow query ' IN pad) > 0
+        |UNION ALL
+        |SELECT 1::BIGINT, doc_id FROM p
+        |WHERE position(' table ' IN pad) > 0
+        |  AND NOT position(' batch ' IN pad) > 0
+        |UNION ALL
+        |SELECT 2::BIGINT, doc_id FROM p
+        |WHERE len(list_filter(generate_series(1, len(toks) - 2),
+        |  i -> toks[i] = 'key' AND toks[i+2] = 'spark')) > 0
+        |ORDER BY qid, doc_id""".stripMargin,
 
     // weighted calc_rank_or: per-term nano contributions from the
     // shared closed form, final fixed-order double divisions; term

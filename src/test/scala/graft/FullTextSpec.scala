@@ -239,6 +239,48 @@ class FullTextSpec extends SparkSpec {
     } finally { post.unpersist(); () }
   }
 
+  test("termBucket agrees with the postingsBucketed tbucket column") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rows = FullText.postingsBucketed(docs, "doc_id", "text", buckets = 8)
+      .select($"term", $"tbucket").distinct().collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) == FullText.termBucket(r.getString(0), 8),
+        s"driver/column bucket mismatch for term '${r.getString(0)}'")
+    }
+    // bucketed lookups return the same answer as unbucketed postings
+    val post = FullText.postings(docs, "doc_id", "text")
+    val postB = FullText.postingsBucketed(docs, "doc_id", "text", 8)
+    val q = "(spark <-> key | dup) & !(slow <-> query)"
+    assert(FullText.indexedMatch(postB, q, buckets = 8)
+        .as[Long].collect().toSet ==
+      FullText.indexedMatch(post, q).as[Long].collect().toSet)
+  }
+
+  test("indexedMatchMany equals per-query indexedMatch across shapes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val post = FullText.postings(docs, "doc_id", "text").cache()
+    try {
+      val qs = Seq(
+        0L -> "(spark <-> key | dup) & !(slow <-> query)",
+        1L -> "table & !batch",
+        2L -> "key <2> spark",
+        3L -> "spark & (key | !dup)",
+        4L -> "key <-> spark <-> table")
+      val many = FullText.indexedMatchMany(post, qs)
+        .as[(Long, Long)].collect().toSet
+      for ((qid, q) <- qs) {
+        val one = FullText.indexedMatch(post, q).as[Long].collect().toSet
+        val got = many.collect { case (`qid`, d) => d }
+        assert(got == one, s"batch/single diverge for qid=$qid '$q': " +
+          s"extra=${(got diff one).take(3)} missing=${(one diff got).take(3)}")
+      }
+      // a pure-negative arm anywhere in the batch throws
+      intercept[IllegalArgumentException](
+        FullText.indexedMatchMany(post, Seq(0L -> "spark", 1L -> "a | !b")))
+    } finally { post.unpersist(); () }
+  }
+
   test("match column is pure codegen: no HOFs, no explode, no shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = docs.filter(FullText.tsMatch(col("text"),

@@ -230,6 +230,20 @@ class PlanContractSpec extends SparkSpec {
       "top-k heap fell back to sort-based aggregation")
   }
 
+  test("bm25 retrieval executes its corpus-scale tf subtree ONCE (exchange reuse)") {
+    // the tf subtree (explode → broadcast vocab join → groupBy shuffle)
+    // feeds both the df_ aggregate and the scoring join; without reuse
+    // the corpus pass runs twice (the shuffleBatches construction-collect
+    // bug class). AQE stitches the second consumer to the first shuffle
+    // at runtime, so assert on the FINAL adaptive plan after execution.
+    val df = SparkEntry.queries("bm25_search")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "bm25_search tf subtree no longer reuses its shuffle — the corpus " +
+        "pass executes twice")
+  }
+
   test("sparse top-k is postings equi-join + payload heap: no cross join, no window") {
     val p = plan("vec_sparse_topk")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -277,6 +291,25 @@ class PlanContractSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "indexed match must stay an equi-join tree")
     assert(p.contains("LeftAnti"), "NOT arm lost its anti-join form")
+    // the persisted postings are partitioned by term-hash bucket and
+    // every term lookup carries its bucket literal: the parquet reader
+    // must prune to the query terms' partitions (the GIN I/O shape —
+    // at 100 TB the indexed path IS this pruned read)
+    assert(p.contains("PartitionFilters: [") && p.contains("tbucket"),
+      "fts_indexed lost reader-level term-bucket pruning")
+  }
+
+  test("batch indexed fts runs ONE postings pass with a broadcast literal table") {
+    val p = plan("fts_indexed_many")
+    // one corpus/index scan total: the query batch broadcasts against a
+    // single postings subtree instead of re-scanning per query
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "fts_indexed_many must scan the corpus exactly once")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "batch indexed match must stay an equi-join tree")
+    assert(p.contains("BroadcastHashJoin"),
+      "query literal table must broadcast against the postings pass")
   }
 
   test("bpe encode is a map-only fold chain") {
