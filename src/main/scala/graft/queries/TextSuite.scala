@@ -551,7 +551,45 @@ object TextSuite {
             lit(" mail u"), col("doc_id"), lit("@ex-a.mple.org or "),
             lit("https://h"), col("doc_id"), lit(".example.com/p?q=1 end")))
             .as("scrubbed"))
-        .transform(Gate.ordered(_, "doc_id")))
+        .transform(Gate.ordered(_, "doc_id"))),
+
+    // Linguistic normalization (to_tsvector('english', …)): the
+    // surface-form query 'customers & merging' stems to custom &
+    // merg and hits docs saying 'customer … merge'; stopwords are
+    // dropped pre-stem (the dictionary chain), tf and ts_rank run
+    // over LEXEMES with the shared contribution table. One compiled
+    // map-only scan; the oracle applies the IDENTICAL Porter stems
+    // via a driver-generated vocabulary CASE map (rankTableSql device)
+    "fts_stemmed" -> ((s, dir) => {
+      val LX = graft.operators.Lexize
+      val q = "customers & merging"
+      val st = LX.stemStats(col("text"), Seq("custom", "merg"))
+      Tables.spread(s, dir, "documents")
+        .filter(LX.tsMatch(col("text"), q))
+        .select(col("doc_id"),
+          element_at(st.getField("tfs"), 1).cast("long").as("tf_custom"),
+          element_at(st.getField("tfs"), 2).cast("long").as("tf_merg"),
+          round(LX.tsRank(col("text"), q), 6).as("r0"),
+          round(LX.tsRank(col("text"), q, norm = 2 | 8), 6).as("r2u"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // phraseto_tsquery over free text WITH a stopword: 'value the
+    // table' → `valu <2> tabl` (the dropped stopword leaves its
+    // parser-position gap) plus surface-plural adjacency 'customers
+    // merge' → `custom <-> merg` — position arithmetic on stemmed
+    // tokens in one compiled scan per row
+    "fts_stem_phrase" -> ((s, dir) => {
+      val LX = graft.operators.Lexize
+      val p1 = LX.phraseQuery("value the table")
+      val p2 = LX.phraseQuery("customers merge")
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          LX.phraseMatch(col("text"), p1).as("vt_gap"),
+          LX.phraseMatch(col("text"), p2).as("cm_adj"))
+        .filter(col("vt_gap") || col("cm_adj"))
+        .transform(Gate.ordered(_, "doc_id"))
+    })
   )
 
   private val swEn = "['the','a','of','and','to','in','is','that']"
@@ -1306,6 +1344,52 @@ object TextSuite {
         |      'https?://[^ ]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g')
         |    AS scrubbed
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // lexemes = stop-filter (pre-stem) then the SAME Porter stems the
+    // engine computes, shared as a driver-generated CASE over the
+    // deterministic corpus vocabulary; rank = shared contribution
+    // table over lexeme tf with lexeme-based norms
+    "fts_stemmed" -> {
+      val LX = graft.operators.Lexize
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(list_filter(string_split(lower(text), ' '),
+         |      x -> x <> '' AND x NOT IN ${LX.stopListSql}),
+         |    x -> ${LX.stemCaseSql("x")}) AS lex
+         |  FROM documents),
+         |b AS (SELECT doc_id, len(lex)::BIGINT AS n_lex,
+         |  len(list_distinct(lex))::BIGINT AS n_uniq,
+         |  len(list_filter(lex, x -> x = 'custom'))::BIGINT AS tf_custom,
+         |  len(list_filter(lex, x -> x = 'merg'))::BIGINT AS tf_merg FROM t),
+         |r AS (SELECT doc_id, tf_custom, tf_merg, n_lex, n_uniq,
+         |  list_extract(${graft.operators.FullText.rankTableSql},
+         |    least(tf_custom, 256) + 1)
+         |  + list_extract(${graft.operators.FullText.rankTableSql},
+         |    least(tf_merg, 256) + 1) AS raw FROM b)
+         |SELECT doc_id, tf_custom, tf_merg, round(raw, 6) AS r0,
+         |  round((CASE WHEN n_uniq > 0
+         |         THEN (CASE WHEN n_lex > 0 THEN raw / n_lex ELSE raw END) / n_uniq
+         |         ELSE (CASE WHEN n_lex > 0 THEN raw / n_lex ELSE raw END) END), 6)
+         |    AS r2u
+         |FROM r WHERE tf_custom > 0 AND tf_merg > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    // parser positions = raw 1-based token index; a stopword's stem
+    // ('the'→'the') can never equal a query lexeme, so stemming the
+    // whole token list in place preserves the gap arithmetic
+    "fts_stem_phrase" -> {
+      val LX = graft.operators.Lexize
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(string_split(lower(text), ' '),
+         |    x -> ${LX.stemCaseSql("x")}) AS lex FROM documents),
+         |g AS (SELECT doc_id,
+         |  len(list_filter(generate_series(1, len(lex) - 2),
+         |    i -> lex[i] = 'valu' AND lex[i+2] = 'tabl')) > 0 AS vt_gap,
+         |  len(list_filter(generate_series(1, len(lex) - 1),
+         |    i -> lex[i] = 'custom' AND lex[i+1] = 'merg')) > 0 AS cm_adj
+         |FROM t)
+         |SELECT doc_id, vt_gap, cm_adj FROM g
+         |WHERE vt_gap OR cm_adj ORDER BY doc_id""".stripMargin
+    }
   )
 }
