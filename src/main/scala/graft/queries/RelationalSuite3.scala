@@ -254,6 +254,57 @@ object RelationalSuite3 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // jsonb containment/existence (@>, <@, ?, ?|, ?&; jsonb_op.cpp
+    // JsonbDeepContains): each order becomes a nested doc with an
+    // items array built from its lineitems (ONE orderkey-shuffle
+    // join), then generic recursive containment evaluates literal
+    // query docs — array-of-objects membership, multi-field element
+    // match, numeric 5 == 5.0, nested object+array, dynamic <@, and
+    // key existence on a conditionally-present field. The oracle
+    // states each predicate RELATIONALLY (EXISTS over lineitem), so
+    // the generic tree walk is checked against ground truth
+    "json_contain" -> ((s, dir) => {
+      val J = graft.functions.Jsonb
+      val items = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").cast("long").as("ln"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_returnflag").as("rf")).as("item"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("item"))).as("items"))
+      val doc = to_json(struct(
+        col("o_orderkey").as("o"),
+        struct(col("o_custkey").as("key"),
+          concat(lit("s"), pmod(col("o_custkey"), lit(7)).cast("string"))
+            .as("seg")).as("cust"),
+        col("o_orderstatus").as("status"),
+        // present only for finished orders (to_json omits nulls) —
+        // the existence operators then actually discriminate
+        when(col("o_orderstatus") === "F", lit(true))
+          .otherwise(lit(null).cast("boolean")).as("closed"),
+        array(concat(lit("p"), pmod(col("o_orderkey"), lit(3)).cast("string")),
+          lit("x")).as("tags"),
+        coalesce(col("items"),
+          expr("CAST(array() AS ARRAY<STRUCT<ln:BIGINT,qty:BIGINT,rf:STRING>>)"))
+          .as("items")))
+      Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), doc.as("doc"))
+        .select(col("o_orderkey"),
+          J.contains(col("doc"), """{"status":"F"}""").as("c_status"),
+          J.contains(col("doc"), """{"items":[{"qty":5}]}""").as("c_qty5"),
+          J.contains(col("doc"), """{"items":[{"qty":5.0}]}""").as("c_qty5f"),
+          J.contains(col("doc"), """{"items":[{"qty":5,"rf":"R"}]}""").as("c_item2"),
+          J.contains(col("doc"), """{"cust":{"seg":"s1"},"tags":["x"]}""").as("c_nested"),
+          J.containedBy(concat(lit("{\"o\":"), col("o_orderkey").cast("string"),
+            lit(",\"status\":\"O\"}")), col("doc")).as("cb_open"),
+          J.existsKey(col("doc"), "closed").as("e_closed"),
+          J.existsAny(col("doc"), Seq("closed", "nope")).as("e_any"),
+          J.existsAll(col("doc"), Seq("status", "closed")).as("e_all"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // PG statistical aggregates (stddev_pop/var_pop/covar_pop/corr)
     // made hash-exact: float built-ins accumulate in partition order
     // (ulp drift between engines), so the moments Σx, Σy, Σx², Σy²,
@@ -897,6 +948,26 @@ object RelationalSuite3 {
         |  json_array_length(json_extract(j, '$.tags'))::INTEGER AS n_tags,
         |  json_extract_string(j, '$.missing') AS miss
         |FROM d ORDER BY o_orderkey""".stripMargin,
+
+    // every containment/existence predicate restated relationally —
+    // ground truth for the generic jsonb tree walk
+    "json_contain" ->
+      """SELECT o_orderkey,
+        |  (o_orderstatus = 'F') AS c_status,
+        |  EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |          AND CAST(l.l_quantity AS BIGINT) = 5) AS c_qty5,
+        |  EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |          AND CAST(l.l_quantity AS BIGINT) = 5) AS c_qty5f,
+        |  EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |          AND CAST(l.l_quantity AS BIGINT) = 5
+        |          AND l.l_returnflag = 'R') AS c_item2,
+        |  ((o_custkey % 7) = 1) AS c_nested,
+        |  (o_orderstatus = 'O') AS cb_open,
+        |  (o_orderstatus = 'F') AS e_closed,
+        |  (o_orderstatus = 'F') AS e_any,
+        |  (o_orderstatus = 'F') AS e_all
+        |FROM orders o WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "stats_agg" ->
       """WITH g0 AS (SELECT l_returnflag, count(*) AS n,

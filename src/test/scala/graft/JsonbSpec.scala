@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.Jsonb
+import org.apache.spark.sql.functions._
+
+/**
+ * jsonb containment/existence semantics — the examples are PG's own
+ * documented behaviors for `@>`/`<@`/`?`/`?|`/`?&` (jsonb_op.cpp /
+ * the json-functions documentation), pinned against the generic
+ * recursive walk.
+ */
+class JsonbSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(target: String, query: String): Boolean =
+    Seq(target).toDF("t")
+      .select(Jsonb.contains(col("t"), query).as("r"))
+      .as[Boolean].head()
+
+  test("object containment is recursive on keys and values") {
+    assert(c("""{"a":1,"b":2}""", """{"b":2}"""))
+    assert(!c("""{"a":1,"b":2}""", """{"b":3}"""))
+    assert(!c("""{"a":1}""", """{"a":1,"b":2}"""))
+    assert(c("""{"a":{"b":2,"c":3}}""", """{"a":{"c":3}}"""))
+    // an empty object is contained in any object
+    assert(c("""{"a":{"b":2}}""", """{"a":{}}"""))
+    assert(c("""{"a":1}""", "{}"))
+  }
+
+  test("array containment is order-insensitive set-style") {
+    assert(c("[1,2,3]", "[3,1]"))
+    assert(c("[1,2,3]", "[1,1,1]"))
+    assert(c("[1,2]", "[]"))
+    assert(!c("[1,2]", "[4]"))
+    // nested arrays: element-wise containment, no flattening
+    assert(c("[[1,2,3]]", "[[1,2]]"))
+    assert(!c("[[1,2]]", "[[1,2,3]]"))
+    assert(!c("[1,2]", "[[1]]"))
+  }
+
+  test("array-of-objects: every query element matches SOME target element") {
+    val doc = """{"items":[{"q":5,"r":"A"},{"q":7,"r":"R"}]}"""
+    assert(c(doc, """{"items":[{"q":5}]}"""))
+    assert(c(doc, """{"items":[{"q":7,"r":"R"}]}"""))
+    // both fields must sit on the SAME element
+    assert(!c(doc, """{"items":[{"q":5,"r":"R"}]}"""))
+    assert(c(doc, """{"items":[{"q":5},{"r":"R"}]}"""))
+  }
+
+  test("top-level array-contains-scalar exception, and only top-level") {
+    assert(c("""["a","b"]""", "\"a\""))
+    assert(c("[1,2]", "2"))
+    assert(!c("""{"a":["x"]}""", """{"a":"x"}"""))
+    // scalar-to-scalar containment is equality
+    assert(c("\"a\"", "\"a\"") && c("1", "1") && !c("1", "2"))
+  }
+
+  test("numbers compare numerically, null is a value") {
+    assert(c("""{"a":1}""", """{"a":1.0}"""))
+    assert(c("""{"a":1.50}""", """{"a":1.5}"""))
+    assert(!c("""{"a":1}""", """{"a":"1"}"""))
+    assert(c("""{"a":null}""", """{"a":null}"""))
+    assert(!c("""{"a":null}""", """{"a":1}"""))
+  }
+
+  test("containedBy is the swapped operand order") {
+    val r = Seq(("""{"b":2}""", """{"a":1,"b":2}"""))
+      .toDF("q", "t")
+      .select(Jsonb.containedBy(col("q"), col("t")).as("r"))
+      .as[Boolean].head()
+    assert(r)
+  }
+
+  test("existence: object key, array string element, string scalar") {
+    def e(t: String, k: String): Boolean =
+      Seq(t).toDF("t").select(Jsonb.existsKey(col("t"), k).as("r"))
+        .as[Boolean].head()
+    assert(e("""{"a":1}""", "a") && !e("""{"a":1}""", "b"))
+    assert(e("""["a","b"]""", "a") && !e("""["a"]""", "x"))
+    // a non-string array element never matches
+    assert(!e("[1]", "1"))
+    assert(e("\"a\"", "a") && !e("\"ab\"", "a"))
+    // existence is NOT containment: nested keys don't count
+    assert(!e("""{"a":{"b":1}}""", "b"))
+  }
+
+  test("?| any / ?& all") {
+    def any(t: String, ks: Seq[String]): Boolean =
+      Seq(t).toDF("t").select(Jsonb.existsAny(col("t"), ks).as("r"))
+        .as[Boolean].head()
+    def all(t: String, ks: Seq[String]): Boolean =
+      Seq(t).toDF("t").select(Jsonb.existsAll(col("t"), ks).as("r"))
+        .as[Boolean].head()
+    val d = """{"a":1,"b":2}"""
+    assert(any(d, Seq("b", "z")) && !any(d, Seq("x", "z")))
+    assert(all(d, Seq("a", "b")) && !all(d, Seq("a", "z")))
+  }
+
+  test("invalid json raises") {
+    val ex = intercept[Exception] {
+      Seq("{nope").toDF("t")
+        .select(Jsonb.contains(col("t"), "{}").as("r")).collect()
+    }
+    assert(ex.toString.toLowerCase.contains("json") ||
+      Option(ex.getCause).exists(_.toString.toLowerCase.contains("json")))
+  }
+}
