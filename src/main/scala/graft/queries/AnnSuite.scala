@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{VectorFunctions => VF}
-import graft.operators.{Hnsw, Ivf, Knn, Lsh, Pq}
+import graft.operators.{Hnsw, Ivf, IvfBit, Knn, Lsh, Pq}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,14 @@ object AnnSuite {
   private def ivfModel(s: SparkSession, dir: String, nlists: Int): Ivf.Model =
     modelCache.computeIfAbsent((dir, nlists),
       _ => Ivf.build(Tables(s, dir, "embeddings"), "embedding", nlists))
+
+  // bit-tier centroids: build-once per corpus like the fp32 model
+  private val bitModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), IvfBit.Model]()
+  private def ivfBitModel(s: SparkSession, dir: String, nlists: Int): IvfBit.Model =
+    bitModelCache.computeIfAbsent((dir, nlists), _ =>
+      IvfBit.build(Tables(s, dir, "embeddings")
+        .select(VF.binaryQuantize(col("embedding")).as("code")), "code", nlists))
 
   // PQ codebooks are likewise a build-once artifact per corpus
   private val pqCache =
@@ -396,6 +404,28 @@ object AnnSuite {
         .orderBy(col("dist2"), col("vec_id")).limit(10)
       recallGate(found, Knn.exactTopK(emb, "embedding", "vec_id", qv, 10),
         "vec_id", minHits = 5)
+    }),
+
+    // Hamming-metric IVF over sign-quantized bit codes (the `bit`
+    // opclass tier, 32x compression — the remaining datavec index
+    // cell): k-majorities centroids, the same partitionBy(list_id)
+    // reader-pruned layout as the fp16/int8 tiers, popcount ranking.
+    // Recall vs the exact HAMMING top-10 over all codes (same metric
+    // — quantization loss is the tier's property, not the index's)
+    "ivf_bit_search" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val codes = emb.select(col("vec_id"),
+        VF.binaryQuantize(col("embedding")).as("code"))
+      val model = ivfBitModel(s, dir, 16)
+      val path = s"target/graft-ivfbit/${new java.io.File(dir).getName}"
+      val index = IvfBit.writeIndex(codes, "code", model, path)
+      val qc = IvfBit.quantize(queryVec(s, dir))
+      val found = IvfBit.search(index, "code", "vec_id", model, qc,
+        nprobe = 4, k = 10)
+      val exact = codes.select(col("vec_id"),
+          VF.hammingDistance(col("code"), lit(qc)).cast("long").as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+      recallGate(found, exact, "vec_id", minHits = 5)
     })
   )
 
@@ -480,6 +510,9 @@ object AnnSuite {
       "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
 
     "ivf_int8_search" ->
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
+
+    "ivf_bit_search" ->
       "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
 
     "hnsw_ann" ->

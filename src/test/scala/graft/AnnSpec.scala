@@ -542,4 +542,53 @@ class AnnSpec extends SparkSpec {
       assert(prunedAtLeastOnce, "pruning never dropped a list — radii too wide")
     } finally tagged.unpersist()
   }
+
+  test("bit ivf: deterministic k-majorities, lossless full probe, pruned recall") {
+    import graft.operators.IvfBit
+    val VF = graft.functions.VectorFunctions
+    val codes = emb.select($"vec_id", VF.binaryQuantize($"embedding").as("code"))
+      .cache()
+    try {
+      val qc = IvfBit.quantize(q)
+      // driver-side quantize == the BinaryQuantize expression's bytes
+      val exprQc = codes.filter($"vec_id" === 0)
+        .select($"code").head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(qc, exprQc))
+
+      val model = IvfBit.build(codes, "code", nlists = 16)
+      assert(model.nlists == 16 && model.nbits == 64)
+      // training is deterministic: same data -> bit-identical centroids
+      val model2 = IvfBit.build(codes, "code", nlists = 16)
+      assert(model.centroids.zip(model2.centroids)
+        .forall { case (a, b) => java.util.Arrays.equals(a, b) })
+
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfbit").toString
+      val index = IvfBit.writeIndex(codes, "code", model, dir)
+      assert(index.count() == codes.count())
+
+      // the probed search prunes list partitions at the reader and
+      // ranks through a bounded TakeOrdered
+      val s4 = IvfBit.search(index, "code", "vec_id", model, qc, 4, 10)
+      val plan = s4.queryExecution.executedPlan.toString
+      val scan = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+      assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
+        s"no partition pruning in: $scan")
+      assert(plan.contains("TakeOrderedAndProject"))
+
+      // probing ALL lists is lossless: equals exact Hamming top-10
+      val exact = codes.select($"vec_id",
+          VF.hammingDistance($"code", lit(qc)).cast("long").as("d"))
+        .orderBy($"d", $"vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+      val full = IvfBit.search(index, "code", "vec_id", model, qc, 16, 10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(full == exact, "nprobe=nlists must equal exact Hamming KNN")
+
+      // pruned recall@10 at nprobe=4/16 (reported; gate bound is 5)
+      val got = s4.select("vec_id").as[Long].collect().toSet
+      val hits = (got & exact.toSet).size
+      info(s"bit-IVF recall@10 at nprobe=4/16: $hits/10")
+      assert(hits >= 5, s"bit-IVF recall $hits/10")
+    } finally codes.unpersist()
+  }
 }

@@ -255,7 +255,7 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("packed-tier ivf searches prune list partitions at the reader") {
-    for (q <- Seq("ivf_half_search", "ivf_int8_search")) {
+    for (q <- Seq("ivf_half_search", "ivf_int8_search", "ivf_bit_search")) {
       val p = plan(q)
       assert(p.contains("PartitionFilters: [") && p.contains("list_id"),
         s"$q lost reader-level list pruning")
