@@ -51,6 +51,23 @@ object Jsonb {
   /** `target ?& keys`. */
   def existsAll(target: Column, keys: Seq[String]): Column =
     Bridge.column(JsonbExists(Bridge.expression(target), keys, all = true))
+  /** `a || b` (canonical text result). */
+  def concatJson(a: Column, b: Column): Column =
+    Bridge.column(JsonbConcat(Bridge.expression(a), Bridge.expression(b)))
+  def concatJson(a: Column, b: String): Column =
+    concatJson(a, org.apache.spark.sql.functions.lit(b))
+  /** `target - key`. */
+  def deleteKey(target: Column, key: String): Column =
+    Bridge.column(JsonbDelete(Bridge.expression(target),
+      JsonbDelete.DelKey(key)))
+  /** `target - idx`. */
+  def deleteIdx(target: Column, idx: Int): Column =
+    Bridge.column(JsonbDelete(Bridge.expression(target),
+      JsonbDelete.DelIdx(idx)))
+  /** `target #- path`. */
+  def deletePath(target: Column, path: Seq[String]): Column =
+    Bridge.column(JsonbDelete(Bridge.expression(target),
+      JsonbDelete.DelPath(path)))
 
   private val mapper = new ObjectMapper()
 
@@ -101,6 +118,159 @@ object Jsonb {
     else if (a.isBoolean && b.isBoolean) a.asBoolean == b.asBoolean
     else a.isNull && b.isNull
   }
+
+  // -----------------------------------------------------------------
+  // concat / delete (jsonb_concat, jsonb_delete, jsonb_delete_path —
+  // jsonfuncs.cpp / jsonb_util.cpp) + PG-canonical rendering
+  // -----------------------------------------------------------------
+
+  /** Render in jsonb's canonical text form: object keys in storage
+    * order (length, then bytewise), `", "` and `": "` separators —
+    * deterministic, so results can cross an exact gate. */
+  def render(n: JsonNode): String = {
+    val sb = new StringBuilder
+    renderTo(n, sb)
+    sb.toString
+  }
+
+  private def renderTo(n: JsonNode, sb: StringBuilder): Unit = {
+    if (n.isObject) {
+      val keys = {
+        val it = n.fieldNames()
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) b += it.next()
+        b.sortInPlaceBy(k => (k.length, k))
+      }
+      sb.append('{')
+      var first = true
+      keys.foreach { k =>
+        if (!first) sb.append(", ")
+        first = false
+        sb.append(com.fasterxml.jackson.databind.node.TextNode.valueOf(k).toString)
+        sb.append(": ")
+        renderTo(n.get(k), sb)
+      }
+      sb.append('}')
+    } else if (n.isArray) {
+      sb.append('[')
+      val it = n.elements()
+      var first = true
+      while (it.hasNext) {
+        if (!first) sb.append(", ")
+        first = false
+        renderTo(it.next(), sb)
+      }
+      sb.append(']')
+    } else sb.append(n.toString)
+  }
+
+  /** `a || b`: object+object merges (right wins); otherwise both
+    * sides become arrays (non-array → single-element) and concat. */
+  def concatNodes(a: JsonNode, b: JsonNode): JsonNode = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    if (a.isObject && b.isObject) {
+      val out = mapper.createObjectNode()
+      out.setAll(a.asInstanceOf[ObjectNode])
+      out.setAll(b.asInstanceOf[ObjectNode])
+      out
+    } else {
+      val out = mapper.createArrayNode()
+      def add(n: JsonNode): Unit =
+        if (n.isArray) out.addAll(n.asInstanceOf[ArrayNode])
+        else out.add(n)
+      add(a); add(b)
+      out
+    }
+  }
+
+  /** `a - key`: drop an object key / all equal string array elements. */
+  def deleteKey(a: JsonNode, key: String): JsonNode = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    if (a.isObject) {
+      val out = a.deepCopy[ObjectNode]()
+      out.remove(key)
+      out
+    } else if (a.isArray) {
+      val out = mapper.createArrayNode()
+      val it = a.elements()
+      while (it.hasNext) {
+        val e = it.next()
+        if (!(e.isTextual && e.asText == key)) out.add(e)
+      }
+      out
+    } else throw new IllegalArgumentException(
+      "graft: cannot delete from scalar jsonb")
+  }
+
+  /** `a - idx`: drop the array element at idx (negative from the
+    * end; out of range → unchanged). Objects error, as PG does. */
+  def deleteIdx(a: JsonNode, idx: Int): JsonNode = {
+    if (!a.isArray) throw new IllegalArgumentException(
+      if (a.isObject) "graft: cannot delete from object using integer index"
+      else "graft: cannot delete from scalar jsonb")
+    val n = a.size()
+    val at = if (idx < 0) idx + n else idx
+    if (at < 0 || at >= n) a
+    else {
+      val out = mapper.createArrayNode()
+      var i = 0
+      val it = a.elements()
+      while (it.hasNext) {
+        val e = it.next()
+        if (i != at) out.add(e)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** `a #- path`: delete at a path of object keys / array indices
+    * (indices as text, like PG's text[]); a missing intermediate
+    * step leaves the document unchanged. */
+  def deletePath(a: JsonNode, path: Seq[String]): JsonNode = {
+    require(path.nonEmpty, "jsonb #- needs a non-empty path")
+    if (path.length == 1) {
+      if (a.isArray && isInt(path.head)) deleteIdx(a, path.head.toInt)
+      else if (a.isArray) a // string step on an array: PG deletes string elems? no — path steps on arrays must be integers; no-op like missing
+      else if (a.isObject) deleteKey(a, path.head)
+      else throw new IllegalArgumentException(
+        "graft: cannot delete path in scalar jsonb")
+    } else {
+      val step = path.head
+      if (a.isObject) {
+        val child = a.get(step)
+        if (child == null) a
+        else {
+          val out = a.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          out.set(step, deletePath(child, path.tail))
+          out
+        }
+      } else if (a.isArray && isInt(step)) {
+        val n = a.size()
+        val at0 = step.toInt
+        val at = if (at0 < 0) at0 + n else at0
+        if (at < 0 || at >= n) a
+        else {
+          val out = mapper.createArrayNode()
+          var i = 0
+          val it = a.elements()
+          while (it.hasNext) {
+            val e = it.next()
+            if (i == at) out.add(deletePath(e, path.tail)) else out.add(e)
+            i += 1
+          }
+          out
+        }
+      } else if (a.isArray) a
+      else throw new IllegalArgumentException(
+        "graft: cannot delete path in scalar jsonb")
+    }
+  }
+
+  private def isInt(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c.isDigit || c == '-') &&
+      (s.count(_ == '-') == 0 || (s.head == '-' && s.count(_ == '-') == 1)) &&
+      s.exists(_.isDigit)
 
   /** jsonb_exists: `?` */
   def exists(a: JsonNode, key: String): Boolean = {
@@ -153,6 +323,71 @@ case class JsonbContains(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `a || b` rendered back to canonical text. One parse per operand,
+  * merge/concat walk, canonical render — inside generated code. */
+case class JsonbConcat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jsonb_concat"
+
+  def eval2(a: UTF8String, b: UTF8String): UTF8String =
+    UTF8String.fromString(
+      Jsonb.render(Jsonb.concatNodes(Jsonb.parse(a), Jsonb.parse(b))))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    eval2(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonbConcat", this, classOf[JsonbConcat].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.eval2($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object JsonbDelete {
+  sealed trait Op
+  final case class DelKey(key: String) extends Op
+  final case class DelIdx(idx: Int) extends Op
+  final case class DelPath(path: Seq[String]) extends Op
+}
+
+/** `target - key` / `target - idx` / `target #- path`, canonical
+  * text result. */
+case class JsonbDelete(child: Expression, op: JsonbDelete.Op)
+    extends UnaryExpression {
+  import JsonbDelete._
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = op match {
+    case _: DelKey => "jsonb_delete"
+    case _: DelIdx => "jsonb_delete_idx"
+    case _: DelPath => "jsonb_delete_path"
+  }
+
+  def eval1(a: UTF8String): UTF8String = {
+    val n = Jsonb.parse(a)
+    val out = op match {
+      case DelKey(k) => Jsonb.deleteKey(n, k)
+      case DelIdx(i) => Jsonb.deleteIdx(n, i)
+      case DelPath(p) => Jsonb.deletePath(n, p)
+    }
+    UTF8String.fromString(Jsonb.render(out))
+  }
+
+  override def nullSafeEval(a: Any): Any = eval1(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonbDelete", this, classOf[JsonbDelete].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.eval1($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `target ? key` / `?| keys` / `?& keys` (mode Any=`?|`, All=`?&`;

@@ -595,4 +595,48 @@ object FullText {
     }
     walk(parseQuery(query), neg = false).distinct
   }
+
+  // -----------------------------------------------------------------
+  // prefix matching — tsquery `term:*` (reference: tsquery.c prefix
+  // flag; tsvector_op.cpp tsvector_match_vq prefix compare;
+  // tsginidx.c serves it as a GIN partial-match term range scan)
+  // -----------------------------------------------------------------
+
+  /** `prefix:*` over raw tokens: true iff some token STARTS WITH
+    * `prefix`. Compiles to a padded substring probe with a leading
+    * boundary space only (` quer` hits `query`, `queries`, …) — the
+    * same map-only codegen shape as [[tsMatch]]'s atoms. */
+  def prefixMatch(text: Column, prefix: String): Column = {
+    val p = prefix.toLowerCase.trim
+    require(p.nonEmpty && !p.contains(" "), s"bad tsquery prefix '$prefix'")
+    locate(" " + p, padded(text)) > 0
+  }
+
+  /**
+   * [[postings]] + a leading-character partition column for PREFIX
+   * lookups: hash buckets ([[postingsBucketed]]) cannot prune a term
+   * RANGE, so the prefix layout partitions by the term's first
+   * character instead — `tletter` — and [[indexedPrefix]] carries the
+   * prefix's first letter as a partition literal. That is GIN's
+   * partial-match shape: a prefix query walks the term range
+   * `[p, p+ε)`, here the range lives inside one letter partition.
+   */
+  def postingsPrefixParted(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    postings(docs, idCol, textCol)
+      .withColumn("tletter", substring(col("term"), 1, 1))
+
+  /** Indexed `prefix:*`: term-range lookup on [[postingsPrefixParted]]
+    * (reader prunes to the first-letter partition), distinct doc set.
+    * Same answer as [[prefixMatch]]'s scan. */
+  def indexedPrefix(post: DataFrame, prefix: String): DataFrame = {
+    val p = prefix.toLowerCase.trim
+    require(p.nonEmpty && !p.contains(" "), s"bad tsquery prefix '$prefix'")
+    val pruned =
+      if (post.columns.contains("tletter"))
+        post.filter(col("tletter") === p.substring(0, 1))
+      else post
+    pruned.filter(startswith(col("term"), lit(p)))
+      .select(col("doc_id")).distinct()
+  }
 }

@@ -61,6 +61,10 @@ object IvfBit {
     out
   }
 
+  /** Packed code → array<int> of 0/1 bits (compiled per-row). */
+  def unpackBitsCol(code: Column): Column =
+    Bridge.column(UnpackBits(Bridge.expression(code)))
+
   /** Tag every row with its nearest list id (map-only compiled scan). */
   def assign(codes: DataFrame, codeCol: String, model: Model): DataFrame =
     codes.withColumn("list_id", Bridge.column(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
@@ -180,6 +180,56 @@ object Lexize {
     if ((norm & 32) != 0) r = r / (r + 1.0)
     r
   }
+
+  // ---------------------------------------------------------------
+  // indexed (GIN) path over lexemes — what PG actually indexes
+  // ---------------------------------------------------------------
+
+  /**
+   * Lexeme postings: (term = stemmed lexeme, doc_id, positions =
+   * PARSER positions, gaps preserved). This is what a GIN index over
+   * `to_tsvector('english', text)` stores, so the whole
+   * [[FullText.indexedMatch]] machinery — semi/anti equi-joins,
+   * position-arithmetic phrase verify, DNF normalization, bucketed
+   * partition pruning — works unchanged over it: normalize the query
+   * with [[tsquery]], render it back with [[renderQuery]], and the
+   * phrase gaps (including gaps across dropped stopwords) line up
+   * with the stored parser positions.
+   */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(lexemes(col(textCol))).as("lp"))
+      .groupBy(col("lp.lex").as("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("lp.pos"))).as("positions"))
+
+  /** [[postings]] + the same term-hash bucket column as
+    * [[FullText.postingsBucketed]] (partitionBy("tbucket") persistence
+    * → reader-level pruning per query term). */
+  def postingsBucketed(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "postingsBucketed needs buckets >= 1")
+    postings(docs, idCol, textCol).withColumn("tbucket",
+      pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+  }
+
+  /** Render a (normalized) tsquery tree back to query syntax — the
+    * round-trip feed for [[FullText.indexedMatch]] over lexeme
+    * postings. Lexemes are `[a-z0-9]`-ish single tokens, so the
+    * rendering re-parses to the identical tree. */
+  def renderQuery(n: Node): String = n match {
+    case Phrase(terms, gaps) =>
+      terms.head + gaps.zip(terms.tail)
+        .map { case (g, t) => s" <$g> $t" }.mkString
+    case And(l, r) => s"(${renderQuery(l)}) & (${renderQuery(r)})"
+    case Or(l, r)  => s"(${renderQuery(l)}) | (${renderQuery(r)})"
+    case Not(c)    => s"!(${renderQuery(c)})"
+  }
+
+  /** Indexed stemmed match: normalize the surface query, serve it
+    * from lexeme [[postings]] via [[FullText.indexedMatch]]. Same
+    * answer as [[tsMatch]]'s corpus scan, sub-linear I/O. */
+  def indexedMatch(post: DataFrame, query: String, buckets: Int = 0): DataFrame =
+    FullText.indexedMatch(post, renderQuery(tsquery(query)), buckets)
 
   // ---------------------------------------------------------------
   // oracle-side mirrors (the rankTableSql device: ONE driver literal

@@ -426,6 +426,35 @@ object AnnSuite {
           VF.hammingDistance(col("code"), lit(qc)).cast("long").as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(10)
       recallGate(found, exact, "vec_id", minHits = 5)
+    }),
+
+    // HNSW over the bit tier (`hnsw_bit_support`): EXACT metric
+    // reduction — Hamming(a,b) == L2²(a,b) for 0/1 vectors, a theorem,
+    // so the graph build/beam machinery (which only consumes
+    // distances) runs unchanged over the unpacked codes and its
+    // neighbor structure IS the Hamming-metric graph; packed-bytes
+    // STORAGE rides the IVF bit tier (ivf_bit_search). Recall vs
+    // exact Hamming top-10
+    "hnsw_bit" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val codes = emb.select(col("vec_id"),
+        VF.binaryQuantize(col("embedding")).as("code"))
+      val bits = codes.select(col("vec_id"),
+        graft.operators.IvfBit.unpackBitsCol(col("code"))
+          .cast("array<float>").as("bits"))
+      val index = Hnsw.buildIndex(bits, "bits", "vec_id", numParts = 8)
+      val qc = IvfBit.quantize(queryVec(s, dir))
+      val qb = new Array[Float](qc.length * 8)
+      qc.indices.foreach { i =>
+        (0 until 8).foreach { b =>
+          if ((qc(i) & (0x80 >>> b)) != 0) qb(i * 8 + b) = 1f
+        }
+      }
+      val found = Hnsw.search(index, qb, k = 10)
+      val exact = codes.select(col("vec_id"),
+          VF.hammingDistance(col("code"), lit(qc)).cast("long").as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+      recallGate(found, exact, "vec_id", minHits = 5)
     })
   )
 
@@ -513,6 +542,9 @@ object AnnSuite {
       "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
 
     "ivf_bit_search" ->
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
+
+    "hnsw_bit" ->
       "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
 
     "hnsw_ann" ->

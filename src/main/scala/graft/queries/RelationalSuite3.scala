@@ -305,6 +305,37 @@ object RelationalSuite3 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // jsonb mutation operators (||, - text, - int, #- path) with
+    // jsonb's CANONICAL text rendering (storage key order: length
+    // then bytewise, ", "/": " separators) — the `merged` column is
+    // the full canonical string, which the oracle reconstructs
+    // verbatim, so key ordering and separators are gated exactly;
+    // the scalar columns check the delete walks against relational
+    // ground truth. Map-only compiled scan, one parse per operand
+    "json_mutate" -> ((s, dir) => {
+      val J = graft.functions.Jsonb
+      val k3 = pmod(col("o_orderkey"), lit(3)).cast("string")
+      val doc = concat(lit("{\"o\":"), col("o_orderkey").cast("string"),
+        lit(",\"cust\":{\"key\":"), col("o_custkey").cast("string"),
+        lit(",\"seg\":\"s"), pmod(col("o_custkey"), lit(7)).cast("string"),
+        lit("\"},\"status\":\""), col("o_orderstatus"),
+        lit("\",\"tags\":[\"p"), k3, lit("\",\"x\"]}"))
+      val tags = concat(lit("[\"p"), k3, lit("\",\"x\"]"))
+      Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"),
+          get_json_object(J.concatJson(doc,
+              concat(lit("{\"prio\":"), k3, lit("}"))), "$.prio")
+            .cast("long").as("prio"),
+          json_array_length(J.deleteKey(tags, "p1"))
+            .cast("long").as("n_tags_after"),
+          get_json_object(J.deleteIdx(tags, -1), "$[0]").as("first_after"),
+          get_json_object(J.deletePath(doc, Seq("cust", "seg")), "$.cust.key")
+            .cast("long").as("cust_key_after"),
+          J.concatJson(doc, """{"z":1}""").as("merged"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // PG statistical aggregates (stddev_pop/var_pop/covar_pop/corr)
     // made hash-exact: float built-ins accumulate in partition order
     // (ulp drift between engines), so the moments Σx, Σy, Σx², Σy²,
@@ -967,6 +998,21 @@ object RelationalSuite3 {
         |  (o_orderstatus = 'F') AS e_any,
         |  (o_orderstatus = 'F') AS e_all
         |FROM orders o WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the canonical `merged` string reconstructed verbatim (keys in
+    // jsonb storage order: length then bytewise); scalars relational
+    "json_mutate" ->
+      """SELECT o_orderkey,
+        |  (o_orderkey % 3)::BIGINT AS prio,
+        |  (CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 2 END)::BIGINT AS n_tags_after,
+        |  'p' || (o_orderkey % 3)::VARCHAR AS first_after,
+        |  o_custkey::BIGINT AS cust_key_after,
+        |  '{"o": ' || o_orderkey::VARCHAR || ', "z": 1, "cust": {"key": '
+        |    || o_custkey::VARCHAR || ', "seg": "s' || (o_custkey % 7)::VARCHAR
+        |    || '"}, "tags": ["p' || (o_orderkey % 3)::VARCHAR
+        |    || '", "x"], "status": "' || o_orderstatus || '"}' AS merged
+        |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
 
     "stats_agg" ->

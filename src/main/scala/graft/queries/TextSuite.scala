@@ -589,6 +589,43 @@ object TextSuite {
           LX.phraseMatch(col("text"), p2).as("cm_adj"))
         .filter(col("vt_gap") || col("cm_adj"))
         .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // The GIN shape over LEXEMES — what PG actually indexes: postings
+    // of stemmed terms with parser positions, persisted partitionBy
+    // (term-hash bucket) for reader pruning; the surface query
+    // normalizes (stem + stopword-gap folding), renders back, and the
+    // whole semi/anti-join + position-arithmetic machinery serves it.
+    // Index == scan over normalized text; text never read in the
+    // match path
+    "fts_stem_indexed" -> ((s, dir) => {
+      val LX = graft.operators.Lexize
+      val path = s"target/graft-lexpostings/${new java.io.File(dir).getName}"
+      LX.postingsBucketed(Tables.spread(s, dir, "documents"),
+          "doc_id", "text", buckets = 8)
+        .write.mode("overwrite").partitionBy("tbucket").parquet(path)
+      LX.indexedMatch(s.read.parquet(path),
+          "(customers & merging & !queries) | (value <-> the <-> table)",
+          buckets = 8)
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // tsquery prefix matching `p:*` (tsquery.c prefix flag): a padded
+    // probe with a LEADING boundary space only, so ` sc` hits every
+    // token starting 'sc' — same map-only codegen shape as the exact
+    // atoms; the indexed form (term-range over first-letter-partitioned
+    // postings, GIN partial-match shape) is parity+pruning-asserted in
+    // FullTextSpec
+    "fts_prefix" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          FT.prefixMatch(col("text"), "sc").as("sc_hit"),
+          FT.prefixMatch(col("text"), "sm").as("sm_hit"),
+          FT.tsMatch(col("text"), "dup").as("dup_hit"))
+        .filter((col("sc_hit") || col("sm_hit")) && !col("dup_hit"))
+        .select(col("doc_id"), col("sc_hit"), col("sm_hit"))
+        .transform(Gate.ordered(_, "doc_id"))
     })
   )
 
@@ -1390,6 +1427,35 @@ object TextSuite {
          |FROM t)
          |SELECT doc_id, vt_gap, cm_adj FROM g
          |WHERE vt_gap OR cm_adj ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // the scan-equivalent of the indexed stemmed match: membership /
+    // NOT / position-gap phrase over the stemmed token view (stopword
+    // stems never collide with query lexemes, so stemming in place
+    // preserves both membership and the gap arithmetic)
+    "fts_stem_indexed" -> {
+      val LX = graft.operators.Lexize
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(string_split(lower(text), ' '),
+         |    x -> ${LX.stemCaseSql("x")}) AS lex FROM documents)
+         |SELECT doc_id FROM t
+         |WHERE (len(list_filter(lex, x -> x = 'custom')) > 0
+         |       AND len(list_filter(lex, x -> x = 'merg')) > 0
+         |       AND len(list_filter(lex, x -> x = 'queri')) = 0)
+         |   OR len(list_filter(generate_series(1, len(lex) - 2),
+         |        i -> lex[i] = 'valu' AND lex[i+2] = 'tabl')) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // prefix atom == leading-boundary-space substring probe
+    "fts_prefix" ->
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents)
+        |SELECT doc_id,
+        |  position(' sc' IN pad) > 0 AS sc_hit,
+        |  position(' sm' IN pad) > 0 AS sm_hit
+        |FROM p
+        |WHERE (position(' sc' IN pad) > 0 OR position(' sm' IN pad) > 0)
+        |  AND NOT position(' dup ' IN pad) > 0
+        |ORDER BY doc_id""".stripMargin
   )
 }

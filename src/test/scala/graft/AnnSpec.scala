@@ -591,4 +591,39 @@ class AnnSpec extends SparkSpec {
       assert(hits >= 5, s"bit-IVF recall $hits/10")
     } finally codes.unpersist()
   }
+
+  test("hnsw bit tier: the L2²==Hamming reduction is exact; recall holds") {
+    import graft.operators.{Hnsw, IvfBit}
+    val VF = graft.functions.VectorFunctions
+    val codes = emb.select($"vec_id", VF.binaryQuantize($"embedding").as("code"))
+    val qc = IvfBit.quantize(q)
+    val qb = new Array[Float](qc.length * 8)
+    qc.indices.foreach { i =>
+      (0 until 8).foreach { b =>
+        if ((qc(i) & (0x80 >>> b)) != 0) qb(i * 8 + b) = 1f
+      }
+    }
+    // the reduction: L2² over unpacked 0/1 vectors equals Hamming over
+    // the packed bytes, row for row — the graph search consumes only
+    // distances, so its Hamming behavior is exact, not approximated
+    val mismatch = codes.select(
+        VF.hammingDistance($"code", lit(qc)).as("h"),
+        VF.l2SquaredDistance(
+          IvfBit.unpackBitsCol($"code").cast("array<float>"), lit(qb)).as("l"))
+      .filter($"h" =!= $"l").count()
+    assert(mismatch == 0L, "L2² over 0/1 vectors diverged from Hamming")
+
+    val bits = codes.select($"vec_id",
+      IvfBit.unpackBitsCol($"code").cast("array<float>").as("bits"))
+    val index = Hnsw.buildIndex(bits, "bits", "vec_id", numParts = 8)
+    val got = Hnsw.search(index, qb, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = codes.select($"vec_id",
+        VF.hammingDistance($"code", lit(qc)).cast("long").as("d"))
+      .orderBy($"d", $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val hits = (got & exact).size
+    info(s"hnsw-bit recall@10: $hits/10")
+    assert(hits >= 5, s"hnsw-bit recall $hits/10")
+  }
 }

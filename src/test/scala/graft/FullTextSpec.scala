@@ -291,4 +291,37 @@ class FullTextSpec extends SparkSpec {
     assert(!plan.contains("ArrayExists") && !plan.contains("ArrayFilter"),
       "fts match must not use interpreted HOFs")
   }
+
+  test("prefix match: token-start only, boundary-respecting") {
+    import spark.implicits._
+    val got = Seq("a query row", "aquery row", "row quer", "que ry")
+      .toDF("text")
+      .select(FullText.prefixMatch(col("text"), "quer").as("m"))
+      .as[Boolean].collect().toSeq
+    // 'aquery' must NOT match (no token boundary); 'quer' itself does
+    assert(got == Seq(true, false, true, false))
+    intercept[IllegalArgumentException](
+      FullText.prefixMatch(col("text"), "two words"))
+  }
+
+  test("indexed prefix equals the scan, prunes the letter partition") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_prepost").toString
+    FullText.postingsPrefixParted(docs, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("tletter").parquet(dir)
+    val post = spark.read.parquet(dir)
+    for (p <- Seq("sc", "sm", "s", "quer", "spark")) {
+      val scan = docs.filter(FullText.prefixMatch(col("text"), p))
+        .select("doc_id").as[Long].collect().toSet
+      val idx = FullText.indexedPrefix(post, p)
+        .select("doc_id").as[Long].collect().toSet
+      assert(idx == scan, s"index!=scan for '$p:*'")
+    }
+    val plan = FullText.indexedPrefix(post, "sc")
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters") && scanLine.contains("tletter"),
+      s"prefix lookup lost letter-partition pruning: $scanLine")
+  }
 }

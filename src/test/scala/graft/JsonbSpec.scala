@@ -96,6 +96,56 @@ class JsonbSpec extends SparkSpec {
     assert(all(d, Seq("a", "b")) && !all(d, Seq("a", "z")))
   }
 
+  private def cc(a: String, b: String): String =
+    Seq(a).toDF("t").select(Jsonb.concatJson(col("t"), b).as("r"))
+      .as[String].head()
+
+  test("|| concat: PG's documented shapes, canonical rendering") {
+    assert(cc("""["a","b"]""", """["a","d"]""") == """["a", "b", "a", "d"]""")
+    assert(cc("""{"a":"b"}""", """{"c":"d"}""") == """{"a": "b", "c": "d"}""")
+    // right wins on duplicate keys
+    assert(cc("""{"a":1}""", """{"a":2}""") == """{"a": 2}""")
+    // non-array operands become single-element arrays
+    assert(cc("""{"a":1}""", "[1]") == """[{"a": 1}, 1]""")
+    assert(cc("[1,2]", "3") == "[1, 2, 3]")
+    assert(cc("\"x\"", "[1]") == """["x", 1]""")
+    // canonical key order: length first, then bytewise
+    assert(cc("""{"b":1,"aa":2}""", "{}") == """{"b": 1, "aa": 2}""")
+    assert(cc("""{"bb":1,"a":2}""", "{}") == """{"a": 2, "bb": 1}""")
+  }
+
+  test("- text deletes object keys / string array elements") {
+    def dk(t: String, k: String): String =
+      Seq(t).toDF("t").select(Jsonb.deleteKey(col("t"), k).as("r"))
+        .as[String].head()
+    assert(dk("""{"a":"b","c":"d"}""", "a") == """{"c": "d"}""")
+    assert(dk("""["a","b","c","b"]""", "b") == """["a", "c"]""")
+    assert(dk("""{"a":1}""", "z") == """{"a": 1}""")
+    intercept[Exception](Seq("1").toDF("t")
+      .select(Jsonb.deleteKey(col("t"), "a").as("r")).collect())
+  }
+
+  test("- int deletes by index, negative from the end, oob unchanged") {
+    def di(t: String, i: Int): String =
+      Seq(t).toDF("t").select(Jsonb.deleteIdx(col("t"), i).as("r"))
+        .as[String].head()
+    assert(di("""["a","b"]""", 1) == """["a"]""")
+    assert(di("""["a","b"]""", -1) == """["a"]""")
+    assert(di("""["a","b"]""", 5) == """["a", "b"]""")
+    intercept[Exception](Seq("""{"a":1}""").toDF("t")
+      .select(Jsonb.deleteIdx(col("t"), 0).as("r")).collect())
+  }
+
+  test("#- deletes at a path; missing intermediate steps are a no-op") {
+    def dp(t: String, p: Seq[String]): String =
+      Seq(t).toDF("t").select(Jsonb.deletePath(col("t"), p).as("r"))
+        .as[String].head()
+    assert(dp("""["a",{"b":1}]""", Seq("1", "b")) == """["a", {}]""")
+    assert(dp("""{"a":{"b":1,"c":2}}""", Seq("a", "b")) == """{"a": {"c": 2}}""")
+    assert(dp("""{"a":1}""", Seq("z", "b")) == """{"a": 1}""")
+    assert(dp("""["a","b"]""", Seq("-1")) == """["a"]""")
+  }
+
   test("invalid json raises") {
     val ex = intercept[Exception] {
       Seq("{nope").toDF("t")

@@ -155,6 +155,43 @@ class StemSpec extends SparkSpec {
     assert(math.abs(rows(1).getDouble(1) - (t(1) + t(1)) / 2.0 / 2.0) < 1e-12)
   }
 
+  test("renderQuery round-trips normalized trees") {
+    for (q <- Seq("customers & merging", "value <-> the <-> table",
+        "(customers & merging & !queries) | (value <-> the <-> table)",
+        "tables | queries", "!(tables & values) & spark")) {
+      val n = Lexize.tsquery(q)
+      assert(FullText.parseQuery(Lexize.renderQuery(n)) == n, q)
+    }
+  }
+
+  test("indexed stemmed match equals the scan across query shapes") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val post = Lexize.postings(docs, "doc_id", "text").cache()
+    try {
+      for (q <- Seq(
+          "customers & merging",
+          "value <-> the <-> table",
+          "(customers & merging & !queries) | (value <-> the <-> table)",
+          "tables | queries",
+          "customers & !merging")) {
+        val scan = docs.filter(Lexize.tsMatch(col("text"), q))
+          .select("doc_id").as[Long].collect().toSet
+        val idx = Lexize.indexedMatch(post, q)
+          .select("doc_id").as[Long].collect().toSet
+        assert(idx == scan, s"index!=scan for '$q'")
+        assert(scan.nonEmpty, s"degenerate (empty) gate query '$q'")
+      }
+    } finally post.unpersist()
+  }
+
+  test("lexeme postings store parser positions with stopword gaps") {
+    val post = Lexize.postings(
+      Seq((1L, "value the table")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getSeq[Int](2))).toMap
+    assert(post("valu") == Seq(1) && post("tabl") == Seq(3))
+    assert(!post.contains("the"))
+  }
+
   test("stem memo is consistent under repetition") {
     val words = Seq("running", "relational", "key", "value", "sky")
     val first = words.map(Porter.stem)
