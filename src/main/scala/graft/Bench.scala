@@ -34,7 +34,10 @@ object Bench {
     "date_extract", "regexp_fns", "hop_window", "stream_hop", "pipeline_batches", "like_escape", "interval_arith", "skew_join", "bloom_join",
     "fts_retrieve", "fts_rank", "fts_websearch", "hybrid_rrf", "bpe_encode", "connect_by", "matview_inc",
     "fts_rank_cd", "stream_matview", "fts_rank_weighted", "fts_indexed", "fts_stat",
-    "regr_agg", "bool_bit_aggs", "asof_multi", "matview_minmax", "oversample", "text_bigram_ppl", "fts_indexed_retrieve", "profile_skew")
+    "regr_agg", "bool_bit_aggs", "asof_multi", "matview_minmax", "oversample", "text_bigram_ppl", "fts_indexed_retrieve", "profile_skew",
+    "fts_stemmed", "fts_stem_phrase", "fts_stem_indexed", "fts_prefix",
+    "json_contain", "json_mutate", "json_set", "tsvector_ops",
+    "ivf_bit_search", "hnsw_bit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -68,6 +68,20 @@ object Jsonb {
   def deletePath(target: Column, path: Seq[String]): Column =
     Bridge.column(JsonbDelete(Bridge.expression(target),
       JsonbDelete.DelPath(path)))
+  /** jsonb_set(target, path, value[, createMissing]). */
+  def setJson(target: Column, path: Seq[String], value: Column,
+      createMissing: Boolean = true): Column =
+    Bridge.column(JsonbSetInsert(Bridge.expression(target),
+      Bridge.expression(value), path, insert = false, flag = createMissing))
+  def setJson(target: Column, path: Seq[String], value: String): Column =
+    setJson(target, path, org.apache.spark.sql.functions.lit(value))
+  /** jsonb_insert(target, path, value[, insertAfter]). */
+  def insertJson(target: Column, path: Seq[String], value: Column,
+      insertAfter: Boolean = false): Column =
+    Bridge.column(JsonbSetInsert(Bridge.expression(target),
+      Bridge.expression(value), path, insert = true, flag = insertAfter))
+  def insertJson(target: Column, path: Seq[String], value: String): Column =
+    insertJson(target, path, org.apache.spark.sql.functions.lit(value))
 
   private val mapper = new ObjectMapper()
 
@@ -267,6 +281,149 @@ object Jsonb {
     }
   }
 
+  /** jsonb_set (jsonfuncs.cpp setPath): replace the item at `path`,
+    * adding it when `createMissing` and only the LAST step is absent;
+    * a missing intermediate step returns the target unchanged. */
+  def setPath(a: JsonNode, path: Seq[String], v: JsonNode,
+      createMissing: Boolean): JsonNode = {
+    require(path.nonEmpty, "jsonb_set needs a non-empty path")
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    if (path.length == 1) {
+      val step = path.head
+      if (a.isObject) {
+        if (a.has(step) || createMissing) {
+          val out = a.deepCopy[ObjectNode]()
+          out.set(step, v)
+          out
+        } else a
+      } else if (a.isArray) {
+        if (!isInt(step)) throw new IllegalArgumentException(
+          s"graft: path element is not an integer: '$step'")
+        val n = a.size()
+        val at0 = step.toInt
+        val at = if (at0 < 0) at0 + n else at0
+        if (at >= 0 && at < n) {
+          val out = mapper.createArrayNode()
+          var i = 0
+          val it = a.elements()
+          while (it.hasNext) {
+            val e = it.next()
+            if (i == at) out.add(v) else out.add(e)
+            i += 1
+          }
+          out
+        } else if (!createMissing) a
+        else {
+          // out-of-range + create: prepend below, append above (PG)
+          val out = mapper.createArrayNode()
+          if (at < 0) out.add(v)
+          out.addAll(a.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode])
+          if (at >= n) out.add(v)
+          out
+        }
+      } else throw new IllegalArgumentException(
+        "graft: cannot set path in scalar jsonb")
+    } else {
+      val step = path.head
+      if (a.isObject) {
+        val child = a.get(step)
+        if (child == null) a
+        else {
+          val out = a.deepCopy[ObjectNode]()
+          out.set(step, setPath(child, path.tail, v, createMissing))
+          out
+        }
+      } else if (a.isArray && isInt(step)) {
+        val n = a.size()
+        val at0 = step.toInt
+        val at = if (at0 < 0) at0 + n else at0
+        if (at < 0 || at >= n) a
+        else {
+          val out = mapper.createArrayNode()
+          var i = 0
+          val it = a.elements()
+          while (it.hasNext) {
+            val e = it.next()
+            if (i == at) out.add(setPath(e, path.tail, v, createMissing))
+            else out.add(e)
+            i += 1
+          }
+          out
+        }
+      } else if (a.isArray) throw new IllegalArgumentException(
+        s"graft: path element is not an integer: '$step'")
+      else throw new IllegalArgumentException(
+        "graft: cannot set path in scalar jsonb")
+    }
+  }
+
+  /** jsonb_insert: insert `v` at `path` — before (or after, with
+    * `after`) an array index; as a NEW object key (an existing key
+    * errors, as PG's "cannot replace existing key"). */
+  def insertPath(a: JsonNode, path: Seq[String], v: JsonNode,
+      after: Boolean): JsonNode = {
+    require(path.nonEmpty, "jsonb_insert needs a non-empty path")
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    if (path.length == 1) {
+      val step = path.head
+      if (a.isObject) {
+        if (a.has(step)) throw new IllegalArgumentException(
+          "graft: cannot replace existing key with jsonb_insert")
+        val out = a.deepCopy[ObjectNode]()
+        out.set(step, v)
+        out
+      } else if (a.isArray) {
+        if (!isInt(step)) throw new IllegalArgumentException(
+          s"graft: path element is not an integer: '$step'")
+        val n = a.size()
+        val at0 = step.toInt
+        val base = if (at0 < 0) at0 + n else at0
+        val at = math.max(0, math.min(n, base + (if (after) 1 else 0)))
+        val out = mapper.createArrayNode()
+        var i = 0
+        val it = a.elements()
+        while (it.hasNext) {
+          val e = it.next()
+          if (i == at) out.add(v)
+          out.add(e)
+          i += 1
+        }
+        if (at >= n) out.add(v)
+        out
+      } else throw new IllegalArgumentException(
+        "graft: cannot insert path in scalar jsonb")
+    } else {
+      val step = path.head
+      if (a.isObject) {
+        val child = a.get(step)
+        if (child == null) a
+        else {
+          val out = a.deepCopy[ObjectNode]()
+          out.set(step, insertPath(child, path.tail, v, after))
+          out
+        }
+      } else if (a.isArray && isInt(step)) {
+        val n = a.size()
+        val at0 = step.toInt
+        val at = if (at0 < 0) at0 + n else at0
+        if (at < 0 || at >= n) a
+        else {
+          val out = mapper.createArrayNode()
+          var i = 0
+          val it = a.elements()
+          while (it.hasNext) {
+            val e = it.next()
+            if (i == at) out.add(insertPath(e, path.tail, v, after))
+            else out.add(e)
+            i += 1
+          }
+          out
+        }
+      } else throw new IllegalArgumentException(
+        "graft: cannot insert path in scalar jsonb")
+    }
+  }
+
   private def isInt(s: String): Boolean =
     s.nonEmpty && s.forall(c => c.isDigit || c == '-') &&
       (s.count(_ == '-') == 0 || (s.head == '-' && s.count(_ == '-') == 1)) &&
@@ -342,6 +499,37 @@ case class JsonbConcat(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("jsonbConcat", this, classOf[JsonbConcat].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.eval2($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** jsonb_set / jsonb_insert (insert=false/true; flag = createMissing
+  * for set, insertAfter for insert), canonical text result. */
+case class JsonbSetInsert(left: Expression, right: Expression,
+    path: Seq[String], insert: Boolean, flag: Boolean)
+    extends BinaryExpression {
+  require(path.nonEmpty, "jsonb set/insert needs a non-empty path")
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (insert) "jsonb_insert" else "jsonb_set"
+
+  def eval2(a: UTF8String, b: UTF8String): UTF8String = {
+    val t = Jsonb.parse(a)
+    val v = Jsonb.parse(b)
+    val out = if (insert) Jsonb.insertPath(t, path, v, after = flag)
+              else Jsonb.setPath(t, path, v, createMissing = flag)
+    UTF8String.fromString(Jsonb.render(out))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    eval2(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonbSetInsert", this,
+      classOf[JsonbSetInsert].getName)
     nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.eval2($a, $b);")
   }
 

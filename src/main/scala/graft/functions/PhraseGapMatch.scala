@@ -18,11 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
  * HOF lambdas, no explode/positions materialization), called directly
  * from generated code so whole-stage codegen stays intact.
  */
-case class PhraseGapMatch(child: Expression, terms: Seq[String], gaps: Seq[Int])
+case class PhraseGapMatch(child: Expression, terms: Seq[String], gaps: Seq[Int],
+    prefixes: Seq[Boolean] = Nil)
     extends UnaryExpression {
   require(terms.nonEmpty, "phrase needs at least one term")
   require(gaps.length == terms.length - 1, "need one gap per adjacent term pair")
   require(gaps.forall(_ >= 1), "gaps must be >= 1")
+  require(prefixes.isEmpty || prefixes.length == terms.length,
+    "need one prefix flag per term (or none)")
 
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
@@ -31,6 +34,9 @@ case class PhraseGapMatch(child: Expression, terms: Seq[String], gaps: Seq[Int])
   // cumulative token offsets of each term relative to the first
   private val offsets: Array[Int] = gaps.scanLeft(0)(_ + _).toArray
   private val lowered: Array[String] = terms.map(_.toLowerCase).toArray
+  // term j matches by startsWith instead of equality (tsquery `t:*`)
+  private val pre: Array[Boolean] =
+    (if (prefixes.isEmpty) terms.map(_ => false) else prefixes).toArray
 
   /** The per-row matcher (public: invoked from generated code). */
   def matches(text: UTF8String): Boolean = {
@@ -42,7 +48,8 @@ case class PhraseGapMatch(child: Expression, terms: Seq[String], gaps: Seq[Int])
       var j = 0
       var ok = true
       while (ok && j < lowered.length) {
-        ok = toks(i + offsets(j)) == lowered(j)
+        val t = toks(i + offsets(j))
+        ok = if (pre(j)) t.startsWith(lowered(j)) else t == lowered(j)
         j += 1
       }
       if (ok) return true

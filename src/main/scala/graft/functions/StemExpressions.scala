@@ -115,6 +115,60 @@ case class StemStats(child: Expression, terms: Seq[String]) extends UnaryExpress
 }
 
 /**
+ * to_tsvector proper: lexemes GROUPED by lexeme with sorted position
+ * lists, entries sorted by lexeme — PG's tsvector value layout
+ * (tsvector.c; entries are kept sorted for binary search). One
+ * compiled pass; the tsvector manipulation surface (length, strip/
+ * tsvector_to_array, ts_delete — tsvector_op.cpp) composes on top as
+ * plain array functions.
+ */
+case class TsVector(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lex", StringType, nullable = false),
+    StructField("positions", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "to_tsvector"
+
+  def vector(text: UTF8String): GenericArrayData = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    val m = new java.util.TreeMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    var p = 0
+    while (p < toks.length) {
+      val t = toks(p)
+      if (t.nonEmpty && !graft.operators.Lexize.stopJava.contains(t)) {
+        val s = Porter.stem(t)
+        var b = m.get(s)
+        if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty[Int]; m.put(s, b) }
+        b += p + 1
+      }
+      p += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(UTF8String.fromString(e.getKey),
+        new GenericArrayData(e.getValue.toArray[Int].map(Integer.valueOf)
+          .toArray[Any]))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = vector(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("toTsVector", this, classOf[TsVector].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.vector($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/**
  * Stemmed tsquery FOLLOWED-BY — `lexA <N> lexB` evaluated against the
  * stemmed view of the document (the [[PhraseGapMatch]] device lifted
  * to lexemes): true iff raw token positions p_0 < p_1 < … exist with

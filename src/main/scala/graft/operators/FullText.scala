@@ -114,6 +114,10 @@ object FullText {
       val t = peek
       require(t.nonEmpty && "&|!()".indexOf(t) < 0 && !t.startsWith("<"),
         s"expected a term at token $pos, found '$t'")
+      if (t.contains(":"))
+        require(t.length > 2 && t.endsWith(":*") && t.indexOf(':') == t.length - 2,
+          s"bad term '$t' in tsquery (':' is only valid as a trailing ':*' " +
+            "prefix marker)")
       pos += 1
       t
     }
@@ -123,7 +127,31 @@ object FullText {
   private def padded(text: Column): Column =
     concat(lit(" "), lower(text), lit(" "))
 
+  /** Split a query term into (stem-of-term, isPrefix): `spar:*` →
+    * ("spar", true) — tsquery's prefix-match marker (tsquery.c). */
+  private[graft] def splitPrefix(t: String): (String, Boolean) =
+    if (t.endsWith(":*")) {
+      val p = t.dropRight(2)
+      require(p.nonEmpty && !p.contains(":"), s"bad prefix term '$t' in tsquery")
+      (p, true)
+    } else {
+      require(!t.contains(":"), s"bad term '$t' in tsquery")
+      (t, false)
+    }
+
   private def compile(n: Node, pad: Column, raw: Column): Column = n match {
+    case Phrase(Seq(t), _) if t.endsWith(":*") =>
+      // single prefix atom: boundary space on the LEFT only — ` spar`
+      // hits every token starting 'spar'
+      locate(" " + splitPrefix(t)._1, pad) > 0
+    case Phrase(terms, gaps) if terms.exists(_.endsWith(":*")) =>
+      // phrase with prefix slots: position arithmetic with per-slot
+      // startsWith comparison, one compiled token scan per row
+      val split = terms.map(splitPrefix)
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.PhraseGapMatch(
+          org.apache.spark.sql.graft.Bridge.expression(raw),
+          split.map(_._1), gaps, split.map(_._2)))
     case Phrase(terms, gaps) if gaps.forall(_ == 1) =>
       // token membership / adjacency == substring match on the padded
       // joined-token string (text itself, for space-tokenized docs)
@@ -477,10 +505,27 @@ object FullText {
   /** One term's postings rows, with the partition-pruning bucket
     * literal when the postings are bucketed. */
   private def termRows(post: DataFrame, t: String, buckets: Int): DataFrame = {
-    val base = if (buckets > 0)
-      post.filter(col("tbucket") === lit(termBucket(t, buckets)))
-    else post
-    base.filter(col("term") === lit(t))
+    val (p, pre) = splitPrefix(t)
+    if (pre) {
+      // tsquery `p:*` — GIN's partial match walks the term RANGE
+      // [p, p+ε); a hash-bucketed layout cannot prune a range, so the
+      // lookup filters term-startsWith across buckets (a first-letter
+      // layout prunes — see postingsPrefixParted/indexedPrefix).
+      // A doc may hold SEVERAL terms under the prefix: union their
+      // position lists so phrase arithmetic sees every occurrence.
+      val base = if (post.columns.contains("tletter"))
+        post.filter(col("tletter") === p.substring(0, 1))
+      else post
+      base.filter(startswith(col("term"), lit(p)))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(flatten(collect_list(col("positions"))))
+          .as("positions"))
+    } else {
+      val base = if (buckets > 0)
+        post.filter(col("tbucket") === lit(termBucket(p, buckets)))
+      else post
+      base.filter(col("term") === lit(p))
+    }
   }
 
   /** One phrase literal against the postings: per-term equi-lookups +
@@ -546,6 +591,9 @@ object FullText {
           case ((Phrase(terms, gaps), isNeg), lid) =>
             val offs = gaps.scanLeft(0)(_ + _)
             terms.zipWithIndex.foreach { case (t, slot) =>
+              require(!t.endsWith(":*"),
+                s"graft: prefix term '$t' in query $qid — the batch path " +
+                  "joins postings on exact term equality; use indexedMatch")
               lits += QueryLit(t, qid, cid, lid, slot, offs, terms.length, isNeg)
             }
         }
@@ -593,7 +641,11 @@ object FullText {
       case Or(l, r) => walk(l, neg) ++ walk(r, neg)
       case Not(c) => walk(c, !neg)
     }
-    walk(parseQuery(query), neg = false).distinct
+    val ts = walk(parseQuery(query), neg = false).distinct
+    require(ts.forall(!_.endsWith(":*")),
+      "graft: prefix terms (t:*) are match-only — ranking/headline/bm25 " +
+        "need exact lexemes (PG computes tf per lexeme, not per prefix)")
+    ts
   }
 
   // -----------------------------------------------------------------

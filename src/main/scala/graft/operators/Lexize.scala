@@ -65,6 +65,23 @@ object Lexize {
   def stemStats(text: Column, terms: Seq[String]): Column =
     Bridge.column(StemStats(Bridge.expression(text), terms))
 
+  /** to_tsvector proper: array<struct<lex, positions>> sorted by lex
+    * (PG's tsvector layout). The manipulation surface composes on
+    * top: [[tsvectorLength]], [[tsvectorToArray]], [[tsDelete]]. */
+  def tsvector(text: Column): Column =
+    Bridge.column(graft.functions.TsVector(Bridge.expression(text)))
+
+  /** length(tsvector): number of distinct lexemes. */
+  def tsvectorLength(v: Column): Column = size(v)
+
+  /** tsvector_to_array: the sorted lexeme list (also `strip`'s
+    * information content — positions dropped). */
+  def tsvectorToArray(v: Column): Column = transform(v, _.getField("lex"))
+
+  /** ts_delete(tsvector, lexeme). */
+  def tsDelete(v: Column, lexeme: String): Column =
+    filter(v, x => x.getField("lex") =!= lexeme)
+
   // ---------------------------------------------------------------
   // query normalization (to_tsquery('english', …) analogue)
   // ---------------------------------------------------------------

@@ -336,6 +336,41 @@ object RelationalSuite3 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // jsonb_set / jsonb_insert (jsonfuncs.cpp setPath): nested-path
+    // replace with a per-row value, create-missing at the last step
+    // only (missing INTERMEDIATE → unchanged; create_missing=false →
+    // unchanged), array inserts before/after an index — each output
+    // extracted post-mutation and checked relationally
+    "json_set" -> ((s, dir) => {
+      val J = graft.functions.Jsonb
+      val k3 = pmod(col("o_orderkey"), lit(3)).cast("string")
+      val doc = concat(lit("{\"o\":"), col("o_orderkey").cast("string"),
+        lit(",\"cust\":{\"key\":"), col("o_custkey").cast("string"),
+        lit(",\"seg\":\"s"), pmod(col("o_custkey"), lit(7)).cast("string"),
+        lit("\"},\"status\":\""), col("o_orderstatus"),
+        lit("\",\"tags\":[\"p"), k3, lit("\",\"x\"]}"))
+      val qv = concat(lit("\"q"), pmod(col("o_orderkey"), lit(2)).cast("string"),
+        lit("\""))
+      Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"),
+          get_json_object(J.setJson(doc, Seq("cust", "key"),
+              (col("o_custkey") * 2).cast("string")), "$.cust.key")
+            .cast("long").as("key2"),
+          get_json_object(J.setJson(doc, Seq("cust", "n"),
+              pmod(col("o_orderkey"), lit(5)).cast("string")), "$.cust.n")
+            .cast("long").as("cust_n"),
+          get_json_object(J.setJson(doc, Seq("zz", "k"), "1"), "$.status")
+            .as("status_kept"),
+          get_json_object(J.setJson(doc, Seq("nope"), lit("1"),
+              createMissing = false), "$.nope").as("nope_abs"),
+          get_json_object(J.insertJson(doc, Seq("tags", "1"), qv),
+            "$.tags[1]").as("ins_before"),
+          get_json_object(J.insertJson(doc, Seq("tags", "0"), qv,
+              insertAfter = true), "$.tags[1]").as("ins_after"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // PG statistical aggregates (stddev_pop/var_pop/covar_pop/corr)
     // made hash-exact: float built-ins accumulate in partition order
     // (ulp drift between engines), so the moments Σx, Σy, Σx², Σy²,
@@ -1012,6 +1047,17 @@ object RelationalSuite3 {
         |    || o_custkey::VARCHAR || ', "seg": "s' || (o_custkey % 7)::VARCHAR
         |    || '"}, "tags": ["p' || (o_orderkey % 3)::VARCHAR
         |    || '", "x"], "status": "' || o_orderstatus || '"}' AS merged
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "json_set" ->
+      """SELECT o_orderkey,
+        |  (o_custkey * 2)::BIGINT AS key2,
+        |  (o_orderkey % 5)::BIGINT AS cust_n,
+        |  o_orderstatus AS status_kept,
+        |  NULL::VARCHAR AS nope_abs,
+        |  'q' || (o_orderkey % 2)::VARCHAR AS ins_before,
+        |  'q' || (o_orderkey % 2)::VARCHAR AS ins_after
         |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
 

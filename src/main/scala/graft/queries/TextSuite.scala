@@ -619,12 +619,27 @@ object TextSuite {
     "fts_prefix" -> ((s, dir) => {
       val FT = graft.operators.FullText
       Tables.spread(s, dir, "documents")
+        .filter(FT.tsMatch(col("text"), "(sc:* | sm:*) & !dup"))
         .select(col("doc_id"),
-          FT.prefixMatch(col("text"), "sc").as("sc_hit"),
-          FT.prefixMatch(col("text"), "sm").as("sm_hit"),
-          FT.tsMatch(col("text"), "dup").as("dup_hit"))
-        .filter((col("sc_hit") || col("sm_hit")) && !col("dup_hit"))
-        .select(col("doc_id"), col("sc_hit"), col("sm_hit"))
+          FT.tsMatch(col("text"), "sc:*").as("sc_hit"),
+          FT.tsMatch(col("text"), "sm:*").as("sm_hit"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // tsvector value manipulation (tsvector.c / tsvector_op.cpp):
+    // to_tsvector proper (lexemes grouped, entries sorted — PG's
+    // layout), length, tsvector_to_array, ts_delete — one compiled
+    // pass builds the vector, array functions compose on top
+    "tsvector_ops" -> ((s, dir) => {
+      val LX = graft.operators.Lexize
+      val v = LX.tsvector(col("text"))
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          LX.tsvectorLength(v).cast("long").as("n_lex"),
+          array_join(LX.tsvectorToArray(v), " ").as("lex_arr"),
+          LX.tsvectorLength(LX.tsDelete(v, "tabl")).cast("long")
+            .as("n_after_del"),
+          element_at(LX.tsvectorToArray(v), 1).as("first_lex"))
         .transform(Gate.ordered(_, "doc_id"))
     })
   )
@@ -1456,6 +1471,23 @@ object TextSuite {
         |FROM p
         |WHERE (position(' sc' IN pad) > 0 OR position(' sm' IN pad) > 0)
         |  AND NOT position(' dup ' IN pad) > 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // tsvector entries = sorted distinct lexemes (stop-filter pre-stem,
+    // shared stem map)
+    "tsvector_ops" -> {
+      val LX = graft.operators.Lexize
+      s"""WITH t AS (SELECT doc_id,
+         |  list_sort(list_distinct(list_transform(
+         |    list_filter(string_split(lower(text), ' '),
+         |      x -> x <> '' AND x NOT IN ${LX.stopListSql}),
+         |    x -> ${LX.stemCaseSql("x")}))) AS lexs
+         |FROM documents)
+         |SELECT doc_id, len(lexs)::BIGINT AS n_lex,
+         |  array_to_string(lexs, ' ') AS lex_arr,
+         |  len(list_filter(lexs, x -> x <> 'tabl'))::BIGINT AS n_after_del,
+         |  lexs[1] AS first_lex
+         |FROM t ORDER BY doc_id""".stripMargin
+    }
   )
 }

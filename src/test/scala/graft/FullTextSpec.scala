@@ -324,4 +324,43 @@ class FullTextSpec extends SparkSpec {
     assert(scanLine.contains("PartitionFilters") && scanLine.contains("tletter"),
       s"prefix lookup lost letter-partition pruning: $scanLine")
   }
+
+  test("prefix atoms compose in the tsquery tree, scan and indexed") {
+    import spark.implicits._
+    def m(q: String, texts: String*): Seq[Boolean] =
+      texts.toSeq.toDF("text")
+        .select(FullText.tsMatch(col("text"), q).as("m"))
+        .as[Boolean].collect().toSeq
+    // boolean composition
+    assert(m("sp:* & ke:*", "spark key", "spark dup", "key dup") ==
+      Seq(true, false, false))
+    assert(m("du:* | sl:*", "a dup", "slow b", "fast c") ==
+      Seq(true, true, false))
+    assert(m("spark & !qu:*", "spark row", "spark query") == Seq(true, false))
+    // prefix slots inside phrases: position arithmetic + startsWith
+    // ('spa' itself starts with 'sp', so it matches sp:* too)
+    assert(m("spar:* <-> key", "spark key", "spa key", "key spark") ==
+      Seq(true, false, false))
+    assert(m("sp:* <-> key", "spa key") == Seq(true))
+    assert(m("sp:* <2> ke:*", "spark x key", "spark key") == Seq(true, false))
+    intercept[IllegalArgumentException](FullText.parseQuery("a:b"))
+    intercept[IllegalArgumentException](
+      FullText.positiveTerms("sp:* & key"))
+
+    // indexed == scan for prefix queries, incl. multi-term-per-doc
+    // position union (e.g. 's:*' hits several lexemes in one doc)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val post = FullText.postings(docs, "doc_id", "text").cache()
+    try {
+      for (q <- Seq("sc:* | sm:*", "(sc:* | sm:*) & !dup",
+          "sp:* <-> ke:*", "s:* & !du:*", "sp:* <2> key")) {
+        val scan = docs.filter(FullText.tsMatch(col("text"), q))
+          .select("doc_id").as[Long].collect().toSet
+        val idx = FullText.indexedMatch(post, q)
+          .select("doc_id").as[Long].collect().toSet
+        assert(idx == scan, s"index!=scan for '$q'")
+        assert(scan.nonEmpty, s"degenerate prefix query '$q'")
+      }
+    } finally { post.unpersist(); () }
+  }
 }

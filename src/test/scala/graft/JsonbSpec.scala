@@ -146,6 +146,44 @@ class JsonbSpec extends SparkSpec {
     assert(dp("""["a","b"]""", Seq("-1")) == """["a"]""")
   }
 
+  test("jsonb_set: replace, create last step only, array out-of-range") {
+    def st(t: String, p: Seq[String], v: String, cm: Boolean = true): String =
+      Seq(t).toDF("t")
+        .select(Jsonb.setJson(col("t"), p, lit(v), cm).as("r"))
+        .as[String].head()
+    assert(st("""{"a":{"b":1}}""", Seq("a", "b"), "2") == """{"a": {"b": 2}}""")
+    assert(st("""{"a":{}}""", Seq("a", "n"), "5") == """{"a": {"n": 5}}""")
+    // missing INTERMEDIATE step: unchanged
+    assert(st("""{"a":1}""", Seq("z", "k"), "2") == """{"a": 1}""")
+    // create_missing=false on an absent last step: unchanged
+    assert(st("""{"a":1}""", Seq("b"), "2", cm = false) == """{"a": 1}""")
+    // arrays: replace in range; out-of-range appends/prepends (PG)
+    assert(st("""[1,2,3]""", Seq("1"), "9") == "[1, 9, 3]")
+    assert(st("""[1,2]""", Seq("-1"), "9") == "[1, 9]")
+    assert(st("""[1,2]""", Seq("9"), "7") == "[1, 2, 7]")
+    assert(st("""[1,2]""", Seq("-9"), "7") == "[7, 1, 2]")
+    intercept[Exception](Seq("1").toDF("t")
+      .select(Jsonb.setJson(col("t"), Seq("a"), lit("2")).as("r")).collect())
+  }
+
+  test("jsonb_insert: array before/after, new object keys only") {
+    def ins(t: String, p: Seq[String], v: String, after: Boolean = false): String =
+      Seq(t).toDF("t")
+        .select(Jsonb.insertJson(col("t"), p, lit(v), after).as("r"))
+        .as[String].head()
+    // PG's documented examples
+    assert(ins("""{"a":[0,1,2]}""", Seq("a", "1"), "\"new_value\"") ==
+      """{"a": [0, "new_value", 1, 2]}""")
+    assert(ins("""{"a":[0,1,2]}""", Seq("a", "1"), "\"new_value\"", after = true) ==
+      """{"a": [0, 1, "new_value", 2]}""")
+    assert(ins("""{"b":1}""", Seq("c"), "2") == """{"b": 1, "c": 2}""")
+    intercept[Exception](Seq("""{"b":1}""").toDF("t")
+      .select(Jsonb.insertJson(col("t"), Seq("b"), lit("2")).as("r")).collect())
+    // negative index, end-insert
+    assert(ins("[1,2]", Seq("-1"), "9") == "[1, 9, 2]")
+    assert(ins("[1,2]", Seq("-1"), "9", after = true) == "[1, 2, 9]")
+  }
+
   test("invalid json raises") {
     val ex = intercept[Exception] {
       Seq("{nope").toDF("t")

@@ -236,6 +236,11 @@ class PlanContractSpec extends SparkSpec {
     // the corpus pass runs twice (the shuffleBatches construction-collect
     // bug class). AQE stitches the second consumer to the first shuffle
     // at runtime, so assert on the FINAL adaptive plan after execution.
+    // Other suites may have cached a subtree of this plan in the shared
+    // session (CacheManager substitutes InMemoryRelation by plan match,
+    // which changes how reuse prints) — clear the cache so the strict
+    // ReusedExchange assertion runs in a deterministic plan environment.
+    spark.catalog.clearCache()
     val df = SparkEntry.queries("bm25_search")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
