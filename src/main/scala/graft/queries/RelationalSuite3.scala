@@ -305,6 +305,43 @@ object RelationalSuite3 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // SQL/JSON path queries (@? / jsonb_path_exists /
+    // jsonb_path_query_first; jsonpath_exec.cpp, LAX mode): filters
+    // over the items array (@.qty > N, string equality), lax
+    // auto-unwrap member access, index steps, exists() — every
+    // predicate restated relationally in the oracle
+    "json_path" -> ((s, dir) => {
+      val JP = graft.functions.JsonPath
+      val items = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").cast("long").as("ln"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_returnflag").as("rf")).as("item"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("item"))).as("items"))
+      val doc = to_json(struct(
+        col("o_orderkey").as("o"),
+        struct(col("o_custkey").as("key")).as("cust"),
+        col("o_orderstatus").as("status"),
+        coalesce(col("items"),
+          expr("CAST(array() AS ARRAY<STRUCT<ln:BIGINT,qty:BIGINT,rf:STRING>>)"))
+          .as("items")))
+      Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), doc.as("doc"))
+        .select(col("o_orderkey"),
+          JP.pathExists(col("doc"), "$.items[*] ? (@.qty > 30)").as("p_qty"),
+          // lax member access auto-unwraps the array: no [*] needed
+          JP.pathExists(col("doc"), "$.items ? (@.rf == \"R\")").as("p_rf"),
+          JP.pathExists(col("doc"), "$.items[2]").as("p_three"),
+          JP.pathExists(col("doc"), "$.cust ? (@.key >= 100)").as("p_key"),
+          JP.pathExists(col("doc"), "$ ? (exists (@.status))").as("p_status"),
+          JP.pathQueryFirst(col("doc"), "$.items[0].qty").cast("long")
+            .as("first_qty"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // jsonb mutation operators (||, - text, - int, #- path) with
     // jsonb's CANONICAL text rendering (storage key order: length
     // then bytewise, ", "/": " separators) — the `merged` column is
@@ -1048,6 +1085,25 @@ object RelationalSuite3 {
         |    || '"}, "tags": ["p' || (o_orderkey % 3)::VARCHAR
         |    || '", "x"], "status": "' || o_orderstatus || '"}' AS merged
         |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "json_path" ->
+      """SELECT o_orderkey,
+        |  EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |          AND CAST(l.l_quantity AS BIGINT) > 30) AS p_qty,
+        |  EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |          AND l.l_returnflag = 'R') AS p_rf,
+        |  ((SELECT count(*) FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey) >= 3) AS p_three,
+        |  (o_custkey >= 100) AS p_key,
+        |  TRUE AS p_status,
+        |  (SELECT CAST(l.l_quantity AS BIGINT) FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey
+        |   -- testdata lineitem has duplicate (orderkey, linenumber)
+        |   -- pairs: match sort_array's full (ln, qty, rf) struct order
+        |   ORDER BY l.l_linenumber, CAST(l.l_quantity AS BIGINT),
+        |     l.l_returnflag LIMIT 1) AS first_qty
+        |FROM orders o WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
 
     "json_set" ->

@@ -626,6 +626,23 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // The normalized retrieval stack at serving shape: indexed stemmed
+    // match (lexeme postings, text never read in the match path) →
+    // fetch text for the matched subset only → lexeme-tf ts_rank →
+    // bounded top-10. Index==scan by construction (fts_stem_indexed),
+    // rank shares the contribution table with the oracle
+    "fts_stem_retrieve" -> ((s, dir) => {
+      val LX = graft.operators.Lexize
+      val q = "customers & merging"
+      val docs = Tables.spread(s, dir, "documents")
+      val post = LX.postings(docs, "doc_id", "text")
+      LX.indexedMatch(post, q)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), round(LX.tsRank(col("text"), q), 6).as("r0"))
+        .orderBy(col("r0").desc, col("doc_id")).limit(10)
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // tsvector value manipulation (tsvector.c / tsvector_op.cpp):
     // to_tsvector proper (lexemes grouped, entries sorted — PG's
     // layout), length, tsvector_to_array, ts_delete — one compiled
@@ -1472,6 +1489,27 @@ object TextSuite {
         |WHERE (position(' sc' IN pad) > 0 OR position(' sm' IN pad) > 0)
         |  AND NOT position(' dup ' IN pad) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // fts_stemmed's scoring CTEs -> top-10 by (rank DESC, doc_id)
+    "fts_stem_retrieve" -> {
+      val LX = graft.operators.Lexize
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(list_filter(string_split(lower(text), ' '),
+         |      x -> x <> '' AND x NOT IN ${LX.stopListSql}),
+         |    x -> ${LX.stemCaseSql("x")}) AS lex
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |  len(list_filter(lex, x -> x = 'custom'))::BIGINT AS tf_custom,
+         |  len(list_filter(lex, x -> x = 'merg'))::BIGINT AS tf_merg FROM t),
+         |r AS (SELECT doc_id, tf_custom, tf_merg,
+         |  list_extract(${graft.operators.FullText.rankTableSql},
+         |    least(tf_custom, 256) + 1)
+         |  + list_extract(${graft.operators.FullText.rankTableSql},
+         |    least(tf_merg, 256) + 1) AS raw FROM b)
+         |SELECT doc_id, round(raw, 6) AS r0 FROM r
+         |WHERE tf_custom > 0 AND tf_merg > 0
+         |ORDER BY round(raw, 6) DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // tsvector entries = sorted distinct lexemes (stop-filter pre-stem,
     // shared stem map)

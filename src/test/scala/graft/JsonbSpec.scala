@@ -184,6 +184,32 @@ class JsonbSpec extends SparkSpec {
     assert(ins("[1,2]", Seq("-1"), "9", after = true) == "[1, 2, 9]")
   }
 
+  test("jsonpath: lax filters, wildcards, indexes, exists, first") {
+    import graft.functions.JsonPath
+    def pe(t: String, p: String): Boolean =
+      Seq(t).toDF("t").select(JsonPath.pathExists(col("t"), p).as("r"))
+        .as[Boolean].head()
+    val d = """{"a":[{"b":1},{"b":2}],"s":"x","n":5}"""
+    assert(pe(d, "$.a[*] ? (@.b > 1)"))
+    assert(!pe(d, "$.a[*] ? (@.b > 2)"))
+    // lax mode: member access auto-unwraps the array
+    assert(pe(d, "$.a ? (@.b == 2)"))
+    assert(pe(d, "$.a[1].b") && !pe(d, "$.a[2]"))
+    assert(pe(d, "$.a[-1] ? (@.b == 2)"))
+    assert(pe(d, "$ ? (exists (@.s))") && !pe(d, "$ ? (exists (@.zz))"))
+    assert(pe(d, "$.s ? (@ == \"x\")") && !pe(d, "$.s ? (@ != \"x\")"))
+    // numbers compare numerically
+    assert(pe(d, "$.n ? (@ == 5.0)") && pe(d, "$.n ? (@ <= 5)"))
+    def first(t: String, p: String): Option[String] =
+      Seq(t).toDF("t").select(JsonPath.pathQueryFirst(col("t"), p).as("r"))
+        .as[Option[String]].head()
+    assert(first(d, "$.a[*].b").contains("1"))
+    assert(first(d, "$.a[1]").contains("""{"b": 2}"""))
+    assert(first(d, "$.zz").isEmpty)
+    intercept[IllegalArgumentException](JsonPath.parse("$.a ? (@.b >< 1)"))
+    intercept[IllegalArgumentException](JsonPath.parse("a.b"))
+  }
+
   test("invalid json raises") {
     val ex = intercept[Exception] {
       Seq("{nope").toDF("t")
