@@ -37,7 +37,8 @@ object Bench {
     "regr_agg", "bool_bit_aggs", "asof_multi", "matview_minmax", "oversample", "text_bigram_ppl", "fts_indexed_retrieve", "profile_skew",
     "fts_stemmed", "fts_stem_phrase", "fts_stem_indexed", "fts_prefix",
     "json_contain", "json_mutate", "json_set", "json_path",
-    "tsvector_ops", "fts_stem_retrieve", "ivf_bit_search", "hnsw_bit")
+    "tsvector_ops", "fts_stem_retrieve", "ivf_bit_search", "hnsw_bit",
+    "ltree_ops", "ltree_tree", "intarray_ops", "hstore_ops", "ora_compat")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Ltree
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-11 relational surface: the remaining contrib modules a PG /
+ * openGauss user reaches for — ltree hierarchical paths, intarray,
+ * hstore-style kv maps, earthdistance geo, range types, and the
+ * openGauss A-format (Oracle-compat) function pack.
+ *
+ * Each gate builds its inputs deterministically from the driver tables
+ * so the DuckDB oracle can construct byte-identical inputs.
+ */
+object RelationalSuite4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** customer paths: top.r<region>.n<nation>.c<custkey> — a 4-level
+    * taxonomy; nation/region are broadcast dims. */
+  private def custPaths(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val nation = Tables(s, dir, "nation")
+    cust.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"),
+        concat(lit("top.r"), col("n_regionkey"), lit(".n"),
+          col("c_nationkey"), lit(".c"), col("c_custkey")).as("path"))
+  }
+
+  private val custPathSql =
+    """SELECT c_custkey,
+      |  'top.r' || n_regionkey || '.n' || c_nationkey || '.c' || c_custkey AS path
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  // lquery compiled once, shared verbatim with the oracle (RE2-safe:
+  // no negation atom → no lookahead)
+  private val lq = "top.*{1}.n3|n7.*"
+  private val lqRx = Ltree.lqueryRegex(lq)
+
+  val queries: Map[String, Q] = Map(
+    // ---- ltree (contrib/ltree): per-row ops + lquery match ----
+    "ltree_ops" -> ((s, dir) => {
+      val p = custPaths(s, dir)
+      p.select(col("c_custkey"), col("path"),
+          Ltree.nlevel(col("path")).as("nlev"),
+          Ltree.subpath(col("path"), 1, 2).as("sub12"),
+          Ltree.subltree(col("path"), 0, 2).as("sl02"),
+          Ltree.ltreeIndex(col("path"), lit("n3")).as("idx_n3"),
+          Ltree.ltreeIndex(col("path"),
+            concat(lit("n"), col("c_custkey") % 25, lit(".c"), col("c_custkey")))
+            .as("idx_self"),
+          Ltree.isAncestor(lit("top.r2"), col("path")).as("under_r2"),
+          Ltree.lqueryMatch(col("path"), lq).as("m_lq"))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- ltree: ancestor join (exploded-prefix equi-join, no LIKE
+    // theta join) + group lca with the min/max label-prefix trick ----
+    "ltree_tree" -> ((s, dir) => {
+      val p = custPaths(s, dir)
+      val nation = Tables(s, dir, "nation")
+      val roots = broadcast(
+        nation.filter(col("n_regionkey") < 2)
+          .select(concat(lit("top.r"), col("n_regionkey"), lit(".n"),
+            col("n_nationkey")).as("root")))
+      val under = Ltree.ancestorJoin(p, "path", roots, "root")
+        .groupBy(col("root")).agg(count(lit(1)).as("n_desc"))
+      val lca = p
+        .withColumn("nk", split(col("path"), "\\.").getItem(2))
+        .groupBy(col("nk"))
+        .agg(Ltree.lcaAgg(col("path")).as("lca"),
+          count(lit(1)).as("n_paths"))
+      under.join(lca, concat(lit("top.r"),
+          expr("substring(lca, 6, 1)"), lit("."), col("nk")) === col("root"), "inner")
+        .select(col("root"), col("n_desc"), col("lca"), col("n_paths"))
+        .transform(Gate.ordered(_, "root"))
+    }),
+
+    // ---- intarray (contrib/intarray/_int_op.cpp, _int_tool.cpp):
+    // sort/uniq/icount/idx/subarray/+/-/&/&&/@> over per-order int
+    // sets; Spark array_* functions are the codegen'd equivalents.
+    // array_except/array_intersect dedup (like intarray's set ops
+    // after sort/uniq); results re-sorted for a stable text gate. ----
+    "intarray_ops" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val probe = array(lit(7), lit(10), lit(13))
+      def str(c: org.apache.spark.sql.Column) =
+        array_join(c.cast("array<string>"), ",")
+      li.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set((col("l_partkey") % 50).cast("int")))
+          .as("a"))
+        .select(col("l_orderkey"),
+          str(col("a")).as("a_str"),
+          size(col("a")).as("icount"),
+          coalesce(array_position(col("a"), 10), lit(0)).as("idx10"),
+          str(slice(col("a"), 2, 3)).as("sub23"),
+          arrays_overlap(col("a"), probe).as("overlap"),
+          forall(probe, x => array_contains(col("a"), x)).as("contains_probe"),
+          str(array_sort(array_except(col("a"), probe))).as("diff_str"),
+          str(array_sort(array_intersect(col("a"), probe))).as("inter_str"),
+          str(concat(col("a"), probe)).as("cat_str"))
+        .transform(Gate.ordered(_, "l_orderkey"))
+    }),
+
+    // ---- hstore (contrib/hstore/hstore_op.cpp: fetchval `->`, exists
+    // `?`, hs_concat `||` right-wins, delete, akeys). Maps built from
+    // order columns; `||` is map_zip_with(coalesce(v2,v1)) — exactly
+    // hstore's right-operand-wins merge, null-safe, codegen'd. ----
+    "hstore_ops" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val h = map(lit("status"), col("o_orderstatus"),
+        lit("prio"), col("o_orderpriority"),
+        lit("seg"), col("c_mktsegment"))
+      val over = when(col("o_custkey") % 2 === 0,
+        map(lit("prio"), lit("0-LOW")))
+        .otherwise(map(lit("extra"), col("o_orderstatus")))
+      val merged = map_zip_with(h, over, (_, v1, v2) => coalesce(v2, v1))
+      val deleted = map_filter(h, (k, _) => k =!= "status")
+      j.select(col("o_orderkey"),
+          element_at(h, "prio").as("v_prio"),
+          map_contains_key(h, "seg").as("has_seg"),
+          map_contains_key(h, "x").as("has_x"),
+          element_at(merged, "prio").as("merged_prio"),
+          array_join(array_sort(map_keys(merged)), ",").as("merged_keys"),
+          size(deleted).as("del_n"),
+          array_join(array_sort(map_keys(deleted)), ",").as("del_keys"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
+    // ---- openGauss A-format (Oracle-compat) function pack — ref:
+    // src/common/backend/utils/adt/a_compat.cpp (lpad/rpad/translate/
+    // ascii/chr/repeat/initcap), gram.y:28414 (NVL → CoalesceExpr),
+    // timestamp.cpp (months_between/add_months/last_day semantics).
+    // DECODE/NVL/NVL2 compile to when-chains exactly as the reference
+    // parser rewrites them. months_between is emitted as
+    // round(mb*31)::long — exactly 31·months + Δday under the
+    // same-day/31-day-month rule, integer-exact in both engines. ----
+    "ora_compat" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("F")), lit("X"))
+            .as("nvl_status"),
+          when(nullif(col("o_orderstatus"), lit("F")).isNotNull, lit("open"))
+            .otherwise(lit("closed")).as("nvl2_status"),
+          when(col("o_orderstatus") === "F", "finished")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("decode_status"),
+          instr(col("o_orderpriority"), "-").as("instr_dash"),
+          lpad(col("o_custkey").cast("string"), 9, "0").as("lpad_cust"),
+          rpad(col("o_orderstatus"), 3, ".").as("rpad_status"),
+          translate(col("o_orderpriority"), "- ", "_.").as("tr_prio"),
+          ascii(col("o_orderstatus")).as("ascii_status"),
+          call_function("char", lit(65) + col("o_custkey") % 26).as("chr_cust"),
+          call_function("repeat", col("o_orderstatus"),
+            (col("o_custkey") % 3 + 1).cast("int")).as("rep_status"),
+          initcap(lower(col("c_mktsegment"))).as("init_seg"),
+          round(months_between(col("o_orderdate"),
+            lit("1995-06-17").cast("timestamp")) * 31).cast("long").as("mb31"),
+          add_months(col("o_orderdate"), 5).as("addm"),
+          last_day(col("o_orderdate")).as("lastd"),
+          trunc(col("o_orderdate"), "MM").as("trunc_mm"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ltree_ops" ->
+      s"""WITH p AS ($custPathSql)
+         |SELECT c_custkey, path,
+         |  len(string_split(path, '.'))::INTEGER AS nlev,
+         |  array_to_string(string_split(path, '.')[2:3], '.') AS sub12,
+         |  array_to_string(string_split(path, '.')[1:2], '.') AS sl02,
+         |  CASE WHEN strpos('.' || path || '.', '.n3.') = 0 THEN -1
+         |    ELSE len(string_split(substr('.' || path || '.', 1,
+         |      strpos('.' || path || '.', '.n3.') - 1), '.')) - 1 END::INTEGER AS idx_n3,
+         |  CASE WHEN strpos('.' || path || '.',
+         |      '.n' || (c_custkey % 25) || '.c' || c_custkey || '.') = 0 THEN -1
+         |    ELSE len(string_split(substr('.' || path || '.', 1,
+         |      strpos('.' || path || '.',
+         |        '.n' || (c_custkey % 25) || '.c' || c_custkey || '.') - 1), '.')) - 1
+         |    END::INTEGER AS idx_self,
+         |  (path = 'top.r2' OR starts_with(path, 'top.r2.')) AS under_r2,
+         |  regexp_matches(path || '.', '$lqRx') AS m_lq
+         |FROM p ORDER BY c_custkey""".stripMargin,
+
+    "ltree_tree" ->
+      s"""WITH p AS ($custPathSql),
+         |roots AS (SELECT 'top.r' || n_regionkey || '.n' || n_nationkey AS root
+         |  FROM nation WHERE n_regionkey < 2),
+         |under AS (SELECT root, count(*)::BIGINT AS n_desc
+         |  FROM p JOIN roots ON p.path = root OR starts_with(p.path, root || '.')
+         |  GROUP BY root),
+         |g AS (SELECT string_split(path, '.')[3] AS nk,
+         |    string_split(min(path), '.') AS l1, string_split(max(path), '.') AS l2,
+         |    min(len(string_split(path, '.'))) - 1 AS cap,
+         |    count(*)::BIGINT AS n_paths
+         |  FROM p GROUP BY 1),
+         |lcas AS (SELECT nk, n_paths,
+         |    array_to_string(l1[1:least(
+         |      len(list_filter(range(1, least(len(l1), len(l2)) + 1),
+         |        i -> l1[1:i] = l2[1:i])), cap)::INTEGER], '.') AS lca
+         |  FROM g)
+         |SELECT root, n_desc, lca, n_paths
+         |FROM under JOIN lcas
+         |  ON 'top.r' || substr(lca, 6, 1) || '.' || nk = root
+         |ORDER BY root""".stripMargin,
+
+    "intarray_ops" ->
+      """WITH t AS (SELECT l_orderkey,
+        |  list_sort(list_distinct(list((l_partkey % 50)::INTEGER))) AS a
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  array_to_string(list_transform(a, x -> x::VARCHAR), ',') AS a_str,
+        |  len(a)::INTEGER AS icount,
+        |  coalesce(list_position(a, 10), 0)::BIGINT AS idx10,
+        |  coalesce(array_to_string(list_transform(a[2:4], x -> x::VARCHAR), ','), '') AS sub23,
+        |  list_has_any(a, [7,10,13]) AS overlap,
+        |  list_has_all(a, [7,10,13]) AS contains_probe,
+        |  coalesce(array_to_string(list_transform(list_sort(list_distinct(
+        |    list_filter(a, x -> NOT list_contains([7,10,13], x)))),
+        |    x -> x::VARCHAR), ','), '') AS diff_str,
+        |  coalesce(array_to_string(list_transform(list_sort(list_distinct(
+        |    list_filter(a, x -> list_contains([7,10,13], x)))),
+        |    x -> x::VARCHAR), ','), '') AS inter_str,
+        |  array_to_string(list_transform(list_concat(a, [7,10,13]),
+        |    x -> x::VARCHAR), ',') AS cat_str
+        |FROM t ORDER BY l_orderkey""".stripMargin,
+
+    "hstore_ops" ->
+      """SELECT o_orderkey,
+        |  o_orderpriority AS v_prio,
+        |  true AS has_seg,
+        |  false AS has_x,
+        |  CASE WHEN o_custkey % 2 = 0 THEN '0-LOW'
+        |    ELSE o_orderpriority END AS merged_prio,
+        |  CASE WHEN o_custkey % 2 = 0 THEN 'prio,seg,status'
+        |    ELSE 'extra,prio,seg,status' END AS merged_keys,
+        |  2::INTEGER AS del_n,
+        |  'prio,seg' AS del_keys
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ora_compat" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'X' ELSE o_orderstatus END AS nvl_status,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'closed' ELSE 'open' END AS nvl2_status,
+        |  CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+        |    ELSE 'other' END AS decode_status,
+        |  strpos(o_orderpriority, '-')::INTEGER AS instr_dash,
+        |  lpad(o_custkey::VARCHAR, 9, '0') AS lpad_cust,
+        |  rpad(o_orderstatus, 3, '.') AS rpad_status,
+        |  translate(o_orderpriority, '- ', '_.') AS tr_prio,
+        |  ascii(o_orderstatus)::INTEGER AS ascii_status,
+        |  chr((65 + o_custkey % 26)::INTEGER) AS chr_cust,
+        |  repeat(o_orderstatus, (o_custkey % 3 + 1)::INTEGER) AS rep_status,
+        |  upper(substr(lower(c_mktsegment), 1, 1)) ||
+        |    substr(lower(c_mktsegment), 2) AS init_seg,
+        |  (((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 6)) * 31
+        |    + (day(o_orderdate) - 17))::BIGINT AS mb31,
+        |  (o_orderdate + INTERVAL 5 MONTH)::DATE AS addm,
+        |  last_day(o_orderdate::DATE) AS lastd,
+        |  date_trunc('month', o_orderdate)::DATE AS trunc_mm
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}
