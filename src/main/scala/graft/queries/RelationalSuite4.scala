@@ -166,6 +166,89 @@ object RelationalSuite4 {
           trunc(col("o_orderdate"), "MM").as("trunc_mm"))
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
+
+    // ---- earthdistance (contrib/earthdistance): haversine on the
+    // earth() sphere; synthetic integer-degree coords from keys so
+    // both engines build identical inputs; output rounded to whole
+    // meters (trig ulp differences are ~1e-8 m — far below 0.5). ----
+    "geo_distance" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .withColumn("c_lat", (col("c_custkey") * 37 % 121 - 60).cast("double"))
+        .withColumn("c_lon", (col("c_custkey") * 53 % 360 - 180).cast("double"))
+      c.select(col("c_custkey"),
+          round(graft.operators.Geo.distanceMeters(
+            col("c_lat"), col("c_lon"), lit(0.0), lit(0.0))).cast("long")
+            .as("d_origin_m"),
+          round(graft.operators.Geo.distanceMeters(
+            col("c_lat"), col("c_lon"), lit(48.0), lit(2.0))).cast("long")
+            .as("d_paris_m"))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- earthdistance radius search at scale: grid-cell equi-join
+    // (9-neighbor explode on the small side), exact haversine filter;
+    // no theta join. ----
+    "geo_radius_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .withColumn("c_lat", (col("c_custkey") * 37 % 121 - 60).cast("double"))
+        .withColumn("c_lon", (col("c_custkey") * 53 % 360 - 180).cast("double"))
+      val sup = Tables(s, dir, "supplier")
+        .withColumn("s_lat", (col("s_suppkey") * 41 % 121 - 60).cast("double"))
+        .withColumn("s_lon", (col("s_suppkey") * 59 % 360 - 180).cast("double"))
+      graft.operators.Geo.radiusJoin(c, sup, "c_lat", "c_lon", "s_lat", "s_lon",
+          radiusMeters = 2000000.0)
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_near"),
+          round(min(col("dist_m")) / 1000).cast("long").as("min_km"))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- range types (rangetypes.cpp): canonical [lo, hi) integer
+    // ranges with empty-aware overlap/containment/adjacency/intersect,
+    // all closed-form column arithmetic. ----
+    "range_ops" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .withColumn("lo", (col("o_orderkey") % 97) * 3)
+        .withColumn("hi", (col("o_orderkey") % 97) * 3 + col("o_orderkey") % 11)
+      val x = col("o_custkey") % 300
+      val (ilo, ihi) = graft.operators.Ranges.intersect(
+        col("lo"), col("hi"), lit(120L), lit(150L))
+      o.select(col("o_orderkey"), col("lo"), col("hi"),
+          (col("lo") >= col("hi")).as("is_empty"),
+          graft.operators.Ranges.containsElem(col("lo"), col("hi"), x)
+            .as("contains_x"),
+          graft.operators.Ranges.overlaps(col("lo"), col("hi"),
+            lit(120L), lit(150L)).as("ovl_probe"),
+          graft.operators.Ranges.containsRange(lit(120L), lit(150L),
+            col("lo"), col("hi")).as("in_probe"),
+          graft.operators.Ranges.adjacent(col("lo"), col("hi"),
+            lit(150L), lit(200L)).as("adj_probe"),
+          ilo.as("inter_lo"), ihi.as("inter_hi"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
+    // ---- interval-overlap JOIN at scale: bucket tiling + equi-join
+    // on (custkey, bucket), each pair counted once in the bucket of
+    // its overlap start. ----
+    "range_overlap_join" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .withColumn("lo", datediff(col("o_orderdate"),
+          lit("1995-01-01").cast("timestamp")).cast("long"))
+        .withColumn("hi", col("lo") + col("o_orderkey") % 60 + 1)
+      val l = base.select(col("o_orderkey").as("ok1"),
+        col("o_custkey").as("ck1"), col("lo").as("lo1"), col("hi").as("hi1"))
+      val r = base.select(col("o_orderkey").as("ok2"),
+        col("o_custkey").as("ck2"), col("lo").as("lo2"), col("hi").as("hi2"))
+      graft.operators.Ranges.overlapJoin(l, r, "ck1", "ck2",
+          "lo1", "hi1", "lo2", "hi2", bucketWidth = 64L)
+        .filter(col("ok1") < col("ok2"))
+        .groupBy(col("ck1"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("hi1"), col("hi2")) -
+            greatest(col("lo1"), col("lo2"))).as("overlap_days"))
+        .withColumnRenamed("ck1", "custkey")
+        .transform(Gate.ordered(_, "custkey"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -267,5 +350,75 @@ object RelationalSuite4 {
         |  date_trunc('month', o_orderdate)::DATE AS trunc_mm
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "geo_distance" ->
+      s"""WITH c AS (SELECT c_custkey,
+         |  (c_custkey * 37 % 121 - 60)::DOUBLE AS c_lat,
+         |  (c_custkey * 53 % 360 - 180)::DOUBLE AS c_lon
+         |FROM customer)
+         |SELECT c_custkey,
+         |  round(2.0 * 6378168.0 * asin(least(1.0, sqrt(
+         |    sin(radians(0.0 - c_lat) / 2.0) * sin(radians(0.0 - c_lat) / 2.0)
+         |    + cos(radians(c_lat)) * cos(radians(0.0))
+         |      * sin(radians(0.0 - c_lon) / 2.0)
+         |      * sin(radians(0.0 - c_lon) / 2.0)))))::BIGINT AS d_origin_m,
+         |  round(2.0 * 6378168.0 * asin(least(1.0, sqrt(
+         |    sin(radians(48.0 - c_lat) / 2.0) * sin(radians(48.0 - c_lat) / 2.0)
+         |    + cos(radians(c_lat)) * cos(radians(48.0))
+         |      * sin(radians(2.0 - c_lon) / 2.0)
+         |      * sin(radians(2.0 - c_lon) / 2.0)))))::BIGINT AS d_paris_m
+         |FROM c ORDER BY c_custkey""".stripMargin,
+
+    "geo_radius_join" ->
+      s"""WITH c AS (SELECT c_custkey,
+         |  (c_custkey * 37 % 121 - 60)::DOUBLE AS c_lat,
+         |  (c_custkey * 53 % 360 - 180)::DOUBLE AS c_lon
+         |FROM customer),
+         |s AS (SELECT s_suppkey,
+         |  (s_suppkey * 41 % 121 - 60)::DOUBLE AS s_lat,
+         |  (s_suppkey * 59 % 360 - 180)::DOUBLE AS s_lon
+         |FROM supplier),
+         |d AS (SELECT c_custkey,
+         |  2.0 * 6378168.0 * asin(least(1.0, sqrt(
+         |    sin(radians(s_lat - c_lat) / 2.0) * sin(radians(s_lat - c_lat) / 2.0)
+         |    + cos(radians(c_lat)) * cos(radians(s_lat))
+         |      * sin(radians(s_lon - c_lon) / 2.0)
+         |      * sin(radians(s_lon - c_lon) / 2.0)))) AS dist
+         |  FROM c JOIN s ON s_lat BETWEEN c_lat - 19.0 AND c_lat + 19.0)
+         |SELECT c_custkey, count(*)::BIGINT AS n_near,
+         |  round(min(dist) / 1000)::BIGINT AS min_km
+         |FROM d WHERE dist <= 2000000.0
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "range_ops" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  (o_orderkey % 97) * 3 AS lo,
+        |  (o_orderkey % 97) * 3 + o_orderkey % 11 AS hi
+        |FROM orders)
+        |SELECT o_orderkey, lo, hi,
+        |  (lo >= hi) AS is_empty,
+        |  (lo <= o_custkey % 300 AND o_custkey % 300 < hi) AS contains_x,
+        |  (greatest(lo, 120) < least(hi, 150)) AS ovl_probe,
+        |  (lo >= hi OR (120 <= lo AND hi <= 150)) AS in_probe,
+        |  (lo < hi AND (hi = 150 OR 200 = lo)) AS adj_probe,
+        |  CASE WHEN greatest(lo, 120) < least(hi, 150)
+        |    THEN greatest(lo, 120) ELSE 0 END AS inter_lo,
+        |  CASE WHEN greatest(lo, 120) < least(hi, 150)
+        |    THEN least(hi, 150) ELSE 0 END AS inter_hi
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+
+    "range_overlap_join" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS lo,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT
+        |    + o_orderkey % 60 + 1 AS hi
+        |FROM orders)
+        |SELECT a.o_custkey AS custkey, count(*)::BIGINT AS n_pairs,
+        |  sum(least(a.hi, b.hi) - greatest(a.lo, b.lo))::HUGEINT::BIGINT
+        |    AS overlap_days
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |  AND greatest(a.lo, b.lo) < least(a.hi, b.hi)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
