@@ -39,7 +39,8 @@ object Bench {
     "json_contain", "json_mutate", "json_set", "json_path",
     "tsvector_ops", "fts_stem_retrieve", "ivf_bit_search", "hnsw_bit",
     "ltree_ops", "ltree_tree", "intarray_ops", "hstore_ops", "ora_compat",
-    "geo_distance", "geo_radius_join", "range_ops", "range_overlap_join")
+    "geo_distance", "geo_radius_join", "range_ops", "range_overlap_join",
+    "fts_synonym", "maxsim_retrieve", "digest_fns")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -57,6 +57,23 @@ object Lexize {
   /** A term is a stopword (checked pre-stem, like the dictionary). */
   def isStop(t: String): Boolean = stopWords.contains(t.toLowerCase)
 
+  /**
+   * dict_xsyn-style synonym canonicalization (ref: contrib/dict_xsyn/
+   * dict_xsyn.cpp — a rules file maps each word of a group to the
+   * group; PG's thesaurus dictionary normalizes both sides the same
+   * way). Every token is rewritten to its group's canonical form via
+   * a LITERAL map (broadcast into codegen, no join); unknown tokens
+   * pass through. Applied to BOTH the corpus tokens and the query
+   * terms, so `quick` matches a document saying `fast` once both map
+   * to the same canon.
+   */
+  def canonToken(tok: Column, dict: Map[String, String]): Column =
+    coalesce(element_at(typedLit(dict), tok), tok)
+
+  /** Canonicalize a whole token array. */
+  def canonTokens(toks: Column, dict: Map[String, String]): Column =
+    transform(toks, t => canonToken(t, dict))
+
   /** to_tsvector('english', text): array<struct<lex,pos>>. */
   def lexemes(text: Column): Column =
     Bridge.column(StemLexemes(Bridge.expression(text)))

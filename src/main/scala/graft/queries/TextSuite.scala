@@ -658,8 +658,53 @@ object TextSuite {
             .as("n_after_del"),
           element_at(LX.tsvectorToArray(v), 1).as("first_lex"))
         .transform(Gate.ordered(_, "doc_id"))
-    })
+    }),
+
+    // dict_xsyn synonym canonicalization: corpus tokens AND query
+    // terms rewrite to a canonical form through a literal broadcast
+    // map, so `quick` (absent from the corpus) matches `fast` docs.
+    "fts_synonym" -> ((s, dir) => {
+      val LX = graft.operators.Lexize
+      val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+      val canon = LX.canonTokens(toks, synDict)
+      def has(term: String) =
+        array_contains(canon, synDict.getOrElse(term, term))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          has("quick").as("m_quick"),
+          (has("quick") && has("tbl")).as("m_quick_tbl"),
+          (has("rapid") || has("large")).as("m_rapid_large"),
+          size(filter(canon, t => t === synDict("fast"))).as("tf_speed"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // ColBERT-style late-interaction MaxSim retrieval (D40): per-token
+    // embeddings from a vocab-table equi-join, literal query vectors,
+    // per-doc max/sum aggregate. Integer dots → hash-exact.
+    "maxsim_retrieve" -> ((s, dir) =>
+      graft.operators.LateInteraction.maxsim(
+          Tables(s, dir, "documents"), "doc_id", "text", maxsimQuery)
+        .transform(Gate.ordered(_, "doc_id"))),
+
+    // pgcrypto digest surface (contrib/pgcrypto): md5 / sha256 hex
+    // digests + hex/base64 codecs, all codegen'd builtins.
+    "digest_fns" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("md5_hex"),
+          sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+          base64(substring(col("text"), 1, 12).cast("binary")).as("b64_head"),
+          lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("hex_head"))
+        .transform(Gate.ordered(_, "doc_id")))
   )
+
+  /** xsyn rule groups (canon ← members), shared with the oracle. */
+  private val synDict: Map[String, String] = Map(
+    "fast" -> "speed", "quick" -> "speed", "rapid" -> "speed",
+    "table" -> "tabl0", "tbl" -> "tabl0", "relation" -> "tabl0",
+    "big" -> "big", "large" -> "big", "huge" -> "big")
+
+  private val maxsimQuery = Seq("spark", "merge", "vector", "quick")
 
   private val swEn = "['the','a','of','and','to','in','is','that']"
   private val swEs = "['el','la','de','los','las','y','que','en']"
@@ -1526,6 +1571,54 @@ object TextSuite {
          |  len(list_filter(lexs, x -> x <> 'tabl'))::BIGINT AS n_after_del,
          |  lexs[1] AS first_lex
          |FROM t ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "fts_synonym" -> {
+      // the canonicalization CASE is generated from the same synDict
+      // the Spark side broadcasts — shared verbatim
+      val caseSql = "CASE x " + synDict.toSeq.sortBy(_._1).map {
+        case (w, c) => s"WHEN '$w' THEN '$c'"
+      }.mkString(" ") + " ELSE x END"
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(list_filter(string_split(lower(text), ' '),
+         |    x -> x <> ''), x -> $caseSql) AS canon
+         |FROM documents)
+         |SELECT doc_id,
+         |  list_contains(canon, 'speed') AS m_quick,
+         |  (list_contains(canon, 'speed') AND list_contains(canon, 'tabl0'))
+         |    AS m_quick_tbl,
+         |  (list_contains(canon, 'speed') OR list_contains(canon, 'big'))
+         |    AS m_rapid_large,
+         |  len(list_filter(canon, x -> x = 'speed'))::INTEGER AS tf_speed
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "maxsim_retrieve" -> {
+      val LI = graft.operators.LateInteraction
+      val qs = maxsimQuery.map(LI.embLiteralSql)
+      val maxCols = qs.zipWithIndex.map { case (q, i) =>
+        s"max(list_dot_product(e, $q))::BIGINT AS m_$i"
+      }.mkString(",\n         |  ")
+      val sumCols = maxsimQuery.indices.map(i => s"m_$i").mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT doc_id, t AS tok FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+         |      x -> x <> '')) AS t FROM documents)),
+         |emb AS (SELECT tok, list_transform(range(0, ${LI.DIM}),
+         |    d -> (ascii(substr(md5(tok || '_' || d::VARCHAR), 1, 1)) * 16
+         |        + ascii(substr(md5(tok || '_' || d::VARCHAR), 2, 1))) % 9 - 4) AS e
+         |  FROM (SELECT DISTINCT tok FROM tok)),
+         |s AS (SELECT doc_id,
+         |  $maxCols
+         |  FROM tok JOIN emb USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, ${maxsimQuery.indices.map(i => s"m_$i").mkString(", ")},
+         |  ($sumCols)::BIGINT AS maxsim
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "digest_fns" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+        |  to_base64(substr(text, 1, 12)::BLOB) AS b64_head,
+        |  lower(hex(substr(text, 1, 8)::BLOB)) AS hex_head
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
