@@ -40,7 +40,8 @@ object Bench {
     "tsvector_ops", "fts_stem_retrieve", "ivf_bit_search", "hnsw_bit",
     "ltree_ops", "ltree_tree", "intarray_ops", "hstore_ops", "ora_compat",
     "geo_distance", "geo_radius_join", "range_ops", "range_overlap_join",
-    "fts_synonym", "maxsim_retrieve", "digest_fns")
+    "fts_synonym", "maxsim_retrieve", "digest_fns",
+    "trgm_search", "window_range_frame", "ltree_txtquery", "mysql_compat")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -126,6 +126,58 @@ object Ltree {
   }
 
   /**
+   * ltxtquery `@` match (ltxtquery_op.cpp): boolean word search over
+   * the LABELS of a path — an atom matches if ANY label equals it,
+   * composed with `&`, `|`, `!` and parentheses ('!' binds tightest,
+   * then '&', then '|'). Compiles to array_contains over the split
+   * labels — pure codegen, no regex.
+   */
+  def ltxtMatch(p: Column, q: String): Column = {
+    sealed trait N
+    case class Atom(w: String) extends N
+    case class Not(n: N) extends N
+    case class And(l: N, r: N) extends N
+    case class Or(l: N, r: N) extends N
+    val toks = q.replace("(", " ( ").replace(")", " ) ")
+      .replace("&", " & ").replace("|", " | ").replace("!", " ! ")
+      .trim.split("\\s+").filter(_.nonEmpty).toList
+    // recursive descent: or := and ('|' and)*; and := un ('&' un)*;
+    // un := '!' un | '(' or ')' | word
+    var rest = toks
+    def parseOr(): N = {
+      var n = parseAnd()
+      while (rest.headOption.contains("|")) { rest = rest.tail; n = Or(n, parseAnd()) }
+      n
+    }
+    def parseAnd(): N = {
+      var n = parseUn()
+      while (rest.headOption.contains("&")) { rest = rest.tail; n = And(n, parseUn()) }
+      n
+    }
+    def parseUn(): N = rest match {
+      case "!" :: t => rest = t; Not(parseUn())
+      case "(" :: t =>
+        rest = t; val n = parseOr()
+        require(rest.headOption.contains(")"), s"graft: unbalanced ltxtquery: $q")
+        rest = rest.tail; n
+      case w :: t =>
+        require(w.matches("[A-Za-z0-9_]+"), s"graft: bad ltxtquery atom: $w")
+        rest = t; Atom(w)
+      case Nil => throw new IllegalArgumentException(s"graft: empty ltxtquery: $q")
+    }
+    val tree = parseOr()
+    require(rest.isEmpty, s"graft: trailing ltxtquery tokens: $rest")
+    val labels = split(p, DOT)
+    def compile(n: N): Column = n match {
+      case Atom(w) => array_contains(labels, w)
+      case Not(x) => !compile(x)
+      case And(l, r) => compile(l) && compile(r)
+      case Or(l, r) => compile(l) || compile(r)
+    }
+    compile(tree)
+  }
+
+  /**
    * Ancestor join at scale: rows (with path column) joined to a set of
    * subtree roots — returns rows whose path is a descendant-or-self of
    * any root. Explodes each row's ancestor prefixes (≤ depth of the

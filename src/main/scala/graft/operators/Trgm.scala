@@ -81,4 +81,43 @@ object Trgm {
         round(similarityOfSets(col("tga"), col("tgb")), 6).as("sim"))
       .filter(col("sim") >= tau)
   }
+
+  /**
+   * One-query `%` search — the GIN trgm_ops scan shape (pg_trgm's
+   * gin_extract_query_trgm → consistent check): the QUERY's trigrams
+   * are extracted driver-side and ride as a literal array; one
+   * map-only pass counts shared grams per document via a codegen'd
+   * set intersection (the corpus is never exploded, no join at all
+   * for a single query), then the exact similarity filter keeps
+   * survivors. For a query TABLE, the same shape becomes a postings
+   * equi-join (the [[similarPairs]] device keyed by qid).
+   *
+   * The count bound (sim ≥ τ ⟺ shared ≥ τ/(1+τ)·(na+nb)) prunes
+   * before the division — same algebra pg_trgm's consistent function
+   * applies to the posting bitmap.
+   */
+  /** Driver-side twin of [[trigrams]] for query literals + oracles. */
+  def queryGrams(query: String): Seq[String] = {
+    def wordGrams(w: String): Seq[String] = {
+      val p = "  " + w.toLowerCase + " "
+      (0 to p.length - 3).map(i => p.substring(i, i + 3))
+    }
+    query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .flatMap(wordGrams).distinct.toSeq
+  }
+
+  def search(docs: DataFrame, idCol: String, textCol: String,
+             query: String, tau: Double): DataFrame = {
+    val qGrams = queryGrams(query)
+    require(qGrams.nonEmpty, "graft: trgm search query yields no trigrams")
+    val qLit = array(qGrams.map(lit): _*)
+    docs.select(col(idCol), trigrams(col(textCol)).as("tg"))
+      .withColumn("shared", size(array_intersect(col("tg"), qLit)))
+      // count lower bound: shared ≥ τ·(n+nq)/(1+τ) (integer-safe form)
+      .filter(col("shared").cast("double") * (1.0 + tau) >=
+        (size(col("tg")) + qGrams.size).cast("double") * tau)
+      .withColumn("sim", round(similarityOfSets(col("tg"), qLit), 6))
+      .filter(col("sim") >= tau)
+      .drop("tg", "shared")
+  }
 }

@@ -249,6 +249,60 @@ object RelationalSuite4 {
         .withColumnRenamed("ck1", "custkey")
         .transform(Gate.ordered(_, "custkey"))
     }),
+
+    // ---- pg_trgm GIN-shaped single-query `%` search: query trigrams
+    // ride as a literal, one map-only scan with the count lower bound
+    // before the exact similarity filter (no join, no explode). ----
+    "trgm_search" -> ((s, dir) =>
+      graft.operators.Trgm.search(Tables(s, dir, "customer"),
+          "c_custkey", "c_name", "Customer#000000042", tau = 0.72)
+        .select(col("c_custkey"), col("sim"))
+        .transform(Gate.ordered(_, "c_custkey"))),
+
+    // ---- value-RANGE window frames (openGauss window_clause RANGE
+    // BETWEEN n PRECEDING): 30-day running revenue per customer — the
+    // frame is value-based on the day offset, not row-based. ----
+    "window_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("days"))
+        .rangeBetween(-30, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir, "orders")
+        .withColumn("days", datediff(col("o_orderdate"),
+          lit("1995-01-01").cast("timestamp")).cast("long"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_orderkey"), col("o_custkey"), col("days"),
+          sum(col("cents")).over(w).as("run30_cents"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
+    // ---- ltxtquery `@`: boolean word search over path labels ----
+    "ltree_txtquery" -> ((s, dir) => {
+      val p = custPaths(s, dir)
+      p.select(col("c_custkey"),
+          graft.operators.Ltree.ltxtMatch(col("path"), "r1 & !n13").as("q1"),
+          graft.operators.Ltree.ltxtMatch(col("path"), "n3 | n7").as("q2"),
+          graft.operators.Ltree.ltxtMatch(col("path"), "(n2 | n4) & !r3").as("q3"))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- openGauss B-format (MySQL-compat, dolphin plugin surface):
+    // if/ifnull/group_concat/substring_index/conv/left/right ----
+    "mysql_compat" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .withColumn("hexkey", lower(conv(col("c_custkey").cast("string"), 10, 16)))
+        .withColumn("tail2", expr("right(c_name, 2)"))
+        .withColumn("idpart", substring_index(col("c_name"), "#", -1))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+            .as("segs"),
+          sum(when(col("c_acctbal") > 0, 1).otherwise(0)).as("n_pos"),
+          min(coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+            lit("NONE"))).as("min_seg"),
+          min(col("hexkey")).as("min_hex"),
+          max(col("tail2")).as("max_tail2"),
+          max(col("idpart")).as("max_idpart"))
+        .transform(Gate.ordered(_, "c_nationkey"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -420,5 +474,55 @@ object RelationalSuite4 {
         |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
         |  AND greatest(a.lo, b.lo) < least(a.hi, b.hi)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "trgm_search" -> {
+      val qg = graft.operators.Trgm.queryGrams("Customer#000000042")
+      val ql = qg.map(g => s"'${g}'").mkString("[", ",", "]")
+      s"""WITH t AS (SELECT c_custkey,
+         |  list_distinct(flatten(list_transform(
+         |    list_filter(string_split_regex(lower(c_name), '[^a-z0-9]+'),
+         |      w -> w <> ''),
+         |    w -> list_transform(range(1, length(w) + 2),
+         |      i -> substr('  ' || w || ' ', i::INTEGER, 3))))) AS tg
+         |FROM customer),
+         |s AS (SELECT c_custkey,
+         |  len(list_intersect(tg, $ql))::DOUBLE AS sh,
+         |  len(tg) AS n FROM t)
+         |SELECT c_custkey,
+         |  round(sh / ((n + ${qg.size})::DOUBLE - sh), 6) AS sim
+         |FROM s WHERE round(sh / ((n + ${qg.size})::DOUBLE - sh), 6) >= 0.72
+         |ORDER BY c_custkey""".stripMargin
+    },
+
+    "window_range_frame" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS days,
+        |  round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT o_orderkey, o_custkey, days,
+        |  (sum(cents) OVER (PARTITION BY o_custkey ORDER BY days
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW))::BIGINT AS run30_cents
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+
+    "ltree_txtquery" ->
+      s"""WITH p AS ($custPathSql),
+         |l AS (SELECT c_custkey, string_split(path, '.') AS ls FROM p)
+         |SELECT c_custkey,
+         |  (list_contains(ls, 'r1') AND NOT list_contains(ls, 'n13')) AS q1,
+         |  (list_contains(ls, 'n3') OR list_contains(ls, 'n7')) AS q2,
+         |  ((list_contains(ls, 'n2') OR list_contains(ls, 'n4'))
+         |    AND NOT list_contains(ls, 'r3')) AS q3
+         |FROM l ORDER BY c_custkey""".stripMargin,
+
+    "mysql_compat" ->
+      """SELECT c_nationkey, count(*)::BIGINT AS n,
+        |  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+        |    AS segs,
+        |  sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |  min(CASE WHEN c_mktsegment = 'BUILDING' THEN 'NONE'
+        |    ELSE c_mktsegment END) AS min_seg,
+        |  min(lower(to_hex(c_custkey))) AS min_hex,
+        |  max(right(c_name, 2)) AS max_tail2,
+        |  max(string_split(c_name, '#')[-1]) AS max_idpart
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -76,6 +76,25 @@ class LtreeSpec extends SparkSpec {
     assert(dig.agg(Ltree.lcaAgg(col("p")).as("l")).as[String].head() == "a")
   }
 
+  test("ltxtquery: boolean word search over labels with precedence") {
+    def m(p: String, q: String): Boolean =
+      one[Boolean](Ltree.ltxtMatch(lit(p), q))
+    assert(m("Top.Science.Astronomy", "Science"))
+    assert(!m("Top.Science.Astronomy", "Hobby"))
+    assert(m("Top.Science.Astronomy", "Science & Astronomy"))
+    assert(!m("Top.Science.Astronomy", "Science & Hobby"))
+    assert(m("Top.Science.Astronomy", "Hobby | Astronomy"))
+    assert(m("Top.Science.Astronomy", "!Hobby"))
+    assert(!m("Top.Science.Astronomy", "!Science"))
+    // '|' is lowest precedence: a | b & c  ==  a | (b & c)
+    assert(m("Top.Science.Astronomy", "Hobby | Science & Astronomy"))
+    assert(!m("Top.Arts.Astronomy", "Hobby | Science & Astronomy"))
+    // parens override
+    assert(m("Top.Arts.Astronomy", "(Hobby | Arts) & Astronomy"))
+    // '!' binds tightest: !a & b
+    assert(m("Top.Arts.Astronomy", "!Science & Astronomy"))
+  }
+
   test("ancestorJoin equals the LIKE-predicate semantics") {
     val rows = Seq("top.a.x", "top.a.y", "top.b.z", "top.a", "other.a.q")
       .toDF("path")

@@ -90,4 +90,22 @@ class TrgmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(dflt == brute)
   }
+
+  test("single-query search equals per-row similarity() filter") {
+    val names = (0 until 50).map(i => (i.toLong, f"Customer#$i%09d")).toDF("id", "name")
+    val q = "Customer#000000012"
+    val tau = 0.6
+    val got = Trgm.search(names, "id", "name", q, tau)
+      .select("id", "sim").as[(Long, Double)].collect().toMap
+    val want = names
+      .select(col("id"), round(Trgm.similarity(col("name"), lit(q)), 6).as("s"))
+      .as[(Long, Double)].collect().filter(_._2 >= tau).toMap
+    assert(got == want && want.nonEmpty)
+    // the query matches itself at exactly 1.0
+    assert(got(12L) == 1.0)
+    // queryGrams equals the Spark-side trigrams() of the same string
+    val sparkGrams = Seq(q).toDF("t")
+      .select(Trgm.trigrams(col("t")).as("g")).as[Seq[String]].head().toSet
+    assert(Trgm.queryGrams(q).toSet == sparkGrams)
+  }
 }
