@@ -346,4 +346,36 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Window"), "rrf ranking must not window-sort")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("geo radius join is a grid-cell equi-join, never a theta join") {
+    val p = plan("geo_radius_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "radiusJoin degraded to an all-pairs join")
+    assert(p.contains("Join"), "radiusJoin lost its candidate equi-join")
+  }
+
+  test("interval overlap join is a bucket equi-join, never a theta join") {
+    val p = plan("range_overlap_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "overlapJoin degraded to an all-pairs join")
+  }
+
+  test("ltree ancestor join is a hash join on the exploded prefix") {
+    val p = plan("ltree_tree")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "ancestorJoin degraded to a LIKE theta join")
+  }
+
+  test("trgm single-query search is a map-only scan (no join, no explode)") {
+    val p = plan("trgm_search")
+    assert(!p.contains("Join"), "trgm search must not join for one query")
+    assert(!p.contains("Generate"), "trgm search must not explode the corpus")
+  }
+
+  test("maxsim is one vocab equi-join + one aggregate, no crossJoin") {
+    val p = plan("maxsim_retrieve")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "maxsim degraded to all-pairs scoring")
+    assert(p.contains("BroadcastHashJoin"), "vocab lookup should broadcast here")
+  }
 }
