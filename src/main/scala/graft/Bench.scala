@@ -41,7 +41,8 @@ object Bench {
     "ltree_ops", "ltree_tree", "intarray_ops", "hstore_ops", "ora_compat",
     "geo_distance", "geo_radius_join", "range_ops", "range_overlap_join",
     "fts_synonym", "maxsim_retrieve", "digest_fns",
-    "trgm_search", "window_range_frame", "ltree_txtquery", "mysql_compat")
+    "trgm_search", "window_range_frame", "ltree_txtquery", "mysql_compat",
+    "trgm_search_many", "intarray_query")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

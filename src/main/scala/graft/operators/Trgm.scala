@@ -120,4 +120,33 @@ object Trgm {
       .filter(col("sim") >= tau)
       .drop("tg", "shared")
   }
+
+  /**
+   * Query-TABLE `%` search — the serving shape when many fuzzy
+   * queries run at once: corpus trigram POSTINGS equi-join the
+   * (broadcast) query trigram postings, count shared grams per
+   * (qid, doc), and the similarity comes STRAIGHT FROM COUNTS
+   * (trigram sets are distinct per side, so |A∩B| is the join count
+   * and |A∪B| = n + nq − shared — no set re-intersection, no second
+   * corpus pass). One shuffle on (qid, id); docs sharing no trigram
+   * with a query never materialize a pair.
+   */
+  def searchMany(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, qidCol: String, qtextCol: String,
+                 tau: Double): DataFrame = {
+    val post = docs
+      .select(col(idCol), trigrams(col(textCol)).as("tg"))
+      .select(col(idCol), size(col("tg")).as("n"), explode(col("tg")).as("g"))
+    val qpost = queries
+      .select(col(qidCol), trigrams(col(qtextCol)).as("qg"))
+      .select(col(qidCol), size(col("qg")).as("nq"), explode(col("qg")).as("g"))
+    post.join(broadcast(qpost), "g")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("shared"), max(col("n")).as("n"),
+        max(col("nq")).as("nq"))
+      .withColumn("sim", round(col("shared").cast("double") /
+        ((col("n") + col("nq")).cast("double") - col("shared").cast("double")), 6))
+      .filter(col("sim") >= tau)
+      .drop("shared", "n", "nq")
+  }
 }

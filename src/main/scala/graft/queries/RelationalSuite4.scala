@@ -285,6 +285,32 @@ object RelationalSuite4 {
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 
+    // ---- pg_trgm query-TABLE search: postings equi-join against the
+    // broadcast query grams; similarity straight from counts. ----
+    "trgm_search_many" -> ((s, dir) => {
+      import s.implicits._
+      val qs = trgmQueries.toSeq.toDF("qid", "qtext")
+      graft.operators.Trgm.searchMany(Tables(s, dir, "customer"),
+          "c_custkey", "c_name", broadcast(qs), "qid", "qtext", tau = 0.72)
+        .select(col("qid"), col("c_custkey"), col("sim"))
+        .transform(Gate.ordered(_, "qid", "c_custkey"))
+    }),
+
+    // ---- intarray query_int `@@` (_int_bool.cpp): boolean membership
+    // query over per-order int sets, compiled to array_contains ----
+    "intarray_query" -> ((s, dir) => {
+      val a = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set((col("l_partkey") % 50).cast("int")))
+          .as("a"))
+      a.select(col("l_orderkey"),
+          graft.operators.IntArrays.queryIntMatch(col("a"), "7 & (10 | 13)")
+            .as("q1"),
+          graft.operators.IntArrays.queryIntMatch(col("a"), "!3 & 21").as("q2"),
+          graft.operators.IntArrays.queryIntMatch(col("a"), "5 | 9 | 44").as("q3"))
+        .transform(Gate.ordered(_, "l_orderkey"))
+    }),
+
     // ---- openGauss B-format (MySQL-compat, dolphin plugin surface):
     // if/ifnull/group_concat/substring_index/conv/left/right ----
     "mysql_compat" -> ((s, dir) =>
@@ -304,6 +330,11 @@ object RelationalSuite4 {
           max(col("idpart")).as("max_idpart"))
         .transform(Gate.ordered(_, "c_nationkey"))),
   )
+
+  /** The query table for trgm_search_many, shared with the oracle. */
+  private val trgmQueries: Map[Long, String] = Map(
+    1L -> "Customer#000000042", 2L -> "Customer#000000777",
+    3L -> "Custmer#00000013")
 
   val oracle: Map[String, String] = Map(
     "ltree_ops" ->
@@ -493,6 +524,41 @@ object RelationalSuite4 {
          |FROM s WHERE round(sh / ((n + ${qg.size})::DOUBLE - sh), 6) >= 0.72
          |ORDER BY c_custkey""".stripMargin
     },
+
+    "trgm_search_many" -> {
+      val qvals = trgmQueries.toSeq.sortBy(_._1).map { case (qid, qt) =>
+        val qg = graft.operators.Trgm.queryGrams(qt)
+        val ql = qg.map(g => s"'$g'").mkString("[", ",", "]")
+        s"($qid, $ql, ${qg.size})"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT c_custkey,
+         |  list_distinct(flatten(list_transform(
+         |    list_filter(string_split_regex(lower(c_name), '[^a-z0-9]+'),
+         |      w -> w <> ''),
+         |    w -> list_transform(range(1, length(w) + 2),
+         |      i -> substr('  ' || w || ' ', i::INTEGER, 3))))) AS tg
+         |FROM customer),
+         |q(qid, ql, nq) AS (VALUES $qvals),
+         |s AS (SELECT qid, c_custkey,
+         |  len(list_intersect(tg, ql))::DOUBLE AS sh,
+         |  len(tg) AS n, nq FROM t CROSS JOIN q)
+         |SELECT qid::BIGINT AS qid, c_custkey,
+         |  round(sh / ((n + nq)::DOUBLE - sh), 6) AS sim
+         |FROM s WHERE round(sh / ((n + nq)::DOUBLE - sh), 6) >= 0.72
+         |ORDER BY qid, c_custkey""".stripMargin
+    },
+
+    "intarray_query" ->
+      """WITH t AS (SELECT l_orderkey,
+        |  list_sort(list_distinct(list((l_partkey % 50)::INTEGER))) AS a
+        |FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  (list_contains(a, 7) AND (list_contains(a, 10) OR list_contains(a, 13)))
+        |    AS q1,
+        |  (NOT list_contains(a, 3) AND list_contains(a, 21)) AS q2,
+        |  (list_contains(a, 5) OR list_contains(a, 9) OR list_contains(a, 44))
+        |    AS q3
+        |FROM t ORDER BY l_orderkey""".stripMargin,
 
     "window_range_frame" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,

@@ -108,4 +108,36 @@ class TrgmSpec extends SparkSpec {
       .select(Trgm.trigrams(col("t")).as("g")).as[Seq[String]].head().toSet
     assert(Trgm.queryGrams(q).toSet == sparkGrams)
   }
+
+  test("query-table searchMany equals per-query single search") {
+    val names = (0 until 60).map(i => (i.toLong, f"Customer#$i%09d")).toDF("id", "name")
+    val qs = Seq((1L, "Customer#000000012"), (2L, "Custmer#00000004"))
+    val tau = 0.6
+    val got = Trgm.searchMany(names, "id", "name",
+        qs.toDF("qid", "qtext"), "qid", "qtext", tau)
+      .select("qid", "id", "sim").as[(Long, Long, Double)].collect().toSet
+    val want = qs.flatMap { case (qid, qt) =>
+      Trgm.search(names, "id", "name", qt, tau)
+        .select("id", "sim").as[(Long, Double)].collect()
+        .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("query_int boolean matching with precedence") {
+    import graft.operators.IntArrays
+    def m(a: Seq[Int], q: String): Boolean =
+      Seq(Tuple1(a)).toDF("a")
+        .select(IntArrays.queryIntMatch(col("a"), q).as("r")).as[Boolean].head()
+    assert(m(Seq(1, 2), "1 & 2"))
+    assert(!m(Seq(1), "1 & 2"))
+    assert(m(Seq(1, 3), "1 & (2 | 3)"))
+    assert(!m(Seq(1, 4), "1 & (2 | 3)"))
+    assert(m(Seq(5), "!3 & 5"))
+    assert(!m(Seq(3, 5), "!3 & 5"))
+    // precedence: | lowest, ! tightest
+    assert(m(Seq(9), "9 | 1 & 2"))
+    assert(m(Seq(1, 2), "9 | 1 & 2"))
+    assert(!m(Seq(1), "9 | 1 & 2"))
+  }
 }
