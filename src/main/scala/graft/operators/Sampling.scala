@@ -41,6 +41,26 @@ object Sampling {
     pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
 
   /**
+   * Weighted sampling WITHOUT replacement, k items with inclusion
+   * probability proportional to weight — Efraimidis & Spirakis
+   * (IPL 2006) A-Res order statistics: key_i = −ln(u_i)/w_i with
+   * u_i ~ U(0,1); the k SMALLEST keys are the sample. Distributed
+   * shape: orderBy(key).limit(k) plans TakeOrderedAndProject — a
+   * per-partition bounded heap + driver merge, NO global sort, NO
+   * shuffle of non-survivors; one scan total.
+   *
+   * `u` is caller-supplied so determinism survives any engine:
+   * production uses xxhash64(id, seed)/2⁶⁴; the cross-engine gate
+   * derives u from md5 hex chars (both engines compute the identical
+   * value). u must be in (0, 1] and weights > 0.
+   */
+  def weightedSampleK(df: DataFrame, u: Column, weight: Column,
+                      k: Int): DataFrame =
+    df.withColumn("_wkey", -log(u) / weight)
+      .orderBy(col("_wkey")).limit(k)
+      .drop("_wkey")
+
+  /**
    * Per-stratum exact-n deterministic sample: the n stratum members
    * with the smallest mix values (id tiebreak). Output: input columns
    * + `rk` (1..n rank within the stratum).

@@ -686,6 +686,20 @@ object TextSuite {
           Tables(s, dir, "documents"), "doc_id", "text", maxsimQuery)
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    // A-Res): k docs with inclusion probability ∝ n_chars; u derived
+    // from md5 hex chars so both engines compute identical keys;
+    // TakeOrderedAndProject = bounded heap, no global sort.
+    "weighted_sample" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      val u = ((ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1)))
+        * 256 + ascii(substring(h, 3, 1))).cast("double") / 16777216.0
+      graft.operators.Sampling.weightedSampleK(
+          Tables(s, dir, "documents"), u, col("n_chars").cast("double"), 50)
+        .select(col("doc_id"), col("n_chars"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // pgcrypto digest surface (contrib/pgcrypto): md5 / sha256 hex
     // digests + hex/base64 codecs, all codegen'd builtins.
     "digest_fns" -> ((s, dir) =>
@@ -1614,6 +1628,17 @@ object TextSuite {
          |  ($sumCols)::BIGINT AS maxsim
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    "weighted_sample" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |  ((ascii(substr(md5(doc_id::VARCHAR), 1, 1)) * 256
+        |    + ascii(substr(md5(doc_id::VARCHAR), 2, 1))) * 256
+        |    + ascii(substr(md5(doc_id::VARCHAR), 3, 1)))::DOUBLE / 16777216.0
+        |    AS uu
+        |FROM documents),
+        |s AS (SELECT doc_id, n_chars
+        |  FROM u ORDER BY -ln(uu) / n_chars::DOUBLE LIMIT 50)
+        |SELECT doc_id, n_chars FROM s ORDER BY doc_id""".stripMargin,
 
     "digest_fns" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,

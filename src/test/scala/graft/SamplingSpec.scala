@@ -131,4 +131,32 @@ class SamplingSpec extends SparkSpec {
     assert(!Sampling.oversample(df, "id", lit(1.5))
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("weightedSampleK: equals local A-Res order statistics, heap plan") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, (i % 37 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    // deterministic u from a splitmix-style integer mix, computed both
+    // locally and as a column with identical arithmetic
+    def uOf(id: Long): Double =
+      (((id * 2654435761L) % 4294967296L) + 1).toDouble / 4294967297.0
+    val uCol = (org.apache.spark.sql.functions.pmod(
+      col("id") * lit(2654435761L), lit(4294967296L)) + 1L)
+      .cast("double") / 4294967297.0
+    val k = 40
+    val got = Sampling.weightedSampleK(df, uCol, col("w"), k)
+      .select("id").as[Long].collect().toSet
+    val want = rows.sortBy { case (id, w) => -math.log(uOf(id)) / w }
+      .take(k).map(_._1).toSet
+    assert(got == want)
+    // heavier items are over-represented vs uniform: mean selected
+    // weight must exceed the population mean (E-S property smoke)
+    val meanSel = rows.filter(r => got(r._1)).map(_._2).sum / k
+    val meanAll = rows.map(_._2).sum / rows.size
+    assert(meanSel > meanAll)
+    // bounded-heap plan: TakeOrdered, no global Sort exchange
+    val p = Sampling.weightedSampleK(df, uCol, col("w"), k)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
