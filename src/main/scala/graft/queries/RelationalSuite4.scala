@@ -105,8 +105,13 @@ object RelationalSuite4 {
 
     // ---- hstore (contrib/hstore/hstore_op.cpp: fetchval `->`, exists
     // `?`, hs_concat `||` right-wins, delete, akeys). Maps built from
-    // order columns; `||` is map_zip_with(coalesce(v2,v1)) — exactly
-    // hstore's right-operand-wins merge, null-safe, codegen'd. ----
+    // order columns; `||` is map_zip_with(coalesce(v2,v1)) — hstore's
+    // right-operand-wins merge for non-NULL values. Known deviation:
+    // hstore values may be explicit NULLs and `||` lets a right-side
+    // NULL overwrite; map_zip_with cannot distinguish absent from
+    // null-valued keys, so here a null right value falls back to the
+    // left — callers carrying explicit-null semantics should encode a
+    // sentinel. ----
     "hstore_ops" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
       val c = Tables(s, dir, "customer")
