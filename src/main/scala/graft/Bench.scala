@@ -42,7 +42,8 @@ object Bench {
     "geo_distance", "geo_radius_join", "range_ops", "range_overlap_join",
     "fts_synonym", "maxsim_retrieve", "digest_fns",
     "trgm_search", "window_range_frame", "ltree_txtquery", "mysql_compat",
-    "trgm_search_many", "intarray_query", "weighted_sample")
+    "trgm_search_many", "intarray_query", "weighted_sample",
+    "cube_ops", "citext_ops", "uuid_fns")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

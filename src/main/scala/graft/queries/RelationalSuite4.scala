@@ -316,6 +316,62 @@ object RelationalSuite4 {
         .transform(Gate.ordered(_, "l_orderkey"))
     }),
 
+    // ---- contrib/cube n-dim boxes: contains/overlap/union/inter
+    // (inverted-when-disjoint, like cube_inter) + gap distance ----
+    "cube_ops" -> ((s, dir) => {
+      val B = graft.operators.Boxes
+      val o = Tables(s, dir, "orders")
+        .withColumn("ll", array((col("o_orderkey") % 50).cast("double"),
+          (col("o_custkey") % 40).cast("double"),
+          (col("o_orderkey") % 30).cast("double")))
+        .withColumn("ur", array((col("o_orderkey") % 50 + col("o_orderkey") % 7 + 1).cast("double"),
+          (col("o_custkey") % 40 + col("o_custkey") % 5 + 1).cast("double"),
+          (col("o_orderkey") % 30 + 2).cast("double")))
+      val pll = array(lit(20.0), lit(10.0), lit(5.0))
+      val pur = array(lit(35.0), lit(25.0), lit(20.0))
+      def str(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, x => x.cast("long").cast("string")), ",")
+      val (ull, uur) = B.union(col("ll"), col("ur"), pll, pur)
+      val (ill, iur) = B.inter(col("ll"), col("ur"), pll, pur)
+      o.select(col("o_orderkey"),
+          B.contains(pll, pur, col("ll"), col("ur")).as("in_probe"),
+          B.contains(col("ll"), col("ur"), pll, pur).as("has_probe"),
+          B.overlaps(col("ll"), col("ur"), pll, pur).as("ovl_probe"),
+          str(ull).as("u_ll"), str(uur).as("u_ur"),
+          str(ill).as("i_ll"), str(iur).as("i_ur"),
+          B.distance2(col("ll"), col("ur"), pll, pur).cast("long").as("dist2"),
+          round(B.distance(col("ll"), col("ur"), pll, pur), 6).as("dist"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
+    // ---- citext (contrib/citext): case-insensitive equality is
+    // equality of the case-folded value — grouping/distinct collapse
+    // case variants ----
+    "citext_ops" -> ((s, dir) => {
+      val mixed = when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+        .otherwise(col("c_mktsegment"))
+      Tables(s, dir, "customer")
+        .withColumn("seg_mixed", mixed)
+        .groupBy(lower(col("seg_mixed")).as("seg_ci"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("seg_mixed")).as("n_case_variants"),
+          sum(when(col("seg_mixed") === lower(col("seg_mixed")), 1)
+            .otherwise(0)).as("n_lower"))
+        .transform(Gate.ordered(_, "seg_ci"))
+    }),
+
+    // ---- uuid-ossp v3: deterministic namespace UUIDs as stable
+    // document identifiers ----
+    "uuid_fns" -> ((s, dir) => {
+      val U = graft.functions.Uuids
+      val u = U.uuidV3(U.NS_DNS, concat(lit("order:"), col("o_orderkey")))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), u.as("uuid3"),
+          U.uuidVersion(u).as("ver"),
+          substring(u, 20, 1).as("variant_nibble"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // ---- openGauss B-format (MySQL-compat, dolphin plugin surface):
     // if/ifnull/group_concat/substring_index/conv/left/right ----
     "mysql_compat" -> ((s, dir) =>
@@ -583,6 +639,64 @@ object RelationalSuite4 {
          |  ((list_contains(ls, 'n2') OR list_contains(ls, 'n4'))
          |    AND NOT list_contains(ls, 'r3')) AS q3
          |FROM l ORDER BY c_custkey""".stripMargin,
+
+    "cube_ops" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  (o_orderkey % 50)::DOUBLE AS x1, (o_custkey % 40)::DOUBLE AS y1,
+        |  (o_orderkey % 30)::DOUBLE AS z1,
+        |  (o_orderkey % 50 + o_orderkey % 7 + 1)::DOUBLE AS x2,
+        |  (o_custkey % 40 + o_custkey % 5 + 1)::DOUBLE AS y2,
+        |  (o_orderkey % 30 + 2)::DOUBLE AS z2
+        |FROM orders),
+        |g AS (SELECT *,
+        |  greatest(20.0 - x2, x1 - 35.0, 0.0) AS gx,
+        |  greatest(10.0 - y2, y1 - 25.0, 0.0) AS gy,
+        |  greatest(5.0 - z2, z1 - 20.0, 0.0) AS gz
+        |FROM o)
+        |SELECT o_orderkey,
+        |  (20.0 <= x1 AND x2 <= 35.0 AND 10.0 <= y1 AND y2 <= 25.0
+        |    AND 5.0 <= z1 AND z2 <= 20.0) AS in_probe,
+        |  (x1 <= 20.0 AND 35.0 <= x2 AND y1 <= 10.0 AND 25.0 <= y2
+        |    AND z1 <= 5.0 AND 20.0 <= z2) AS has_probe,
+        |  (greatest(x1, 20.0) <= least(x2, 35.0)
+        |    AND greatest(y1, 10.0) <= least(y2, 25.0)
+        |    AND greatest(z1, 5.0) <= least(z2, 20.0)) AS ovl_probe,
+        |  least(x1, 20.0)::BIGINT || ',' || least(y1, 10.0)::BIGINT || ','
+        |    || least(z1, 5.0)::BIGINT AS u_ll,
+        |  greatest(x2, 35.0)::BIGINT || ',' || greatest(y2, 25.0)::BIGINT || ','
+        |    || greatest(z2, 20.0)::BIGINT AS u_ur,
+        |  greatest(x1, 20.0)::BIGINT || ',' || greatest(y1, 10.0)::BIGINT || ','
+        |    || greatest(z1, 5.0)::BIGINT AS i_ll,
+        |  least(x2, 35.0)::BIGINT || ',' || least(y2, 25.0)::BIGINT || ','
+        |    || least(z2, 20.0)::BIGINT AS i_ur,
+        |  (gx * gx + gy * gy + gz * gz)::BIGINT AS dist2,
+        |  round(sqrt(gx * gx + gy * gy + gz * gz), 6) AS dist
+        |FROM g ORDER BY o_orderkey""".stripMargin,
+
+    "citext_ops" ->
+      """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+        |    THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg_mixed
+        |FROM customer)
+        |SELECT lower(seg_mixed) AS seg_ci, count(*)::BIGINT AS n,
+        |  count(DISTINCT seg_mixed)::BIGINT AS n_case_variants,
+        |  sum(CASE WHEN seg_mixed = lower(seg_mixed) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_lower
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "uuid_fns" ->
+      """WITH h AS (SELECT o_orderkey,
+        |  md5('6ba7b8109dad11d180b400c04fd430c8' || 'order:' || o_orderkey) AS x
+        |FROM orders),
+        |u AS (SELECT o_orderkey,
+        |  substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-3' || substr(x, 14, 3)
+        |    || '-' || translate(substr(x, 17, 1), '0123456789abcdef',
+        |      '89ab89ab89ab89ab') || substr(x, 18, 3) || '-' || substr(x, 21, 12)
+        |    AS uuid3
+        |FROM h)
+        |SELECT o_orderkey, uuid3,
+        |  substr(uuid3, 15, 1)::INTEGER AS ver,
+        |  substr(uuid3, 20, 1) AS variant_nibble
+        |FROM u ORDER BY o_orderkey""".stripMargin,
 
     "mysql_compat" ->
       """SELECT c_nationkey, count(*)::BIGINT AS n,
