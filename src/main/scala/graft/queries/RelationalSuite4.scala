@@ -360,6 +360,55 @@ object RelationalSuite4 {
         .transform(Gate.ordered(_, "seg_ci"))
     }),
 
+    // ---- contrib/isn: EAN-13 check-digit math (isn.cpp weight-1/3
+    // checksum) — mint codes from keys, validate a perturbed code ----
+    "isn_ean13" -> ((s, dir) => {
+      def checkDigit(s12: org.apache.spark.sql.Column) = {
+        val sum = aggregate(
+          transform(sequence(lit(1), lit(12)),
+            i => (ascii(substring(s12, i, lit(1))) - 48) *
+              when(i % 2 === 1, 1).otherwise(3)),
+          lit(0), (acc, x) => acc + x)
+        (lit(10) - pmod(sum, lit(10))) % 10
+      }
+      val base = lpad(col("c_custkey").cast("string"), 12, "0")
+      val cd = checkDigit(base)
+      val ean = concat(base, cd)
+      // perturbed code: bump the last payload digit by 1 (mod 10) and
+      // keep the ORIGINAL check digit — valid iff the bump cancels,
+      // which it never does under weight 3
+      val bumped = concat(substring(base, 1, 11),
+        pmod(ascii(substring(base, 12, 1)) - 48 + 1, lit(10)), cd)
+      val bumpedValid = checkDigit(substring(bumped, 1, 12)) ===
+        (ascii(substring(bumped, 13, 1)) - 48)
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), ean.as("ean13"), cd.as("check_digit"),
+          bumpedValid.as("perturbed_valid"))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- PG xml/xpath surface (xpath(), xpath_exists — openGauss
+    // inherits PG's xml type; contrib/xml2 xpath_string/number):
+    // Spark's codegen'd xpath_* family over per-row synthesized XML;
+    // the oracle recomputes the same values relationally (DuckDB has
+    // no XML — the point gated here is Spark's xpath correctness on a
+    // known document shape) ----
+    "xml_fns" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .withColumn("x", concat(lit("<o><k>"), col("o_orderkey"),
+          lit("</k><st>"), col("o_orderstatus"),
+          lit("</st><ls><l>"), col("o_custkey") % 10,
+          lit("</l><l>"), col("o_custkey") % 7, lit("</l></ls></o>")))
+      o.select(col("o_orderkey"),
+          expr("xpath_long(x, '/o/k')").as("k"),
+          expr("xpath_string(x, '/o/st')").as("st"),
+          expr("xpath_boolean(x, '/o/ls')").as("has_ls"),
+          expr("xpath_boolean(x, '/o/nope')").as("has_nope"),
+          expr("array_join(xpath(x, '/o/ls/l/text()'), ',')").as("ls"),
+          expr("xpath_int(x, 'count(/o/ls/l)')").as("n_l"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // ---- uuid-ossp v3: deterministic namespace UUIDs as stable
     // document identifiers ----
     "uuid_fns" -> ((s, dir) => {
@@ -682,6 +731,29 @@ object RelationalSuite4 {
         |  sum(CASE WHEN seg_mixed = lower(seg_mixed) THEN 1 ELSE 0 END)::BIGINT
         |    AS n_lower
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "isn_ean13" ->
+      """WITH b AS (SELECT c_custkey, lpad(c_custkey::VARCHAR, 12, '0') AS s
+        |FROM customer),
+        |c AS (SELECT c_custkey, s,
+        |  ((10 - (list_sum(list_transform(range(1, 13),
+        |      i -> (ascii(substr(s, i::INTEGER, 1)) - 48)
+        |        * CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END)) % 10)) % 10)::INTEGER
+        |    AS cd
+        |FROM b)
+        |SELECT c_custkey, s || cd AS ean13, cd AS check_digit,
+        |  false AS perturbed_valid
+        |FROM c ORDER BY c_custkey""".stripMargin,
+
+    "xml_fns" ->
+      """SELECT o_orderkey,
+        |  o_orderkey AS k,
+        |  o_orderstatus AS st,
+        |  true AS has_ls,
+        |  false AS has_nope,
+        |  (o_custkey % 10) || ',' || (o_custkey % 7) AS ls,
+        |  2::INTEGER AS n_l
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "uuid_fns" ->
       """WITH h AS (SELECT o_orderkey,
