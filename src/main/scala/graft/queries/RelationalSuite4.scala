@@ -360,6 +360,21 @@ object RelationalSuite4 {
         .transform(Gate.ordered(_, "seg_ci"))
     }),
 
+    // ---- A-format TO_CHAR/TO_NUMBER format masks (openGauss
+    // formatting.cpp): zero-padded numeric mask on an exact DECIMAL
+    // (cents-derived, so no double-formatting ties), date masks,
+    // and the to_number inverse ----
+    "ora_to_char" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("to_char(CAST(round(o_totalprice * 100) / 100.0 AS DECIMAL(12,2)), '000000000.00')")
+            .as("price_mask"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"),
+          date_format(col("o_orderdate"), "yyyy/MM").as("month_str"),
+          expr("to_number(lpad(CAST(o_custkey AS STRING), 9, '0'), '000000000')")
+            .cast("long").as("parsed_cust"))
+        .transform(Gate.ordered(_, "o_orderkey"))),
+
     // ---- contrib/isn: EAN-13 check-digit math (isn.cpp weight-1/3
     // checksum) — mint codes from keys, validate a perturbed code ----
     "isn_ean13" -> ((s, dir) => {
@@ -731,6 +746,17 @@ object RelationalSuite4 {
         |  sum(CASE WHEN seg_mixed = lower(seg_mixed) THEN 1 ELSE 0 END)::BIGINT
         |    AS n_lower
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ora_to_char" ->
+      """WITH c AS (SELECT o_orderkey, o_orderdate, o_custkey,
+        |  round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        |SELECT o_orderkey,
+        |  lpad((cents // 100)::VARCHAR, 9, '0') || '.'
+        |    || lpad((cents % 100)::VARCHAR, 2, '0') AS price_mask,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+        |  strftime(o_orderdate, '%Y/%m') AS month_str,
+        |  o_custkey AS parsed_cust
+        |FROM c ORDER BY o_orderkey""".stripMargin,
 
     "isn_ean13" ->
       """WITH b AS (SELECT c_custkey, lpad(c_custkey::VARCHAR, 12, '0') AS s
