@@ -43,7 +43,8 @@ object Bench {
     "fts_synonym", "maxsim_retrieve", "digest_fns",
     "trgm_search", "window_range_frame", "ltree_txtquery", "mysql_compat",
     "trgm_search_many", "intarray_query", "weighted_sample",
-    "cube_ops", "citext_ops", "uuid_fns", "xml_fns", "isn_ean13", "ora_to_char")
+    "cube_ops", "citext_ops", "uuid_fns", "xml_fns", "isn_ean13", "ora_to_char",
+    "text_trigram_ppl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

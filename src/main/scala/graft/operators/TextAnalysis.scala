@@ -159,6 +159,76 @@ object TextAnalysis {
   }
 
   /**
+   * Stupid-backoff trigram LM scoring (Brants et al., EMNLP 2007
+   * "Large Language Models in Machine Translation" — the web-scale LM
+   * smoothing that needs NO discount fitting) one order above
+   * [[bigramNll]]: S(w₃|w₁w₂) = c₃/c₁₂ when the trigram was seen in
+   * training, else 0.4·c₂₃/c(w₂), else 0.4²·(c(w₃)+1)/(N+V)
+   * (add-one at the unigram floor so OOV tokens stay finite).
+   *
+   * The model TRAINS on the `train` subset and scores EVERY doc —
+   * scoring the training corpus with itself would never exercise
+   * backoff. All count tables are EQUI-JOINED onto the exploded
+   * trigram stream (web-scale n-gram tables are billions of rows —
+   * never broadcast, the D27/D39 discipline); per-doc reduction is
+   * one map-side-combined aggregate. Determinism: per-position
+   * round(ln S, 6) as DECIMAL, summed to exact integer micros (the
+   * D39 device — no rounded-average double boundary).
+   */
+  def trigramBackoffNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, train: Column): org.apache.spark.sql.DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    def gramsOf(w: Int): Column =
+      when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)), i =>
+          struct(element_at(toks, i).as("w1"),
+            (if (w >= 2) element_at(toks, i + 1) else lit("")).as("w2"),
+            (if (w >= 3) element_at(toks, i + 2) else lit("")).as("w3"))))
+        .otherwise(array().cast(
+          "array<struct<w1:string,w2:string,w3:string>>"))
+    val trainDf = df.filter(train)
+    def counts(w: Int, name: String) =
+      trainDf.select(explode(gramsOf(w)).as("g"))
+        .groupBy((Seq(col("g.w1")) ++ (if (w >= 2) Seq(col("g.w2")) else Nil)
+          ++ (if (w >= 3) Seq(col("g.w3")) else Nil)): _*)
+        .agg(count(lit(1)).as(name))
+    val tri = counts(3, "c3")
+    val big = counts(2, "c12")
+    val uni = counts(1, "c1")
+    val totals = trainDf.select(explode(toks).as("t"))
+      .agg(count(lit(1)).as("bigN"), countDistinct(col("t")).as("vocabV"))
+
+    val docTri = df.select(col(idCol).as("id"), explode(gramsOf(3)).as("g"))
+      .select(col("id"), col("g.w1"), col("g.w2"), col("g.w3"))
+    val scored = docTri
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(big.select(col("w1"), col("w2"), col("c12")),
+        Seq("w1", "w2"), "left")
+      .join(big.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c12").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w1").as("w2"), col("c1").as("n2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w1").as("w3"), col("c1").as("n3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("s",
+        when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c12").cast("double"))
+          .when(col("c23").isNotNull,
+            lit(0.4) * (col("c23").cast("double") / col("n2").cast("double")))
+          .otherwise(lit(0.16) *
+            ((coalesce(col("n3"), lit(0L)).cast("double") + 1.0) /
+              (col("bigN").cast("double") + col("vocabV").cast("double")))))
+      .select(col("id"),
+        round(log(col("s")), 6).cast("decimal(18,6)").as("lnp"),
+        col("c3").isNull.cast("int").as("backoff"))
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(col("backoff")).as("n_backoff"),
+        ((-sum(col("lnp"))) * lit(1000000)).cast("long").as("nll_micros"))
+  }
+
+  /**
    * Intra-document REPETITION signals — the Gopher/MassiveText
    * repetition filters (Rae et al. 2021, arXiv:2112.11446 §A1.1):
    * fraction of duplicated n-grams within a doc. Boilerplate, scraped

@@ -686,6 +686,17 @@ object TextSuite {
           Tables(s, dir, "documents"), "doc_id", "text", maxsimQuery)
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // Stupid-backoff trigram LM (Brants 2007): train on even doc_ids,
+    // score ALL docs so the backoff chain actually fires; count
+    // tables equi-joined (never broadcast), per-position 6dp decimal
+    // log-scores summed to exact integer micros.
+    "text_trigram_ppl" -> ((s, dir) =>
+      graft.operators.TextAnalysis.trigramBackoffNll(
+          Tables.spread(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") % 2 === 0)
+        .withColumnRenamed("id", "doc_id")
+        .transform(Gate.ordered(_, "doc_id"))),
+
     // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
     // A-Res): k docs with inclusion probability ∝ n_chars; u derived
     // from md5 hex chars so both engines compute identical keys;
@@ -1628,6 +1639,50 @@ object TextSuite {
          |  ($sumCols)::BIGINT AS maxsim
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    "text_trigram_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+        |tri AS (SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3,
+        |    count(*)::BIGINT AS c3
+        |  FROM (SELECT unnest(list_transform(range(1, len(t) - 1),
+        |      i -> {'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]})) AS u
+        |    FROM tr WHERE len(t) >= 3) GROUP BY 1, 2, 3),
+        |big AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*)::BIGINT AS c12
+        |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+        |      i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+        |    FROM tr WHERE len(t) >= 2) GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*)::BIGINT AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM tr) GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS bigN,
+        |    count(DISTINCT w1)::BIGINT AS vocabV
+        |  FROM (SELECT unnest(t) AS w1 FROM tr)),
+        |dt AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> {'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]})) AS u
+        |    FROM toks WHERE len(t) >= 3)),
+        |sc AS (SELECT dt.doc_id,
+        |    CASE WHEN tri.c3 IS NOT NULL THEN tri.c3::DOUBLE / b1.c12::DOUBLE
+        |      WHEN b2.c23 IS NOT NULL
+        |        THEN 0.4 * (b2.c23::DOUBLE / u2.n2::DOUBLE)
+        |      ELSE 0.16 * ((coalesce(u3.n3, 0)::DOUBLE + 1.0)
+        |        / (tot.bigN::DOUBLE + tot.vocabV::DOUBLE)) END AS s,
+        |    CASE WHEN tri.c3 IS NULL THEN 1 ELSE 0 END AS backoff
+        |  FROM dt
+        |  LEFT JOIN tri ON dt.w1 = tri.w1 AND dt.w2 = tri.w2 AND dt.w3 = tri.w3
+        |  LEFT JOIN big b1 ON dt.w1 = b1.w1 AND dt.w2 = b1.w2
+        |  LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c12 AS c23 FROM big) b2
+        |    ON dt.w2 = b2.w2 AND dt.w3 = b2.w3
+        |  LEFT JOIN (SELECT w1 AS w2, c1 AS n2 FROM uni) u2 ON dt.w2 = u2.w2
+        |  LEFT JOIN (SELECT w1 AS w3, c1 AS n3 FROM uni) u3 ON dt.w3 = u3.w3
+        |  CROSS JOIN tot),
+        |l AS (SELECT doc_id, round(ln(s), 6)::DECIMAL(18,6) AS lnp, backoff
+        |  FROM sc)
+        |SELECT doc_id, count(*)::BIGINT AS n_tri,
+        |  sum(backoff)::BIGINT AS n_backoff,
+        |  (-sum(lnp) * 1000000)::BIGINT AS nll_micros
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "weighted_sample" ->
       """WITH u AS (SELECT doc_id, n_chars,

@@ -357,6 +357,38 @@ class DedupSpec extends SparkSpec {
     assert(docs.select(TextAnalysis.langId($"text").as("l")).filter($"l".isNotNull).count() == n)
   }
 
+  test("trigramBackoffNll: every backoff branch fires and matches closed form") {
+    import org.apache.spark.sql.functions.col
+    // train = even ids: "a b c a b c", "a b d".  score doc 1 (odd):
+    // "a b c x" → trigrams (a,b,c): seen → c3/c12 = 2/3;
+    // (b,c,x): unseen tri; bigram (c,x) unseen; x OOV →
+    //   0.16·(0+1)/(N+V)  with N=9, V=4 → 0.16/13
+    val tiny = Seq((0L, "a b c a b c"), (2L, "a b d"), (1L, "a b c x"))
+      .toDF("id", "text")
+    val got = TextAnalysis.trigramBackoffNll(tiny, "id", "text",
+        col("id") % 2 === 0)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def micros(ss: Seq[Double]): Long =
+      ss.map(s => -BigDecimal(math.log(s)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.*(BigDecimal(1000000)).toLong
+    // doc 0: (a,b,c)->2/3, (b,c,a)->1/2, (c,a,b)->1/1, (a,b,c)->2/3
+    assert(got(0) == ((0L, 4L, 0L, micros(Seq(2.0/3, 0.5, 1.0, 2.0/3)))))
+    // doc 1: 2 trigrams, 1 backoff position
+    assert(got(1) == ((1L, 2L, 1L, micros(Seq(2.0/3, 0.16 * (1.0/13))))))
+    // doc 2 (train member, all trigrams seen): (a,b,d)->1/3
+    assert(got(2) == ((2L, 1L, 0L, micros(Seq(1.0/3)))))
+    // a middle backoff case: bigram seen, trigram unseen —
+    // "d a b": (d,a,b) unseen tri, (a,b) seen bigram c23=3? no —
+    // bigram table keys (w2,w3)=(a,b): c=3, n2=c(a)=3 → 0.4·(3/3)
+    val got2 = TextAnalysis.trigramBackoffNll(
+        tiny.union(Seq((3L, "d a b")).toDF("id", "text")), "id", "text",
+        col("id") % 2 === 0)
+      .filter(col("id") === 3L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(got2 == ((1L, 1L, micros(Seq(0.4 * 1.0)))))
+  }
+
   test("bigramNll equals the closed form on a tiny corpus") {
     val tiny = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x")).toDF("id", "text")
     val got = TextAnalysis.bigramNll(tiny, "id", "text")
