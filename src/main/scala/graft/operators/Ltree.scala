@@ -75,6 +75,26 @@ object Ltree {
    */
   def lqueryRegex(lquery: String): String = {
     val L = "[A-Za-z0-9_]+"
+    // one label possibly carrying trailing modifier flags
+    // (lquery_op.cpp: `@` case-insensitive, `*` prefix, `%`
+    // underscore-word match; flags compose)
+    def label(a0: String): String = {
+      var a = a0; var ci = false; var pre = false; var word = false
+      var done = false
+      while (!done && a.nonEmpty) a.last match {
+        case '@' => ci = true; a = a.init
+        case '*' => pre = true; a = a.init
+        case '%' => word = true; a = a.init
+        case _ => done = true
+      }
+      require(a.matches(L), s"bad lquery atom: $a0")
+      val q = java.util.regex.Pattern.quote(a)
+      val core =
+        if (word) s"(?:[A-Za-z0-9]+_)*$q(?:_[A-Za-z0-9]+)*"
+        else if (pre) s"$q[A-Za-z0-9_]*"
+        else q
+      if (ci) s"(?i:$core)" else core
+    }
     val atoms = lquery.split("\\.", -1).map(_.trim)
     val parts = atoms.map {
       case "*" => s"(?:$L\\.)*"
@@ -89,13 +109,11 @@ object Ltree {
         if (hi < 0) s"(?:$L\\.){$lo,}"
         else s"(?:$L\\.){$lo,$hi}"
       case a if a.startsWith("!") =>
-        val lab = java.util.regex.Pattern.quote(a.substring(1))
-        s"(?!$lab\\.)$L\\."
+        s"(?!${label(a.substring(1))}\\.)$L\\."
       case a if a.contains("|") =>
-        val alts = a.split("\\|").map(java.util.regex.Pattern.quote).mkString("|")
+        val alts = a.split("\\|").map(label).mkString("|")
         s"(?:$alts)\\."
-      case a if a.matches(L) => java.util.regex.Pattern.quote(a) + "\\."
-      case a => throw new IllegalArgumentException(s"bad lquery atom: $a")
+      case a => label(a) + "\\."
     }
     // match against path + trailing '.' so every atom consumes "label."
     "^" + parts.mkString + "$"

@@ -33,10 +33,14 @@ object RelationalSuite4 {
       |  'top.r' || n_regionkey || '.n' || c_nationkey || '.c' || c_custkey AS path
       |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin
 
-  // lquery compiled once, shared verbatim with the oracle (RE2-safe:
-  // no negation atom → no lookahead)
+  // lqueries compiled once, shared verbatim with the oracle (RE2-safe:
+  // no negation atom → no lookahead; (?i:) is RE2-supported)
   private val lq = "top.*{1}.n3|n7.*"
   private val lqRx = Ltree.lqueryRegex(lq)
+  private val lqCi = "TOP@.*{3}"
+  private val lqCiRx = Ltree.lqueryRegex(lqCi)
+  private val lqPre = "top.*{1}.n1*.*"
+  private val lqPreRx = Ltree.lqueryRegex(lqPre)
 
   val queries: Map[String, Q] = Map(
     // ---- ltree (contrib/ltree): per-row ops + lquery match ----
@@ -51,7 +55,9 @@ object RelationalSuite4 {
             concat(lit("n"), col("c_custkey") % 25, lit(".c"), col("c_custkey")))
             .as("idx_self"),
           Ltree.isAncestor(lit("top.r2"), col("path")).as("under_r2"),
-          Ltree.lqueryMatch(col("path"), lq).as("m_lq"))
+          Ltree.lqueryMatch(col("path"), lq).as("m_lq"),
+          Ltree.lqueryMatch(col("path"), lqCi).as("m_ci"),
+          Ltree.lqueryMatch(col("path"), lqPre).as("m_pre"))
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 
@@ -478,7 +484,9 @@ object RelationalSuite4 {
          |        '.n' || (c_custkey % 25) || '.c' || c_custkey || '.') - 1), '.')) - 1
          |    END::INTEGER AS idx_self,
          |  (path = 'top.r2' OR starts_with(path, 'top.r2.')) AS under_r2,
-         |  regexp_matches(path || '.', '$lqRx') AS m_lq
+         |  regexp_matches(path || '.', '$lqRx') AS m_lq,
+         |  regexp_matches(path || '.', '$lqCiRx') AS m_ci,
+         |  regexp_matches(path || '.', '$lqPreRx') AS m_pre
          |FROM p ORDER BY c_custkey""".stripMargin,
 
     "ltree_tree" ->

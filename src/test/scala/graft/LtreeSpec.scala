@@ -59,6 +59,25 @@ class LtreeSpec extends SparkSpec {
     assert(!m("a.b.d", "a.*{2,}.d"))
   }
 
+  test("lquery modifiers: @ case-insensitive, * prefix, % word match") {
+    def m(p: String, q: String): Boolean =
+      one[Boolean](Ltree.lqueryMatch(lit(p), q))
+    // PG docs: 'sCiEnCeS@' matches 'sciences'
+    assert(m("Top.sciences.astronomy", "Top.sCiEnCeS@.*"))
+    assert(!m("Top.sciences.astronomy", "Top.sCiEnCeS.*"))
+    // prefix: 'astr*' matches 'astronomy'
+    assert(m("Top.sciences.astronomy", "Top.*.astr*"))
+    assert(!m("Top.sciences.astronomy", "Top.*.astrx*"))
+    // word match on underscore-separated words
+    assert(m("Top.big_data_eng.x", "Top.data%.*"))
+    assert(m("Top.data_eng.x", "Top.data%.*"))
+    assert(!m("Top.metadata_eng.x", "Top.data%.*"))
+    // flags compose: case-insensitive prefix
+    assert(m("Top.sciences.astronomy", "Top.SCI*@.*"))
+    // modifiers inside alternation
+    assert(m("Top.arts.x", "Top.sci*|arts.*"))
+  }
+
   test("lcaAgg: min/max prefix trick + strictly-proper cap") {
     val df = Seq("1.2.3", "1.2.4", "1.2.5.6").toDF("p")
     assert(df.agg(Ltree.lcaAgg(col("p")).as("l")).as[String].head() == "1.2")
