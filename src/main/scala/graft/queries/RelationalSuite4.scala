@@ -408,25 +408,29 @@ object RelationalSuite4 {
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 
-    // ---- PG xml/xpath surface (xpath(), xpath_exists — openGauss
-    // inherits PG's xml type; contrib/xml2 xpath_string/number):
-    // Spark's codegen'd xpath_* family over per-row synthesized XML;
-    // the oracle recomputes the same values relationally (DuckDB has
-    // no XML — the point gated here is Spark's xpath correctness on a
-    // known document shape) ----
+    // ---- PG xml surface (openGauss inherits PG's xml type;
+    // contrib/xml2 xpath_string/number). The SCALE path is from_xml:
+    // ONE StAX parse per row into a typed struct, every field
+    // extracted from it — Spark's xpath_* family re-parses the
+    // document PER CALL (measured 72 s vs ~2 s on this very gate at
+    // sf0.1) and is kept to spec-level semantics checks only. The
+    // oracle recomputes relationally (DuckDB has no XML — the gated
+    // property is the parse on a known document shape). ----
     "xml_fns" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
         .withColumn("x", concat(lit("<o><k>"), col("o_orderkey"),
           lit("</k><st>"), col("o_orderstatus"),
           lit("</st><ls><l>"), col("o_custkey") % 10,
           lit("</l><l>"), col("o_custkey") % 7, lit("</l></ls></o>")))
+        .withColumn("p", expr(
+          "from_xml(x, 'k LONG, st STRING, ls STRUCT<l: ARRAY<LONG>>')"))
       o.select(col("o_orderkey"),
-          expr("xpath_long(x, '/o/k')").as("k"),
-          expr("xpath_string(x, '/o/st')").as("st"),
-          expr("xpath_boolean(x, '/o/ls')").as("has_ls"),
-          expr("xpath_boolean(x, '/o/nope')").as("has_nope"),
-          expr("array_join(xpath(x, '/o/ls/l/text()'), ',')").as("ls"),
-          expr("xpath_int(x, 'count(/o/ls/l)')").as("n_l"))
+          col("p.k").as("k"),
+          col("p.st").as("st"),
+          col("p.ls").isNotNull.as("has_ls"),
+          array_join(transform(col("p.ls.l"), v => v.cast("string")), ",")
+            .as("ls"),
+          size(col("p.ls.l")).as("n_l"))
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
@@ -784,7 +788,6 @@ object RelationalSuite4 {
         |  o_orderkey AS k,
         |  o_orderstatus AS st,
         |  true AS has_ls,
-        |  false AS has_nope,
         |  (o_custkey % 10) || ',' || (o_custkey % 7) AS ls,
         |  2::INTEGER AS n_l
         |FROM orders ORDER BY o_orderkey""".stripMargin,

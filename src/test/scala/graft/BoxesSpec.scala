@@ -47,6 +47,33 @@ class BoxesSpec extends SparkSpec {
     assert(b[Double](Boxes.distance(arr(0, 0), arr(1, 5), arr(4, 2), arr(6, 3))) == 3.0)
   }
 
+  test("xpath_* family matches from_xml on the gate's document shape") {
+    // the gate runs from_xml (one parse per row); the xpath_* family
+    // is semantics-pinned here on a small corpus — at sf0.1 the
+    // per-call re-parse costs 72 s vs ~2 s for from_xml
+    val df = Seq((7L, 3L, "O"), (8L, 12L, "F")).toDF("k", "c", "st")
+      .selectExpr("k", "concat('<o><k>', k, '</k><st>', st, " +
+        "'</st><ls><l>', c % 10, '</l><l>', c % 7, '</l></ls></o>') AS x")
+    val r = df.selectExpr(
+      "xpath_long(x, '/o/k') AS xk",
+      "xpath_string(x, '/o/st') AS xst",
+      "xpath_boolean(x, '/o/ls') AS has_ls",
+      "xpath_boolean(x, '/o/nope') AS has_nope",
+      "array_join(xpath(x, '/o/ls/l/text()'), ',') AS xls",
+      "xpath_int(x, 'count(/o/ls/l)') AS xn",
+      "from_xml(x, 'k LONG, st STRING, ls STRUCT<l: ARRAY<LONG>>') AS p")
+      .collect()
+    r.foreach { row =>
+      val p = row.getStruct(6)
+      assert(row.getLong(0) == p.getLong(0))          // k
+      assert(row.getString(1) == p.getString(1))      // st
+      assert(row.getBoolean(2) && !row.getBoolean(3)) // ls exists, nope doesn't
+      assert(row.getInt(5) == 2)
+      assert(row.getString(4) ==
+        p.getStruct(2).getSeq[Long](0).mkString(","))
+    }
+  }
+
   test("uuid v3: deterministic, versioned, variant in [89ab]") {
     val got = Seq("a", "b", "a").toDF("n")
       .select(Uuids.uuidV3(Uuids.NS_DNS, col("n")).as("u")).as[String].collect()
