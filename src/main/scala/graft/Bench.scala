@@ -44,7 +44,7 @@ object Bench {
     "trgm_search", "window_range_frame", "ltree_txtquery", "mysql_compat",
     "trgm_search_many", "intarray_query", "weighted_sample",
     "cube_ops", "citext_ops", "uuid_fns", "xml_fns", "isn_ean13", "ora_to_char",
-    "text_trigram_ppl")
+    "text_trigram_ppl", "hilbert_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -45,6 +45,72 @@ object Layout {
         shiftright(col("zval") * lit(nBuckets.toLong), 2 * bits).cast("int"))
   }
 
+  /**
+   * Hilbert-curve index of (x, y) on a 2^bits × 2^bits grid — the
+   * locality-better alternative to Morton for clustered layouts
+   * (consecutive Hilbert indices are ALWAYS grid-adjacent, so every
+   * file covers one connected region; Morton's curve jumps at quadrant
+   * seams). The standard xy2d walk (Hilbert 1891; the bit-rotation
+   * form is the classic public-domain convert): per bit plane s from
+   * high to low, d += s²·((3·rx) xor ry), then rotate/reflect the
+   * quadrant. Implemented as an UNROLLED fold over `bits` planes of
+   * pure integer when/xor arithmetic — codegen'd, and emitted
+   * IDENTICALLY as SQL by [[hilbertSql]] so the layout gates
+   * hash-exact against the oracle.
+   */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 15, "bits must be in [1,15]")
+    var cx = x.cast("long"); var cy = y.cast("long"); var d = lit(0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = when(cx.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(cy.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      // rotate: if ry == 0 { if rx == 1 reflect; swap(x, y) }
+      val nx = when(ry === 0,
+        when(rx === 1, lit(s - 1) - cy).otherwise(cy)).otherwise(cx)
+      val ny = when(ry === 0,
+        when(rx === 1, lit(s - 1) - cx).otherwise(cx)).otherwise(cy)
+      cx = nx; cy = ny
+      s >>= 1
+    }
+    d
+  }
+
+  /** The SQL twin of [[hilbertValue]]: a chain of CTE steps (one per
+    * bit plane) over `xExpr`/`yExpr`, for the DuckDB oracle. Returns
+    * (cteChainSql, finalDColumnName); prepend after a base CTE named
+    * `baseName` exposing xExpr/yExpr AS x0/y0 plus `carryCols`. */
+  def hilbertSql(bits: Int, baseName: String, carryCols: String): String = {
+    require(bits >= 1 && bits <= 15)
+    val sb = new StringBuilder
+    var s = 1L << (bits - 1)
+    var step = 0
+    var prev = baseName
+    while (s > 0) {
+      val i = step
+      val rx = s"(CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END)"
+      val dPrev = if (i == 0) "0" else s"d$i"
+      sb.append(
+        s"""h${i + 1} AS (SELECT $carryCols,
+           |  $dPrev + ${s * s} * xor(3 * $rx, $ry) AS d${i + 1},
+           |  CASE WHEN $ry = 0 THEN
+           |    CASE WHEN $rx = 1 THEN ${s - 1} - y$i ELSE y$i END
+           |    ELSE x$i END AS x${i + 1},
+           |  CASE WHEN $ry = 0 THEN
+           |    CASE WHEN $rx = 1 THEN ${s - 1} - x$i ELSE x$i END
+           |    ELSE y$i END AS y${i + 1}
+           |  FROM $prev),
+           |""".stripMargin)
+      prev = s"h${i + 1}"
+      step += 1
+      s >>= 1
+    }
+    // the last CTE in the chain is h<bits>, its index column d<bits>
+    sb.toString
+  }
+
   /** Production layout writer shape: range-repartition by z-value and
     * sort within partitions — each output file covers a tight z-range,
     * i.e. a small rectangle in (x, y), so min/max stats prune on both

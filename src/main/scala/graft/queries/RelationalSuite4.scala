@@ -366,6 +366,25 @@ object RelationalSuite4 {
         .transform(Gate.ordered(_, "seg_ci"))
     }),
 
+    // ---- Hilbert-curve clustered layout (C25's Morton sibling):
+    // consecutive indices are always grid-adjacent, so every bucket/
+    // file covers one CONNECTED (x,y) region — tighter min/max stats
+    // than Morton's quadrant-seam jumps ----
+    "hilbert_layout" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("x", (col("user_id") % 256).cast("long"))
+        .withColumn("y", expr("CAST(floor(value) AS BIGINT) % 256"))
+      e.withColumn("hval",
+          graft.operators.Layout.hilbertValue(col("x"), col("y"), 8))
+        .withColumn("bucket", shiftright(col("hval") * 16, 16).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("hval")).as("h_min"), max(col("hval")).as("h_max"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .transform(Gate.ordered(_, "bucket"))
+    }),
+
     // ---- A-format TO_CHAR/TO_NUMBER format masks (openGauss
     // formatting.cpp): zero-padded numeric mask on an exact DECIMAL
     // (cents-derived, so no double-formatting ties), date masks,
@@ -758,6 +777,21 @@ object RelationalSuite4 {
         |  sum(CASE WHEN seg_mixed = lower(seg_mixed) THEN 1 ELSE 0 END)::BIGINT
         |    AS n_lower
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "hilbert_layout" -> {
+      val chain = graft.operators.Layout
+        .hilbertSql(8, "base", "event_id, xo, yo").trim.stripSuffix(",")
+      s"""WITH base AS (SELECT event_id,
+         |  (user_id % 256)::BIGINT AS xo, (CAST(floor(value) AS BIGINT) % 256) AS yo,
+         |  (user_id % 256)::BIGINT AS x0, (CAST(floor(value) AS BIGINT) % 256) AS y0
+         |FROM events),
+         |$chain
+         |SELECT ((d8 * 16) >> 16)::INTEGER AS bucket, count(*)::BIGINT AS n,
+         |  min(d8) AS h_min, max(d8) AS h_max,
+         |  min(xo) AS x_min, max(xo) AS x_max,
+         |  min(yo) AS y_min, max(yo) AS y_max
+         |FROM h8 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "ora_to_char" ->
       """WITH c AS (SELECT o_orderkey, o_orderdate, o_custkey,

@@ -77,4 +77,27 @@ class LayoutSpec extends SparkSpec {
     case _ => ()
     }
   }
+
+  test("hilbertValue: bijective on the grid, consecutive cells adjacent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bits = 6; val n = 1 << bits
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val d = grid
+      .select(col("x"), col("y"),
+        graft.operators.Layout.hilbertValue(col("x"), col("y"), bits).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    // bijection: every index in [0, n²) exactly once
+    assert(d.map(_._1).sorted.toSeq == (0L until (n.toLong * n)).toSeq)
+    // the DEFINING Hilbert property (Morton lacks it): consecutive
+    // indices are Manhattan-distance-1 neighbors — every bucket of a
+    // range split is one connected region
+    val byD = d.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d-neighbors: ($x1,$y1) -> ($x2,$y2)")
+    case _ => ()
+    }
+  }
 }
