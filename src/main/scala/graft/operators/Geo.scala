@@ -61,7 +61,19 @@ object Geo {
     require(dLon * kmPerDegLon * 1000.0 >= radiusMeters,
       s"graft: lon cell ${dLon}° too small for radius at |lat|<=$maxAbsLat")
 
-    def latCell(c: Column) = floor(c / dLat).cast("int")
+    // |lat| ≤ maxAbsLat is a correctness precondition (lon cells are
+    // sized in degrees at maxAbsLat — beyond it they span fewer km
+    // than the radius and pairs would be SILENTLY missed). Enforce it
+    // at runtime inside the cell expression itself (not a droppable
+    // side column Catalyst would prune away): out-of-range latitudes
+    // raise instead of losing matches. (Corner: an out-of-range
+    // LITERAL lat constant-folds to a null cell key before execution
+    // and simply never joins — data columns, the real risk, raise.)
+    def checkedLat(c: Column): Column =
+      when(abs(c) <= lit(maxAbsLat), c).otherwise(raise_error(concat(
+        lit(s"graft: radiusJoin |lat| > $maxAbsLat (pass a larger maxAbsLat): "),
+        c.cast("string"))).cast("double"))
+    def latCell(c: Column) = floor(checkedLat(c) / dLat).cast("int")
     def lonCell(c: Column) = pmod(floor((c + 180.0) / dLon).cast("int"), lit(nLon))
 
     val l = left

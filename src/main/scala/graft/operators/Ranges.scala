@@ -64,8 +64,15 @@ object Ranges {
       // buckets floor(lo/Δ) .. floor((hi-1)/Δ)   (hi exclusive)
       sequence(floor(col(lo) / bucketWidth).cast("long"),
         floor((col(hi) - 1) / bucketWidth).cast("long"))
-    val l = left.withColumn("_bl", explode(tiles(loL, hiL)))
-    val r = right.withColumn("_br", explode(tiles(loR, hiR)))
+    // empty/inverted intervals (hi ≤ lo) overlap nothing by the
+    // module's contract — and Spark's sequence(start, stop) would
+    // generate a DESCENDING range for them, exploding |lo−hi|/Δ
+    // spurious bucket rows before the predicate filters them out.
+    // Drop them before tiling.
+    val l = left.filter(col(loL) < col(hiL))
+      .withColumn("_bl", explode(tiles(loL, hiL)))
+    val r = right.filter(col(loR) < col(hiR))
+      .withColumn("_br", explode(tiles(loR, hiR)))
     l.join(r, col("_bl") === col("_br") && col(keyL) === col(keyR) &&
         greatest(col(loL), col(loR)) < least(col(hiL), col(hiR)) &&
         // count each pair once: only in the bucket of the overlap start

@@ -113,9 +113,14 @@ object Trgm {
     val qLit = array(qGrams.map(lit): _*)
     docs.select(col(idCol), trigrams(col(textCol)).as("tg"))
       .withColumn("shared", size(array_intersect(col("tg"), qLit)))
-      // count lower bound: shared ≥ τ·(n+nq)/(1+τ) (integer-safe form)
+      // count lower bound: shared ≥ τ·(n+nq)/(1+τ). The final filter
+      // keeps round(sim,6) ≥ τ, i.e. sim ≥ τ−5e-7, so the prefilter
+      // must be a strict SUPERSET of that: run it at τ−1e-6. The
+      // 1e-6 slack also swallows the sub-ulp double-product skew at
+      // exact-boundary counts (e.g. 18/43 shared at τ=0.72) that
+      // could otherwise drop a row the oracle keeps.
       .filter(col("shared").cast("double") * (1.0 + tau) >=
-        (size(col("tg")) + qGrams.size).cast("double") * tau)
+        (size(col("tg")) + qGrams.size).cast("double") * (tau - 1e-6))
       .withColumn("sim", round(similarityOfSets(col("tg"), qLit), 6))
       .filter(col("sim") >= tau)
       .drop("tg", "shared")

@@ -29,9 +29,10 @@ class GeoRangesSpec extends SparkSpec {
   }
 
   test("radiusJoin equals brute force, incl. longitude wrap") {
-    val left = (1 to 40).map { i =>
+    val left = ((1 to 40).map { i =>
       (i.toLong, (i * 37 % 121 - 60).toDouble, (i * 53 % 360 - 180).toDouble)
-    }.toDF("lid", "c_lat", "c_lon")
+    } ++ Seq((200L, 10.0, 179.8))) // planted: guarantees a cross-line pair
+      .toDF("lid", "c_lat", "c_lon")
     // force wrap cases: points hugging the date line on both sides
     val right = ((1 to 25).map { i =>
       (i.toLong, (i * 41 % 121 - 60).toDouble, (i * 59 % 360 - 180).toDouble)
@@ -46,10 +47,13 @@ class GeoRangesSpec extends SparkSpec {
       .filter(col("d") <= r)
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(got == want && want.nonEmpty)
-    // wrap pair must actually be exercised: 179.5 and -179.5 are ~111km
-    // apart at lat 10 — any left point near the date line pairs both
-    val wrapHits = want.count { case (_, rid) => rid >= 100L && rid <= 101L }
-    assert(wrapHits >= 0) // presence depends on left layout; join above proves parity
+    // wrap pair must actually be exercised: left 200 sits at 179.8°,
+    // right 101 at −179.5° — 0.7° apart at lat 10 (~77 km), well
+    // inside the 2000 km radius, and the pair CROSSES the date line
+    // (cells wrap mod nLon). Pin it so the wrap path can't go dark.
+    val wrapHits = want.count { case (lid, rid) => lid == 200L && rid == 101L }
+    assert(wrapHits >= 1)
+    assert(got.contains((200L, 101L)))
   }
 
   test("range ops: empty-awareness and intersection") {
@@ -90,5 +94,34 @@ class GeoRangesSpec extends SparkSpec {
       .filter(col("ok1") < col("ok2"))
       .select("ok1", "ok2").as[(Long, Long)].collect().toSeq
     assert(withDups.size == withDups.toSet.size)
+  }
+
+  test("overlapJoin drops empty/inverted intervals before tiling") {
+    // a badly inverted interval (hi << lo) must neither explode into
+    // |lo-hi|/width bucket rows nor join anything (empty-range
+    // contract); width 8 → a descending sequence would be ~12M rows
+    val l = Seq((1L, 1L, 0L, 10L), (2L, 1L, 100000000L, 0L), (3L, 1L, 5L, 5L))
+      .toDF("ok1", "ck1", "lo1", "hi1")
+    val r = Seq((10L, 1L, 0L, 100000000L)).toDF("ok2", "ck2", "lo2", "hi2")
+    val got = Ranges.overlapJoin(l, r, "ck1", "ck2", "lo1", "hi1",
+        "lo2", "hi2", 8L)
+      .select("ok1", "ok2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L))) // inverted 2 and empty 3 join nothing
+  }
+
+  test("radiusJoin raises on |lat| beyond maxAbsLat instead of missing pairs") {
+    val l = Seq((1L, 75.0, 0.0)).toDF("lid", "c_lat", "c_lon") // polar row
+    val r = Seq((2L, 74.0, 0.0)).toDF("rid", "s_lat", "s_lon")
+    val ex = intercept[Exception] {
+      Geo.radiusJoin(l, r, "c_lat", "c_lon", "s_lat", "s_lon",
+        500000.0, maxAbsLat = 60.0).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("radiusJoin |lat| >")))
+    // and within the bound the same rows join fine
+    assert(Geo.radiusJoin(l, r, "c_lat", "c_lon", "s_lat", "s_lon",
+      500000.0, maxAbsLat = 80.0).count() == 1L)
   }
 }
