@@ -146,10 +146,19 @@ object Bench {
     }
 
     // ---- phase A: full coverage, 1 warmup + 1 timed rep ----
+    // The warmup is itself timed: a query that DEGENERATES (a plan
+    // regression à la the 225 s hilbert tree) must not run twice —
+    // past the per-query cap its warmup time stands in for the rep
+    // (cold, pessimistic, honest: the artifact shows the blowup
+    // without the bench paying for it twice).
+    val perQueryCap = budget / 8.0
     names.foreach { n =>
-      run(n, sfDir) // warmup (JIT + codegen compile)
-      System.gc()   // once per query: last query's allocation debt out
-      reps(n) = Vector(timed(n, sfDir))
+      val warm = timed(n, sfDir) // warmup (JIT + codegen compile)
+      if (warm > perQueryCap) reps(n) = Vector(warm)
+      else {
+        System.gc() // once per query: last query's allocation debt out
+        reps(n) = Vector(timed(n, sfDir))
+      }
     }
     writeArtifact(currentLine(f""","phase":"A","elapsed":${elapsed()}%.1f""")._1)
 
@@ -160,7 +169,8 @@ object Bench {
     var pass = 0
     while (pass < 2 && elapsed() + passCost * 1.7 < budget) {
       names.foreach { n =>
-        if (reps(n).forall(_ >= 0)) reps(n) = reps(n) :+ timed(n, sfDir)
+        if (reps(n).forall(r => r >= 0 && r <= perQueryCap))
+          reps(n) = reps(n) :+ timed(n, sfDir)
       }
       pass += 1
       writeArtifact(currentLine(
@@ -174,7 +184,10 @@ object Bench {
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
     if (smallDir != sfDir && new java.io.File(smallDir).isDirectory) {
       names.foreach { n =>
-        if (elapsed() < budget) small(n) = timed(n, smallDir)
+        // a query already degenerate at the main sf (> cap) is skipped
+        // here too: its blowup is visible without risking the budget
+        if (elapsed() < budget && med(reps(n)) <= perQueryCap)
+          small(n) = timed(n, smallDir)
         else skipped += n
       }
     }

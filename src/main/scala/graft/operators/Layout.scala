@@ -53,29 +53,19 @@ object Layout {
    * seams). The standard xy2d walk (Hilbert 1891; the bit-rotation
    * form is the classic public-domain convert): per bit plane s from
    * high to low, d += s²·((3·rx) xor ry), then rotate/reflect the
-   * quadrant. Implemented as an UNROLLED fold over `bits` planes of
-   * pure integer when/xor arithmetic — codegen'd, and emitted
-   * IDENTICALLY as SQL by [[hilbertSql]] so the layout gates
-   * hash-exact against the oracle.
+   * quadrant. Compiled as a native loop expression
+   * ([[graft.functions.HilbertIndex]]) and emitted IDENTICALLY as SQL
+   * by [[hilbertSql]] so the layout gates hash-exact against the
+   * oracle. (The first formulation self-composed the per-plane Column
+   * trees — ~3-4× expression growth per plane, 8 planes fell out of
+   * codegen entirely and cost 225+ s interpreted at sf0.1; the loop
+   * form is ~0.4 s. The lesson: an iterated bit-plane fold must be a
+   * loop in ONE expression, never a tree-of-trees.)
    */
-  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 15, "bits must be in [1,15]")
-    var cx = x.cast("long"); var cy = y.cast("long"); var d = lit(0L)
-    var s = 1L << (bits - 1)
-    while (s > 0) {
-      val rx = when(cx.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
-      val ry = when(cy.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
-      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
-      // rotate: if ry == 0 { if rx == 1 reflect; swap(x, y) }
-      val nx = when(ry === 0,
-        when(rx === 1, lit(s - 1) - cy).otherwise(cy)).otherwise(cx)
-      val ny = when(ry === 0,
-        when(rx === 1, lit(s - 1) - cx).otherwise(cx)).otherwise(cy)
-      cx = nx; cy = ny
-      s >>= 1
-    }
-    d
-  }
+  def hilbertValue(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(graft.functions.HilbertIndex(
+      org.apache.spark.sql.graft.Bridge.expression(x.cast("long")),
+      org.apache.spark.sql.graft.Bridge.expression(y.cast("long")), bits))
 
   /** The SQL twin of [[hilbertValue]]: a chain of CTE steps (one per
     * bit plane) over `xExpr`/`yExpr`, for the DuckDB oracle. Returns
