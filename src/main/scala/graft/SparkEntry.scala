@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.RelationalSuite2.queries ++
       graft.queries.RelationalSuite3.queries ++
       graft.queries.RelationalSuite4.queries ++
+      graft.queries.RelationalSuite5.queries ++
       graft.queries.AnnSuite.queries ++
       graft.queries.TextSuite.queries ++
       graft.queries.DedupSuite.queries ++
@@ -29,6 +30,7 @@ object SparkEntry {
       graft.queries.RelationalSuite2.oracle ++
       graft.queries.RelationalSuite3.oracle ++
       graft.queries.RelationalSuite4.oracle ++
+      graft.queries.RelationalSuite5.oracle ++
       graft.queries.AnnSuite.oracle ++
       graft.queries.TextSuite.oracle ++
       graft.queries.DedupSuite.oracle ++

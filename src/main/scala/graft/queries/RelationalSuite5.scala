@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Masking
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-12 surface: the openGauss security_plugin dynamic-masking
+ * function pack (reference: contrib/security_plugin/
+ * security_plugin--1.0.sql, masking.cpp) and its training-pipeline
+ * sibling — PII redaction over the documents corpus.
+ *
+ * Both are pure map-only column rewrites: at 100 TB a masking /
+ * redaction pass is a single scan with zero shuffle, exactly the
+ * reference's per-row function call shape.
+ */
+object RelationalSuite5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // PII patterns — RE2-safe (no lookaround/backrefs) so the DuckDB
+  // oracle compiles the IDENTICAL pattern. Order of application
+  // matters: SSN before phone (the phone pattern matches an SSN tail).
+  private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val SsnRx   = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private val PhoneRx = "\\b[0-9]{3}-[0-9]{4}\\b"
+  private val IpRx    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  val queries: Map[String, Q] = Map(
+    // ---- security_plugin masking functions (C74): each gate column
+    // is one reference function applied to a deterministically built
+    // value, so the oracle reconstructs byte-identical inputs ----
+    "masking_fns" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .withColumn("email", concat(lit("user"), col("c_custkey"), lit("@"),
+          lower(col("c_mktsegment")), lit(".example.com")))
+        .withColumn("card", concat(lit("4"),
+          lpad(col("c_custkey").cast("string"), 15, "0")))
+      c.select(col("c_custkey"),
+          Masking.creditcardmasking(col("card")).as("card_masked"),
+          Masking.basicemailmasking(col("email")).as("email_basic"),
+          Masking.fullemailmasking(col("email")).as("email_full"),
+          Masking.alldigitsmasking(col("c_name")).as("digits_masked"),
+          Masking.maskall(col("c_mktsegment")).as("seg_masked"),
+          Masking.regexpmasking(col("email"), "[a-z]", "*", 2, 6).as("email_rx"),
+          Masking.regexpmasking(col("c_name"), "[0-9]", "#", 9, -1).as("name_rx"))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- PII redaction over documents (D45): the masking policy as
+    // a corpus pass — emails / SSNs / phones / IPv4s planted
+    // deterministically inside real document text, then redacted by
+    // the regex battery with per-class match counts ----
+    "pii_redact" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("k", col("doc_id"))
+        .withColumn("pii_text", concat(
+          substring(col("text"), 1, 40),
+          lit(" contact user"), col("k"), lit("@host"), col("k") % 7,
+          lit(".example.org now"),
+          lit(" ssn "), lpad((col("k") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("k") % 100).cast("string"), 2, "0"),
+          lit("-"), lpad((col("k") % 10000).cast("string"), 4, "0"),
+          lit(" call 555-"), lpad((col("k") % 10000).cast("string"), 4, "0"),
+          lit(" from "), (col("k") % 256).cast("string"), lit("."),
+          (col("k") % 199).cast("string"), lit("."),
+          (col("k") % 97).cast("string"), lit("."),
+          (col("k") % 251).cast("string"), lit(" end")))
+      d.select(col("doc_id"),
+          size(regexp_extract_all(col("pii_text"), lit(EmailRx), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("pii_text"), lit(SsnRx), lit(0)))
+            .cast("long").as("n_ssn"),
+          size(regexp_extract_all(col("pii_text"), lit(IpRx), lit(0)))
+            .cast("long").as("n_ip"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("pii_text"), EmailRx, "<EMAIL>"),
+                SsnRx, "<SSN>"),
+              PhoneRx, "<PHONE>"),
+            IpRx, "<IP>").as("redacted"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "masking_fns" ->
+      """WITH m AS (SELECT c_custkey, c_name, c_mktsegment,
+        |  'user' || c_custkey || '@' || lower(c_mktsegment) || '.example.com'
+        |    AS email,
+        |  '4' || lpad(c_custkey::VARCHAR, 15, '0') AS card
+        |FROM customer)
+        |SELECT c_custkey,
+        |  CASE WHEN length(card) >= 4 THEN
+        |    regexp_replace(substr(card, 1, length(card) - 4), '[0-9+]', 'x', 'g')
+        |      || right(card, 4)
+        |  ELSE card END AS card_masked,
+        |  CASE WHEN strpos(email, '@') > 1 THEN
+        |    repeat('x', strpos(email, '@') - 1)
+        |      || substr(email, strpos(email, '@'),
+        |           length(email) - strpos(email, '@') + 1)
+        |  ELSE email END AS email_basic,
+        |  CASE WHEN strpos(email, '@') > 2
+        |        AND length(email) - strpos(reverse(email), '.') + 1
+        |              > strpos(email, '@') THEN
+        |    repeat('x', strpos(email, '@') - 1) || '@'
+        |      || repeat('x', length(email) - strpos(reverse(email), '.') + 1
+        |                       - strpos(email, '@') - 1)
+        |      || substr(email, length(email) - strpos(reverse(email), '.') + 1)
+        |  ELSE email END AS email_full,
+        |  regexp_replace(c_name, '[0-9+]', '0', 'g') AS digits_masked,
+        |  repeat('x', length(c_mktsegment)) AS seg_masked,
+        |  substr(email, 1, 2)
+        |    || regexp_replace(substr(email, 3, 6), '[a-z]', '*', 'g')
+        |    || substr(email, 9) AS email_rx,
+        |  substr(c_name, 1, 9)
+        |    || regexp_replace(substr(c_name, 10), '[0-9]', '#', 'g') AS name_rx
+        |FROM m ORDER BY c_custkey""".stripMargin,
+
+    "pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |  substr(text, 1, 40)
+        |    || ' contact user' || doc_id || '@host' || (doc_id % 7)
+        |    || '.example.org now'
+        |    || ' ssn ' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+        |    || '-' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+        |    || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |    || ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |    || ' from ' || (doc_id % 256) || '.' || (doc_id % 199)
+        |    || '.' || (doc_id % 97) || '.' || (doc_id % 251) || ' end'
+        |    AS pii_text
+        |FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(pii_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(pii_text,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssn,
+        |  len(regexp_extract_all(pii_text,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ip,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(pii_text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |      '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |    AS redacted
+        |FROM d ORDER BY doc_id""".stripMargin)
+}
