@@ -47,6 +47,47 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 
+    // ---- unaccent (C75, contrib/unaccent): the diacritic dictionary
+    // as a compiled substitution expression, composed into the text-
+    // normalization pipeline (unaccent → lower → match). The oracle is
+    // a REAL cross-engine check: DuckDB strips the NFD-decomposable
+    // accents with its own ICU path (strip_accents), plus the explicit
+    // rules-file expansions (ø æ ß œ ł) ICU leaves alone ----
+    "unaccent_fns" -> ((s, dir) => {
+      val words = array(
+        lit("café crème"), lit("naïve déjà vu"), lit("über größe"),
+        lit("smörgåsbord ångström"), lit("señor piñata"),
+        lit("hôtel français"), lit("øre fjord æsir"), lit("łódź œuvre"))
+      val c = Tables(s, dir, "customer")
+        .withColumn("accented", concat(
+          element_at(words, (col("c_custkey") % 8 + 1).cast("int")),
+          lit(" #"), col("c_custkey")))
+      c.select(col("c_custkey"), col("accented"),
+          graft.functions.Unaccent.unaccent(col("accented")).as("plain"),
+          lower(graft.functions.Unaccent.unaccent(col("accented")))
+            .as("norm"),
+          (instr(graft.functions.Unaccent.unaccent(col("accented")),
+            "cafe") > 0).as("has_cafe"))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- pgcrypto hmac (C76): keyed digests for integrity-stamped
+    // exports / stable keyed pseudonymization. rows-only gate (DuckDB
+    // cannot hash raw bytes, so no SQL oracle exists); the algorithm
+    // itself is pinned to the RFC 4231/2202 vectors in CryptoSpec ----
+    "crypto_hmac" -> ((s, dir) => {
+      import graft.functions.HmacExpression.hmac
+      val o = Tables(s, dir, "orders")
+        .withColumn("msg", concat(lit("order:"), col("o_orderkey")))
+      o.select(col("o_orderkey"),
+          hex(hmac(col("msg"), lit("graft-key"), "sha256")).as("mac_sha256"),
+          hex(hmac(col("msg"), lit("graft-key"), "sha1")).as("mac_sha1"),
+          hex(hmac(col("msg"), lit("graft-key"), "md5")).as("mac_md5"),
+          hex(hmac(col("msg"), col("o_orderstatus"), "sha256"))
+            .as("mac_rowkey"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // ---- PII redaction over documents (D45): the masking policy as
     // a corpus pass — emails / SSNs / phones / IPv4s planted
     // deterministically inside real document text, then redacted by
@@ -116,6 +157,22 @@ object RelationalSuite5 {
         |  substr(c_name, 1, 9)
         |    || regexp_replace(substr(c_name, 10), '[0-9]', '#', 'g') AS name_rx
         |FROM m ORDER BY c_custkey""".stripMargin,
+
+    "unaccent_fns" ->
+      """WITH w AS (SELECT c_custkey,
+        |  ['café crème','naïve déjà vu','über größe','smörgåsbord ångström',
+        |   'señor piñata','hôtel français','øre fjord æsir','łódź œuvre']
+        |    [(c_custkey % 8 + 1)::INTEGER] || ' #' || c_custkey AS accented
+        |FROM customer),
+        |u AS (SELECT c_custkey, accented,
+        |  replace(replace(replace(replace(replace(replace(replace(replace(
+        |    strip_accents(accented),
+        |    'ø', 'o'), 'Ø', 'O'), 'æ', 'ae'), 'Æ', 'AE'),
+        |    'ß', 'ss'), 'œ', 'oe'), 'Œ', 'OE'), 'ł', 'l') AS plain
+        |FROM w)
+        |SELECT c_custkey, accented, plain, lower(plain) AS norm,
+        |  strpos(plain, 'cafe') > 0 AS has_cafe
+        |FROM u ORDER BY c_custkey""".stripMargin,
 
     "pii_redact" ->
       """WITH d AS (SELECT doc_id,
