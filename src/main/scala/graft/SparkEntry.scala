@@ -17,6 +17,7 @@ object SparkEntry {
       graft.queries.RelationalSuite3.queries ++
       graft.queries.RelationalSuite4.queries ++
       graft.queries.RelationalSuite5.queries ++
+      graft.queries.MlSuite.queries ++
       graft.queries.AnnSuite.queries ++
       graft.queries.TextSuite.queries ++
       graft.queries.DedupSuite.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
       graft.queries.RelationalSuite3.oracle ++
       graft.queries.RelationalSuite4.oracle ++
       graft.queries.RelationalSuite5.oracle ++
+      graft.queries.MlSuite.oracle ++
       graft.queries.AnnSuite.oracle ++
       graft.queries.TextSuite.oracle ++
       graft.queries.DedupSuite.oracle ++

@@ -1,0 +1,405 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * DB4AI — openGauss's in-database ML surface (reference:
+ * src/gausskernel/dbmind/db4ai/executor/algorithms/{linregr,logregr,
+ * kmeans,pca,bayes}.cpp, optimize/gd/, scores.h; exercised via
+ * CREATE MODEL ... USING <algo> / PREDICT BY), re-expressed as
+ * distributed Spark aggregations.
+ *
+ * Design for 100 TB:
+ *  - every trainer is "few full scans + tiny driver state": linregr /
+ *    pca reduce to ONE map-side-combined Gram aggregate (p² numbers)
+ *    and a driver-side solve of a p×p system; kmeans / GD do one such
+ *    pass per iteration with k·d (resp. p) numbers crossing the wire;
+ *    naive Bayes is a handful of broadcast count tables. Nothing
+ *    materializes per-row state, no shuffle carries more than the
+ *    model itself.
+ *  - DETERMINISM: float sums over a shuffle are order-dependent, so
+ *    every corpus-wide sum here is exact integer/decimal arithmetic —
+ *    Gram sums of integer-derived features are LONG; GD gradients are
+ *    floor-quantized to 1e-9 before summing (gd.h's accumulation is
+ *    a plain double += and openGauss runs it single-threaded; the
+ *    quantized sum is the order-free distributed equivalent). The
+ *    driver-side solve is then a pure function of exact sums.
+ *  - the gates share their scalar formulas TEXTUALLY with the DuckDB
+ *    oracle (the *Sql builders below), so every double is produced by
+ *    the identical IEEE expression tree on both engines → hash-exact.
+ */
+object Ml {
+
+  // ---------------------------------------------------------------
+  // Linear regression (linregr.cpp): closed-form normal equations.
+  // ---------------------------------------------------------------
+
+  /**
+   * Exact Gram sums for 2 integer features + intercept: one
+   * map-side-combined aggregate producing the 9 LONG moments.
+   */
+  def linregrSums(df: DataFrame, x1: Column, x2: Column, y: Column): DataFrame =
+    df.select(x1.cast("long").as("x1"), x2.cast("long").as("x2"),
+        y.cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum("x1").as("sx1"), sum("x2").as("sx2"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("sx11"),
+        sum(col("x1") * col("x2")).as("sx12"),
+        sum(col("x2") * col("x2")).as("sx22"),
+        sum(col("x1") * col("y")).as("sx1y"),
+        sum(col("x2") * col("y")).as("sx2y"),
+        sum(col("y") * col("y")).as("syy"))
+
+  /**
+   * Cramer solve of the 3×3 normal equations over the sums row, as
+   * SQL expression text shared verbatim with the oracle — identical
+   * IEEE trees on both engines. Column names: b0 (intercept), b1, b2,
+   * r2. Uses only +,-,*,/ over the exact LONG moments.
+   */
+  val cramer3Exprs: Seq[(String, String)] = {
+    // doubles of the moments
+    val d = Seq("n", "sx1", "sx2", "sy", "sx11", "sx12", "sx22", "sx1y", "sx2y", "syy")
+      .map(m => m -> s"CAST($m AS DOUBLE)").toMap
+    val det =
+      s"(${d("n")} * (${d("sx11")} * ${d("sx22")} - ${d("sx12")} * ${d("sx12")})" +
+        s" - ${d("sx1")} * (${d("sx1")} * ${d("sx22")} - ${d("sx12")} * ${d("sx2")})" +
+        s" + ${d("sx2")} * (${d("sx1")} * ${d("sx12")} - ${d("sx11")} * ${d("sx2")}))"
+    val det0 =
+      s"(${d("sy")} * (${d("sx11")} * ${d("sx22")} - ${d("sx12")} * ${d("sx12")})" +
+        s" - ${d("sx1")} * (${d("sx1y")} * ${d("sx22")} - ${d("sx12")} * ${d("sx2y")})" +
+        s" + ${d("sx2")} * (${d("sx1y")} * ${d("sx12")} - ${d("sx11")} * ${d("sx2y")}))"
+    val det1 =
+      s"(${d("n")} * (${d("sx1y")} * ${d("sx22")} - ${d("sx12")} * ${d("sx2y")})" +
+        s" - ${d("sy")} * (${d("sx1")} * ${d("sx22")} - ${d("sx12")} * ${d("sx2")})" +
+        s" + ${d("sx2")} * (${d("sx1")} * ${d("sx2y")} - ${d("sx1y")} * ${d("sx2")}))"
+    val det2 =
+      s"(${d("n")} * (${d("sx11")} * ${d("sx2y")} - ${d("sx1y")} * ${d("sx12")})" +
+        s" - ${d("sx1")} * (${d("sx1")} * ${d("sx2y")} - ${d("sx1y")} * ${d("sx2")})" +
+        s" + ${d("sy")} * (${d("sx1")} * ${d("sx12")} - ${d("sx11")} * ${d("sx2")}))"
+    // SSE from the moments: y'y - 2 b'X'y + b'X'Xb, expanded; SST = syy - sy²/n
+    val b0 = s"($det0 / $det)"; val b1 = s"($det1 / $det)"; val b2 = s"($det2 / $det)"
+    val sse =
+      s"(${d("syy")} - 2e0 * ($b0 * ${d("sy")} + $b1 * ${d("sx1y")} + $b2 * ${d("sx2y")})" +
+        s" + ($b0 * ($b0 * ${d("n")} + $b1 * ${d("sx1")} + $b2 * ${d("sx2")})" +
+        s" + $b1 * ($b0 * ${d("sx1")} + $b1 * ${d("sx11")} + $b2 * ${d("sx12")})" +
+        s" + $b2 * ($b0 * ${d("sx2")} + $b1 * ${d("sx12")} + $b2 * ${d("sx22")})))"
+    val sst = s"(${d("syy")} - ${d("sy")} * ${d("sy")} / ${d("n")})"
+    Seq("b0" -> b0, "b1" -> b1, "b2" -> b2, "r2" -> s"(1e0 - $sse / $sst)")
+  }
+
+  /**
+   * General linear regression: p features, driver-side Gaussian
+   * elimination with partial pivoting over the (p+1)×(p+1) normal
+   * matrix built from ONE aggregate pass. Feature values should be
+   * exact (integer/decimal-derived) for run-to-run determinism.
+   * Returns (weights incl. intercept at index 0).
+   */
+  def linregr(df: DataFrame, features: Seq[Column], label: Column): Array[Double] = {
+    val p = features.size
+    val cols = (lit(1L).as("f0") +:
+      features.zipWithIndex.map { case (c, i) => c.cast("long").as(s"f${i + 1}") }) :+
+      label.cast("long").as("lab")
+    val w = df.select(cols: _*)
+    val aggs = (for {
+      i <- 0 to p; j <- i to p
+    } yield sum(col(s"f$i") * col(s"f$j")).as(s"m_${i}_$j")) ++
+      (0 to p).map(i => sum(col(s"f$i") * col("lab")).as(s"v_$i"))
+    val row = w.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val a = Array.ofDim[Double](p + 1, p + 2)
+    for (i <- 0 to p; j <- i to p) {
+      val m = row.getLong(row.fieldIndex(s"m_${i}_$j")).toDouble
+      a(i)(j) = m; a(j)(i) = m
+    }
+    for (i <- 0 to p) a(i)(p + 1) = row.getLong(row.fieldIndex(s"v_$i")).toDouble
+    // gaussian elimination, partial pivot
+    for (c <- 0 to p) {
+      val piv = (c to p).maxBy(r => math.abs(a(r)(c)))
+      val t = a(c); a(c) = a(piv); a(piv) = t
+      require(math.abs(a(c)(c)) > 1e-12, "graft: singular normal matrix")
+      for (r <- 0 to p if r != c) {
+        val f = a(r)(c) / a(c)(c)
+        for (k <- c to p + 1) a(r)(k) -= f * a(c)(k)
+      }
+    }
+    (0 to p).map(i => a(i)(p + 1) / a(i)(i)).toArray
+  }
+
+  // ---------------------------------------------------------------
+  // K-means (kmeans.cpp): Lloyd with deterministic partition init.
+  // ---------------------------------------------------------------
+
+  /** dj = squared distance to centroid j, as shared SQL text. */
+  private def distExpr(j: Int): String =
+    s"((CAST(x AS DOUBLE) - cx$j) * (CAST(x AS DOUBLE) - cx$j)" +
+      s" + (CAST(y AS DOUBLE) - cy$j) * (CAST(y AS DOUBLE) - cy$j))"
+
+  /** Nearest-centroid CASE chain (ties → smaller id), shared text. */
+  def assignExpr(k: Int): String = {
+    val cases = (0 until k - 1).map { j =>
+      val conds = (j + 1 until k).map(m => s"${distExpr(j)} <= ${distExpr(m)}")
+      s"WHEN ${conds.mkString(" AND ")} THEN $j"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE ${k - 1} END"
+  }
+
+  /** One-row pivot of per-cluster means: cx0..cy{k-1}, empty clusters
+    * inherit the previous centroid (coalesce). Shared text; `prev`
+    * names the previous single-row centroid relation. */
+  def centroidPivotSql(k: Int, assigned: String, prev: String): String = {
+    val cols = (0 until k).flatMap { j =>
+      Seq(
+        s"coalesce(max(CASE WHEN cl = $j THEN sx END) / max(CASE WHEN cl = $j THEN cn END), max($prev.cx$j)) AS cx$j",
+        s"coalesce(max(CASE WHEN cl = $j THEN sy END) / max(CASE WHEN cl = $j THEN cn END), max($prev.cy$j)) AS cy$j")
+    }
+    s"""SELECT ${cols.mkString(", ")}
+       |FROM (SELECT cl, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+       |             CAST(count(*) AS DOUBLE) AS cn FROM $assigned GROUP BY cl) g, $prev""".stripMargin
+  }
+
+  /**
+   * The full Lloyd chain as one SQL text over a relation `pts(x, y)`
+   * with integer columns — runnable verbatim by Spark SQL AND DuckDB
+   * (the gate's cross-engine guarantee). Init: cl = x % k ("random
+   * partition" init, deterministic here). Output: one row per cluster
+   * with exact LONG sums + the final double centroids.
+   */
+  def kmeansSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH a0 AS (SELECT x, y, CAST(x % $k AS INT) AS cl FROM pts),\n")
+    // c0 from a0 without a prev relation: seed "prev" with zeros (all
+    // clusters are non-empty under partition init by construction)
+    val zeros = (0 until k).flatMap(j => Seq(s"CAST(0 AS DOUBLE) AS cx$j", s"CAST(0 AS DOUBLE) AS cy$j")).mkString(", ")
+    sb.append(s"z AS (SELECT $zeros),\n")
+    var prev = "z"
+    for (i <- 0 until iters) {
+      val a = s"a$i"; val c = s"c$i"
+      sb.append(s"$c AS (${centroidPivotSql(k, a, prev)}),\n")
+      sb.append(s"a${i + 1} AS (SELECT x, y, ${assignExpr(k)} AS cl FROM pts, $c),\n")
+      prev = c
+    }
+    val fin = s"c$iters"
+    sb.append(s"$fin AS (${centroidPivotSql(k, s"a$iters", prev)})\n")
+    val cxCase = (0 until k).map(j => s"WHEN $j THEN cx$j").mkString(" ")
+    val cyCase = (0 until k).map(j => s"WHEN $j THEN cy$j").mkString(" ")
+    val groupCols = (0 until k).flatMap(j => Seq(s"cx$j", s"cy$j")).mkString(", ")
+    sb.append(
+      s"""SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         |  CASE cl $cxCase END AS cx, CASE cl $cyCase END AS cy
+         |FROM a$iters, $fin GROUP BY cl, $groupCols ORDER BY cluster""".stripMargin)
+    sb.toString
+  }
+
+  /**
+   * Production Lloyd: DataFrame loop — per iteration ONE map-side-
+   * combined aggregate (k rows of exact LONG sums cross the shuffle),
+   * centroids held on the driver (k·2 doubles), assignment compiled
+   * as the same CASE chain. Returns (assigned DF, centroids).
+   */
+  def kmeans(pts: DataFrame, k: Int, iters: Int): (DataFrame, Array[(Double, Double)]) = {
+    var assigned = pts.withColumn("cl", (col("x") % k).cast("int"))
+    var cents = Array.fill(k)((0.0, 0.0))
+    for (_ <- 0 until iters) {
+      val sums = assigned.groupBy("cl")
+        .agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).as("cn"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      cents = (0 until k).toArray.map { j =>
+        sums.get(j).map { case (sx, sy, cn) =>
+          (sx.toDouble / cn.toDouble, sy.toDouble / cn.toDouble)
+        }.getOrElse(cents(j))
+      }
+      val dists = cents.map { case (cx, cy) =>
+        val dx = col("x").cast("double") - lit(cx); val dy = col("y").cast("double") - lit(cy)
+        dx * dx + dy * dy
+      }
+      val assign = (0 until k - 1).foldRight(lit(k - 1): Column) { (j, elseCol) =>
+        val conds = (j + 1 until k).map(m => dists(j) <= dists(m)).reduce(_ && _)
+        when(conds, lit(j)).otherwise(elseCol)
+      }
+      assigned = pts.withColumn("cl", assign.cast("int"))
+    }
+    // final mean update so the returned centroids ARE the means of the
+    // returned assignment (matches the SQL chain's last c{iters} row)
+    val fin = assigned.groupBy("cl")
+      .agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).as("cn"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    cents = (0 until k).toArray.map { j =>
+      fin.get(j).map { case (sx, sy, cn) =>
+        (sx.toDouble / cn.toDouble, sy.toDouble / cn.toDouble)
+      }.getOrElse(cents(j))
+    }
+    (assigned, cents)
+  }
+
+  // ---------------------------------------------------------------
+  // Logistic regression (logregr.cpp / optimize/gd): full-batch GD
+  // with order-free quantized gradient sums.
+  // ---------------------------------------------------------------
+
+  /** Hard sigmoid (clip(z/4 + 0.5, 0, 1)) as shared SQL text — a pure
+    * +,*,/ surrogate both engines evaluate bit-identically (the true
+    * exp() is libm-dependent and NOT cross-engine reproducible). */
+  def hardSigmoidSql(z: String): String =
+    s"least(greatest($z / 4e0 + 5e-1, 0e0), 1e0)"
+
+  /**
+   * GD chain as one SQL text over `pts(x1, x2, y)` (doubles/int),
+   * runnable by Spark SQL and DuckDB: `iters` full-batch steps,
+   * per-coordinate gradient sums floor-quantized to 1e-9 (exact LONG
+   * sums → deterministic under any partitioning). Output: one row
+   * (w0, w1, w2, n_pos_pred).
+   */
+  def logregrSql(iters: Int, lr: Double): String = {
+    val sb = new StringBuilder("WITH w0 AS (SELECT 0e0 AS w0, 0e0 AS w1, 0e0 AS w2),\n")
+    for (t <- 0 until iters) {
+      val z = s"(w0 + w1 * x1 + w2 * x2)"
+      val err = s"(${hardSigmoidSql(z)} - CAST(y AS DOUBLE))"
+      sb.append(
+        s"""g$t AS (SELECT count(*) AS n,
+           |  sum(CAST(floor($err * 1e9) AS BIGINT)) AS g0,
+           |  sum(CAST(floor($err * x1 * 1e9) AS BIGINT)) AS g1,
+           |  sum(CAST(floor($err * x2 * 1e9) AS BIGINT)) AS g2
+           |FROM pts, w$t),\n""".stripMargin)
+      sb.append(
+        s"""w${t + 1} AS (SELECT
+           |  w0 - ${lr}e0 * (CAST(g0 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w0,
+           |  w1 - ${lr}e0 * (CAST(g1 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w1,
+           |  w2 - ${lr}e0 * (CAST(g2 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w2
+           |FROM g$t, w$t),\n""".stripMargin)
+    }
+    val z = s"(w0 + w1 * x1 + w2 * x2)"
+    sb.append(
+      s"""p AS (SELECT count(*) AS n_pos_pred FROM pts, w$iters
+         |WHERE ${hardSigmoidSql(z)} >= 5e-1)
+         |SELECT w0, w1, w2, (SELECT n_pos_pred FROM p) AS n_pos_pred
+         |FROM w$iters""".stripMargin)
+    sb.toString
+  }
+
+  /**
+   * Production GD trainer: driver loop, one quantized-gradient
+   * aggregate per step. trueSigmoid=true uses Math.exp (converges
+   * like the reference; reproducible on one JVM, not cross-engine).
+   */
+  def logregr(pts: DataFrame, iters: Int, lr: Double,
+      trueSigmoid: Boolean = false): Array[Double] = {
+    var w = Array(0.0, 0.0, 0.0)
+    for (_ <- 0 until iters) {
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      val sig = if (trueSigmoid) lit(1.0) / (lit(1.0) + exp(-z))
+        else least(greatest(z / lit(4.0) + lit(0.5), lit(0.0)), lit(1.0))
+      val err = sig - col("y").cast("double")
+      val r = pts.agg(count(lit(1)),
+        sum(floor(err * lit(1e9)).cast("long")),
+        sum(floor(err * col("x1") * lit(1e9)).cast("long")),
+        sum(floor(err * col("x2") * lit(1e9)).cast("long"))).collect()(0)
+      val n = r.getLong(0).toDouble
+      w = Array(
+        w(0) - lr * (r.getLong(1).toDouble / 1e9) / n,
+        w(1) - lr * (r.getLong(2).toDouble / 1e9) / n,
+        w(2) - lr * (r.getLong(3).toDouble / 1e9) / n)
+    }
+    w
+  }
+
+  // ---------------------------------------------------------------
+  // Naive Bayes (bayes.cpp): categorical features, Laplace smoothing,
+  // exact cross-multiplied posterior comparison.
+  // ---------------------------------------------------------------
+
+  /**
+   * Fit + self-predict for 2 categorical features and a binary class:
+   * the model is three broadcast count tables (class priors and
+   * per-feature conditional counts); prediction joins them back and
+   * compares the two posteriors EXACTLY by cross-multiplying the
+   * integer numerators/denominators in DECIMAL(38,0) — no float
+   * probabilities, so the argmax is reproducible bit-for-bit. Ties →
+   * class 0 (matches the oracle's strict > on class 1).
+   */
+  def nbayesPredict(df: DataFrame, f1: Column, f2: Column, y: Column,
+      idCol: Column): DataFrame = {
+    val base = df.select(idCol.as("id"), f1.as("f1"), f2.as("f2"),
+      y.cast("int").as("cls"))
+    val classes = base.groupBy("cls").agg(count(lit(1)).as("n_c"))
+    val v1 = base.agg(countDistinct("f1").as("v1"))
+    val v2 = base.agg(countDistinct("f2").as("v2"))
+    val c1 = base.groupBy("f1", "cls").agg(count(lit(1)).as("cnt1"))
+    val c2 = base.groupBy("f2", "cls").agg(count(lit(1)).as("cnt2"))
+    // pivot class stats to one row: n0, n1
+    val priors = classes.agg(
+      max(when(col("cls") === 0, col("n_c"))).as("n0"),
+      max(when(col("cls") === 1, col("n_c"))).as("n1"))
+    val d38 = DecimalType(38, 0)
+    val scored = base
+      .join(broadcast(c1.filter(col("cls") === 0)
+        .select(col("f1"), col("cnt1").as("c1_0"))), Seq("f1"), "left")
+      .join(broadcast(c1.filter(col("cls") === 1)
+        .select(col("f1"), col("cnt1").as("c1_1"))), Seq("f1"), "left")
+      .join(broadcast(c2.filter(col("cls") === 0)
+        .select(col("f2"), col("cnt2").as("c2_0"))), Seq("f2"), "left")
+      .join(broadcast(c2.filter(col("cls") === 1)
+        .select(col("f2"), col("cnt2").as("c2_1"))), Seq("f2"), "left")
+      .crossJoin(broadcast(priors))
+      .crossJoin(broadcast(v1))
+      .crossJoin(broadcast(v2))
+      .na.fill(0L, Seq("c1_0", "c1_1", "c2_0", "c2_1"))
+    // A_c = n_c (c1_c+1)(c2_c+1); B_c = (n_c+V1)(n_c+V2)
+    def a(c: Int) = (col(s"n$c") * (col(s"c1_$c") + 1) * (col(s"c2_$c") + 1)).cast(d38)
+    def b(c: Int) = ((col(s"n$c") + col("v1")) * (col(s"n$c") + col("v2"))).cast(d38)
+    scored.select(col("id"), col("f1"), col("f2"), col("cls"),
+      when(a(1) * b(0) > a(0) * b(1), 1).otherwise(0).as("pred"))
+  }
+
+  // ---------------------------------------------------------------
+  // PCA (pca.cpp, optimizer_pca.cpp): 2-feature closed form.
+  // ---------------------------------------------------------------
+
+  /** Eigen-decomposition of the 2×2 covariance from exact moments,
+    * as shared SQL text over a sums row (n, sx, sy, sxx, sxy, syy).
+    * Output: var1/var2 (eigenvalues desc), pc1_x/pc1_y (unit leading
+    * eigenvector, sign fixed x≥0), evr1. */
+  val pca2Exprs: Seq[(String, String)] = {
+    def dbl(m: String) = s"CAST($m AS DOUBLE)"
+    val n = dbl("n")
+    val cxx = s"(${dbl("sxx")} / $n - (${dbl("sx")} / $n) * (${dbl("sx")} / $n))"
+    val cxy = s"(${dbl("sxy")} / $n - (${dbl("sx")} / $n) * (${dbl("sy")} / $n))"
+    val cyy = s"(${dbl("syy")} / $n - (${dbl("sy")} / $n) * (${dbl("sy")} / $n))"
+    val disc = s"sqrt(($cxx - $cyy) * ($cxx - $cyy) + 4e0 * $cxy * $cxy)"
+    val l1 = s"(($cxx + $cyy + $disc) / 2e0)"
+    val l2 = s"(($cxx + $cyy - $disc) / 2e0)"
+    // leading eigenvector: (cxy, l1 - cxx), normalized; sign: x >= 0
+    val ex = cxy; val ey = s"($l1 - $cxx)"
+    val norm = s"sqrt($ex * $ex + $ey * $ey)"
+    val sgn = s"(CASE WHEN $ex < 0e0 THEN -1e0 ELSE 1e0 END)"
+    Seq(
+      "var1" -> l1, "var2" -> l2,
+      "pc1_x" -> s"($sgn * $ex / $norm)", "pc1_y" -> s"($sgn * $ey / $norm)",
+      "evr1" -> s"($l1 / ($l1 + $l2))")
+  }
+
+  /** Exact second moments for PCA over integer (x, y). */
+  def pca2Sums(df: DataFrame, x: Column, y: Column): DataFrame =
+    df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+
+  // ---------------------------------------------------------------
+  // Scores (scores.h): confusion-matrix metrics from exact counts.
+  // ---------------------------------------------------------------
+
+  /** Classification + regression metrics over exact counts, shared
+    * formula text (input row: tp, fp, fn, tn, sse_num, n). */
+  val scoreExprs: Seq[(String, String)] = {
+    def dbl(m: String) = s"CAST($m AS DOUBLE)"
+    val prec = s"(${dbl("tp")} / (${dbl("tp")} + ${dbl("fp")}))"
+    val rec = s"(${dbl("tp")} / (${dbl("tp")} + ${dbl("fn")}))"
+    Seq(
+      "accuracy" -> s"((${dbl("tp")} + ${dbl("tn")}) / ${dbl("n")})",
+      "precision_s" -> prec,
+      "recall_s" -> rec,
+      "f1" -> s"(2e0 * $prec * $rec / ($prec + $rec))",
+      "mse" -> s"(${dbl("sse_num")} / ${dbl("n")})")
+  }
+}

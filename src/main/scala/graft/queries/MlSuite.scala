@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Ml
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * DB4AI gates (reference: src/gausskernel/dbmind/db4ai — CREATE MODEL
+ * / PREDICT BY over linregr, logregr, kmeans, pca, bayes + scores.h).
+ *
+ * Every gate is hash-exact by construction: corpus-wide sums are
+ * exact LONG/DECIMAL (never float — float sums are shuffle-order-
+ * dependent), and all derived doubles come from formula text SHARED
+ * verbatim between the Spark plan and the DuckDB oracle (identical
+ * IEEE trees over identical exact inputs). ml_kmeans and ml_logreg go
+ * further: the ENTIRE training chain is one SQL text (Ml.kmeansSql /
+ * Ml.logregrSql) executed by both engines.
+ */
+object MlSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared feature definitions (text used by both engines)
+  private val KmeansPts =
+    "SELECT CAST(user_id % 97 AS BIGINT) AS x, " +
+      "CAST(floor(value) AS BIGINT) % 89 AS y FROM events"
+  private val LogregPts =
+    "SELECT CAST(user_id % 50 AS DOUBLE) / 50e0 AS x1, " +
+      "CAST(event_id % 31 AS DOUBLE) / 31e0 AS x2, " +
+      "CASE WHEN (user_id % 50) + (event_id % 31) > 40 THEN 1 ELSE 0 END AS y " +
+      "FROM events"
+
+  val queries: Map[String, Q] = Map(
+    // ---- linear regression (F1): one exact Gram aggregate + the
+    // Cramer solve as shared expression text ----
+    "ml_linreg" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      Ml.linregrSums(e, col("user_id") % 50, col("event_id") % 31,
+          expr("CAST(floor(value * 100) AS BIGINT)"))
+        .selectExpr("n" +: Ml.cramer3Exprs.map { case (nm, x) => s"$x AS $nm" }: _*)
+    }),
+
+    // ---- k-means (F2): the full Lloyd chain (partition init, 3
+    // iterations, k=4) as ONE shared SQL text run by Spark SQL here
+    // and by DuckDB as the oracle; MlSpec asserts the production
+    // DataFrame-loop trainer lands on the identical assignment ----
+    "ml_kmeans" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("graft_events")
+      s.sql(s"WITH pts AS ($KmeansPts), "
+        .replace("FROM events", "FROM graft_events") +
+        Ml.kmeansSql(4, 3).stripPrefix("WITH "))
+    }),
+
+    // ---- logistic regression (F3): 3 full-batch GD steps, gradient
+    // sums floor-quantized to 1e-9 (exact LONG sums), hard-sigmoid
+    // surrogate — the whole chain one shared SQL text ----
+    "ml_logreg" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("graft_events")
+      s.sql(s"WITH pts AS ($LogregPts), "
+        .replace("FROM events", "FROM graft_events") +
+        Ml.logregrSql(3, 0.5).stripPrefix("WITH "))
+    }),
+
+    // ---- naive Bayes (F4): broadcast count-table model, posterior
+    // argmax by exact DECIMAL cross-multiplication ----
+    "ml_nbayes" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      Ml.nbayesPredict(e, col("event_type"), col("user_id") % 5,
+          col("event_id") % 2, col("event_id"))
+        .transform(Gate.ordered(_, "id"))
+    }),
+
+    // ---- PCA (F5): exact second moments + closed-form 2x2 eigen
+    // decomposition as shared expression text ----
+    "ml_pca" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      Ml.pca2Sums(e, col("user_id") % 97,
+          expr("CAST(floor(value) AS BIGINT) % 89"))
+        .selectExpr("n" +: Ml.pca2Exprs.map { case (nm, x) => s"$x AS $nm" }: _*)
+    }),
+
+    // ---- model scores (F6): confusion counts + exact-integer SSE,
+    // metrics from shared formula text ----
+    "ml_scores" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .withColumn("truth", (col("event_id") % 2 === 1).cast("int"))
+        .withColumn("predl", ((col("user_id") + col("event_id")) % 2 === 1).cast("int"))
+        .withColumn("yhat", (col("user_id") % 50) + (col("event_id") % 31))
+        .withColumn("ytrue", expr("CAST(floor(value) AS BIGINT) % 80"))
+      e.agg(
+          sum(when(col("truth") === 1 && col("predl") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("truth") === 0 && col("predl") === 1, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("truth") === 1 && col("predl") === 0, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("truth") === 0 && col("predl") === 0, 1L).otherwise(0L)).as("tn"),
+          count(lit(1)).as("n"),
+          sum((col("yhat") - col("ytrue")) * (col("yhat") - col("ytrue"))).as("sse_num"))
+        .selectExpr(Seq("tp", "fp", "fn", "tn", "n") ++
+          Ml.scoreExprs.map { case (nm, x) => s"$x AS $nm" }: _*)
+    }))
+
+  private def sumsSql(inner: String): String =
+    s"""(SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+       |  CAST(sum(y) AS BIGINT) AS sy,
+       |  CAST(sum(x1 * x1) AS BIGINT) AS sx11, CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+       |  CAST(sum(x2 * x2) AS BIGINT) AS sx22, CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+       |  CAST(sum(x2 * y) AS BIGINT) AS sx2y, CAST(sum(y * y) AS BIGINT) AS syy
+       |FROM ($inner))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "ml_linreg" -> {
+      val pts = "SELECT user_id % 50 AS x1, event_id % 31 AS x2, " +
+        "CAST(floor(value * 100) AS BIGINT) AS y FROM events"
+      s"""WITH s AS ${sumsSql(pts)}
+         |SELECT n, ${Ml.cramer3Exprs.map { case (nm, x) => s"$x AS $nm" }.mkString(", ")}
+         |FROM s""".stripMargin
+    },
+
+    "ml_kmeans" ->
+      (s"WITH pts AS ($KmeansPts), " + Ml.kmeansSql(4, 3).stripPrefix("WITH ")),
+
+    "ml_logreg" ->
+      (s"WITH pts AS ($LogregPts), " + Ml.logregrSql(3, 0.5).stripPrefix("WITH ")),
+
+    "ml_nbayes" ->
+      """WITH base AS (SELECT event_id AS id, event_type AS f1,
+        |  user_id % 5 AS f2, CAST(event_id % 2 AS INT) AS cls FROM events),
+        |pri AS (SELECT
+        |  CAST(max(CASE WHEN cls = 0 THEN n_c END) AS BIGINT) AS n0,
+        |  CAST(max(CASE WHEN cls = 1 THEN n_c END) AS BIGINT) AS n1
+        |FROM (SELECT cls, count(*) AS n_c FROM base GROUP BY cls)),
+        |v AS (SELECT CAST(count(DISTINCT f1) AS BIGINT) AS v1,
+        |  CAST(count(DISTINCT f2) AS BIGINT) AS v2 FROM base),
+        |c1 AS (SELECT f1, cls, CAST(count(*) AS BIGINT) AS cnt1 FROM base GROUP BY 1, 2),
+        |c2 AS (SELECT f2, cls, CAST(count(*) AS BIGINT) AS cnt2 FROM base GROUP BY 1, 2)
+        |SELECT b.id, b.f1, b.f2, b.cls,
+        |  CASE WHEN
+        |    CAST(n1 * (coalesce(c11.cnt1, 0) + 1) * (coalesce(c21.cnt2, 0) + 1) AS HUGEINT)
+        |      * CAST((n0 + v1) * (n0 + v2) AS HUGEINT)
+        |    > CAST(n0 * (coalesce(c10.cnt1, 0) + 1) * (coalesce(c20.cnt2, 0) + 1) AS HUGEINT)
+        |      * CAST((n1 + v1) * (n1 + v2) AS HUGEINT)
+        |  THEN 1 ELSE 0 END AS pred
+        |FROM base b
+        |LEFT JOIN (SELECT f1, cnt1 FROM c1 WHERE cls = 0) c10 USING (f1)
+        |LEFT JOIN (SELECT f1, cnt1 FROM c1 WHERE cls = 1) c11 USING (f1)
+        |LEFT JOIN (SELECT f2, cnt2 FROM c2 WHERE cls = 0) c20 USING (f2)
+        |LEFT JOIN (SELECT f2, cnt2 FROM c2 WHERE cls = 1) c21 USING (f2)
+        |CROSS JOIN pri CROSS JOIN v
+        |ORDER BY id""".stripMargin,
+
+    "ml_pca" -> {
+      val pts = "SELECT user_id % 97 AS x, CAST(floor(value) AS BIGINT) % 89 AS y FROM events"
+      s"""WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(y * y) AS BIGINT) AS syy
+         |FROM ($pts))
+         |SELECT n, ${Ml.pca2Exprs.map { case (nm, x) => s"$x AS $nm" }.mkString(", ")}
+         |FROM s""".stripMargin
+    },
+
+    "ml_scores" -> {
+      val metrics = Ml.scoreExprs.map { case (nm, x) => s"$x AS $nm" }.mkString(", ")
+      s"""WITH b AS (SELECT
+         |  CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS truth,
+         |  CASE WHEN (user_id + event_id) % 2 = 1 THEN 1 ELSE 0 END AS predl,
+         |  (user_id % 50) + (event_id % 31) AS yhat,
+         |  CAST(floor(value) AS BIGINT) % 80 AS ytrue
+         |FROM events),
+         |s AS (SELECT
+         |  CAST(sum(CASE WHEN truth = 1 AND predl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN truth = 0 AND predl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN truth = 1 AND predl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN truth = 0 AND predl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum((yhat - ytrue) * (yhat - ytrue)) AS BIGINT) AS sse_num
+         |FROM b)
+         |SELECT tp, fp, fn, tn, n, $metrics FROM s""".stripMargin
+    })
+}

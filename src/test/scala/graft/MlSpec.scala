@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.Ml
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/**
+ * DB4AI contracts:
+ *  - the production DataFrame-loop trainers (kmeans, logregr) land on
+ *    exactly the same model as the shared SQL chains the gates run —
+ *    the gate text and the operator are one algorithm;
+ *  - the general driver-solve linregr agrees with the closed-form
+ *    Cramer path;
+ *  - trainers recover planted structure on synthetic data.
+ */
+class MlSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def pts2 = {
+    // two well-separated blobs + two medium ones, deterministic
+    val rows = (0 until 400).map { i =>
+      val g = i % 4
+      val x = (g * 20 + (i * 7) % 11).toLong
+      val y = (g * 15 + (i * 13) % 9).toLong
+      (x, y)
+    }
+    rows.toDF("x", "y")
+  }
+
+  test("kmeans: production loop == shared SQL chain (assignments and centroids)") {
+    val df = pts2
+    df.createOrReplaceTempView("pts")
+    val sqlOut = spark.sql(Ml.kmeansSql(4, 3))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (assigned, cents) = Ml.kmeans(df, 4, 3)
+    val loopOut = assigned.groupBy("cl")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"))
+      .orderBy("cl")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sqlOut.toSeq === loopOut.toSeq)
+    // centroids: SQL chain's final row must equal the loop's state
+    val sqlCents = spark.sql(Ml.kmeansSql(4, 3))
+      .collect().map(r => (r.getDouble(4), r.getDouble(5)))
+    assert(sqlCents.toSeq === cents.toSeq)
+  }
+
+  test("kmeans recovers separated blobs") {
+    val df = (0 until 300).map { i =>
+      val g = i % 3
+      (g * 1000L + i % 5, g * 1000L + (i * 3) % 7)
+    }.toDF("x", "y")
+    // k=3: x % 3 init scatters across blobs, Lloyd must still converge
+    val (assigned, _) = Ml.kmeans(df, 3, 5)
+    val purity = assigned
+      .withColumn("blob", (col("x") / 1000).cast("int"))
+      .groupBy("blob").agg(countDistinct("cl").as("k")).collect()
+    purity.foreach(r => assert(r.getLong(1) === 1L,
+      s"blob ${r.getInt(0)} split across clusters"))
+  }
+
+  test("logregr: production loop == shared SQL chain weights") {
+    val df = (0 until 500).map { i =>
+      val x1 = (i % 50) / 50.0
+      val x2 = (i % 31) / 31.0
+      (x1, x2, if (x1 + x2 > 0.8) 1 else 0)
+    }.toDF("x1", "x2", "y")
+    df.createOrReplaceTempView("pts")
+    val sqlW = spark.sql(Ml.logregrSql(3, 0.5)).collect()(0)
+    val w = Ml.logregr(df, 3, 0.5)
+    assert(sqlW.getDouble(0) === w(0))
+    assert(sqlW.getDouble(1) === w(1))
+    assert(sqlW.getDouble(2) === w(2))
+  }
+
+  test("logregr with true sigmoid separates a planted boundary") {
+    val df = (0 until 1000).map { i =>
+      val x1 = (i % 53) / 53.0
+      val x2 = (i % 37) / 37.0
+      (x1, x2, if (2.0 * x1 - x2 > 0.5) 1 else 0)
+    }.toDF("x1", "x2", "y")
+    val w = Ml.logregr(df, 200, 2.0, trueSigmoid = true)
+    val acc = df.withColumn("p",
+        (lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")) > 0)
+      .filter(col("p").cast("int") === col("y")).count() / 1000.0
+    assert(acc > 0.9, s"accuracy $acc")
+    // learned direction: positive on x1, negative on x2
+    assert(w(1) > 0 && w(2) < 0)
+  }
+
+  test("linregr driver solve == Cramer closed form on the gate's shape") {
+    val df = (0 until 400).map { i =>
+      val x1 = (i % 50).toLong; val x2 = (i % 31).toLong
+      (x1, x2, 3 * x1 - 2 * x2 + 7 + (i % 5) - 2) // noisy plane
+    }.toDF("x1", "x2", "y")
+    val w = Ml.linregr(df, Seq(col("x1"), col("x2")), col("y"))
+    val cram = Ml.linregrSums(df, col("x1"), col("x2"), col("y"))
+      .selectExpr(Ml.cramer3Exprs.map { case (n, x) => s"$x AS $n" }: _*)
+      .collect()(0)
+    w(0) shouldBe cram.getDouble(0) +- 1e-9
+    w(1) shouldBe cram.getDouble(1) +- 1e-9
+    w(2) shouldBe cram.getDouble(2) +- 1e-9
+    // recovers the plane
+    w(1) shouldBe 3.0 +- 0.1
+    w(2) shouldBe -2.0 +- 0.1
+  }
+
+  test("pca: leading component follows a planted correlation") {
+    val df = (0 until 500).map { i =>
+      val t = (i % 100).toLong
+      (t, 2 * t + (i % 7) - 3) // y ≈ 2x
+    }.toDF("x", "y")
+    val r = Ml.pca2Sums(df, col("x"), col("y"))
+      .selectExpr(Ml.pca2Exprs.map { case (n, x) => s"$x AS $n" }: _*)
+      .collect()(0)
+    val (v1, v2) = (r.getDouble(0), r.getDouble(1))
+    assert(v1 > v2 && v2 >= 0)
+    val slope = r.getDouble(3) / r.getDouble(2) // pc1_y / pc1_x
+    slope shouldBe 2.0 +- 0.05
+    assert(r.getDouble(4) > 0.99) // explained variance ratio
+  }
+
+  test("nbayes: class-pure feature dominates prediction") {
+    val df = (0 until 300).map { i =>
+      val cls = i % 2
+      // f1 perfectly class-aligned, f2 noise
+      (i.toLong, if (cls == 1) "pos" else "neg", (i % 5).toLong, cls)
+    }.toDF("id", "f1", "f2", "y")
+    val pred = Ml.nbayesPredict(df, col("f1"), col("f2"), col("y"), col("id"))
+    assert(pred.filter(col("pred") === col("cls")).count() === 300L)
+  }
+}
