@@ -61,7 +61,10 @@ object Bench {
     "trgm_search", "window_range_frame", "ltree_txtquery", "mysql_compat",
     "trgm_search_many", "intarray_query", "weighted_sample",
     "cube_ops", "citext_ops", "uuid_fns", "xml_fns", "isn_ean13", "ora_to_char",
-    "text_trigram_ppl", "hilbert_layout")
+    "text_trigram_ppl", "hilbert_layout",
+    "masking_fns", "pii_redact", "unaccent_fns", "crypto_hmac",
+    "ml_linreg", "ml_kmeans", "ml_logreg", "ml_nbayes", "ml_pca", "ml_scores",
+    "ml_svm", "ml_gbdt")
 
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()

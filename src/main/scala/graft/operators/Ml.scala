@@ -304,6 +304,67 @@ object Ml {
   }
 
   // ---------------------------------------------------------------
+  // Linear SVM (svm.cpp / gd.h "svmc"): hinge loss + L2, full-batch
+  // subgradient descent with the same quantized order-free sums.
+  // ---------------------------------------------------------------
+
+  /**
+   * SVM GD chain as one SQL text over `pts(x1, x2, y)` with y ∈
+   * {-1, +1}, runnable by Spark SQL and DuckDB. Subgradient of
+   * hinge(y·z): -y·x when y·z < 1 else 0; L2 term applied once per
+   * step on the driver side of the update (w·λ is already exact).
+   * Output: one row (w0, w1, w2, n_sv, n_pos_pred).
+   */
+  def svmSql(iters: Int, lr: Double, lambda: Double): String = {
+    val sb = new StringBuilder("WITH w0 AS (SELECT 0e0 AS w0, 0e0 AS w1, 0e0 AS w2),\n")
+    for (t <- 0 until iters) {
+      val z = s"(w0 + w1 * x1 + w2 * x2)"
+      val viol = s"(CAST(y AS DOUBLE) * $z < 1e0)"
+      sb.append(
+        s"""g$t AS (SELECT count(*) AS n,
+           |  sum(CASE WHEN $viol THEN CAST(floor(-CAST(y AS DOUBLE) * 1e9) AS BIGINT) ELSE 0 END) AS g0,
+           |  sum(CASE WHEN $viol THEN CAST(floor(-CAST(y AS DOUBLE) * x1 * 1e9) AS BIGINT) ELSE 0 END) AS g1,
+           |  sum(CASE WHEN $viol THEN CAST(floor(-CAST(y AS DOUBLE) * x2 * 1e9) AS BIGINT) ELSE 0 END) AS g2
+           |FROM pts, w$t),\n""".stripMargin)
+      sb.append(
+        s"""w${t + 1} AS (SELECT
+           |  w0 - ${lr}e0 * (CAST(g0 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) AS w0,
+           |  w1 - ${lr}e0 * (CAST(g1 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) + ${lambda}e0 * w1) AS w1,
+           |  w2 - ${lr}e0 * (CAST(g2 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) + ${lambda}e0 * w2) AS w2
+           |FROM g$t, w$t),\n""".stripMargin)
+    }
+    val z = s"(w0 + w1 * x1 + w2 * x2)"
+    sb.append(
+      s"""sv AS (SELECT
+         |  CAST(sum(CASE WHEN CAST(y AS DOUBLE) * $z < 1e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sv,
+         |  CAST(sum(CASE WHEN $z >= 0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_pred
+         |FROM pts, w$iters)
+         |SELECT w0, w1, w2, (SELECT n_sv FROM sv) AS n_sv,
+         |  (SELECT n_pos_pred FROM sv) AS n_pos_pred
+         |FROM w$iters""".stripMargin)
+    sb.toString
+  }
+
+  /** Production SVM trainer: driver loop mirroring [[svmSql]]. */
+  def svm(pts: DataFrame, iters: Int, lr: Double, lambda: Double): Array[Double] = {
+    var w = Array(0.0, 0.0, 0.0)
+    for (_ <- 0 until iters) {
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      val yD = col("y").cast("double")
+      val viol = yD * z < lit(1.0)
+      def g(xc: Column) =
+        sum(when(viol, floor(-yD * xc * lit(1e9)).cast("long")).otherwise(0L))
+      val r = pts.agg(count(lit(1)), g(lit(1.0)), g(col("x1")), g(col("x2"))).collect()(0)
+      val n = r.getLong(0).toDouble
+      w = Array(
+        w(0) - lr * (r.getLong(1).toDouble / 1e9 / n),
+        w(1) - lr * (r.getLong(2).toDouble / 1e9 / n + lambda * w(1)),
+        w(2) - lr * (r.getLong(3).toDouble / 1e9 / n + lambda * w(2)))
+    }
+    w
+  }
+
+  // ---------------------------------------------------------------
   // Naive Bayes (bayes.cpp): categorical features, Laplace smoothing,
   // exact cross-multiplied posterior comparison.
   // ---------------------------------------------------------------
@@ -349,6 +410,118 @@ object Ml {
     def b(c: Int) = ((col(s"n$c") + col("v1")) * (col(s"n$c") + col("v2"))).cast(d38)
     scored.select(col("id"), col("f1"), col("f2"), col("cls"),
       when(a(1) * b(0) > a(0) * b(1), 1).otherwise(0).as("pred"))
+  }
+
+  // ---------------------------------------------------------------
+  // Gradient-boosted stumps (xgboost.cpp's algorithm family, squared
+  // loss): T rounds of depth-1 regression trees over 2 integer
+  // features.
+  // ---------------------------------------------------------------
+
+  /** F(x) after `upto` rounds, as shared SQL text (model rows m1..m_t
+    * must be in scope via cross join). */
+  private def gbdtFExpr(upto: Int): String = {
+    val terms = (1 to upto).map { r =>
+      s"(CASE WHEN (m$r.feat = 1 AND x1 <= m$r.thr) OR (m$r.feat = 2 AND x2 <= m$r.thr)" +
+        s" THEN m$r.lval ELSE m$r.rval END)"
+    }
+    (s"f0.f0" +: terms).mkString(" + ")
+  }
+
+  /**
+   * Boosted-stump chain as one SQL text over `pts(x1, x2, y)` with
+   * integer features and LONG label, runnable by Spark SQL and DuckDB.
+   *
+   * Round structure (all exact until the final leaf means):
+   *  - residuals floor-quantized to 1e-3 → exact LONG sums;
+   *  - per-feature split stats via ONE groupBy per feature (V rows)
+   *    + a cumulative window — every candidate threshold priced in
+   *    one pass, no point×threshold blowup;
+   *  - best (feat, thr) by variance-gain argmax, ties → (feat, v)
+   *    so the double comparison is still deterministic;
+   *  - leaves are lr-scaled residual means.
+   * Output: one row per round (round, feat, thr, lval, rval).
+   */
+  def gbdtSql(rounds: Int, lr: Double): String = {
+    val sb = new StringBuilder("WITH f0 AS (SELECT " +
+      "CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT) AS f0 FROM pts),\n")
+    for (t <- 1 to rounds) {
+      val models = (1 until t).map(r => s"m$r").mkString(", ")
+      val from = if (t == 1) "pts, f0" else s"pts, f0, $models"
+      sb.append(
+        s"""resid$t AS (SELECT x1, x2,
+           |  CAST(floor((CAST(y AS DOUBLE) - (${gbdtFExpr(t - 1)})) * 1e3) AS BIGINT) AS q
+           |FROM $from),\n""".stripMargin)
+      for (f <- 1 to 2) {
+        sb.append(
+          s"""s${t}_$f AS (SELECT x$f AS v, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(q) AS BIGINT) AS sq FROM resid$t GROUP BY x$f),\n""".stripMargin)
+        sb.append(
+          s"""c${t}_$f AS (SELECT v,
+             |  CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cl,
+             |  CAST(sum(sq) OVER (ORDER BY v) AS BIGINT) AS sl,
+             |  (SELECT CAST(sum(cnt) AS BIGINT) FROM s${t}_$f) AS n,
+             |  (SELECT CAST(sum(sq) AS BIGINT) FROM s${t}_$f) AS stot
+             |FROM s${t}_$f),\n""".stripMargin)
+      }
+      val gainCols =
+        "CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(cl AS DOUBLE)" +
+          " + CAST(stot - sl AS DOUBLE) * CAST(stot - sl AS DOUBLE) / CAST(n - cl AS DOUBLE)"
+      sb.append(
+        s"""m$t AS (SELECT feat, v AS thr,
+           |  ${lr}e0 * (CAST(sl AS DOUBLE) / 1e3) / CAST(cl AS DOUBLE) AS lval,
+           |  ${lr}e0 * (CAST(stot - sl AS DOUBLE) / 1e3) / CAST(n - cl AS DOUBLE) AS rval
+           |FROM (
+           |  SELECT 1 AS feat, v, cl, sl, n, stot, $gainCols AS gain FROM c${t}_1 WHERE cl < n
+           |  UNION ALL
+           |  SELECT 2 AS feat, v, cl, sl, n, stot, $gainCols AS gain FROM c${t}_2 WHERE cl < n)
+           |ORDER BY gain DESC, feat, v LIMIT 1),\n""".stripMargin)
+    }
+    sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
+    sb.append("\n")
+    val out = (1 to rounds).map(t =>
+      s"SELECT $t AS round, feat, thr, lval, rval FROM m$t")
+    sb.append(out.mkString(" UNION ALL ")).append(" ORDER BY round")
+    sb.toString
+  }
+
+  /**
+   * Production boosted-stump trainer mirroring [[gbdtSql]]: per round
+   * two V-row aggregates collect to the driver, the argmax and leaf
+   * means are driver arithmetic. Returns (f0, rounds of
+   * (feat, thr, lval, rval)).
+   */
+  def gbdt(pts: DataFrame, rounds: Int, lr: Double): (Double, Seq[(Int, Long, Double, Double)]) = {
+    val base = pts.agg(sum("y").cast("long"), count(lit(1))).collect()(0)
+    val f0 = base.getLong(0).toDouble / base.getLong(1).toDouble
+    var model = Vector.empty[(Int, Long, Double, Double)]
+    def fCol: Column = model.foldLeft(lit(f0)) { case (acc, (ft, thr, lv, rv)) =>
+      acc + when(col(s"x$ft") <= lit(thr), lit(lv)).otherwise(lit(rv))
+    }
+    for (_ <- 1 to rounds) {
+      val q = floor((col("y").cast("double") - fCol) * lit(1e3)).cast("long")
+      val cands = (1 to 2).flatMap { f =>
+        val stats = pts.select(col(s"x$f").cast("long").as("v"), q.as("q"))
+          .groupBy("v").agg(count(lit(1)).as("cnt"), sum("q").as("sq"))
+          .orderBy("v").collect()
+        val n = stats.map(_.getLong(1)).sum
+        val stot = stats.map(_.getLong(2)).sum
+        var cl = 0L; var sl = 0L
+        stats.dropRight(1).map { r =>
+          cl += r.getLong(1); sl += r.getLong(2)
+          val gain = sl.toDouble * sl.toDouble / cl.toDouble +
+            (stot - sl).toDouble * (stot - sl).toDouble / (n - cl).toDouble
+          (gain, f, r.getLong(0), cl, sl, n, stot)
+        }
+      }
+      // argmax, ties → (feat, v): sort desc by gain, asc by feat, v
+      val best = cands.minBy { case (g, f, v, _, _, _, _) => (-g, f, v) }
+      val (_, f, v, cl, sl, n, stot) = best
+      model = model :+ ((f, v,
+        lr * (sl.toDouble / 1e3) / cl.toDouble,
+        lr * ((stot - sl).toDouble / 1e3) / (n - cl).toDouble))
+    }
+    (f0, model)
   }
 
   // ---------------------------------------------------------------

@@ -30,7 +30,37 @@ object MlSuite {
       "CASE WHEN (user_id % 50) + (event_id % 31) > 40 THEN 1 ELSE 0 END AS y " +
       "FROM events"
 
+  private val SvmPts =
+    "SELECT CAST(user_id % 50 AS DOUBLE) / 50e0 AS x1, " +
+      "CAST(event_id % 31 AS DOUBLE) / 31e0 AS x2, " +
+      "CASE WHEN (user_id % 50) + (event_id % 31) > 40 THEN 1 ELSE -1 END AS y " +
+      "FROM events"
+
+  private val GbdtPts =
+    "SELECT CAST(user_id % 50 AS BIGINT) AS x1, CAST(event_id % 31 AS BIGINT) AS x2, " +
+      "CAST(floor(value * 100) AS BIGINT) AS y FROM events"
+
   val queries: Map[String, Q] = Map(
+    // ---- gradient-boosted stumps (F8, the xgboost.cpp family):
+    // 3 rounds, squared loss, exact quantized residual sums, split
+    // search via per-feature cumulative stats (no point×threshold
+    // blowup) — whole chain one shared SQL text ----
+    "ml_gbdt" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("graft_events")
+      s.sql(s"WITH pts AS ($GbdtPts), "
+        .replace("FROM events", "FROM graft_events") +
+        Ml.gbdtSql(3, 0.5).stripPrefix("WITH "))
+    }),
+
+    // ---- linear SVM (F7): hinge-loss subgradient descent, same
+    // quantized order-free sums, whole chain one shared SQL text ----
+    "ml_svm" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("graft_events")
+      s.sql(s"WITH pts AS ($SvmPts), "
+        .replace("FROM events", "FROM graft_events") +
+        Ml.svmSql(3, 0.5, 0.01).stripPrefix("WITH "))
+    }),
+
     // ---- linear regression (F1): one exact Gram aggregate + the
     // Cramer solve as shared expression text ----
     "ml_linreg" -> ((s, dir) => {
@@ -108,6 +138,12 @@ object MlSuite {
        |FROM ($inner))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ml_svm" ->
+      (s"WITH pts AS ($SvmPts), " + Ml.svmSql(3, 0.5, 0.01).stripPrefix("WITH ")),
+
+    "ml_gbdt" ->
+      (s"WITH pts AS ($GbdtPts), " + Ml.gbdtSql(3, 0.5).stripPrefix("WITH ")),
+
     "ml_linreg" -> {
       val pts = "SELECT user_id % 50 AS x1, event_id % 31 AS x2, " +
         "CAST(floor(value * 100) AS BIGINT) AS y FROM events"

@@ -87,6 +87,27 @@ class MlSpec extends SparkSpec with Matchers {
     assert(w(1) > 0 && w(2) < 0)
   }
 
+  test("svm: production loop == shared SQL chain weights; learns the margin") {
+    val df = (0 until 600).map { i =>
+      val x1 = (i % 53) / 53.0
+      val x2 = (i % 37) / 37.0
+      (x1, x2, if (2.0 * x1 - x2 > 0.5) 1 else -1)
+    }.toDF("x1", "x2", "y")
+    df.createOrReplaceTempView("pts")
+    val sqlW = spark.sql(Ml.svmSql(3, 0.5, 0.01)).collect()(0)
+    val w3 = Ml.svm(df, 3, 0.5, 0.01)
+    assert(sqlW.getDouble(0) === w3(0))
+    assert(sqlW.getDouble(1) === w3(1))
+    assert(sqlW.getDouble(2) === w3(2))
+    val w = Ml.svm(df, 300, 1.0, 0.001)
+    val acc = df.withColumn("p",
+        when(lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") >= 0, 1)
+          .otherwise(-1))
+      .filter(col("p") === col("y")).count() / 600.0
+    assert(acc > 0.9, s"accuracy $acc")
+    assert(w(1) > 0 && w(2) < 0)
+  }
+
   test("linregr driver solve == Cramer closed form on the gate's shape") {
     val df = (0 until 400).map { i =>
       val x1 = (i % 50).toLong; val x2 = (i % 31).toLong
@@ -102,6 +123,27 @@ class MlSpec extends SparkSpec with Matchers {
     // recovers the plane
     w(1) shouldBe 3.0 +- 0.1
     w(2) shouldBe -2.0 +- 0.1
+  }
+
+  test("gbdt: production loop == shared SQL chain; recovers a planted step") {
+    // y = 100 when x1 <= 20 else 500, plus small deterministic noise
+    val df = (0 until 400).map { i =>
+      val x1 = (i % 50).toLong; val x2 = (i % 31).toLong
+      (x1, x2, (if (x1 <= 20) 100L else 500L) + (i % 3))
+    }.toDF("x1", "x2", "y")
+    df.createOrReplaceTempView("pts")
+    val sqlM = spark.sql(Ml.gbdtSql(3, 0.5))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val (f0, model) = Ml.gbdt(df, 3, 0.5)
+    assert(sqlM.toSeq === model.toSeq)
+    // round 1 must find the planted split on feature 1 at x1 = 20
+    assert(model.head._1 === 1)
+    assert(model.head._2 === 20L)
+    // left leaf pulls toward 100, right toward 500 (lr=0.5 of the gap)
+    assert(model.head._3 < 0 && model.head._4 > 0)
+    // after 3 rounds predictions approach the plateaus
+    val predLow = f0 + model.map { case (ft, thr, lv, rv) => if (10 <= thr && ft == 1) lv else rv }.sum
+    assert(math.abs(predLow - 101.0) < 30.0)
   }
 
   test("pca: leading component follows a planted correlation") {
