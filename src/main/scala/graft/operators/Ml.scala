@@ -304,6 +304,73 @@ object Ml {
   }
 
   // ---------------------------------------------------------------
+  // One-vs-rest multiclass (multiclass.cpp wrapping the GD binary
+  // models): K independent hard-sigmoid GD chains + score argmax.
+  // ---------------------------------------------------------------
+
+  /**
+   * Multiclass chain as one SQL text over `pts(x1, x2, cls)` with
+   * cls ∈ 0..k-1, runnable by Spark SQL and DuckDB: per class an
+   * independent quantized-GD chain (label = cls==c), then prediction
+   * by linear-score argmax (ties → smaller class, same CASE
+   * discipline as kmeans). Output: the confusion matrix
+   * (cls, pred, n), ≤ k² rows.
+   */
+  def multiclassSql(k: Int, iters: Int, lr: Double): String = {
+    val sb = new StringBuilder("WITH ")
+    for (c <- 0 until k) {
+      val yc = s"CAST(CASE WHEN cls = $c THEN 1 ELSE 0 END AS DOUBLE)"
+      sb.append(s"w${c}_0 AS (SELECT 0e0 AS w0, 0e0 AS w1, 0e0 AS w2),\n")
+      for (t <- 0 until iters) {
+        val z = s"(w0 + w1 * x1 + w2 * x2)"
+        val err = s"(${hardSigmoidSql(z)} - $yc)"
+        sb.append(
+          s"""g${c}_$t AS (SELECT count(*) AS n,
+             |  sum(CAST(floor($err * 1e9) AS BIGINT)) AS g0,
+             |  sum(CAST(floor($err * x1 * 1e9) AS BIGINT)) AS g1,
+             |  sum(CAST(floor($err * x2 * 1e9) AS BIGINT)) AS g2
+             |FROM pts, w${c}_$t),\n""".stripMargin)
+        sb.append(
+          s"""w${c}_${t + 1} AS (SELECT
+             |  w0 - ${lr}e0 * (CAST(g0 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w0,
+             |  w1 - ${lr}e0 * (CAST(g1 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w1,
+             |  w2 - ${lr}e0 * (CAST(g2 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w2
+             |FROM g${c}_$t, w${c}_$t),\n""".stripMargin)
+      }
+    }
+    val froms = (0 until k).map(c => s"w${c}_$iters m$c").mkString(", ")
+    val scores = (0 until k).map(c => s"(m$c.w0 + m$c.w1 * x1 + m$c.w2 * x2) AS s$c")
+    val argmax = {
+      val cases = (0 until k - 1).map { c =>
+        val conds = (c + 1 until k).map(m => s"s$c >= s$m").mkString(" AND ")
+        s"WHEN $conds THEN $c"
+      }
+      s"CASE ${cases.mkString(" ")} ELSE ${k - 1} END"
+    }
+    sb.append(
+      s"""scored AS (SELECT cls, ${scores.mkString(", ")} FROM pts, $froms),
+         |pred AS (SELECT cls, $argmax AS pred FROM scored)
+         |SELECT cls, pred, CAST(count(*) AS BIGINT) AS n
+         |FROM pred GROUP BY cls, pred ORDER BY cls, pred""".stripMargin)
+    sb.toString
+  }
+
+  /** Production one-vs-rest: k binary [[logregr]] fits over relabeled
+    * data + argmax predict column. Returns (weights per class,
+    * DataFrame with cls/pred). */
+  def multiclass(pts: DataFrame, k: Int, iters: Int, lr: Double): (Seq[Array[Double]], DataFrame) = {
+    val ws = (0 until k).map { c =>
+      logregr(pts.withColumn("y", (col("cls") === c).cast("int")), iters, lr)
+    }
+    val scores = ws.map(w => lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2"))
+    val argmax = (0 until k - 1).foldRight(lit(k - 1): Column) { (c, elseCol) =>
+      val conds = (c + 1 until k).map(m => scores(c) >= scores(m)).reduce(_ && _)
+      when(conds, lit(c)).otherwise(elseCol)
+    }
+    (ws, pts.withColumn("pred", argmax.cast("int")))
+  }
+
+  // ---------------------------------------------------------------
   // Linear SVM (svm.cpp / gd.h "svmc"): hinge loss + L2, full-batch
   // subgradient descent with the same quantized order-free sums.
   // ---------------------------------------------------------------

@@ -40,7 +40,22 @@ object MlSuite {
     "SELECT CAST(user_id % 50 AS BIGINT) AS x1, CAST(event_id % 31 AS BIGINT) AS x2, " +
       "CAST(floor(value * 100) AS BIGINT) AS y FROM events"
 
+  private val MulticlassPts =
+    "SELECT CAST(user_id % 50 AS DOUBLE) / 50e0 AS x1, " +
+      "CAST(event_id % 31 AS DOUBLE) / 31e0 AS x2, " +
+      "CAST((user_id + event_id) % 3 AS INT) AS cls FROM events"
+
   val queries: Map[String, Q] = Map(
+    // ---- one-vs-rest multiclass (F9, multiclass.cpp): 3 independent
+    // GD chains + linear-score argmax; output is the confusion
+    // matrix — whole chain one shared SQL text ----
+    "ml_multiclass" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("graft_events")
+      s.sql(s"WITH pts AS ($MulticlassPts), "
+        .replace("FROM events", "FROM graft_events") +
+        Ml.multiclassSql(3, 2, 0.5).stripPrefix("WITH "))
+    }),
+
     // ---- gradient-boosted stumps (F8, the xgboost.cpp family):
     // 3 rounds, squared loss, exact quantized residual sums, split
     // search via per-feature cumulative stats (no point×threshold
@@ -143,6 +158,9 @@ object MlSuite {
 
     "ml_gbdt" ->
       (s"WITH pts AS ($GbdtPts), " + Ml.gbdtSql(3, 0.5).stripPrefix("WITH ")),
+
+    "ml_multiclass" ->
+      (s"WITH pts AS ($MulticlassPts), " + Ml.multiclassSql(3, 2, 0.5).stripPrefix("WITH ")),
 
     "ml_linreg" -> {
       val pts = "SELECT user_id % 50 AS x1, event_id % 31 AS x2, " +

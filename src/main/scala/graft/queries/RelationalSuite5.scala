@@ -88,7 +88,7 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
-    // ---- PII redaction over documents (D45): the masking policy as
+    // ---- PII redaction over documents (D46): the masking policy as
     // a corpus pass — emails / SSNs / phones / IPv4s planted
     // deterministically inside real document text, then redacted by
     // the regex battery with per-class match counts ----

@@ -54,6 +54,21 @@ class MaskingSpec extends SparkSpec {
     assert(one(Masking.maskall(lit(""))) === "")
   }
 
+  test("plan contract: a masking/redaction/unaccent pass is map-only") {
+    import graft.queries.RelationalSuite5
+    for (name <- Seq("masking_fns", "pii_redact", "unaccent_fns", "crypto_hmac")) {
+      // strip the gate's ordering device (repartition(1)+sort) — the
+      // operator pass underneath must be one codegen'd scan, no shuffle
+      val df = RelationalSuite5.queries(name)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1, // exactly the gate's own repartition(1)
+        s"$name: expected only the gate exchange, got $exchanges:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("SortMergeJoin"),
+        s"$name plan regressed:\n$plan")
+    }
+  }
+
   test("regexpmasking: positional window with the reference clamps") {
     // pos=0, len<0 → whole string
     assert(one(Masking.regexpmasking(lit("abc123"), "[a-z]", "*")) === "***123")

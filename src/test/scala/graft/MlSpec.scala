@@ -125,6 +125,27 @@ class MlSpec extends SparkSpec with Matchers {
     w(2) shouldBe -2.0 +- 0.1
   }
 
+  test("multiclass: production one-vs-rest == shared SQL chain confusion matrix") {
+    val df = (0 until 600).map { i =>
+      val x1 = (i % 53) / 53.0
+      val x2 = (i % 41) / 41.0
+      val cls = if (x1 + x2 < 0.6) 0 else if (x1 - x2 > 0.1) 1 else 2
+      (x1, x2, cls)
+    }.toDF("x1", "x2", "cls")
+    df.createOrReplaceTempView("pts")
+    val sqlCm = spark.sql(Ml.multiclassSql(3, 2, 0.5))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val (_, pred) = Ml.multiclass(df, 3, 2, 0.5)
+    val loopCm = pred.groupBy("cls", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("cls", "pred")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(sqlCm.toSeq === loopCm.toSeq)
+    // with more training the majority of each class is recovered
+    val (_, pred2) = Ml.multiclass(df, 3, 60, 2.0)
+    val acc = pred2.filter(col("pred") === col("cls")).count() / 600.0
+    assert(acc > 0.7, s"one-vs-rest accuracy $acc")
+  }
+
   test("gbdt: production loop == shared SQL chain; recovers a planted step") {
     // y = 100 when x1 <= 20 else 500, plus small deterministic noise
     val df = (0 until 400).map { i =>
