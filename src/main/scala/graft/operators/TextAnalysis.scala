@@ -314,4 +314,45 @@ object TextAnalysis {
    */
   def fingerprint(text: Column): Column =
     Bridge.column(graft.functions.RollingHash(Bridge.expression(text)))
+
+  /** log₂ lookup table for within-doc entropy (1..128 covers the
+    * corpus's ≤100-word docs); the SAME Scala doubles feed the Spark
+    * array literal and the oracle's VALUES text, so both engines use
+    * bit-identical logarithms (libm log() is NOT cross-engine
+    * reproducible — a shared table is). */
+  val Log2Table: IndexedSeq[Double] =
+    (1 to 128).map(v => math.log(v.toDouble) / math.log(2.0))
+
+  /** The oracle's half of [[Log2Table]]: a VALUES list `(v, l)`. */
+  def log2ValuesSql: String =
+    Log2Table.zipWithIndex
+      .map { case (l, i) => s"(${i + 1}, ${l}e0)" }.mkString(", ")
+
+  /**
+   * Within-document word-entropy quality stage (the Shannon-entropy /
+   * type-token-ratio filter of CCNet/Dolma-style pipelines; low
+   * entropy = boilerplate or keyword stuffing).
+   *
+   * H = log₂n − (Σ c·log₂c)/n over per-doc word counts. The per-doc
+   * sum Σ floor(c·log₂c·1e6) is an exact LONG (order-free under any
+   * partitioning); the only shuffle is the (doc, word) count — the
+   * same shape as vocab building, scales as the corpus token count.
+   */
+  def entropyStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val lg = array(Log2Table.map(lit): _*)
+    val counts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum("c").as("n"), count(lit(1)).as("nt"), max("c").as("mx"),
+        sum(floor(col("c").cast("double") *
+          element_at(lg, col("c").cast("int")) * lit(1e6)).cast("long")).as("s"))
+      .select(col(idCol),
+        col("n").as("n_words"), col("nt").as("n_types"), col("mx").as("max_freq"),
+        (col("nt").cast("double") / col("n").cast("double")).as("ttr"),
+        (element_at(lg, col("n").cast("int")) -
+          (col("s").cast("double") / lit(1e6)) / col("n").cast("double"))
+          .as("entropy"))
+  }
 }

@@ -59,12 +59,22 @@ object MlSuite {
     // ---- gradient-boosted stumps (F8, the xgboost.cpp family):
     // 3 rounds, squared loss, exact quantized residual sums, split
     // search via per-feature cumulative stats (no point×threshold
-    // blowup) — whole chain one shared SQL text ----
+    // blowup). Spark side runs the PRODUCTION driver loop (Spark
+    // inlines CTEs, so the self-referencing SQL chain re-evaluates
+    // earlier rounds multiplicatively — 11.7s vs 0.5s here); MlSpec
+    // asserts loop == SQL chain bit-for-bit, so the DuckDB oracle
+    // still runs the full shared text ----
     "ml_gbdt" -> ((s, dir) => {
-      Tables(s, dir, "events").createOrReplaceTempView("graft_events")
-      s.sql(s"WITH pts AS ($GbdtPts), "
-        .replace("FROM events", "FROM graft_events") +
-        Ml.gbdtSql(3, 0.5).stripPrefix("WITH "))
+      val pts = Tables(s, dir, "events").selectExpr(
+        "CAST(user_id % 50 AS BIGINT) AS x1",
+        "CAST(event_id % 31 AS BIGINT) AS x2",
+        "CAST(floor(value * 100) AS BIGINT) AS y")
+      val (_, model) = Ml.gbdt(pts, 3, 0.5)
+      import s.implicits._
+      model.zipWithIndex
+        .map { case ((f, t, lv, rv), i) => (i + 1, f, t, lv, rv) }
+        .toDF("round", "feat", "thr", "lval", "rval")
+        .orderBy("round")
     }),
 
     // ---- linear SVM (F7): hinge-loss subgradient descent, same

@@ -88,6 +88,15 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // ---- within-doc word entropy (D47): the Shannon-entropy /
+    // type-token-ratio quality filter; log2 via a driver-built table
+    // shared bit-identically with the oracle (libm log is not
+    // cross-engine reproducible), per-doc sums exact LONG ----
+    "text_entropy" -> ((s, dir) =>
+      graft.operators.TextAnalysis.entropyStats(
+          Tables(s, dir, "documents"), "doc_id", "text")
+        .transform(Gate.ordered(_, "doc_id"))),
+
     // ---- PII redaction over documents (D46): the masking policy as
     // a corpus pass — emails / SSNs / phones / IPv4s planted
     // deterministically inside real document text, then redacted by
@@ -173,6 +182,22 @@ object RelationalSuite5 {
         |SELECT c_custkey, accented, plain, lower(plain) AS norm,
         |  strpos(plain, 'cafe') > 0 AS has_cafe
         |FROM u ORDER BY c_custkey""".stripMargin,
+
+    "text_entropy" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |FROM documents),
+        |c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |FROM w GROUP BY 1, 2),
+        |lg AS (SELECT * FROM (VALUES ${graft.operators.TextAnalysis.log2ValuesSql}) t(v, l)),
+        |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS nt, CAST(max(c) AS BIGINT) AS mx,
+        |  CAST(sum(CAST(floor(CAST(c AS DOUBLE) * l * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |FROM c JOIN lg ON lg.v = c.c GROUP BY 1)
+        |SELECT doc_id, n AS n_words, nt AS n_types, mx AS max_freq,
+        |  CAST(nt AS DOUBLE) / CAST(n AS DOUBLE) AS ttr,
+        |  lgn.l - (CAST(s AS DOUBLE) / 1e6) / CAST(n AS DOUBLE) AS entropy
+        |FROM p JOIN lg lgn ON lgn.v = p.n
+        |ORDER BY doc_id""".stripMargin,
 
     "pii_redact" ->
       """WITH d AS (SELECT doc_id,
