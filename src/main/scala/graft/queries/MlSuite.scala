@@ -95,15 +95,29 @@ object MlSuite {
         .selectExpr("n" +: Ml.cramer3Exprs.map { case (nm, x) => s"$x AS $nm" }: _*)
     }),
 
-    // ---- k-means (F2): the full Lloyd chain (partition init, 3
-    // iterations, k=4) as ONE shared SQL text run by Spark SQL here
-    // and by DuckDB as the oracle; MlSpec asserts the production
-    // DataFrame-loop trainer lands on the identical assignment ----
+    // ---- k-means (F2): Lloyd, partition init, 3 iterations, k=4.
+    // Spark side runs the PRODUCTION DataFrame loop (the SQL chain's
+    // self-references re-evaluate earlier iterations under Spark's
+    // CTE inlining — 2.6s vs 0.9s at sf0.1); the DuckDB oracle runs
+    // the full shared chain text, and MlSpec pins loop == chain
+    // bit-for-bit including assignments AND centroids ----
     "ml_kmeans" -> ((s, dir) => {
-      Tables(s, dir, "events").createOrReplaceTempView("graft_events")
-      s.sql(s"WITH pts AS ($KmeansPts), "
-        .replace("FROM events", "FROM graft_events") +
-        Ml.kmeansSql(4, 3).stripPrefix("WITH "))
+      val pts = Tables(s, dir, "events").selectExpr(
+        "CAST(user_id % 97 AS BIGINT) AS x",
+        "CAST(floor(value) AS BIGINT) % 89 AS y")
+      val (assigned, cents) = Ml.kmeans(pts, 4, 3)
+      val cx = cents.zipWithIndex.foldRight(lit(Double.NaN)) {
+        case (((x, _), j), e) => when(col("cl") === j, lit(x)).otherwise(e)
+      }
+      val cy = cents.zipWithIndex.foldRight(lit(Double.NaN)) {
+        case (((_, y), j), e) => when(col("cl") === j, lit(y)).otherwise(e)
+      }
+      assigned.groupBy(col("cl").as("cluster"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sum_x"), sum("y").as("sum_y"))
+        .withColumn("cl", col("cluster"))
+        .select(col("cluster"), col("n"), col("sum_x"), col("sum_y"),
+          cx.as("cx"), cy.as("cy"))
+        .transform(Gate.ordered(_, "cluster"))
     }),
 
     // ---- logistic regression (F3): 3 full-batch GD steps, gradient
