@@ -625,6 +625,45 @@ object Ml {
         sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
         sum(col("y") * col("y")).as("syy"))
 
+  /**
+   * General-p PCA (optimizer_pca.cpp's job): ONE exact-LONG moment
+   * aggregate (p + p(p+1)/2 numbers cross the shuffle), covariance
+   * assembled on the driver, leading eigenvector by power iteration
+   * on the tiny p×p matrix — the distributed work is a single pass
+   * regardless of p or iteration count. Deterministic: fixed start
+   * vector, fixed iteration count, sign fixed by first nonzero ≥ 0.
+   * Returns (unit eigenvector, eigenvalue).
+   */
+  def pcaPower(df: DataFrame, features: Seq[Column], iters: Int = 100): (Array[Double], Double) = {
+    val p = features.size
+    val w = df.select(features.zipWithIndex.map { case (c, i) =>
+      c.cast("long").as(s"f$i") }: _*)
+    val aggs = count(lit(1)).as("n") +:
+      ((0 until p).map(i => sum(col(s"f$i")).as(s"s_$i")) ++
+        (for { i <- 0 until p; j <- i until p }
+          yield sum(col(s"f$i") * col(s"f$j")).as(s"m_${i}_$j")))
+    val row = w.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(row.fieldIndex("n")).toDouble
+    val mean = (0 until p).map(i => row.getLong(row.fieldIndex(s"s_$i")).toDouble / n)
+    val cov = Array.ofDim[Double](p, p)
+    for (i <- 0 until p; j <- i until p) {
+      val m = row.getLong(row.fieldIndex(s"m_${i}_$j")).toDouble
+      val c = m / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    var v = Array.tabulate(p)(i => if (i == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val nv = Array.tabulate(p)(i => (0 until p).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(nv.map(x => x * x).sum)
+      require(norm > 0, "graft: zero covariance — no principal direction")
+      v = nv.map(_ / norm); lambda = norm
+    }
+    val lead = v.indexWhere(math.abs(_) > 1e-12)
+    if (lead >= 0 && v(lead) < 0) v = v.map(-_)
+    (v, lambda)
+  }
+
   // ---------------------------------------------------------------
   // Scores (scores.h): confusion-matrix metrics from exact counts.
   // ---------------------------------------------------------------

@@ -338,6 +338,34 @@ object TextAnalysis {
    * partitioning); the only shuffle is the (doc, word) count — the
    * same shape as vocab building, scales as the corpus token count.
    */
+  /**
+   * Flesch-style readability features (reading-ease / FK grade over
+   * vowel-run syllable counts, Gopher-style hard-word ratio). The
+   * corpus has no sentence punctuation, so sentences are fixed
+   * 15-word pseudo-sentences — s = ceil(w/15) as floor((w+14)/15) in
+   * DOUBLE so the same text runs on both engines. All inputs exact
+   * LONG counts; the score doubles come from shared formula trees.
+   * One explode + one per-doc aggregate — a single shuffle.
+   */
+  def readabilityStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val syl = greatest(
+      size(regexp_extract_all(col("w"), lit("[aeiouy]+"), lit(0))), lit(1))
+    val per = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), syl.as("syl"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("w"), sum("syl").as("syl"),
+        sum(when(col("syl") >= 3, 1L).otherwise(0L)).as("hard"))
+    val wD = col("w").cast("double"); val sylD = col("syl").cast("double")
+    val s = floor((wD + lit(14.0)) / lit(15.0))
+    per.select(col(idCol),
+      col("w").as("n_words"), col("syl").as("n_syllables"), col("hard").as("n_hard"),
+      s.cast("long").as("n_sentences"),
+      (lit(206.835) - lit(1.015) * (wD / s) - lit(84.6) * (sylD / wD)).as("fre"),
+      (lit(0.39) * (wD / s) + lit(11.8) * (sylD / wD) - lit(15.59)).as("fk_grade"))
+  }
+
   def entropyStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val lg = array(Log2Table.map(lit): _*)

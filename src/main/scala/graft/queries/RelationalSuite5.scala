@@ -97,6 +97,15 @@ object RelationalSuite5 {
           Tables(s, dir, "documents"), "doc_id", "text")
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // ---- readability features (D48): Flesch reading-ease / FK grade
+    // over vowel-run syllables + hard-word ratio, 15-word pseudo-
+    // sentences (the corpus has no punctuation); exact LONG counts,
+    // shared formula trees ----
+    "text_readability" -> ((s, dir) =>
+      graft.operators.TextAnalysis.readabilityStats(
+          Tables(s, dir, "documents"), "doc_id", "text")
+        .transform(Gate.ordered(_, "doc_id"))),
+
     // ---- PII redaction over documents (D46): the masking policy as
     // a corpus pass — emails / SSNs / phones / IPv4s planted
     // deterministically inside real document text, then redacted by
@@ -198,6 +207,26 @@ object RelationalSuite5 {
         |  lgn.l - (CAST(s AS DOUBLE) / 1e6) / CAST(n AS DOUBLE) AS entropy
         |FROM p JOIN lg lgn ON lgn.v = p.n
         |ORDER BY doc_id""".stripMargin,
+
+    "text_readability" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |FROM documents),
+        |y AS (SELECT doc_id,
+        |  greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1) AS syl FROM t),
+        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS w,
+        |  CAST(sum(syl) AS BIGINT) AS syl,
+        |  CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hard
+        |FROM y GROUP BY 1)
+        |SELECT doc_id, w AS n_words, syl AS n_syllables, hard AS n_hard,
+        |  CAST(floor((CAST(w AS DOUBLE) + 14e0) / 15e0) AS BIGINT) AS n_sentences,
+        |  206.835e0 - 1.015e0 * (CAST(w AS DOUBLE)
+        |      / floor((CAST(w AS DOUBLE) + 14e0) / 15e0))
+        |    - 84.6e0 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) AS fre,
+        |  0.39e0 * (CAST(w AS DOUBLE)
+        |      / floor((CAST(w AS DOUBLE) + 14e0) / 15e0))
+        |    + 11.8e0 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59e0
+        |    AS fk_grade
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "pii_redact" ->
       """WITH d AS (SELECT doc_id,

@@ -182,6 +182,30 @@ class MlSpec extends SparkSpec with Matchers {
     assert(r.getDouble(4) > 0.99) // explained variance ratio
   }
 
+  test("pcaPower: matches the 2x2 closed form; recovers a 3-d planted direction") {
+    val df2 = (0 until 500).map { i =>
+      val t = (i % 100).toLong
+      (t, 2 * t + (i % 7) - 3)
+    }.toDF("x", "y")
+    val closed = Ml.pca2Sums(df2, col("x"), col("y"))
+      .selectExpr(Ml.pca2Exprs.map { case (n, x) => s"$x AS $n" }: _*)
+      .collect()(0)
+    val (v2, l2) = Ml.pcaPower(df2, Seq(col("x"), col("y")), iters = 200)
+    l2 shouldBe closed.getDouble(0) +- 1e-6 * closed.getDouble(0)
+    v2(0) shouldBe closed.getDouble(2) +- 1e-6
+    v2(1) shouldBe closed.getDouble(3) +- 1e-6
+    // 3-d: data along (1, 2, 3) with small deterministic noise
+    val df3 = (0 until 600).map { i =>
+      val t = (i % 80).toLong
+      (t + (i % 3), 2 * t + (i % 5), 3 * t + (i % 7))
+    }.toDF("a", "b", "c")
+    val (v3, _) = Ml.pcaPower(df3, Seq(col("a"), col("b"), col("c")))
+    val norm = math.sqrt(1.0 + 4.0 + 9.0)
+    v3(0) shouldBe 1.0 / norm +- 0.02
+    v3(1) shouldBe 2.0 / norm +- 0.02
+    v3(2) shouldBe 3.0 / norm +- 0.02
+  }
+
   test("nbayes: class-pure feature dominates prediction") {
     val df = (0 until 300).map { i =>
       val cls = i % 2

@@ -39,6 +39,20 @@ class TextEntropySpec extends SparkSpec with Matchers {
     h shouldBe expect +- 1e-5
   }
 
+  test("readability: closed-form case") {
+    // 16 words -> 2 pseudo-sentences; syllables: vowel runs, min 1
+    val text = ("data " * 8 + "analytical " * 8).trim // data=2 syl, analytical=5
+    val r = TextAnalysis.readabilityStats(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(r.getLong(1) === 16L) // words
+    assert(r.getLong(2) === 8 * 2 + 8 * 5) // syllables: da-ta / a-na-ly-ti-cal runs
+    assert(r.getLong(3) === 8L) // hard words (>= 3 vowel runs)
+    assert(r.getLong(4) === 2L) // sentences
+    val w = 16.0; val s = 2.0; val syl = 56.0
+    val fre = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+    r.getDouble(5) shouldBe fre +- 1e-9
+  }
+
   test("log table covers the corpus and the oracle text is aligned") {
     assert(TextAnalysis.Log2Table.length === 128)
     assert(TextAnalysis.Log2Table.head === 0.0)
