@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Model warehouse + PREDICT BY (reference: src/gausskernel/dbmind/
+ * db4ai/catalog/model_warehouse.cpp — trained models persist in a
+ * catalog table and `PREDICT BY model(cols)` applies them in any later
+ * query; include/db4ai/predict_by.h).
+ *
+ * Spark shape: a model is a tiny one-row-per-component DataFrame
+ * (kind, name, idx, value) written as parquet — human-readable,
+ * versionable, and joinable. Prediction builds a pure codegen Column
+ * from the loaded weights (literals — the model ships inside the
+ * plan, nothing joins at scale), so PREDICT BY over 100 TB is a
+ * map-only scan exactly like the reference's per-row C call.
+ */
+object ModelStore {
+
+  /** Persist a named weight vector (idx 0 = intercept). */
+  def saveLinear(spark: SparkSession, path: String, name: String,
+      weights: Array[Double]): Unit = {
+    import spark.implicits._
+    weights.zipWithIndex
+      .map { case (w, i) => ("linear", name, i, w) }
+      .toSeq.toDF("kind", "name", "idx", "value")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Persist k-means centroids ((cx, cy) per cluster id). */
+  def saveKmeans(spark: SparkSession, path: String, name: String,
+      cents: Array[(Double, Double)]): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .flatMap { case ((x, y), j) =>
+        Seq(("kmeans-x", name, j, x), ("kmeans-y", name, j, y)) }
+      .toSeq.toDF("kind", "name", "idx", "value")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a linear model back as a weight array (idx order). */
+  def loadLinear(spark: SparkSession, path: String, name: String): Array[Double] =
+    spark.read.parquet(path)
+      .filter(col("kind") === "linear" && col("name") === name)
+      .orderBy("idx").collect().map(_.getAs[Double]("value"))
+
+  /** Load k-means centroids back ((cx, cy) by cluster id). */
+  def loadKmeans(spark: SparkSession, path: String, name: String): Array[(Double, Double)] = {
+    val rows = spark.read.parquet(path)
+      .filter(col("name") === name && col("kind").startsWith("kmeans-"))
+      .collect()
+    val xs = rows.filter(_.getAs[String]("kind") == "kmeans-x")
+      .map(r => r.getAs[Int]("idx") -> r.getAs[Double]("value")).toMap
+    val ys = rows.filter(_.getAs[String]("kind") == "kmeans-y")
+      .map(r => r.getAs[Int]("idx") -> r.getAs[Double]("value")).toMap
+    require(xs.keySet == ys.keySet && xs.nonEmpty,
+      s"graft: malformed kmeans model '$name'")
+    (0 until xs.size).toArray.map(j => (xs(j), ys(j)))
+  }
+
+  /** PREDICT BY for a linear/logreg/svm model: w0 + Σ wᵢ·xᵢ. */
+  def predictLinear(weights: Array[Double], features: Seq[Column]): Column = {
+    require(weights.length == features.length + 1,
+      s"graft: ${features.length} features need ${features.length + 1} weights")
+    features.zip(weights.drop(1))
+      .foldLeft(lit(weights(0))) { case (acc, (c, w)) =>
+        acc + lit(w) * c.cast("double") }
+  }
+
+  /** PREDICT BY for a binary classifier: margin ≥ 0 → 1. */
+  def predictLabel(weights: Array[Double], features: Seq[Column]): Column =
+    when(predictLinear(weights, features) >= 0, 1).otherwise(0)
+
+  /** PREDICT BY for k-means: nearest centroid id (ties → smaller id,
+    * same discipline as training). */
+  def predictKmeans(cents: Array[(Double, Double)], x: Column, y: Column): Column = {
+    val dists = cents.map { case (cx, cy) =>
+      val dx = x.cast("double") - lit(cx); val dy = y.cast("double") - lit(cy)
+      dx * dx + dy * dy
+    }
+    val k = cents.length
+    (0 until k - 1).foldRight(lit(k - 1): Column) { (j, elseCol) =>
+      val conds = (j + 1 until k).map(m => dists(j) <= dists(m)).reduce(_ && _)
+      when(conds, lit(j)).otherwise(elseCol)
+    }.cast("int")
+  }
+}
