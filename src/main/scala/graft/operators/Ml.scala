@@ -303,6 +303,89 @@ object Ml {
     w
   }
 
+  /**
+   * n-dimensional Lloyd (kmeans.cpp supports arbitrary dims): same
+   * discipline as the 2-D gate path — partition init on the first
+   * feature, one k-row exact-LONG aggregate per iteration, centroid
+   * doubles on the driver, nearest-centroid ties → smaller id.
+   * Returns (assigned DF with `cl`, centroids[k][d]).
+   */
+  def kmeansND(df: DataFrame, features: Seq[String], k: Int,
+      iters: Int): (DataFrame, Array[Array[Double]]) = {
+    val d = features.size
+    require(d >= 1, "graft: kmeansND needs at least one feature")
+    val pts = df.select(features.zipWithIndex.map { case (f, i) =>
+      col(f).cast("long").as(s"f$i") }: _*)
+    var assigned = pts.withColumn("cl", (col("f0") % k).cast("int"))
+    var cents = Array.fill(k)(Array.fill(d)(0.0))
+    def assignCol: Column = {
+      val dists = cents.map { c =>
+        (0 until d).map { i =>
+          val dx = col(s"f$i").cast("double") - lit(c(i)); dx * dx
+        }.reduce(_ + _)
+      }
+      (0 until k - 1).foldRight(lit(k - 1): Column) { (j, elseCol) =>
+        val conds = (j + 1 until k).map(m => dists(j) <= dists(m)).reduce(_ && _)
+        when(conds, lit(j)).otherwise(elseCol)
+      }.cast("int")
+    }
+    def updateCents(): Unit = {
+      val aggs = (0 until d).map(i => sum(s"f$i").as(s"s$i")) :+
+        count(lit(1)).as("cn")
+      val sums = assigned.groupBy("cl").agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          r.getInt(0) -> ((0 until d).map(i => r.getLong(i + 1)).toArray,
+            r.getLong(d + 1))
+        }.toMap
+      cents = (0 until k).toArray.map { j =>
+        sums.get(j).map { case (s, cn) =>
+          s.map(_.toDouble / cn.toDouble)
+        }.getOrElse(cents(j))
+      }
+    }
+    for (_ <- 0 until iters) {
+      updateCents()
+      assigned = pts.withColumn("cl", assignCol)
+    }
+    updateCents() // final means = means of the returned assignment
+    (assigned, cents)
+  }
+
+  /**
+   * n-feature GD (logregr/svm over arbitrary feature lists): same
+   * quantized order-free gradient sums as the 2-feature chains.
+   * `hinge=false` → hard-sigmoid logistic; `hinge=true` → SVM with
+   * labels in {-1,+1} and L2 `lambda`.
+   */
+  def gdND(pts: DataFrame, features: Seq[String], labelCol: String,
+      iters: Int, lr: Double, hinge: Boolean = false,
+      lambda: Double = 0.0): Array[Double] = {
+    val p = features.size
+    var w = Array.fill(p + 1)(0.0)
+    val xs = lit(1.0) +: features.map(col(_).cast("double"))
+    for (_ <- 0 until iters) {
+      val z = xs.zip(w).map { case (x, wi) => x * lit(wi) }.reduce(_ + _)
+      val yD = col(labelCol).cast("double")
+      val contribs: Seq[Column] =
+        if (hinge) {
+          val viol = yD * z < lit(1.0)
+          xs.map(x => sum(when(viol,
+            floor(-yD * x * lit(1e9)).cast("long")).otherwise(0L)))
+        } else {
+          val err = least(greatest(z / lit(4.0) + lit(0.5), lit(0.0)), lit(1.0)) - yD
+          xs.map(x => sum(floor(err * x * lit(1e9)).cast("long")))
+        }
+      val r = pts.agg(count(lit(1)), contribs: _*).collect()(0)
+      val n = r.getLong(0).toDouble
+      w = w.zipWithIndex.map { case (wi, i) =>
+        val g = r.getLong(i + 1).toDouble / 1e9 / n
+        val reg = if (hinge && i > 0) lambda * wi else 0.0
+        wi - lr * (g + reg)
+      }
+    }
+    w
+  }
+
   // ---------------------------------------------------------------
   // One-vs-rest multiclass (multiclass.cpp wrapping the GD binary
   // models): K independent hard-sigmoid GD chains + score argmax.

@@ -182,6 +182,49 @@ class MlSpec extends SparkSpec with Matchers {
     assert(r.getDouble(4) > 0.99) // explained variance ratio
   }
 
+  test("kmeansND: 2-d parity with the gate trainer; separates 3-d blobs") {
+    val df = pts2.withColumnRenamed("x", "a").withColumnRenamed("y", "b")
+    val (a2, c2) = Ml.kmeans(pts2, 4, 3)
+    val (an, cn) = Ml.kmeansND(df, Seq("a", "b"), 4, 3)
+    val s2 = a2.groupBy("cl").agg(count(lit(1)), sum("x"), sum("y")).orderBy("cl")
+      .collect().map(_.toSeq)
+    val sn = an.groupBy("cl").agg(count(lit(1)), sum("f0"), sum("f1")).orderBy("cl")
+      .collect().map(_.toSeq)
+    assert(s2.toSeq === sn.toSeq)
+    assert(c2.map(p => Seq(p._1, p._2)).toSeq === cn.map(_.toSeq).toSeq)
+    // 3-d blobs
+    val df3 = (0 until 300).map { i =>
+      val g = i % 3
+      (g * 500L + i % 5, g * 500L + (i * 3) % 7, g * 500L + (i * 7) % 4)
+    }.toDF("a", "b", "c")
+    val (a3, _) = Ml.kmeansND(df3, Seq("a", "b", "c"), 3, 5)
+    val purity = a3.withColumn("blob", (col("f0") / 500).cast("int"))
+      .groupBy("blob").agg(countDistinct("cl").as("k")).collect()
+    purity.foreach(r => assert(r.getLong(1) === 1L))
+  }
+
+  test("gdND: 2-feature parity with logregr and svm") {
+    val df = (0 until 500).map { i =>
+      val x1 = (i % 53) / 53.0; val x2 = (i % 37) / 37.0
+      (x1, x2, if (2.0 * x1 - x2 > 0.5) 1 else 0, if (2.0 * x1 - x2 > 0.5) 1 else -1)
+    }.toDF("x1", "x2", "y", "ysvm")
+    val wl = Ml.logregr(df, 5, 0.5)
+    val wlN = Ml.gdND(df, Seq("x1", "x2"), "y", 5, 0.5)
+    assert(wl.toSeq === wlN.toSeq)
+    val ws = Ml.svm(df.withColumnRenamed("ysvm", "ycls")
+      .drop("y").withColumnRenamed("ycls", "y"), 5, 0.5, 0.01)
+    val wsN = Ml.gdND(df, Seq("x1", "x2"), "ysvm", 5, 0.5,
+      hinge = true, lambda = 0.01)
+    assert(ws.toSeq === wsN.toSeq)
+    // 3-feature run learns the planted signs
+    val df3 = (0 until 800).map { i =>
+      val a = (i % 53) / 53.0; val b = (i % 37) / 37.0; val c = (i % 29) / 29.0
+      (a, b, c, if (a - b + 2 * c > 0.7) 1 else 0)
+    }.toDF("a", "b", "c", "y")
+    val w3 = Ml.gdND(df3, Seq("a", "b", "c"), "y", 120, 2.0)
+    assert(w3(1) > 0 && w3(2) < 0 && w3(3) > 0)
+  }
+
   test("pcaPower: matches the 2x2 closed form; recovers a 3-d planted direction") {
     val df2 = (0 until 500).map { i =>
       val t = (i % 100).toLong
