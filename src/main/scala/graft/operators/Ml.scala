@@ -674,6 +674,61 @@ object Ml {
     (f0, model)
   }
 
+  /**
+   * n-feature / k-class naive Bayes (bayes.cpp's general shape):
+   * same broadcast count-table model and EXACT posterior argmax —
+   * per class c, score_c = n_c·∏ᵢ(cntᵢ+1) / ∏ᵢ(n_c+Vᵢ) compared
+   * pairwise by DECIMAL(38) cross-multiplication (ties → smaller
+   * class id). Bounded: with m features and N rows, the cross
+   * product is ≤ N^(m+1)·N^m — m ≤ 3 stays inside DECIMAL(38) for
+   * N ≤ 1e5 (guarded). Features categorical; continuous features
+   * should be binned first (the reference discretizes too).
+   */
+  def nbayesND(df: DataFrame, features: Seq[Column], y: Column,
+      idCol: Column, numClasses: Int): DataFrame = {
+    val m = features.size
+    require(m >= 1 && m <= 3, "graft: nbayesND supports 1..3 features (DECIMAL(38) bound)")
+    require(numClasses >= 2, "graft: need at least 2 classes")
+    val base = df.select(
+      (idCol.as("id") +: features.zipWithIndex.map { case (f, i) => f.as(s"f$i") }) :+
+        y.cast("int").as("cls"): _*)
+    val d38 = DecimalType(38, 0)
+    // priors pivoted to one row: n0..n{k-1}
+    val priorCols = (0 until numClasses).map(c =>
+      coalesce(max(when(col("cls") === c, col("n_c"))), lit(0L)).as(s"n$c"))
+    val priors = base.groupBy("cls").agg(count(lit(1)).as("n_c"))
+      .agg(priorCols.head, priorCols.tail: _*)
+    var out = base.crossJoin(broadcast(priors))
+    for (i <- 0 until m) {
+      val vi = base.agg(countDistinct(s"f$i").as(s"v$i"))
+      val ci = base.groupBy(col(s"f$i"), col("cls")).agg(count(lit(1)).as("cnt"))
+      for (c <- 0 until numClasses) {
+        out = out.join(broadcast(ci.filter(col("cls") === c)
+          .select(col(s"f$i"), col("cnt").as(s"c${i}_$c"))), Seq(s"f$i"), "left")
+      }
+      out = out.crossJoin(broadcast(vi))
+        .na.fill(0L, (0 until numClasses).map(c => s"c${i}_$c"))
+    }
+    def num(c: Int): Column =
+      (0 until m).foldLeft(col(s"n$c").cast(d38)) { (acc, i) =>
+        acc * (col(s"c${i}_$c") + 1).cast(d38) }
+    def den(c: Int): Column =
+      (0 until m).foldLeft(lit(1L).cast(d38)) { (acc, i) =>
+        acc * (col(s"n$c") + col(s"v$i")).cast(d38) }
+    // argmax with ties → smaller id: c beats the running best only
+    // with a strictly greater score
+    val pred = (1 until numClasses).foldLeft((lit(0), num(0), den(0))) {
+      case ((bestC, bestN, bestD), c) =>
+        val wins = num(c) * bestD > bestN * den(c)
+        (when(wins, lit(c)).otherwise(bestC),
+          when(wins, num(c)).otherwise(bestN),
+          when(wins, den(c)).otherwise(bestD))
+    }._1
+    out.select((col("id") +:
+      (0 until m).map(i => col(s"f$i"))) :+
+      col("cls") :+ pred.cast("int").as("pred"): _*)
+  }
+
   // ---------------------------------------------------------------
   // PCA (pca.cpp, optimizer_pca.cpp): 2-feature closed form.
   // ---------------------------------------------------------------

@@ -249,6 +249,25 @@ class MlSpec extends SparkSpec with Matchers {
     v3(2) shouldBe 3.0 / norm +- 0.02
   }
 
+  test("nbayesND: binary parity with the gate path; 3-class, 3-feature recovery") {
+    val df = (0 until 400).map { i =>
+      (i.toLong, s"t${i % 4}", (i % 5).toLong, (i % 2))
+    }.toDF("id", "f1", "f2", "y")
+    val a = Ml.nbayesPredict(df, col("f1"), col("f2"), col("y"), col("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(4)))
+    val b = Ml.nbayesND(df, Seq(col("f1"), col("f2")), col("y"), col("id"), 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(a.toSeq === b.toSeq)
+    // 3 classes, 3 features: one feature perfectly class-aligned
+    val df3 = (0 until 600).map { i =>
+      val cls = i % 3
+      (i.toLong, s"c$cls", (i % 7).toLong, s"n${i % 4}", cls)
+    }.toDF("id", "f1", "f2", "f3", "y")
+    val p3 = Ml.nbayesND(df3,
+      Seq(col("f1"), col("f2"), col("f3")), col("y"), col("id"), 3)
+    assert(p3.filter(col("pred") === col("cls")).count() === 600L)
+  }
+
   test("nbayes: class-pure feature dominates prediction") {
     val df = (0 until 300).map { i =>
       val cls = i % 2
