@@ -55,6 +55,35 @@ object SqlFunctions {
       }
       TrgmSql.zValue(args(0), args(1), bits)
     }),
+    // security_plugin masking surface (mirrors graft.operators.Masking;
+    // optional 2nd arg = mask letter, as in the reference defaults)
+    "creditcardmasking" -> (args => MaskSql.creditcard(args.head, MaskSql.letter(args, "x"))),
+    "basicemailmasking" -> (args => MaskSql.basicEmail(args.head, MaskSql.letter(args, "x"))),
+    "fullemailmasking" -> (args => MaskSql.fullEmail(args.head, MaskSql.letter(args, "x"))),
+    "alldigitsmasking" -> (args => MaskSql.allDigits(args.head, MaskSql.letter(args, "0"))),
+    "maskall" -> (args => MaskSql.maskAll(args.head)),
+    "regexpmasking" -> (args => MaskSql.regexpMask(args)),
+    // unaccent + keyed digest + hilbert clustering key
+    "unaccent" -> (args => MaskSql.unaccent(args.head)),
+    "hmac" -> (args => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val algo = args(2) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft: hmac algo must be a string literal, got $other")
+      }
+      HmacExpression(args(0), args(1), algo)
+    }),
+    "hilbert_index" -> (args => {
+      import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, Literal}
+      val bits = args(2) match {
+        case Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"graft: hilbert_index bits must be an integer literal, got $other")
+      }
+      HilbertIndex(CCast(args(0), org.apache.spark.sql.types.LongType),
+        CCast(args(1), org.apache.spark.sql.types.LongType), bits)
+    }),
     "parse_vector" -> (args => ParseVector(args.head)),
     "vector_to_string" -> (args => VectorToString(vec(args.head))),
     "parse_sparsevec" -> (args => ParseSparseVector(args.head)),
@@ -161,6 +190,83 @@ object SqlFunctions {
           ShiftLeft(BitwiseAnd(ShiftRight(xs, Literal(i)), Literal(1L)), Literal(2 * i)),
           ShiftLeft(BitwiseAnd(ShiftRight(ys, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
       }.reduce[Expression](Add(_, _))
+    }
+  }
+
+  /** Raw-Catalyst builders for the security_plugin masking surface +
+    * unaccent — mirrors graft.operators.Masking / functions.Unaccent
+    * exactly (the registry path needs Expression builders, not the
+    * Column API; parity pinned in MaskingSpec/UnaccentSpec). */
+  private object MaskSql {
+    import org.apache.spark.sql.catalyst.expressions._
+
+    def letter(args: Seq[Expression], dflt: String): Expression =
+      if (args.length >= 2) args(1) else Literal(dflt)
+
+    private val DigitClass = Literal("[0-9+]")
+
+    def creditcard(col: Expression, l: Expression): Expression = {
+      val keep = Literal(4)
+      If(GreaterThanOrEqual(Length(col), keep),
+        Concat(Seq(
+          RegExpReplace(Substring(col, Literal(1), Subtract(Length(col), keep)),
+            DigitClass, l),
+          Substring(col, Literal(-4), keep))),
+        col)
+    }
+
+    def basicEmail(col: Expression, l: Expression): Expression = {
+      val pos = StringInstr(col, Literal("@"))
+      If(GreaterThan(pos, Literal(1)),
+        Concat(Seq(StringRepeat(l, Subtract(pos, Literal(1))),
+          Substring(col, pos, Add(Subtract(Length(col), pos), Literal(1))))),
+        col)
+    }
+
+    def fullEmail(col: Expression, l: Expression): Expression = {
+      val pos = StringInstr(col, Literal("@"))
+      val dotPos = Add(Subtract(Length(col),
+        StringInstr(Reverse(col), Literal("."))), Literal(1))
+      If(And(GreaterThan(pos, Literal(2)), GreaterThan(dotPos, pos)),
+        Concat(Seq(
+          StringRepeat(l, Subtract(pos, Literal(1))), Literal("@"),
+          StringRepeat(l, Subtract(Subtract(dotPos, pos), Literal(1))),
+          Substring(col, dotPos, Add(Subtract(Length(col), dotPos), Literal(1))))),
+        col)
+    }
+
+    def allDigits(col: Expression, l: Expression): Expression =
+      RegExpReplace(col, DigitClass, l)
+
+    def maskAll(col: Expression): Expression =
+      StringRepeat(Literal("x"), Length(col))
+
+    /** regexpmasking(col, reg, replace[, pos = 0, reg_len = -1]) with
+      * the reference's window clamps; pos/reg_len may be any integer
+      * expressions. */
+    def regexpMask(args: Seq[Expression]): Expression = {
+      val col = args(0); val reg = args(1); val rep = args(2)
+      val pos = if (args.length >= 4) args(3) else Literal(0)
+      val regLen = if (args.length >= 5) args(4) else Literal(-1)
+      val size = Length(col)
+      val startpos = Least(Seq(Greatest(Seq(pos, Literal(0))), size))
+      val endpos = If(LessThan(regLen, Literal(0)),
+        Subtract(size, Literal(1)),
+        Least(Seq(Subtract(Add(startpos, regLen), Literal(1)),
+          Subtract(size, Literal(1)))))
+      val lstr = Substring(col, Literal(1), startpos)
+      val rstr = Substring(col, Add(endpos, Literal(2)),
+        Subtract(Subtract(size, endpos), Literal(1)))
+      val target = Substring(col, Add(startpos, Literal(1)),
+        Add(Subtract(endpos, startpos), Literal(1)))
+      Concat(Seq(lstr, RegExpReplace(target, reg, rep), rstr))
+    }
+
+    def unaccent(col: Expression): Expression = {
+      val expanded = Unaccent.Multi.foldLeft(col) { case (acc, (a, b)) =>
+        StringReplace(acc, Literal(a), Literal(b))
+      }
+      StringTranslate(expanded, Literal(Unaccent.From), Literal(Unaccent.To))
     }
   }
 

@@ -54,6 +54,35 @@ class MaskingSpec extends SparkSpec {
     assert(one(Masking.maskall(lit(""))) === "")
   }
 
+  test("SQL surface: registered masking/unaccent/hmac/hilbert match the APIs") {
+    graft.functions.SqlFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("4096-1234-5678-9012", "alice@mail.example.org", "Pay 12 to +49"),
+      ("123", "no-at-here", "größe łódź œuvre")).toDF("card", "email", "txt")
+    df.createOrReplaceTempView("mask_in")
+    val got = spark.sql(
+      """SELECT creditcardmasking(card) AS c, basicemailmasking(email) AS b,
+        |  fullemailmasking(email) AS f, alldigitsmasking(txt) AS d,
+        |  maskall(card) AS m, regexpmasking(email, '[a-z]', '*', 2, 6) AS r,
+        |  unaccent(txt) AS u,
+        |  hex(hmac(txt, 'k', 'sha256')) AS h,
+        |  hilbert_index(length(card), length(email), 8) AS hi
+        |FROM mask_in""".stripMargin).collect()
+    val want = df.select(
+      Masking.creditcardmasking(col("card")).as("c"),
+      Masking.basicemailmasking(col("email")).as("b"),
+      Masking.fullemailmasking(col("email")).as("f"),
+      Masking.alldigitsmasking(col("txt")).as("d"),
+      Masking.maskall(col("card")).as("m"),
+      Masking.regexpmasking(col("email"), "[a-z]", "*", 2, 6).as("r"),
+      graft.functions.Unaccent.unaccent(col("txt")).as("u"),
+      hex(graft.functions.HmacExpression.hmac(col("txt"), lit("k"), "sha256")).as("h"),
+      graft.operators.Layout.hilbertValue(length(col("card")),
+        length(col("email")), 8).as("hi")).collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+  }
+
   test("plan contract: a masking/redaction/unaccent pass is map-only") {
     import graft.queries.RelationalSuite5
     for (name <- Seq("masking_fns", "pii_redact", "unaccent_fns", "crypto_hmac")) {
