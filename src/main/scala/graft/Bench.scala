@@ -64,7 +64,8 @@ object Bench {
     "text_trigram_ppl", "hilbert_layout",
     "masking_fns", "pii_redact", "unaccent_fns", "crypto_hmac",
     "ml_linreg", "ml_kmeans", "ml_logreg", "ml_nbayes", "ml_pca", "ml_scores",
-    "ml_svm", "ml_gbdt", "ml_multiclass", "text_entropy", "text_readability")
+    "ml_svm", "ml_gbdt", "ml_multiclass", "text_entropy", "text_readability",
+    "stream_score")
 
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()

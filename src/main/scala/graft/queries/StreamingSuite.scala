@@ -85,6 +85,20 @@ object StreamingSuite {
         .select(col("event_id"), col("user_id"), col("event_type"))
         .transform(Gate.ordered(_, "event_id"))),
 
+    // streaming PREDICT BY (E8 × DB4AI): a ModelStore weight vector
+    // scores the event stream as a pure codegen map — the model ships
+    // as literals inside the plan, so inference keeps ZERO streaming
+    // state (StreamingSpec: stream==batch, stateOperators empty) and
+    // replays deterministically
+    "stream_score" -> ((s, dir) => {
+      val w = Array(-1.0, 0.03, 0.02) // a "loaded" linear model
+      val feats = Seq(col("user_id") % 50, col("event_id") % 31)
+      Tables(s, dir, "events").select(col("event_id"),
+          graft.operators.ModelStore.predictLinear(w, feats).as("score"),
+          graft.operators.ModelStore.predictLabel(w, feats).as("pred"))
+        .transform(Gate.ordered(_, "event_id"))
+    }),
+
     // stream-static enrichment: the customer dim BROADCASTS (no join
     // state — only the windowed agg holds state, watermark-bounded);
     // batch run of the identical plan is the gate
@@ -279,6 +293,15 @@ object StreamingSuite {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE ((event_id * 2654435761) % 4294967296) % 1000000 < 100000
         |ORDER BY event_id""".stripMargin,
+
+    "stream_score" ->
+      """SELECT event_id,
+        |  -1e0 + 3e-2 * CAST(user_id % 50 AS DOUBLE)
+        |    + 2e-2 * CAST(event_id % 31 AS DOUBLE) AS score,
+        |  CASE WHEN -1e0 + 3e-2 * CAST(user_id % 50 AS DOUBLE)
+        |    + 2e-2 * CAST(event_id % 31 AS DOUBLE) >= 0e0
+        |  THEN 1 ELSE 0 END AS pred
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "stream_enrich" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, c_nationkey,

@@ -171,6 +171,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("streaming PREDICT BY: equals batch with ZERO state operators") {
+    val w = Array(-1.0, 0.03, 0.02)
+    def score(df: org.apache.spark.sql.DataFrame) = {
+      val feats = Seq($"user_id" % 50, $"event_id" % 31)
+      df.select($"event_id",
+        graft.operators.ModelStore.predictLinear(w, feats).as("score"),
+        graft.operators.ModelStore.predictLabel(w, feats).as("pred"))
+    }
+    val batch = score(events).as[(Long, Double, Int)].collect().toSet
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sfDir)
+      .transform(SparkTestSession.normTs)
+    val q = score(stream)
+      .writeStream.format("memory").queryName("score_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "model inference must keep no streaming state")
+    } finally q.stop()
+    val got = spark.table("score_test").as[(Long, Double, Int)].collect().toSet
+    assert(got == batch && batch.exists(_._3 == 1) && batch.exists(_._3 == 0))
+  }
+
   test("stream-static enriched agg equals batch; join keeps no state") {
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
     val batch = StreamAgg.enrichedWindowedAgg(events, customer,
