@@ -197,9 +197,24 @@ object Ml {
    * centroids held on the driver (k·2 doubles), assignment compiled
    * as the same CASE chain. Returns (assigned DF, centroids).
    */
-  def kmeans(pts: DataFrame, k: Int, iters: Int): (DataFrame, Array[(Double, Double)]) = {
-    var assigned = pts.withColumn("cl", (col("x") % k).cast("int"))
-    var cents = Array.fill(k)((0.0, 0.0))
+  def kmeans(pts: DataFrame, k: Int, iters: Int,
+      seeds: Option[Array[(Double, Double)]] = None): (DataFrame, Array[(Double, Double)]) = {
+    var assigned = seeds match {
+      case None => pts.withColumn("cl", (col("x") % k).cast("int"))
+      case Some(ss) =>
+        require(ss.length == k, s"graft: need $k seeds, got ${ss.length}")
+        val dists = ss.map { case (cx, cy) =>
+          val dx = col("x").cast("double") - lit(cx)
+          val dy = col("y").cast("double") - lit(cy)
+          dx * dx + dy * dy
+        }
+        val assign = (0 until k - 1).foldRight(lit(k - 1): Column) { (j, e) =>
+          when((j + 1 until k).map(m => dists(j) <= dists(m)).reduce(_ && _),
+            lit(j)).otherwise(e)
+        }
+        pts.withColumn("cl", assign.cast("int"))
+    }
+    var cents = seeds.getOrElse(Array.fill(k)((0.0, 0.0)))
     for (_ <- 0 until iters) {
       val sums = assigned.groupBy("cl")
         .agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).as("cn"))
@@ -301,6 +316,32 @@ object Ml {
         w(2) - lr * (r.getLong(3).toDouble / 1e9) / n)
     }
     w
+  }
+
+  /**
+   * Deterministic farthest-first seeding (the k-means++ spirit
+   * without its randomness — Gonzalez's 2-approximation traversal):
+   * seed 1 = lexicographically smallest point; each next seed
+   * maximizes the exact-LONG min-squared-distance to the chosen set,
+   * ties → smallest (x, y). k bounded TakeOrdered passes, never a
+   * global sort; use when the data's first coordinate correlates with
+   * cluster structure and partition init would start degenerate.
+   */
+  def farthestSeeds(pts: DataFrame, k: Int): Array[(Double, Double)] = {
+    val first = pts.select(col("x").cast("long"), col("y").cast("long"))
+      .orderBy("x", "y").limit(1).collect()(0)
+    var chosen = Vector((first.getLong(0), first.getLong(1)))
+    while (chosen.size < k) {
+      val minD = chosen.map { case (cx, cy) =>
+        (col("x").cast("long") - lit(cx)) * (col("x").cast("long") - lit(cx)) +
+          (col("y").cast("long") - lit(cy)) * (col("y").cast("long") - lit(cy))
+      }.reduce(least(_, _))
+      val next = pts.select(col("x").cast("long").as("x"),
+          col("y").cast("long").as("y"), minD.as("d"))
+        .orderBy(col("d").desc, col("x"), col("y")).limit(1).collect()(0)
+      chosen = chosen :+ ((next.getLong(0), next.getLong(1)))
+    }
+    chosen.map { case (x, y) => (x.toDouble, y.toDouble) }.toArray
   }
 
   /**

@@ -182,6 +182,25 @@ class MlSpec extends SparkSpec with Matchers {
     assert(r.getDouble(4) > 0.99) // explained variance ratio
   }
 
+  test("farthest-first seeding lands one seed per blob; seeded Lloyd stays pure") {
+    // blobs share the same x-residues mod k, so partition init starts
+    // every cluster mixed; farthest-first must seed each blob
+    val df = (0 until 300).map { i =>
+      val g = i % 3
+      (g * 900L + (i % 5) * 3, g * 900L + (i * 3) % 7)
+    }.toDF("x", "y")
+    val seeds = Ml.farthestSeeds(df, 3)
+    assert(seeds.map(s => math.round(s._1 / 900.0)).toSet === Set(0L, 1L, 2L),
+      s"seeds not one-per-blob: ${seeds.mkString(",")}")
+    val (assigned, _) = Ml.kmeans(df, 3, 3, seeds = Some(seeds))
+    val purity = assigned.withColumn("blob", (col("x") / 900).cast("int"))
+      .groupBy("blob").agg(countDistinct("cl").as("k")).collect()
+    purity.foreach(r => assert(r.getLong(1) === 1L,
+      s"blob ${r.getInt(0)} split"))
+    // determinism: same input → identical seeds
+    assert(Ml.farthestSeeds(df.repartition(7), 3).toSeq === seeds.toSeq)
+  }
+
   test("kmeansND: 2-d parity with the gate trainer; separates 3-d blobs") {
     val df = pts2.withColumnRenamed("x", "a").withColumnRenamed("y", "b")
     val (a2, c2) = Ml.kmeans(pts2, 4, 3)
