@@ -51,6 +51,33 @@ class SourcesSpec extends SparkSpec {
       s"projection should prune to the needed columns:\n$plan")
   }
 
+  test("log_fdw-shaped reader: typed fields, permissive corrupt lines, one scan") {
+    import graft.sources.LogSource
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs-")
+    dir.toFile.deleteOnExit()
+    val lines = Seq(
+      "2026-08-14 12:00:01 INFO  [ingest] started batch 7",
+      "2026-08-14 12:00:02 WARN  [dedup] bucket 14 flooded",
+      "this line is garbage",
+      "2026-08-14 12:00:03 ERROR [sink] write failed: disk full")
+    java.nio.file.Files.write(dir.resolve("app.log"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val df = LogSource.readLog(spark, dir.toString,
+      LogSource.AppLogPattern, LogSource.AppLogFields)
+    val rows = df.orderBy("ts").collect()
+    assert(rows.length === 4)
+    val good = rows.filter(!_.isNullAt(0))
+    assert(good.length === 3)
+    assert(good.map(_.getString(1)).toSeq === Seq("INFO", "WARN", "ERROR"))
+    assert(good.map(_.getString(2)).toSeq === Seq("ingest", "dedup", "sink"))
+    assert(good.forall(_.isNullAt(4)))
+    val bad = rows.filter(_.isNullAt(0))
+    assert(bad.length === 1 && bad(0).getString(4) === "this line is garbage")
+    // one scan, no shuffle, codegen'd extraction
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"log parse must be map-only:\n$plan")
+  }
+
   test("partitioned parquet write prunes partitions at the reader") {
     val path = tmp("part")
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
