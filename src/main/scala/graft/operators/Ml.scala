@@ -676,6 +676,77 @@ object Ml {
     sb.toString
   }
 
+  /** One depth-2 regression tree: root split + one split per side
+    * (a degenerate side collapses both its leaves to the side mean,
+    * childThr = Long.MinValue so the left branch never fires). */
+  case class Tree2(feat0: Int, thr0: Long,
+      featL: Int, thrL: Long, llv: Double, lrv: Double,
+      featR: Int, thrR: Long, rlv: Double, rrv: Double)
+
+  /** Best (gain, feat, thr, cl, sl, n, stot) over both features for
+    * the rows passing `cond`; None when no valid split exists. */
+  private def bestSplit(pts: DataFrame, q: Column, cond: Column)
+      : Option[(Double, Int, Long, Long, Long, Long, Long)] = {
+    val cands = (1 to 2).flatMap { f =>
+      val stats = pts.filter(cond)
+        .select(col(s"x$f").cast("long").as("v"), q.as("q"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"), sum("q").as("sq"))
+        .orderBy("v").collect()
+      val n = stats.map(_.getLong(1)).sum
+      val stot = stats.map(_.getLong(2)).sum
+      var cl = 0L; var sl = 0L
+      stats.dropRight(1).map { r =>
+        cl += r.getLong(1); sl += r.getLong(2)
+        val gain = sl.toDouble * sl.toDouble / cl.toDouble +
+          (stot - sl).toDouble * (stot - sl).toDouble / (n - cl).toDouble
+        (gain, f, r.getLong(0), cl, sl, n, stot)
+      }
+    }
+    if (cands.isEmpty) None
+    else Some(cands.minBy { case (g, f, v, _, _, _, _) => (-g, f, v) })
+  }
+
+  /**
+   * Depth-2 gradient boosting (captures pairwise feature interactions
+   * a stump ensemble cannot — e.g. XOR-shaped targets): per round the
+   * root split then one split per side, leaves = lr-scaled residual
+   * means of the 4 regions. Work per round: 6 bounded aggregates (2
+   * features × {root, left, right}), model-sized driver state — the
+   * same scale shape as [[gbdt]].
+   */
+  def gbdtDepth2(pts: DataFrame, rounds: Int, lr: Double): (Double, Seq[Tree2]) = {
+    val base = pts.agg(sum("y").cast("long"), count(lit(1))).collect()(0)
+    val f0 = base.getLong(0).toDouble / base.getLong(1).toDouble
+    var model = Vector.empty[Tree2]
+    def fCol: Column = model.foldLeft(lit(f0)) { case (acc, t) =>
+      acc + when(col(s"x${t.feat0}") <= lit(t.thr0),
+        when(col(s"x${t.featL}") <= lit(t.thrL), lit(t.llv)).otherwise(lit(t.lrv)))
+        .otherwise(
+          when(col(s"x${t.featR}") <= lit(t.thrR), lit(t.rlv)).otherwise(lit(t.rrv)))
+    }
+    for (_ <- 1 to rounds) {
+      val q = floor((col("y").cast("double") - fCol) * lit(1e3)).cast("long")
+      val (_, f0i, thr0, _, _, _, _) = bestSplit(pts, q, lit(true))
+        .getOrElse(throw new IllegalStateException(
+          "graft: no valid root split — all feature values identical"))
+      def side(cond: Column): (Int, Long, Double, Double) =
+        bestSplit(pts, q, cond) match {
+          case Some((_, f, v, cl, sl, n, stot)) =>
+            (f, v, lr * (sl.toDouble / 1e3) / cl.toDouble,
+              lr * ((stot - sl).toDouble / 1e3) / (n - cl).toDouble)
+          case None => // degenerate side: collapse to the side mean
+            val r = pts.filter(cond).agg(sum(q), count(lit(1))).collect()(0)
+            val mean = if (r.getLong(1) == 0) 0.0
+              else lr * (r.getLong(0).toDouble / 1e3) / r.getLong(1).toDouble
+            (1, Long.MinValue, mean, mean)
+        }
+      val (fl, tl, llv, lrv) = side(col(s"x$f0i") <= lit(thr0))
+      val (fr, tr, rlv, rrv) = side(col(s"x$f0i") > lit(thr0))
+      model = model :+ Tree2(f0i, thr0, fl, tl, llv, lrv, fr, tr, rlv, rrv)
+    }
+    (f0, model)
+  }
+
   /**
    * Production boosted-stump trainer mirroring [[gbdtSql]]: per round
    * two V-row aggregates collect to the driver, the argmax and leaf
@@ -691,23 +762,10 @@ object Ml {
     }
     for (_ <- 1 to rounds) {
       val q = floor((col("y").cast("double") - fCol) * lit(1e3)).cast("long")
-      val cands = (1 to 2).flatMap { f =>
-        val stats = pts.select(col(s"x$f").cast("long").as("v"), q.as("q"))
-          .groupBy("v").agg(count(lit(1)).as("cnt"), sum("q").as("sq"))
-          .orderBy("v").collect()
-        val n = stats.map(_.getLong(1)).sum
-        val stot = stats.map(_.getLong(2)).sum
-        var cl = 0L; var sl = 0L
-        stats.dropRight(1).map { r =>
-          cl += r.getLong(1); sl += r.getLong(2)
-          val gain = sl.toDouble * sl.toDouble / cl.toDouble +
-            (stot - sl).toDouble * (stot - sl).toDouble / (n - cl).toDouble
-          (gain, f, r.getLong(0), cl, sl, n, stot)
-        }
-      }
-      // argmax, ties → (feat, v): sort desc by gain, asc by feat, v
-      val best = cands.minBy { case (g, f, v, _, _, _, _) => (-g, f, v) }
-      val (_, f, v, cl, sl, n, stot) = best
+      // argmax, ties → (feat, v) — shared with the depth-2 trainer
+      val (_, f, v, cl, sl, n, stot) = bestSplit(pts, q, lit(true))
+        .getOrElse(throw new IllegalStateException(
+          "graft: no valid split — all feature values identical"))
       model = model :+ ((f, v,
         lr * (sl.toDouble / 1e3) / cl.toDouble,
         lr * ((stot - sl).toDouble / 1e3) / (n - cl).toDouble))

@@ -167,6 +167,42 @@ class MlSpec extends SparkSpec with Matchers {
     assert(math.abs(predLow - 101.0) < 30.0)
   }
 
+  test("gbdtDepth2: captures a planted XOR interaction stumps cannot") {
+    // y = 500 when (x1<=20) XOR (x2<=15), else 100 — marginal means
+    // per single feature are flat, so a stump sees ~zero gain, while
+    // a depth-2 tree isolates all four quadrants
+    val df = (0 until 1200).map { i =>
+      val x1 = (i % 50).toLong; val x2 = (i * 7 % 31).toLong
+      val xor = (x1 <= 20) != (x2 <= 15)
+      (x1, x2, if (xor) 500L else 100L)
+    }.toDF("x1", "x2", "y")
+    val (f0, model) = Ml.gbdtDepth2(df, 4, 0.5)
+    // round-1 children must split on the OTHER feature at the planted
+    // thresholds (20 for x1, 15 for x2)
+    val t = model.head
+    val planted = Map(1 -> 20L, 2 -> 15L)
+    assert(t.featL !== t.feat0)
+    assert(t.featR !== t.feat0)
+    assert(t.thrL === planted(t.featL))
+    assert(t.thrR === planted(t.featR))
+    // after 4 rounds predictions approach the two plateaus; stumps don't
+    def mse(pred: org.apache.spark.sql.Column): Double =
+      df.select(avg((col("y").cast("double") - pred) *
+        (col("y").cast("double") - pred))).collect()(0).getDouble(0)
+    val d2Pred = model.foldLeft(lit(f0)) { case (acc, tr) =>
+      acc + when(col(s"x${tr.feat0}") <= lit(tr.thr0),
+        when(col(s"x${tr.featL}") <= lit(tr.thrL), lit(tr.llv)).otherwise(lit(tr.lrv)))
+        .otherwise(when(col(s"x${tr.featR}") <= lit(tr.thrR), lit(tr.rlv))
+          .otherwise(lit(tr.rrv)))
+    }
+    val (f0s, stumps) = Ml.gbdt(df, 4, 0.5)
+    val stumpPred = stumps.foldLeft(lit(f0s)) { case (acc, (ft, thr, lv, rv)) =>
+      acc + when(col(s"x$ft") <= lit(thr), lit(lv)).otherwise(lit(rv))
+    }
+    val (m2, ms) = (mse(d2Pred), mse(stumpPred))
+    assert(m2 < ms / 2, s"depth-2 mse $m2 not well below stump mse $ms")
+  }
+
   test("pca: leading component follows a planted correlation") {
     val df = (0 until 500).map { i =>
       val t = (i % 100).toLong
