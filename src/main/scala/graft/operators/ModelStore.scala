@@ -59,6 +59,29 @@ object ModelStore {
     (0 until xs.size).toArray.map(j => (xs(j), ys(j)))
   }
 
+  /**
+   * EXPLAIN MODEL (reference: db4ai explain_model.h — a trained
+   * model's parameters rendered as a relation): one row per
+   * component, typed, so the summary is itself queryable/joinable.
+   */
+  def explainLinear(spark: SparkSession, name: String,
+      featureNames: Seq[String], weights: Array[Double]): DataFrame = {
+    import spark.implicits._
+    require(weights.length == featureNames.length + 1,
+      s"graft: ${featureNames.length} features need ${featureNames.length + 1} weights")
+    (("intercept" +: featureNames).zip(weights).zipWithIndex.map {
+      case ((f, w), i) => (name, i, f, w, math.abs(w))
+    }).toDF("model", "idx", "feature", "weight", "abs_weight")
+  }
+
+  def explainKmeans(spark: SparkSession, name: String,
+      cents: Array[(Double, Double)], counts: Map[Int, Long]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case ((x, y), j) =>
+      (name, j, x, y, counts.getOrElse(j, 0L))
+    }.toSeq.toDF("model", "cluster", "cx", "cy", "n_points")
+  }
+
   /** PREDICT BY for a linear/logreg/svm model: w0 + Σ wᵢ·xᵢ. */
   def predictLinear(weights: Array[Double], features: Seq[Column]): Column = {
     require(weights.length == features.length + 1,

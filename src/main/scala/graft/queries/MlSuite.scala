@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Ml
+import graft.operators.{Ml, ModelStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -130,6 +130,22 @@ object MlSuite {
         Ml.logregrSql(3, 0.5).stripPrefix("WITH "))
     }),
 
+    // ---- EXPLAIN MODEL (F10, explain_model.h): the trained linregr
+    // rendered as a relation, one typed row per coefficient. Weights
+    // come from the same exact-LONG Gram sums + shared Cramer formula
+    // text as ml_linreg (identical IEEE trees on both engines), so the
+    // per-row unpivot is hash-exact; abs() only clears the sign bit ----
+    "ml_explain" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val w = Ml.linregrSums(e, col("user_id") % 50, col("event_id") % 31,
+          expr("CAST(floor(value * 100) AS BIGINT)"))
+        .selectExpr(Ml.cramer3Exprs.take(3).map { case (nm, x) => s"$x AS $nm" }: _*)
+        .collect()(0)
+      ModelStore.explainLinear(s, "linreg_events", Seq("x1", "x2"),
+          Array(w.getDouble(0), w.getDouble(1), w.getDouble(2)))
+        .transform(Gate.ordered(_, "idx"))
+    }),
+
     // ---- naive Bayes (F4): broadcast count-table model, posterior
     // argmax by exact DECIMAL cross-multiplication ----
     "ml_nbayes" -> ((s, dir) => {
@@ -196,6 +212,19 @@ object MlSuite {
 
     "ml_kmeans" ->
       (s"WITH pts AS ($KmeansPts), " + Ml.kmeansSql(4, 3).stripPrefix("WITH ")),
+
+    "ml_explain" -> {
+      val pts = "SELECT user_id % 50 AS x1, event_id % 31 AS x2, " +
+        "CAST(floor(value * 100) AS BIGINT) AS y FROM events"
+      val Seq(b0, b1, b2) = Ml.cramer3Exprs.take(3).map(_._2)
+      s"""WITH s AS ${sumsSql(pts)},
+         |w AS (SELECT $b0 AS w0, $b1 AS w1, $b2 AS w2 FROM s)
+         |SELECT 'linreg_events' AS model, 0 AS idx, 'intercept' AS feature,
+         |  w0 AS weight, abs(w0) AS abs_weight FROM w
+         |UNION ALL SELECT 'linreg_events', 1, 'x1', w1, abs(w1) FROM w
+         |UNION ALL SELECT 'linreg_events', 2, 'x2', w2, abs(w2) FROM w
+         |ORDER BY idx""".stripMargin
+    },
 
     "ml_logreg" ->
       (s"WITH pts AS ($LogregPts), " + Ml.logregrSql(3, 0.5).stripPrefix("WITH ")),

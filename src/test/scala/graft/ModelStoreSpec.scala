@@ -54,6 +54,28 @@ class ModelStoreSpec extends SparkSpec {
     assert(both.filter(col("cl") =!= col("p")).count() === 0L)
   }
 
+  test("explainLinear renders one typed row per coefficient") {
+    val ex = ModelStore.explainLinear(spark, "m",
+      Seq("x1", "x2"), Array(0.5, -2.0, 3.0))
+    assert(ex.columns.toSeq ===
+      Seq("model", "idx", "feature", "weight", "abs_weight"))
+    val rows = ex.orderBy("idx").collect()
+    assert(rows.map(_.getString(2)).toSeq === Seq("intercept", "x1", "x2"))
+    assert(rows.map(_.getDouble(3)).toSeq === Seq(0.5, -2.0, 3.0))
+    assert(rows.map(_.getDouble(4)).toSeq === Seq(0.5, 2.0, 3.0))
+    intercept[IllegalArgumentException] {
+      ModelStore.explainLinear(spark, "m", Seq("x1"), Array(1.0, 2.0, 3.0))
+    }
+  }
+
+  test("explainKmeans carries centroid coords and cluster sizes") {
+    val ex = ModelStore.explainKmeans(spark, "seg",
+      Array((1.0, 2.0), (3.0, 4.0)), Map(0 -> 10L))
+    val rows = ex.orderBy("cluster").collect()
+    assert(rows.map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3),
+      r.getLong(4))).toSeq === Seq((0, 1.0, 2.0, 10L), (1, 3.0, 4.0, 0L)))
+  }
+
   test("predictLinear arity guard") {
     intercept[IllegalArgumentException] {
       ModelStore.predictLinear(Array(1.0, 2.0), Seq(col("a"), col("b")))
