@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Masking
+import graft.operators.{Flashback, Masking}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -140,7 +140,50 @@ object RelationalSuite5 {
               PhoneRx, "<PHONE>"),
             IpRx, "<IP>").as("redacted"))
         .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // ---- TIMECAPSULE flashback (C78, gram.y:6416-6453): the events
+    // stream as a change log (key, commit ts, csn, op, payload) —
+    // csn = event_id is globally unique, so (ts, csn) orders versions
+    // totally per key exactly like the reference's snapshot→CSN map.
+    // asOf is ONE map-side-combined max_by aggregate ----
+    "timecapsule_asof" -> ((s, dir) =>
+      Flashback.asOf(changeLog(s, dir), "k", Seq("ts", "csn"), "op",
+          col("ts") <= expr("TIMESTAMP '2024-01-20 00:00:00'"))
+        .transform(Gate.ordered(_, "k"))),
+
+    // ---- TIMECAPSULE VERSIONS (C78): validity intervals per version;
+    // a delete closes its predecessor's interval like any update ----
+    "timecapsule_versions" -> ((s, dir) =>
+      Flashback.versionsBetween(changeLog(s, dir), "k", Seq("ts", "csn"),
+          "op", "ts", expr("TIMESTAMP '2024-01-10 00:00:00'"),
+          expr("TIMESTAMP '2024-01-20 00:00:00'"))
+        .transform(Gate.ordered(_, "k", "valid_from", "csn"))),
+
+    // ---- TIMECAPSULE TABLE ... TO TIMESTAMP (C78) as a compensation
+    // set: the minimal I/U/D delta rewriting today's snapshot into the
+    // flashback target — restoring 100 TB rewrites only changed keys ----
+    "timecapsule_restore" -> ((s, dir) => {
+      val log = changeLog(s, dir)
+      val cur = Flashback.asOf(log, "k", Seq("ts", "csn"), "op", lit(true))
+        .select("k", "val", "etype")
+      val tgt = Flashback.asOf(log, "k", Seq("ts", "csn"), "op",
+          col("ts") <= expr("TIMESTAMP '2024-01-20 00:00:00'"))
+        .select("k", "val", "etype")
+      Flashback.restoreDelta(cur, tgt, "k")
+        .transform(Gate.ordered(_, "k"))
     }))
+
+  private def changeLog(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").selectExpr(
+      "user_id % 101 AS k", "ts", "event_id AS csn",
+      "CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op",
+      "value AS val", "event_type AS etype")
+
+  private val LogSql =
+    "SELECT user_id % 101 AS k, ts, event_id AS csn, " +
+      "CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op, " +
+      "value AS val, event_type AS etype FROM events"
 
   val oracle: Map[String, String] = Map(
     "masking_fns" ->
@@ -257,5 +300,44 @@ object RelationalSuite5 {
         |      '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
         |    AS redacted
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "timecapsule_asof" ->
+      s"""WITH log AS ($LogSql),
+        |v AS (SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY ts DESC, csn DESC) AS rn
+        |  FROM log WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+        |SELECT k, ts, csn, val, etype FROM v
+        |WHERE rn = 1 AND op = 'U' ORDER BY k""".stripMargin,
+
+    "timecapsule_versions" ->
+      s"""WITH log AS ($LogSql),
+        |v AS (SELECT *, lead(ts) OVER (PARTITION BY k
+        |    ORDER BY ts, csn) AS valid_to FROM log)
+        |SELECT k, ts AS valid_from, csn, val, etype, valid_to
+        |FROM v WHERE op = 'U' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-10 00:00:00')
+        |ORDER BY k, valid_from, csn""".stripMargin,
+
+    "timecapsule_restore" ->
+      s"""WITH log AS ($LogSql),
+        |cur AS (SELECT k, val, etype FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY ts DESC, csn DESC) AS rn FROM log)
+        |  WHERE rn = 1 AND op = 'U'),
+        |tgt AS (SELECT k, val, etype FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY ts DESC, csn DESC) AS rn FROM log
+        |    WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+        |  WHERE rn = 1 AND op = 'U')
+        |SELECT CASE WHEN c.k IS NULL THEN 'I'
+        |         WHEN t.k IS NULL THEN 'D' ELSE 'U' END AS op2,
+        |  coalesce(c.k, t.k) AS k,
+        |  CASE WHEN t.k IS NULL THEN NULL ELSE t.val END AS val,
+        |  CASE WHEN t.k IS NULL THEN NULL ELSE t.etype END AS etype
+        |FROM cur c FULL OUTER JOIN tgt t ON c.k = t.k
+        |WHERE c.k IS NULL OR t.k IS NULL
+        |  OR NOT (c.val IS NOT DISTINCT FROM t.val
+        |          AND c.etype IS NOT DISTINCT FROM t.etype)
+        |ORDER BY k""".stripMargin)
 }
