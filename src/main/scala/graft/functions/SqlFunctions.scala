@@ -74,6 +74,9 @@ object SqlFunctions {
       }
       HmacExpression(args(0), args(1), algo)
     }),
+    // pgcrypto raw ciphers: encrypt/decrypt(data, key, 'aes[-mode][/pad:p]')
+    "encrypt" -> (args => cipherExpr(args, encrypt = true)),
+    "decrypt" -> (args => cipherExpr(args, encrypt = false)),
     "hilbert_index" -> (args => {
       import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, Literal}
       val bits = args(2) match {
@@ -289,6 +292,18 @@ object SqlFunctions {
       Divide(Cast(cnt, DoubleType),
         Divide(Add(Cast(th, DoubleType), Literal(9.223372036854776e18)),
           Literal(1.8446744073709552e19)))
+  }
+
+  private def cipherExpr(args: Seq[Expression], encrypt: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val spec = args(2) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft: cipher type must be a string literal, got $other")
+    }
+    CipherExpression(args(0), args(1),
+      Literal(Array.empty[Byte], org.apache.spark.sql.types.BinaryType),
+      spec, encrypt)
   }
 
   private def halfDist(metric: String)(args: Seq[Expression]): Expression =

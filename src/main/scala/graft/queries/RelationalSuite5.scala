@@ -142,6 +142,24 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // ---- pgcrypto raw ciphers (C79): encrypt/decrypt over order keys
+    // (keyed storage / reproducible pseudonymization). rows-only gate
+    // BY NATURE like crypto_hmac (no SQL engine runs AES); the cipher
+    // core is pinned to the NIST SP 800-38A vectors in CipherSpec ----
+    "crypto_cipher" -> ((s, dir) => {
+      import graft.functions.CipherExpressions._
+      val o = Tables(s, dir, "orders")
+        .withColumn("msg", concat(lit("order:"), col("o_orderkey")))
+      o.select(col("o_orderkey"),
+          hex(encrypt(col("msg"), lit("graft-key"), "aes")).as("ct_aes"),
+          hex(encrypt(col("msg"), lit("graft-key"), "aes-ecb")).as("ct_ecb"),
+          hex(encrypt(col("msg"), lit("graft-key"), "bf")).as("ct_bf"),
+          (decrypt(encrypt(col("msg"), lit("graft-key"), "aes"),
+            lit("graft-key"), "aes").cast("string") === col("msg"))
+            .as("roundtrip_ok"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // ---- TIMECAPSULE flashback (C78, gram.y:6416-6453): the events
     // stream as a change log (key, commit ts, csn, op, payload) —
     // csn = event_id is globally unique, so (ts, csn) orders versions
