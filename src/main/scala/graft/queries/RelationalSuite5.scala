@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Flashback, Masking}
+import graft.operators.{Flashback, Masking, QueryStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,18 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // ---- pg_stat_statements (C80): query-log texts normalize to
+    // fingerprints (constants → '?', shared regex text), then ONE
+    // map-side-combined groupBy per template; times are exact LONG,
+    // mean/stddev from shared formula trees ----
+    "stat_statements" -> ((s, dir) => {
+      val log = Tables(s, dir, "events").selectExpr(
+        QtextSql, "CAST(floor(value * 1e3) AS BIGINT) AS t_us",
+        "user_id % 100 AS nrows")
+      QueryStats.statStatements(log, col("qtext"), col("t_us"), col("nrows"))
+        .transform(Gate.ordered(_, "queryid"))
+    }),
+
     // ---- pgcrypto raw ciphers (C79): encrypt/decrypt over order keys
     // (keyed storage / reproducible pseudonymization). rows-only gate
     // BY NATURE like crypto_hmac (no SQL engine runs AES); the cipher
@@ -202,6 +214,20 @@ object RelationalSuite5 {
     "SELECT user_id % 101 AS k, ts, event_id AS csn, " +
       "CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op, " +
       "value AS val, event_type AS etype FROM events"
+
+  // synthetic query-log text — 15 templates (3 shapes × 5 tables),
+  // identical SQL in both engines (|| concat, implicit int → string)
+  private val QtextSql =
+    "CASE CAST(event_id % 3 AS INT) " +
+      "WHEN 0 THEN 'SELECT * FROM t' || (user_id % 5) || '  WHERE k = ' || user_id " +
+      "WHEN 1 THEN 'UPDATE t' || (user_id % 5) || ' SET v = ' || event_id || " +
+      "' WHERE tag = ''' || event_type || '''' " +
+      "ELSE 'INSERT INTO logs VALUES (' || event_id || ', ''' || event_type || ''')' " +
+      "END AS qtext"
+
+  // regex constant → SQL string literal (quotes double; backslashes
+  // pass through — DuckDB standard strings are not C-escaped)
+  private def sq(rx: String): String = "'" + rx.replace("'", "''") + "'"
 
   val oracle: Map[String, String] = Map(
     "masking_fns" ->
@@ -319,6 +345,30 @@ object RelationalSuite5 {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
         |    AS redacted
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "stat_statements" -> {
+      val derived = QueryStats.derivedExprs
+        .map { case (nm, x) => s"$x AS $nm" }.mkString(", ")
+      s"""WITH log AS (SELECT $QtextSql,
+        |  CAST(floor(value * 1e3) AS BIGINT) AS t_us,
+        |  user_id % 100 AS nrows FROM events),
+        |n AS (SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+        |    qtext, ${sq(QueryStats.StringLitRx)}, '?', 'g'),
+        |    ${sq(QueryStats.NumberRx)}, '?', 'g'),
+        |    ${sq(QueryStats.WsRx)}, ' ', 'g')) AS query_norm,
+        |  t_us, nrows FROM log),
+        |g AS (SELECT query_norm, CAST(count(*) AS BIGINT) AS calls,
+        |  CAST(sum(t_us) AS BIGINT) AS total_time_us,
+        |  CAST(min(t_us) AS BIGINT) AS min_time_us,
+        |  CAST(max(t_us) AS BIGINT) AS max_time_us,
+        |  CAST(sum(t_us * t_us) AS BIGINT) AS sumsq_time,
+        |  CAST(sum(nrows) AS BIGINT) AS rows_returned
+        |FROM n GROUP BY 1)
+        |SELECT md5(query_norm) AS queryid, query_norm, calls,
+        |  total_time_us, min_time_us, max_time_us, sumsq_time,
+        |  rows_returned, $derived
+        |FROM g ORDER BY queryid""".stripMargin
+    },
 
     "timecapsule_asof" ->
       s"""WITH log AS ($LogSql),
