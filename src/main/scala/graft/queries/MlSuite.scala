@@ -130,6 +130,29 @@ object MlSuite {
         Ml.logregrSql(3, 0.5).stripPrefix("WITH "))
     }),
 
+    // ---- DB4AI Snapshots (F11, db4ai/snapshots): a 3-version CSS
+    // snapshot tree — create, update-patch (1.0.1), delete+insert
+    // revision (1.1.0) — read back through delta reconstruction; the
+    // oracle recomputes the same final state in pure SQL ----
+    "db4ai_snapshot" -> ((s, dir) => {
+      val basedir = java.nio.file.Files.createTempDirectory("graft-snap-").toFile
+      basedir.deleteOnExit()
+      val store = new graft.operators.SnapshotStore(s, basedir.getAbsolutePath)
+      val srcDf = Tables(s, dir, "events").selectExpr(
+        "event_id AS pk", "event_type AS etype", "value AS val")
+      store.create("m0", srcDf, "pk")
+      store.derive("m0", "1.0.0",
+          "UPDATE SNAPSHOT SET val = val + 1 WHERE pk % 10 = 0", css = true)(
+        _.selectExpr("pk", "etype",
+          "CASE WHEN pk % 10 = 0 THEN val + 1e0 ELSE val END AS val"))
+      store.derive("m0", "1.0.1",
+          "DELETE pk % 7 = 0; INSERT shifted pk % 10 = 4", css = true)(df =>
+        df.filter("pk % 7 <> 0").unionByName(
+          df.filter("pk % 10 = 4")
+            .selectExpr("pk + 1000000 AS pk", "etype", "val")))
+      store.read("m0", "1.1.0").transform(Gate.ordered(_, "pk"))
+    }),
+
     // ---- EXPLAIN MODEL (F10, explain_model.h): the trained linregr
     // rendered as a relation, one typed row per coefficient. Weights
     // come from the same exact-LONG Gram sums + shared Cramer formula
@@ -212,6 +235,16 @@ object MlSuite {
 
     "ml_kmeans" ->
       (s"WITH pts AS ($KmeansPts), " + Ml.kmeansSql(4, 3).stripPrefix("WITH ")),
+
+    "db4ai_snapshot" ->
+      """WITH base AS (SELECT event_id AS pk, event_type AS etype,
+        |  value AS val FROM events),
+        |v101 AS (SELECT pk, etype,
+        |  CASE WHEN pk % 10 = 0 THEN val + 1e0 ELSE val END AS val FROM base),
+        |v110 AS (SELECT * FROM v101 WHERE pk % 7 <> 0
+        |  UNION ALL SELECT pk + 1000000 AS pk, etype, val
+        |  FROM v101 WHERE pk % 10 = 4)
+        |SELECT pk, etype, val FROM v110 ORDER BY pk""".stripMargin,
 
     "ml_explain" -> {
       val pts = "SELECT user_id % 50 AS x1, event_id % 31 AS x2, " +
