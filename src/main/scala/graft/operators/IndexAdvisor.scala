@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions._
+
+/**
+ * Workload-driven layout advisor (reference: src/gausskernel/dbmind/
+ * kernel/index_advisor.cpp — WHERE-clause equality fields, join
+ * conditions, and GROUP/ORDER columns become index candidates; a
+ * field qualifies only when its cardinality — sample rows over rows
+ * matching one value, i.e. the distinct-value count under uniformity
+ * (:1556-1575) — exceeds CARDINALITY_THRESHOLD = 30 (:58,1516-1521),
+ * and candidates rank by cardinality (:1881)).
+ *
+ * The Spark-native "index" is physical LAYOUT: a selective equality
+ * predicate wants partition/cluster keys (reader-pruned scans), a
+ * repeated equi-join wants bucketing (co-located, shuffle-free), and
+ * GROUP/ORDER columns want sortWithinPartitions (run-length locality).
+ * Queries parse through Spark's OWN parser (`sqlParser.parsePlan`) and
+ * the advisor walks the unresolved logical plan — the same extraction
+ * the reference does over its parse tree — resolving columns to
+ * tables by schema membership (its find_table_by_column rule;
+ * ambiguous columns are skipped).
+ *
+ * Scale shape: plan-walking is driver-side over query TEXTS (a
+ * workload is KB, not data); per-table stats are ONE exact aggregate
+ * per table computing count(*) + count(distinct c) for only the
+ * candidate columns. Deterministic: exact counts, integer scoring.
+ */
+object IndexAdvisor {
+
+  private def lastName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
+    case _ => None
+  }
+
+  /** (column, kind) candidates from one parsed query. */
+  private def extract(plan: LogicalPlan): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    plan.foreach {
+      case Filter(cond, _) =>
+        cond.foreach {
+          case EqualTo(l, _: Literal) => lastName(l).foreach(c => out += c -> "eq_predicate")
+          case EqualTo(_: Literal, r) => lastName(r).foreach(c => out += c -> "eq_predicate")
+          case _ =>
+        }
+      case Join(_, _, _, Some(cond), _) =>
+        cond.foreach {
+          case EqualTo(l, r) =>
+            lastName(l).foreach(c => out += c -> "join_key")
+            lastName(r).foreach(c => out += c -> "join_key")
+          case _ =>
+        }
+      case Aggregate(grouping, _, _, _) =>
+        grouping.foreach(g => lastName(g).foreach(c => out += c -> "group_order"))
+      case Sort(order, _, _, _) =>
+        order.foreach(o => lastName(o.child).foreach(c => out += c -> "group_order"))
+      case _ =>
+    }
+    out.result().distinct
+  }
+
+  private val adviceFor = Map(
+    "eq_predicate" -> "partition_or_cluster_by",
+    "join_key" -> "bucket_by",
+    "group_order" -> "sort_within_partitions")
+
+  /**
+   * Advise over a workload of (sql, calls) — e.g. [[QueryStats]]
+   * fingerprints with their call counts. Returns one row per
+   * (table, column, kind): calls, exact cardinality (the distinct
+   * count — the reference's rows/matching-per-value under
+   * uniformity), the advised layout action, and whether the
+   * reference's threshold admits it; ranked advised-first by
+   * (cardinality, calls).
+   */
+  def advise(spark: SparkSession, tables: Map[String, DataFrame],
+      workload: Seq[(String, Long)], threshold: Long = 30): DataFrame = {
+    val parser = spark.sessionState.sqlParser
+    // (table, column, kind) -> calls, via schema-membership resolution
+    val colOwner: Map[String, Seq[String]] =
+      tables.toSeq.flatMap { case (t, df) =>
+        df.columns.map(c => c.toLowerCase -> t) }
+        .groupBy(_._1).map { case (c, ts) => c -> ts.map(_._2).distinct.toSeq }
+    val weighted = new scala.collection.mutable.HashMap[(String, String, String), Long]
+    workload.foreach { case (sql, calls) =>
+      extract(parser.parsePlan(sql)).foreach { case (c, kind) =>
+        colOwner.get(c) match {
+          case Some(Seq(t)) => // unique owner, like find_table_by_column
+            val k = (t, c, kind)
+            weighted(k) = weighted.getOrElse(k, 0L) + calls
+          case _ => // unknown or ambiguous column: skip
+        }
+      }
+    }
+    // one exact stats aggregate per table, candidate columns only
+    val byTable = weighted.keys.groupBy(_._1)
+    val cards: Map[(String, String), (Long, Long)] = byTable.flatMap {
+      case (t, keys) =>
+        val cols = keys.map(_._2).toSeq.distinct.sorted
+        val row = tables(t).agg(
+          count(lit(1)).as("_n"),
+          cols.map(c => count_distinct(col(c)).as(s"_d_$c")): _*).collect()(0)
+        val n = row.getAs[Long]("_n")
+        cols.map(c => (t, c) -> (n, row.getAs[Long](s"_d_$c")))
+    }.toMap
+    import spark.implicits._
+    weighted.toSeq.map { case ((t, c, kind), calls) =>
+      val (n, d) = cards((t, c))
+      // ref :1573: sample_rows / rows-matching-one-value == the exact
+      // distinct count under uniformity
+      val cardinality = d
+      (t, c, kind, adviceFor(kind), calls, n, d, cardinality > threshold)
+    }.sortBy { case (t, c, k, _, calls, _, card, adv) =>
+      (!adv, -card, -calls, t, c, k) }
+      .toDF("table", "column", "kind", "advice", "calls", "n_rows",
+        "cardinality", "advised")
+  }
+}

@@ -130,6 +130,25 @@ object MlSuite {
         Ml.logregrSql(3, 0.5).stripPrefix("WITH "))
     }),
 
+    // ---- index advisor (F12, dbmind/kernel/index_advisor.cpp): a
+    // TPC-H-flavored workload parsed through Spark's own parser;
+    // layout advice from exact per-column cardinalities. rows-only
+    // gate (no SQL engine parses SQL); rules pinned in the spec ----
+    "index_advisor" -> ((s, dir) => {
+      val tables = Map(
+        "customer" -> Tables(s, dir, "customer"),
+        "orders" -> Tables(s, dir, "orders"),
+        "lineitem" -> Tables(s, dir, "lineitem"))
+      graft.operators.IndexAdvisor.advise(s, tables, Seq(
+        ("SELECT * FROM orders WHERE o_orderkey = 42", 120L),
+        ("SELECT * FROM customer c JOIN orders o ON c_custkey = o_custkey" +
+          " WHERE c_mktsegment = 'BUILDING'", 40L),
+        ("SELECT l_orderkey, sum(l_quantity) FROM lineitem" +
+          " GROUP BY l_orderkey ORDER BY l_orderkey", 15L),
+        ("SELECT * FROM lineitem WHERE l_partkey = 7 AND l_returnflag = 'R'",
+          33L)))
+    }),
+
     // ---- DB4AI Snapshots (F11, db4ai/snapshots): a 3-version CSS
     // snapshot tree — create, update-patch (1.0.1), delete+insert
     // revision (1.1.0) — read back through delta reconstruction; the
