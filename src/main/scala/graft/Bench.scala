@@ -65,7 +65,10 @@ object Bench {
     "masking_fns", "pii_redact", "unaccent_fns", "crypto_hmac",
     "ml_linreg", "ml_kmeans", "ml_logreg", "ml_nbayes", "ml_pca", "ml_scores",
     "ml_svm", "ml_gbdt", "ml_multiclass", "text_entropy", "text_readability",
-    "stream_score")
+    "stream_score",
+    "ml_explain", "timecapsule_asof", "timecapsule_versions",
+    "timecapsule_restore", "crypto_cipher", "stat_statements",
+    "db4ai_snapshot", "index_advisor")
 
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
