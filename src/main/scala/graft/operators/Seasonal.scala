@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Seasonal-trend decomposition, forecasting, and rolling anomaly
+ * detection over bucketed event series — the deterministic,
+ * distributable core of the reference's time-series AI surface
+ * (prophet_fit/prophet_predict, ref: src/gausskernel/dbmind/deepsql/
+ * madlib_modules/facebook_prophet/prophet_alg.py_in — trend +
+ * periodic seasonality fit/predict; the dbmind kernel ships the same
+ * shape for metric anomaly flagging).
+ *
+ * The reference delegates to the Prophet library on a SINGLE node and
+ * documents the 1 GB ceiling in its own header ("if your dataset is
+ * much larger... use models that train in-parallel"). This is the
+ * in-parallel re-expression: classical additive decomposition
+ * (Cleveland-style: centered 2×m moving-average trend, per-phase mean
+ * seasonality, residual) whose every stage is a groupBy or a bounded
+ * window — no driver-side series ever materializes.
+ *
+ * Scale shape: the raw 100 TB event stream collapses FIRST through a
+ * map-side-combinable groupBy to one row per (key, bucket) — series
+ * length is time-span/step, independent of event volume. Every later
+ * stage (MA window, per-phase means, OLS sums, rolling z-score) runs
+ * on that bounded series, partitioned by key: adding keys adds
+ * parallelism, never wall-clock.
+ *
+ * Determinism (the cross-engine hash-exact discipline): bucket values
+ * are exact LONG cents/counts; the MA trend, per-phase seasonal means
+ * and OLS moments are kept as exact integer NUMERATORS over known
+ * denominators for as long as possible; each emitted double is ONE
+ * shared-text IEEE expression over those integers, so DuckDB builds
+ * the identical tree. No raw-double sum ever crosses a shuffle.
+ */
+object Seasonal {
+
+  /**
+   * Dense hourly series per key: (key, bucket, y) where y is the exact
+   * LONG cents sum (round(value*100)) over the bucket, 0 where the
+   * bucket is empty. The grid spans each key's own [min,max] bucket —
+   * no global calendar cross join (same contract as
+   * TimeSeries.gapFillLocf).
+   */
+  def hourlySeries(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val observed = df
+      .select(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("bucket"),
+        expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(sum(col("cents")).as("y_obs"))
+    grid(observed).join(observed, Seq("key", "bucket"), "left_outer")
+      .select(col("key"), col("bucket"), coalesce(col("y_obs"), lit(0L)).as("y"))
+  }
+
+  /** Dense hourly COUNT series per key (rate anomalies / forecasting
+    * on volume rather than value). */
+  def hourlyCounts(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val observed = df
+      .select(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("bucket"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("y_obs"))
+    grid(observed).join(observed, Seq("key", "bucket"), "left_outer")
+      .select(col("key"), col("bucket"), coalesce(col("y_obs"), lit(0L)).as("y"))
+  }
+
+  private def grid(observed: DataFrame): DataFrame =
+    observed.groupBy(col("key"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("key"), explode(
+        sequence(col("lo"), col("hi"), expr("INTERVAL 1 hour"))).as("bucket"))
+
+  /**
+   * Classical additive decomposition with even period m: trend via the
+   * centered 2×m moving average (endpoint half-weights — numerator
+   * tnum = 2·Σ±h(y) − y₋ₕ − y₊ₕ over denominator 2m), seasonal via
+   * centered per-phase means of the detrended series, residual as the
+   * exact remainder. Phase = hour-of-bucket mod m (period 24 ⇒
+   * hour of day).
+   *
+   * Seasonal means are computed over the first floor(N/m)·m
+   * trend-defined rows per key — a span of whole periods, so every
+   * phase contributes the SAME count mk and the centering (subtract
+   * the phase-mean average) stays a pure integer: over denominator
+   * 2m·mk·m. Output doubles divide those integers once.
+   *
+   * Input: dense series (key, bucket, y: LONG) from hourlySeries/
+   * hourlyCounts. Output: (key, bucket, y, trend, seasonal, resid)
+   * with trend/resid null on the half-window edges.
+   */
+  def decompose(series: DataFrame, period: Int): DataFrame = {
+    require(period > 0 && period % 2 == 0, s"graft: even period required, got $period")
+    val h = period / 2
+    val m2 = 2L * period // trend denominator
+    val wk = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    val withT = series
+      .withColumn("s", sum(col("y")).over(wk.rowsBetween(-h, h)))
+      .withColumn("ylag", lag(col("y"), h).over(wk))
+      .withColumn("ylead", lead(col("y"), h).over(wk))
+      .withColumn("tnum",
+        when(col("ylag").isNotNull && col("ylead").isNotNull,
+          lit(2L) * col("s") - col("ylag") - col("ylead")))
+      .drop("s", "ylag", "ylead")
+      .withColumn("phase", hour(col("bucket")) % period)
+
+    // per-key whole-period span of trend-defined rows
+    val wt = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    val trendRows = withT.filter(col("tnum").isNotNull)
+      .withColumn("i", row_number().over(wt) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .withColumn("mk", (col("n") / period).cast("long"))
+    val kept = trendRows.filter(col("i") < col("mk") * period)
+      .withColumn("dnum", lit(m2) * col("y") - col("tnum"))
+
+    // phase sums + per-key total (for centering), both exact LONG
+    val phaseSums = kept.groupBy(col("key"), col("phase"))
+      .agg(sum(col("dnum")).as("ssum"), max(col("mk")).as("mk"))
+    val keyTotals = phaseSums.groupBy(col("key"))
+      .agg(sum(col("ssum")).as("tsum"))
+    val seasonal = phaseSums.join(keyTotals, Seq("key"))
+      .select(col("key"), col("phase"), col("mk"),
+        (lit(period.toLong) * col("ssum") - col("tsum")).as("cnum"))
+
+    withT.join(broadcast(seasonal), Seq("key", "phase"), "left_outer")
+      .select(col("key"), col("bucket"), col("y"),
+        expr(s"CAST(tnum AS DOUBLE) / ${m2}e0").as("trend"),
+        expr(s"CAST(cnum AS DOUBLE) / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)")
+          .as("seasonal"),
+        expr(s"""CAST(${m2} * mk * $period * y - mk * $period * tnum - cnum AS DOUBLE)
+                | / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)""".stripMargin.replace("\n", ""))
+          .as("resid"))
+  }
+
+  /**
+   * Forecast `horizon` buckets past each key's grid end: OLS line over
+   * the trend numerators (exact integer moments n, Σx, Σx², ΣxY) plus
+   * the phase seasonal — prophet_predict's yhat = trend + seasonal
+   * shape. Future bucket at step f (1-based) sits x = (N−1) + m/2 + f
+   * trend-index units past the line's origin.
+   */
+  def forecast(series: DataFrame, period: Int, horizon: Int): DataFrame = {
+    require(period > 0 && period % 2 == 0, s"graft: even period required, got $period")
+    val h = period / 2
+    val m2 = 2L * period
+    val wk = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    val withT = series
+      .withColumn("s", sum(col("y")).over(wk.rowsBetween(-h, h)))
+      .withColumn("ylag", lag(col("y"), h).over(wk))
+      .withColumn("ylead", lead(col("y"), h).over(wk))
+      .withColumn("tnum",
+        when(col("ylag").isNotNull && col("ylead").isNotNull,
+          lit(2L) * col("s") - col("ylag") - col("ylead")))
+      .withColumn("phase", hour(col("bucket")) % period)
+
+    val wt = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    val trendRows = withT.filter(col("tnum").isNotNull)
+      .withColumn("i", (row_number().over(wt) - 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .withColumn("mk", (col("n") / period).cast("long"))
+
+    // OLS moments over ALL trend rows; seasonal over the whole-period span
+    val moments = trendRows.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("i")).as("sx"),
+        sum(col("i") * col("i")).as("sxx"),
+        sum(col("i") * col("tnum")).as("sxy"),
+        sum(col("tnum")).as("sy"),
+        max(col("bucket")).as("last_trend_bucket"))
+    val kept = trendRows.filter(col("i") < col("mk") * period)
+      .withColumn("dnum", lit(m2) * col("y") - col("tnum"))
+    val phaseSums = kept.groupBy(col("key"), col("phase"))
+      .agg(sum(col("dnum")).as("ssum"), max(col("mk")).as("mk"))
+    val keyTotals = phaseSums.groupBy(col("key")).agg(sum(col("ssum")).as("tsum"))
+    val seasonal = phaseSums.join(keyTotals, Seq("key"))
+      .select(col("key"), col("phase"), col("mk"),
+        (lit(period.toLong) * col("ssum") - col("tsum")).as("cnum"))
+
+    val ends = series.groupBy(col("key")).agg(max(col("bucket")).as("hi"))
+    val future = ends
+      .select(col("key"), col("hi"),
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("f"))
+      .select(col("key"), col("f"),
+        expr("timestampadd(HOUR, f, hi)").as("bucket"))
+      .withColumn("phase", hour(col("bucket")) % period)
+
+    future.join(broadcast(moments), Seq("key"))
+      .join(broadcast(seasonal), Seq("key", "phase"))
+      .withColumn("xf", col("n") - 1 + lit(h.toLong) + col("f"))
+      .select(col("key"), col("bucket"),
+        expr(s"""(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                | + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                | * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                | / ${m2}e0""".stripMargin.replace("\n", "")).as("trend_part"),
+        expr(s"CAST(cnum AS DOUBLE) / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)")
+          .as("seasonal"))
+      .withColumn("forecast", col("trend_part") + col("seasonal"))
+  }
+
+  /**
+   * Rolling z-score anomaly flags: each bucket is tested against the
+   * mean/variance of the `lookback` FULLY-OBSERVED buckets strictly
+   * before it (trailing window, no self-inclusion — the dbmind metric
+   * detector shape). The k-sigma test is evaluated in exact integers:
+   * (n·x − S)² > k²·(n·Q − S²) with S = Σy, Q = Σy² over the window —
+   * no sqrt, no float accumulation, so the flag is hash-exact.
+   *
+   * Emits only rows with a full window: (key, bucket, y, mean, is_anom).
+   */
+  def anomalies(series: DataFrame, lookback: Int, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    series
+      .withColumn("s", sum(col("y")).over(w))
+      .withColumn("q", sum(col("y") * col("y")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === lookback)
+      .select(col("key"), col("bucket"), col("y"),
+        expr(s"CAST(s AS DOUBLE) / ${lookback}e0").as("mean"),
+        ((lit(lookback.toLong) * col("y") - col("s")) *
+          (lit(lookback.toLong) * col("y") - col("s")) >
+          lit(k.toLong * k) * (lit(lookback.toLong) * col("q") - col("s") * col("s")))
+          .as("is_anom"))
+  }
+}
