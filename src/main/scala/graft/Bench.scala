@@ -193,7 +193,7 @@ object Bench {
       names.foreach { n =>
         // a query already degenerate at the main sf (> cap) is skipped
         // here too: its blowup is visible without risking the budget
-        if (elapsed() < budget && med(reps(n)) <= perQueryCap)
+        if (elapsed() < budget && med(reps(n)) >= 0 && med(reps(n)) <= perQueryCap)
           small(n) = timed(n, smallDir)
         else skipped += n
       }

@@ -797,7 +797,20 @@ object Ml {
       coalesce(max(when(col("cls") === c, col("n_c"))), lit(0L)).as(s"n$c"))
     val priors = base.groupBy("cls").agg(count(lit(1)).as("n_c"))
       .agg(priorCols.head, priorCols.tail: _*)
-    var out = base.crossJoin(broadcast(priors))
+    // OVERFLOW GUARD (r12 advice): the pairwise argmax cross-multiplies
+    // num(c)·bestD ≤ N^(m+1)·N^m = N^(2m+1); past DECIMAL(38) Spark's
+    // non-ANSI default yields NULL and when(wins,...) would silently
+    // keep the earlier class. Collect the (k-value) prior row anyway
+    // needed downstream and raise instead of mis-predicting.
+    val priorRow = priors.collect()(0)
+    val nTotal = (0 until numClasses).map(c => priorRow.getAs[Long](s"n$c")).sum
+    val nMax = math.pow(10.0, 38.0 / (2 * m + 1)).toLong
+    require(nTotal <= nMax,
+      s"graft: nbayesND N=$nTotal exceeds the DECIMAL(38) cross-multiplication " +
+        s"bound $nMax for m=$m features (use fewer features or pre-aggregate)")
+    val priorLit = (0 until numClasses)
+      .map(c => lit(priorRow.getAs[Long](s"n$c")).as(s"n$c"))
+    var out = base.select(col("*") +: priorLit: _*)
     for (i <- 0 until m) {
       val vi = base.agg(countDistinct(s"f$i").as(s"v$i"))
       val ci = base.groupBy(col(s"f$i"), col("cls")).agg(count(lit(1)).as("cnt"))

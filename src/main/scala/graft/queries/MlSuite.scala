@@ -154,8 +154,17 @@ object MlSuite {
     // revision (1.1.0) — read back through delta reconstruction; the
     // oracle recomputes the same final state in pure SQL ----
     "db4ai_snapshot" -> ((s, dir) => {
-      val basedir = java.nio.file.Files.createTempDirectory("graft-snap-").toFile
-      basedir.deleteOnExit()
+      // one fixed per-process store path, recursively wiped before each
+      // build: deleteOnExit on a non-empty dir never fires, so fresh
+      // createTempDirectory per invocation leaked parquet under /tmp
+      // across repeated bench/verify runs (r12 advice)
+      val basedir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-snap-gate")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      if (basedir.exists()) wipe(basedir)
       val store = new graft.operators.SnapshotStore(s, basedir.getAbsolutePath)
       val srcDf = Tables(s, dir, "events").selectExpr(
         "event_id AS pk", "event_type AS etype", "value AS val")
