@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.RelationalSuite4.queries ++
       graft.queries.RelationalSuite5.queries ++
       graft.queries.MlSuite.queries ++
+      graft.queries.SeasonalSuite.queries ++
       graft.queries.AnnSuite.queries ++
       graft.queries.TextSuite.queries ++
       graft.queries.DedupSuite.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
       graft.queries.RelationalSuite4.oracle ++
       graft.queries.RelationalSuite5.oracle ++
       graft.queries.MlSuite.oracle ++
+      graft.queries.SeasonalSuite.oracle ++
       graft.queries.AnnSuite.oracle ++
       graft.queries.TextSuite.oracle ++
       graft.queries.DedupSuite.oracle ++

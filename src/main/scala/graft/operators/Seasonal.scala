@@ -77,8 +77,9 @@ object Seasonal {
    * centered 2×m moving average (endpoint half-weights — numerator
    * tnum = 2·Σ±h(y) − y₋ₕ − y₊ₕ over denominator 2m), seasonal via
    * centered per-phase means of the detrended series, residual as the
-   * exact remainder. Phase = hour-of-bucket mod m (period 24 ⇒
-   * hour of day).
+   * exact remainder. Phase = EPOCH-HOUR mod m — globally aligned and
+   * valid for ANY period (hour-of-day mod m would never reach phases
+   * ≥ 24 for m > 24); at m = 24 it equals UTC hour of day.
    *
    * Seasonal means are computed over the first floor(N/m)·m
    * trend-defined rows per key — a span of whole periods, so every
@@ -103,14 +104,14 @@ object Seasonal {
         when(col("ylag").isNotNull && col("ylead").isNotNull,
           lit(2L) * col("s") - col("ylag") - col("ylead")))
       .drop("s", "ylag", "ylead")
-      .withColumn("phase", hour(col("bucket")) % period)
+      .withColumn("phase", expr(s"pmod(unix_timestamp(bucket) DIV 3600, $period)"))
 
     // per-key whole-period span of trend-defined rows
     val wt = Window.partitionBy(col("key")).orderBy(col("bucket"))
     val trendRows = withT.filter(col("tnum").isNotNull)
       .withColumn("i", row_number().over(wt) - 1)
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("key"))))
-      .withColumn("mk", (col("n") / period).cast("long"))
+      .withColumn("mk", expr(s"n DIV $period"))
     val kept = trendRows.filter(col("i") < col("mk") * period)
       .withColumn("dnum", lit(m2) * col("y") - col("tnum"))
 
@@ -123,7 +124,9 @@ object Seasonal {
       .select(col("key"), col("phase"), col("mk"),
         (lit(period.toLong) * col("ssum") - col("tsum")).as("cnum"))
 
-    withT.join(broadcast(seasonal), Seq("key", "phase"), "left_outer")
+    // equi-join, NOT broadcast: seasonal is keys×period rows —
+    // unbounded with the key count at 100 TB
+    withT.join(seasonal, Seq("key", "phase"), "left_outer")
       .select(col("key"), col("bucket"), col("y"),
         expr(s"CAST(tnum AS DOUBLE) / ${m2}e0").as("trend"),
         expr(s"CAST(cnum AS DOUBLE) / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)")
@@ -139,6 +142,14 @@ object Seasonal {
    * the phase seasonal — prophet_predict's yhat = trend + seasonal
    * shape. Future bucket at step f (1-based) sits x = (N−1) + m/2 + f
    * trend-index units past the line's origin.
+   *
+   * NO KEY IS SILENTLY DROPPED: every key in `series` emits its
+   * `horizon` future rows. The trend line needs ≥ 2 trend points
+   * (n ≥ 2 ⇒ the integer x's are distinct ⇒ n·Σx²−(Σx)² > 0, never a
+   * zero denominator); keys below that emit NULL forecasts. A key
+   * with trend points but less than one full period of them has no
+   * seasonal estimate — its seasonal coalesces to 0 and the forecast
+   * is the bare trend line.
    */
   def forecast(series: DataFrame, period: Int, horizon: Int): DataFrame = {
     require(period > 0 && period % 2 == 0, s"graft: even period required, got $period")
@@ -152,21 +163,20 @@ object Seasonal {
       .withColumn("tnum",
         when(col("ylag").isNotNull && col("ylead").isNotNull,
           lit(2L) * col("s") - col("ylag") - col("ylead")))
-      .withColumn("phase", hour(col("bucket")) % period)
+      .withColumn("phase", expr(s"pmod(unix_timestamp(bucket) DIV 3600, $period)"))
 
     val wt = Window.partitionBy(col("key")).orderBy(col("bucket"))
     val trendRows = withT.filter(col("tnum").isNotNull)
       .withColumn("i", (row_number().over(wt) - 1).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("key"))))
-      .withColumn("mk", (col("n") / period).cast("long"))
+      .withColumn("mk", expr(s"n DIV $period"))
 
     // OLS moments over ALL trend rows; seasonal over the whole-period span
     val moments = trendRows.groupBy(col("key"))
       .agg(count(lit(1)).as("n"), sum(col("i")).as("sx"),
         sum(col("i") * col("i")).as("sxx"),
         sum(col("i") * col("tnum")).as("sxy"),
-        sum(col("tnum")).as("sy"),
-        max(col("bucket")).as("last_trend_bucket"))
+        sum(col("tnum")).as("sy"))
     val kept = trendRows.filter(col("i") < col("mk") * period)
       .withColumn("dnum", lit(m2) * col("y") - col("tnum"))
     val phaseSums = kept.groupBy(col("key"), col("phase"))
@@ -182,18 +192,21 @@ object Seasonal {
         explode(sequence(lit(1L), lit(horizon.toLong))).as("f"))
       .select(col("key"), col("f"),
         expr("timestampadd(HOUR, f, hi)").as("bucket"))
-      .withColumn("phase", hour(col("bucket")) % period)
+      .withColumn("phase", expr(s"pmod(unix_timestamp(bucket) DIV 3600, $period)"))
 
-    future.join(broadcast(moments), Seq("key"))
-      .join(broadcast(seasonal), Seq("key", "phase"))
+    // LEFT joins (and equi, not broadcast — moments/seasonal grow with
+    // the key count): a key short on trend history still emits rows
+    future.join(moments, Seq("key"), "left_outer")
+      .join(seasonal, Seq("key", "phase"), "left_outer")
       .withColumn("xf", col("n") - 1 + lit(h.toLong) + col("f"))
       .select(col("key"), col("bucket"),
-        expr(s"""(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        expr(s"""CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
                 | + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
                 | * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-                | / ${m2}e0""".stripMargin.replace("\n", "")).as("trend_part"),
-        expr(s"CAST(cnum AS DOUBLE) / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)")
-          .as("seasonal"))
+                | / ${m2}e0 END""".stripMargin.replace("\n", "")).as("trend_part"),
+        expr(s"""coalesce(CAST(cnum AS DOUBLE)
+                | / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0), 0e0)""".stripMargin
+          .replace("\n", "")).as("seasonal"))
       .withColumn("forecast", col("trend_part") + col("seasonal"))
   }
 

@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.Seasonal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Seasonal decomposition / forecast / anomaly contracts beyond the
+ * driver gates (which pin hash-exactness vs DuckDB on events data):
+ *  - exact additive reconstruction y = trend + seasonal + resid;
+ *  - phases cover the FULL period for period > 24 (the hour-of-day
+ *    derivation bug: hour(bucket) % 48 never reaches 24..47);
+ *  - a pure trend+seasonal signal is recovered and forecast exactly;
+ *  - forecast drops NO key: short-history keys emit rows with null
+ *    forecast (< 2 trend points) or trend-only forecast (< 1 full
+ *    period of trend rows, seasonal 0);
+ *  - anomalies flags a planted spike and nothing on a flat series.
+ */
+class SeasonalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Dense hourly series from (key, epochHour, y) triples. */
+  private def series(rows: Seq[(String, Long, Long)]): DataFrame =
+    rows.toDF("key", "eh", "y")
+      .select(col("key"), timestamp_seconds(col("eh") * 3600L).as("bucket"), col("y"))
+
+  // y(t) = 100 + 2t + s(phase): exact linear trend + period-4-ish wave
+  // scaled up to period 24 (season repeats every 24 h, sums to zero)
+  private val seasonPattern: Seq[Long] =
+    (0 until 24).map(p => ((p % 4) match {
+      case 0 => 12L; case 1 => -4L; case 2 => -12L; case 3 => 4L
+    }))
+  private def cleanSeries(nHours: Int): Seq[(String, Long, Long)] =
+    (0 until nHours).map { t =>
+      ("k", t.toLong, 100L + 2L * t + seasonPattern(t % 24))
+    }
+
+  test("decompose: exact additive reconstruction where all parts defined") {
+    val dec = Seasonal.decompose(series(cleanSeries(24 * 6)), 24)
+      .filter(col("trend").isNotNull && col("seasonal").isNotNull)
+      .withColumn("err",
+        abs(col("y").cast("double") - col("trend") - col("seasonal") - col("resid")))
+    assert(dec.count() > 0)
+    assert(dec.agg(max("err")).as[Double].head() < 1e-9)
+  }
+
+  test("decompose: linear+seasonal signal recovered (trend linear, phase means exact)") {
+    val dec = Seasonal.decompose(series(cleanSeries(24 * 6)), 24)
+      .filter(col("trend").isNotNull).orderBy("bucket").collect()
+    // centered MA of an exactly linear trend + zero-sum period-24
+    // season is the line itself: trend(t) = 100 + 2t, exactly
+    dec.foreach { r =>
+      val t = r.getAs[java.sql.Timestamp]("bucket").getTime / 3600000L
+      assert(math.abs(r.getAs[Double]("trend") - (100.0 + 2.0 * t)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("seasonal") - seasonPattern((t % 24).toInt)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("resid")) < 1e-9)
+    }
+  }
+
+  test("decompose: period 48 phases cover 0..47 (epoch-hour, not hour-of-day)") {
+    // season with period 48: value depends on t % 48 — hour-of-day
+    // phases would alias pairs of distinct phases together
+    val rows = (0 until 48 * 5).map { t =>
+      ("k", t.toLong, 1000L + (if (t % 48 < 24) 50L else -50L))
+    }
+    val dec = Seasonal.decompose(series(rows), 48)
+      .filter(col("seasonal").isNotNull)
+    val phases = dec
+      .select(expr("pmod(unix_timestamp(bucket) DIV 3600, 48)").as("ph"))
+      .distinct().as[Long].collect().toSet
+    assert(phases.max >= 24, s"phases never reached 24+: $phases")
+    // and the two half-period levels separate: ±50 around the flat trend
+    val mids = dec.filter(col("trend").isNotNull)
+      .select(col("seasonal")).as[Double].collect()
+    assert(mids.exists(_ > 40.0) && mids.exists(_ < -40.0))
+  }
+
+  test("forecast: pure signal extrapolated exactly; horizon rows per key") {
+    val fc = Seasonal.forecast(series(cleanSeries(24 * 6)), 24, 24)
+    assert(fc.count() === 24)
+    fc.collect().foreach { r =>
+      val t = r.getAs[java.sql.Timestamp]("bucket").getTime / 3600000L
+      val expected = 100.0 + 2.0 * t + seasonPattern((t % 24).toInt)
+      assert(math.abs(r.getAs[Double]("forecast") - expected) < 1e-6,
+        s"t=$t got ${r.getAs[Double]("forecast")} want $expected")
+    }
+  }
+
+  test("forecast: short-history keys emit rows instead of vanishing") {
+    // kA: full history. kB: 30 h → 6 trend points, mk=0 (no full
+    // period) → trend-only forecast, seasonal exactly 0. kC: 10 h →
+    // 0 trend points → null forecast. All keys must appear.
+    val rows = cleanSeries(24 * 6).map { case (_, t, y) => ("kA", t, y) } ++
+      (0 until 30).map(t => ("kB", t.toLong, 500L + 3L * t)) ++
+      (0 until 10).map(t => ("kC", t.toLong, 7L))
+    val fc = Seasonal.forecast(series(rows), 24, 6).cache()
+    assert(fc.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("kA" -> 6L, "kB" -> 6L, "kC" -> 6L))
+    val kb = fc.filter(col("key") === "kB").collect()
+    kb.foreach { r =>
+      assert(r.getAs[Double]("seasonal") === 0.0)
+      // exact line 500 + 3t extrapolates exactly
+      val t = r.getAs[java.sql.Timestamp]("bucket").getTime / 3600000L
+      assert(math.abs(r.getAs[Double]("forecast") - (500.0 + 3.0 * t)) < 1e-6)
+    }
+    assert(fc.filter(col("key") === "kC").collect()
+      .forall(r => r.isNullAt(r.fieldIndex("forecast"))))
+    fc.unpersist()
+  }
+
+  test("anomalies: planted spike flagged, flat series silent") {
+    val flat = (0 until 100).map(t => ("flat", t.toLong, 10L))
+    val spiked = (0 until 100).map { t =>
+      ("spk", t.toLong, if (t == 80) 500L else 10L + (t % 2)) }
+    val an = Seasonal.anomalies(series(flat ++ spiked), 24, 3).cache()
+    assert(an.filter(col("key") === "flat" && col("is_anom")).count() === 0)
+    val hits = an.filter(col("key") === "spk" && col("is_anom"))
+      .select("bucket").collect()
+      .map(_.getAs[java.sql.Timestamp](0).getTime / 3600000L).toSet
+    assert(hits.contains(80L), s"spike at t=80 not flagged: $hits")
+    an.unpersist()
+  }
+}
