@@ -683,23 +683,62 @@ object Ml {
       featL: Int, thrL: Long, llv: Double, lrv: Double,
       featR: Int, thrR: Long, rlv: Double, rrv: Double)
 
+  /** Driver-state bound for split search: past this many distinct
+    * feature values, candidates are quantile-pre-binned (the xgboost
+    * approx regime) so the driver collects O(bins), never O(V). */
+  val SplitMaxBins = 256
+
+  /** Diagnostic: how many split searches took the binned path this
+    * JVM (lets specs assert the bounded path really executed). */
+  @volatile private[graft] var binnedSplitRuns: Long = 0L
+
   /** Best (gain, feat, thr, cl, sl, n, stot) over both features for
-    * the rows passing `cond`; None when no valid split exists. */
+    * the rows passing `cond`; None when no valid split exists.
+    *
+    * SCALE BOUND (r12 verdict): the per-value aggregate stays
+    * distributed; only its row COUNT comes to the driver first. V ≤
+    * [[SplitMaxBins]] collects per-value stats exactly as before
+    * (bit-identical gates on gridded features). Past that, feature
+    * values quantile-bin to ≤ SplitMaxBins buckets (edges via the GK
+    * sketch, one extra pass like xgboost's approx split finding), the
+    * per-bin re-aggregate runs on the ALREADY-AGGREGATED V-row table,
+    * and each bin's threshold is its exact max value — driver state
+    * is O(bins) regardless of cardinality. */
   private def bestSplit(pts: DataFrame, q: Column, cond: Column)
       : Option[(Double, Int, Long, Long, Long, Long, Long)] = {
     val cands = (1 to 2).flatMap { f =>
-      val stats = pts.filter(cond)
+      val filtered = pts.filter(cond)
         .select(col(s"x$f").cast("long").as("v"), q.as("q"))
+      val perValue = filtered
         .groupBy("v").agg(count(lit(1)).as("cnt"), sum("q").as("sq"))
-        .orderBy("v").collect()
-      val n = stats.map(_.getLong(1)).sum
-      val stot = stats.map(_.getLong(2)).sum
+      val vCount = perValue.count()
+      val stats: Array[(Long, Long, Long)] =
+        if (vCount <= SplitMaxBins) {
+          perValue.orderBy("v").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        } else {
+          binnedSplitRuns += 1
+          val probs = (1 until SplitMaxBins).map(_.toDouble / SplitMaxBins).toArray
+          val edges = filtered.stat
+            .approxQuantile("v", probs, 1.0 / (4.0 * SplitMaxBins))
+            .distinct.sorted
+          val edgeArr = array(edges.map(e => lit(e)): _*)
+          perValue
+            .withColumn("bin", aggregate(edgeArr, lit(0),
+              (acc, e) => acc + when(col("v").cast("double") > e, 1).otherwise(0)))
+            .groupBy("bin")
+            .agg(sum("cnt").as("cnt"), sum("sq").as("sq"), max("v").as("vmax"))
+            .orderBy("bin").collect()
+            .map(r => (r.getLong(3), r.getLong(1), r.getLong(2)))
+        }
+      val n = stats.map(_._2).sum
+      val stot = stats.map(_._3).sum
       var cl = 0L; var sl = 0L
-      stats.dropRight(1).map { r =>
-        cl += r.getLong(1); sl += r.getLong(2)
+      stats.dropRight(1).map { case (v, cnt, sq) =>
+        cl += cnt; sl += sq
         val gain = sl.toDouble * sl.toDouble / cl.toDouble +
           (stot - sl).toDouble * (stot - sl).toDouble / (n - cl).toDouble
-        (gain, f, r.getLong(0), cl, sl, n, stot)
+        (gain, f, v, cl, sl, n, stot)
       }
     }
     if (cands.isEmpty) None

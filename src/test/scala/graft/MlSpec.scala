@@ -332,4 +332,24 @@ class MlSpec extends SparkSpec with Matchers {
     val pred = Ml.nbayesPredict(df, col("f1"), col("f2"), col("y"), col("id"))
     assert(pred.filter(col("pred") === col("cls")).count() === 300L)
   }
+
+  test("gbdt: high-cardinality continuous feature takes the bounded binned path") {
+    import spark.implicits._
+    // V = 20000 distinct x1 values (>> SplitMaxBins): the old path
+    // collected one driver row per distinct value; the binned path
+    // must (a) actually run, (b) still find the planted step at
+    // x1 > 10000 within one quantile-bin width (~V/256 = 79)
+    val pts = (0 until 20000).map { i =>
+      (i.toLong, (i % 7).toLong, if (i > 10000) 1000L else 0L)
+    }.toDF("x1", "x2", "y")
+    val before = Ml.binnedSplitRuns
+    val (f0, model) = Ml.gbdt(pts, 1, 1.0)
+    assert(Ml.binnedSplitRuns > before, "binned split path never executed")
+    val (feat, thr, lval, rval) = model.head
+    assert(feat === 1)
+    assert(math.abs(thr - 10000L) <= 100L, s"threshold $thr not near planted 10000")
+    // leaves are residual means vs f0: predictions separate the levels
+    assert(f0 + lval < 100.0 && f0 + rval > 900.0,
+      s"predictions ${f0 + lval} / ${f0 + rval}")
+  }
 }
