@@ -77,6 +77,21 @@ object MlSuite {
         .orderBy("round")
     }),
 
+    // ---- agglomerative clustering (F14, madlib_modules/
+    // agglomerative_clustering): ward linkage over exact weighted
+    // micro-cells; three planted bands 1000 apart recovered, labels
+    // deterministic by ascending lexicographic minimum member ----
+    "ml_agglom" -> ((s, dir) => {
+      val pts = Tables(s, dir, "events").selectExpr(
+        "event_id AS id",
+        "CAST(user_id % 10 + 1000 * (event_id % 3) AS DOUBLE) AS x1",
+        "CAST(event_id % 7 AS DOUBLE) AS x2")
+      graft.operators.Agglom.cluster(
+          pts, Seq(col("x1"), col("x2")), col("id"), 3, "ward")
+        .select(col("id"), col("f0").as("x1"), col("f1").as("x2"), col("label"))
+        .transform(Gate.ordered(_, "id"))
+    }),
+
     // ---- linear SVM (F7): hinge-loss subgradient descent, same
     // quantized order-free sums, whole chain one shared SQL text ----
     "ml_svm" -> ((s, dir) => {
@@ -246,6 +261,16 @@ object MlSuite {
   val oracle: Map[String, String] = Map(
     "ml_svm" ->
       (s"WITH pts AS ($SvmPts), " + Ml.svmSql(3, 0.5, 0.01).stripPrefix("WITH ")),
+
+    // the planted three-band hierarchy is recoverable in closed form:
+    // bands sit 1000 apart vs ≤ sqrt(9²+6²) within-band spread, and
+    // the lex-min-member label order equals the band order
+    "ml_agglom" ->
+      """SELECT event_id AS id,
+        |  CAST(user_id % 10 + 1000 * (event_id % 3) AS DOUBLE) AS x1,
+        |  CAST(event_id % 7 AS DOUBLE) AS x2,
+        |  CAST(event_id % 3 AS INT) AS label
+        |FROM events ORDER BY id""".stripMargin,
 
     "ml_gbdt" ->
       (s"WITH pts AS ($GbdtPts), " + Ml.gbdtSql(3, 0.5).stripPrefix("WITH ")),
