@@ -164,6 +164,47 @@ object MlSuite {
           33L)))
     }),
 
+    // ---- advisor stats, oracle-checkable half (F12): the same
+    // workload's candidate table with exact per-column cardinalities
+    // — extraction is deterministic, so the oracle pins BOTH the
+    // extracted candidate set and the stats/ranking in pure SQL ----
+    "index_advisor_stats" -> ((s, dir) => {
+      val tables = Map(
+        "customer" -> Tables(s, dir, "customer"),
+        "orders" -> Tables(s, dir, "orders"),
+        "lineitem" -> Tables(s, dir, "lineitem"))
+      graft.operators.IndexAdvisor.advise(s, tables, Seq(
+          ("SELECT * FROM orders WHERE o_orderkey = 42", 120L),
+          ("SELECT * FROM customer c JOIN orders o ON c_custkey = o_custkey" +
+            " WHERE c_mktsegment = 'BUILDING'", 40L),
+          ("SELECT l_orderkey, sum(l_quantity) FROM lineitem" +
+            " GROUP BY l_orderkey ORDER BY l_orderkey", 15L),
+          ("SELECT * FROM lineitem WHERE l_partkey = 7 AND l_returnflag = 'R'",
+            33L)))
+        .select(col("table").as("table_name"), col("column").as("column_name"),
+          col("kind"), col("advice"), col("calls"), col("n_rows"),
+          col("cardinality"), col("advised"))
+        .transform(Gate.ordered(_, "table_name", "column_name", "kind"))
+    }),
+
+    // ---- hypothetical-layout what-if (F15, dbmind/kernel/
+    // hypopg_index.cpp): apply the advisor's partition advice to a
+    // scratch copy, probe the pruned scans for real, report counts
+    // the oracle can recompute in SQL ----
+    "index_whatif" -> ((s, dir) => {
+      val scratch = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-whatif-gate")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      if (scratch.exists()) wipe(scratch)
+      graft.operators.IndexAdvisor.whatIf(
+          Tables(s, dir, "events"), "event_type",
+          Seq("click", "error", "nosuch"), scratch.getAbsolutePath)
+        .transform(Gate.ordered(_, "value"))
+    }),
+
     // ---- DB4AI Snapshots (F11, db4ai/snapshots): a 3-version CSS
     // snapshot tree — create, update-patch (1.0.1), delete+insert
     // revision (1.1.0) — read back through delta reconstruction; the
@@ -288,6 +329,36 @@ object MlSuite {
 
     "ml_kmeans" ->
       (s"WITH pts AS ($KmeansPts), " + Ml.kmeansSql(4, 3).stripPrefix("WITH ")),
+
+    // extraction is rule-determined (spec-pinned), so the oracle
+    // hardcodes the candidate set and recomputes stats + threshold
+    "index_advisor_stats" -> {
+      def b(t: String, c: String, kind: String, advice: String, calls: Int) =
+        s"""SELECT '$t' AS table_name, '$c' AS column_name, '$kind' AS kind,
+           |  '$advice' AS advice, CAST($calls AS BIGINT) AS calls,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $t) AS n_rows,
+           |  (SELECT CAST(count(DISTINCT $c) AS BIGINT) FROM $t) AS cardinality,
+           |  (SELECT count(DISTINCT $c) FROM $t) > 30 AS advised""".stripMargin
+      Seq(
+        b("orders", "o_orderkey", "eq_predicate", "partition_or_cluster_by", 120),
+        b("customer", "c_custkey", "join_key", "bucket_by", 40),
+        b("orders", "o_custkey", "join_key", "bucket_by", 40),
+        b("customer", "c_mktsegment", "eq_predicate", "partition_or_cluster_by", 40),
+        b("lineitem", "l_orderkey", "group_order", "sort_within_partitions", 15),
+        b("lineitem", "l_partkey", "eq_predicate", "partition_or_cluster_by", 33),
+        b("lineitem", "l_returnflag", "eq_predicate", "partition_or_cluster_by", 33))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name, kind")
+    },
+
+    "index_whatif" ->
+      """SELECT 'event_type' AS column_name, v AS value,
+        |  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events) AS partitions_total,
+        |  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events WHERE event_type = v) AS partitions_scanned,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_type = v) AS rows_matched,
+        |  (SELECT count(DISTINCT event_type) FROM events)
+        |    - (SELECT count(DISTINCT event_type) FROM events WHERE event_type = v) > 0 AS improved
+        |FROM (VALUES ('click'), ('error'), ('nosuch')) AS t(v)
+        |ORDER BY value""".stripMargin,
 
     "db4ai_snapshot" ->
       """WITH base AS (SELECT event_id AS pk, event_type AS etype,

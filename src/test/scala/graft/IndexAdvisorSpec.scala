@@ -60,4 +60,47 @@ class IndexAdvisorSpec extends SparkSpec {
     assert(!out.exists(_._2 == "nosuchcol"))
     assert(out.find(_._2 == "t_id").get._4 === 7L) // 3 + 4 calls
   }
+
+  test("whatIf: advised layout yields real reader-level partition pruning") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files.createTempDirectory("graft-whatif-spec-").toFile
+    try {
+      val df = spark.range(1000).selectExpr("id", "CAST(id % 4 AS STRING) AS seg")
+      val out = IndexAdvisor.whatIf(df.toDF(), "seg", Seq("1", "9"),
+        scratch.getAbsolutePath).collect()
+      val hit = out.find(_.getAs[String]("value") == "1").get
+      assert(hit.getAs[Long]("partitions_total") === 4L)
+      assert(hit.getAs[Long]("partitions_scanned") === 1L)
+      assert(hit.getAs[Long]("rows_matched") === 250L)
+      assert(hit.getAs[Boolean]("improved"))
+      val miss = out.find(_.getAs[String]("value") == "9").get
+      assert(miss.getAs[Long]("partitions_scanned") === 0L)
+      assert(miss.getAs[Long]("rows_matched") === 0L)
+      // the plan-level hypopg verdict: the scan carries a partition
+      // filter (reader prunes BEFORE reading, not a post-scan filter)
+      val laid = spark.read.parquet(scratch.getAbsolutePath)
+      val planStr = laid.filter(col("seg") === "1")
+        .queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters") &&
+        planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("seg"),
+        s"no partition filter on seg in plan:\n$planStr")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(scratch)
+    }
+  }
+
+  test("advisor stats plan has no Expand (per-column pruned branches)") {
+    import org.apache.spark.sql.functions._
+    // capture the stats aggregates' plans via a listener-free check:
+    // build the same shape advise() now uses and assert no Expand node
+    val t = spark.range(1000).selectExpr("id AS a", "id % 10 AS b").toDF()
+    val plan = t.select(col("a"))
+      .agg(count(lit(1)), count_distinct(col("a")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"Expand in stats plan:\n$plan")
+  }
 }
