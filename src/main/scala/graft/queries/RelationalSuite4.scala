@@ -238,6 +238,34 @@ object RelationalSuite4 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // ---- contrib/seg (seg.cpp): CLOSED 1-D segments — strict/over
+    // left-right, overlap, containment, union/intersection bounds,
+    // size/center; all pure codegen column arithmetic. ----
+    "seg_ops" -> ((s, dir) => {
+      import graft.operators.Seg
+      val o = Tables(s, dir, "orders")
+        .withColumn("a_lo", (col("o_orderkey") % 89).cast("double"))
+        .withColumn("a_hi",
+          (col("o_orderkey") % 89 + col("o_custkey") % 13).cast("double"))
+        .withColumn("b_lo", (col("o_custkey") % 70).cast("double"))
+        .withColumn("b_hi",
+          (col("o_custkey") % 70 + col("o_orderkey") % 7).cast("double"))
+      val (uLo, uHi) = Seg.union(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
+      val (iLo, iHi) = Seg.inter(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
+      o.select(col("o_orderkey"), col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"),
+          Seg.left(col("a_hi"), col("b_lo")).as("s_left"),
+          Seg.right(col("a_lo"), col("b_hi")).as("s_right"),
+          Seg.overLeft(col("a_hi"), col("b_hi")).as("s_overleft"),
+          Seg.overRight(col("a_lo"), col("b_lo")).as("s_overright"),
+          Seg.overlaps(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi")).as("s_overlap"),
+          Seg.contains(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi")).as("s_contains"),
+          Seg.same(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi")).as("s_same"),
+          uLo.as("u_lo"), uHi.as("u_hi"), iLo.as("i_lo"), iHi.as("i_hi"),
+          Seg.size(col("a_lo"), col("a_hi")).as("a_size"),
+          Seg.center(col("a_lo"), col("a_hi")).as("a_center"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // ---- interval-overlap JOIN at scale: bucket tiling + equi-join
     // on (custkey, bucket), each pair counted once in the bucket of
     // its overlap start. ----
@@ -647,6 +675,27 @@ object RelationalSuite4 {
         |    THEN greatest(lo, 120) ELSE 0 END AS inter_lo,
         |  CASE WHEN greatest(lo, 120) < least(hi, 150)
         |    THEN least(hi, 150) ELSE 0 END AS inter_hi
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+
+    "seg_ops" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(o_orderkey % 89 AS DOUBLE) AS a_lo,
+        |  CAST(o_orderkey % 89 + o_custkey % 13 AS DOUBLE) AS a_hi,
+        |  CAST(o_custkey % 70 AS DOUBLE) AS b_lo,
+        |  CAST(o_custkey % 70 + o_orderkey % 7 AS DOUBLE) AS b_hi
+        |FROM orders)
+        |SELECT o_orderkey, a_lo, a_hi, b_lo, b_hi,
+        |  a_hi < b_lo AS s_left,
+        |  a_lo > b_hi AS s_right,
+        |  a_hi <= b_hi AS s_overleft,
+        |  a_lo >= b_lo AS s_overright,
+        |  (a_lo <= b_hi AND b_lo <= a_hi) AS s_overlap,
+        |  (a_lo <= b_lo AND a_hi >= b_hi) AS s_contains,
+        |  (a_lo = b_lo AND a_hi = b_hi) AS s_same,
+        |  least(a_lo, b_lo) AS u_lo, greatest(a_hi, b_hi) AS u_hi,
+        |  greatest(a_lo, b_lo) AS i_lo, least(a_hi, b_hi) AS i_hi,
+        |  a_hi - a_lo AS a_size,
+        |  (a_lo + a_hi) / 2e0 AS a_center
         |FROM o ORDER BY o_orderkey""".stripMargin,
 
     "range_overlap_join" ->
