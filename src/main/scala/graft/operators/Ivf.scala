@@ -216,6 +216,37 @@ object Ivf {
   }
 
   /**
+   * Probe budget as a function of corpus size. A FIXED nprobe's
+   * recall guarantee rests on k-means having found real structure;
+   * on a toy corpus the lists are too thin for that, the data is
+   * effectively isotropic, and hits-per-neighbor degrade to
+   * ~nprobe/nlists — a coin-flip against any recall floor (the
+   * documented sf0.001 flag flips were exactly this).
+   *
+   * Regimes:
+   *  - STRUCTURED (perList ≥ 8k — enough density per list for the
+   *    clustering bet): return `base`, the production budget,
+   *    unchanged. All driver-SF bench budgets live here (sf0.1) or
+   *    keep their outputs (wider probes only raise recall).
+   *  - THIN (below that): size the probe fraction from the isotropic
+   *    expectation instead — E[hits] = k·nprobe/nlists, demanded to
+   *    cover 2× the recall floor — which widens to a full scan at
+   *    the degenerate end. Deterministic, never a gamble on the draw.
+   *
+   * Pure driver arithmetic; callers pass the same `minHits` their
+   * gate asserts so the budget and the assertion stay in lockstep.
+   */
+  def autoNprobe(n: Long, nlists: Int, k: Int, base: Int, minHits: Int): Int = {
+    require(nlists >= 1 && k >= 1 && base >= 1 && minHits >= 1)
+    val perList = math.max(1.0, n.toDouble / nlists)
+    if (perList >= 8.0 * k) base
+    else {
+      val iso = math.ceil(nlists * 2.0 * minHits / k).toInt
+      math.min(nlists, math.max(base, iso))
+    }
+  }
+
+  /**
    * nprobe search: prune to the nprobe nearest lists, then exact top-k
    * inside them (TakeOrderedAndProject — no shuffle). When `tagged` is a
    * parquet table partitioned by list_id, the isin filter becomes

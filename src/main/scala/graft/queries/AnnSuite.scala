@@ -40,6 +40,18 @@ object AnnSuite {
       .agg(count(lit(1)).as("n_results"),
         (coalesce(sum(col("hit")), lit(0)) >= minHits).as("recall_ok"))
 
+  // corpus sizes memoized per dir (parquet-metadata count): probe
+  // budgets auto-scale with n (Ivf.autoNprobe) — at production list
+  // densities (sf0.1's n=2000 and beyond) the old nprobe constants
+  // hold exactly; thinner corpora widen deterministically so the
+  // recall floor never rides on the random draw (the r12-documented
+  // sf0.001 flag flips)
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusN(s: SparkSession, dir: String): Long =
+    sizeCache.computeIfAbsent(dir,
+      _ => Tables(s, dir, "embeddings").count()).longValue()
+
   // the IVF index is built once per corpus in reality; memoize the
   // (deterministic, seeded) model per data dir so queries don't re-run
   // k-means each invocation.
@@ -154,16 +166,17 @@ object AnnSuite {
             col("min_list") >= 0 && col("max_list") <= 15).as("lists_ok"))
     }),
 
-    // B4: IVF nprobe search — exact-cardinality + recall invariants
-    // (nprobe = 4 of 16 lists scans ~1/4 of the corpus; recall floor
-    // 0.5 sits under AnnSpec's asserted recall at this budget).
+    // B4: IVF nprobe search — exact-cardinality + recall invariants.
+    // The budget is autoNprobe: base 4 of 16 lists (~1/4 of the
+    // corpus) at production density, widened on thin corpora so the
+    // 0.5 recall floor holds deterministically.
     "ivf_search" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val model = ivfModel(s, dir, 16)
       val tagged = Ivf.assign(emb, "embedding", model)
       val qv = queryVec(s, dir)
       val found = Ivf.search(tagged, "embedding", "vec_id", model, qv,
-        k = 10, nprobe = 4)
+        k = 10, nprobe = Ivf.autoNprobe(corpusN(s, dir), 16, k = 10, base = 4, minHits = 5))
       recallGate(found, Knn.exactTopK(emb, "embedding", "vec_id", qv, 10),
         "vec_id", minHits = 5)
     }),
@@ -263,7 +276,8 @@ object AnnSuite {
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding"))
       val routed = Hnsw.searchManyRoutedDF(index, model, qs,
-        "vec_id", "embedding", k = 5, nprobe = 6)
+        "vec_id", "embedding", k = 5,
+        nprobe = Ivf.autoNprobe(corpusN(s, dir), 16, k = 5, base = 6, minHits = 3))
       // per-query invariants: exactly k results, recall@5 vs the
       // in-query exact KNN join >= 3/5 (routing probes 6/16 shards;
       // nprobe=4 left one query at 2/5 — isotropic data is routing's
@@ -367,7 +381,9 @@ object AnnSuite {
         .write.mode("overwrite").partitionBy("list_id").parquet(path)
       val packed = s.read.parquet(path)
       val qv = queryVec(s, dir)
-      val probeIds = model.probes(qv, 4).map(Integer.valueOf)
+      val probeIds = model
+        .probes(qv, Ivf.autoNprobe(corpusN(s, dir), 16, k = 10, base = 4, minHits = 5))
+        .map(Integer.valueOf)
       val found = packed.filter(col("list_id").isin(probeIds: _*))
         .select(col("vec_id"),
           round(VF.packedHalfDistance(col("hv"), VF.packHalf(lit(qv)), "l2"), 6)
@@ -396,7 +412,9 @@ object AnnSuite {
         .write.mode("overwrite").partitionBy("list_id").parquet(path)
       val codes = s.read.parquet(path)
       val qv = queryVec(s, dir)
-      val probeIds = model.probes(qv, 4).map(Integer.valueOf)
+      val probeIds = model
+        .probes(qv, Ivf.autoNprobe(corpusN(s, dir), 16, k = 10, base = 4, minHits = 5))
+        .map(Integer.valueOf)
       val qc = codes.filter(col("vec_id") === 0).select(col("c").as("qc"))
       val found = codes.filter(col("list_id").isin(probeIds: _*))
         .crossJoin(broadcast(qc))
@@ -421,7 +439,7 @@ object AnnSuite {
       val index = IvfBit.writeIndex(codes, "code", model, path)
       val qc = IvfBit.quantize(queryVec(s, dir))
       val found = IvfBit.search(index, "code", "vec_id", model, qc,
-        nprobe = 4, k = 10)
+        nprobe = Ivf.autoNprobe(corpusN(s, dir), 16, k = 10, base = 4, minHits = 5), k = 10)
       val exact = codes.select(col("vec_id"),
           VF.hammingDistance(col("code"), lit(qc)).cast("long").as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(10)

@@ -626,4 +626,29 @@ class AnnSpec extends SparkSpec {
     info(s"hnsw-bit recall@10: $hits/10")
     assert(hits >= 5, s"hnsw-bit recall $hits/10")
   }
+
+  test("autoNprobe preserves production budgets, widens on thin lists") {
+    import graft.operators.Ivf
+    // structured regime (perList >= 8k): the production base, untouched
+    assert(Ivf.autoNprobe(2000, 16, 10, 4, 5) === 4)    // sf0.1 bench budget
+    assert(Ivf.autoNprobe(1000000000L, 4096, 10, 8, 5) === 8)
+    // thin regime: isotropic power sizing — deterministic recall
+    assert(Ivf.autoNprobe(500, 16, 10, 4, 5) === 16)
+    assert(Ivf.autoNprobe(500, 16, 5, 6, 3) === 16)
+    // monotone non-increasing in n
+    val vals = Seq(16L, 256L, 1280L, 2048L, 4096L)
+      .map(n => Ivf.autoNprobe(n, 16, 10, 4, 5))
+    assert(vals === vals.sorted.reverse)
+  }
+
+  test("recall_ok holds across sf0.001 / sf0.01 / sf0.1 on the probe-budget gates") {
+    val keys = Seq("ivf_search", "ivf_half_search", "ivf_int8_search", "hnsw_routed")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); k <- keys) {
+      val rows = graft.SparkEntry.queries(k)(spark, s"/root/testdata/$sf").collect()
+      assert(rows.nonEmpty, s"$k at $sf returned nothing")
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("recall_ok"), s"$k at $sf: recall flipped ($r)")
+      }
+    }
+  }
 }
