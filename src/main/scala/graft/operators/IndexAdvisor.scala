@@ -169,4 +169,56 @@ object IndexAdvisor {
     rows.toDF("column_name", "value", "partitions_total",
       "partitions_scanned", "rows_matched", "improved")
   }
+
+  /**
+   * The bucketing half of the what-if (the advisor's `bucket_by`
+   * advice for repeated equi-joins): materialize both sides as
+   * bucketed tables on the join key, plan the same join against the
+   * plain and the bucketed layouts, and report the measurable win —
+   * shuffle Exchanges ELIMINATED from the physical plan (hypopg's
+   * does-the-plan-improve question, answered with Spark's own
+   * planner).
+   *
+   * The comparison pins the planner: AQE and broadcast conversion are
+   * disabled FOR THE MEASUREMENT ONLY (both restored after), so the
+   * plain join is the canonical 2-Exchange sort-merge and the
+   * bucketed one must plan ZERO shuffles — deterministic constants an
+   * SQL oracle can pin, alongside the SQL-checkable joined row count.
+   *
+   * Scale shape: this is advice evaluation, run once per advice on a
+   * bounded copy; the bucketed write is one pass per side.
+   */
+  def whatIfBucketing(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int, scratchDir: String, namePrefix: String): DataFrame = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val spark = left.sparkSession
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val bcast = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val lt = s"${namePrefix}_l"; val rt = s"${namePrefix}_r"
+      spark.sql(s"DROP TABLE IF EXISTS $lt")
+      spark.sql(s"DROP TABLE IF EXISTS $rt")
+      left.write.bucketBy(buckets, key).sortBy(key)
+        .option("path", s"$scratchDir/l").mode("overwrite").saveAsTable(lt)
+      right.write.bucketBy(buckets, key).sortBy(key)
+        .option("path", s"$scratchDir/r").mode("overwrite").saveAsTable(rt)
+      def shuffles(df: DataFrame): Long =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e }.size.toLong
+      val plain = left.join(right, key)
+      val bucketed = spark.table(lt).join(spark.table(rt), key)
+      val rowsJoined = bucketed.count()
+      val (sp, sb) = (shuffles(plain), shuffles(bucketed))
+      import spark.implicits._
+      Seq((key, buckets.toLong, rowsJoined, sp, sb, sb < sp))
+        .toDF("join_key", "n_buckets", "rows_joined",
+          "shuffles_plain", "shuffles_bucketed", "shuffle_eliminated")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
 }

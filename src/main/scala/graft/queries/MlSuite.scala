@@ -205,6 +205,25 @@ object MlSuite {
         .transform(Gate.ordered(_, "value"))
     }),
 
+    // ---- bucketing what-if (F15's join half): the advisor's
+    // bucket_by advice for the customer⋈orders join evaluated with
+    // Spark's own planner — the canonical 2-Exchange sort-merge join
+    // plans ZERO shuffles against the bucketed layout ----
+    "index_whatif_bucket" -> ((s, dir) => {
+      val scratch = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-whatif-bucket-gate")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      if (scratch.exists()) wipe(scratch)
+      graft.operators.IndexAdvisor.whatIfBucketing(
+        Tables(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+        Tables(s, dir, "orders").withColumnRenamed("o_custkey", "custkey")
+          .select("custkey", "o_orderkey", "o_totalprice"),
+        "custkey", 8, scratch.getAbsolutePath, "graft_whatif")
+    }),
+
     // ---- DB4AI Snapshots (F11, db4ai/snapshots): a 3-version CSS
     // snapshot tree — create, update-patch (1.0.1), delete+insert
     // revision (1.1.0) — read back through delta reconstruction; the
@@ -349,6 +368,17 @@ object MlSuite {
         b("lineitem", "l_returnflag", "eq_predicate", "partition_or_cluster_by", 33))
         .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name, kind")
     },
+
+    // the Exchange counts are planner-deterministic constants once
+    // AQE/broadcast are pinned off: 2 for the plain sort-merge join,
+    // 0 for the co-located bucketed one
+    "index_whatif_bucket" ->
+      """SELECT 'custkey' AS join_key, CAST(8 AS BIGINT) AS n_buckets,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c JOIN orders o
+        |    ON c.c_custkey = o.o_custkey) AS rows_joined,
+        |  CAST(2 AS BIGINT) AS shuffles_plain,
+        |  CAST(0 AS BIGINT) AS shuffles_bucketed,
+        |  TRUE AS shuffle_eliminated""".stripMargin,
 
     "index_whatif" ->
       """SELECT 'event_type' AS column_name, v AS value,

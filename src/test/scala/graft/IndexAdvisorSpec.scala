@@ -103,4 +103,28 @@ class IndexAdvisorSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"Expand in stats plan:\n$plan")
   }
+
+  test("whatIfBucketing: bucketed layout plans the join with zero shuffles") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files.createTempDirectory("graft-bucket-spec-").toFile
+    try {
+      val l = spark.range(500).selectExpr("id AS k", "id * 2 AS a").toDF()
+      val r = spark.range(2000).selectExpr("id % 500 AS k", "id AS b").toDF()
+      val out = IndexAdvisor.whatIfBucketing(l, r, "k", 4,
+        scratch.getAbsolutePath, "graft_bucket_spec").head()
+      assert(out.getAs[Long]("shuffles_plain") === 2L)
+      assert(out.getAs[Long]("shuffles_bucketed") === 0L)
+      assert(out.getAs[Boolean]("shuffle_eliminated"))
+      assert(out.getAs[Long]("rows_joined") === 2000L)
+      // measurement must not leak its planner pins into the session
+      assert(spark.conf.get("spark.sql.adaptive.enabled") !== "false")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_spec_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_spec_r")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(scratch)
+    }
+  }
 }
