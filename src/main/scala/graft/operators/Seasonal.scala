@@ -152,6 +152,14 @@ object Seasonal {
    * is the bare trend line.
    */
   def forecast(series: DataFrame, period: Int, horizon: Int): DataFrame = {
+    val (moments, seasonal, ends) = fitFrames(series, period)
+    forecastFrom(moments, seasonal, ends, period, horizon)
+  }
+
+  /** The three internal model relations: per-key OLS moments, per-
+    * (key, phase) seasonal numerators, per-key grid ends. */
+  private def fitFrames(series: DataFrame, period: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(period > 0 && period % 2 == 0, s"graft: even period required, got $period")
     val h = period / 2
     val m2 = 2L * period
@@ -187,6 +195,16 @@ object Seasonal {
         (lit(period.toLong) * col("ssum") - col("tsum")).as("cnum"))
 
     val ends = series.groupBy(col("key")).agg(max(col("bucket")).as("hi"))
+    (moments, seasonal, ends)
+  }
+
+  /** Shared predict tail — ONE expression text whether the model was
+    * just fit or reloaded from parquet, so fit→predict and
+    * fit→save→load→predict are bit-identical. */
+  private def forecastFrom(moments: DataFrame, seasonal: DataFrame,
+      ends: DataFrame, period: Int, horizon: Int): DataFrame = {
+    val h = period / 2
+    val m2 = 2L * period
     val future = ends
       .select(col("key"), col("hi"),
         explode(sequence(lit(1L), lit(horizon.toLong))).as("f"))
@@ -208,6 +226,53 @@ object Seasonal {
                 | / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0), 0e0)""".stripMargin
           .replace("\n", "")).as("seasonal"))
       .withColumn("forecast", col("trend_part") + col("seasonal"))
+  }
+
+  /**
+   * prophet_fit's two-step surface (prophet_alg.py_in:17 writes a
+   * MODEL TABLE; :68 prophet_predict reads it back and forecasts
+   * `periods` forward): the fitted state as ONE flat relation —
+   * a 'moments' row per key (exact LONG OLS moments + the grid end)
+   * plus a 'phase' row per (key, phase) (mk, cnum numerators) — tiny
+   * (keys × (period+1) rows), persistable as plain parquet, and
+   * exact: no doubles are stored, so a reloaded model predicts
+   * BIT-IDENTICALLY to the in-memory one.
+   */
+  def fit(series: DataFrame, period: Int): DataFrame = {
+    val (moments, seasonal, ends) = fitFrames(series, period)
+    // ends LEFT-joins moments: a key with zero trend rows still gets
+    // its model row (null moments → null forecast, never dropped)
+    val mom = ends.join(moments, Seq("key"), "left_outer")
+      .select(col("key"), lit("moments").as("kind"),
+        lit(null).cast("long").as("phase"),
+        col("n"), col("sx"), col("sxx"), col("sxy"), col("sy"),
+        lit(null).cast("long").as("mk"), lit(null).cast("long").as("cnum"),
+        col("hi"), lit(period).as("period"))
+    val pha = seasonal
+      .select(col("key"), lit("phase").as("kind"), col("phase"),
+        lit(null).cast("long").as("n"), lit(null).cast("long").as("sx"),
+        lit(null).cast("long").as("sxx"), lit(null).cast("long").as("sxy"),
+        lit(null).cast("long").as("sy"),
+        col("mk"), col("cnum"),
+        lit(null).cast("timestamp").as("hi"), lit(period).as("period"))
+    mom.unionByName(pha)
+  }
+
+  /** prophet_predict over a [[fit]] model (fresh or parquet-reloaded):
+    * horizon rows per key, identical output schema and values as
+    * [[forecast]] on the original series. */
+  def predict(model: DataFrame, horizon: Int): DataFrame = {
+    val periods = model.select(col("period")).distinct().collect()
+    require(periods.length == 1,
+      s"graft: model must carry exactly one period, got ${periods.length}")
+    val period = periods(0).getInt(0)
+    val moments = model.filter(col("kind") === "moments")
+      .select(col("key"), col("n"), col("sx"), col("sxx"), col("sxy"), col("sy"))
+    val seasonal = model.filter(col("kind") === "phase")
+      .select(col("key"), col("phase"), col("mk"), col("cnum"))
+    val ends = model.filter(col("kind") === "moments")
+      .select(col("key"), col("hi"))
+    forecastFrom(moments, seasonal, ends, period, horizon)
   }
 
   /**

@@ -38,6 +38,19 @@ object SeasonalSuite {
       Seasonal.forecast(series, 24, 12).transform(Gate.ordered(_, "key", "bucket"))
     }),
 
+    // ---- prophet_fit / prophet_predict two-step surface (F13): fit
+    // writes an exact-integer model relation, predict runs from the
+    // PARQUET-RELOADED model — bit-identical to the fused forecast,
+    // proven by sharing its oracle ----
+    "seasonal_predict_by" -> ((s, dir) => {
+      val series = Seasonal.hourlySeries(
+        Tables(s, dir, "events"), "event_type", "ts", "value")
+      val path = s"target/graft-seasonal-model/${new java.io.File(dir).getName}"
+      Seasonal.fit(series, 24).write.mode("overwrite").parquet(path)
+      Seasonal.predict(s.read.parquet(path), 12)
+        .transform(Gate.ordered(_, "key", "bucket"))
+    }),
+
     // ---- rolling z-score anomalies (F13): each bucket vs the 24
     // fully-observed buckets strictly before it, k = 3 sigma, the
     // test evaluated in exact integers (no sqrt) ----
@@ -126,6 +139,33 @@ object SeasonalSuite {
          |  CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 48e0 END
          |    + coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS forecast
          |FROM joined ORDER BY key, bucket""".stripMargin,
+
+    // the model round-trip must reproduce the fused forecast exactly —
+    // same oracle text as seasonal_forecast
+    "seasonal_predict_by" ->
+      s"""WITH $CentsSeries,
+         |$DecomposeCtes,
+         |mom AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(i) AS BIGINT) AS sx, CAST(sum(i * i) AS BIGINT) AS sxx,
+         |    CAST(sum(i * tnum) AS BIGINT) AS sxy, CAST(sum(tnum) AS BIGINT) AS sy
+         |  FROM tr2 GROUP BY key),
+         |ends AS (SELECT key, max(bucket) AS hi FROM series GROUP BY key),
+         |fut AS (SELECT key, f, hi + f * (INTERVAL 1 HOUR) AS bucket,
+         |    (CAST(epoch(hi + f * (INTERVAL 1 HOUR)) AS BIGINT) // 3600) % 24 AS phase
+         |  FROM (SELECT key, hi, unnest(generate_series(1, 12)) AS f FROM ends)),
+         |joined AS (SELECT fut.key AS key, fut.bucket AS bucket,
+         |    mom.n AS n, mom.sx AS sx, mom.sxx AS sxx, mom.sxy AS sxy, mom.sy AS sy,
+         |    sea.mk AS mk, sea.cnum AS cnum,
+         |    n - 1 + 12 + f AS xf
+         |  FROM fut LEFT JOIN mom ON fut.key = mom.key
+         |    LEFT JOIN sea ON fut.key = sea.key AND fut.phase = sea.phase)
+         |SELECT key, bucket,
+         |  CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 48e0 END AS trend_part,
+         |  coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS seasonal,
+         |  CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 48e0 END
+         |    + coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS forecast
+         |FROM joined ORDER BY key, bucket""".stripMargin,
+
 
     "ts_anomalies" ->
       s"""WITH $CountSeries,

@@ -121,4 +121,37 @@ class SeasonalSpec extends SparkSpec {
     assert(hits.contains(80L), s"spike at t=80 not flagged: $hits")
     an.unpersist()
   }
+
+  test("fit/predict two-step == fused forecast, bit-exact through parquet") {
+    val rows = cleanSeries(24 * 6).map { case (_, t, y) => ("kA", t, y) } ++
+      (0 until 10).map(t => ("kC", t.toLong, 7L)) // zero trend rows
+    val s = series(rows)
+    val fused = Seasonal.forecast(s, 24, 6).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.get(2), r.get(3), r.get(4)))
+      .sortBy(r => (r._1, r._2.getTime))
+    val dir = java.nio.file.Files.createTempDirectory("graft-seas-model-").toFile
+    try {
+      Seasonal.fit(s, 24).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val twoStep = Seasonal.predict(spark.read.parquet(dir.getAbsolutePath), 6)
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.get(2), r.get(3), r.get(4)))
+        .sortBy(r => (r._1, r._2.getTime))
+      assert(twoStep.toSeq === fused.toSeq) // bit-exact, nulls included
+      // the zero-trend key survived the round trip with null forecasts
+      assert(twoStep.count(_._1 == "kC") === 6)
+      assert(twoStep.filter(_._1 == "kC").forall(_._5 == null))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("predict refuses a model with mixed periods") {
+    val s = series(cleanSeries(24 * 3))
+    val m = Seasonal.fit(s, 24).unionByName(
+      Seasonal.fit(s, 48).limit(1))
+    intercept[IllegalArgumentException] { Seasonal.predict(m, 3) }
+  }
 }
