@@ -99,6 +99,18 @@ object StreamingSuite {
         .transform(Gate.ordered(_, "event_id"))
     }),
 
+    // ONLINE rolling-z anomaly flags (E-series sibling of
+    // ts_anomalies): the stateful per-key fold run in batch mode —
+    // same dense-grid + exact-integer k-sigma semantics, so the
+    // DuckDB window oracle applies verbatim; StreamingSpec slices a
+    // memory stream over the same events and asserts emitted ⊆ batch
+    // with high recall on watermark-closed buckets
+    "stream_anomalies" -> ((s, dir) =>
+      graft.streaming.StreamAnomaly.flags(
+          Tables(s, dir, "events"), "event_type", "ts",
+          lookback = 24, k = 3, streaming = false)
+        .transform(Gate.ordered(_, "key", "bucket"))),
+
     // stream-static enrichment: the customer dim BROADCASTS (no join
     // state — only the windowed agg holds state, watermark-bounded);
     // batch run of the identical plan is the gate
@@ -226,6 +238,26 @@ object StreamingSuite {
   // additional queries defined below reuse `queries`/`oracle` maps
 
   val oracle: Map[String, String] = Map(
+    // identical text to the batch ts_anomalies oracle — the stateful
+    // fold must reproduce the window operator exactly
+    "stream_anomalies" ->
+      """WITH obs AS (SELECT event_type AS key, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+        |    CAST(count(*) AS BIGINT) AS y_obs FROM events GROUP BY 1, 2),
+        |bnd AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY key),
+        |grd AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bnd),
+        |series AS (SELECT grd.key, grd.bucket, CAST(coalesce(o.y_obs, 0) AS BIGINT) AS y
+        |  FROM grd LEFT JOIN obs o ON o.key = grd.key AND o.bucket = grd.bucket),
+        |w AS (SELECT key, bucket, y,
+        |    CAST(sum(y) OVER tw AS BIGINT) AS s,
+        |    CAST(sum(y * y) OVER tw AS BIGINT) AS q,
+        |    CAST(count(*) OVER tw AS BIGINT) AS cnt
+        |  FROM series
+        |  WINDOW tw AS (PARTITION BY key ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT key, bucket, y,
+        |  CAST(s AS DOUBLE) / 24e0 AS mean,
+        |  (24 * y - s) * (24 * y - s) > 9 * (24 * q - s * s) AS is_anom
+        |FROM w WHERE cnt = 24 ORDER BY key, bucket""".stripMargin,
     // the verified stream pair set = the exact tau>=0.5 Jaccard pair
     // set (same oracle shape as dedup_minhash; banding recall 1.0 at
     // the verified similarity levels on this corpus, checked at sf0.01

@@ -346,4 +346,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"stream=$got batch=$batch")
     assert(batch.values.forall(_ > 0))
   }
+
+  test("online anomaly flags over a memory stream: closed buckets match batch") {
+    import graft.streaming.StreamAnomaly
+    val data = events.select($"event_type", $"ts").orderBy("ts")
+      .as[(String, java.sql.Timestamp)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val sdf = mem.toDF().toDF("event_type", "ts")
+    val out = StreamAnomaly.flags(sdf, "event_type", "ts",
+      lookback = 24, k = 3, streaming = true)
+    val q = out.writeStream.format("memory").queryName("anom_test")
+      .outputMode("append").start()
+    val maxTs = data.map(_._2.getTime).max
+    try {
+      val chunks = data.grouped(math.max(1, data.length / 5)).toSeq
+      chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      // one sentinel event PER KEY so the final watermark (maxTs - 1s,
+      // set by the last real batch) actually APPLIES to every group —
+      // flatMapGroupsWithState only invokes groups present in the
+      // batch. The sentinel lands in the last (never-finalized) bucket,
+      // so it cannot alter any emitted row.
+      val keys = data.map(_._1).distinct
+      mem.addData(keys.map(k => (k, new java.sql.Timestamp(maxTs))).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getBoolean(4))
+    val got = spark.table("anom_test").collect().map(keyOf).toSet
+    val batch = StreamAnomaly.flags(events, "event_type", "ts",
+      lookback = 24, k = 3, streaming = false).collect().map(keyOf).toSet
+    // the online grid advances with the watermark even when a key goes
+    // silent — zero-count buckets past the key's last event are
+    // legitimate monitor output the batch grid (which stops at the
+    // key's max bucket) cannot contain. Inside the batch span the
+    // stream must agree exactly; beyond it only silence is allowed.
+    val keyEnd = batch.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+    val (inSpan, beyond) = got.partition(g => g._2 <= keyEnd.getOrElse(g._1, 0L))
+    assert(inSpan.subsetOf(batch), s"phantom flags: ${(inSpan -- batch).take(3)}")
+    assert(beyond.forall(_._3 == 0L), s"non-silent beyond-span: ${beyond.filter(_._3 != 0).take(3)}")
+    // buckets whose end the final applied watermark passed MUST have
+    // been emitted: h <= (maxTs - 1000) / 3600000 - 1
+    val closedHour = (maxTs - 1000L) / 3600000L - 1L
+    val expectedClosed = batch.filter(_._2 / 3600000L <= closedHour)
+    assert(expectedClosed.nonEmpty)
+    val recall = (inSpan & expectedClosed).size.toDouble / expectedClosed.size
+    assert(recall >= 0.999, s"recall=$recall of ${expectedClosed.size}")
+    // and the stream caught every batch ANOMALY among closed buckets
+    assert(expectedClosed.filter(_._4).subsetOf(inSpan))
+  }
 }
