@@ -92,9 +92,25 @@ object Seasonal {
    * with trend/resid null on the half-window edges.
    */
   def decompose(series: DataFrame, period: Int): DataFrame = {
+    val m2 = 2L * period // trend denominator
+    decomposedParts(series, period)
+      .select(col("key"), col("bucket"), col("y"),
+        expr(s"CAST(tnum AS DOUBLE) / ${m2}e0").as("trend"),
+        expr(s"CAST(cnum AS DOUBLE) / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)")
+          .as("seasonal"),
+        expr(s"""CAST(${m2} * mk * $period * y - mk * $period * tnum - cnum AS DOUBLE)
+                | / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)""".stripMargin.replace("\n", ""))
+          .as("resid"))
+  }
+
+  /** Integer decomposition parts: (key, bucket, y, phase, tnum, mk,
+    * cnum) — tnum null on half-window edges, mk/cnum null for keys
+    * with under one full period of trend rows. Shared by [[decompose]]
+    * and [[anomaliesAdjusted]]. */
+  private def decomposedParts(series: DataFrame, period: Int): DataFrame = {
     require(period > 0 && period % 2 == 0, s"graft: even period required, got $period")
     val h = period / 2
-    val m2 = 2L * period // trend denominator
+    val m2 = 2L * period
     val wk = Window.partitionBy(col("key")).orderBy(col("bucket"))
     val withT = series
       .withColumn("s", sum(col("y")).over(wk.rowsBetween(-h, h)))
@@ -127,13 +143,53 @@ object Seasonal {
     // equi-join, NOT broadcast: seasonal is keys×period rows —
     // unbounded with the key count at 100 TB
     withT.join(seasonal, Seq("key", "phase"), "left_outer")
-      .select(col("key"), col("bucket"), col("y"),
-        expr(s"CAST(tnum AS DOUBLE) / ${m2}e0").as("trend"),
-        expr(s"CAST(cnum AS DOUBLE) / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)")
-          .as("seasonal"),
-        expr(s"""CAST(${m2} * mk * $period * y - mk * $period * tnum - cnum AS DOUBLE)
-                | / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)""".stripMargin.replace("\n", ""))
-          .as("resid"))
+  }
+
+  /**
+   * SEASONALLY-ADJUSTED rolling z-score anomalies: the k-sigma test
+   * of [[anomalies]] applied to the exact RESIDUAL numerators instead
+   * of the raw counts — on a strongly daily-patterned metric the raw
+   * test is blinded by the pattern's own variance (every morning peak
+   * looks like three sigmas); after subtracting trend + seasonal the
+   * residual variance is the noise floor and a genuine spike stands
+   * out (the dbmind metric detector's seasonal mode).
+   *
+   * Exactness discipline: the residual numerator rnum = 2m·mk·m·y −
+   * mk·m·tnum − cnum is an exact LONG over the constant per-key
+   * denominator; the rolling test compares integer squares promoted
+   * to DECIMAL(38,0) (rnum can reach ~5e9 at sf0.1 — its square
+   * overflows LONG, and a silent non-ANSI wrap would corrupt the
+   * flag). Rows need both a trend value and a seasonal estimate, so
+   * flags exist for grid interiors of keys with ≥ 1 full period.
+   *
+   * Output: (key, bucket, y, resid, is_anom) for every interior
+   * bucket with `lookback` fully-adjusted buckets strictly before it.
+   */
+  def anomaliesAdjusted(series: DataFrame, period: Int, lookback: Int,
+      k: Int): DataFrame = {
+    val m2 = 2L * period
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val interior = decomposedParts(series, period)
+      .filter(col("tnum").isNotNull && col("cnum").isNotNull)
+      .withColumn("rnum",
+        expr(s"CAST($m2 * mk * $period * y - mk * $period * tnum - cnum AS BIGINT)"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    val L = lit(lookback.toLong)
+    val tested = interior
+      .withColumn("s", sum(col("rnum")).over(w))
+      .withColumn("q", sum(col("rnum").cast(d38) * col("rnum").cast(d38)).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === lookback)
+    val dev = (L * col("rnum") - col("s")).cast(d38)
+    tested.select(col("key"), col("bucket"), col("y"),
+      expr(s"""CAST(rnum AS DOUBLE)
+              | / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)""".stripMargin
+        .replace("\n", "")).as("resid"),
+      (dev * dev >
+        lit(k.toLong * k).cast(d38) *
+          (L.cast(d38) * col("q") - col("s").cast(d38) * col("s").cast(d38)))
+        .as("is_anom"))
   }
 
   /**

@@ -57,6 +57,15 @@ object SeasonalSuite {
     "ts_anomalies" -> ((s, dir) => {
       val series = Seasonal.hourlyCounts(Tables(s, dir, "events"), "event_type", "ts")
       Seasonal.anomalies(series, 24, 3).transform(Gate.ordered(_, "key", "bucket"))
+    }),
+
+    // ---- seasonally-ADJUSTED anomalies (F13): the same k-sigma test
+    // on the exact residual numerators — immune to the daily pattern's
+    // own variance; integer squares promoted to DECIMAL(38) ----
+    "ts_anomalies_seasonal" -> ((s, dir) => {
+      val series = Seasonal.hourlyCounts(Tables(s, dir, "events"), "event_type", "ts")
+      Seasonal.anomaliesAdjusted(series, 24, 24, 3)
+        .transform(Gate.ordered(_, "key", "bucket"))
     }))
 
   // shared DuckDB CTE prefix: dense hourly count series per event_type
@@ -166,6 +175,26 @@ object SeasonalSuite {
          |    + coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS forecast
          |FROM joined ORDER BY key, bucket""".stripMargin,
 
+
+    "ts_anomalies_seasonal" ->
+      s"""WITH $CountSeries,
+         |$DecomposeCtes,
+         |inter AS (SELECT t.key AS key, t.bucket AS bucket, t.y AS y, sea.mk AS mk,
+         |    CAST(48 * mk * 24 * y - mk * 24 * tnum - cnum AS BIGINT) AS rnum
+         |  FROM t JOIN sea ON t.key = sea.key AND t.phase = sea.phase
+         |  WHERE tnum IS NOT NULL),
+         |w AS (SELECT key, bucket, y, rnum, mk,
+         |    CAST(sum(rnum) OVER tw AS BIGINT) AS s,
+         |    sum(CAST(rnum AS HUGEINT) * CAST(rnum AS HUGEINT)) OVER tw AS q,
+         |    CAST(count(*) OVER tw AS BIGINT) AS cnt
+         |  FROM inter
+         |  WINDOW tw AS (PARTITION BY key ORDER BY bucket
+         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT key, bucket, y,
+         |  CAST(rnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0) AS resid,
+         |  CAST(24 * rnum - s AS HUGEINT) * CAST(24 * rnum - s AS HUGEINT)
+         |    > 9 * (24 * q - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS is_anom
+         |FROM w WHERE cnt = 24 ORDER BY key, bucket""".stripMargin,
 
     "ts_anomalies" ->
       s"""WITH $CountSeries,

@@ -154,4 +154,32 @@ class SeasonalSpec extends SparkSpec {
       Seasonal.fit(s, 48).limit(1))
     intercept[IllegalArgumentException] { Seasonal.predict(m, 3) }
   }
+
+  test("adjusted anomalies: daily pattern masks the raw test, not the residual one") {
+    // strong period-24 pattern (amplitude 200) + one genuine +40 spike
+    // buried mid-range: the raw z-test's window variance IS the
+    // pattern's variance, so the spike hides under 3 sigma; after
+    // seasonal adjustment the residual noise floor is ~zero and the
+    // spike is unmissable.
+    val spikeT = 24 * 4 + 7
+    val rows = (0 until 24 * 8).map { t =>
+      val base = 1000L + (if (t % 24 < 12) 200L else -200L)
+      ("k", t.toLong, if (t == spikeT) base + 40L else base)
+    }
+    val s = series(rows)
+    val raw = Seasonal.anomalies(s, 24, 3)
+      .filter(col("is_anom")).select("bucket").collect()
+      .map(_.getAs[java.sql.Timestamp](0).getTime / 3600000L).toSet
+    val adj = Seasonal.anomaliesAdjusted(s, 24, 24, 3)
+      .filter(col("is_anom")).select("bucket").collect()
+      .map(_.getAs[java.sql.Timestamp](0).getTime / 3600000L).toSet
+    assert(!raw.contains(spikeT.toLong),
+      s"raw test unexpectedly saw the masked spike: $raw")
+    assert(adj.contains(spikeT.toLong), s"adjusted test missed the spike: $adj")
+    // on otherwise-noiseless data the spike contaminates its own phase
+    // mean, so its phase-mates carry the only nonzero residual echoes —
+    // every other flag would be a real defect
+    assert((adj - spikeT.toLong).forall(_ % 24 == spikeT % 24),
+      s"flags off the spike's phase: ${adj.filter(_ % 24 != spikeT % 24)}")
+  }
 }
