@@ -66,11 +66,29 @@ object Seasonal {
       .select(col("key"), col("bucket"), coalesce(col("y_obs"), lit(0L)).as("y"))
   }
 
-  private def grid(observed: DataFrame): DataFrame =
+  /** Dense daily COUNT series per key (weekly seasonality inputs). */
+  def dailyCounts(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val observed = df
+      .select(col(keyCol).as("key"), date_trunc("day", col(tsCol)).as("bucket"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("y_obs"))
+    grid(observed, "INTERVAL 1 day").join(observed, Seq("key", "bucket"), "left_outer")
+      .select(col("key"), col("bucket"), coalesce(col("y_obs"), lit(0L)).as("y"))
+  }
+
+  private def grid(observed: DataFrame,
+      step: String = "INTERVAL 1 hour"): DataFrame =
     observed.groupBy(col("key"))
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(col("key"), explode(
-        sequence(col("lo"), col("hi"), expr("INTERVAL 1 hour"))).as("bucket"))
+        sequence(col("lo"), col("hi"), expr(step))).as("bucket"))
+
+  /** Trend-MA half-width and the exact-integer trend/seasonal
+    * denominator: even m uses the classical 2×m MA (half-weight
+    * endpoints, denominator 2m); odd m the plain centered m-MA
+    * (denominator m). */
+  private def trendParams(period: Int): (Int, Long) =
+    if (period % 2 == 0) (period / 2, 2L * period) else ((period - 1) / 2, period.toLong)
 
   /**
    * Classical additive decomposition with even period m: trend via the
@@ -91,15 +109,16 @@ object Seasonal {
    * hourlyCounts. Output: (key, bucket, y, trend, seasonal, resid)
    * with trend/resid null on the half-window edges.
    */
-  def decompose(series: DataFrame, period: Int): DataFrame = {
-    val m2 = 2L * period // trend denominator
-    decomposedParts(series, period)
+  def decompose(series: DataFrame, period: Int,
+      stepSeconds: Long = 3600L): DataFrame = {
+    val (_, denom) = trendParams(period)
+    decomposedParts(series, period, stepSeconds)
       .select(col("key"), col("bucket"), col("y"),
-        expr(s"CAST(tnum AS DOUBLE) / ${m2}e0").as("trend"),
-        expr(s"CAST(cnum AS DOUBLE) / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)")
+        expr(s"CAST(tnum AS DOUBLE) / ${denom}e0").as("trend"),
+        expr(s"CAST(cnum AS DOUBLE) / (${denom}e0 * CAST(mk AS DOUBLE) * ${period}e0)")
           .as("seasonal"),
-        expr(s"""CAST(${m2} * mk * $period * y - mk * $period * tnum - cnum AS DOUBLE)
-                | / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)""".stripMargin.replace("\n", ""))
+        expr(s"""CAST(${denom} * mk * $period * y - mk * $period * tnum - cnum AS DOUBLE)
+                | / (${denom}e0 * CAST(mk AS DOUBLE) * ${period}e0)""".stripMargin.replace("\n", ""))
           .as("resid"))
   }
 
@@ -107,10 +126,10 @@ object Seasonal {
     * cnum) — tnum null on half-window edges, mk/cnum null for keys
     * with under one full period of trend rows. Shared by [[decompose]]
     * and [[anomaliesAdjusted]]. */
-  private def decomposedParts(series: DataFrame, period: Int): DataFrame = {
-    require(period > 0 && period % 2 == 0, s"graft: even period required, got $period")
-    val h = period / 2
-    val m2 = 2L * period
+  private def decomposedParts(series: DataFrame, period: Int,
+      stepSeconds: Long = 3600L): DataFrame = {
+    require(period >= 2, s"graft: period >= 2 required, got $period")
+    val (h, denom) = trendParams(period)
     val wk = Window.partitionBy(col("key")).orderBy(col("bucket"))
     val withT = series
       .withColumn("s", sum(col("y")).over(wk.rowsBetween(-h, h)))
@@ -118,9 +137,11 @@ object Seasonal {
       .withColumn("ylead", lead(col("y"), h).over(wk))
       .withColumn("tnum",
         when(col("ylag").isNotNull && col("ylead").isNotNull,
-          lit(2L) * col("s") - col("ylag") - col("ylead")))
+          if (period % 2 == 0) lit(2L) * col("s") - col("ylag") - col("ylead")
+          else col("s")))
       .drop("s", "ylag", "ylead")
-      .withColumn("phase", expr(s"pmod(unix_timestamp(bucket) DIV 3600, $period)"))
+      .withColumn("phase",
+        expr(s"pmod(unix_timestamp(bucket) DIV $stepSeconds, $period)"))
 
     // per-key whole-period span of trend-defined rows
     val wt = Window.partitionBy(col("key")).orderBy(col("bucket"))
@@ -129,7 +150,7 @@ object Seasonal {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("key"))))
       .withColumn("mk", expr(s"n DIV $period"))
     val kept = trendRows.filter(col("i") < col("mk") * period)
-      .withColumn("dnum", lit(m2) * col("y") - col("tnum"))
+      .withColumn("dnum", lit(denom) * col("y") - col("tnum"))
 
     // phase sums + per-key total (for centering), both exact LONG
     val phaseSums = kept.groupBy(col("key"), col("phase"))
@@ -166,13 +187,13 @@ object Seasonal {
    * bucket with `lookback` fully-adjusted buckets strictly before it.
    */
   def anomaliesAdjusted(series: DataFrame, period: Int, lookback: Int,
-      k: Int): DataFrame = {
-    val m2 = 2L * period
+      k: Int, stepSeconds: Long = 3600L): DataFrame = {
+    val (_, denom) = trendParams(period)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val interior = decomposedParts(series, period)
+    val interior = decomposedParts(series, period, stepSeconds)
       .filter(col("tnum").isNotNull && col("cnum").isNotNull)
       .withColumn("rnum",
-        expr(s"CAST($m2 * mk * $period * y - mk * $period * tnum - cnum AS BIGINT)"))
+        expr(s"CAST($denom * mk * $period * y - mk * $period * tnum - cnum AS BIGINT)"))
     val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(-lookback, -1)
     val L = lit(lookback.toLong)
@@ -184,7 +205,7 @@ object Seasonal {
     val dev = (L * col("rnum") - col("s")).cast(d38)
     tested.select(col("key"), col("bucket"), col("y"),
       expr(s"""CAST(rnum AS DOUBLE)
-              | / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0)""".stripMargin
+              | / (${denom}e0 * CAST(mk AS DOUBLE) * ${period}e0)""".stripMargin
         .replace("\n", "")).as("resid"),
       (dev * dev >
         lit(k.toLong * k).cast(d38) *
@@ -207,18 +228,18 @@ object Seasonal {
    * seasonal estimate — its seasonal coalesces to 0 and the forecast
    * is the bare trend line.
    */
-  def forecast(series: DataFrame, period: Int, horizon: Int): DataFrame = {
-    val (moments, seasonal, ends) = fitFrames(series, period)
-    forecastFrom(moments, seasonal, ends, period, horizon)
+  def forecast(series: DataFrame, period: Int, horizon: Int,
+      stepSeconds: Long = 3600L): DataFrame = {
+    val (moments, seasonal, ends) = fitFrames(series, period, stepSeconds)
+    forecastFrom(moments, seasonal, ends, period, horizon, stepSeconds)
   }
 
   /** The three internal model relations: per-key OLS moments, per-
     * (key, phase) seasonal numerators, per-key grid ends. */
-  private def fitFrames(series: DataFrame, period: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
-    require(period > 0 && period % 2 == 0, s"graft: even period required, got $period")
-    val h = period / 2
-    val m2 = 2L * period
+  private def fitFrames(series: DataFrame, period: Int,
+      stepSeconds: Long = 3600L): (DataFrame, DataFrame, DataFrame) = {
+    require(period >= 2, s"graft: period >= 2 required, got $period")
+    val (h, denom) = trendParams(period)
     val wk = Window.partitionBy(col("key")).orderBy(col("bucket"))
     val withT = series
       .withColumn("s", sum(col("y")).over(wk.rowsBetween(-h, h)))
@@ -226,8 +247,10 @@ object Seasonal {
       .withColumn("ylead", lead(col("y"), h).over(wk))
       .withColumn("tnum",
         when(col("ylag").isNotNull && col("ylead").isNotNull,
-          lit(2L) * col("s") - col("ylag") - col("ylead")))
-      .withColumn("phase", expr(s"pmod(unix_timestamp(bucket) DIV 3600, $period)"))
+          if (period % 2 == 0) lit(2L) * col("s") - col("ylag") - col("ylead")
+          else col("s")))
+      .withColumn("phase",
+        expr(s"pmod(unix_timestamp(bucket) DIV $stepSeconds, $period)"))
 
     val wt = Window.partitionBy(col("key")).orderBy(col("bucket"))
     val trendRows = withT.filter(col("tnum").isNotNull)
@@ -242,7 +265,7 @@ object Seasonal {
         sum(col("i") * col("tnum")).as("sxy"),
         sum(col("tnum")).as("sy"))
     val kept = trendRows.filter(col("i") < col("mk") * period)
-      .withColumn("dnum", lit(m2) * col("y") - col("tnum"))
+      .withColumn("dnum", lit(denom) * col("y") - col("tnum"))
     val phaseSums = kept.groupBy(col("key"), col("phase"))
       .agg(sum(col("dnum")).as("ssum"), max(col("mk")).as("mk"))
     val keyTotals = phaseSums.groupBy(col("key")).agg(sum(col("ssum")).as("tsum"))
@@ -258,15 +281,16 @@ object Seasonal {
     * just fit or reloaded from parquet, so fit→predict and
     * fit→save→load→predict are bit-identical. */
   private def forecastFrom(moments: DataFrame, seasonal: DataFrame,
-      ends: DataFrame, period: Int, horizon: Int): DataFrame = {
-    val h = period / 2
-    val m2 = 2L * period
+      ends: DataFrame, period: Int, horizon: Int,
+      stepSeconds: Long = 3600L): DataFrame = {
+    val (h, denom) = trendParams(period)
     val future = ends
       .select(col("key"), col("hi"),
         explode(sequence(lit(1L), lit(horizon.toLong))).as("f"))
       .select(col("key"), col("f"),
-        expr("timestampadd(HOUR, f, hi)").as("bucket"))
-      .withColumn("phase", expr(s"pmod(unix_timestamp(bucket) DIV 3600, $period)"))
+        expr(s"timestampadd(SECOND, f * $stepSeconds, hi)").as("bucket"))
+      .withColumn("phase",
+        expr(s"pmod(unix_timestamp(bucket) DIV $stepSeconds, $period)"))
 
     // LEFT joins (and equi, not broadcast — moments/seasonal grow with
     // the key count): a key short on trend history still emits rows
@@ -277,9 +301,9 @@ object Seasonal {
         expr(s"""CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
                 | + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
                 | * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-                | / ${m2}e0 END""".stripMargin.replace("\n", "")).as("trend_part"),
+                | / ${denom}e0 END""".stripMargin.replace("\n", "")).as("trend_part"),
         expr(s"""coalesce(CAST(cnum AS DOUBLE)
-                | / (${m2}e0 * CAST(mk AS DOUBLE) * ${period}e0), 0e0)""".stripMargin
+                | / (${denom}e0 * CAST(mk AS DOUBLE) * ${period}e0), 0e0)""".stripMargin
           .replace("\n", "")).as("seasonal"))
       .withColumn("forecast", col("trend_part") + col("seasonal"))
   }
@@ -294,8 +318,9 @@ object Seasonal {
    * exact: no doubles are stored, so a reloaded model predicts
    * BIT-IDENTICALLY to the in-memory one.
    */
-  def fit(series: DataFrame, period: Int): DataFrame = {
-    val (moments, seasonal, ends) = fitFrames(series, period)
+  def fit(series: DataFrame, period: Int,
+      stepSeconds: Long = 3600L): DataFrame = {
+    val (moments, seasonal, ends) = fitFrames(series, period, stepSeconds)
     // ends LEFT-joins moments: a key with zero trend rows still gets
     // its model row (null moments → null forecast, never dropped)
     val mom = ends.join(moments, Seq("key"), "left_outer")
@@ -303,14 +328,15 @@ object Seasonal {
         lit(null).cast("long").as("phase"),
         col("n"), col("sx"), col("sxx"), col("sxy"), col("sy"),
         lit(null).cast("long").as("mk"), lit(null).cast("long").as("cnum"),
-        col("hi"), lit(period).as("period"))
+        col("hi"), lit(period).as("period"), lit(stepSeconds).as("step"))
     val pha = seasonal
       .select(col("key"), lit("phase").as("kind"), col("phase"),
         lit(null).cast("long").as("n"), lit(null).cast("long").as("sx"),
         lit(null).cast("long").as("sxx"), lit(null).cast("long").as("sxy"),
         lit(null).cast("long").as("sy"),
         col("mk"), col("cnum"),
-        lit(null).cast("timestamp").as("hi"), lit(period).as("period"))
+        lit(null).cast("timestamp").as("hi"), lit(period).as("period"),
+        lit(stepSeconds).as("step"))
     mom.unionByName(pha)
   }
 
@@ -318,17 +344,18 @@ object Seasonal {
     * horizon rows per key, identical output schema and values as
     * [[forecast]] on the original series. */
   def predict(model: DataFrame, horizon: Int): DataFrame = {
-    val periods = model.select(col("period")).distinct().collect()
+    val periods = model.select(col("period"), col("step")).distinct().collect()
     require(periods.length == 1,
-      s"graft: model must carry exactly one period, got ${periods.length}")
+      s"graft: model must carry exactly one (period, step), got ${periods.length}")
     val period = periods(0).getInt(0)
+    val stepSeconds = periods(0).getLong(1)
     val moments = model.filter(col("kind") === "moments")
       .select(col("key"), col("n"), col("sx"), col("sxx"), col("sxy"), col("sy"))
     val seasonal = model.filter(col("kind") === "phase")
       .select(col("key"), col("phase"), col("mk"), col("cnum"))
     val ends = model.filter(col("kind") === "moments")
       .select(col("key"), col("hi"))
-    forecastFrom(moments, seasonal, ends, period, horizon)
+    forecastFrom(moments, seasonal, ends, period, horizon, stepSeconds)
   }
 
   /**

@@ -59,6 +59,15 @@ object SeasonalSuite {
       Seasonal.anomalies(series, 24, 3).transform(Gate.ordered(_, "key", "bucket"))
     }),
 
+    // ---- WEEKLY decomposition over DAILY buckets (F13): odd period
+    // 7 takes the plain centered 7-MA (denominator 7, not 2m); phase
+    // = epoch-day mod 7 ----
+    "seasonal_weekly" -> ((s, dir) => {
+      val series = Seasonal.dailyCounts(Tables(s, dir, "events"), "event_type", "ts")
+      Seasonal.decompose(series, 7, stepSeconds = 86400L)
+        .transform(Gate.ordered(_, "key", "bucket"))
+    }),
+
     // ---- seasonally-ADJUSTED anomalies (F13): the same k-sigma test
     // on the exact residual numerators — immune to the daily pattern's
     // own variance; integer squares promoted to DECIMAL(38) ----
@@ -175,6 +184,43 @@ object SeasonalSuite {
          |    + coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS forecast
          |FROM joined ORDER BY key, bucket""".stripMargin,
 
+
+    // odd period: trend numerator is the plain ±3 window sum over
+    // denominator 7 (no half-weight endpoints)
+    "seasonal_weekly" ->
+      """WITH obs AS (SELECT event_type AS key, date_trunc('day', ts)::TIMESTAMP AS bucket,
+        |    CAST(count(*) AS BIGINT) AS y_obs FROM events GROUP BY 1, 2),
+        |bnd AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY key),
+        |grd AS (SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket FROM bnd),
+        |series AS (SELECT grd.key, grd.bucket, CAST(coalesce(o.y_obs, 0) AS BIGINT) AS y
+        |  FROM grd LEFT JOIN obs o ON o.key = grd.key AND o.bucket = grd.bucket),
+        |wt AS (SELECT key, bucket, y,
+        |    CAST(sum(y) OVER (PARTITION BY key ORDER BY bucket
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s,
+        |    lag(y, 3) OVER (PARTITION BY key ORDER BY bucket) AS ylag,
+        |    lead(y, 3) OVER (PARTITION BY key ORDER BY bucket) AS ylead
+        |  FROM series),
+        |t AS (SELECT key, bucket, y,
+        |    CASE WHEN ylag IS NOT NULL AND ylead IS NOT NULL THEN s END AS tnum,
+        |    (CAST(epoch(bucket) AS BIGINT) // 86400) % 7 AS phase
+        |  FROM wt),
+        |tr AS (SELECT key, bucket, phase, y, tnum,
+        |    row_number() OVER (PARTITION BY key ORDER BY bucket) - 1 AS i,
+        |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n
+        |  FROM t WHERE tnum IS NOT NULL),
+        |tr2 AS (SELECT *, n // 7 AS mk FROM tr),
+        |kept AS (SELECT key, phase, mk, 7 * y - tnum AS dnum FROM tr2 WHERE i < mk * 7),
+        |ps AS (SELECT key, phase, CAST(sum(dnum) AS BIGINT) AS ssum,
+        |    CAST(max(mk) AS BIGINT) AS mk FROM kept GROUP BY 1, 2),
+        |kt AS (SELECT key, CAST(sum(ssum) AS BIGINT) AS tsum FROM ps GROUP BY 1),
+        |sea AS (SELECT ps.key, phase, mk, 7 * ssum - tsum AS cnum
+        |  FROM ps JOIN kt ON ps.key = kt.key)
+        |SELECT t.key AS key, t.bucket AS bucket, t.y AS y,
+        |  CAST(tnum AS DOUBLE) / 7e0 AS trend,
+        |  CAST(cnum AS DOUBLE) / (7e0 * CAST(mk AS DOUBLE) * 7e0) AS seasonal,
+        |  CAST(7 * mk * 7 * y - mk * 7 * tnum - cnum AS DOUBLE) / (7e0 * CAST(mk AS DOUBLE) * 7e0) AS resid
+        |FROM t LEFT JOIN sea ON t.key = sea.key AND t.phase = sea.phase
+        |ORDER BY key, bucket""".stripMargin,
 
     "ts_anomalies_seasonal" ->
       s"""WITH $CountSeries,

@@ -182,4 +182,34 @@ class SeasonalSpec extends SparkSpec {
     assert((adj - spikeT.toLong).forall(_ % 24 == spikeT % 24),
       s"flags off the spike's phase: ${adj.filter(_ % 24 != spikeT % 24)}")
   }
+
+  test("odd period 7 over daily buckets: clean weekly signal recovered exactly") {
+    // zero-sum weekly pattern + exact linear trend; the plain centered
+    // 7-MA recovers the line and the phase means recover the pattern
+    val week = Seq(21L, -7L, -14L, 0L, 7L, -14L, 7L)
+    val day = 86400L
+    val rows = (0 until 7 * 8).map { d =>
+      ("k", d.toLong, 100L + 2L * d + week(d % 7))
+    }
+    val s = rows.toDF("key", "d", "y")
+      .select(col("key"), timestamp_seconds(col("d") * day).as("bucket"), col("y"))
+    val dec = Seasonal.decompose(s, 7, stepSeconds = day)
+      .filter(col("trend").isNotNull).collect()
+    assert(dec.length === 7 * 8 - 6) // ±3 edges
+    dec.foreach { r =>
+      val d = r.getAs[java.sql.Timestamp]("bucket").getTime / (day * 1000L)
+      assert(math.abs(r.getAs[Double]("trend") - (100.0 + 2.0 * d)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("seasonal") - week((d % 7).toInt)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("resid")) < 1e-9)
+    }
+    // and the forecast extrapolates the weekly signal exactly
+    val fc = Seasonal.forecast(s, 7, 7, stepSeconds = day).collect()
+    assert(fc.length === 7)
+    fc.foreach { r =>
+      val d = r.getAs[java.sql.Timestamp]("bucket").getTime / (day * 1000L)
+      val want = 100.0 + 2.0 * d + week((d % 7).toInt)
+      assert(math.abs(r.getAs[Double]("forecast") - want) < 1e-6,
+        s"d=$d got ${r.getAs[Double]("forecast")} want $want")
+    }
+  }
 }
