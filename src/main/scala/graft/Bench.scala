@@ -36,16 +36,16 @@ object Bench {
   // per-query correctness surface is CORRECTNESS_r{N}, not the bench.
   val headline: Seq[String] = Seq(
     // TPC-H / relational core
-    "q1_pricing", "q3_shipping", "q5_volume", "q6_forecast",
+    "q1_pricing", "q3_shipping", "q6_forecast",
     "window_topn", "rollup_agg", "distinct_agg",
     "percentiles", "set_ops",
     "connect_by", "pivot_events", "gap_fill", "scd2_intervals",
-    "merge_upsert", "cdc_apply", "funnel", "profile_stats", "histogram",
+    "merge_upsert", "cdc_apply", "funnel", "profile_stats",
     "json_ops", "skew_join", "bloom_join", "matview_inc", "range_join",
-    "asof_join", "theta_sketch", "window_range_frame",
+    "asof_join", "theta_sketch",
     "hilbert_layout",
     // vector + ANN
-    "vec_l2_topk", "vec_half_agg", "vec_io", "knn_exact", "knn_join",
+    "vec_l2_topk", "vec_half_agg", "knn_exact", "knn_join",
     "lsh_ann", "ivf_search", "pq_search", "ivfpq_search", "hnsw_ann",
     "hnsw_routed", "vec_sparse_topk", "ivf_bit_search", "vec_int8_topk",
     // dedup + text + pipeline
@@ -73,7 +73,8 @@ object Bench {
     "ml_linreg", "ml_kmeans", "ml_logreg", "ml_gbdt", "ml_multiclass",
     "ml_agglom", "ml_explain", "db4ai_snapshot", "index_advisor_stats",
     "index_whatif", "timecapsule_restore", "stat_statements",
-    "seasonal_decompose", "seasonal_forecast", "ts_anomalies")
+    "seasonal_decompose", "seasonal_forecast", "seasonal_weekly",
+    "ts_anomalies", "ts_anomalies_seasonal", "stream_anomalies")
 
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()

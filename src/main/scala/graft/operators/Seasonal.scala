@@ -91,11 +91,12 @@ object Seasonal {
     if (period % 2 == 0) (period / 2, 2L * period) else ((period - 1) / 2, period.toLong)
 
   /**
-   * Classical additive decomposition with even period m: trend via the
-   * centered 2×m moving average (endpoint half-weights — numerator
-   * tnum = 2·Σ±h(y) − y₋ₕ − y₊ₕ over denominator 2m), seasonal via
-   * centered per-phase means of the detrended series, residual as the
-   * exact remainder. Phase = EPOCH-HOUR mod m — globally aligned and
+   * Classical additive decomposition, any period m ≥ 2: trend via the
+   * centered moving average (even m — the 2×m MA with endpoint
+   * half-weights, numerator tnum = 2·Σ±h(y) − y₋ₕ − y₊ₕ over
+   * denominator 2m; odd m — the plain centered m-MA over denominator
+   * m), seasonal via centered per-phase means of the detrended
+   * series, residual as the exact remainder. Phase = EPOCH-HOUR mod m — globally aligned and
    * valid for ANY period (hour-of-day mod m would never reach phases
    * ≥ 24 for m > 24); at m = 24 it equals UTC hour of day.
    *
