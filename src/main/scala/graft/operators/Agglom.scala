@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
  *     map-side combinable, one shuffle of m rows. Identical points
  *     are distance-0 siblings, so cluster-level linkage over the
  *     weighted cells is EXACTLY point-level linkage (no
- *     approximation); continuous features should be quantized first
- *     (the same contract as nbayesND — the reference discretizes
- *     too). m is guarded by `maxReps`: driver state is O(m²),
- *     never O(N).
+ *     approximation): single/complete/average distances between
+ *     cells of co-located points equal their point-level values
+ *     directly, and ward seeds the matrix with the weighted merge
+ *     cost 2·ni·nj/(ni+nj)·‖ci−cj‖² (the closed form of the
+ *     Lance–Williams ward recurrence after the free distance-0
+ *     merges; equals ‖ci−cj‖² for singleton cells). Continuous
+ *     features should be quantized first (the same contract as
+ *     nbayesND — the reference discretizes too). m is guarded by
+ *     `maxReps`: driver state is O(m²), never O(N).
  *
  *  2. MERGE (driver, m ≤ maxReps): classic Lance–Williams
  *     agglomeration over the m cells — single (min), complete (max),
@@ -66,14 +71,20 @@ object Agglom {
     val pts = df.select(idCol.as("id") +:
       features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"f$i") }: _*)
     val cellCols = (0 until p).map(i => col(s"f$i"))
-    val cells = pts.groupBy(cellCols: _*).agg(count(lit(1)).as("w"))
+    val cellsRaw = pts.groupBy(cellCols: _*).agg(count(lit(1)).as("w"))
       .collect()
-    require(cells.length <= maxReps,
-      s"graft: ${cells.length} distinct feature cells exceed maxReps=$maxReps — " +
+    require(cellsRaw.length <= maxReps,
+      s"graft: ${cellsRaw.length} distinct feature cells exceed maxReps=$maxReps — " +
         "quantize continuous features first (driver merge state is O(m^2))")
-    require(cells.length >= k,
-      s"graft: only ${cells.length} distinct cells for k=$k clusters")
+    require(cellsRaw.length >= k,
+      s"graft: only ${cellsRaw.length} distinct cells for k=$k clusters")
 
+    // collect() order follows the shuffle layout (partition count,
+    // core count) — sort cells by coordinate so the merge-loop index
+    // order (and therefore tie resolution) is input-determined only
+    val cells = cellsRaw.sortBy(r =>
+      Array.tabulate(p)(i => r.getDouble(i)).toIndexedSeq)(
+      Ordering.Implicits.seqOrdering[IndexedSeq, Double])
     val m = cells.length
     val coord: Array[Array[Double]] =
       cells.map(r => Array.tabulate(p)(i => r.getDouble(i)))
@@ -93,8 +104,19 @@ object Agglom {
         if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / (na * nb)
     }
 
-    // active-cluster merge with the Lance–Williams recurrence
-    val d = Array.tabulate(m, m)((i, j) => if (i == j) 0.0 else baseDist(coord(i), coord(j)))
+    // active-cluster merge with the Lance–Williams recurrence. Ward's
+    // recurrence assumes the matrix holds merge COSTS, so weighted
+    // cells seed 2·ni·nj/(ni+nj)·d² (= d² when ni = nj = 1) — an
+    // unweighted d² seed would under-price merging two heavy cells
+    // and diverge from point-level ward whenever cell sizes differ.
+    val d = Array.tabulate(m, m)((i, j) =>
+      if (i == j) 0.0
+      else {
+        val base = baseDist(coord(i), coord(j))
+        if (linkage == "ward")
+          base * (2.0 * size(i) * size(j) / (size(i) + size(j)))
+        else base
+      })
     val n = size.clone()
     val active = Array.fill(m)(true)
     val members = Array.tabulate(m)(i => List(i))

@@ -49,6 +49,36 @@ class AgglomSpec extends SparkSpec {
     assert(lbl.values.toSet.size === 2)
   }
 
+  test("ward prices weighted cells at point level, not cell level") {
+    // 0.0 ×1000, 1.0 ×1000, 10.0, 12.0 with k=2. Point-level ward:
+    // merging the two heavy cells costs 2·10⁶/2000·1 = 1000, while
+    // C,D merge at 4 and B absorbs {C,D} at ~399 — so the answer is
+    // {A} | {B,C,D}. An UNWEIGHTED d² seed would see d(A,B) = 1 as
+    // the cheapest merge and wrongly output {A,B} | {C,D}.
+    val rows = (0 until 1000).map(i => (i.toLong, 0.0)) ++
+      (0 until 1000).map(i => (1000L + i, 1.0)) ++
+      Seq((2000L, 10.0), (2001L, 12.0))
+    val df = rows.toDF("id", "x")
+    val lbl = labelsOf(Agglom.cluster(df, Seq(col("x")), col("id"), 2, "ward"))
+    assert(lbl(0L) !== lbl(1000L))        // A alone, B split from A
+    assert(lbl(1000L) === lbl(2000L))     // B with C
+    assert(lbl(2000L) === lbl(2001L))     // and D
+  }
+
+  test("merge ties resolve by coordinate order, not shuffle layout") {
+    // cells {0, 1, 2}, single linkage, k=2: d(0,1) = d(1,2) = 1 is a
+    // tie; cells are sorted by coordinate before the merge loop, so
+    // the smallest-(i,j) rule always picks (0,1) → {0,1} | {2},
+    // regardless of how the groupBy collect order shifts with the
+    // partition layout.
+    for (parts <- Seq(1, 3, 7)) {
+      val df = oneD(Seq(2.0, 0.0, 1.0)).repartition(parts)
+      val lbl = labelsOf(Agglom.cluster(df, Seq(col("x")), col("id"), 2, "single"))
+      assert(lbl(1) === lbl(2), s"parts=$parts")  // x=0 with x=1
+      assert(lbl(0) !== lbl(1), s"parts=$parts")  // x=2 alone
+    }
+  }
+
   test("ward recovers planted 2-d blobs; labels follow lex-min order") {
     val blobs = for {
       (cx, cy, b) <- Seq((0.0, 0.0, 0), (50.0, 0.0, 1), (100.0, 30.0, 2))
