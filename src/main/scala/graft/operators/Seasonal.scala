@@ -43,11 +43,19 @@ object Seasonal {
    * bucket is empty. The grid spans each key's own [min,max] bucket —
    * no global calendar cross join (same contract as
    * TimeSeries.gapFillLocf).
+   *
+   * Buckets are EPOCH-ALIGNED (`unix_timestamp DIV step · step`), not
+   * session-timezone date_trunc: every bucket is exactly `step`
+   * seconds from its neighbors, so the downstream phase arithmetic
+   * (epoch DIV step mod m) and forecast steps (timestampadd SECOND)
+   * stay on the grid in ANY session timezone — date_trunc buckets
+   * drift 23/25-hour at DST transitions and sit at :30 offsets in
+   * half-hour zones. In a UTC session the two are identical.
    */
   def hourlySeries(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val observed = df
-      .select(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("bucket"),
+      .select(col(keyCol).as("key"), epochBucket(col(tsCol), 3600L).as("bucket"),
         expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)").as("cents"))
       .groupBy(col("key"), col("bucket"))
       .agg(sum(col("cents")).as("y_obs"))
@@ -59,7 +67,7 @@ object Seasonal {
     * on volume rather than value). */
   def hourlyCounts(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val observed = df
-      .select(col(keyCol).as("key"), date_trunc("hour", col(tsCol)).as("bucket"))
+      .select(col(keyCol).as("key"), epochBucket(col(tsCol), 3600L).as("bucket"))
       .groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("y_obs"))
     grid(observed).join(observed, Seq("key", "bucket"), "left_outer")
@@ -69,19 +77,27 @@ object Seasonal {
   /** Dense daily COUNT series per key (weekly seasonality inputs). */
   def dailyCounts(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val observed = df
-      .select(col(keyCol).as("key"), date_trunc("day", col(tsCol)).as("bucket"))
+      .select(col(keyCol).as("key"), epochBucket(col(tsCol), 86400L).as("bucket"))
       .groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("y_obs"))
-    grid(observed, "INTERVAL 1 day").join(observed, Seq("key", "bucket"), "left_outer")
+    grid(observed, 86400L).join(observed, Seq("key", "bucket"), "left_outer")
       .select(col("key"), col("bucket"), coalesce(col("y_obs"), lit(0L)).as("y"))
   }
 
-  private def grid(observed: DataFrame,
-      step: String = "INTERVAL 1 hour"): DataFrame =
+  /** Timestamp floored to a fixed `step`-second epoch boundary —
+    * timezone-free, unlike date_trunc (= UTC date_trunc for 3600/86400). */
+  private def epochBucket(ts: Column, step: Long): Column = {
+    val e = unix_timestamp(ts)
+    timestamp_seconds(e - pmod(e, lit(step)))
+  }
+
+  private def grid(observed: DataFrame, stepSeconds: Long = 3600L): DataFrame =
     observed.groupBy(col("key"))
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .select(col("key"), explode(
-        sequence(col("lo"), col("hi"), expr(step))).as("bucket"))
+      .select(col("key"), explode(sequence(
+        unix_timestamp(col("lo")), unix_timestamp(col("hi")),
+        lit(stepSeconds))).as("e"))
+      .select(col("key"), timestamp_seconds(col("e")).as("bucket"))
 
   /** Trend-MA half-width and the exact-integer trend/seasonal
     * denominator: even m uses the classical 2×m MA (half-weight

@@ -34,7 +34,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * the watermark advances (silence IS monitor data — exactly when a
  * count detector should fire low-side), whereas the batch grid stops
  * at the key's last observed bucket. Inside the batch span the two
- * agree row for row.
+ * agree row for row. Mechanically this requires EventTimeTimeout:
+ * with NoTimeout the function only runs for keys present in the
+ * micro-batch, so a silent key would never finalize again — each
+ * invocation re-arms a timer for the close of the key's next grid
+ * bucket, and the timeout invocation folds with empty counts, which
+ * emits exactly the newly watermark-closed zero buckets.
  */
 object StreamAnomaly {
 
@@ -47,18 +52,23 @@ object StreamAnomaly {
   private def emptySt = St(Map.empty, Nil, -1L, started = false)
 
   /** Fold new per-hour counts into the state, finalizing every grid
-    * hour ≤ upTo; returns (emitted flags, next state). */
+    * hour ≤ upTo; returns (emitted flags, next state). `extend` keeps
+    * the grid growing past the key's last observed bucket (the stream
+    * mode, where the watermark alone closes zero buckets); batch mode
+    * stops at the last observation, like the batch operator's grid. */
   private def fold(st: St, newCounts: Map[Long, Long], upTo: Long,
-      lookback: Int, k: Int): (List[Flag], St) = {
+      lookback: Int, k: Int, extend: Boolean): (List[Flag], St) = {
     val pending = newCounts.foldLeft(st.pending) { case (m, (h, c)) =>
       m.updated(h, m.getOrElse(h, 0L) + c)
     }
-    if (pending.isEmpty) return (Nil, st.copy(pending = pending))
-    val maxSeen = pending.keys.max
+    if (!st.started && pending.isEmpty) return (Nil, st)
     val firstHour =
       if (st.started) st.lastFinal + 1
       else pending.keys.min // the grid starts at the key's first bucket
-    val hi = math.min(upTo, maxSeen)
+    val hi =
+      if (extend) upTo
+      else math.min(upTo,
+        if (pending.nonEmpty) pending.keys.max else st.lastFinal)
     if (hi < firstHour) return (Nil, st.copy(pending = pending))
 
     var ring = st.ring
@@ -107,8 +117,8 @@ object StreamAnomaly {
     val flagged: Dataset[Flag] =
       if (!streaming) {
         keyed.flatMapGroups { (key, rows) =>
-          fold(emptySt, countsOf(rows), Long.MaxValue, lookback, k)
-            ._1.map(_.copy(key = key)).iterator
+          fold(emptySt, countsOf(rows), Long.MaxValue, lookback, k,
+            extend = false)._1.map(_.copy(key = key)).iterator
         }
       } else {
         val withWm = events
@@ -118,7 +128,7 @@ object StreamAnomaly {
             expr(s"unix_timestamp($tsCol) DIV 3600").as("h"))
           .groupByKey(_.getString(0))
         withWm.flatMapGroupsWithState(
-            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
           (key: String, rows: Iterator[org.apache.spark.sql.Row],
               state: GroupState[St]) =>
             val counts = rows.foldLeft(Map.empty[Long, Long]) { (m, r) =>
@@ -126,9 +136,22 @@ object StreamAnomaly {
             }
             // bucket h is closed once the watermark passes its end
             val upTo = state.getCurrentWatermarkMs() / 3600000L - 1L
-            val (flags, next) =
-              fold(state.getOption.getOrElse(emptySt), counts, upTo, lookback, k)
+            val (flags, next) = fold(
+              state.getOption.getOrElse(emptySt), counts, upTo, lookback, k,
+              extend = true)
             state.update(next)
+            // re-arm for the close of the key's next grid bucket: the
+            // timeout invocation (empty rows) finalizes zero buckets
+            // for silent keys off the watermark alone. The target is
+            // provably > the current watermark: lastFinal ≥ upTo =
+            // wm/3600000 − 1 once started, and an unstarted key's min
+            // pending bucket has upTo < minPending.
+            val nextHour =
+              if (next.started) next.lastFinal + 1
+              else if (next.pending.nonEmpty) next.pending.keys.min
+              else Long.MinValue
+            if (nextHour != Long.MinValue)
+              state.setTimeoutTimestamp((nextHour + 1) * 3600000L)
             flags.map(_.copy(key = key)).iterator
         }
       }

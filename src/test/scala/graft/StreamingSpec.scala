@@ -363,9 +363,11 @@ class StreamingSpec extends SparkSpec {
       val chunks = data.grouped(math.max(1, data.length / 5)).toSeq
       chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
       // one sentinel event PER KEY so the final watermark (maxTs - 1s,
-      // set by the last real batch) actually APPLIES to every group —
-      // flatMapGroupsWithState only invokes groups present in the
-      // batch. The sentinel lands in the last (never-finalized) bucket,
+      // set by the last real batch) deterministically APPLIES to every
+      // group in a data-bearing invocation — silent keys also advance
+      // via event-time timeouts (pinned by the silent-key test below),
+      // but the sentinel keeps this recall assertion trigger-exact.
+      // The sentinel lands in the last (never-finalized) bucket,
       // so it cannot alter any emitted row.
       val keys = data.map(_._1).distinct
       mem.addData(keys.map(k => (k, new java.sql.Timestamp(maxTs))).toIndexedSeq)
@@ -395,5 +397,49 @@ class StreamingSpec extends SparkSpec {
     assert(recall >= 0.999, s"recall=$recall of ${expectedClosed.size}")
     // and the stream caught every batch ANOMALY among closed buckets
     assert(expectedClosed.filter(_._4).subsetOf(inSpan))
+  }
+
+  test("a silent key keeps finalizing: zero buckets fire low-side off the watermark alone") {
+    import graft.streaming.StreamAnomaly
+    // key a: exactly 10 events/hour for hours 0..30, then SILENT.
+    // key b: 1 event/hour through hour 40 — it alone drives the
+    // watermark. No sentinels for a: its trailing buckets must close
+    // via event-time timeouts, emit y = 0, and flag (the 24-hour
+    // window behind them is constant 10 → zero variance → any dev
+    // fires the k-sigma test). This is the low-side outage case the
+    // NoTimeout formulation could never flag.
+    def ts(hour: Long, sec: Long) = new java.sql.Timestamp(hour * 3600000L + sec * 1000L)
+    val aEv = for (h <- 0L to 30L; i <- 0 until 10) yield ("a", ts(h, i.toLong))
+    val bEv = for (h <- 0L to 40L) yield ("b", ts(h, 0L))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val sdf = mem.toDF().toDF("event_type", "ts")
+    val out = StreamAnomaly.flags(sdf, "event_type", "ts",
+      lookback = 24, k = 3, streaming = true)
+    val q = out.writeStream.format("memory").queryName("anom_silent")
+      .outputMode("append").start()
+    try {
+      val (early, late) = bEv.partition(_._2.getTime <= ts(30, 0).getTime)
+      mem.addData((aEv ++ early).toIndexedSeq); q.processAllAvailable()
+      mem.addData(late.filter(_._2.getTime <= ts(35, 0).getTime).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(late.filter(_._2.getTime > ts(35, 0).getTime).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val aRows = spark.table("anom_silent").filter(col("key") === "a")
+      .collect().map(r => (r.getTimestamp(1).getTime / 3600000L,
+        r.getLong(2), r.getBoolean(4))).toSet
+    // batch-2's applied watermark is hour 30 - 1s → a's observed span
+    // closes; batch-3's (hour 35 - 1s) closes zero buckets 31..33
+    val silent = aRows.filter(_._1 >= 31L)
+    assert(silent.nonEmpty, s"no silent-span rows emitted: $aRows")
+    assert(silent.forall(_._2 == 0L),
+      s"silent buckets must be zero-count: ${silent.take(5)}")
+    // buckets 31..33 flag: their 24-hour windows are still all-or-
+    // nearly-all 10s, so a zero is > 3 sigma out. From 34 on enough
+    // zeros sit in the window that the variance legitimately absorbs
+    // further zeros — the test tracks the math, not "always anom".
+    assert((31L to 33L).forall(h => aRows.contains((h, 0L, true))),
+      s"buckets 31..33 must be flagged zero-count anomalies: $aRows")
   }
 }
