@@ -210,11 +210,15 @@ object Bench {
         else f.length()
       du(new java.io.File(d))
     }
-    val scaleOk = dirBytes(sfDir) > dirBytes(smallDir)
+    // a single-SF run (main dir == small dir, however spelled) is a
+    // supported mode, not an inversion — phase C is just skipped
+    val sameDir = new java.io.File(sfDir).getCanonicalPath ==
+      new java.io.File(smallDir).getCanonicalPath
+    val scaleOk = sameDir || dirBytes(sfDir) > dirBytes(smallDir)
     if (!scaleOk)
       System.err.println(s"[bench] SCALE INVERTED: $sfDir is not larger than " +
         s"$smallDir — phase C skipped; do not commit this artifact as the baseline")
-    if (scaleOk && smallDir != sfDir && new java.io.File(smallDir).isDirectory) {
+    if (scaleOk && !sameDir && new java.io.File(smallDir).isDirectory) {
       names.foreach { n =>
         // a query already degenerate at the main sf (> cap) is skipped
         // here too: its blowup is visible without risking the budget

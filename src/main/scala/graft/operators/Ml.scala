@@ -696,8 +696,9 @@ object Ml {
     * the rows passing `cond`; None when no valid split exists.
     *
     * SCALE BOUND (r12 verdict): the per-value aggregate stays
-    * distributed; only its row COUNT comes to the driver first. V ≤
-    * [[SplitMaxBins]] collects per-value stats exactly as before
+    * distributed and is cached so it computes once; the driver probes
+    * it with a top-(SplitMaxBins+1) collect. V ≤ [[SplitMaxBins]]
+    * means that probe IS the complete sorted value table
     * (bit-identical gates on gridded features). Past that, feature
     * values quantile-bin to ≤ SplitMaxBins buckets (edges via the GK
     * sketch, one extra pass like xgboost's approx split finding), the
@@ -709,28 +710,35 @@ object Ml {
     val cands = (1 to 2).flatMap { f =>
       val filtered = pts.filter(cond)
         .select(col(s"x$f").cast("long").as("v"), q.as("q"))
+      // cache the per-value aggregate so it computes ONCE: the path
+      // probe, and the binned re-aggregate, all read the cached V
+      // rows instead of re-running the groupBy over the base data
       val perValue = filtered
         .groupBy("v").agg(count(lit(1)).as("cnt"), sum("q").as("sq"))
-      val vCount = perValue.count()
+        .cache()
       val stats: Array[(Long, Long, Long)] =
-        if (vCount <= SplitMaxBins) {
-          perValue.orderBy("v").collect()
-            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        } else {
-          binnedSplitRuns += 1
-          val probs = (1 until SplitMaxBins).map(_.toDouble / SplitMaxBins).toArray
-          val edges = filtered.stat
-            .approxQuantile("v", probs, 1.0 / (4.0 * SplitMaxBins))
-            .distinct.sorted
-          val edgeArr = array(edges.map(e => lit(e)): _*)
-          perValue
-            .withColumn("bin", aggregate(edgeArr, lit(0),
-              (acc, e) => acc + when(col("v").cast("double") > e, 1).otherwise(0)))
-            .groupBy("bin")
-            .agg(sum("cnt").as("cnt"), sum("sq").as("sq"), max("v").as("vmax"))
-            .orderBy("bin").collect()
-            .map(r => (r.getLong(3), r.getLong(1), r.getLong(2)))
-        }
+        try {
+          // top-(B+1) probe replaces a separate count(): ≤ B rows back
+          // means the collect IS the complete sorted value table
+          val head = perValue.orderBy("v").limit(SplitMaxBins + 1).collect()
+          if (head.length <= SplitMaxBins) {
+            head.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          } else {
+            binnedSplitRuns += 1
+            val probs = (1 until SplitMaxBins).map(_.toDouble / SplitMaxBins).toArray
+            val edges = filtered.stat
+              .approxQuantile("v", probs, 1.0 / (4.0 * SplitMaxBins))
+              .distinct.sorted
+            val edgeArr = array(edges.map(e => lit(e)): _*)
+            perValue
+              .withColumn("bin", aggregate(edgeArr, lit(0),
+                (acc, e) => acc + when(col("v").cast("double") > e, 1).otherwise(0)))
+              .groupBy("bin")
+              .agg(sum("cnt").as("cnt"), sum("sq").as("sq"), max("v").as("vmax"))
+              .orderBy("bin").collect()
+              .map(r => (r.getLong(3), r.getLong(1), r.getLong(2)))
+          }
+        } finally perValue.unpersist(blocking = false)
       val n = stats.map(_._2).sum
       val stot = stats.map(_._3).sum
       var cl = 0L; var sl = 0L

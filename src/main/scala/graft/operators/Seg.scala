@@ -76,11 +76,17 @@ object Seg {
    */
   def parse(text: Column): Column = {
     val t = regexp_replace(trim(text), "~", "")
-    val range = regexp_extract(t, "^\\s*(-?[0-9.eE+-]+)\\s*\\.\\.\\s*(-?[0-9.eE+-]+)\\s*$", 1)
-    val rangeHi = regexp_extract(t, "^\\s*(-?[0-9.eE+-]+)\\s*\\.\\.\\s*(-?[0-9.eE+-]+)\\s*$", 2)
-    val gt = regexp_extract(t, "^\\s*>\\s*(-?[0-9.eE+-]+)\\s*$", 1)
-    val lt = regexp_extract(t, "^\\s*<\\s*(-?[0-9.eE+-]+)\\s*$", 1)
-    val point = regexp_extract(t, "^\\s*(-?[0-9.eE+-]+)\\s*$", 1)
+    // a STRICT numeric token — a permissive class like [0-9.eE+-]+
+    // would accept "3-4" or "1.2.3", cast them to null, and emit a
+    // non-null struct(null, null) indistinguishable from success;
+    // with this pattern every match casts cleanly, so unparseable
+    // input always lands in the null-struct `otherwise` branch
+    val num = "[+-]?(?:[0-9]+\\.?[0-9]*|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
+    val range = regexp_extract(t, s"^\\s*($num)\\s*\\.\\.\\s*($num)\\s*$$", 1)
+    val rangeHi = regexp_extract(t, s"^\\s*($num)\\s*\\.\\.\\s*($num)\\s*$$", 2)
+    val gt = regexp_extract(t, s"^\\s*>\\s*($num)\\s*$$", 1)
+    val lt = regexp_extract(t, s"^\\s*<\\s*($num)\\s*$$", 1)
+    val point = regexp_extract(t, s"^\\s*($num)\\s*$$", 1)
     when(range =!= "", struct(range.cast("double").as("lo"), rangeHi.cast("double").as("hi")))
       .when(gt =!= "", struct(gt.cast("double").as("lo"), lit(null).cast("double").as("hi")))
       .when(lt =!= "", struct(lit(null).cast("double").as("lo"), lt.cast("double").as("hi")))

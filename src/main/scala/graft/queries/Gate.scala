@@ -29,4 +29,19 @@ object Gate {
   /** Column-expression form (desc orders, computed sort keys). */
   def orderedCols(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Fresh per-process scratch dir under java.io.tmpdir, recursively
+    * wiped of any previous run's contents (deleteOnExit never fires
+    * on a non-empty dir — the r12 /tmp parquet leak). One shared
+    * helper: the wipe semantics must not drift between gates. */
+  def scratchDir(name: String): java.io.File = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), name)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(); ()
+    }
+    if (dir.exists()) wipe(dir)
+    dir
+  }
 }

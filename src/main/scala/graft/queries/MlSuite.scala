@@ -192,13 +192,7 @@ object MlSuite {
     // scratch copy, probe the pruned scans for real, report counts
     // the oracle can recompute in SQL ----
     "index_whatif" -> ((s, dir) => {
-      val scratch = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-whatif-gate")
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(); ()
-      }
-      if (scratch.exists()) wipe(scratch)
+      val scratch = Gate.scratchDir("graft-whatif-gate")
       graft.operators.IndexAdvisor.whatIf(
           Tables(s, dir, "events"), "event_type",
           Seq("click", "error", "nosuch"), scratch.getAbsolutePath)
@@ -210,13 +204,7 @@ object MlSuite {
     // Spark's own planner — the canonical 2-Exchange sort-merge join
     // plans ZERO shuffles against the bucketed layout ----
     "index_whatif_bucket" -> ((s, dir) => {
-      val scratch = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-whatif-bucket-gate")
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(); ()
-      }
-      if (scratch.exists()) wipe(scratch)
+      val scratch = Gate.scratchDir("graft-whatif-bucket-gate")
       graft.operators.IndexAdvisor.whatIfBucketing(
         Tables(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
         Tables(s, dir, "orders").withColumnRenamed("o_custkey", "custkey")
@@ -229,17 +217,7 @@ object MlSuite {
     // revision (1.1.0) — read back through delta reconstruction; the
     // oracle recomputes the same final state in pure SQL ----
     "db4ai_snapshot" -> ((s, dir) => {
-      // one fixed per-process store path, recursively wiped before each
-      // build: deleteOnExit on a non-empty dir never fires, so fresh
-      // createTempDirectory per invocation leaked parquet under /tmp
-      // across repeated bench/verify runs (r12 advice)
-      val basedir = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-snap-gate")
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(); ()
-      }
-      if (basedir.exists()) wipe(basedir)
+      val basedir = Gate.scratchDir("graft-snap-gate")
       val store = new graft.operators.SnapshotStore(s, basedir.getAbsolutePath)
       val srcDf = Tables(s, dir, "events").selectExpr(
         "event_id AS pk", "event_type AS etype", "value AS val")

@@ -122,6 +122,30 @@ object SeasonalSuite {
       |sea AS (SELECT ps.key, phase, mk, 24 * ssum - tsum AS cnum
       |  FROM ps JOIN kt ON ps.key = kt.key)""".stripMargin
 
+  private val ForecastOracle: String =
+    s"""WITH $CentsSeries,
+       |$DecomposeCtes,
+       |mom AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(i) AS BIGINT) AS sx, CAST(sum(i * i) AS BIGINT) AS sxx,
+       |    CAST(sum(i * tnum) AS BIGINT) AS sxy, CAST(sum(tnum) AS BIGINT) AS sy
+       |  FROM tr2 GROUP BY key),
+       |ends AS (SELECT key, max(bucket) AS hi FROM series GROUP BY key),
+       |fut AS (SELECT key, f, hi + f * (INTERVAL 1 HOUR) AS bucket,
+       |    (CAST(epoch(hi + f * (INTERVAL 1 HOUR)) AS BIGINT) // 3600) % 24 AS phase
+       |  FROM (SELECT key, hi, unnest(generate_series(1, 12)) AS f FROM ends)),
+       |joined AS (SELECT fut.key AS key, fut.bucket AS bucket,
+       |    mom.n AS n, mom.sx AS sx, mom.sxx AS sxx, mom.sxy AS sxy, mom.sy AS sy,
+       |    sea.mk AS mk, sea.cnum AS cnum,
+       |    n - 1 + 12 + f AS xf
+       |  FROM fut LEFT JOIN mom ON fut.key = mom.key
+       |    LEFT JOIN sea ON fut.key = sea.key AND fut.phase = sea.phase)
+       |SELECT key, bucket,
+       |  CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 48e0 END AS trend_part,
+       |  coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS seasonal,
+       |  CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 48e0 END
+       |    + coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS forecast
+       |FROM joined ORDER BY key, bucket""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "seasonal_decompose" ->
@@ -134,55 +158,12 @@ object SeasonalSuite {
          |FROM t LEFT JOIN sea ON t.key = sea.key AND t.phase = sea.phase
          |ORDER BY key, bucket""".stripMargin,
 
-    "seasonal_forecast" ->
-      s"""WITH $CentsSeries,
-         |$DecomposeCtes,
-         |mom AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(i) AS BIGINT) AS sx, CAST(sum(i * i) AS BIGINT) AS sxx,
-         |    CAST(sum(i * tnum) AS BIGINT) AS sxy, CAST(sum(tnum) AS BIGINT) AS sy
-         |  FROM tr2 GROUP BY key),
-         |ends AS (SELECT key, max(bucket) AS hi FROM series GROUP BY key),
-         |fut AS (SELECT key, f, hi + f * (INTERVAL 1 HOUR) AS bucket,
-         |    (CAST(epoch(hi + f * (INTERVAL 1 HOUR)) AS BIGINT) // 3600) % 24 AS phase
-         |  FROM (SELECT key, hi, unnest(generate_series(1, 12)) AS f FROM ends)),
-         |joined AS (SELECT fut.key AS key, fut.bucket AS bucket,
-         |    mom.n AS n, mom.sx AS sx, mom.sxx AS sxx, mom.sxy AS sxy, mom.sy AS sy,
-         |    sea.mk AS mk, sea.cnum AS cnum,
-         |    n - 1 + 12 + f AS xf
-         |  FROM fut LEFT JOIN mom ON fut.key = mom.key
-         |    LEFT JOIN sea ON fut.key = sea.key AND fut.phase = sea.phase)
-         |SELECT key, bucket,
-         |  CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 48e0 END AS trend_part,
-         |  coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS seasonal,
-         |  CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 48e0 END
-         |    + coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS forecast
-         |FROM joined ORDER BY key, bucket""".stripMargin,
+    "seasonal_forecast" -> ForecastOracle,
 
     // the model round-trip must reproduce the fused forecast exactly —
-    // same oracle text as seasonal_forecast
-    "seasonal_predict_by" ->
-      s"""WITH $CentsSeries,
-         |$DecomposeCtes,
-         |mom AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(i) AS BIGINT) AS sx, CAST(sum(i * i) AS BIGINT) AS sxx,
-         |    CAST(sum(i * tnum) AS BIGINT) AS sxy, CAST(sum(tnum) AS BIGINT) AS sy
-         |  FROM tr2 GROUP BY key),
-         |ends AS (SELECT key, max(bucket) AS hi FROM series GROUP BY key),
-         |fut AS (SELECT key, f, hi + f * (INTERVAL 1 HOUR) AS bucket,
-         |    (CAST(epoch(hi + f * (INTERVAL 1 HOUR)) AS BIGINT) // 3600) % 24 AS phase
-         |  FROM (SELECT key, hi, unnest(generate_series(1, 12)) AS f FROM ends)),
-         |joined AS (SELECT fut.key AS key, fut.bucket AS bucket,
-         |    mom.n AS n, mom.sx AS sx, mom.sxx AS sxx, mom.sxy AS sxy, mom.sy AS sy,
-         |    sea.mk AS mk, sea.cnum AS cnum,
-         |    n - 1 + 12 + f AS xf
-         |  FROM fut LEFT JOIN mom ON fut.key = mom.key
-         |    LEFT JOIN sea ON fut.key = sea.key AND fut.phase = sea.phase)
-         |SELECT key, bucket,
-         |  CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 48e0 END AS trend_part,
-         |  coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS seasonal,
-         |  CASE WHEN n >= 2 THEN (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * (CAST(xf AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 48e0 END
-         |    + coalesce(CAST(cnum AS DOUBLE) / (48e0 * CAST(mk AS DOUBLE) * 24e0), 0e0) AS forecast
-         |FROM joined ORDER BY key, bucket""".stripMargin,
+    // ONE shared oracle text (a second literal could silently
+    // de-synchronize the same-oracle invariant the gate depends on)
+    "seasonal_predict_by" -> ForecastOracle,
 
 
     // odd period: trend numerator is the plain ±3 window sum over

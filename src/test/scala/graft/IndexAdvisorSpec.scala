@@ -86,10 +86,7 @@ class IndexAdvisorSpec extends SparkSpec {
           .contains("seg"),
         s"no partition filter on seg in plan:\n$planStr")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
-      }
-      rm(scratch)
+      rmTree(scratch)
     }
   }
 
@@ -121,10 +118,7 @@ class IndexAdvisorSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_spec_l")
       spark.sql("DROP TABLE IF EXISTS graft_bucket_spec_r")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
-      }
-      rm(scratch)
+      rmTree(scratch)
     }
   }
 }

@@ -141,10 +141,7 @@ class SeasonalSpec extends SparkSpec {
       assert(twoStep.count(_._1 == "kC") === 6)
       assert(twoStep.filter(_._1 == "kC").forall(_._5 == null))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
-      }
-      rm(dir)
+      rmTree(dir)
     }
   }
 

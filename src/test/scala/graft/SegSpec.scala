@@ -64,4 +64,18 @@ class SegSpec extends SparkSpec {
     assert(open(0) === ">3.0")
     assert(open(1) === "<8.0")
   }
+
+  test("parse rejects malformed numerics with a NULL struct, never struct(null, null)") {
+    // the reject contract is s.isNull — a permissive numeric class
+    // would match "3-4", cast to null, and emit a NON-null
+    // struct(null, null) that sails past callers filtering on
+    // parse(t).isNull
+    val bad = Seq("3-4", "1.2.3", "1e", "--5", "2..3..4", "1 .. x", "")
+    val good = Seq("1e5 .. 2e5", "-3.5", ".5 .. 1.", ">+2e-1")
+    val out = (bad ++ good).toDF("t")
+      .select(col("t"), Seg.parse(col("t")).isNull.as("rejected"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    bad.foreach(t => assert(out(t), s"'$t' must reject to a null struct"))
+    good.foreach(t => assert(!out(t), s"'$t' must parse"))
+  }
 }

@@ -40,4 +40,11 @@ object SparkTestSession {
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestSession.spark
   def sfDir: String = SparkTestSession.sfDir
+
+  /** Recursive scratch-dir delete for finally blocks — one shared
+    * helper so the delete semantics can't drift between specs. */
+  def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
 }
