@@ -795,6 +795,96 @@ object Ml {
   }
 
   /**
+   * Depth-2 boosting chain as ONE SQL text over `pts(x1, x2, y)`,
+   * runnable by Spark SQL and DuckDB — the oracle twin of
+   * [[gbdtDepth2]]: identical residual quantization, split pricing,
+   * argmax tie keys (gain DESC, feat, v), lr-scaled leaf means, and
+   * the degenerate-side collapse (no valid child split → feat 1,
+   * thr = LONG_MIN, both leaves the side mean). Output: one row per
+   * round with the full Tree2 parameter set.
+   *
+   * `materialized` pins every CTE as MATERIALIZED (DuckDB syntax; the
+   * oracle path) — the chain's fan-out (each tree references 3 fused
+   * side CTEs over 6 split tables) explodes multiplicatively when
+   * inlined, to the point of exhausting file handles on the source
+   * parquet. Spark SQL (the parity-spec path) doesn't accept the
+   * keyword and doesn't need it at spec scale.
+   */
+  def gbdtDepth2Sql(rounds: Int, lr: Double,
+      materialized: Boolean = false): String = {
+    val minLong = "CAST(-9223372036854775807 - 1 AS BIGINT)"
+    def fTerm(r: Int): String =
+      s"(CASE WHEN (t$r.feat0 = 1 AND x1 <= t$r.thr0) OR (t$r.feat0 = 2 AND x2 <= t$r.thr0)" +
+        s" THEN (CASE WHEN (t$r.featL = 1 AND x1 <= t$r.thrL) OR (t$r.featL = 2 AND x2 <= t$r.thrL)" +
+        s" THEN t$r.llv ELSE t$r.lrv END)" +
+        s" ELSE (CASE WHEN (t$r.featR = 1 AND x1 <= t$r.thrR) OR (t$r.featR = 2 AND x2 <= t$r.thrR)" +
+        s" THEN t$r.rlv ELSE t$r.rrv END) END)"
+    val gain =
+      "CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(cl AS DOUBLE)" +
+        " + CAST(stot - sl AS DOUBLE) * CAST(stot - sl AS DOUBLE) / CAST(n - cl AS DOUBLE)"
+    val sb = new StringBuilder("WITH f0 AS (SELECT " +
+      "CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT) AS f0 FROM pts),\n")
+    for (t <- 1 to rounds) {
+      val models = (1 until t).map(r => s"t$r").mkString(", ")
+      val from = if (t == 1) "pts, f0" else s"pts, f0, $models"
+      val fExpr = (s"f0.f0" +: (1 until t).map(fTerm)).mkString(" + ")
+      sb.append(s"rs$t AS (SELECT x1, x2, " +
+        s"CAST(floor((CAST(y AS DOUBLE) - ($fExpr)) * 1e3) AS BIGINT) AS q FROM $from),\n")
+      // split-search CTE block over a row source (same shape as the
+      // stump chain's s/c/m trio, prefixed for root/left/right)
+      def search(src: String, pre: String): Unit = {
+        for (f <- 1 to 2) {
+          sb.append(s"${pre}a${t}_$f AS (SELECT x$f AS v, CAST(count(*) AS BIGINT) AS cnt, " +
+            s"CAST(sum(q) AS BIGINT) AS sq FROM $src GROUP BY x$f),\n")
+          sb.append(s"${pre}b${t}_$f AS (SELECT v, " +
+            s"CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cl, " +
+            s"CAST(sum(sq) OVER (ORDER BY v) AS BIGINT) AS sl, " +
+            s"(SELECT CAST(sum(cnt) AS BIGINT) FROM ${pre}a${t}_$f) AS n, " +
+            s"(SELECT CAST(sum(sq) AS BIGINT) FROM ${pre}a${t}_$f) AS stot " +
+            s"FROM ${pre}a${t}_$f),\n")
+        }
+        sb.append(s"${pre}m$t AS (SELECT feat, v AS thr, " +
+          s"${lr}e0 * (CAST(sl AS DOUBLE) / 1e3) / CAST(cl AS DOUBLE) AS lval, " +
+          s"${lr}e0 * (CAST(stot - sl AS DOUBLE) / 1e3) / CAST(n - cl AS DOUBLE) AS rval FROM (" +
+          s"SELECT 1 AS feat, v, cl, sl, n, stot, $gain AS gain FROM ${pre}b${t}_1 WHERE cl < n" +
+          s" UNION ALL SELECT 2 AS feat, v, cl, sl, n, stot, $gain AS gain FROM ${pre}b${t}_2 WHERE cl < n) " +
+          s"ORDER BY gain DESC, feat, v LIMIT 1),\n")
+      }
+      search(s"rs$t", "r") // root
+      sb.append(s"lrow$t AS (SELECT rs.x1, rs.x2, rs.q FROM rs$t rs, rm$t r " +
+        s"WHERE (r.feat = 1 AND rs.x1 <= r.thr) OR (r.feat = 2 AND rs.x2 <= r.thr)),\n")
+      sb.append(s"zrow$t AS (SELECT rs.x1, rs.x2, rs.q FROM rs$t rs, rm$t r " +
+        s"WHERE NOT ((r.feat = 1 AND rs.x1 <= r.thr) OR (r.feat = 2 AND rs.x2 <= r.thr))),\n")
+      search(s"lrow$t", "l") // left child
+      search(s"zrow$t", "z") // right child
+      def sideFuse(pre: String, fc: String, tc: String, lv: String, rv: String): Unit = {
+        val mean = s"CASE WHEN s.cnt = 0 THEN 0e0 ELSE " +
+          s"${lr}e0 * (CAST(s.sq AS DOUBLE) / 1e3) / CAST(s.cnt AS DOUBLE) END"
+        sb.append(s"${pre}s$t AS (SELECT CAST(sum(q) AS BIGINT) AS sq, " +
+          s"CAST(count(*) AS BIGINT) AS cnt FROM ${pre}row$t),\n")
+        sb.append(s"${pre}t$t AS (SELECT coalesce(m.feat, 1) AS $fc, " +
+          s"coalesce(m.thr, $minLong) AS $tc, " +
+          s"coalesce(m.lval, $mean) AS $lv, coalesce(m.rval, $mean) AS $rv " +
+          s"FROM ${pre}s$t s LEFT JOIN ${pre}m$t m ON TRUE),\n")
+      }
+      sideFuse("l", "featL", "thrL", "llv", "lrv")
+      sideFuse("z", "featR", "thrR", "rlv", "rrv")
+      sb.append(s"t$t AS (SELECT r.feat AS feat0, r.thr AS thr0, " +
+        s"l.featL, l.thrL, l.llv, l.lrv, z.featR, z.thrR, z.rlv, z.rrv " +
+        s"FROM rm$t r, lt$t l, zt$t z),\n")
+    }
+    sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
+    sb.append("\n")
+    val out = (1 to rounds).map(t =>
+      s"SELECT $t AS round, feat0, thr0, featL, thrL, llv, lrv, featR, thrR, rlv, rrv FROM t$t")
+    sb.append(out.mkString(" UNION ALL ")).append(" ORDER BY round")
+    // every CTE in this text is spelled "name AS (SELECT ..."; the
+    // scalar subqueries and UNION branches are "(SELECT" without "AS "
+    if (materialized) sb.toString.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+    else sb.toString
+  }
+
+  /**
    * Production boosted-stump trainer mirroring [[gbdtSql]]: per round
    * two V-row aggregates collect to the driver, the argmax and leaf
    * means are driver arithmetic. Returns (f0, rounds of

@@ -77,6 +77,26 @@ object MlSuite {
         .orderBy("round")
     }),
 
+    // ---- depth-2 boosted trees (F8's interaction-capable sibling,
+    // xgboost.cpp family): root split + one split per side per round;
+    // Spark runs the production driver loop, the oracle the full
+    // shared chain (MlSpec pins loop == chain bit-for-bit, incl. the
+    // degenerate-side collapse) ----
+    "ml_gbdt_depth2" -> ((s, dir) => {
+      val pts = Tables(s, dir, "events").selectExpr(
+        "CAST(user_id % 50 AS BIGINT) AS x1",
+        "CAST(event_id % 31 AS BIGINT) AS x2",
+        "CAST(floor(value * 100) AS BIGINT) AS y")
+      val (_, model) = Ml.gbdtDepth2(pts, 2, 0.5)
+      import s.implicits._
+      model.zipWithIndex
+        .map { case (t, i) => (i + 1, t.feat0, t.thr0, t.featL, t.thrL,
+          t.llv, t.lrv, t.featR, t.thrR, t.rlv, t.rrv) }
+        .toDF("round", "feat0", "thr0", "featL", "thrL", "llv", "lrv",
+          "featR", "thrR", "rlv", "rrv")
+        .orderBy("round")
+    }),
+
     // ---- agglomerative clustering (F14, madlib_modules/
     // agglomerative_clustering): ward linkage over exact weighted
     // micro-cells; three planted bands 1000 apart recovered, labels
@@ -312,6 +332,10 @@ object MlSuite {
 
     "ml_gbdt" ->
       (s"WITH pts AS ($GbdtPts), " + Ml.gbdtSql(3, 0.5).stripPrefix("WITH ")),
+
+    "ml_gbdt_depth2" ->
+      (s"WITH pts AS MATERIALIZED ($GbdtPts), " +
+        Ml.gbdtDepth2Sql(2, 0.5, materialized = true).stripPrefix("WITH ")),
 
     "ml_multiclass" ->
       (s"WITH pts AS ($MulticlassPts), " + Ml.multiclassSql(3, 2, 0.5).stripPrefix("WITH ")),

@@ -203,6 +203,43 @@ class MlSpec extends SparkSpec with Matchers {
     assert(m2 < ms / 2, s"depth-2 mse $m2 not well below stump mse $ms")
   }
 
+  test("gbdtDepth2: production loop == shared SQL chain, bit-for-bit") {
+    val df = (0 until 1200).map { i =>
+      val x1 = (i % 50).toLong; val x2 = (i * 7 % 31).toLong
+      val xor = (x1 <= 20) != (x2 <= 15)
+      (x1, x2, if (xor) 500L else 100L)
+    }.toDF("x1", "x2", "y")
+    df.createOrReplaceTempView("pts")
+    val (f0, model) = Ml.gbdtDepth2(df, 2, 0.5)
+    val sqlM = spark.sql(Ml.gbdtDepth2Sql(2, 0.5)).collect().map(r =>
+      Ml.Tree2(r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getInt(7), r.getLong(8),
+        r.getDouble(9), r.getDouble(10)))
+    assert(sqlM.toSeq === model)
+    assert(f0 === 1200.0 * 0 + df.agg(avg("y")).collect()(0).getDouble(0))
+  }
+
+  test("gbdtDepth2 SQL chain reproduces the degenerate-side collapse") {
+    // x2 == x1 and only two cells: after the root split each side has
+    // ONE distinct value on both features → no valid child split →
+    // the driver collapses to (feat 1, LONG_MIN, side-mean leaves);
+    // the SQL chain must land on exactly the same Tree2 row
+    val df = (0 until 10).map { i =>
+      val v = (i % 2).toLong
+      (v, v, if (v == 0) 0L else 1000L)
+    }.toDF("x1", "x2", "y")
+    df.createOrReplaceTempView("pts")
+    val (_, model) = Ml.gbdtDepth2(df, 1, 0.5)
+    assert(model.head.thrL === Long.MinValue)
+    assert(model.head.thrR === Long.MinValue)
+    assert(model.head.llv === model.head.lrv)
+    val sqlM = spark.sql(Ml.gbdtDepth2Sql(1, 0.5)).collect().map(r =>
+      Ml.Tree2(r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getInt(7), r.getLong(8),
+        r.getDouble(9), r.getDouble(10)))
+    assert(sqlM.toSeq === model)
+  }
+
   test("pca: leading component follows a planted correlation") {
     val df = (0 until 500).map { i =>
       val t = (i % 100).toLong
