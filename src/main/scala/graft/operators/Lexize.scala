@@ -74,6 +74,21 @@ object Lexize {
   def canonTokens(toks: Column, dict: Map[String, String]): Column =
     transform(toks, t => canonToken(t, dict))
 
+  /**
+   * dict_int integer-token normalization (ref: contrib/dict_int/
+   * dict_int.cpp:60-83 dintdict_lexize, defaults :38-39): a token
+   * longer than `maxlen` CHARACTERS (the C code measures the raw
+   * byte length, so a sign counts) is dropped when `rejectlong`,
+   * else truncated to its first `maxlen` characters. Returns null
+   * for a rejected token (PG returns the empty lexeme array).
+   * Pure codegen'd string arithmetic — no UDF, no join.
+   */
+  def dictInt(tok: Column, maxlen: Int = 6,
+              rejectlong: Boolean = false): Column =
+    if (rejectlong) when(length(tok) <= maxlen, tok)
+    else when(length(tok) <= maxlen, tok)
+      .otherwise(substring(tok, 1, maxlen))
+
   /** to_tsvector('english', text): array<struct<lex,pos>>. */
   def lexemes(text: Column): Column =
     Bridge.column(StemLexemes(Bridge.expression(text)))

@@ -678,6 +678,25 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // dict_int integer-token dictionary: tokens come from long
+    // serial-number-style names (all > maxlen → truncate path) and
+    // short JSON payload values (pass-through path); the strict
+    // column counts survivors of a maxlen=4 REJECTLONG config (long
+    // tokens dropped, not trimmed). All three lexize branches fire.
+    "fts_dict_int" -> ((s, dir) => {
+      val LX = graft.operators.Lexize
+      val raw = Tables(s, dir, "customer").select(col("c_name").as("raw"))
+        .unionAll(Tables(s, dir, "events").select(col("props").as("raw")))
+      raw.select(explode(
+            expr("regexp_extract_all(raw, '-?[0-9]+', 0)")).as("tok"))
+        .select(LX.dictInt(col("tok")).as("lex"),
+          LX.dictInt(col("tok"), maxlen = 4, rejectlong = true).as("strict"))
+        .groupBy("lex")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("strict").isNotNull, 1L).otherwise(0L)).as("n_strict"))
+        .transform(Gate.ordered(_, "lex"))
+    }),
+
     // ColBERT-style late-interaction MaxSim retrieval (D40): per-token
     // embeddings from a vocab-table equi-join, literal query vectors,
     // per-doc max/sum aggregate. Integer dots → hash-exact.
@@ -1616,6 +1635,20 @@ object TextSuite {
          |    AS m_rapid_large,
          |  len(list_filter(canon, x -> x = 'speed'))::INTEGER AS tf_speed
          |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "fts_dict_int" -> {
+      s"""WITH raw AS (
+         |  SELECT c_name AS raw FROM customer
+         |  UNION ALL SELECT props FROM events),
+         |tok AS (SELECT unnest(regexp_extract_all(raw, '-?[0-9]+')) AS tok
+         |  FROM raw)
+         |SELECT CASE WHEN length(tok) <= 6 THEN tok
+         |            ELSE substr(tok, 1, 6) END AS lex,
+         |  count(*)::BIGINT AS n_tok,
+         |  sum(CASE WHEN length(tok) <= 4 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_strict
+         |FROM tok GROUP BY 1 ORDER BY lex""".stripMargin
     },
 
     "maxsim_retrieve" -> {

@@ -197,4 +197,22 @@ class StemSpec extends SparkSpec {
     val first = words.map(Porter.stem)
     (1 to 3).foreach { _ => assert(words.map(Porter.stem) == first) }
   }
+
+  test("dict_int lexize: pass / trim / reject per dintdict_lexize") {
+    // dict_int.cpp measures the RAW length (sign included) and trims
+    // to the first maxlen characters — "-123456" at maxlen=6 keeps
+    // the sign and only 5 digits.
+    val toks = Seq("69", "123456", "1234567", "-123456", "000012345")
+      .toDF("tok")
+    val out = toks.select(
+        Lexize.dictInt(col("tok")).as("lex"),
+        Lexize.dictInt(col("tok"), maxlen = 4, rejectlong = true)
+          .as("strict"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(out(0) == ("69", Some("69")))            // short: unchanged
+    assert(out(1) == ("123456", None))              // == maxlen passes; >4 rejected
+    assert(out(2) == ("123456", None))              // trimmed, not rounded
+    assert(out(3) == ("-12345", None))              // sign counts toward maxlen
+    assert(out(4) == ("000012", None))              // leading zeros kept
+  }
 }
