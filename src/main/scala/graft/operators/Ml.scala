@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -705,7 +705,8 @@ object Ml {
     * per-bin re-aggregate runs on the ALREADY-AGGREGATED V-row table,
     * and each bin's threshold is its exact max value — driver state
     * is O(bins) regardless of cardinality. */
-  private def bestSplit(pts: DataFrame, q: Column, cond: Column)
+  private def bestSplit(pts: DataFrame, q: Column, cond: Column,
+      lambda: Double = 0.0)
       : Option[(Double, Int, Long, Long, Long, Long, Long)] = {
     val cands = (1 to 2).flatMap { f =>
       val filtered = pts.filter(cond)
@@ -744,8 +745,12 @@ object Ml {
       var cl = 0L; var sl = 0L
       stats.dropRight(1).map { case (v, cnt, sq) =>
         cl += cnt; sl += sq
-        val gain = sl.toDouble * sl.toDouble / cl.toDouble +
-          (stot - sl).toDouble * (stot - sl).toDouble / (n - cl).toDouble
+        // λ-damped two-side score (xgboost's GL²/(HL+λ) with h = 1
+        // per point); λ = 0 is bit-identical to the unregularized
+        // variance gain (x + 0.0 == x for the positive counts here)
+        val gain = sl.toDouble * sl.toDouble / (cl.toDouble + lambda) +
+          (stot - sl).toDouble * (stot - sl).toDouble /
+            ((n - cl).toDouble + lambda)
         (gain, f, v, cl, sl, n, stot)
       }
     }
@@ -890,15 +895,21 @@ object Ml {
    * means are driver arithmetic. Returns (f0, rounds of
    * (feat, thr, lval, rval)).
    */
+  /** F(x) of a stump model as a literal Column chain; feat = 0 rows
+    * (single-leaf trees from the γ-pruned path) always add rval. */
+  private def stumpF(f0: Double,
+      model: Seq[(Int, Long, Double, Double)]): Column =
+    model.foldLeft(lit(f0)) { case (acc, (ft, thr, lv, rv)) =>
+      if (ft == 0) acc + lit(rv)
+      else acc + when(col(s"x$ft") <= lit(thr), lit(lv)).otherwise(lit(rv))
+    }
+
   def gbdt(pts: DataFrame, rounds: Int, lr: Double): (Double, Seq[(Int, Long, Double, Double)]) = {
     val base = pts.agg(sum("y").cast("long"), count(lit(1))).collect()(0)
     val f0 = base.getLong(0).toDouble / base.getLong(1).toDouble
     var model = Vector.empty[(Int, Long, Double, Double)]
-    def fCol: Column = model.foldLeft(lit(f0)) { case (acc, (ft, thr, lv, rv)) =>
-      acc + when(col(s"x$ft") <= lit(thr), lit(lv)).otherwise(lit(rv))
-    }
     for (_ <- 1 to rounds) {
-      val q = floor((col("y").cast("double") - fCol) * lit(1e3)).cast("long")
+      val q = floor((col("y").cast("double") - stumpF(f0, model)) * lit(1e3)).cast("long")
       // argmax, ties → (feat, v) — shared with the depth-2 trainer
       val (_, f, v, cl, sl, n, stot) = bestSplit(pts, q, lit(true))
         .getOrElse(throw new IllegalStateException(
@@ -908,6 +919,226 @@ object Ml {
         lr * ((stot - sl).toDouble / 1e3) / (n - cl).toDouble))
     }
     (f0, model)
+  }
+
+  // ---------------------------------------------------------------
+  // xgboost-style regularized boosting + hyperparameter grid search
+  // (ref: deepsql/madlib_modules/xgboost_gs/xgboost_sklearn.py_in —
+  // the module's whole surface is "train xgboost over a parameter
+  // GRID, evaluate each cell on a held-out split, emit a ranked
+  // results table"; the boosting math below is the XGBoost paper's
+  // squared-loss objective — leaf w* = Σr/(n+λ), split kept only
+  // when ½[GL²/(HL+λ)+GR²/(HR+λ)−G²/(H+λ)] > γ — over the same
+  // exact quantized-residual machinery as the stump chain).
+  // ---------------------------------------------------------------
+
+  /** One grid cell: (boosting rounds, learning rate η, L2 leaf
+    * penalty λ, min split gain γ). */
+  case class XgbParams(rounds: Int, lr: Double, lambda: Double,
+      gamma: Double)
+
+  /** A double as a cross-engine DOUBLE literal. The `"$d" + "e0"`
+    * idiom breaks once Scala prints scientific notation ("1.0E8" +
+    * "e0" is a parse error) — rewrite the exponent marker instead.
+    * toString round-trips, so the SQL engines parse the exact same
+    * IEEE value the driver computes with. */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E")) s.replace("E", "e") else s + "e0"
+  }
+
+  /**
+   * Regularized boosted stumps (squared loss, h = 1 per point): per
+   * round the λ-damped split search prices every candidate in one
+   * distributed pass; the best split survives only when the xgboost
+   * gain ½·(score − parent)/1e6 exceeds γ (q-units are 1e3-quantized
+   * residuals, so scores sit at 1e6× the natural scale), else the
+   * round emits a single-leaf tree (feat = 0 — predict always takes
+   * rval) of weight lr·R/(n+λ). λ = γ = 0 with a splittable feature
+   * reduces bit-for-bit to [[gbdt]].
+   */
+  def xgbTrain(pts: DataFrame, rounds: Int, lr: Double, lambda: Double,
+      gamma: Double): (Double, Seq[(Int, Long, Double, Double)]) = {
+    val base = pts.agg(sum("y").cast("long"), count(lit(1))).collect()(0)
+    val f0 = base.getLong(0).toDouble / base.getLong(1).toDouble
+    var model = Vector.empty[(Int, Long, Double, Double)]
+    for (_ <- 1 to rounds) {
+      val q = floor((col("y").cast("double") - stumpF(f0, model)) * lit(1e3))
+        .cast("long")
+      val row = bestSplit(pts, q, lit(true), lambda) match {
+        case Some((g, f, v, cl, sl, n, stot))
+            if g - stot.toDouble * stot.toDouble / (n.toDouble + lambda) >
+              2e6 * gamma =>
+          (f, v, lr * (sl.toDouble / 1e3) / (cl.toDouble + lambda),
+            lr * ((stot - sl).toDouble / 1e3) /
+              ((n - cl).toDouble + lambda))
+        case other =>
+          // γ-pruned (or unsplittable): single-leaf tree
+          val (n, stot) = other match {
+            case Some((_, _, _, _, _, n0, s0)) => (n0, s0)
+            case None =>
+              val r = pts.select(q.as("qq"))
+                .agg(count(lit(1)), sum("qq").cast("long")).collect()(0)
+              (r.getLong(0), r.getLong(1))
+          }
+          val w = lr * (stot.toDouble / 1e3) / (n.toDouble + lambda)
+          (0, 0L, w, w)
+      }
+      model = model :+ row
+    }
+    (f0, model)
+  }
+
+  /** The regularized chain's CTE list (no WITH, no trailing comma)
+    * over `src(x1, x2, y)`, every CTE name prefixed so several
+    * chains — the grid — compose in ONE statement. Final model rows
+    * live in `${prefix}m1..m$rounds`; `${prefix}f0` holds the base
+    * score. */
+  private def xgbChain(rounds: Int, lr: Double, lambda: Double,
+      gamma: Double, src: String, p: String): String = {
+    val lam = dlit(lambda)
+    def fExpr(upto: Int): String = {
+      val terms = (1 to upto).map { r =>
+        s"(CASE WHEN (${p}m$r.feat = 1 AND x1 <= ${p}m$r.thr) OR (${p}m$r.feat = 2 AND x2 <= ${p}m$r.thr)" +
+          s" THEN ${p}m$r.lval ELSE ${p}m$r.rval END)"
+      }
+      (s"${p}f0.f0" +: terms).mkString(" + ")
+    }
+    val gainCols =
+      s"CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / (CAST(cl AS DOUBLE) + $lam)" +
+        s" + CAST(stot - sl AS DOUBLE) * CAST(stot - sl AS DOUBLE) / (CAST(n - cl AS DOUBLE) + $lam)"
+    val sb = new StringBuilder(s"${p}f0 AS (SELECT " +
+      s"CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT) AS f0 FROM $src),\n")
+    for (t <- 1 to rounds) {
+      val models = (1 until t).map(r => s"${p}m$r").mkString(", ")
+      val from = if (t == 1) s"$src, ${p}f0" else s"$src, ${p}f0, $models"
+      sb.append(s"${p}rs$t AS (SELECT x1, x2, " +
+        s"CAST(floor((CAST(y AS DOUBLE) - (${fExpr(t - 1)})) * 1e3) AS BIGINT) AS q FROM $from),\n")
+      for (f <- 1 to 2) {
+        sb.append(s"${p}s${t}_$f AS (SELECT x$f AS v, CAST(count(*) AS BIGINT) AS cnt, " +
+          s"CAST(sum(q) AS BIGINT) AS sq FROM ${p}rs$t GROUP BY x$f),\n")
+        sb.append(s"${p}c${t}_$f AS (SELECT v, " +
+          s"CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cl, " +
+          s"CAST(sum(sq) OVER (ORDER BY v) AS BIGINT) AS sl, " +
+          s"(SELECT CAST(sum(cnt) AS BIGINT) FROM ${p}s${t}_$f) AS n, " +
+          s"(SELECT CAST(sum(sq) AS BIGINT) FROM ${p}s${t}_$f) AS stot " +
+          s"FROM ${p}s${t}_$f),\n")
+      }
+      // single fused CTE per round, gbdtSql's exact nesting depth:
+      // ANY extra derived-table level around the candidate union
+      // trips Spark's analyzer at round depth 3 (internal
+      // canonicalization error on the unresolved CTE refs), so the
+      // γ gate is inlined into each output CASE instead of being a
+      // named `ok` column one level up
+      val okExpr = s"gain - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)" +
+        s" / (CAST(n AS DOUBLE) + $lam) > ${dlit(2e6 * gamma)}"
+      val leafW =
+        s"${dlit(lr)} * (CAST(stot AS DOUBLE) / 1e3) / (CAST(n AS DOUBLE) + $lam)"
+      sb.append(s"${p}m$t AS (SELECT " +
+        s"CASE WHEN $okExpr THEN feat ELSE 0 END AS feat, " +
+        s"CASE WHEN $okExpr THEN v ELSE CAST(0 AS BIGINT) END AS thr, " +
+        s"CASE WHEN $okExpr THEN ${dlit(lr)} * (CAST(sl AS DOUBLE) / 1e3) / (CAST(cl AS DOUBLE) + $lam) ELSE $leafW END AS lval, " +
+        s"CASE WHEN $okExpr THEN ${dlit(lr)} * (CAST(stot - sl AS DOUBLE) / 1e3) / (CAST(n - cl AS DOUBLE) + $lam) ELSE $leafW END AS rval " +
+        s"FROM (" +
+        s"SELECT 1 AS feat, v, cl, sl, n, stot, $gainCols AS gain FROM ${p}c${t}_1 WHERE cl < n" +
+        s" UNION ALL SELECT 2 AS feat, v, cl, sl, n, stot, $gainCols AS gain FROM ${p}c${t}_2 WHERE cl < n) " +
+        s"ORDER BY gain DESC, feat, v LIMIT 1),\n")
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb.toString
+  }
+
+  /**
+   * Regularized chain as ONE SQL text over `pts(x1, x2, y)` — the
+   * oracle twin of [[xgbTrain]]: identical quantization, λ-damped
+   * pricing, the γ gate on shared double text (strict >), and the
+   * single-leaf fallback row (0, 0, w, w). Output: one row per round
+   * (round, feat, thr, lval, rval).
+   */
+  def xgbSql(rounds: Int, lr: Double, lambda: Double, gamma: Double,
+      materialized: Boolean = false): String = {
+    val out = (1 to rounds).map(t =>
+      s"SELECT $t AS round, feat, thr, lval, rval FROM m$t")
+    val sql = "WITH " + xgbChain(rounds, lr, lambda, gamma, "pts", "") +
+      "\n" + out.mkString(" UNION ALL ") + " ORDER BY round"
+    if (materialized) sql.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+    else sql
+  }
+
+  /**
+   * xgboost_gs's grid search over [[xgbTrain]]: deterministic 80/20
+   * split on `id` (id % 5 = 4 → held out), one trainer run per cell
+   * on the train rows, exact test SSE (per-row squared error
+   * floor-quantized to 1e6 micros → an order-free LONG sum), results
+   * ranked by (sse, cell order). Distributed work = the per-cell
+   * training aggregates + one cached test scan per cell; driver
+   * state is the k-cell result table. Output: (rnk, rounds, eta,
+   * lam, gam, sse_micro).
+   */
+  def xgbGridSearch(spark: SparkSession, pts: DataFrame,
+      grid: Seq[XgbParams]): DataFrame = {
+    require(grid.nonEmpty, "graft: empty parameter grid")
+    val train = pts.filter(col("id") % 5 < 4).select("x1", "x2", "y")
+    val test = pts.filter(col("id") % 5 === 4).select("x1", "x2", "y")
+      .cache()
+    val cells = try {
+      grid.map { g =>
+        val (f0, model) = xgbTrain(train, g.rounds, g.lr, g.lambda, g.gamma)
+        val err = col("y").cast("double") - stumpF(f0, model)
+        val sse = test
+          .select(floor(err * err * lit(1e6)).cast("long").as("se"))
+          .agg(sum("se").cast("long")).collect()(0).getLong(0)
+        (g.rounds, g.lr, g.lambda, g.gamma, sse)
+      }
+    } finally test.unpersist(blocking = false)
+    val ranked = cells.zipWithIndex
+      .sortBy { case ((_, _, _, _, sse), i) => (sse, i) }
+      .zipWithIndex.map { case (((r, e, l, g, sse), _), rk) =>
+        (rk + 1, r, e, l, g, sse)
+      }
+    import spark.implicits._
+    ranked.toDF("rnk", "rounds", "eta", "lam", "gam", "sse_micro")
+      .orderBy("rnk")
+  }
+
+  /**
+   * Grid-search oracle as one SQL text over `pts(id, x1, x2, y)`:
+   * the same split, one prefixed [[xgbChain]] per cell, per-cell SSE
+   * from the shared error text, ranked by (sse, cell order).
+   */
+  def xgbGridSql(grid: Seq[XgbParams],
+      materialized: Boolean = false): String = {
+    val sb = new StringBuilder(
+      "WITH tr AS (SELECT x1, x2, y FROM pts WHERE id % 5 < 4),\n" +
+        "te AS (SELECT x1, x2, y FROM pts WHERE id % 5 = 4),\n")
+    grid.zipWithIndex.foreach { case (g, i) =>
+      val p = s"g${i}_"
+      sb.append(xgbChain(g.rounds, g.lr, g.lambda, g.gamma, "tr", p))
+        .append(",\n")
+      def fExpr: String = {
+        val terms = (1 to g.rounds).map { r =>
+          s"(CASE WHEN (${p}m$r.feat = 1 AND x1 <= ${p}m$r.thr) OR (${p}m$r.feat = 2 AND x2 <= ${p}m$r.thr)" +
+            s" THEN ${p}m$r.lval ELSE ${p}m$r.rval END)"
+        }
+        (s"${p}f0.f0" +: terms).mkString(" + ")
+      }
+      val models = (1 to g.rounds).map(r => s"${p}m$r").mkString(", ")
+      sb.append(s"${p}ev AS (SELECT CAST(sum(CAST(floor(" +
+        s"((CAST(y AS DOUBLE) - ($fExpr)) * (CAST(y AS DOUBLE) - ($fExpr))) * 1e6" +
+        s") AS BIGINT)) AS BIGINT) AS sse FROM te, ${p}f0, $models),\n")
+    }
+    sb.setLength(sb.length - 2)
+    sb.append("\n")
+    val cells = grid.zipWithIndex.map { case (g, i) =>
+      s"SELECT ${i + 1} AS ord, ${g.rounds} AS rounds, ${dlit(g.lr)} AS eta, " +
+        s"${dlit(g.lambda)} AS lam, ${dlit(g.gamma)} AS gam, " +
+        s"(SELECT sse FROM g${i}_ev) AS sse_micro"
+    }
+    sb.append("SELECT CAST(row_number() OVER (ORDER BY sse_micro, ord) AS INT) AS rnk, " +
+      "rounds, eta, lam, gam, sse_micro FROM (\n" +
+      cells.mkString(" UNION ALL\n") + ") cells ORDER BY rnk")
+    if (materialized) sb.toString.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+    else sb.toString
   }
 
   /**

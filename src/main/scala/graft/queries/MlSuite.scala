@@ -40,6 +40,20 @@ object MlSuite {
     "SELECT CAST(user_id % 50 AS BIGINT) AS x1, CAST(event_id % 31 AS BIGINT) AS x2, " +
       "CAST(floor(value * 100) AS BIGINT) AS y FROM events"
 
+  private val XgbGridPts =
+    "SELECT CAST(event_id AS BIGINT) AS id, " +
+      "CAST(user_id % 50 AS BIGINT) AS x1, CAST(event_id % 31 AS BIGINT) AS x2, " +
+      "CAST(floor(value * 100) AS BIGINT) AS y FROM events"
+
+  /** The grid-search cells (shared verbatim with the oracle text):
+    * unregularized vs λ-damped at two learning rates, plus one
+    * heavily-pruned cell (big γ forces single-leaf rounds). */
+  private val XgbGrid = Seq(
+    Ml.XgbParams(2, 0.5, 0.0, 0.0),
+    Ml.XgbParams(2, 0.5, 10.0, 0.0),
+    Ml.XgbParams(2, 1.0, 0.0, 0.0),
+    Ml.XgbParams(2, 1.0, 200.0, 50.0))
+
   private val MulticlassPts =
     "SELECT CAST(user_id % 50 AS DOUBLE) / 50e0 AS x1, " +
       "CAST(event_id % 31 AS DOUBLE) / 31e0 AS x2, " +
@@ -75,6 +89,35 @@ object MlSuite {
         .map { case ((f, t, lv, rv), i) => (i + 1, f, t, lv, rv) }
         .toDF("round", "feat", "thr", "lval", "rval")
         .orderBy("round")
+    }),
+
+    // ---- xgboost-regularized stumps (F16, xgboost_gs family): λ=10
+    // damps every leaf and split score, γ=2 prunes low-gain rounds to
+    // single-leaf trees; driver loop on the Spark side (CTE-inlining
+    // discipline), full shared chain in the oracle ----
+    "ml_xgboost" -> ((s, dir) => {
+      val pts = Tables(s, dir, "events").selectExpr(
+        "CAST(user_id % 50 AS BIGINT) AS x1",
+        "CAST(event_id % 31 AS BIGINT) AS x2",
+        "CAST(floor(value * 100) AS BIGINT) AS y")
+      val (_, model) = Ml.xgbTrain(pts, 3, 0.5, 10.0, 2.0)
+      import s.implicits._
+      model.zipWithIndex
+        .map { case ((f, t, lv, rv), i) => (i + 1, f, t, lv, rv) }
+        .toDF("round", "feat", "thr", "lval", "rval")
+        .orderBy("round")
+    }),
+
+    // ---- xgboost_gs grid search (F16): 4 cells over (η, λ, γ),
+    // 80/20 deterministic split, exact quantized test SSE, ranked
+    // results relation — the module's actual surface ----
+    "ml_xgb_grid" -> ((s, dir) => {
+      val pts = Tables(s, dir, "events").selectExpr(
+        "CAST(event_id AS BIGINT) AS id",
+        "CAST(user_id % 50 AS BIGINT) AS x1",
+        "CAST(event_id % 31 AS BIGINT) AS x2",
+        "CAST(floor(value * 100) AS BIGINT) AS y")
+      Ml.xgbGridSearch(s, pts, XgbGrid)
     }),
 
     // ---- depth-2 boosted trees (F8's interaction-capable sibling,
@@ -332,6 +375,17 @@ object MlSuite {
 
     "ml_gbdt" ->
       (s"WITH pts AS ($GbdtPts), " + Ml.gbdtSql(3, 0.5).stripPrefix("WITH ")),
+
+    "ml_xgboost" ->
+      (s"WITH pts AS ($GbdtPts), " +
+        Ml.xgbSql(3, 0.5, 10.0, 2.0, materialized = true)
+          .stripPrefix("WITH ")),
+
+    // the grid fans 4 chains out of the shared tr split — every CTE
+    // MATERIALIZED or DuckDB's inlining multiplies the parquet scans
+    "ml_xgb_grid" ->
+      (s"WITH pts AS MATERIALIZED ($XgbGridPts), " +
+        Ml.xgbGridSql(XgbGrid, materialized = true).stripPrefix("WITH ")),
 
     "ml_gbdt_depth2" ->
       (s"WITH pts AS MATERIALIZED ($GbdtPts), " +
