@@ -154,6 +154,31 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "queryid"))
     }),
 
+    // ---- auto_explain (C82): automatic plan capture for statements
+    // crossing log_min_duration — a QueryExecutionListener on an
+    // ISOLATED child session (listener managers are session-scoped);
+    // log_analyze row counts come from the executed plan's own
+    // metrics, which the oracle recomputes as plain SQL counts ----
+    "auto_explain" -> ((s, dir) => {
+      val AE = graft.operators.AutoExplain
+      val sess = s.newSession()
+      val ae = AE.install(sess, minDurationUs = 0L)
+      try {
+        Tables(sess, dir, "region").collect()
+        Tables(sess, dir, "nation").filter(col("n_regionkey") < 2).collect()
+        Tables(sess, dir, "customer")
+          .filter(col("c_custkey") % 7 === 0).collect()
+        require(AE.awaitEntries(ae, 3),
+          "graft: auto_explain capture timed out")
+      } finally AE.uninstall(sess, ae)
+      import s.implicits._
+      ae.entries.sortBy(_.seq).map(e => ((e.seq + 1).toInt,
+          e.outRows.getOrElse(-1L), e.plan.contains("Scan"),
+          e.durationUs >= 0L))
+        .toDF("qid", "out_rows", "scanned", "timed")
+        .orderBy("qid")
+    }),
+
     // ---- pgcrypto raw ciphers (C79): encrypt/decrypt over order keys
     // (keyed storage / reproducible pseudonymization). rows-only gate
     // BY NATURE like crypto_hmac (no SQL engine runs AES); the cipher
@@ -369,6 +394,19 @@ object RelationalSuite5 {
         |  rows_returned, $derived
         |FROM g ORDER BY queryid""".stripMargin
     },
+
+    "auto_explain" ->
+      """SELECT 1 AS qid,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM region) AS out_rows,
+        |  true AS scanned, true AS timed
+        |UNION ALL SELECT 2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation WHERE n_regionkey < 2),
+        |  true, true
+        |UNION ALL SELECT 3,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey % 7 = 0),
+        |  true, true
+        |ORDER BY qid""".stripMargin,
 
     "timecapsule_asof" ->
       s"""WITH log AS ($LogSql),
