@@ -1078,7 +1078,11 @@ object Ml {
   def xgbGridSearch(spark: SparkSession, pts: DataFrame,
       grid: Seq[XgbParams]): DataFrame = {
     require(grid.nonEmpty, "graft: empty parameter grid")
+    // both splits cached: every cell re-reads train (2 aggregates per
+    // round) and test (one SSE scan) — k cells would otherwise re-run
+    // the split filter over the base table Σ(2·rounds)+k times
     val train = pts.filter(col("id") % 5 < 4).select("x1", "x2", "y")
+      .cache()
     val test = pts.filter(col("id") % 5 === 4).select("x1", "x2", "y")
       .cache()
     val cells = try {
@@ -1090,7 +1094,10 @@ object Ml {
           .agg(sum("se").cast("long")).collect()(0).getLong(0)
         (g.rounds, g.lr, g.lambda, g.gamma, sse)
       }
-    } finally test.unpersist(blocking = false)
+    } finally {
+      train.unpersist(blocking = false)
+      test.unpersist(blocking = false)
+    }
     val ranked = cells.zipWithIndex
       .sortBy { case ((_, _, _, _, sse), i) => (sse, i) }
       .zipWithIndex.map { case (((r, e, l, g, sse), _), rk) =>

@@ -140,6 +140,14 @@ object MlSuite {
         .orderBy("round")
     }),
 
+    // ---- CREATE MODEL hyperparameter catalog (F10's admission
+    // surface, db4ai/executor/hyperparameter_validation.cpp): the
+    // per-algorithm definition tables as a relation, shared verbatim
+    // with the oracle text; validation semantics pinned in HyperSpec ----
+    "db4ai_hyperp" -> ((s, _) =>
+      graft.operators.Hyper.catalog(s)
+        .transform(Gate.ordered(_, "algo", "name"))),
+
     // ---- agglomerative clustering (F14, madlib_modules/
     // agglomerative_clustering): ward linkage over exact weighted
     // micro-cells; three planted bands 1000 apart recovered, labels
@@ -375,6 +383,8 @@ object MlSuite {
 
     "ml_gbdt" ->
       (s"WITH pts AS ($GbdtPts), " + Ml.gbdtSql(3, 0.5).stripPrefix("WITH ")),
+
+    "db4ai_hyperp" -> graft.operators.Hyper.catalogSql,
 
     "ml_xgboost" ->
       (s"WITH pts AS ($GbdtPts), " +
