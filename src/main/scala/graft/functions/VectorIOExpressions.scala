@@ -22,7 +22,46 @@ import org.apache.spark.unsafe.types.UTF8String
  * differs cosmetically (e.g. "1.0" vs "1") but never in value.
  */
 
-/** parse_vector('[1,2,3]') → array<float>. Malformed input throws. */
+/** Shared strict element grammar for the vector text forms: the
+  * reference parses with strtof then REJECTS what Java's parseFloat
+  * would quietly accept (ref test battery datavec/test/expected/
+  * vector_type.out:34-49,65-73 — literal NaN "not allowed", literal
+  * ±Infinity "not allowed", decimal overflow "out of range"; Java
+  * extras like "1f" or hex floats are plain syntax errors).
+  * Underflow flushes to ±0 exactly like strtof (:74-85). */
+private[functions] object VecText {
+  private val FloatRx =
+    java.util.regex.Pattern.compile(
+      "[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?")
+  val MaxDim = 16000 // vector.h:4 VECTOR_MAX_DIM (= HALFVEC_MAX_DIM)
+
+  def parseElem(raw: String, whole: String, typ: String): Float = {
+    val t = raw.trim
+    if (FloatRx.matcher(t).matches()) {
+      val f = java.lang.Float.parseFloat(t)
+      if (f.isInfinite)
+        throw new IllegalArgumentException(
+          s"""graft: "$t" is out of range for type $typ""")
+      f
+    } else {
+      val l = t.toLowerCase
+      if (l == "nan" || l == "+nan" || l == "-nan")
+        throw new IllegalArgumentException(
+          s"graft: NaN not allowed in $typ")
+      else if (Set("inf", "infinity", "+inf", "+infinity", "-inf",
+          "-infinity")(l))
+        throw new IllegalArgumentException(
+          s"graft: infinite value not allowed in $typ")
+      else
+        throw new IllegalArgumentException(
+          s"graft: invalid input syntax for type $typ: $whole")
+    }
+  }
+}
+
+/** parse_vector('[1,2,3]') → array<float>. Malformed input throws,
+  * with the reference's admission rules (see [[VecText]]; empty and
+  * >16000-dim vectors rejected like vector_in). */
 case class ParseVector(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
@@ -34,17 +73,17 @@ case class ParseVector(child: Expression)
       throw new IllegalArgumentException(
         s"graft: malformed vector literal (expected '[v1,v2,...]'): $s")
     val body = s.substring(1, s.length - 1).trim
-    if (body.isEmpty) return new GenericArrayData(Array.emptyFloatArray)
-    val parts = body.split(",")
+    if (body.isEmpty)
+      throw new IllegalArgumentException(
+        "graft: vector must have at least 1 dimension")
+    val parts = body.split(",", -1) // -1: keep trailing empties ("[1,]" must reject)
+    if (parts.length > VecText.MaxDim)
+      throw new IllegalArgumentException(
+        s"graft: vector cannot have more than ${VecText.MaxDim} dimensions")
     val out = new Array[Float](parts.length)
     var i = 0
     while (i < parts.length) {
-      try out(i) = java.lang.Float.parseFloat(parts(i).trim)
-      catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"graft: malformed vector element '${parts(i).trim}' in: $s")
-      }
+      out(i) = VecText.parseElem(parts(i), s, "vector")
       i += 1
     }
     new GenericArrayData(out)
@@ -106,11 +145,19 @@ case class ParseSparseVector(child: Expression)
         case _: NumberFormatException =>
           throw new IllegalArgumentException(s"graft: malformed sparsevec dim in: $s")
       }
+    // sparsevec.h:4 SPARSEVEC_MAX_DIM 1e9; zero-dim rejected like
+    // the dense type
+    if (dim < 1)
+      throw new IllegalArgumentException(
+        "graft: sparsevec must have at least 1 dimension")
+    if (dim > 1000000000)
+      throw new IllegalArgumentException(
+        "graft: sparsevec cannot have more than 1000000000 dimensions")
     val body = s.substring(1, slash - 1).trim
     val (idx, vals) =
       if (body.isEmpty) (Array.emptyIntArray, Array.emptyFloatArray)
       else {
-        val parts = body.split(",")
+        val parts = body.split(",", -1) // -1: keep trailing empties ("[1,]" must reject)
         val ii = new Array[Int](parts.length)
         val vv = new Array[Float](parts.length)
         var i = 0
@@ -119,14 +166,13 @@ case class ParseSparseVector(child: Expression)
           if (kv.length != 2)
             throw new IllegalArgumentException(
               s"graft: malformed sparsevec entry '${parts(i)}' in: $s")
-          try {
-            ii(i) = Integer.parseInt(kv(0).trim) - 1 // text is 1-based
-            vv(i) = java.lang.Float.parseFloat(kv(1).trim)
-          } catch {
+          try ii(i) = Integer.parseInt(kv(0).trim) - 1 // text is 1-based
+          catch {
             case _: NumberFormatException =>
               throw new IllegalArgumentException(
                 s"graft: malformed sparsevec entry '${parts(i)}' in: $s")
           }
+          vv(i) = VecText.parseElem(kv(1), s, "sparsevec")
           if (ii(i) < 0 || ii(i) >= dim)
             throw new IllegalArgumentException(
               s"graft: sparsevec index ${ii(i) + 1} out of range 1..$dim in: $s")

@@ -119,10 +119,20 @@ class VectorFunctionsSpec extends SparkSpec {
     // whitespace-tolerant input, like the reference's vector_in
     val p = v.select(VF.parseVector(lit(" [ 1, 2.5 ,3] "))).as[Seq[Float]].head()
     assert(p == Seq(1f, 2.5f, 3f))
-    assert(v.select(VF.parseVector(lit("[]"))).as[Seq[Float]].head().isEmpty)
-    intercept[Exception] {
-      v.select(VF.parseVector(lit("1,2,3"))).collect()
-    }
+    // the reference's admission battery (vector_type.out): literal
+    // NaN/Infinity rejected, decimal overflow rejected, underflow
+    // flushes to ±0, empty vectors rejected, Java-only float
+    // spellings ("1f", hex) are syntax errors
+    for (bad <- Seq("1,2,3", "[]", "[ ]", "[NaN,1]", "[Infinity,1]",
+        "[-Infinity,1]", "[4e38,1]", "[-4e38,1]", "[1f]", "[0x1p3]",
+        "[1,]", "[1,,3]", "[1,2,3", "[1,2,3]9", "[hello,1]"))
+      intercept[Exception] {
+        v.select(VF.parseVector(lit(bad))).collect()
+      }
+    assert(v.select(VF.parseVector(lit("[1e-46,-1e-46]")))
+      .as[Seq[Float]].head() == Seq(0f, -0f))
+    assert(v.select(VF.parseVector(lit("[1.5e+38,-1.5e38]")))
+      .as[Seq[Float]].head() == Seq(1.5e38f, -1.5e38f))
     // sparsevec text form is 1-based; parsed struct is 0-based
     val sp = v.select(VF.parseSparsevec(lit("{1:1.5,3:2}/5")).as("s"))
       .select($"s.indices", $"s.values", $"s.dim").head()
@@ -138,6 +148,11 @@ class VectorFunctionsSpec extends SparkSpec {
     intercept[Exception] { // out-of-range index rejected
       v.select(VF.parseSparsevec(lit("{6:1}/5"))).collect()
     }
+    for (bad <- Seq("{1:NaN}/5", "{1:Infinity}/5", "{1:4e38}/5",
+        "{1:1}/0", "{1:1}/1000000001"))
+      intercept[Exception] {
+        v.select(VF.parseSparsevec(lit(bad))).collect()
+      }
   }
 
   test("vector I/O + sparse norms callable from SQL") {
