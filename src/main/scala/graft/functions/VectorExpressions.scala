@@ -238,7 +238,7 @@ case class HalfVecRoundTrip(child: Expression)
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val n = x.numElements()
     val out = new Array[Float](n); var i = 0
-    while (i < n) { out(i) = HalfFloat.toFloat(HalfFloat.fromFloat(x.getFloat(i))); i += 1 }
+    while (i < n) { out(i) = HalfFloat.toFloat(HalfFloat.fromFloatChecked(x.getFloat(i))); i += 1 }
     new GenericArrayData(out)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -250,7 +250,7 @@ case class HalfVecRoundTrip(child: Expression)
          |float[] $out = new float[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  $out[$i] = graft.functions.HalfFloat.toFloat(
-         |    graft.functions.HalfFloat.fromFloat($a.getFloat($i)));
+         |    graft.functions.HalfFloat.fromFloatChecked($a.getFloat($i)));
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
@@ -481,6 +481,19 @@ object HalfFloat {
       else half
     (sign | out).toShort
   }
+  /** fp32 -> fp16 with the reference's ADMISSION check (halfvec.cpp
+    * Float2Half vs the unchecked kernel): a FINITE fp32 that rounds
+    * to ±Inf in fp16 is out of range for the halfvec type
+    * (cast.out:99-100 — '[65520]'::vector::halfvec errors). */
+  def fromFloatChecked(f: Float): Short = {
+    val h = fromFloat(f)
+    if (!java.lang.Float.isNaN(f) && !java.lang.Float.isInfinite(f) &&
+        (h & 0x7fff) == 0x7c00)
+      throw new IllegalArgumentException(
+        s"""graft: "$f" is out of range for type halfvec""")
+    h
+  }
+
   /** fp16 bits -> fp32 (exact). */
   def toFloat(h: Short): Float = {
     val s = (h >> 15) & 1; val e = (h >> 10) & 0x1f; val m = h & 0x3ff

@@ -146,16 +146,40 @@ object VectorFunctions {
     halfvec(VectorAggregates.vecSum(halfvec(c)))
 
   // --- elementwise arithmetic (ref: vector.cpp vector_add/sub/mul) ---
-  // fp32 math like the reference: operate on float elements, keep float.
+  // fp32 math like the reference: operate on float elements, keep
+  // float — WITH the reference's admission semantics
+  // (vector_type.out:183-208): dimension mismatch errors (zip_with
+  // would silently null-pad), a finite-input op producing ±Inf is
+  // "overflow", and a nonzero×nonzero product collapsing to 0 is
+  // "underflow".
+  private val FInf = Float.PositiveInfinity
+  private def dimsChecked(a: Column, b: Column, out: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast("array<float>"))
+      .when(size(a) === size(b), out)
+      .otherwise(raise_error(format_string(
+        "graft: different vector dimensions %d and %d", size(a), size(b)))
+        .cast("array<float>"))
+  private def rangeChecked(x: Column, y: Column, r: Column): Column =
+    when(abs(r) === lit(FInf) && abs(x) =!= lit(FInf) && abs(y) =!= lit(FInf),
+      raise_error(lit("graft: value out of range: overflow")).cast("float"))
+      .otherwise(r)
   /** vector_add: elementwise a+b. */
   def vectorAdd(a: Column, b: Column): Column =
-    zip_with(vec(a), vec(b), (x, y) => (x + y).cast("float"))
+    dimsChecked(vec(a), vec(b),
+      zip_with(vec(a), vec(b), (x, y) => rangeChecked(x, y, (x + y).cast("float"))))
   /** vector_sub: elementwise a-b. */
   def vectorSub(a: Column, b: Column): Column =
-    zip_with(vec(a), vec(b), (x, y) => (x - y).cast("float"))
-  /** vector_mul: elementwise a*b. */
+    dimsChecked(vec(a), vec(b),
+      zip_with(vec(a), vec(b), (x, y) => rangeChecked(x, y, (x - y).cast("float"))))
+  /** vector_mul: elementwise a*b (underflow checked like the ref). */
   def vectorMul(a: Column, b: Column): Column =
-    zip_with(vec(a), vec(b), (x, y) => (x * y).cast("float"))
+    dimsChecked(vec(a), vec(b),
+      zip_with(vec(a), vec(b), (x, y) => {
+        val r = (x * y).cast("float")
+        when(r === lit(0f) && x =!= lit(0f) && y =!= lit(0f),
+          raise_error(lit("graft: value out of range: underflow")).cast("float"))
+          .otherwise(rangeChecked(x, y, r))
+      }))
   /** vector_concat. */
   def vectorConcat(a: Column, b: Column): Column = concat(vec(a), vec(b))
   /** subvector(v, start(1-based), count) (ref: vector.cpp subvector). */

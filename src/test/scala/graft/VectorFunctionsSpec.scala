@@ -50,6 +50,28 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(cc == Seq(1f, 2f, 3f, 4f, 6f, 8f))
     val sv = df.filter($"id" === 1).select(VF.subvector($"a", 2, 2)).as[Seq[Float]].head()
     assert(sv == Seq(2f, 3f))
+    // reference admission (vector_type.out:183-208): dims mismatch
+    // errors (zip_with would null-pad), finite inputs overflowing to
+    // ±Inf error, nonzero products collapsing to 0 error
+    val one = df.limit(1)
+    intercept[Exception] {
+      one.select(VF.vectorAdd(typedlit(Seq(1f, 2f)), typedlit(Seq(3f)))).collect()
+    }
+    intercept[Exception] {
+      one.select(VF.vectorAdd(typedlit(Seq(3e38f)), typedlit(Seq(3e38f)))).collect()
+    }
+    intercept[Exception] {
+      one.select(VF.vectorSub(typedlit(Seq(-3e38f)), typedlit(Seq(3e38f)))).collect()
+    }
+    intercept[Exception] {
+      one.select(VF.vectorMul(typedlit(Seq(1e37f)), typedlit(Seq(1e37f)))).collect()
+    }
+    intercept[Exception] { // underflow, not silent zero
+      one.select(VF.vectorMul(typedlit(Seq(1e-37f)), typedlit(Seq(1e-37f)))).collect()
+    }
+    // legitimate zeros pass the underflow gate
+    assert(one.select(VF.vectorMul(typedlit(Seq(0f, 1f)), typedlit(Seq(5f, 0f))))
+      .as[Seq[Float]].head() == Seq(0f, 0f))
   }
 
   test("binary quantize + hamming + jaccard") {
@@ -78,6 +100,15 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(HalfFloat.fromFloat(65520f) == HalfFloat.fromFloat(Float.PositiveInfinity))
     val hv = df.filter($"id" === 1).select(VF.halfvec($"a")).as[Seq[Float]].head()
     assert(hv == Seq(1f, 2f, 3f))
+    // halfvec ADMISSION (cast.out:99-100): a finite fp32 that rounds
+    // to fp16 infinity is out of range — 65504 is the max half
+    assert(HalfFloat.toFloat(HalfFloat.fromFloatChecked(65504f)) == 65504f)
+    intercept[IllegalArgumentException] { HalfFloat.fromFloatChecked(65520f) }
+    intercept[Exception] {
+      df.select(VF.halfvec(typedlit(Seq(65520f)))).collect()
+    }
+    assert(df.limit(1).select(VF.halfvec(typedlit(Seq(65504f, 1e-8f))))
+      .as[Seq[Float]].head() == Seq(65504f, 0f)) // underflow → 0, like the cast
   }
 
   test("halfvec composite arithmetic stays on the fp16 grid") {
