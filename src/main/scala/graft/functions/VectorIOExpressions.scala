@@ -181,7 +181,20 @@ case class ParseSparseVector(child: Expression)
               s"graft: sparsevec indices must be strictly ascending in: $s")
           i += 1
         }
-        (ii, vv)
+        // the reference DROPS explicit zeros at parse (sparsevec.out:
+        // 160-164 — '{1:0,2:1,3:0}/3' reads back as '{2:1}/3'), so a
+        // stored sparsevec never carries zero entries
+        val nz = vv.count(_ != 0f)
+        if (nz == vv.length) (ii, vv)
+        else {
+          val ci = new Array[Int](nz); val cv = new Array[Float](nz)
+          var k = 0; var j = 0
+          while (j < vv.length) {
+            if (vv(j) != 0f) { ci(k) = ii(j); cv(k) = vv(j); k += 1 }
+            j += 1
+          }
+          (ci, cv)
+        }
       }
     InternalRow(new GenericArrayData(idx), new GenericArrayData(vals), dim)
   }

@@ -184,6 +184,11 @@ class VectorFunctionsSpec extends SparkSpec {
       intercept[Exception] {
         v.select(VF.parseSparsevec(lit(bad))).collect()
       }
+    // explicit zeros DROP at parse (sparsevec.out:160-164)
+    val z = v.select(VF.parseSparsevec(lit("{1:0,2:1,3:0}/3")).as("s"))
+      .select($"s.indices", $"s.values", $"s.dim").head()
+    assert(z.getSeq[Int](0) == Seq(1) && z.getSeq[Float](1) == Seq(1f)
+      && z.getInt(2) == 3)
   }
 
   test("vector I/O + sparse norms callable from SQL") {
