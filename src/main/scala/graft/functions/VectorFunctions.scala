@@ -180,6 +180,11 @@ object VectorFunctions {
           raise_error(lit("graft: value out of range: underflow")).cast("float"))
           .otherwise(rangeChecked(x, y, r))
       }))
+  /** halfvec_in: the halfvec text form composes the dense grammar
+    * with the fp16 admission (halfvec.out:54-64 — "[65520]" is out
+    * of range at parse even though it is a valid fp32). */
+  def parseHalfvec(c: Column): Column = halfvec(parseVector(c))
+
   /** vector_concat. */
   def vectorConcat(a: Column, b: Column): Column = concat(vec(a), vec(b))
   /** subvector(v, start(1-based), count) (ref: vector.cpp subvector). */

@@ -184,6 +184,12 @@ class VectorFunctionsSpec extends SparkSpec {
       intercept[Exception] {
         v.select(VF.parseSparsevec(lit(bad))).collect()
       }
+    // halfvec text form: fp16 admission applies at parse
+    assert(v.select(VF.parseHalfvec(lit("[1,0.1,65504]")))
+      .as[Seq[Float]].head().head == 1f)
+    intercept[Exception] {
+      v.select(VF.parseHalfvec(lit("[65520]"))).collect()
+    }
     // explicit zeros DROP at parse (sparsevec.out:160-164)
     val z = v.select(VF.parseSparsevec(lit("{1:0,2:1,3:0}/3")).as("s"))
       .select($"s.indices", $"s.values", $"s.dim").head()
