@@ -153,33 +153,34 @@ object VectorFunctions {
   // "overflow", and a nonzero×nonzero product collapsing to 0 is
   // "underflow".
   private val FInf = Float.PositiveInfinity
-  private def dimsChecked(a: Column, b: Column, out: Column): Column =
-    when(a.isNull || b.isNull, lit(null).cast("array<float>"))
-      .when(size(a) === size(b), out)
-      .otherwise(raise_error(format_string(
-        "graft: different vector dimensions %d and %d", size(a), size(b)))
-        .cast("array<float>"))
-  private def rangeChecked(x: Column, y: Column, r: Column): Column =
-    when(abs(r) === lit(FInf) && abs(x) =!= lit(FInf) && abs(y) =!= lit(FInf),
-      raise_error(lit("graft: value out of range: overflow")).cast("float"))
+  // both checks live INSIDE the zip lambda so each operand expression
+  // evaluates exactly once per row (a wrapper re-referencing the
+  // operands would re-run nested composite arithmetic up to 3× per
+  // level). The element arrays are containsNull = false by type, so a
+  // null element can only be zip_with's length padding — i.e. the
+  // reference's "different vector dimensions" error.
+  private def checked(x: Column, y: Column, r: Column): Column =
+    when(x.isNull || y.isNull,
+      raise_error(lit("graft: different vector dimensions"))
+        .cast("float"))
+      .when(abs(r) === lit(FInf) && abs(x) =!= lit(FInf) && abs(y) =!= lit(FInf),
+        raise_error(lit("graft: value out of range: overflow")).cast("float"))
       .otherwise(r)
   /** vector_add: elementwise a+b. */
   def vectorAdd(a: Column, b: Column): Column =
-    dimsChecked(vec(a), vec(b),
-      zip_with(vec(a), vec(b), (x, y) => rangeChecked(x, y, (x + y).cast("float"))))
+    zip_with(vec(a), vec(b), (x, y) => checked(x, y, (x + y).cast("float")))
   /** vector_sub: elementwise a-b. */
   def vectorSub(a: Column, b: Column): Column =
-    dimsChecked(vec(a), vec(b),
-      zip_with(vec(a), vec(b), (x, y) => rangeChecked(x, y, (x - y).cast("float"))))
+    zip_with(vec(a), vec(b), (x, y) => checked(x, y, (x - y).cast("float")))
   /** vector_mul: elementwise a*b (underflow checked like the ref). */
   def vectorMul(a: Column, b: Column): Column =
-    dimsChecked(vec(a), vec(b),
-      zip_with(vec(a), vec(b), (x, y) => {
-        val r = (x * y).cast("float")
-        when(r === lit(0f) && x =!= lit(0f) && y =!= lit(0f),
-          raise_error(lit("graft: value out of range: underflow")).cast("float"))
-          .otherwise(rangeChecked(x, y, r))
-      }))
+    zip_with(vec(a), vec(b), (x, y) => {
+      val r = (x * y).cast("float")
+      when(x.isNotNull && y.isNotNull &&
+          r === lit(0f) && x =!= lit(0f) && y =!= lit(0f),
+        raise_error(lit("graft: value out of range: underflow")).cast("float"))
+        .otherwise(checked(x, y, r))
+    })
   /** halfvec_in: the halfvec text form composes the dense grammar
     * with the fp16 admission (halfvec.out:54-64 — "[65520]" is out
     * of range at parse even though it is a valid fp32). */

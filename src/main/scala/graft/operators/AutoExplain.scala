@@ -46,7 +46,11 @@ object AutoExplain {
       mode: String) extends QueryExecutionListener {
     private val buf = new ConcurrentLinkedQueue[Entry]()
     private val seq = new AtomicLong(0L)
-    def size: Int = buf.size
+    // ConcurrentLinkedQueue.size is O(n): keep the count alongside so
+    // the retention trim and awaitEntries polling stay O(1) on the
+    // listener-bus thread
+    private val count = new java.util.concurrent.atomic.AtomicInteger(0)
+    def size: Int = count.get()
     def entries: Seq[Entry] = {
       import scala.jdk.CollectionConverters._
       buf.iterator().asScala.toSeq
@@ -58,7 +62,8 @@ object AutoExplain {
         val rows = if (analyze) outputRows(qe.executedPlan) else None
         buf.add(Entry(seq.getAndIncrement(), funcName, us, rows,
           qe.explainString(ExplainMode.fromString(mode))))
-        while (buf.size > MaxEntries) { buf.poll(); () }
+        if (count.incrementAndGet() > MaxEntries &&
+            buf.poll() != null) { count.decrementAndGet(); () }
       }
     }
     override def onFailure(funcName: String, qe: QueryExecution,

@@ -129,6 +129,14 @@ object Hyper {
   def validate(algo: String, params: Map[String, String]): Map[String, String] = {
     val table = defsFor(algo)
     val byName = table.map(d => d.name.toLowerCase -> d).toMap
+    // names resolve case-insensitively, so "SEED" and "seed" are the
+    // SAME parameter — two spellings must reject, not silently let
+    // one overwrite the other
+    val dup = params.keys.groupBy(_.toLowerCase).collectFirst {
+      case (_, ks) if ks.size > 1 => ks.mkString("', '")
+    }
+    require(dup.isEmpty,
+      s"graft: hyperparameter specified more than once: '${dup.getOrElse("")}'")
     val given = params.map { case (k, v) =>
       val d = byName.getOrElse(k.toLowerCase,
         throw new IllegalArgumentException(
@@ -186,12 +194,8 @@ object Hyper {
     * (double bounds in e-notation so both engines parse the exact
     * IEEE value the driver holds). */
   def catalogSql: String = {
-    def dl(o: Option[Double]): String = o match {
-      case None => "CAST(NULL AS DOUBLE)"
-      case Some(v) =>
-        val s = v.toString
-        if (s.contains("E")) s.replace("E", "e") else s + "e0"
-    }
+    def dl(o: Option[Double]): String =
+      o.map(Ml.dlit).getOrElse("CAST(NULL AS DOUBLE)")
     val rows = defs.map { d =>
       s"('${d.algo}', '${d.name}', '${d.kind}', '${d.dflt}', " +
         s"${dl(d.lo)}, ${d.loIncl}, ${dl(d.hi)}, ${d.hiIncl}, " +

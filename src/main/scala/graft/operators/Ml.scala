@@ -942,7 +942,7 @@ object Ml {
     * "e0" is a parse error) — rewrite the exponent marker instead.
     * toString round-trips, so the SQL engines parse the exact same
     * IEEE value the driver computes with. */
-  private def dlit(d: Double): String = {
+  private[operators] def dlit(d: Double): String = {
     val s = d.toString
     if (s.contains("E")) s.replace("E", "e") else s + "e0"
   }
@@ -960,6 +960,8 @@ object Ml {
   def xgbTrain(pts: DataFrame, rounds: Int, lr: Double, lambda: Double,
       gamma: Double): (Double, Seq[(Int, Long, Double, Double)]) = {
     val base = pts.agg(sum("y").cast("long"), count(lit(1))).collect()(0)
+    require(!base.isNullAt(0),
+      "graft: cannot train on an empty point set")
     val f0 = base.getLong(0).toDouble / base.getLong(1).toDouble
     var model = Vector.empty[(Int, Long, Double, Double)]
     for (_ <- 1 to rounds) {
@@ -989,6 +991,18 @@ object Ml {
     (f0, model)
   }
 
+  /** Stump-model F(x) over the prefixed model CTEs m1..m_upto —
+    * shared by the chain's residual stage and the grid's eval stage
+    * (the two texts MUST stay identical: train-time residuals and
+    * eval-time predictions desynchronize otherwise). */
+  private def xgbFExpr(p: String, upto: Int): String = {
+    val terms = (1 to upto).map { r =>
+      s"(CASE WHEN (${p}m$r.feat = 1 AND x1 <= ${p}m$r.thr) OR (${p}m$r.feat = 2 AND x2 <= ${p}m$r.thr)" +
+        s" THEN ${p}m$r.lval ELSE ${p}m$r.rval END)"
+    }
+    (s"${p}f0.f0" +: terms).mkString(" + ")
+  }
+
   /** The regularized chain's CTE list (no WITH, no trailing comma)
     * over `src(x1, x2, y)`, every CTE name prefixed so several
     * chains — the grid — compose in ONE statement. Final model rows
@@ -997,13 +1011,7 @@ object Ml {
   private def xgbChain(rounds: Int, lr: Double, lambda: Double,
       gamma: Double, src: String, p: String): String = {
     val lam = dlit(lambda)
-    def fExpr(upto: Int): String = {
-      val terms = (1 to upto).map { r =>
-        s"(CASE WHEN (${p}m$r.feat = 1 AND x1 <= ${p}m$r.thr) OR (${p}m$r.feat = 2 AND x2 <= ${p}m$r.thr)" +
-          s" THEN ${p}m$r.lval ELSE ${p}m$r.rval END)"
-      }
-      (s"${p}f0.f0" +: terms).mkString(" + ")
-    }
+    def fExpr(upto: Int): String = xgbFExpr(p, upto)
     val gainCols =
       s"CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / (CAST(cl AS DOUBLE) + $lam)" +
         s" + CAST(stot - sl AS DOUBLE) * CAST(stot - sl AS DOUBLE) / (CAST(n - cl AS DOUBLE) + $lam)"
@@ -1024,12 +1032,20 @@ object Ml {
           s"(SELECT CAST(sum(sq) AS BIGINT) FROM ${p}s${t}_$f) AS stot " +
           s"FROM ${p}s${t}_$f),\n")
       }
+      // one-row totals: seeds the no-split sentinel so the candidate
+      // union is NEVER empty (single-valued features would otherwise
+      // collapse the whole chain to zero rows while the driver loop
+      // emits its single-leaf fallback — the oracle must match it)
+      sb.append(s"${p}g$t AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(sum(q) AS BIGINT) AS stot FROM ${p}rs$t),\n")
       // single fused CTE per round, gbdtSql's exact nesting depth:
       // ANY extra derived-table level around the candidate union
       // trips Spark's analyzer at round depth 3 (internal
       // canonicalization error on the unresolved CTE refs), so the
       // γ gate is inlined into each output CASE instead of being a
-      // named `ok` column one level up
+      // named `ok` column one level up. The sentinel's -Inf gain
+      // loses to every real candidate and always fails the γ gate,
+      // so winning it means "emit the single-leaf row".
       val okExpr = s"gain - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)" +
         s" / (CAST(n AS DOUBLE) + $lam) > ${dlit(2e6 * gamma)}"
       val leafW =
@@ -1041,7 +1057,9 @@ object Ml {
         s"CASE WHEN $okExpr THEN ${dlit(lr)} * (CAST(stot - sl AS DOUBLE) / 1e3) / (CAST(n - cl AS DOUBLE) + $lam) ELSE $leafW END AS rval " +
         s"FROM (" +
         s"SELECT 1 AS feat, v, cl, sl, n, stot, $gainCols AS gain FROM ${p}c${t}_1 WHERE cl < n" +
-        s" UNION ALL SELECT 2 AS feat, v, cl, sl, n, stot, $gainCols AS gain FROM ${p}c${t}_2 WHERE cl < n) " +
+        s" UNION ALL SELECT 2 AS feat, v, cl, sl, n, stot, $gainCols AS gain FROM ${p}c${t}_2 WHERE cl < n" +
+        s" UNION ALL SELECT 0 AS feat, CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS cl, " +
+        s"CAST(0 AS BIGINT) AS sl, n, stot, CAST('-Infinity' AS DOUBLE) AS gain FROM ${p}g$t) " +
         s"ORDER BY gain DESC, feat, v LIMIT 1),\n")
     }
     sb.setLength(sb.length - 2) // drop the trailing ",\n"
@@ -1085,6 +1103,13 @@ object Ml {
       .cache()
     val test = pts.filter(col("id") % 5 === 4).select("x1", "x2", "y")
       .cache()
+    // an id distribution that empties either side would NPE deep in
+    // the trainer / SSE sum — fail the admission loudly instead
+    val sides = pts.agg(
+      sum(when(col("id") % 5 < 4, 1L).otherwise(0L)),
+      sum(when(col("id") % 5 === 4, 1L).otherwise(0L))).collect()(0)
+    require(!sides.isNullAt(0) && sides.getLong(0) > 0 && sides.getLong(1) > 0,
+      "graft: the 80/20 id split left an empty train or test side")
     val cells = try {
       grid.map { g =>
         val (f0, model) = xgbTrain(train, g.rounds, g.lr, g.lambda, g.gamma)
@@ -1122,13 +1147,7 @@ object Ml {
       val p = s"g${i}_"
       sb.append(xgbChain(g.rounds, g.lr, g.lambda, g.gamma, "tr", p))
         .append(",\n")
-      def fExpr: String = {
-        val terms = (1 to g.rounds).map { r =>
-          s"(CASE WHEN (${p}m$r.feat = 1 AND x1 <= ${p}m$r.thr) OR (${p}m$r.feat = 2 AND x2 <= ${p}m$r.thr)" +
-            s" THEN ${p}m$r.lval ELSE ${p}m$r.rval END)"
-        }
-        (s"${p}f0.f0" +: terms).mkString(" + ")
-      }
+      def fExpr: String = xgbFExpr(p, g.rounds)
       val models = (1 to g.rounds).map(r => s"${p}m$r").mkString(", ")
       sb.append(s"${p}ev AS (SELECT CAST(sum(CAST(floor(" +
         s"((CAST(y AS DOUBLE) - ($fExpr)) * (CAST(y AS DOUBLE) - ($fExpr))) * 1e6" +

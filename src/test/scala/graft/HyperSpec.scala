@@ -71,6 +71,11 @@ class HyperSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] {
       Hyper.validate("xgboost", Map("eta" -> "fast"))
     }
+    // two spellings of ONE case-insensitive name must reject, not
+    // silently let one overwrite the other
+    intercept[IllegalArgumentException] {
+      Hyper.validate("kmeans", Map("SEED" -> "1", "seed" -> "2"))
+    }
   }
 
   test("booleans accept the reference spellings") {

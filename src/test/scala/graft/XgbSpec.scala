@@ -74,6 +74,32 @@ class XgbSpec extends SparkSpec with Matchers {
     assert(math.abs(resid - 1000.5) < 1.0)
   }
 
+  test("unsplittable features: loop AND chain emit the single-leaf fallback") {
+    // single-valued x1 and x2 → no candidate split exists at all; the
+    // driver's None path and the chain's -Inf sentinel row must agree
+    val df = (0 until 100).map(i => (7L, 3L, 100L + (i % 2)))
+      .toDF("x1", "x2", "y")
+    df.createOrReplaceTempView("pts")
+    val (f0, model) = Ml.xgbTrain(df, 2, 0.5, 0.0, 0.0)
+    assert(model.forall(_._1 == 0))
+    val sqlM = spark.sql(Ml.xgbSql(2, 0.5, 0.0, 0.0)).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(sqlM.toSeq === model.toSeq)
+    assert(math.abs(f0 + model.map(_._4).sum - 100.5) < 0.5)
+    intercept[IllegalArgumentException] { // empty training set rejects
+      Ml.xgbTrain(df.limit(0), 1, 0.5, 0.0, 0.0)
+    }
+  }
+
+  test("grid search rejects an id distribution that empties a split side") {
+    val df = (0 until 40).map(i => ((i * 5).toLong, (i % 9).toLong,
+      (i % 5).toLong, 100L)).toDF("id", "x1", "x2", "y")
+    // ids all ≡ 0 (mod 5): the 20% side is empty
+    intercept[IllegalArgumentException] {
+      Ml.xgbGridSearch(spark, df, Seq(Ml.XgbParams(1, 0.5, 0.0, 0.0)))
+    }
+  }
+
   test("grid search ranks by exact held-out SSE; loop == composed SQL") {
     val df = (0 until 500).map { i =>
       val x1 = (i % 50).toLong; val x2 = (i % 31).toLong
