@@ -66,7 +66,15 @@ case class VectorAccumAgg(child: Expression, avg: Boolean,
       val out = new Array[Float](b.sums.length)
       var i = 0
       while (i < out.length) {
-        out(i) = (if (avg) b.sums(i) / b.count else b.sums(i)).toFloat
+        val d = if (avg) b.sums(i) / b.count else b.sums(i)
+        out(i) = d.toFloat
+        // the fp64 accumulator survives what the fp32 RESULT cannot:
+        // sum('[3e38]','[3e38]') errors in the reference
+        // (vector_type.out:686) rather than emitting Inf. avg can
+        // never trigger this (|sum/count| ≤ max input magnitude).
+        if (out(i).isInfinite && !d.isInfinite)
+          throw new IllegalArgumentException(
+            "graft: value out of range: overflow")
         i += 1
       }
       new GenericArrayData(out)

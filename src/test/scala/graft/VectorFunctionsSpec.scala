@@ -140,6 +140,14 @@ class VectorFunctionsSpec extends SparkSpec {
     val avg = r.getSeq[Float](0); val sum = r.getSeq[Float](1)
     assert(sum == Seq(1f - 1.5f, 4.5f, 3.5f))
     assert(math.abs(avg(1) - 4.5f / 3) < 1e-6)
+    // sum's fp32 RESULT overflow errors (vector_type.out:686) — the
+    // fp64 accumulator is fine, the emitted float4 is not; avg of the
+    // same inputs stays finite and passes (:643-647)
+    val big = Seq(Tuple1(Seq(3e38f)), Tuple1(Seq(3e38f))).toDF("v")
+    intercept[Exception] {
+      big.agg(VA.vecSum($"v")).collect()
+    }
+    assert(big.agg(VA.vecAvg($"v")).head().getSeq[Float](0) == Seq(3e38f))
   }
 
   test("vector text I/O: parse/format round trips and rejects malformed input") {
