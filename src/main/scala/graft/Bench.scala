@@ -27,54 +27,45 @@ import org.apache.spark.sql.SparkSession
  * ~500 full-heap GCs were themselves minutes of wall-clock.
  */
 object Bench {
-  // headline set, TRIMMED (r13): ONE representative per operator
-  // family, ~105 queries — sized so phase B's median-refinement
-  // passes ALWAYS fit the default budget (the r12 artifact shipped
-  // single-rep numbers from a contended window because 198 queries
-  // overran 480 s; a bench the judge can't trust is worse than a
-  // smaller one). Every family keeps exactly one member; the full
-  // per-query correctness surface is CORRECTNESS_r{N}, not the bench.
+  // headline set, TRIMMED AGAIN (r14): ~57 queries. The r13 trim to 98
+  // was not enough — the driver's 550 s budget was consumed by phase
+  // A's cold-codegen pass alone (measured 2.9× the timed sum), so the
+  // committed artifact was single-rep two rounds running. At one query
+  // per operator FAMILY (not per operator): phase A cold ≈ 57×(3-4 s)
+  // ≈ 200 s, two phase-B passes ≈ 2×60 s, phase C ≈ 45 s — medians
+  // of 3 always land inside the budget with slack for a contended
+  // machine. The full per-query correctness surface is
+  // CORRECTNESS_r{N}; per-operator timings beyond the family
+  // representative come from graft.TimeQuery during development.
   val headline: Seq[String] = Seq(
-    // TPC-H / relational core
+    // TPC-H / relational core (one per join/agg/window/maintenance family)
     "q1_pricing", "q3_shipping", "q6_forecast",
-    "window_topn", "rollup_agg", "distinct_agg",
-    "percentiles", "set_ops",
-    "connect_by", "pivot_events", "gap_fill", "scd2_intervals",
-    "merge_upsert", "cdc_apply", "funnel", "profile_stats",
-    "json_ops", "skew_join", "bloom_join", "matview_inc", "range_join",
-    "asof_join", "theta_sketch",
-    "hilbert_layout",
-    // vector + ANN
-    "vec_l2_topk", "vec_half_agg", "knn_exact", "knn_join",
-    "lsh_ann", "ivf_search", "pq_search", "ivfpq_search", "hnsw_ann",
-    "hnsw_routed", "vec_sparse_topk", "ivf_bit_search", "vec_int8_topk",
+    "window_topn", "rollup_agg", "percentiles",
+    "connect_by", "gap_fill", "scd2_intervals",
+    "merge_upsert", "profile_stats", "json_ops",
+    "skew_join", "bloom_join", "matview_inc",
+    "range_join", "asof_join", "theta_sketch", "hilbert_layout",
+    // vector + ANN (exact, joined, and one per index tier)
+    "vec_l2_topk", "knn_join", "ivf_search", "pq_search",
+    "hnsw_routed", "vec_sparse_topk", "ivf_bit_search",
     // dedup + text + pipeline
-    "dedup_exact", "dedup_minhash", "sim_ngram_jaccard",
-    "dedup_embedding_lsh", "dedup_incremental", "dedup_semantic",
-    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-    "text_bm25", "text_trigram_ppl", "text_repetition",
+    "dedup_minhash", "dedup_semantic",
+    "text_quality", "text_bm25", "text_trigram_ppl", "text_repetition",
     "quality_classifier", "bpe_encode", "pack_sequences",
-    "pipeline_pretrain", "decontaminate",
-    "shuffle_batches", "weighted_sample", "mix_sources",
+    "pipeline_pretrain", "decontaminate", "shuffle_batches",
     // full-text search
-    "fts_match", "fts_rank_cd", "fts_indexed_retrieve",
-    "hybrid_rrf", "maxsim_retrieve", "trgm_search",
+    "fts_rank_cd", "fts_indexed_retrieve", "hybrid_rrf", "trgm_search",
     // multimodal
-    "mm_pipeline", "mm_video",
+    "mm_pipeline",
     // streaming
-    "stream_window", "stream_neardup", "sessionize_stateful",
-    "stream_score",
+    "stream_neardup", "sessionize_stateful",
     // type systems / compat / security
-    "ltree_ops", "geo_radius_join",
-    "range_overlap_join", "seg_ops",
-    "masking_fns", "pii_redact", "unaccent_fns", "crypto_cipher",
-    "mysql_compat",
+    "geo_radius_join", "range_overlap_join", "pii_redact",
+    "crypto_cipher",
     // ML / DB4AI / advisor / time series
-    "ml_linreg", "ml_kmeans", "ml_logreg", "ml_gbdt", "ml_multiclass",
-    "ml_agglom", "ml_explain", "db4ai_snapshot", "index_advisor_stats",
-    "index_whatif", "timecapsule_restore", "stat_statements",
-    "seasonal_decompose", "seasonal_forecast", "seasonal_weekly",
-    "ts_anomalies", "ts_anomalies_seasonal", "stream_anomalies")
+    "ml_kmeans", "ml_logreg", "ml_gbdt", "db4ai_snapshot",
+    "index_whatif", "seasonal_forecast", "ts_anomalies_seasonal",
+    "stream_anomalies")
 
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
@@ -181,16 +172,22 @@ object Bench {
     writeArtifact(currentLine(f""","phase":"A","elapsed":${elapsed()}%.1f""")._1)
 
     // ---- phase B: refinement passes while the budget holds ----
-    // Reserve room for phase C (small-sf rep ≈ 0.7× of a main pass at
-    // these sizes — measured r11: 76 s small vs 115 s main).
-    val passCost = reps.values.map(_.head).filter(_ >= 0).sum
+    // PHASE B OUTRANKS PHASE C (r13 lesson: two rounds of single-rep
+    // artifacts): medians-of-3 are the artifact's whole point, so a
+    // pass is entered whenever it fits with a 5% slack — no reserve
+    // is held back for the small-sf ratios; C runs on leftovers only.
+    // The cost estimate is refreshed from each pass's ACTUAL duration
+    // (phase-A timed reps underestimate on a contended machine).
+    var passCost = reps.values.map(_.head).filter(_ >= 0).sum
     var pass = 0
-    while (pass < 2 && elapsed() + passCost * 1.5 < budget) {
+    while (pass < 2 && elapsed() + passCost * 1.05 < budget) {
+      val t0 = elapsed()
       names.foreach { n =>
         if (reps(n).forall(r => r >= 0 && r <= perQueryCap))
           reps(n) = reps(n) :+ timed(n, sfDir)
       }
       pass += 1
+      passCost = math.max(passCost, elapsed() - t0)
       writeArtifact(currentLine(
         f""","phase":"B$pass","elapsed":${elapsed()}%.1f""")._1)
     }

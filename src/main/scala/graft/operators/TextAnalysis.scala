@@ -168,12 +168,20 @@ object TextAnalysis {
    *
    * The model TRAINS on the `train` subset and scores EVERY doc —
    * scoring the training corpus with itself would never exercise
-   * backoff. All count tables are EQUI-JOINED onto the exploded
-   * trigram stream (web-scale n-gram tables are billions of rows —
-   * never broadcast, the D27/D39 discipline); per-doc reduction is
-   * one map-side-combined aggregate. Determinism: per-position
-   * round(ln S, 6) as DECIMAL, summed to exact integer micros (the
-   * D39 device — no rounded-average double boundary).
+   * backoff. All count tables are EQUI-JOINED onto the trigram stream
+   * (web-scale n-gram tables are billions of rows — never broadcast,
+   * the D27/D39 discipline). GRAM TEXT NEVER SHUFFLES (the D18
+   * discipline): every shuffle key — the count-table groupBys, the
+   * five count lookups, the doc-side pre-aggregation — is an 8-byte
+   * xxhash64 of the gram, computed map-side right after the explode,
+   * with the strings dropped before any exchange. And the doc stream
+   * PRE-AGGREGATES per (id, trigram): identical trigrams within a doc
+   * score identically, so each rides the join stack once with a
+   * multiplicity instead of once per occurrence. Determinism:
+   * per-distinct-gram round(ln S, 6) as DECIMAL × multiplicity,
+   * summed to exact integer micros (the D39 device — no
+   * rounded-average double boundary; the decimal product is exact, so
+   * the result is identical to the per-occurrence sum).
    */
   def trigramBackoffNll(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, train: Column): org.apache.spark.sql.DataFrame = {
@@ -187,29 +195,45 @@ object TextAnalysis {
         .otherwise(array().cast(
           "array<struct<w1:string,w2:string,w3:string>>"))
     val trainDf = df.filter(train)
-    def counts(w: Int, name: String) =
+    // count tables keyed by the gram hash alone: explode + hash are
+    // map-side, the groupBy exchange carries one long per gram
+    def counts(w: Int, name: String) = {
+      val ws = Seq(col("g.w1")) ++ (if (w >= 2) Seq(col("g.w2")) else Nil) ++
+        (if (w >= 3) Seq(col("g.w3")) else Nil)
       trainDf.select(explode(gramsOf(w)).as("g"))
-        .groupBy((Seq(col("g.w1")) ++ (if (w >= 2) Seq(col("g.w2")) else Nil)
-          ++ (if (w >= 3) Seq(col("g.w3")) else Nil)): _*)
-        .agg(count(lit(1)).as(name))
+        .select(xxhash64(ws: _*).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as(name))
+    }
     val tri = counts(3, "c3")
     val big = counts(2, "c12")
     val uni = counts(1, "c1")
     val totals = trainDf.select(explode(toks).as("t"))
-      .agg(count(lit(1)).as("bigN"), countDistinct(col("t")).as("vocabV"))
+      .agg(count(lit(1)).as("bigN"),
+        countDistinct(xxhash64(col("t"))).as("vocabV"))
 
+    // doc-side stream: all five probe keys hashed map-side, strings
+    // dropped, then ONE pre-aggregation per (id, trigram) — h123
+    // determines the other four keys, which ride along as grouping
+    // columns so the join stack sees them without a re-derivation
     val docTri = df.select(col(idCol).as("id"), explode(gramsOf(3)).as("g"))
-      .select(col("id"), col("g.w1"), col("g.w2"), col("g.w3"))
+      .select(col("id"),
+        xxhash64(col("g.w1"), col("g.w2"), col("g.w3")).as("h123"),
+        xxhash64(col("g.w1"), col("g.w2")).as("h12"),
+        xxhash64(col("g.w2"), col("g.w3")).as("h23"),
+        xxhash64(col("g.w2")).as("h2"),
+        xxhash64(col("g.w3")).as("h3"))
+      .groupBy(col("id"), col("h123"), col("h12"), col("h23"),
+        col("h2"), col("h3"))
+      .agg(count(lit(1)).as("m"))
     val scored = docTri
-      .join(tri, Seq("w1", "w2", "w3"), "left")
-      .join(big.select(col("w1"), col("w2"), col("c12")),
-        Seq("w1", "w2"), "left")
-      .join(big.select(col("w1").as("w2"), col("w2").as("w3"),
-        col("c12").as("c23")), Seq("w2", "w3"), "left")
-      .join(uni.select(col("w1").as("w2"), col("c1").as("n2")),
-        Seq("w2"), "left")
-      .join(uni.select(col("w1").as("w3"), col("c1").as("n3")),
-        Seq("w3"), "left")
+      .join(tri.withColumnRenamed("h", "h123"), Seq("h123"), "left")
+      .join(big.withColumnRenamed("h", "h12"), Seq("h12"), "left")
+      .join(big.select(col("h").as("h23"), col("c12").as("c23")),
+        Seq("h23"), "left")
+      .join(uni.select(col("h").as("h2"), col("c1").as("n2")),
+        Seq("h2"), "left")
+      .join(uni.select(col("h").as("h3"), col("c1").as("n3")),
+        Seq("h3"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("s",
         when(col("c3").isNotNull,
@@ -219,13 +243,14 @@ object TextAnalysis {
           .otherwise(lit(0.16) *
             ((coalesce(col("n3"), lit(0L)).cast("double") + 1.0) /
               (col("bigN").cast("double") + col("vocabV").cast("double")))))
-      .select(col("id"),
+      .select(col("id"), col("m"),
         round(log(col("s")), 6).cast("decimal(18,6)").as("lnp"),
         col("c3").isNull.cast("int").as("backoff"))
     scored.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tri"),
-        sum(col("backoff")).as("n_backoff"),
-        ((-sum(col("lnp"))) * lit(1000000)).cast("long").as("nll_micros"))
+      .agg(sum(col("m")).cast("long").as("n_tri"),
+        sum(col("backoff") * col("m")).cast("long").as("n_backoff"),
+        ((-sum(col("lnp") * col("m"))) * lit(1000000)).cast("long")
+          .as("nll_micros"))
   }
 
   /**

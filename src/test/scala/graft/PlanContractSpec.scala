@@ -372,6 +372,27 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Generate"), "trgm search must not explode the corpus")
   }
 
+  test("trigram LM shuffles hashed gram keys only — gram text never shuffles") {
+    // the r13 scale-killer: five string-keyed reshuffles of the
+    // per-position trigram stream. The re-plan pins (a) a pre-
+    // aggregation per (id, trigram) so duplicates ride the join stack
+    // once, and (b) every hash-partitioned exchange keyed on 8-byte
+    // xxhash64 longs (or the doc id) — a string gram attribute in any
+    // exchange key is the regression this test exists to catch
+    val p = plan("text_trigram_ppl")
+    assert(p.contains("xxhash64"), "gram hashing gone — text would shuffle")
+    val attrRef = """[A-Za-z_][A-Za-z_0-9]*#\d+[A-Za-z]*""".r
+    for (m <- """Exchange hashpartitioning\(([^)]*)""".r.findAllMatchIn(p)) {
+      // a string attr INSIDE an xxhash64(...) call is the hash's input,
+      // not the shuffled key — the key those exchanges carry is the
+      // 8-byte hash itself; only a naked string attribute is a violation
+      val keys = m.group(1).replaceAll("""xxhash64\([^)]*""", "")
+      val strKeys = attrRef.findAllIn(keys).filterNot(_.last == 'L')
+      assert(strKeys.isEmpty,
+        s"string-typed exchange key(s) ${strKeys.mkString(",")} in: ${m.group(0)}")
+    }
+  }
+
   test("maxsim is one vocab equi-join + one aggregate, no crossJoin") {
     val p = plan("maxsim_retrieve")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
