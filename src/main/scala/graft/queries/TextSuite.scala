@@ -261,8 +261,35 @@ object TextSuite {
         .select(col("a.doc_id").as("doc_id"),
           col("a.w").as("w_a"), col("b.w").as("w_b"),
           levenshtein(col("a.w"), col("b.w")).as("lev"),
+          // costed forms (fuzzystrmatch.cpp:177): uniform costs scale
+          // the unit distance (oracle: 3*levenshtein); less_equal is
+          // exact ≤ maxD and deterministically maxD+1 beyond (oracle:
+          // a CASE over the unit distance)
+          graft.functions.Phonetic.levenshteinCol(
+            col("a.w"), col("b.w"), 3, 3, 3).as("lev_c3"),
+          graft.functions.Phonetic.levenshteinLessEqualCol(
+            col("a.w"), col("b.w"), 2).as("lev_le2"),
           translate(col("a.acc"), "éèêëàâäçïîíñóôöúûüý",
             "eeeeaaaciiinooouuuy").as("unaccented"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // fuzzystrmatch phonetics (metaphone fuzzystrmatch.cpp:226,
+    // difference :680, double metaphone dmetaphone.cpp): no SQL engine
+    // computes these → rows-only driver check; values are pinned to the
+    // reference kernels by PhoneticSpec's 99-word battery (the C
+    // harness compiled from the reference's own DMETAPHONE_MAIN)
+    "fuzzy_phonetic" -> ((s, dir) => {
+      val d = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(split(lower(col("text")), " "), 1).as("w"),
+          element_at(split(lower(col("text")), " "), 2).as("w2"))
+      d.select(col("doc_id"), col("w"),
+          graft.functions.Phonetic.metaphoneCol(col("w"), 4).as("mph"),
+          graft.functions.Phonetic.dmetaphoneCol(col("w")).as("dmph"),
+          graft.functions.Phonetic.dmetaphoneAltCol(col("w")).as("dmph_alt"),
+          graft.functions.Phonetic.soundexCol(col("w")).as("sdx"),
+          graft.functions.Phonetic.differenceCol(col("w"), col("w2")).as("diff"))
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
@@ -882,6 +909,9 @@ object TextSuite {
         |FROM documents)
         |SELECT a.doc_id AS doc_id, a.w AS w_a, b.w AS w_b,
         |  levenshtein(a.w, b.w)::INTEGER AS lev,
+        |  (3 * levenshtein(a.w, b.w))::INTEGER AS lev_c3,
+        |  (CASE WHEN levenshtein(a.w, b.w) <= 2
+        |        THEN levenshtein(a.w, b.w) ELSE 3 END)::INTEGER AS lev_le2,
         |  translate(a.acc, 'éèêëàâäçïîíñóôöúûüý',
         |    'eeeeaaaciiinooouuuy') AS unaccented
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
