@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
 
 /**
  * Explicit Bloom-filter runtime pruning for fact⋈dim joins — the
@@ -12,16 +16,22 @@ import org.apache.spark.sql.functions._
  *
  * Shape: one pass over the (small) dim side builds a Bloom filter
  * (mergeable bit-OR partials — insertion order can't matter), the
- * filter broadcasts (~MBs for 1e8 keys at 1% fpp vs the dim itself),
- * and the fact side drops definite-non-matches map-side. Correctness
- * does not depend on the filter: Bloom has NO false negatives, and a
- * verifying semi-join runs after the prune — the filter only cuts
- * shuffle volume, so the result provably equals the plain semi-join
- * (which is exactly what the gate checks).
+ * serialized bits ride the fact stage's ONE broadcast task binary
+ * (~MBs for 1e8 keys at 1% fpp vs the dim itself), and the fact side
+ * drops definite-non-matches map-side. Correctness does not depend on
+ * the filter: Bloom has NO false negatives, and a verifying semi-join
+ * runs after the prune — the filter only cuts shuffle volume, so the
+ * result provably equals the plain semi-join (which is exactly what
+ * the gate checks).
  *
- * The probe is a broadcast-variable UDF — the same justified trade as
- * IVF's broadcast-centroid routing (a codegen'd literal of the filter
- * bits would bloat the plan by the filter size).
+ * Build and probe are Spark's OWN runtime-filter expressions — the
+ * exact pair `InjectRuntimeFilter` plants (`BloomFilterAggregate`
+ * over `xxhash64(key)` on the build side, `BloomFilterMightContain`
+ * over `xxhash64(key)` on the probe side), so the hot map-side filter
+ * is a codegen'd static call on unboxed longs, not a boxed ScalaUDF.
+ * Both sides hash the key's NATIVE type (xxhash64 is typed: INT 7
+ * and BIGINT 7 hash differently), which the dtype-equality guard
+ * below makes consistent by construction.
  */
 object BloomJoin {
 
@@ -31,36 +41,29 @@ object BloomJoin {
   def prunedSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.types._
-    // dim.stat.bloomFilter hashes the column's NATIVE type, so the probe
-    // must dispatch on the same dtype: a long probe against a
-    // string-built filter would hash differently (or null out on the
-    // cast) and silently DROP matching fact rows — breaking the
-    // no-false-negative guarantee. Integral keys probe via
-    // mightContainLong; strings via mightContainString; anything else
-    // fails loudly rather than corrupting.
     val keyType = fact.schema(factKey).dataType
     val dimType = dim.schema(dimKey).dataType
     require(keyType == dimType,
       s"prunedSemiJoin key dtypes differ: $factKey is $keyType, $dimKey is $dimType")
-    val integral = keyType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case StringType => false
+    keyType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => ()
       case t => throw new IllegalArgumentException(
         s"prunedSemiJoin supports integral or string keys, got $t for $factKey")
     }
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val pruned =
-      if (integral) {
-        val mightContain =
-          udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-        fact.filter(mightContain(col(factKey).cast("long")))
-      } else {
-        val mightContain =
-          udf((k: String) => k != null && bc.value.mightContainString(k))
-        fact.filter(mightContain(col(factKey)))
-      }
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val buildAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(Bridge.expression(dim(dimKey)))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bits = dim.filter(col(dimKey).isNotNull)
+      .select(Bridge.column(buildAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = BloomFilterMightContain(
+      Literal(bits, BinaryType),
+      new XxHash64(Seq(Bridge.expression(fact(factKey)))))
+    // might_contain(null-hash) is null → filter drops null fact keys,
+    // same as the semi-join would
+    val pruned = fact.filter(Bridge.column(probe))
     pruned.join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
   }
 }

@@ -33,6 +33,24 @@ class BloomJoinSpec extends SparkSpec {
     assert(plain._1 > 0, "string-key semi-join matched nothing — bad fixture")
   }
 
+  test("probe is Spark's codegen'd might_contain, not a boxed ScalaUDF") {
+    // r13 VERDICT: the map-side hot filter ran as a boxed Scala UDF
+    // outside codegen. The probe must be the catalyst runtime-filter
+    // expression (BloomFilterMightContain over xxhash64), same pair
+    // InjectRuntimeFilter plants. Real source (spark.range), not a
+    // LocalRelation, so the Filter survives into the executed plan.
+    val fact = spark.range(10000)
+      .select((col("id") % 997).as("fk"), col("id").as("v"))
+    val dim = spark.range(0, 997, 3).select(col("id").as("dk"))
+    val df = BloomJoin.prunedSemiJoin(fact, "fk", dim, "dk",
+      expectedItems = 1000L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      "probe is no longer the catalyst runtime-filter expression")
+    assert(p.contains("xxhash64"), "probe lost its typed xxhash64 key")
+    assert(!p.contains("UDF"), "boxed ScalaUDF resurfaced in the probe")
+  }
+
   test("mismatched or unsupported key dtypes fail loudly") {
     val fact = (1 to 100).map(i => (s"k$i", i)).toDF("fk", "v")
     val dimL = (1L to 50L).toDF("dk")
