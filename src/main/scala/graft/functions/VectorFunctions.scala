@@ -183,8 +183,11 @@ object VectorFunctions {
     })
   /** halfvec_in: the halfvec text form composes the dense grammar
     * with the fp16 admission (halfvec.out:54-64 — "[65520]" is out
-    * of range at parse even though it is a valid fp32). */
-  def parseHalfvec(c: Column): Column = halfvec(parseVector(c))
+    * of range at parse even though it is a valid fp32). The parse is
+    * halfvec-TYPED so every admission error names halfvec and renders
+    * the original token text ("65520", not 65520.0 — halfvec.cpp
+    * CheckElement / :252), then rounds through binary16. */
+  def parseHalfvec(c: Column): Column = halfvec(lift(ParseVector(ex(c), "halfvec")))
 
   /** vector_concat. */
   def vectorConcat(a: Column, b: Column): Column = concat(vec(a), vec(b))

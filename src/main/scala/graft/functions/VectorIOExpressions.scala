@@ -42,6 +42,13 @@ private[functions] object VecText {
       if (f.isInfinite)
         throw new IllegalArgumentException(
           s"""graft: "$t" is out of range for type $typ""")
+      // fp16 admission belongs to the halfvec PARSE (halfvec.cpp:252
+      // renders the original token text, not the parsed float — the
+      // reference says `"65520" is out of range`, never "65520.0")
+      if (typ == "halfvec" && !f.isNaN &&
+          (HalfFloat.fromFloat(f) & 0x7fff) == 0x7c00)
+        throw new IllegalArgumentException(
+          s"""graft: "$t" is out of range for type $typ""")
       f
     } else {
       val l = t.toLowerCase
@@ -61,29 +68,31 @@ private[functions] object VecText {
 
 /** parse_vector('[1,2,3]') → array<float>. Malformed input throws,
   * with the reference's admission rules (see [[VecText]]; empty and
-  * >16000-dim vectors rejected like vector_in). */
-case class ParseVector(child: Expression)
+  * >16000-dim vectors rejected like vector_in). `typ` names the type
+  * in every error — halfvec_in reports "halfvec", not "vector"
+  * (halfvec.cpp CheckElement), and adds the fp16 range admission. */
+case class ParseVector(child: Expression, typ: String = "vector")
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "parse_vector"
+  override def prettyName: String = s"parse_$typ"
   override def nullSafeEval(a: Any): Any = {
     val s = a.asInstanceOf[UTF8String].toString.trim
     if (s.length < 2 || s.charAt(0) != '[' || s.charAt(s.length - 1) != ']')
       throw new IllegalArgumentException(
-        s"graft: malformed vector literal (expected '[v1,v2,...]'): $s")
+        s"graft: malformed $typ literal (expected '[v1,v2,...]'): $s")
     val body = s.substring(1, s.length - 1).trim
     if (body.isEmpty)
       throw new IllegalArgumentException(
-        "graft: vector must have at least 1 dimension")
+        s"graft: $typ must have at least 1 dimension")
     val parts = body.split(",", -1) // -1: keep trailing empties ("[1,]" must reject)
     if (parts.length > VecText.MaxDim)
       throw new IllegalArgumentException(
-        s"graft: vector cannot have more than ${VecText.MaxDim} dimensions")
+        s"graft: $typ cannot have more than ${VecText.MaxDim} dimensions")
     val out = new Array[Float](parts.length)
     var i = 0
     while (i < parts.length) {
-      out(i) = VecText.parseElem(parts(i), s, "vector")
+      out(i) = VecText.parseElem(parts(i), s, typ)
       i += 1
     }
     new GenericArrayData(out)

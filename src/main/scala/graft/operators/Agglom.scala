@@ -73,6 +73,14 @@ object Agglom {
     val cellCols = (0 until p).map(i => col(s"f$i"))
     val cellsRaw = pts.groupBy(cellCols: _*).agg(count(lit(1)).as("w"))
       .collect()
+    // null features have no coordinate — reject loudly (checked on the
+    // collected cells, zero extra passes; a null cell would otherwise
+    // NPE deep in the driver recurrence)
+    cellsRaw.find(r => (0 until p).exists(r.isNullAt)).foreach { r =>
+      throw new IllegalArgumentException(
+        "graft: agglomerative clustering requires non-null features — " +
+          s"found a cell with a null coordinate ($r); filter or impute first")
+    }
     require(cellsRaw.length <= maxReps,
       s"graft: ${cellsRaw.length} distinct feature cells exceed maxReps=$maxReps — " +
         "quantize continuous features first (driver merge state is O(m^2))")

@@ -180,10 +180,16 @@ object IndexAdvisor {
    * planner).
    *
    * The comparison pins the planner: AQE and broadcast conversion are
-   * disabled FOR THE MEASUREMENT ONLY (both restored after), so the
+   * disabled on a CHILD SESSION (`spark.newSession()` — conf flips
+   * never leak to concurrent queries on the caller's session), so the
    * plain join is the canonical 2-Exchange sort-merge and the
    * bucketed one must plan ZERO shuffles — deterministic constants an
    * SQL oracle can pin, alongside the SQL-checkable joined row count.
+   * The plain side re-reads the scratch files WITHOUT the bucket
+   * metadata (same bytes, layout advice withheld), so both plans see
+   * identical data. Scratch catalog entries are dropped in the
+   * `finally` (the tables are external — their files live under
+   * `scratchDir`, which the caller owns and cleans).
    *
    * Scale shape: this is advice evaluation, run once per advice on a
    * bounded copy; the bucketed write is one pass per side.
@@ -192,13 +198,11 @@ object IndexAdvisor {
       buckets: Int, scratchDir: String, namePrefix: String): DataFrame = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val spark = left.sparkSession
-    val conf = spark.conf
-    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    val bcast = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val lt = s"${namePrefix}_l"; val rt = s"${namePrefix}_r"
+    val probe = spark.newSession()
+    probe.conf.set("spark.sql.adaptive.enabled", "false")
+    probe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val lt = s"${namePrefix}_l"; val rt = s"${namePrefix}_r"
       spark.sql(s"DROP TABLE IF EXISTS $lt")
       spark.sql(s"DROP TABLE IF EXISTS $rt")
       left.write.bucketBy(buckets, key).sortBy(key)
@@ -208,8 +212,9 @@ object IndexAdvisor {
       def shuffles(df: DataFrame): Long =
         df.queryExecution.executedPlan.collect {
           case e: ShuffleExchangeExec => e }.size.toLong
-      val plain = left.join(right, key)
-      val bucketed = spark.table(lt).join(spark.table(rt), key)
+      val plain = probe.read.parquet(s"$scratchDir/l")
+        .join(probe.read.parquet(s"$scratchDir/r"), key)
+      val bucketed = probe.table(lt).join(probe.table(rt), key)
       val rowsJoined = bucketed.count()
       val (sp, sb) = (shuffles(plain), shuffles(bucketed))
       import spark.implicits._
@@ -217,8 +222,8 @@ object IndexAdvisor {
         .toDF("join_key", "n_buckets", "rows_joined",
           "shuffles_plain", "shuffles_bucketed", "shuffle_eliminated")
     } finally {
-      conf.set("spark.sql.adaptive.enabled", aqe)
-      conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql(s"DROP TABLE IF EXISTS $lt")
+      spark.sql(s"DROP TABLE IF EXISTS $rt")
     }
   }
 }

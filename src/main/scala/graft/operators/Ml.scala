@@ -278,9 +278,9 @@ object Ml {
            |FROM pts, w$t),\n""".stripMargin)
       sb.append(
         s"""w${t + 1} AS (SELECT
-           |  w0 - ${lr}e0 * (CAST(g0 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w0,
-           |  w1 - ${lr}e0 * (CAST(g1 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w1,
-           |  w2 - ${lr}e0 * (CAST(g2 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w2
+           |  w0 - ${dlit(lr)} * (CAST(g0 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w0,
+           |  w1 - ${dlit(lr)} * (CAST(g1 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w1,
+           |  w2 - ${dlit(lr)} * (CAST(g2 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w2
            |FROM g$t, w$t),\n""".stripMargin)
     }
     val z = s"(w0 + w1 * x1 + w2 * x2)"
@@ -456,9 +456,9 @@ object Ml {
              |FROM pts, w${c}_$t),\n""".stripMargin)
         sb.append(
           s"""w${c}_${t + 1} AS (SELECT
-             |  w0 - ${lr}e0 * (CAST(g0 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w0,
-             |  w1 - ${lr}e0 * (CAST(g1 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w1,
-             |  w2 - ${lr}e0 * (CAST(g2 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w2
+             |  w0 - ${dlit(lr)} * (CAST(g0 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w0,
+             |  w1 - ${dlit(lr)} * (CAST(g1 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w1,
+             |  w2 - ${dlit(lr)} * (CAST(g2 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE) AS w2
              |FROM g${c}_$t, w${c}_$t),\n""".stripMargin)
       }
     }
@@ -519,9 +519,9 @@ object Ml {
            |FROM pts, w$t),\n""".stripMargin)
       sb.append(
         s"""w${t + 1} AS (SELECT
-           |  w0 - ${lr}e0 * (CAST(g0 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) AS w0,
-           |  w1 - ${lr}e0 * (CAST(g1 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) + ${lambda}e0 * w1) AS w1,
-           |  w2 - ${lr}e0 * (CAST(g2 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) + ${lambda}e0 * w2) AS w2
+           |  w0 - ${dlit(lr)} * (CAST(g0 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) AS w0,
+           |  w1 - ${dlit(lr)} * (CAST(g1 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) + ${dlit(lambda)} * w1) AS w1,
+           |  w2 - ${dlit(lr)} * (CAST(g2 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) + ${dlit(lambda)} * w2) AS w2
            |FROM g$t, w$t),\n""".stripMargin)
     }
     val z = s"(w0 + w1 * x1 + w2 * x2)"
@@ -660,8 +660,8 @@ object Ml {
           " + CAST(stot - sl AS DOUBLE) * CAST(stot - sl AS DOUBLE) / CAST(n - cl AS DOUBLE)"
       sb.append(
         s"""m$t AS (SELECT feat, v AS thr,
-           |  ${lr}e0 * (CAST(sl AS DOUBLE) / 1e3) / CAST(cl AS DOUBLE) AS lval,
-           |  ${lr}e0 * (CAST(stot - sl AS DOUBLE) / 1e3) / CAST(n - cl AS DOUBLE) AS rval
+           |  ${dlit(lr)} * (CAST(sl AS DOUBLE) / 1e3) / CAST(cl AS DOUBLE) AS lval,
+           |  ${dlit(lr)} * (CAST(stot - sl AS DOUBLE) / 1e3) / CAST(n - cl AS DOUBLE) AS rval
            |FROM (
            |  SELECT 1 AS feat, v, cl, sl, n, stot, $gainCols AS gain FROM c${t}_1 WHERE cl < n
            |  UNION ALL
@@ -849,8 +849,8 @@ object Ml {
             s"FROM ${pre}a${t}_$f),\n")
         }
         sb.append(s"${pre}m$t AS (SELECT feat, v AS thr, " +
-          s"${lr}e0 * (CAST(sl AS DOUBLE) / 1e3) / CAST(cl AS DOUBLE) AS lval, " +
-          s"${lr}e0 * (CAST(stot - sl AS DOUBLE) / 1e3) / CAST(n - cl AS DOUBLE) AS rval FROM (" +
+          s"${dlit(lr)} * (CAST(sl AS DOUBLE) / 1e3) / CAST(cl AS DOUBLE) AS lval, " +
+          s"${dlit(lr)} * (CAST(stot - sl AS DOUBLE) / 1e3) / CAST(n - cl AS DOUBLE) AS rval FROM (" +
           s"SELECT 1 AS feat, v, cl, sl, n, stot, $gain AS gain FROM ${pre}b${t}_1 WHERE cl < n" +
           s" UNION ALL SELECT 2 AS feat, v, cl, sl, n, stot, $gain AS gain FROM ${pre}b${t}_2 WHERE cl < n) " +
           s"ORDER BY gain DESC, feat, v LIMIT 1),\n")
@@ -864,7 +864,7 @@ object Ml {
       search(s"zrow$t", "z") // right child
       def sideFuse(pre: String, fc: String, tc: String, lv: String, rv: String): Unit = {
         val mean = s"CASE WHEN s.cnt = 0 THEN 0e0 ELSE " +
-          s"${lr}e0 * (CAST(s.sq AS DOUBLE) / 1e3) / CAST(s.cnt AS DOUBLE) END"
+          s"${dlit(lr)} * (CAST(s.sq AS DOUBLE) / 1e3) / CAST(s.cnt AS DOUBLE) END"
         sb.append(s"${pre}s$t AS (SELECT CAST(sum(q) AS BIGINT) AS sq, " +
           s"CAST(count(*) AS BIGINT) AS cnt FROM ${pre}row$t),\n")
         sb.append(s"${pre}t$t AS (SELECT coalesce(m.feat, 1) AS $fc, " +

@@ -32,10 +32,13 @@ object Gate {
 
   /** Fresh per-process scratch dir under java.io.tmpdir, recursively
     * wiped of any previous run's contents (deleteOnExit never fires
-    * on a non-empty dir — the r12 /tmp parquet leak). One shared
-    * helper: the wipe semantics must not drift between gates. */
+    * on a non-empty dir — the r12 /tmp parquet leak). The name is
+    * suffixed with this JVM's pid so two concurrent processes running
+    * the same gate can never wipe each other's scratch mid-read. One
+    * shared helper: the wipe semantics must not drift between gates. */
   def scratchDir(name: String): java.io.File = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), name)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"$name-${ProcessHandle.current().pid()}")
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)

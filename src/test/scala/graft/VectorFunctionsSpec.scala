@@ -192,12 +192,29 @@ class VectorFunctionsSpec extends SparkSpec {
       intercept[Exception] {
         v.select(VF.parseSparsevec(lit(bad))).collect()
       }
-    // halfvec text form: fp16 admission applies at parse
+    // halfvec text form: fp16 admission applies at parse, and every
+    // error NAMES halfvec with the original token text (halfvec.cpp
+    // CheckElement — `"65520" is out of range`, never "65520.0")
     assert(v.select(VF.parseHalfvec(lit("[1,0.1,65504]")))
       .as[Seq[Float]].head().head == 1f)
-    intercept[Exception] {
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    val range = intercept[Exception] {
       v.select(VF.parseHalfvec(lit("[65520]"))).collect()
     }
+    assert(rootMsg(range).contains("\"65520\" is out of range for type halfvec"),
+      s"got: ${rootMsg(range)}")
+    val nan = intercept[Exception] {
+      v.select(VF.parseHalfvec(lit("[NaN]"))).collect()
+    }
+    assert(rootMsg(nan).contains("NaN not allowed in halfvec"))
+    val mal = intercept[Exception] {
+      v.select(VF.parseHalfvec(lit("[1,2"))).collect()
+    }
+    assert(rootMsg(mal).contains("halfvec"))
     // explicit zeros DROP at parse (sparsevec.out:160-164)
     val z = v.select(VF.parseSparsevec(lit("{1:0,2:1,3:0}/3")).as("s"))
       .select($"s.indices", $"s.values", $"s.dim").head()
