@@ -456,6 +456,44 @@ object RelationalSuite4 {
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 
+    // ---- contrib/isn product family (r14): ISBN-10 / ISSN / UPC
+    // check-digit mint + validate, conversions onto the EAN-13
+    // backbone (isn.h: short types store as their EAN expansion), and
+    // range-table hyphenation. Payloads are REVERSED key digits so the
+    // leading digit varies — exercising every embedded publisher-range
+    // branch, the unhyphenated fall-through, and the mod-11 'X' check
+    // chars. A perturbed ISBN is always invalid (weights 2..10 are
+    // units mod 11 — a single-digit bump never cancels) ----
+    "isn_family" -> ((s, dir) => {
+      import graft.functions.{Isn => I}
+      val base = Tables(s, dir, "customer").select(col("c_custkey"),
+        reverse(lpad(col("c_custkey").cast("string"), 9, "0")).as("p9"),
+        reverse(lpad(col("c_custkey").cast("string"), 7, "0")).as("p7"),
+        reverse(lpad(col("c_custkey").cast("string"), 11, "0")).as("p11"))
+      val isbn10 = I.isbn10(col("p9"))
+      val isbn13 = I.isbn10ToEan13(isbn10)
+      val bumped9 = concat(substring(col("p9"), 1, 8),
+        pmod(ascii(substring(col("p9"), 9, 1)) - 48 + 1, lit(10)))
+      base.select(col("c_custkey"),
+          isbn10.as("isbn10"), isbn13.as("isbn13"),
+          I.hyphenateIsbn13(isbn13).as("isbn13_hyph"),
+          I.hyphenateIsbn10(isbn10).as("isbn10_hyph"),
+          I.isbn10Valid(isbn10).as("isbn_valid"),
+          (I.ean13ToIsbn10(isbn13) === isbn10).as("isbn_rt_ok"),
+          I.isbn10Valid(concat(bumped9, substring(isbn10, 10, 1)))
+            .as("isbn_perturbed_valid"),
+          I.issn(col("p7")).as("issn"),
+          I.issnValid(concat(col("p7"), I.issnCheckChar(col("p7"))))
+            .as("issn_valid"),
+          I.issnToEan13(concat(col("p7"), I.issnCheckChar(col("p7"))))
+            .as("issn_ean13"),
+          I.upc(col("p11")).as("upc"),
+          I.upcValid(I.upc(col("p11"))).as("upc_valid"),
+          I.ean13Valid(I.upcToEan13(I.upc(col("p11"))))
+            .as("upc_ean_valid"))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
     // ---- PG xml surface (openGauss inherits PG's xml type;
     // contrib/xml2 xpath_string/number). The SCALE path is from_xml:
     // ONE StAX parse per row into a typed struct, every field
@@ -866,6 +904,74 @@ object RelationalSuite4 {
         |SELECT c_custkey, s || cd AS ean13, cd AS check_digit,
         |  false AS perturbed_valid
         |FROM c ORDER BY c_custkey""".stripMargin,
+
+    // the validity booleans are mint→validate constants (the check-
+    // digit LAWS make them so — same precedent as isn_ean13's
+    // perturbed_valid); the minted/hyphenated strings are recomputed
+    "isn_family" ->
+      """WITH b AS (SELECT c_custkey,
+        |  reverse(lpad(c_custkey::VARCHAR, 9, '0')) AS p9,
+        |  reverse(lpad(c_custkey::VARCHAR, 7, '0')) AS p7,
+        |  reverse(lpad(c_custkey::VARCHAR, 11, '0')) AS p11
+        |FROM customer),
+        |c AS (SELECT *,
+        |  (11 - (list_sum(list_transform(range(1, 10),
+        |     i -> (ascii(substr(p9, i::INTEGER, 1)) - 48) * (11 - i))) % 11)) % 11
+        |    AS ckb,
+        |  (11 - (list_sum(list_transform(range(1, 8),
+        |     i -> (ascii(substr(p7, i::INTEGER, 1)) - 48) * (9 - i))) % 11)) % 11
+        |    AS cks,
+        |  (10 - (list_sum(list_transform(range(1, 12),
+        |     i -> (ascii(substr(p11, i::INTEGER, 1)) - 48)
+        |       * (CASE WHEN i % 2 = 1 THEN 3 ELSE 1 END))) % 10)) % 10 AS cku
+        |FROM b),
+        |d AS (SELECT *,
+        |  p9 || (CASE WHEN ckb = 10 THEN 'X' ELSE ckb::VARCHAR END) AS isbn10,
+        |  '978' || p9 ||
+        |    ((10 - (list_sum(list_transform(range(1, 13),
+        |       i -> (ascii(substr('978' || p9, i::INTEGER, 1)) - 48)
+        |         * (CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END))) % 10)) % 10)::VARCHAR
+        |    AS isbn13,
+        |  substr(p7, 1, 4) || '-' || substr(p7, 5, 3) ||
+        |    (CASE WHEN cks = 10 THEN 'X' ELSE cks::VARCHAR END) AS issn,
+        |  '977' || p7 || '00' ||
+        |    ((10 - (list_sum(list_transform(range(1, 13),
+        |       i -> (ascii(substr('977' || p7 || '00', i::INTEGER, 1)) - 48)
+        |         * (CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END))) % 10)) % 10)::VARCHAR
+        |    AS issn_ean13,
+        |  p11 || cku::VARCHAR AS upc
+        |FROM c),
+        |h AS (SELECT *, substr(isbn13, 4, 1) AS grp, substr(isbn13, 5, 8) AS rest,
+        |  CASE WHEN substr(isbn13, 4, 1) = '0' THEN
+        |    CASE WHEN substr(isbn13, 5, 2) BETWEEN '00' AND '19' THEN 2
+        |         WHEN substr(isbn13, 5, 3) BETWEEN '200' AND '699' THEN 3
+        |         WHEN substr(isbn13, 5, 4) BETWEEN '7000' AND '8499' THEN 4
+        |         WHEN substr(isbn13, 5, 5) BETWEEN '85000' AND '89999' THEN 5
+        |         WHEN substr(isbn13, 5, 6) BETWEEN '900000' AND '949999' THEN 6
+        |         WHEN substr(isbn13, 5, 7) BETWEEN '9500000' AND '9999999' THEN 7
+        |         ELSE 0 END
+        |  WHEN substr(isbn13, 4, 1) = '1' THEN
+        |    CASE WHEN substr(isbn13, 5, 2) BETWEEN '00' AND '09' THEN 2
+        |         WHEN substr(isbn13, 5, 3) BETWEEN '100' AND '399' THEN 3
+        |         WHEN substr(isbn13, 5, 4) BETWEEN '4000' AND '5499' THEN 4
+        |         WHEN substr(isbn13, 5, 5) BETWEEN '55000' AND '86979' THEN 5
+        |         WHEN substr(isbn13, 5, 6) BETWEEN '869800' AND '998999' THEN 6
+        |         WHEN substr(isbn13, 5, 7) BETWEEN '9990000' AND '9999999' THEN 7
+        |         ELSE 0 END
+        |  ELSE 0 END AS publen
+        |FROM d)
+        |SELECT c_custkey, isbn10, isbn13,
+        |  CASE WHEN publen > 0 THEN substr(isbn13, 1, 3) || '-' || grp || '-'
+        |    || substr(rest, 1, publen) || '-' || substr(rest, publen + 1, 8 - publen)
+        |    || '-' || substr(isbn13, 13, 1) ELSE isbn13 END AS isbn13_hyph,
+        |  CASE WHEN publen > 0 THEN grp || '-'
+        |    || substr(rest, 1, publen) || '-' || substr(rest, publen + 1, 8 - publen)
+        |    || '-' || substr(isbn10, 10, 1) ELSE isbn10 END AS isbn10_hyph,
+        |  true AS isbn_valid, true AS isbn_rt_ok,
+        |  false AS isbn_perturbed_valid,
+        |  issn, true AS issn_valid, issn_ean13,
+        |  upc, true AS upc_valid, true AS upc_ean_valid
+        |FROM h ORDER BY c_custkey""".stripMargin,
 
     "xml_fns" ->
       """SELECT o_orderkey,
