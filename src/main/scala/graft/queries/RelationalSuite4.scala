@@ -42,6 +42,27 @@ object RelationalSuite4 {
   private val lqPre = "top.*{1}.n1*.*"
   private val lqPreRx = Ltree.lqueryRegex(lqPre)
 
+  /** One embedded Derby database per (JVM, sf dir) for the JDBC FDW
+    * gate: Derby boots a directory once per JVM and holds a lock, so
+    * repeated gate invocations (plan specs, verify reruns) must reuse
+    * the same loaded copy, not wipe it mid-boot. */
+  private object JdbcGateDb {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def url(s: SparkSession, dir: String): String = cache.getOrElseUpdate(dir, {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-jdbc-${ProcessHandle.current().pid()}-${cache.size}")
+      root.mkdirs() // derby.log's parent must exist before Derby boots
+      System.setProperty("derby.stream.error.file",
+        new java.io.File(root, "derby.log").getPath)
+      val u = s"jdbc:derby:${root.getPath}/db;create=true"
+      graft.sources.JdbcSource.writeTable(
+        Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal")),
+        u, "CUST", Some("c_name VARCHAR(64)"))
+      u
+    })
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- ltree (contrib/ltree): per-row ops + lquery match ----
     "ltree_ops" -> ((s, dir) => {
@@ -492,6 +513,28 @@ object RelationalSuite4 {
           I.ean13Valid(I.upcToEan13(I.upc(col("p11"))))
             .as("upc_ean_valid"))
         .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- federated JDBC external table (r14): contrib/postgres_fdw /
+    // dblink re-expressed on Spark's JDBC source. The gate round-trips
+    // customers through an in-process Derby database, reads them back
+    // as a PARTITIONED remote scan (8 range-bounded connections — the
+    // 1000-executor shape), probes with a pushed predicate (WHERE
+    // deparses to the remote engine — plan-asserted in
+    // JdbcSourceSpec), and joins the federated rows against a local
+    // parquet dim. The oracle recomputes straight over parquet: the
+    // Derby hop must be lossless ----
+    "jdbc_fdw" -> ((s, dir) => {
+      val url = JdbcGateDb.url(s, dir)
+      val remote = graft.sources.JdbcSource.readPartitioned(
+        s, url, "CUST", "c_custkey", 1L, 200000L, 8)
+      val nat = Tables(s, dir, "nation")
+      remote.filter(col("c_acctbal") > 1000)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_rich"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+        .transform(Gate.ordered(_, "n_name"))
     }),
 
     // ---- PG xml surface (openGauss inherits PG's xml type;
@@ -972,6 +1015,14 @@ object RelationalSuite4 {
         |  issn, true AS issn_valid, issn_ean13,
         |  upc, true AS upc_valid, true AS upc_ean_valid
         |FROM h ORDER BY c_custkey""".stripMargin,
+
+    "jdbc_fdw" ->
+      """SELECT n_name,
+        |  count(*) AS n_rich,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 1000
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "xml_fns" ->
       """SELECT o_orderkey,
