@@ -197,6 +197,29 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // ---- pgcrypto PGP symmetric framing (r14): pgp_sym_encrypt /
+    // decrypt / armor / dearmor over per-order payloads. rows-only BY
+    // NATURE like crypto_cipher (no SQL engine speaks RFC 4880); the
+    // framing is pinned to the reference's own 45-message armored
+    // battery in PgpSpec. The seed makes salt+prefix deterministic
+    // (the reference draws them from fortuna — see Pgp doc) ----
+    "crypto_pgp" -> ((s, dir) => {
+      import graft.operators.Pgp
+      val o = Tables(s, dir, "orders")
+        .withColumn("msg", concat(lit("order:"), col("o_orderkey")))
+        .withColumn("psw", concat(lit("k"), col("o_custkey")))
+      val ct = Pgp.pgpSymEncrypt(col("msg"), col("psw"), col("o_orderkey"))
+      o.select(col("o_orderkey"),
+          sha2(ct, 256).as("ct_sha"),
+          length(ct).as("ct_len"),
+          (Pgp.pgpSymDecrypt(ct, col("psw")) === col("msg"))
+            .as("roundtrip_ok"),
+          (Pgp.pgpSymDecryptBytea(Pgp.dearmorCol(Pgp.armorCol(ct)),
+            col("psw")).cast("string") === col("msg"))
+            .as("armor_roundtrip_ok"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // ---- TIMECAPSULE flashback (C78, gram.y:6416-6453): the events
     // stream as a change log (key, commit ts, csn, op, payload) —
     // csn = event_id is globally unique, so (ts, csn) orders versions
