@@ -691,4 +691,105 @@ object FullText {
     pruned.filter(startswith(col("term"), lit(p)))
       .select(col("doc_id")).distinct()
   }
+
+  // ------------------------------------------------------- ts_rewrite
+
+  /**
+   * ts_rewrite(query, target, substitute) — every occurrence of
+   * `target` inside `query` becomes `substitute` (reference:
+   * tsquery_rewrite.c findsubquery over QTNTernary'd/QTNSort'ed
+   * trees). Like PG, matching is modulo AND/OR commutativity,
+   * associativity, and duplicate collapse: both trees canonicalize to
+   * sorted n-ary groups, and a same-operator target whose children
+   * form a SUBSET of a group rewrites just that subset ('a & b & c'
+   * with target 'a & b' → 'new & c'). Phrases are atomic units
+   * (matched by equality). Applied to fixpoint with a bound, so a
+   * substitute that re-contains its target can't loop. DEPARTURE:
+   * the rewritten tree renders in canonical child order, not PG's
+   * insertion order — same boolean semantics.
+   */
+  def tsRewrite(query: String, target: String, substitute: String): Node = {
+    val t = canon(parseQuery(target))
+    val s = canon(parseQuery(substitute))
+    var cur = canon(parseQuery(query))
+    var iter = 0
+    var changed = true
+    while (changed && iter < 16) {
+      val next = rewriteOnce(cur, t, s)
+      changed = next != cur
+      cur = next
+      iter += 1
+    }
+    unCanon(cur)
+  }
+
+  /** tsRewrite straight to tsquery text (the form ts_rewrite returns). */
+  def tsRewriteText(query: String, target: String, substitute: String): String =
+    render(tsRewrite(query, target, substitute))
+
+  private def render(n: Node): String = n match {
+    case Phrase(terms, gaps) =>
+      terms.head + gaps.zip(terms.tail).map { case (g, t) =>
+        if (g == 1) s" <-> $t" else s" <$g> $t" }.mkString
+    case And(l, r) => s"(${render(l)}) & (${render(r)})"
+    case Or(l, r)  => s"(${render(l)}) | (${render(r)})"
+    case Not(c)    => s"!(${render(c)})"
+  }
+
+  // canonical n-ary sorted form (QTNTernary + QTNSort + uniq)
+  private sealed trait C
+  private final case class CLeaf(p: Phrase) extends C
+  private final case class CNeg(c: C) extends C
+  private final case class CGrp(isAnd: Boolean, ch: List[C]) extends C
+
+  private def key(c: C): String = c match {
+    case CLeaf(p) => "L" + render(p)
+    case CNeg(x) => "N(" + key(x) + ")"
+    case CGrp(a, ch) => (if (a) "A[" else "O[") + ch.map(key).mkString(",") + "]"
+  }
+
+  private def grp(isAnd: Boolean, ch: List[C]): C = {
+    val flat = ch.flatMap {
+      case CGrp(a, inner) if a == isAnd => inner
+      case other => List(other)
+    }
+    val sorted = flat.distinct.sortBy(key)
+    if (sorted.size == 1) sorted.head else CGrp(isAnd, sorted)
+  }
+
+  private def canon(n: Node): C = n match {
+    case p: Phrase => CLeaf(p)
+    case And(l, r) => grp(isAnd = true, List(canon(l), canon(r)))
+    case Or(l, r) => grp(isAnd = false, List(canon(l), canon(r)))
+    case Not(c) => CNeg(canon(c))
+  }
+
+  private def unCanon(c: C): Node = c match {
+    case CLeaf(p) => p
+    case CNeg(x) => Not(unCanon(x))
+    case CGrp(a, ch) =>
+      ch.map(unCanon).reduceLeft((l, r) => if (a) And(l, r) else Or(l, r))
+  }
+
+  /** Remove each element of `sub` once from `from` (set semantics —
+    * canonical groups are already dupe-collapsed). */
+  private def minus(from: List[C], sub: List[C]): List[C] =
+    from.filterNot(sub.contains)
+
+  private def rewriteOnce(c: C, t: C, s: C): C = {
+    if (c == t) return s
+    c match {
+      case CGrp(op, ch) =>
+        val kids = ch.map(rewriteOnce(_, t, s))
+        val g = grp(op, kids)
+        (g, t) match {
+          case (CGrp(gop, gch), CGrp(top, tch))
+              if gop == top && tch.forall(gch.contains) =>
+            grp(gop, minus(gch, tch) :+ s)
+          case _ => g
+        }
+      case CNeg(x) => CNeg(rewriteOnce(x, t, s))
+      case leaf => leaf
+    }
+  }
 }

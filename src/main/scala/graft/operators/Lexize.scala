@@ -93,6 +93,15 @@ object Lexize {
   def lexemes(text: Column): Column =
     Bridge.column(StemLexemes(Bridge.expression(text)))
 
+  /** to_tsvector(language, text): the language-keyed chain
+    * (dict_snowball.c's `language =` parameter). The stop list is
+    * caller-supplied — PG ships per-language stop files as config
+    * data, not code. `lexemes(text)` ≡
+    * `lexemes(text, "english", <english stop list>)`. */
+  def lexemes(text: Column, lang: String, stop: Seq[String]): Column =
+    Bridge.column(graft.functions.StemLexemesLang(
+      Bridge.expression(text), lang, stop))
+
   /** One-pass (n_lex, n_uniq, tfs[...]) stats for stemmed `terms`. */
   def stemStats(text: Column, terms: Seq[String]): Column =
     Bridge.column(StemStats(Bridge.expression(text), terms))

@@ -364,6 +364,24 @@ object TextSuite {
     // substring probes on the padded text — a map-only scan, mirrored
     // in SQL with position(). Output keeps two sub-atom booleans so
     // the gate checks the atoms, not just the conjunction.
+    // ts_rewrite (tsquery_rewrite.c): three rewrite shapes — plain
+    // expansion, n-ary subset replacement inside a larger AND, and a
+    // rewrite under negation — each applied to the query FIRST, then
+    // matched; the oracle hand-writes the EXPANDED semantics, so the
+    // gate proves the rewrite produced exactly those semantics
+    "fts_rewrite" -> ((s, dir) => {
+      val FT = graft.operators.FullText
+      val q1 = FT.tsRewriteText("spark & merge", "merge", "merge | join")
+      val q2 = FT.tsRewriteText("vector & data & scan", "vector & data", "batch")
+      val q3 = FT.tsRewriteText("query & !slow", "slow", "slow | small")
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          FT.tsMatch(col("text"), q1).as("m_expanded"),
+          FT.tsMatch(col("text"), q2).as("m_subset"),
+          FT.tsMatch(col("text"), q3).as("m_negated"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     "fts_match" -> ((s, dir) => {
       val FT = graft.operators.FullText
       Tables.spread(s, dir, "documents")
@@ -1250,6 +1268,19 @@ object TextSuite {
 
     // fts atoms mirror tsMatch exactly: token membership / adjacency
     // == substring containment on the space-padded lowercased text
+    "fts_rewrite" ->
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents)
+        |SELECT doc_id,
+        |  (position(' spark ' IN pad) > 0 AND
+        |    (position(' merge ' IN pad) > 0 OR position(' join ' IN pad) > 0))
+        |    AS m_expanded,
+        |  (position(' batch ' IN pad) > 0 AND position(' scan ' IN pad) > 0)
+        |    AS m_subset,
+        |  (position(' query ' IN pad) > 0 AND NOT
+        |    (position(' slow ' IN pad) > 0 OR position(' small ' IN pad) > 0))
+        |    AS m_negated
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "fts_match" ->
       """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents)
         |SELECT doc_id,
