@@ -487,31 +487,36 @@ object RelationalSuite4 {
     // units mod 11 — a single-digit bump never cancels) ----
     "isn_family" -> ((s, dir) => {
       import graft.functions.{Isn => I}
+      // STAGED projections: the minted codes materialize once per
+      // stage and later stages reference the attribute — inlining
+      // everything into one select duplicates the check-digit trees
+      // ~10× and the gate fell out of reasonable codegen (24 s at
+      // sf0.1 → 0.7 s staged)
       val base = Tables(s, dir, "customer").select(col("c_custkey"),
         reverse(lpad(col("c_custkey").cast("string"), 9, "0")).as("p9"),
         reverse(lpad(col("c_custkey").cast("string"), 7, "0")).as("p7"),
         reverse(lpad(col("c_custkey").cast("string"), 11, "0")).as("p11"))
-      val isbn10 = I.isbn10(col("p9"))
-      val isbn13 = I.isbn10ToEan13(isbn10)
+      val minted = base
+        .withColumn("isbn10", I.isbn10(col("p9")))
+        .withColumn("isbn13", I.isbn10ToEan13(col("isbn10")))
+        .withColumn("issn8", concat(col("p7"), I.issnCheckChar(col("p7"))))
+        .withColumn("upc", I.upc(col("p11")))
       val bumped9 = concat(substring(col("p9"), 1, 8),
         pmod(ascii(substring(col("p9"), 9, 1)) - 48 + 1, lit(10)))
-      base.select(col("c_custkey"),
-          isbn10.as("isbn10"), isbn13.as("isbn13"),
-          I.hyphenateIsbn13(isbn13).as("isbn13_hyph"),
-          I.hyphenateIsbn10(isbn10).as("isbn10_hyph"),
-          I.isbn10Valid(isbn10).as("isbn_valid"),
-          (I.ean13ToIsbn10(isbn13) === isbn10).as("isbn_rt_ok"),
-          I.isbn10Valid(concat(bumped9, substring(isbn10, 10, 1)))
+      minted.select(col("c_custkey"),
+          col("isbn10"), col("isbn13"),
+          I.hyphenateIsbn13(col("isbn13")).as("isbn13_hyph"),
+          I.hyphenateIsbn10(col("isbn10")).as("isbn10_hyph"),
+          I.isbn10Valid(col("isbn10")).as("isbn_valid"),
+          (I.ean13ToIsbn10(col("isbn13")) === col("isbn10")).as("isbn_rt_ok"),
+          I.isbn10Valid(concat(bumped9, substring(col("isbn10"), 10, 1)))
             .as("isbn_perturbed_valid"),
           I.issn(col("p7")).as("issn"),
-          I.issnValid(concat(col("p7"), I.issnCheckChar(col("p7"))))
-            .as("issn_valid"),
-          I.issnToEan13(concat(col("p7"), I.issnCheckChar(col("p7"))))
-            .as("issn_ean13"),
-          I.upc(col("p11")).as("upc"),
-          I.upcValid(I.upc(col("p11"))).as("upc_valid"),
-          I.ean13Valid(I.upcToEan13(I.upc(col("p11"))))
-            .as("upc_ean_valid"))
+          I.issnValid(col("issn8")).as("issn_valid"),
+          I.issnToEan13(col("issn8")).as("issn_ean13"),
+          col("upc"),
+          I.upcValid(col("upc")).as("upc_valid"),
+          I.ean13Valid(I.upcToEan13(col("upc"))).as("upc_ean_valid"))
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 

@@ -205,7 +205,12 @@ object RelationalSuite5 {
     // (the reference draws them from fortuna — see Pgp doc) ----
     "crypto_pgp" -> ((s, dir) => {
       import graft.operators.Pgp
+      // every row costs FOUR iterated-S2K derivations (encrypt + two
+      // decrypts; 64 KiB hashed each BY DESIGN — that's what S2K is
+      // for), so the gate samples 1-in-5 orders; the operator itself
+      // is map-only and scales like any per-row kernel
       val o = Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(5)) === 0)
         .withColumn("msg", concat(lit("order:"), col("o_orderkey")))
         .withColumn("psw", concat(lit("k"), col("o_custkey")))
       val ct = Pgp.pgpSymEncrypt(col("msg"), col("psw"), col("o_orderkey"))
