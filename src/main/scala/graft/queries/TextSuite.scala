@@ -382,6 +382,32 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // thesaurus dictionary (dict_thesaurus.cpp): phrase-level rewrite
+    // during lexizing — 'slow query' collapses to the *-marked raw
+    // lexeme 'sq' (1 output token for 2 input), 'big table' expands to
+    // the subdictionary-normalized pair 'storag unit'. The oracle
+    // recomputes counts and the first collapsed position from raw
+    // adjacent-pair arithmetic (the corpus vocabulary is closed — no
+    // inflections — so raw-pair detection ≡ the stem-normalized
+    // matching; the full inflection/stopword semantics are pinned to
+    // the reference's regress battery in ThesaurusSpec)
+    "fts_thesaurus" -> ((s, dir) => {
+      val dict = graft.operators.Thesaurus.load(
+        "slow query : *sq\nbig table : storage unit\n",
+        stop = Set.empty, stem = graft.functions.Porter.stem)
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Thesaurus.lexizeCol(col("text"), dict).as("lex"))
+        .select(col("doc_id"),
+          size(col("lex")).as("n_out"),
+          size(expr("filter(lex, x -> x.lex = 'sq')")).as("n_sq"),
+          size(expr("filter(lex, x -> x.lex = 'unit')")).as("n_unit"),
+          coalesce(expr(
+            "array_min(transform(filter(lex, x -> x.lex = 'sq'), x -> x.pos))"),
+            lit(0)).as("first_sq"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     "fts_match" -> ((s, dir) => {
       val FT = graft.operators.FullText
       Tables.spread(s, dir, "documents")
@@ -1268,6 +1294,27 @@ object TextSuite {
 
     // fts atoms mirror tsMatch exactly: token membership / adjacency
     // == substring containment on the space-padded lowercased text
+    // n_out = tokens − sq-collapses (2→1; 'big table'→2 is
+    // count-neutral); first 'sq' OUTPUT position = its first token
+    // index (everything before it emits 1-for-1 or 2-for-2)
+    "fts_thesaurus" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |p AS (SELECT doc_id, len(w) AS n,
+        |  list_transform(range(1, len(w)),
+        |    i -> CASE WHEN w[i] = 'slow' AND w[i+1] = 'query'
+        |              THEN 1 ELSE 0 END) AS sq,
+        |  list_transform(range(1, len(w)),
+        |    i -> CASE WHEN w[i] = 'big' AND w[i+1] = 'table'
+        |              THEN 1 ELSE 0 END) AS bt
+        |FROM t)
+        |SELECT doc_id,
+        |  (n - coalesce(list_sum(sq), 0))::INTEGER AS n_out,
+        |  coalesce(list_sum(sq), 0)::INTEGER AS n_sq,
+        |  coalesce(list_sum(bt), 0)::INTEGER AS n_unit,
+        |  coalesce(list_position(sq, 1), 0)::INTEGER AS first_sq
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "fts_rewrite" ->
       """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents)
         |SELECT doc_id,
