@@ -185,46 +185,42 @@ object TextAnalysis {
    */
   def trigramBackoffNll(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, train: Column): org.apache.spark.sql.DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
-    def gramsOf(w: Int): Column =
-      when(size(toks) >= w,
-        transform(sequence(lit(1), size(toks) - (w - 1)), i =>
-          struct(element_at(toks, i).as("w1"),
-            (if (w >= 2) element_at(toks, i + 1) else lit("")).as("w2"),
-            (if (w >= 3) element_at(toks, i + 2) else lit("")).as("w3"))))
-        .otherwise(array().cast(
-          "array<struct<w1:string,w2:string,w3:string>>"))
+    import org.apache.spark.sql.graft.Bridge
     val trainDf = df.filter(train)
-    // count tables keyed by the gram hash alone: explode + hash are
-    // map-side, the groupBy exchange carries one long per gram
-    def counts(w: Int, name: String) = {
-      val ws = Seq(col("g.w1")) ++ (if (w >= 2) Seq(col("g.w2")) else Nil) ++
-        (if (w >= 3) Seq(col("g.w3")) else Nil)
-      trainDf.select(explode(gramsOf(w)).as("g"))
-        .select(xxhash64(ws: _*).as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as(name))
-    }
-    val tri = counts(3, "c3")
-    val big = counts(2, "c12")
-    val uni = counts(1, "c1")
-    val totals = trainDf.select(explode(toks).as("t"))
-      .agg(count(lit(1)).as("bigN"),
-        countDistinct(xxhash64(col("t"))).as("vocabV"))
+    // ALL THREE count tables from ONE corpus scan: every 1/2/3-gram
+    // hash minted class-tagged in one compiled pass (TaggedGramHashes)
+    // and aggregated through one exchange keyed (cls, h) — the three
+    // table branches filter their class above the shared shuffle
+    // (ReuseExchange dedupes it). At 100 TB the corpus passes are the
+    // cost: this plan reads the training corpus once, not three times.
+    val all = trainDf.select(explode(Bridge.column(
+        graft.functions.TaggedGramHashes(Bridge.expression(col(textCol)))))
+        .as("g"))
+      .groupBy(col("g.cls").as("cls"), col("g.h").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val tri = all.filter(col("cls") === 3).select(col("h"), col("c").as("c3"))
+    val big = all.filter(col("cls") === 2).select(col("h"), col("c").as("c12"))
+    val uni = all.filter(col("cls") === 1).select(col("h"), col("c").as("c1"))
+    // totals DERIVE from the unigram table (bigN = Σ counts, V = its
+    // row count) — the corpus is never re-scanned for them
+    val totals = uni.agg(sum(col("c1")).as("bigN"),
+      count(lit(1)).as("vocabV"))
 
-    // doc-side stream: all five probe keys hashed map-side, strings
-    // dropped, then ONE pre-aggregation per (id, trigram) — h123
-    // determines the other four keys, which ride along as grouping
-    // columns so the join stack sees them without a re-derivation
-    val docTri = df.select(col(idCol).as("id"), explode(gramsOf(3)).as("g"))
-      .select(col("id"),
-        xxhash64(col("g.w1"), col("g.w2"), col("g.w3")).as("h123"),
-        xxhash64(col("g.w1"), col("g.w2")).as("h12"),
-        xxhash64(col("g.w2"), col("g.w3")).as("h23"),
-        xxhash64(col("g.w2")).as("h2"),
-        xxhash64(col("g.w3")).as("h3"))
-      .groupBy(col("id"), col("h123"), col("h12"), col("h23"),
-        col("h2"), col("h3"))
-      .agg(count(lit(1)).as("m"))
+    // doc-side stream: all five probe keys minted in the same
+    // compiled pass (one 40-byte struct per trigram), exploded once,
+    // then ONE pre-aggregation per (id, trigram) — the grouping key
+    // is just (id, h123); the other four keys are determined by the
+    // trigram, so they ride as first() aggregates instead of widening
+    // the shuffle key
+    val docTri = df.select(col(idCol).as("id"),
+        explode(Bridge.column(graft.functions.TrigramProbeHashes(
+          Bridge.expression(col(textCol))))).as("g"))
+      .select(col("id"), col("g.h123").as("h123"), col("g.h12").as("h12"),
+        col("g.h23").as("h23"), col("g.h2").as("h2"), col("g.h3").as("h3"))
+      .groupBy(col("id"), col("h123"))
+      .agg(count(lit(1)).as("m"), first(col("h12")).as("h12"),
+        first(col("h23")).as("h23"), first(col("h2")).as("h2"),
+        first(col("h3")).as("h3"))
     val scored = docTri
       .join(tri.withColumnRenamed("h", "h123"), Seq("h123"), "left")
       .join(big.withColumnRenamed("h", "h12"), Seq("h12"), "left")

@@ -381,16 +381,23 @@ class PlanContractSpec extends SparkSpec {
     // exchange key is the regression this test exists to catch
     val p = plan("text_trigram_ppl")
     assert(p.contains("xxhash64"), "gram hashing gone — text would shuffle")
-    val attrRef = """[A-Za-z_][A-Za-z_0-9]*#\d+[A-Za-z]*""".r
-    for (m <- """Exchange hashpartitioning\(([^)]*)""".r.findAllMatchIn(p)) {
-      // a string attr INSIDE an xxhash64(...) call is the hash's input,
-      // not the shuffled key — the key those exchanges carry is the
-      // 8-byte hash itself; only a naked string attribute is a violation
-      val keys = m.group(1).replaceAll("""xxhash64\([^)]*""", "")
-      val strKeys = attrRef.findAllIn(keys).filterNot(_.last == 'L')
-      assert(strKeys.isEmpty,
-        s"string-typed exchange key(s) ${strKeys.mkString(",")} in: ${m.group(0)}")
+    // typed walk, not a name regex: NO hash-partitioning key anywhere
+    // in the plan may be string-typed (ints — the count-table class
+    // tag — and longs — the gram hashes — are the only legal keys)
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val exec = SparkEntry.queries("text_trigram_ppl")(spark, sfDir)
+      .queryExecution.executedPlan
+    val strKeys = exec.collect { case e: ShuffleExchangeExec => e }.flatMap {
+      e => e.outputPartitioning match {
+        case h: HashPartitioning => h.expressions.filter(x =>
+          x.dataType == StringType)
+        case _ => Nil
+      }
     }
+    assert(strKeys.isEmpty,
+      s"string-typed exchange key(s): ${strKeys.mkString(", ")}")
   }
 
   test("maxsim is one vocab equi-join + one aggregate, no crossJoin") {
