@@ -50,7 +50,7 @@ object Snowball {
 
     def stem(word: String): String = {
       if (word == null) return null
-      var w = word.toLowerCase
+      var w = word.toLowerCase(java.util.Locale.ROOT)
       if (w.length <= 3) return w
       // step 1: longest among (ending list ∪ s-rule) inside R1
       val r1 = r1Start(w)
@@ -87,7 +87,7 @@ object Snowball {
   }
 
   /** Language registry (dict_snowball.c's language parameter). */
-  def stemmer(lang: String): Stemmer = lang.toLowerCase match {
+  def stemmer(lang: String): Stemmer = lang.toLowerCase(java.util.Locale.ROOT) match {
     case "english" => EnglishStemmer
     case "swedish" => SwedishStemmer
     case l => throw new IllegalArgumentException(
@@ -108,7 +108,7 @@ case class StemLexemesLang(child: Expression, lang: String,
   @transient private lazy val stemmer = Snowball.stemmer(lang)
   @transient private lazy val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
-    stop.foreach(w => s.add(w.toLowerCase))
+    stop.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
     s
   }
 

@@ -45,7 +45,7 @@ object Ispell {
     val simple: Boolean = mask.isEmpty || mask == "."
     @transient lazy val maskRe: java.util.regex.Pattern =
       java.util.regex.Pattern.compile(
-        if (isSuffix) s"^.*${mask.toLowerCase}$$" else s"^${mask.toLowerCase}.*$$")
+        if (isSuffix) s"^.*${mask.toLowerCase(java.util.Locale.ROOT)}$$" else s"^${mask.toLowerCase(java.util.Locale.ROOT)}.*$$")
     def crossProduct: Boolean = (flagflags & FfCrossProduct) != 0
   }
 
@@ -54,6 +54,16 @@ object Ispell {
   final case class Dict(words: Map[String, Entry], prefixes: Seq[Affix],
       suffixes: Seq[Affix], useCompound: Boolean,
       compoundAffixes: Seq[Affix]) extends Serializable {
+
+    // every proper prefix of every dictionary word (the SPNode trie's
+    // reachability); bounded by Σ word lengths — a per-level linear
+    // scan of the word map would make lexize O(|dict|) per character
+    @transient private lazy val livePrefixes: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      for (w <- words.keysIterator; i <- 1 to w.length)
+        s.add(w.substring(0, i))
+      s
+    }
 
     // ---- FindWord (spell.cpp:1915): affix-flag + compound-position check
     private def findWord(w: String, affixFlag: Option[Char], ctx: Int): Boolean =
@@ -160,8 +170,7 @@ object Ispell {
           }
           // dictionary-word piece via the trie walk
           val prefix = word.substring(start, level + 1)
-          val anyWithPrefix = words.keysIterator.exists(_.startsWith(prefix))
-          if (!anyWithPrefix && !words.contains(prefix)) {
+          if (!livePrefixes.contains(prefix)) {
             alive = false
           } else {
             val e = words.get(prefix)
@@ -190,7 +199,7 @@ object Ispell {
 
     /** ts_lexize: None = word unknown to this dictionary. */
     def lexize(raw: String): Option[Seq[String]] = {
-      val word = raw.toLowerCase
+      val word = raw.toLowerCase(java.util.Locale.ROOT)
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       out ++= normalizeSub(word, 0)
       if (useCompound) {
@@ -220,7 +229,7 @@ object Ispell {
 
     for (rawLine <- affixText.split("\n", -1)) {
       val line = rawLine.replaceAll("#.*$", "").trim
-      val lower = line.toLowerCase
+      val lower = line.toLowerCase(java.util.Locale.ROOT)
       if (line.isEmpty) ()
       else if (lower.startsWith("compoundwords")) {
         // `compoundwords controlled Z` (case-insensitive keyword scan)
@@ -251,10 +260,10 @@ object Ispell {
           if (replPart.startsWith("-")) {
             val body = replPart.substring(1)
             val comma = body.indexOf(',')
-            if (comma >= 0) (body.substring(0, comma).trim.toLowerCase,
-              body.substring(comma + 1).trim.toLowerCase)
-            else (body.trim.toLowerCase, "")
-          } else ("", replPart.toLowerCase)
+            if (comma >= 0) (body.substring(0, comma).trim.toLowerCase(java.util.Locale.ROOT),
+              body.substring(comma + 1).trim.toLowerCase(java.util.Locale.ROOT))
+            else (body.trim.toLowerCase(java.util.Locale.ROOT), "")
+          } else ("", replPart.toLowerCase(java.util.Locale.ROOT))
         val aff = Affix(curFlag, curFlagFlags, suffixMode, find, repl,
           if (maskPart == ".") "" else maskPart)
         if (suffixMode) suffixes += aff else prefixes += aff
@@ -267,9 +276,9 @@ object Ispell {
       if (line.nonEmpty && !line.startsWith("#")) {
         val slash = line.indexOf('/')
         val (w, fl) =
-          if (slash >= 0) (line.substring(0, slash).toLowerCase,
+          if (slash >= 0) (line.substring(0, slash).toLowerCase(java.util.Locale.ROOT),
             line.substring(slash + 1).toSet)
-          else (line.toLowerCase, Set.empty[Char])
+          else (line.toLowerCase(java.util.Locale.ROOT), Set.empty[Char])
         val cf = if (fl.exists(compoundFlags.contains)) FfCompoundFlag else 0
         words(w) = Entry(fl, cf)
       }

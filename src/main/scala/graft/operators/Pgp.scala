@@ -160,7 +160,10 @@ object Pgp {
   // ------------------------------------------------------ packet reader
 
   private final class Reader(val buf: Array[Byte], var pos: Int) {
-    def u8(): Int = { val v = buf(pos) & 0xff; pos += 1; v }
+    def u8(): Int = {
+      require(pos < buf.length, "graft: pgp message truncated")
+      val v = buf(pos) & 0xff; pos += 1; v
+    }
     def take(n: Int): Array[Byte] = {
       require(pos + n <= buf.length, "graft: pgp message truncated")
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out

@@ -43,7 +43,7 @@ object Thesaurus {
     /** Lexize a whitespace-tokenized text into (lexeme, pos) with the
       * reference's output-position semantics. */
     def lexize(text: String): Seq[(String, Int)] = {
-      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toVector
       val normed = toks.map(norm)
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
       var pos = 0
@@ -74,7 +74,7 @@ object Thesaurus {
     /** ts_lexize('thesaurus', w): single-token probe (the regress
       * note: ts_lexize cannot pass more than one word). */
     def lexizeWord(w: String): Option[Seq[String]] = {
-      val n = norm(w.toLowerCase)
+      val n = norm(w.toLowerCase(java.util.Locale.ROOT))
       byFirst.getOrElse(n, Nil).find(_.sample.length == 1).map(_.subst)
     }
   }
@@ -98,7 +98,7 @@ object Thesaurus {
       if (tok == "?") "?" else if (stop.contains(syn)) "?" else stem(syn)
     }
     val rules = thsText.split("\n", -1).toSeq
-      .map(_.replaceAll("#.*$", "").trim.toLowerCase)
+      .map(_.replaceAll("#.*$", "").trim.toLowerCase(java.util.Locale.ROOT))
       .filter(l => l.nonEmpty && l.contains(":"))
       .map { l =>
         val Array(lhs, rhs) = l.split(":", 2)
