@@ -146,8 +146,11 @@ object Ispell {
         var level = if (fromTrie) minpos else startpos
         var stemsV = stems
         var start = startpos
-        var alive = true
-        while (level < word.length && alive) {
+        var trieDead = false // PG: node == NULL — one MORE compound-affix
+        //                      probe still runs at the next level before
+        //                      the loop breaks (spell.cpp:2226's ordering)
+        var done = false
+        while (level < word.length && !done) {
           // compound-affix-bound piece (spell.cpp:2168): a compound
           // affix string sitting at `level` closes a piece that
           // includes it; the piece must lexize at its position
@@ -170,8 +173,10 @@ object Ispell {
           }
           // dictionary-word piece via the trie walk
           val prefix = word.substring(start, level + 1)
-          if (!livePrefixes.contains(prefix)) {
-            alive = false
+          if (trieDead) {
+            done = true
+          } else if (!livePrefixes.contains(prefix)) {
+            trieDead = true
           } else {
             val e = words.get(prefix)
             val ctx = ctxAt(level, start)
