@@ -64,7 +64,9 @@ object Pgp {
     val crcB64 = B64E.encodeToString(
       Array(((crc >> 16) & 0xff).toByte, ((crc >> 8) & 0xff).toByte,
         (crc & 0xff).toByte))
-    s"-----BEGIN PGP MESSAGE-----\n\n$b64\n=$crcB64\n-----END PGP MESSAGE-----\n"
+    // empty payload renders no body line at all (pgp-armor.out:6-13)
+    val body = if (b64.isEmpty) "" else b64 + "\n"
+    s"-----BEGIN PGP MESSAGE-----\n\n$body=$crcB64\n-----END PGP MESSAGE-----\n"
   }
 
   def dearmor(text: String): Array[Byte] = {

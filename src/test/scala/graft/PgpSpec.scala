@@ -135,6 +135,54 @@ class PgpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC24"))
   }
 
+  test("armor text form and dearmor tolerance match pgp-armor.out") {
+    // exact rendered strings (pgp-armor.out:6-24)
+    assert(Pgp.armor(Array.empty) ==
+      "-----BEGIN PGP MESSAGE-----\n\n=twTO\n-----END PGP MESSAGE-----\n")
+    assert(Pgp.armor("test".getBytes) ==
+      "-----BEGIN PGP MESSAGE-----\n\ndGVzdA==\n=+G7Q\n-----END PGP MESSAGE-----\n")
+    // junk before the armor, Comment headers, indented CRC line
+    val messy = """ a pgp msg:
+                  |
+                  |-----BEGIN PGP MESSAGE-----
+                  |Comment: Some junk
+                  |
+                  |em9va2E=
+                  |
+                  |  =D5cR
+                  |
+                  |-----END PGP MESSAGE-----""".stripMargin
+    assert(new String(Pgp.dearmor(messy)) == "zooka")
+    // several messages: only the FIRST unindented armor block is read
+    // (the reference skips the indented 'wrong packet' marker too)
+    val multi = """
+                  |wrong packet:
+                  |  -----BEGIN PGP MESSAGE-----
+                  |
+                  |  d3Jvbmc=
+                  |  =vCYP
+                  |  -----END PGP MESSAGE-----
+                  |
+                  |right packet:
+                  |-----BEGIN PGP MESSAGE-----
+                  |
+                  |cmlnaHQ=
+                  |=nbpj
+                  |-----END PGP MESSAGE-----
+                  |
+                  |use only first packet
+                  |-----BEGIN PGP MESSAGE-----
+                  |
+                  |d3Jvbmc=
+                  |=vCYP
+                  |-----END PGP MESSAGE-----
+                  |""".stripMargin
+    assert(new String(Pgp.dearmor(multi)) == "right")
+    // bad CRC rejects ('Corrupt ascii-armor')
+    val bad = "-----BEGIN PGP MESSAGE-----\n\nem9va2E=\n=ZZZZ\n-----END PGP MESSAGE-----\n"
+    intercept[Exception](Pgp.dearmor(bad))
+  }
+
   test("encrypt/decrypt round-trip across ciphers, deterministic per seed") {
     val text = "Det pågår något konstigt här — unicode ÅÄÖ and bytes."
     for (algo <- Seq(4, 7, 8, 9)) {
