@@ -93,6 +93,22 @@ object Snowball {
     case l => throw new IllegalArgumentException(
       s"graft: no snowball stemmer for language '$l'")
   }
+
+  /**
+   * dict_simple (src/common/backend/tsearch/dict_simple.cpp
+   * dsimple_lexize): lowercase the token; a stopword (or empty) maps
+   * to the EMPTY lexeme list — recognized, contributes nothing; a
+   * non-stopword is accepted as-is when `accept` (the default), else
+   * reported unrecognized (None — the token falls through to the next
+   * dictionary in a chain).
+   */
+  def simpleLexize(token: String, stop: Set[String],
+      accept: Boolean = true): Option[Seq[String]] = {
+    val t = token.toLowerCase(java.util.Locale.ROOT)
+    if (t.isEmpty || stop.contains(t)) Some(Seq.empty)
+    else if (accept) Some(Seq(t))
+    else None
+  }
 }
 
 /** Language-keyed to_tsvector analogue: tokenize → stop-filter (the

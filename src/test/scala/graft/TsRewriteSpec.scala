@@ -75,6 +75,16 @@ class TsRewriteSpec extends SparkSpec {
       assert(S.stem(in) == want, s"stem($in): got ${S.stem(in)}, want $want")
   }
 
+  test("dict_simple: stopword empties, accept passthrough, reject fall-through") {
+    // dsimple_lexize's three outcomes (dict_simple.cpp:147-160)
+    val stop = Set("the", "a")
+    assert(Snowball.simpleLexize("The", stop) == Some(Seq.empty))  // stopword
+    assert(Snowball.simpleLexize("", stop) == Some(Seq.empty))     // empty
+    assert(Snowball.simpleLexize("Word", stop) == Some(Seq("word"))) // accept
+    assert(Snowball.simpleLexize("Word", stop, accept = false).isEmpty) // fall through
+    assert(Snowball.simpleLexize("the", stop, accept = false) == Some(Seq.empty))
+  }
+
   test("the lexize chain is language-keyed") {
     val df = Seq("och flickorna läste den klokaste boken").toDF("text")
     val sv = df.select(Lexize.lexemes(col("text"), "swedish",
