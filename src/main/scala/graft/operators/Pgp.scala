@@ -256,6 +256,7 @@ object Pgp {
       case 9 =>
         // §13.9 resync: decrypt bs+2 prefix with zero IV, then restart
         // the CFB stream with IV = ciphertext[2 .. bs+2)
+        require(encBody.length >= bs + 2, "graft: pgp message truncated")
         val pre = cfb(algoName, key, new Array[Byte](bs), Cipher.DECRYPT_MODE)
           .doFinal(java.util.Arrays.copyOfRange(encBody, 0, bs + 2))
         require(pre(bs) == pre(bs - 2) && pre(bs + 1) == pre(bs - 1),
