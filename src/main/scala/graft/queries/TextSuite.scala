@@ -382,6 +382,23 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // N-gram Chinese FTS parser (ts_zh_ngram.cpp): the corpus text
+    // plus a planted CJK phrase tokenize through the full run +
+    // sliding-gram procedure (ASCII letter runs gram exactly like CJK
+    // runs; the fullwidth comma splits under the default
+    // punctuation_ignore). The oracle reproduces the gram arithmetic
+    // with character substr over each whitespace run and the planted
+    // phrase's own grams — the whole token stream, in order
+    "fts_zh_ngram" -> ((s, dir) => {
+      val toks = graft.functions.ZhNgram.tokensCol(
+        concat(col("text"), lit(" 数据库，系统")))
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), size(col("t")).as("n_tokens"),
+          concat_ws("|", col("t")).as("tokens"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // thesaurus dictionary (dict_thesaurus.cpp): phrase-level rewrite
     // during lexizing — 'slow query' collapses to the *-marked raw
     // lexeme 'sq' (1 output token for 2 input), 'big table' expands to
@@ -1294,6 +1311,18 @@ object TextSuite {
 
     // fts atoms mirror tsMatch exactly: token membership / adjacency
     // == substring containment on the space-padded lowercased text
+    "fts_zh_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, flatten(list_transform(w, x ->
+        |    CASE WHEN length(x) < 2 THEN [x]
+        |         ELSE list_transform(range(1, length(x)),
+        |                i -> substr(x, i::INTEGER, 2)) END))
+        |  || ['数据', '据库', '系统'] AS toks
+        |FROM t)
+        |SELECT doc_id, len(toks)::INTEGER AS n_tokens,
+        |  array_to_string(toks, '|') AS tokens
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // n_out = tokens − sq-collapses (2→1; 'big table'→2 is
     // count-neutral); first 'sq' OUTPUT position = its first token
     // index (everything before it emits 1-for-1 or 2-for-2)
