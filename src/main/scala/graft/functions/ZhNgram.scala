@@ -151,6 +151,27 @@ object ZhNgram {
       grapsymbolIgnore: Boolean = false): Column =
     Bridge.column(ZhNgramTokens(Bridge.expression(text), gramSize,
       punctuationIgnore, grapsymbolIgnore))
+
+  /** The pound parser (ts_zh_pound.cpp; `PARSER = pound`): fields
+    * split on a single delimiter character (reloption split_flag,
+    * default '#'); each non-empty field is ONE whole token — no
+    * grams, no char-class filtering (spaces and punctuation stay
+    * inside fields). The reference compares the delimiter's first
+    * byte only, so the delimiter is one ASCII char. */
+  def poundTokens(text: String, splitFlag: Char = '#'): Seq[String] = {
+    require(splitFlag < 0x80, "graft: pound split_flag must be one ASCII char")
+    text.split(java.util.regex.Pattern.quote(splitFlag.toString), -1)
+      .filter(_.nonEmpty).toSeq
+  }
+
+  /** Column form of the pound parser. */
+  def poundTokensCol(text: Column, splitFlag: Char = '#'): Column = {
+    require(splitFlag < 0x80, "graft: pound split_flag must be one ASCII char")
+    org.apache.spark.sql.functions.filter(
+      org.apache.spark.sql.functions.split(text,
+        java.util.regex.Pattern.quote(splitFlag.toString), -1),
+      x => org.apache.spark.sql.functions.length(x) > 0)
+  }
 }
 
 /** to_tsvector('ngram', …)'s token stream as array<string>. */

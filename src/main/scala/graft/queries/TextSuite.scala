@@ -392,10 +392,13 @@ object TextSuite {
     "fts_zh_ngram" -> ((s, dir) => {
       val toks = graft.functions.ZhNgram.tokensCol(
         concat(col("text"), lit(" 数据库，系统")))
+      val pound = graft.functions.ZhNgram.poundTokensCol(
+        concat(lit("f1#"), col("text"), lit("##f3")))
       Tables.spread(s, dir, "documents")
-        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), toks.as("t"), pound.as("p"))
         .select(col("doc_id"), size(col("t")).as("n_tokens"),
-          concat_ws("|", col("t")).as("tokens"))
+          concat_ws("|", col("t")).as("tokens"),
+          concat_ws("|", col("p")).as("pound_fields"))
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
@@ -1320,8 +1323,9 @@ object TextSuite {
         |  || ['数据', '据库', '系统'] AS toks
         |FROM t)
         |SELECT doc_id, len(toks)::INTEGER AS n_tokens,
-        |  array_to_string(toks, '|') AS tokens
-        |FROM g ORDER BY doc_id""".stripMargin,
+        |  array_to_string(toks, '|') AS tokens,
+        |  'f1|' || text || '|f3' AS pound_fields
+        |FROM g JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // n_out = tokens − sq-collapses (2→1; 'big table'→2 is
     // count-neutral); first 'sq' OUTPUT position = its first token

@@ -57,6 +57,16 @@ class ZhNgramSpec extends AnyFunSuite {
     assert(tok("中⁯中") == Seq("中⁯", "⁯中"))
   }
 
+  test("pound parser: whole fields on the split char, empties dropped") {
+    // ts_zh_pound.cpp: one MULTISYMBOL token per non-empty field; no
+    // grams, no class filtering — spaces stay inside fields
+    assert(ZhNgram.poundTokens("a b#c#数据 库") == Seq("a b", "c", "数据 库"))
+    assert(ZhNgram.poundTokens("##x##") == Seq("x"))
+    assert(ZhNgram.poundTokens("") == Seq.empty)
+    assert(ZhNgram.poundTokens("a@b@c", splitFlag = '@') == Seq("a", "b", "c"))
+    intercept[IllegalArgumentException](ZhNgram.poundTokens("x", '文'))
+  }
+
   test("mixed CJK + ASCII text, the to_tsvector('ngram', …) shape") {
     assert(tok("spark数据库 x") ==
       Seq("sp", "pa", "ar", "rk", "k数", "数据", "据库", "x"))
