@@ -196,6 +196,40 @@ class PgpSpec extends AnyFunSuite {
     }
   }
 
+  test("GnuPG interop, both directions (runs when gpg is installed)") {
+    assume(new java.io.File("/usr/bin/gpg").exists, "gpg not installed")
+    import scala.sys.process._
+    val quiet = ProcessLogger(_ => (), _ => ())
+    val dir = java.nio.file.Files.createTempDirectory("graft-pgp").toFile
+    def path(n: String) = new java.io.File(dir, n).getPath
+    // our encryptor -> GnuPG decrypts (binary and armored forms).
+    // ASCII payload: Process.!! decodes gpg's raw stdout with the
+    // platform charset, which sbt pins to ASCII
+    val msg = "interop payload 123"
+    val ct = Pgp.encrypt(msg.getBytes("UTF-8"), "s3cret".getBytes, 99L, 9)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path("m.pgp")), ct)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path("m.asc")),
+      Pgp.armor(ct).getBytes("UTF-8"))
+    for (f <- Seq("m.pgp", "m.asc")) {
+      val got = Process(Seq("gpg", "--batch", "--yes", "--passphrase",
+        "s3cret", "--decrypt", path(f))).!!(quiet)
+      assert(got.trim == msg, s"gpg could not read our $f")
+    }
+    // GnuPG's encryptor (default framing: compressed packet inside an
+    // MDC-protected SEIPD) -> our decryptor
+    java.nio.file.Files.write(java.nio.file.Paths.get(path("p.txt")),
+      "gnupg made this".getBytes("UTF-8"))
+    for ((algo, out) <- Seq(("AES256", "g1.pgp"), ("BLOWFISH", "g2.pgp"))) {
+      Process(Seq("gpg", "--batch", "--yes", "--passphrase", "s3cret",
+        "--symmetric", "--cipher-algo", algo, "--output", path(out),
+        path("p.txt"))).!!(quiet)
+      val raw = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path(out)))
+      assert(new String(Pgp.decrypt(raw, "s3cret".getBytes), "UTF-8") ==
+        "gnupg made this", s"our decryptor could not read gpg's $algo")
+    }
+  }
+
   test("wrong key and MDC tampering are rejected loudly") {
     val ct = Pgp.encrypt("payload".getBytes, "right".getBytes, 7L)
     val e1 = intercept[Exception](Pgp.decrypt(ct, "wrong".getBytes))
