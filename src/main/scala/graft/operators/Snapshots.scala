@@ -47,6 +47,22 @@ class SnapshotStore(spark: SparkSession, base: String) {
   private def catalogPath = s"$base/_catalog"
   private def dataPath(m: Meta) = s"$base/${m.fullName}"
 
+  /** Materialize a version with ONE evaluation of its DAG: write to an
+    * id-keyed temp dir, take the row count from the written parquet's
+    * own footers (a metadata read — no data scan), then RENAME the dir
+    * onto the final name@version path (a filesystem metadata op). The
+    * old count-then-write order evaluated every snapshot DAG twice. */
+  private def writeCounted(df: DataFrame, id: Long, finalPath: String): Long = {
+    val tmp = s"$base/.tmp-$id"
+    df.write.mode("overwrite").parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    val dst = new org.apache.hadoop.fs.Path(finalPath)
+    require(!fs.exists(dst), s"graft: snapshot path exists: $finalPath")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"graft: could not move snapshot into place: $finalPath")
+    n
+  }
+
   /** The snapshot catalog (db4ai.snapshot's Spark shape). */
   def catalog: DataFrame = {
     import spark.implicits._
@@ -80,9 +96,9 @@ class SnapshotStore(spark: SparkSession, base: String) {
     val ms = metas
     require(!ms.exists(_.name == name), s"graft: snapshot '$name' exists")
     val id = ms.map(_.id).maxOption.getOrElse(0L) + 1
-    val m = Meta(id, None, id, name, "1.0.0", "MSS", "full", keyCol,
-      command, published = false, archived = false, df.count())
-    df.write.mode("errorifexists").parquet(dataPath(m))
+    val m0 = Meta(id, None, id, name, "1.0.0", "MSS", "full", keyCol,
+      command, published = false, archived = false, rowCount = -1L)
+    val m = m0.copy(rowCount = writeCounted(df, id, dataPath(m0)))
     saveMetas(ms :+ m)
     m
   }
@@ -118,14 +134,28 @@ class SnapshotStore(spark: SparkSession, base: String) {
       if (!sameSchema) {
         val m0 = Meta(id, Some(parent.id), parent.rootId, name,
           bump(fromVersion, 0), if (css) "CSS" else "MSS", "full",
-          parent.keyCol, command, false, false, child.count())
-        child.write.mode("errorifexists").parquet(dataPath(m0))
-        m0
+          parent.keyCol, command, false, false, rowCount = -1L)
+        m0.copy(rowCount = writeCounted(child, id, dataPath(m0)))
       } else {
         val cols = pdf.columns
-        val delta = Flashback.restoreDelta(
-          pdf.select(cols.map(col): _*), child.select(cols.map(col): _*),
-          parent.keyCol)
+        // MSS materializes the child ONCE and derives the delta from
+        // the written copy (a cheap re-scan, not a re-run of the
+        // transform); CSS writes the delta once and reads the tiny
+        // written file back for the op counts
+        val tmp = s"$base/.tmp-$id"
+        val delta =
+          if (css) {
+            val d = Flashback.restoreDelta(
+              pdf.select(cols.map(col): _*), child.select(cols.map(col): _*),
+              parent.keyCol)
+            d.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp)
+          } else {
+            child.write.mode("overwrite").parquet(tmp)
+            val childW = spark.read.parquet(tmp)
+            Flashback.restoreDelta(pdf.select(cols.map(col): _*),
+              childW.select(cols.map(col): _*), parent.keyCol)
+          }
         val counts = delta.groupBy("op2").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
         val kind = if (counts.getOrElse("I", 0L) + counts.getOrElse("D", 0L) > 0) 1 else 2
@@ -134,8 +164,10 @@ class SnapshotStore(spark: SparkSession, base: String) {
           if (css) "delta" else "full", parent.keyCol, command,
           false, false,
           parent.rowCount + counts.getOrElse("I", 0L) - counts.getOrElse("D", 0L))
-        if (css) delta.write.mode("errorifexists").parquet(dataPath(m0))
-        else child.write.mode("errorifexists").parquet(dataPath(m0))
+        val dst = new org.apache.hadoop.fs.Path(dataPath(m0))
+        require(!fs.exists(dst), s"graft: snapshot path exists: ${dataPath(m0)}")
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+          s"graft: could not move snapshot into place: ${dataPath(m0)}")
         m0
       }
     saveMetas(ms :+ m)
