@@ -204,10 +204,10 @@ class SnapshotStore(spark: SparkSession, base: String) {
       val ms = metas
       val id = ms.map(_.id).maxOption.getOrElse(0L) + 1
       val sampled = Sampling.hashFraction(pdf, parent.keyCol, ratio)
-      val m = Meta(id, Some(parent.id), parent.rootId, name,
+      val m0 = Meta(id, Some(parent.id), parent.rootId, name,
         s"$version$infix", parent.mode, "full", parent.keyCol,
-        s"SAMPLE SNAPSHOT ratio=$ratio", false, false, sampled.count())
-      sampled.write.mode("errorifexists").parquet(dataPath(m))
+        s"SAMPLE SNAPSHOT ratio=$ratio", false, false, rowCount = -1L)
+      val m = m0.copy(rowCount = writeCounted(sampled, id, dataPath(m0)))
       saveMetas(ms :+ m)
       m
     }
