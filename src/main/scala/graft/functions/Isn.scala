@@ -93,6 +93,20 @@ object Isn {
     length(s12) === 12 &&
       upcCheckDigit(substring(s12, 1, 11)) === digit(s12, 12)
 
+  /** ISMN check digit from the 8 payload digits: 'M' counts as 3 with
+    * weight 3, so the digit equals the EAN-13 check of '9790'+payload
+    * (ISMN.h's worked identity: mod10(9·1+7·3+9·1+0·3) = mod10(M·3)). */
+  def ismnCheckDigit(s8: Column): Column =
+    ean13CheckDigit(concat(lit("9790"), s8))
+
+  /** Full ISMN-10 'M<8 digits><check>' from an 8-digit payload. */
+  def ismn10(s8: Column): Column = concat(lit("M"), s8, ismnCheckDigit(s8))
+
+  /** Is a 10-char 'M…' code a valid ISMN-10? */
+  def ismn10Valid(s10: Column): Column =
+    length(s10) === 10 && substring(s10, 1, 1) === "M" &&
+      ismnCheckDigit(substring(s10, 2, 8)) === digit(s10, 10)
+
   // ------------------------------------------------- EAN-13 conversions
 
   /** ISBN-10 → EAN-13 ('978' + payload, EAN check recomputed). */
@@ -112,6 +126,16 @@ object Isn {
   /** EAN-13 → ISSN display form (977 prefix; NULL otherwise). */
   def ean13ToIssn(s13: Column): Column =
     when(substring(s13, 1, 3) === "977", issn(substring(s13, 4, 7)))
+
+  /** ISMN-10 → EAN-13: '9790' + payload; the check digit carries over
+    * unchanged (the M≡3 identity). */
+  def ismn10ToEan13(m10: Column): Column =
+    concat(lit("9790"), substring(m10, 2, 9))
+
+  /** EAN-13 → ISMN-10 (9790 music-land prefix; NULL otherwise). */
+  def ean13ToIsmn10(s13: Column): Column =
+    when(substring(s13, 1, 4) === "9790",
+      concat(lit("M"), substring(s13, 5, 9)))
 
   /** UPC → EAN-13: prepend the '0' country code; the check digit is
     * unchanged (weight phase swap — see object doc). */

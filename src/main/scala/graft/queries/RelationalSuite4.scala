@@ -516,7 +516,12 @@ object RelationalSuite4 {
           I.issnToEan13(col("issn8")).as("issn_ean13"),
           col("upc"),
           I.upcValid(col("upc")).as("upc_valid"),
-          I.ean13Valid(I.upcToEan13(col("upc"))).as("upc_ean_valid"))
+          I.ean13Valid(I.upcToEan13(col("upc"))).as("upc_ean_valid"),
+          I.ismn10(substring(col("p9"), 1, 8)).as("ismn10"),
+          I.ismn10ToEan13(I.ismn10(substring(col("p9"), 1, 8)))
+            .as("ismn13"),
+          I.ismn10Valid(I.ismn10(substring(col("p9"), 1, 8)))
+            .as("ismn_valid"))
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 
@@ -1018,7 +1023,18 @@ object RelationalSuite4 {
         |  true AS isbn_valid, true AS isbn_rt_ok,
         |  false AS isbn_perturbed_valid,
         |  issn, true AS issn_valid, issn_ean13,
-        |  upc, true AS upc_valid, true AS upc_ean_valid
+        |  upc, true AS upc_valid, true AS upc_ean_valid,
+        |  'M' || substr(p9, 1, 8) ||
+        |    ((10 - (list_sum(list_transform(range(1, 13),
+        |       i -> (ascii(substr('9790' || substr(p9, 1, 8), i::INTEGER, 1)) - 48)
+        |         * (CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END))) % 10)) % 10)::VARCHAR
+        |    AS ismn10,
+        |  '9790' || substr(p9, 1, 8) ||
+        |    ((10 - (list_sum(list_transform(range(1, 13),
+        |       i -> (ascii(substr('9790' || substr(p9, 1, 8), i::INTEGER, 1)) - 48)
+        |         * (CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END))) % 10)) % 10)::VARCHAR
+        |    AS ismn13,
+        |  true AS ismn_valid
         |FROM h ORDER BY c_custkey""".stripMargin,
 
     "jdbc_fdw" ->

@@ -55,6 +55,20 @@ class IsnSpec extends SparkSpec {
     assert(one(Isn.ean13ToIssn(Isn.issnToEan13(lit("14364522")))) == "1436-4522")
   }
 
+  test("ISMN check + the M-counts-as-3 EAN identity (ISMN.h worked example)") {
+    // ISMN.h: M-3452-4680-5 <=> 9790345246805 <=> 979-0-3452-4680-5
+    assert(one(Isn.ismnCheckDigit(lit("34524680"))) == "5")
+    assert(one(Isn.ismn10(lit("34524680"))) == "M345246805")
+    assert(one(Isn.ismn10Valid(lit("M345246805"))) == "true")
+    assert(one(Isn.ismn10Valid(lit("M345246806"))) == "false")
+    assert(one(Isn.ismn10Valid(lit("0345246805"))) == "false") // no M
+    // check digit carries over unchanged into the 9790 expansion
+    assert(one(Isn.ismn10ToEan13(lit("M345246805"))) == "9790345246805")
+    assert(one(Isn.ean13Valid(lit("9790345246805"))) == "true")
+    assert(one(Isn.ean13ToIsmn10(lit("9790345246805"))) == "M345246805")
+    assert(one(isnull(Isn.ean13ToIsmn10(lit("9780393040029")))) == "true")
+  }
+
   test("UPC check + the 0-prefix EAN relabel law") {
     // the classic published UPC example
     assert(one(Isn.upcCheckDigit(lit("03600029145"))) == "2")
