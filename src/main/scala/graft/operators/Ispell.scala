@@ -220,6 +220,14 @@ object Ispell {
     }
   }
 
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.Bridge
+
+  /** Column form: text → array<struct<lex,pos>> through the ispell +
+    * simple-fallback chain (one compiled call per row). */
+  def lexizeCol(text: Column, dict: Dict): Column =
+    Bridge.column(IspellLexizeExpr(Bridge.expression(text), dict))
+
   /** Parse the old-format ispell affix + dict file CONTENTS (the
     * caller reads the files — config data, like PG's $SHAREDIR). */
   def load(affixText: String, dictText: String): Dict = {
@@ -298,4 +306,50 @@ object Ispell {
       (a.flagflags & FfCompoundFlag) != 0 && a.repl.nonEmpty)
     Dict(words.toMap, pfx, sfx, useCompound, cmpAff)
   }
+}
+
+/** Compiled ispell lexize over a document: whitespace tokens run
+  * through the dictionary; recognized tokens emit ALL their lexemes
+  * at the token's position (PG keeps every normalization — the
+  * {booking,book} shape), unrecognized tokens fall through as their
+  * lowercased selves (the `ispell, simple` two-dictionary
+  * configuration tsdicts.out exercises). */
+case class IspellLexizeExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    dict: Ispell.Dict)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    graft.functions.StemLexemes.lexType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ispell_lexize"
+
+  def lex(t: UTF8String): GenericArrayData = {
+    val toks = t.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var p = 0
+    while (p < toks.length) {
+      dict.lexize(toks(p)) match {
+        case Some(ls) =>
+          ls.foreach(l => out += InternalRow(UTF8String.fromString(l), p + 1))
+        case None =>
+          out += InternalRow(UTF8String.fromString(toks(p)), p + 1)
+      }
+      p += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override def nullSafeEval(a: Any): Any = lex(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ispellLex", this, classOf[IspellLexizeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.lex($a);")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
 }

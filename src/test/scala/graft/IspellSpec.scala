@@ -78,6 +78,21 @@ class IspellSpec extends AnyFunSuite {
       assert(lex(w) == exp, s"ts_lexize('ispell', '$w'): got ${lex(w)}, want $exp")
   }
 
+  test("Column-level chain: ispell lexemes + simple fallback per token") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = Seq("Bookings footballklubber zebra").toDF("text")
+      .select(Ispell.lexizeCol(col("text"), d).as("lex"))
+      .selectExpr("transform(lex, x -> x.lex) AS l",
+        "transform(lex, x -> x.pos) AS p").head()
+    assert(r.getSeq[String](0) == Seq("booking", "book",
+      "footballklubber", "foot", "ball", "klubber", "football", "klubber",
+      "zebra"))
+    // every lexeme of a token carries the TOKEN's position
+    assert(r.getSeq[Int](1) == Seq(1, 1, 2, 2, 2, 2, 2, 2, 3))
+  }
+
   test("unknown words are unknown, not empty") {
     assert(lex("zebra").isEmpty)
     assert(lex("rebook").isEmpty)
