@@ -173,17 +173,25 @@ object Bench {
 
     // ---- phase B: refinement passes while the budget holds ----
     // PHASE B OUTRANKS PHASE C (r13 lesson: two rounds of single-rep
-    // artifacts): medians-of-3 are the artifact's whole point, so a
-    // pass is entered whenever it fits with a 5% slack — no reserve
-    // is held back for the small-sf ratios; C runs on leftovers only.
-    // The cost estimate is refreshed from each pass's ACTUAL duration
-    // (phase-A timed reps underestimate on a contended machine).
+    // artifacts): medians-of-3 are the artifact's whole point. BUDGET-
+    // SAFE ADMISSION (r15): phase-A timed reps underestimate a pass on
+    // a contended machine (r14's 1.05 slack admitted a pass that
+    // overran the budget by 44 s), so (a) the admission slack is 30%,
+    // and (b) the pass HARD-STOPS mid-pass the moment the next query's
+    // own worst observed time would cross the budget — a partial pass
+    // leaves some queries at fewer reps (visible in "reps"), never an
+    // artifact past its budget.
     var passCost = reps.values.map(_.head).filter(_ >= 0).sum
     var pass = 0
-    while (pass < 2 && elapsed() + passCost * 1.05 < budget) {
+    var budgetHit = false
+    while (pass < 2 && !budgetHit && elapsed() + passCost * 1.3 < budget) {
       val t0 = elapsed()
-      names.foreach { n =>
-        if (reps(n).forall(r => r >= 0 && r <= perQueryCap))
+      val it = names.iterator
+      while (it.hasNext && !budgetHit) {
+        val n = it.next()
+        val worst = reps(n).filter(_ >= 0).foldLeft(0.0)(math.max)
+        if (elapsed() + worst * 1.3 > budget) budgetHit = true
+        else if (reps(n).forall(r => r >= 0 && r <= perQueryCap))
           reps(n) = reps(n) :+ timed(n, sfDir)
       }
       pass += 1
@@ -244,13 +252,24 @@ object Bench {
     val (fileLine, summary) = currentLine(scaleJson +
       f""","scale_ok":$scaleOk,"phase_b_passes":$pass,"elapsed":${elapsed()}%.1f,"budget":$budget%.0f""")
     writeArtifact(fileLine)
-    val (line, _) = currentLine("")
     println(summary)
-    println(line)
     Console.out.flush()
     spark.stop()
-    println(summary)
-    println(line)
+    // FINAL STDOUT FRAME (r15): the driver keeps only the last ~2000
+    // chars of output and parses the last complete JSON line inside
+    // that window. The full artifact line (reps+spread+queries,
+    // ~2600 chars) overflows it — every round through r14 shipped
+    // `parsed: null`. So the very last line is the COMPACT contract
+    // frame only ({"metric","value","unit","sf","queries"}, ~1350
+    // chars), printed after spark.stop() so no shutdown logging can
+    // land behind it; sbt's own "[success]" trailer (~70 chars) still
+    // fits in the window alongside it. Full detail stays in the file.
+    val rows = names.map(n => (n, med(reps.getOrElse(n, Vector.empty))))
+    val qJson = rows.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val total = rows.map(_._2).filter(_ >= 0).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":$qJson}""")
     Console.out.flush()
   }
 }

@@ -382,6 +382,56 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // Default text-search parser (wparser_def.cpp): each doc's corpus
+    // text (pure lowercase words — each an asciiword) is extended with
+    // a planted suffix exercising protocol/url/host/url_path, email,
+    // version, sfloat, hyphenated word + parts, file paths, tags and
+    // entities — all derived from doc_id, so the oracle reconstructs
+    // the ENTIRE expected "tokid:token" stream by string arithmetic.
+    // Map-only per-row kernel — no shuffle beyond the gate's sort.
+    "fts_parser" -> ((s, dir) => {
+      val corpus = concat(col("text"),
+        lit(" http://h"), col("doc_id"), lit(".example.org/p?q="),
+        col("doc_id"),
+        lit(" u"), col("doc_id"), lit("@mail"), col("doc_id"), lit(".net"),
+        lit(" ver 1."), col("doc_id"), lit(".7"),
+        lit(" +4.5e-3 big-data gist.h.c /usr/lib"), col("doc_id"),
+        lit(" <b>tag</b> &amp; end"))
+      Tables.spread(s, dir, "documents")
+        .withColumn("parsed",
+          graft.functions.TsDefaultParser.parseCol(corpus))
+        .select(col("doc_id"), size(col("parsed")).as("n_tokens"),
+          concat_ws("|",
+            expr("transform(parsed, x -> x.tokid || ':' || x.token)"))
+            .as("stream"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // Composition: parser → parsetext position assignment (the
+    // to_tsvector front half). Positions advance only for
+    // dictionary-mapped types (not blank/tag/protocol/entity), so the
+    // planted suffix's anchors sit at fixed offsets from the word count.
+    "fts_parse_vector" -> ((s, dir) => {
+      val corpus = concat(col("text"),
+        lit(" http://h"), col("doc_id"), lit(".example.org/p?q="),
+        col("doc_id"),
+        lit(" u"), col("doc_id"), lit("@mail"), col("doc_id"), lit(".net"),
+        lit(" ver 1."), col("doc_id"), lit(".7"),
+        lit(" +4.5e-3 big-data gist.h.c /usr/lib"), col("doc_id"),
+        lit(" <b>tag</b> &amp; end"))
+      Tables.spread(s, dir, "documents")
+        .withColumn("parsed",
+          graft.functions.TsDefaultParser.parseCol(corpus))
+        .select(col("doc_id"),
+          expr("element_at(parsed, -1).pos").as("n_pos"),
+          expr("filter(parsed, x -> x.tokid = 11 AND x.token = 'big')[0].pos")
+            .as("pos_big"),
+          expr("filter(parsed, x -> x.tokid = 1 AND x.token = 'tag')[0].pos")
+            .as("pos_tag"),
+          expr("size(filter(parsed, x -> x.pos = 0))").as("n_unmapped"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // N-gram Chinese FTS parser (ts_zh_ngram.cpp): the corpus text
     // plus a planted CJK phrase tokenize through the full run +
     // sliding-gram procedure (ASCII letter runs gram exactly like CJK
@@ -1360,6 +1410,41 @@ object TextSuite {
         |    (position(' slow ' IN pad) > 0 OR position(' small ' IN pad) > 0))
         |    AS m_negated
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // the full expected token stream, rebuilt piece by piece: every
+    // corpus word is '1:w' with '12: ' blanks between, then the planted
+    // suffix's fixed decomposition with doc_id spliced in
+    "fts_parser" ->
+      """WITH t AS (SELECT doc_id, text, doc_id::VARCHAR AS i FROM documents),
+        |s AS (SELECT doc_id,
+        |  array_to_string(list_transform(string_split(text, ' '),
+        |    w -> '1:' || w), '|12: |')
+        |  || '|12: |14:http://|5:h' || i || '.example.org/p?q=' || i
+        |  || '|6:h' || i || '.example.org|18:/p?q=' || i
+        |  || '|12: |4:u' || i || '@mail' || i || '.net'
+        |  || '|12: |1:ver|12: |8:1.' || i || '.7'
+        |  || '|12: |7:+4.5e-3'
+        |  || '|12: |16:big-data|11:big|12:-|11:data'
+        |  || '|12: |19:gist.h.c'
+        |  || '|12: |19:/usr/lib' || i
+        |  || '|12: |13:<b>|1:tag|13:</b>'
+        |  || '|12: |23:&amp;|12: |1:end' AS stream
+        |FROM t)
+        |SELECT doc_id, len(string_split(stream, '|'))::INTEGER AS n_tokens,
+        |  stream
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // mapped-token positions: n corpus words, then url/host/url_path,
+    // email, ver, version, sfloat (+7), big-data/big/data (+10),
+    // gist (+11), /usr/lib (+12), tag word (+13), end (+14); the
+    // unmapped remainder is (n-1) text blanks + 12 suffix blanks
+    // (incl. the hword '-') + 2 tags + 1 protocol + 1 entity = n + 15
+    "fts_parse_vector" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split(text, ' '))::INTEGER AS n FROM documents)
+        |SELECT doc_id, (n + 14)::INTEGER AS n_pos, (n + 9)::INTEGER AS pos_big,
+        |  (n + 13)::INTEGER AS pos_tag, (n + 15)::INTEGER AS n_unmapped
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "fts_match" ->
       """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents)
