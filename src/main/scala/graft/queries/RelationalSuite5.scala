@@ -197,6 +197,29 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // ---- pgcrypto crypt()/gen_salt() (r15, px-crypt.cpp): password
+    // hashing over per-order passwords in all four schemes (bcrypt,
+    // md5-crypt, traditional DES, extended DES). rows-only BY NATURE
+    // like crypto_hmac (no SQL engine computes crypt(3)); the kernels
+    // are pinned to the reference's own crypt-*.out vectors in
+    // PxCryptSpec. bcrypt at cost 4 and 1-in-50 sampling keep the
+    // DELIBERATELY-expensive KDF inside gate budget; the operator is
+    // map-only and scales like any per-row kernel ----
+    "crypto_crypt" -> ((s, dir) => {
+      import graft.functions.PxCrypt.cryptCol
+      val o = Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(50)) === 0)
+        .withColumn("pw", concat(lit("pw"), col("o_custkey")))
+      val bf = cryptCol(col("pw"), lit("$2a$04$RQiOJ.3ELirrXwxIZY8q0O"))
+      o.select(col("o_orderkey"),
+          bf.as("h_bf"),
+          cryptCol(col("pw"), lit("$1$Szzz0yzz")).as("h_md5"),
+          cryptCol(col("pw"), lit("NB")).as("h_des"),
+          cryptCol(col("pw"), lit("_J9..j2zz")).as("h_xdes"),
+          (cryptCol(col("pw"), bf) === bf).as("verify_ok"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // ---- pgcrypto PGP symmetric framing (r14): pgp_sym_encrypt /
     // decrypt / armor / dearmor over per-order payloads. rows-only BY
     // NATURE like crypto_cipher (no SQL engine speaks RFC 4880); the
