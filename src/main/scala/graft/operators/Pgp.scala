@@ -143,7 +143,7 @@ object Pgp {
 
   // ------------------------------------------------------------ ciphers
 
-  private def cipherName(algo: Int): (String, Int, Int) = algo match {
+  private[operators] def cipherName(algo: Int): (String, Int, Int) = algo match {
     case 4 => ("Blowfish", 16, 8) // (jce name, key bytes, block bytes)
     case 7 => ("AES", 16, 16)
     case 8 => ("AES", 24, 16)
@@ -152,7 +152,7 @@ object Pgp {
       s"graft: pgp cipher algorithm $a not supported")
   }
 
-  private def cfb(algoName: String, key: Array[Byte], iv: Array[Byte],
+  private[operators] def cfb(algoName: String, key: Array[Byte], iv: Array[Byte],
       mode: Int): Cipher = {
     val c = Cipher.getInstance(s"$algoName/CFB/NoPadding")
     c.init(mode, new SecretKeySpec(key, algoName), new IvParameterSpec(iv))
@@ -161,7 +161,7 @@ object Pgp {
 
   // ------------------------------------------------------ packet reader
 
-  private final class Reader(val buf: Array[Byte], var pos: Int) {
+  private[operators] final class Reader(val buf: Array[Byte], var pos: Int) {
     def u8(): Int = {
       require(pos < buf.length, "graft: pgp message truncated")
       val v = buf(pos) & 0xff; pos += 1; v
@@ -175,7 +175,7 @@ object Pgp {
 
   /** One packet: (tag, body). Handles old + new format headers and
     * new-format partial body lengths (§4.2). */
-  private def readPacket(r: Reader): (Int, Array[Byte]) = {
+  private[operators] def readPacket(r: Reader): (Int, Array[Byte]) = {
     val hdr = r.u8()
     require((hdr & 0x80) != 0, "graft: pgp: bad packet header")
     if ((hdr & 0x40) == 0) { // old format
@@ -232,6 +232,16 @@ object Pgp {
     val (algoName, keyLen, bs) = cipherName(cipherAlgo)
     val key = s2k(s2kMode, hashAlgo, salt, countByte, pass, keyLen)
 
+    decryptDataPackets(r, cipherAlgo, key, convertCrlf)
+  }
+
+  /** The encrypted-data half shared by the symmetric and public-key
+    * paths: tag 18 (SEIPD v1 + MDC) or tag 9 (legacy resync CFB), then
+    * the inner compressed/literal packets. `key` is the resolved
+    * session key, however it was obtained (S2K or pubenc). */
+  private[operators] def decryptDataPackets(r: Reader, cipherAlgo: Int,
+      key: Array[Byte], convertCrlf: Boolean): Array[Byte] = {
+    val (algoName, _, bs) = cipherName(cipherAlgo)
     // ---- tag 18 (MDC) or tag 9 (legacy resync CFB)
     val (tagD, encBody) = readPacket(r)
     val plain: Array[Byte] = tagD match {
@@ -305,7 +315,7 @@ object Pgp {
     throw new IllegalArgumentException("graft: pgp: nested packets too deep")
   }
 
-  private def inflate(data: Array[Byte], raw: Boolean): Array[Byte] = {
+  private[operators] def inflate(data: Array[Byte], raw: Boolean): Array[Byte] = {
     val inf = new java.util.zip.Inflater(raw)
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream(data.length * 4)
@@ -339,6 +349,23 @@ object Pgp {
     val countByte = 0x60
     val key = s2k(3, 2, salt, countByte, pass, keyLen)
 
+    val out = new java.io.ByteArrayOutputStream()
+    // SKESK, old format tag 3 (the reference emits 0x8c): v4, algo,
+    // s2k mode 3, sha1, salt, count
+    out.write(0x8c); out.write(13)
+    out.write(4); out.write(cipherAlgo); out.write(3); out.write(2)
+    out.write(salt); out.write(countByte)
+    out.write(seipdPacket(data, cipherAlgo, key, noise(1, bs)))
+    out.toByteArray
+  }
+
+  /** The SEIPD (tag 18, v1 + MDC) packet shared by the symmetric and
+    * public-key paths: literal wrapper + prefix/repeat + MDC, CFB-
+    * encrypted under the resolved session `key`. */
+  private[operators] def seipdPacket(data: Array[Byte], cipherAlgo: Int,
+      key: Array[Byte], prefix: Array[Byte]): Array[Byte] = {
+    val (algoName, _, bs) = cipherName(cipherAlgo)
+    require(prefix.length == bs, "graft: pgp: prefix length != block size")
     // literal packet (new format tag 11): binary, no name, mtime 0
     val lit = new java.io.ByteArrayOutputStream()
     lit.write(0xcb)
@@ -347,7 +374,6 @@ object Pgp {
     lit.write(data)
 
     // SEIPD v1 payload: prefix + repeat + literal + MDC
-    val prefix = noise(1, bs)
     val body = new java.io.ByteArrayOutputStream()
     body.write(prefix)
     body.write(prefix(bs - 2)); body.write(prefix(bs - 1))
@@ -360,11 +386,6 @@ object Pgp {
       .doFinal(body.toByteArray)
 
     val out = new java.io.ByteArrayOutputStream()
-    // SKESK, old format tag 3 (the reference emits 0x8c): v4, algo,
-    // s2k mode 3, sha1, salt, count
-    out.write(0x8c); out.write(13)
-    out.write(4); out.write(cipherAlgo); out.write(3); out.write(2)
-    out.write(salt); out.write(countByte)
     // SEIPD, new format tag 18: version byte + ciphertext
     out.write(0xd2)
     writeNewLen(out, enc.length + 1)
@@ -373,7 +394,7 @@ object Pgp {
     out.toByteArray
   }
 
-  private def writeNewLen(out: java.io.ByteArrayOutputStream, n: Int): Unit = {
+  private[operators] def writeNewLen(out: java.io.ByteArrayOutputStream, n: Int): Unit = {
     if (n < 192) out.write(n)
     else if (n < 8384) {
       out.write(((n - 192) >> 8) + 192); out.write((n - 192) & 0xff)

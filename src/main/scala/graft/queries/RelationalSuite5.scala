@@ -248,6 +248,29 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // ---- PGP public-key encryption (r15, pgp-pubenc/pubdec.cpp):
+    // pgp_pub_encrypt/_decrypt + pgp_key_id against the reference's
+    // own rsaenc2048 regress fixture ring. rows-only BY NATURE (no
+    // SQL engine speaks RFC 4880); the packet formats, the fixture
+    // battery and live GnuPG interop are pinned in PgpPubSpec.
+    // RSA-2048 modPow per row -> 1-in-50 sampling like crypto_pgp ----
+    "crypto_pgp_pub" -> ((s, dir) => {
+      import graft.operators.{Pgp, PgpPub, PgpFixtureKeys => FK}
+      val o = Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(50)) === 0)
+        .withColumn("msg", concat(lit("order:"), col("o_orderkey")))
+      val pub = Pgp.dearmor(FK.rsaPub)
+      val sec = Pgp.dearmor(FK.rsaSec)
+      val ct = PgpPub.pgpPubEncrypt(col("msg"), lit(pub), col("o_orderkey"))
+      o.select(col("o_orderkey"),
+          sha2(ct, 256).as("ct_sha"),
+          length(ct).as("ct_len"),
+          PgpPub.keyIdCol(lit(pub)).as("key_id"),
+          (PgpPub.pgpPubDecrypt(ct, lit(sec)).cast("string") === col("msg"))
+            .as("roundtrip_ok"))
+        .transform(Gate.ordered(_, "o_orderkey"))
+    }),
+
     // ---- TIMECAPSULE flashback (C78, gram.y:6416-6453): the events
     // stream as a change log (key, commit ts, csn, op, payload) —
     // csn = event_id is globally unique, so (ts, csn) orders versions
