@@ -452,6 +452,25 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // Lexicon-based CJK segmentation (zhparser-style FMM engine; the
+    // reference stubs ts_zh_zhparser for lack of scws data, so the
+    // engine takes a caller lexicon). The planted phrase segments by
+    // forward maximum matching (数据库|系统|用户|数据 — 用户 is the
+    // out-of-lexicon stretch falling back to D53's bigrams); the
+    // English corpus words are all out-of-lexicon, so their token
+    // stream is exactly the ngram parser's — the oracle reuses that
+    // substr arithmetic plus the planted phrase's fixed segmentation
+    "fts_zh_lexicon" -> ((s, dir) => {
+      val lex = graft.functions.ZhLexicon.build(Seq("数据库", "系统", "数据"))
+      val toks = graft.functions.ZhLexicon.tokensCol(
+        concat(col("text"), lit(" 数据库系统用户数据")), lex)
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), size(col("t")).as("n_tokens"),
+          concat_ws("|", col("t")).as("tokens"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // thesaurus dictionary (dict_thesaurus.cpp): phrase-level rewrite
     // during lexizing — 'slow query' collapses to the *-marked raw
     // lexeme 'sq' (1 output token for 2 input), 'big table' expands to
@@ -1376,6 +1395,21 @@ object TextSuite {
         |  array_to_string(toks, '|') AS tokens,
         |  'f1|' || text || '|f3' AS pound_fields
         |FROM g JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // English words are out-of-lexicon -> ngram fallback (the same
+    // substr arithmetic as fts_zh_ngram); the planted phrase's FMM
+    // segmentation is fixed
+    "fts_zh_lexicon" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, flatten(list_transform(w, x ->
+        |    CASE WHEN length(x) < 2 THEN [x]
+        |         ELSE list_transform(range(1, length(x)),
+        |                i -> substr(x, i::INTEGER, 2)) END))
+        |  || ['数据库', '系统', '用户', '数据'] AS toks
+        |FROM t)
+        |SELECT doc_id, len(toks)::INTEGER AS n_tokens,
+        |  array_to_string(toks, '|') AS tokens
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // n_out = tokens − sq-collapses (2→1; 'big table'→2 is
     // count-neutral); first 'sq' OUTPUT position = its first token
