@@ -197,6 +197,25 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // ---- parquet storage introspection (r15, pgstattuple analogue):
+    // files / row groups / sizes / per-column footer statistics as a
+    // relation, METADATA READS ONLY (one footer per task — megabytes
+    // on a 100 TB table). The gate keeps exactly the SQL-recomputable
+    // columns: per-table row counts and the key column's min/max/null
+    // count, which the oracle recomputes by scanning the data ----
+    "storage_stats" -> ((s, dir) => {
+      val specs = Seq(
+        "region" -> "r_regionkey", "nation" -> "n_nationkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey", "events" -> "event_id",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")
+      graft.operators.StorageStats.tableStats(s, dir, specs)
+        .select(col("tbl"), col("row_cnt"), col("key_min"), col("key_max"),
+          col("key_nulls"))
+        .transform(Gate.ordered(_, "tbl"))
+    }),
+
     // ---- pgcrypto crypt()/gen_salt() (r15, px-crypt.cpp): password
     // hashing over per-order passwords in all four schemes (bcrypt,
     // md5-crypt, traditional DES, extended DES). rows-only BY NATURE
@@ -329,6 +348,33 @@ object RelationalSuite5 {
   private def sq(rx: String): String = "'" + rx.replace("'", "''") + "'"
 
   val oracle: Map[String, String] = Map(
+    // footer metadata vs the data itself: row counts + key min/max +
+    // null counts per table
+    "storage_stats" ->
+      """SELECT * FROM (
+        |SELECT 'region' AS tbl, count(*)::BIGINT AS row_cnt,
+        |  min(r_regionkey)::BIGINT AS key_min, max(r_regionkey)::BIGINT AS key_max,
+        |  (count(*) - count(r_regionkey))::BIGINT AS key_nulls FROM region
+        |UNION ALL SELECT 'nation', count(*), min(n_nationkey)::BIGINT,
+        |  max(n_nationkey)::BIGINT, count(*) - count(n_nationkey) FROM nation
+        |UNION ALL SELECT 'customer', count(*), min(c_custkey)::BIGINT,
+        |  max(c_custkey)::BIGINT, count(*) - count(c_custkey) FROM customer
+        |UNION ALL SELECT 'supplier', count(*), min(s_suppkey)::BIGINT,
+        |  max(s_suppkey)::BIGINT, count(*) - count(s_suppkey) FROM supplier
+        |UNION ALL SELECT 'part', count(*), min(p_partkey)::BIGINT,
+        |  max(p_partkey)::BIGINT, count(*) - count(p_partkey) FROM part
+        |UNION ALL SELECT 'orders', count(*), min(o_orderkey)::BIGINT,
+        |  max(o_orderkey)::BIGINT, count(*) - count(o_orderkey) FROM orders
+        |UNION ALL SELECT 'lineitem', count(*), min(l_orderkey)::BIGINT,
+        |  max(l_orderkey)::BIGINT, count(*) - count(l_orderkey) FROM lineitem
+        |UNION ALL SELECT 'events', count(*), min(event_id)::BIGINT,
+        |  max(event_id)::BIGINT, count(*) - count(event_id) FROM events
+        |UNION ALL SELECT 'documents', count(*), min(doc_id)::BIGINT,
+        |  max(doc_id)::BIGINT, count(*) - count(doc_id) FROM documents
+        |UNION ALL SELECT 'embeddings', count(*), min(vec_id)::BIGINT,
+        |  max(vec_id)::BIGINT, count(*) - count(vec_id) FROM embeddings
+        |) ORDER BY tbl""".stripMargin,
+
     "masking_fns" ->
       """WITH m AS (SELECT c_custkey, c_name, c_mktsegment,
         |  'user' || c_custkey || '@' || lower(c_mktsegment) || '.example.com'
