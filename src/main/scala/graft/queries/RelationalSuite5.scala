@@ -197,6 +197,14 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // ---- tablefunc normal_rand (r15, tablefunc.cpp:137): Gaussian
+    // deviates as a deterministic table function — Lehmer-LCG uniforms
+    // keyed by (seed + id), Box–Muller, micro-quantized; the oracle
+    // runs the IDENTICAL formula text (TableFunc.normalRandSql) ----
+    "normal_rand" -> ((s, dir) =>
+      graft.operators.TableFunc.normalRand(s, 2000, 10.0, 5.0, 42L)
+        .transform(Gate.ordered(_, "id"))),
+
     // ---- parquet storage introspection (r15, pgstattuple analogue):
     // files / row groups / sizes / per-column footer statistics as a
     // relation, METADATA READS ONLY (one footer per task — megabytes
@@ -348,6 +356,12 @@ object RelationalSuite5 {
   private def sq(rx: String): String = "'" + rx.replace("'", "''") + "'"
 
   val oracle: Map[String, String] = Map(
+    // the SAME formula text the Spark side compiles (shared IEEE trees)
+    "normal_rand" ->
+      ("SELECT id, " +
+        graft.operators.TableFunc.normalRandSql("1e1", "5e0", 42L) +
+        " AS val_micro FROM range(0, 2000) t(id) ORDER BY id"),
+
     // footer metadata vs the data itself: row counts + key min/max +
     // null counts per table
     "storage_stats" ->
