@@ -432,6 +432,35 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // Composition re-gate: INDEXED retrieval over PARSER-produced
+    // tokens. Postings are built from the default parser's mapped
+    // lexemes (so host/url/path tokens index as units — whitespace
+    // tokenization would garble them), then the query is two postings
+    // semi-joins (host h3.example.org AND asciiword spark): matching
+    // happens entirely inside the index, text is never re-read. The
+    // oracle recomputes membership and the per-doc distinct-lexeme
+    // count by string arithmetic
+    "fts_parser_retrieve" -> ((s, dir) => {
+      val corpus = concat(col("text"),
+        lit(" http://h"), pmod(col("doc_id"), lit(7)),
+        lit(".example.org/p?q="), col("doc_id"))
+      val withToks = Tables.spread(s, dir, "documents")
+        .withColumn("parsed",
+          graft.functions.TsDefaultParser.parseCol(corpus))
+        .withColumn("lex",
+          expr("array_distinct(transform(filter(parsed, x -> x.pos > 0)," +
+            " x -> lower(x.token)))"))
+      val post = withToks
+        .select(col("doc_id"), explode(col("lex")).as("term"))
+      val hostHits = post.filter(col("term") === "h3.example.org")
+        .select("doc_id")
+      val wordHits = post.filter(col("term") === "spark").select("doc_id")
+      withToks
+        .join(hostHits.join(wordHits, "doc_id"), "doc_id")
+        .select(col("doc_id"), size(col("lex")).as("n_lexemes"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // N-gram Chinese FTS parser (ts_zh_ngram.cpp): the corpus text
     // plus a planted CJK phrase tokenize through the full run +
     // sliding-gram procedure (ASCII letter runs gram exactly like CJK
@@ -1395,6 +1424,19 @@ object TextSuite {
         |  array_to_string(toks, '|') AS tokens,
         |  'f1|' || text || '|f3' AS pound_fields
         |FROM g JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // membership: doc_id % 7 = 3 plants the queried host; 'spark' as a
+    // word of the text; lexemes = distinct words + the 3 planted
+    // mapped tokens (url, host, url_path — all contain ':'/'.'/digits,
+    // so they never collide with the letter-only corpus words)
+    "fts_parser_retrieve" ->
+      """SELECT doc_id,
+        |  (len(list_distinct(string_split(text, ' '))) + 3)::INTEGER
+        |    AS n_lexemes
+        |FROM documents
+        |WHERE doc_id % 7 = 3
+        |  AND position(' spark ' IN ' ' || text || ' ') > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // English words are out-of-lexicon -> ngram fallback (the same
     // substr arithmetic as fts_zh_ngram); the planted phrase's FMM
