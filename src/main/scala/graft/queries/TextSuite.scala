@@ -432,6 +432,21 @@ object TextSuite {
         .transform(Gate.ordered(_, "doc_id"))
     }),
 
+    // ts_headline over the DEFAULT parser (prsd_headline port): the
+    // single-fragment selector on the plain-word corpus. With
+    // ShortWord=0 and a single-atom query the cover logic reduces to
+    // closed-form window arithmetic the oracle can recompute: window =
+    // 5 words from the first 'spark' (backward-extended at doc end),
+    // every in-window occurrence wrapped; no-match docs show the first
+    // MinWords words. The full cover/fragment semantics are pinned to
+    // the reference's own 8-case regress battery in HeadlineDefaultSpec
+    "fts_headline_default" -> ((s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.HeadlineDefault.headlineCol(col("text"), "spark",
+            maxWords = 10, minWords = 5, shortWord = 0).as("headline"))
+        .transform(Gate.ordered(_, "doc_id"))),
+
     // Composition re-gate: INDEXED retrieval over PARSER-produced
     // tokens. Postings are built from the default parser's mapped
     // lexemes (so host/url/path tokens index as units — whitespace
@@ -1424,6 +1439,38 @@ object TextSuite {
         |  array_to_string(toks, '|') AS tokens,
         |  'f1|' || text || '|f3' AS pound_fields
         |FROM g JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // single-atom cover arithmetic: every occurrence anchors a 5-word
+    // candidate window (clamped backward at doc end). mark_hl_words
+    // SKIPS covers whose in-cover item count (always 1 for one atom)
+    // is below the reigning best's EXTENDED count — so after the first
+    // window with >= 2 in-window occurrences wins, everything later is
+    // skipped: the pick is the FIRST window with >= 2 occurrences,
+    // else the first window; fallback = first 5 words
+    "fts_headline_default" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w, len(w) AS n,
+        |  list_filter(range(1, len(w) + 1), i -> w[i] = 'spark') AS occ
+        |FROM t),
+        |c AS (SELECT doc_id, w, n, occ,
+        |  list_transform(occ, o -> greatest(1, least(o, n - 4))) AS bs,
+        |  list_transform(occ, o -> least(o + 4, n)) AS es FROM p),
+        |s AS (SELECT doc_id, w, n, occ, bs, es,
+        |  coalesce(nullif(list_position(
+        |    list_transform(range(1, len(occ) + 1),
+        |      k -> len(list_filter(occ,
+        |             o2 -> o2 >= bs[k] AND o2 <= es[k])) >= 2), true), 0), 1)
+        |    AS pick
+        |FROM c),
+        |win AS (SELECT doc_id, w,
+        |  CASE WHEN len(occ) = 0 THEN 1 ELSE bs[pick] END AS b,
+        |  CASE WHEN len(occ) = 0 THEN least(5, n) ELSE es[pick] END AS e
+        |FROM s)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(w[b:e],
+        |    x -> CASE WHEN x = 'spark' THEN '<b>' || x || '</b>'
+        |              ELSE x END), ' ') AS headline
+        |FROM win ORDER BY doc_id""".stripMargin,
 
     // membership: doc_id % 7 = 3 plants the queried host; 'spark' as a
     // word of the text; lexemes = distinct words + the 3 planted
