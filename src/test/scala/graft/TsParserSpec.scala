@@ -266,4 +266,44 @@ class TsParserSpec extends AnyFunSuite {
     // combining mark (zero display width) is not a breaker mid-word
     assert(one("ab\u0301c") == Seq("word" -> "ab\u0301c"))
   }
+
+  test("property fuzz: non-composite tokens tile the input exactly") {
+    // composite tokens (url / hyphenated words — generateHeadline's
+    // HLIDSKIP set) deliberately OVERLAP their re-emitted parts; after
+    // dropping them, every input char lands in exactly one token, in
+    // order — the invariant behind ts_debug showing the whole text
+    val skip = Set(TsDefaultParser.URL, TsDefaultParser.NUMHWORD,
+      TsDefaultParser.ASCIIHWORD, TsDefaultParser.HWORD)
+    val alphabet = "ab1./-@:<>&;?#~_ \t\ne$%\"'!xX=+\u00e9\u4e2d\u0301"
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 400) {
+      val n = 1 + rnd.nextInt(40)
+      val s = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val toks = graft.functions.TsDefaultParser.tokenize(s)
+        .filterNot(t => skip(t.tpe))
+      var pos = 0
+      toks.foreach { t =>
+        assert(t.start == pos,
+          s"trial $trial gap/overlap at ${t.start} (expected $pos) in '$s'")
+        pos = t.start + t.len
+      }
+      assert(pos == s.length,
+        s"trial $trial dropped tail after $pos of ${s.length} in '$s'")
+    }
+  }
+
+  test("fuzz: headline never crashes and always returns a string") {
+    val alphabet = "ab cd-ef.12 <b>tag</b> http://x.y/z &amp; paint water "
+    val rnd = new scala.util.Random(42L)
+    for (_ <- 0 until 100) {
+      val n = 1 + rnd.nextInt(120)
+      val s = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val h1 = graft.operators.HeadlineDefault.headline(s, "paint & water")
+      val h2 = graft.operators.HeadlineDefault.headline(s, "water | ab",
+        maxFragments = 2, minWords = 3, maxWords = 8)
+      val h3 = graft.operators.HeadlineDefault.headline(s, "tag",
+        highlightAll = true)
+      assert(h1 != null && h2 != null && h3 != null)
+    }
+  }
 }
