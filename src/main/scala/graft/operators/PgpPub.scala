@@ -198,30 +198,48 @@ object PgpPub {
       "graft: pgp: No encryption key found"))
   }
 
-  /** pgp_key_id over a key ring: hex of the encryption subkey's id. */
+  /** pgp_key_id (pgp-info.cpp:106): the encryption subkey's id for a
+    * key ring (public or secret — only the public portion is read, so
+    * no passphrase is needed), the tag-1 key id for a public-key
+    * encrypted message ("ANYKEY" when zeroed), or "SYMKEY" for a
+    * symmetric message. */
   def keyId(blob: Array[Byte]): String = {
-    // peek the first packet to decide public vs secret ring
-    val (tag, _) = readPacket(new Reader(blob, 0))
-    val secret = tag == 5 || tag == 7
-    val k =
-      try readKeyRing(blob, None, secret)
-      catch { case e: IllegalArgumentException
-          if e.getMessage.contains("Need password") =>
-        // protected secret ring: the PUBLIC part still identifies it —
-        // re-walk taking only public portions
-        val r = new Reader(blob, 0)
-        var found: Option[Key] = None
-        while (r.hasMore && found.isEmpty) {
-          val (t, body) = readPacket(r)
-          if (t == 7 || t == 14) {
-            val (pk, _) = readPublicPart(body)
-            if (pk.canEncrypt) found = Some(pk)
-          }
-        }
-        found.getOrElse(throw new IllegalArgumentException(
-          "graft: pgp: No encryption key found"))
+    val r = new Reader(blob, 0)
+    var gotMain = false
+    var gotPub = 0
+    var gotPubenc = 0
+    var gotSym = 0
+    var gotData = false
+    var id: Array[Byte] = null
+    while (r.hasMore && !gotData) {
+      val (tag, body) = readPacket(r)
+      tag match {
+        case 5 | 6 =>
+          require(!gotMain, "graft: pgp: multiple main keys")
+          gotMain = true // main key is for signing — ignored
+        case 7 | 14 =>
+          val (pk, _) = readPublicPart(body)
+          if (pk.canEncrypt) { gotPub += 1; id = pk.keyId }
+        case 1 =>
+          val br = new Reader(body, 0)
+          require(br.u8() == 3, "graft: pgp: pubenc sesskey version != 3")
+          gotPubenc += 1
+          id = br.take(8)
+        case 9 | 18 => gotData = true // stop at the encrypted data
+        case 3 => gotSym += 1
+        case 2 | 10 | 12 | 13 | 17 | 61 => () // sig/marker/trust/uid/attr
+        case t => throw new IllegalArgumentException(
+          s"graft: pgp: unexpected packet $t")
       }
-    k.keyId.map(b => f"${b & 0xff}%02X").mkString
+    }
+    require(!(gotPub > 0 && gotPubenc > 0), "graft: pgp: corrupt data")
+    require(gotPub <= 1 && gotPubenc <= 1, "graft: pgp: multiple keys")
+    if (gotPub > 0 || gotPubenc > 0) {
+      if (id.forall(_ == 0)) "ANYKEY"
+      else id.map(b => f"${b & 0xff}%02X").mkString
+    } else if (gotSym > 0) "SYMKEY"
+    else throw new IllegalArgumentException(
+      "graft: pgp: No encryption key found")
   }
 
   // ------------------------------------------------------------ decrypt

@@ -458,6 +458,30 @@ class PgpPubSpec extends AnyFunSuite {
     assert(PgpPub.keyId(Pgp.dearmor(sec_psw_elg1024)).length == 16)
   }
 
+  test("pgp_key_id: the reference's pgp-info.out battery verbatim") {
+    def kid(armor: String) = PgpPub.keyId(Pgp.dearmor(armor))
+    // key rings (secret rings read only the public portion — the
+    // password-protected ring answers without a passphrase)
+    assert(kid(sec_elg1024) == "D936CF64BB73F466")
+    assert(kid(sec_elg2048) == "2C226E1FFE5CC7D4")
+    assert(kid(sec_elg4096) == "B68504FD128E1FF9")
+    assert(kid(sec_psw_elg1024) == "D936CF64BB73F466")
+    assert(kid(sec_rsaenc2048) == "FD0206C409B74875")
+    assert(kid(pub_elg1024) == "D936CF64BB73F466")
+    assert(kid(pub_rsaenc2048) == "FD0206C409B74875")
+    // sign-only ring
+    val e = intercept[IllegalArgumentException](kid(sec_rsa2048))
+    assert(e.getMessage.contains("No encryption key found"))
+    // messages carry the recipient subkey's id in the tag-1 packet
+    assert(kid(enc1) == "D936CF64BB73F466")
+    assert(kid(enc2) == "2C226E1FFE5CC7D4")
+    assert(kid(enc3) == "B68504FD128E1FF9")
+    assert(kid(enc4) == "FD0206C409B74875")
+    // symmetric messages answer SYMKEY
+    val sym = Pgp.encrypt("x".getBytes, "pw".getBytes, seed = 1L)
+    assert(PgpPub.keyId(sym) == "SYMKEY")
+  }
+
   test("gnupg interop: gpg decrypts our pubenc output and vice versa") {
     val gpg = new java.io.File("/usr/bin/gpg")
     assume(gpg.exists, "gpg not installed")
