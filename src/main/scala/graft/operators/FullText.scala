@@ -180,6 +180,21 @@ object FullText {
   }
 
   /**
+   * plainto_tsquery('english', text) (ref: src/common/backend/utils/adt/
+   * to_tsany.c plainto_tsquery): run the DEFAULT parser over the text,
+   * lexize each token through the english configuration (stop list +
+   * Porter for word types, simple for numeric/url/file types), and AND
+   * the surviving lexemes — 'the and z 1))& fghj' compiles to
+   * 'z & 1 & fghj'. Returns the tsquery-subset string [[parseQuery]]
+   * accepts (empty when nothing survives — callers must guard, like
+   * PG's empty-tsquery NOTICE path).
+   */
+  def plaintoTsquery(text: String): String =
+    graft.functions.TsDefaultParser.parse(text)
+      .flatMap { case (t, tok) => HeadlineDefault.englishLexize(t, tok) }
+      .mkString(" & ")
+
+  /**
    * ts_headline analogue (ref: src/common/backend/tsearch/wparser.cpp
    * ts_headline; the default single-fragment mode): a snippet of
    * `window` tokens either side of the FIRST occurrence of any of the

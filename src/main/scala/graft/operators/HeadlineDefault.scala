@@ -55,8 +55,8 @@ object HeadlineDefault {
   }
 
   /** english_stem / simple lexize of one token; None = no dictionary
-    * or stopword (no norm). */
-  private def norm(tpe: Int, text: String): Option[String] =
+    * or stopword (no norm). Shared with plainto_tsquery. */
+  def englishLexize(tpe: Int, text: String): Option[String] =
     if (ignoreTypes(tpe)) None
     else if (stemTypes(tpe)) {
       val low = text.toLowerCase(java.util.Locale.ROOT)
@@ -106,7 +106,7 @@ object HeadlineDefault {
       val tok = text.substring(t.start, t.start + t.len)
       var first = -1
       val extra = scala.collection.mutable.ArrayBuffer.empty[Int]
-      norm(t.tpe, tok).foreach { lex =>
+      englishLexize(t.tpe, tok).foreach { lex =>
         var j = 0
         while (j < q.atoms.length) {
           if (q.atoms(j) == lex) {

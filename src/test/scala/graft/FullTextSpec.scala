@@ -363,4 +363,19 @@ class FullTextSpec extends SparkSpec {
       }
     } finally { post.unpersist(); () }
   }
+
+  test("plainto_tsquery: the reference's regress pins") {
+    val FT = graft.operators.FullText
+    // tsearch.out: stopwords and punctuation drop, lexemes AND together
+    assert(FT.plaintoTsquery("the and z 1))& fghj") == "z & 1 & fghj")
+    // english config stems and drops 'My' (the engine's stemmer is
+    // classic Porter: 'skies'->'ski'; Snowball's exception list says
+    // 'sky' — the documented departure shared by the whole FTS stack)
+    assert(FT.plaintoTsquery("SKIES My booKs") == "ski & book")
+    // parser tokens survive whole: hosts/files are single lexemes
+    assert(FT.plaintoTsquery("visit www.example.com today") ==
+      "visit & www.example.com & todai")
+    // all-stopword input compiles to the empty query
+    assert(FT.plaintoTsquery("the of and") == "")
+  }
 }
