@@ -197,6 +197,31 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // ---- passwordcheck policy + chkpass (r15, passwordcheck.cpp
+    // check_password / chkpass.cpp): the account-password policy as a
+    // verdict kernel over per-customer candidates exercising every
+    // branch (too short / contains username / letters-only /
+    // nonletters-only / md5-of-username / ok). Pure string logic, so
+    // the oracle recomputes each verdict — hash-exact. chkpass's DES
+    // hashing itself is pinned in PasswordsSpec (no SQL crypt) ----
+    "password_policy" -> ((s, dir) => {
+      import graft.functions.Passwords
+      val c = Tables(s, dir, "customer")
+        .withColumn("u", concat(lit("user"), col("c_custkey")))
+        .withColumn("pw",
+          when(pmod(col("c_custkey"), lit(6)) === 0, lit("ab1"))
+            .when(pmod(col("c_custkey"), lit(6)) === 1,
+              concat(lit("Z"), col("u"), lit("!9")))
+            .when(pmod(col("c_custkey"), lit(6)) === 2, lit("onlyletters"))
+            .when(pmod(col("c_custkey"), lit(6)) === 3, lit("12345678"))
+            .when(pmod(col("c_custkey"), lit(6)) === 4,
+              concat(lit("md5"), md5(concat(col("u"), col("u")))))
+            .otherwise(concat(lit("G00d!pw"), col("c_custkey"))))
+      c.select(col("c_custkey"),
+          Passwords.checkPasswordCol(col("u"), col("pw")).as("verdict"))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
     // ---- tablefunc normal_rand (r15, tablefunc.cpp:137): Gaussian
     // deviates as a deterministic table function — Lehmer-LCG uniforms
     // keyed by (seed + id), Box–Muller, micro-quantized; the oracle
@@ -356,6 +381,31 @@ object RelationalSuite5 {
   private def sq(rx: String): String = "'" + rx.replace("'", "''") + "'"
 
   val oracle: Map[String, String] = Map(
+    // every check_password branch as a CASE mirror, in the hook's
+    // branch order (md5 first, then length / username / letter mix)
+    "password_policy" ->
+      """WITH c AS (SELECT c_custkey, 'user' || c_custkey AS u,
+        |  CASE c_custkey % 6
+        |    WHEN 0 THEN 'ab1'
+        |    WHEN 1 THEN 'Z' || 'user' || c_custkey || '!9'
+        |    WHEN 2 THEN 'onlyletters'
+        |    WHEN 3 THEN '12345678'
+        |    WHEN 4 THEN 'md5' || md5('user' || c_custkey || 'user' || c_custkey)
+        |    ELSE 'G00d!pw' || c_custkey END AS pw
+        |FROM customer)
+        |SELECT c_custkey,
+        |  CASE WHEN pw LIKE 'md5%' AND length(pw) = 35 THEN
+        |    CASE WHEN pw = 'md5' || md5(u || u)
+        |         THEN 'password must not contain user name' ELSE 'ok' END
+        |  WHEN length(pw) < 8 THEN 'password is too short'
+        |  WHEN position(u IN pw) > 0
+        |    THEN 'password must not contain user name'
+        |  WHEN NOT regexp_matches(pw, '[A-Za-z]')
+        |       OR NOT regexp_matches(pw, '[^A-Za-z]')
+        |    THEN 'password must contain both letters and nonletters'
+        |  ELSE 'ok' END AS verdict
+        |FROM c ORDER BY c_custkey""".stripMargin,
+
     // the SAME formula text the Spark side compiles (shared IEEE trees)
     "normal_rand" ->
       ("SELECT id, " +
