@@ -197,6 +197,30 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "o_orderkey"))
     }),
 
+    // ---- file_fdw (r15, contrib/file_fdw): foreign tables over CSV
+    // files with the COPY options. The gate round-trips customers
+    // through the PG csv dialect (comma delimiter, doubled-quote
+    // escaping, \N nulls) — a planted note column forces quoting and
+    // a nullable column forces the null marker; the oracle reads the
+    // same rows straight from the table, so the whole option mapping
+    // must be value-exact ----
+    "file_fdw" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .withColumn("note", concat(col("c_name"),
+          lit(", \"segment\" = "), col("c_mktsegment")))
+        .withColumn("opt_seg",
+          when(pmod(col("c_custkey"), lit(5)) === 0, lit(null))
+            .otherwise(col("c_mktsegment")))
+        .select("c_custkey", "c_name", "c_acctbal", "note", "opt_seg")
+      val out = new java.io.File(Gate.scratchDir("graft-filefdw"),
+        "customer_csv").getAbsolutePath
+      graft.sources.FileFdw.write(c, out, header = true,
+        nullStr = Some("\\N"))
+      graft.sources.FileFdw.read(s, out, c.schema, header = true,
+          nullStr = Some("\\N"))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
     // ---- passwordcheck policy + chkpass (r15, passwordcheck.cpp
     // check_password / chkpass.cpp): the account-password policy as a
     // verdict kernel over per-customer candidates exercising every
@@ -381,6 +405,14 @@ object RelationalSuite5 {
   private def sq(rx: String): String = "'" + rx.replace("'", "''") + "'"
 
   val oracle: Map[String, String] = Map(
+    // the CSV round-trip must reproduce the table exactly
+    "file_fdw" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  c_name || ', "segment" = ' || c_mktsegment AS note,
+        |  CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |       ELSE c_mktsegment END AS opt_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     // every check_password branch as a CASE mirror, in the hook's
     // branch order (md5 first, then length / username / letter mix)
     "password_policy" ->
