@@ -53,8 +53,9 @@ object Bench {
     "text_quality", "text_bm25", "text_trigram_ppl", "text_repetition",
     "quality_classifier", "bpe_encode", "pack_sequences",
     "pipeline_pretrain", "decontaminate", "shuffle_batches",
-    // full-text search
+    // full-text search (fts_parser = the r15 default-parser family)
     "fts_rank_cd", "fts_indexed_retrieve", "hybrid_rrf", "trgm_search",
+    "fts_parser",
     // multimodal
     "mm_pipeline",
     // streaming
