@@ -68,6 +68,23 @@ object TsDefaultParser {
     "numhword", "asciihword", "hword", "url_path", "file", "float",
     "int", "uint", "entity")
 
+  /** lex_descr (wparser_def.cpp:80-103); index 0 unused. */
+  val description: Array[String] = Array("", "Word, all ASCII",
+    "Word, all letters", "Word, letters and digits", "Email address",
+    "URL", "Host", "Scientific notation", "Version number",
+    "Hyphenated word part, letters and digits",
+    "Hyphenated word part, all letters",
+    "Hyphenated word part, all ASCII", "Space symbols", "XML tag",
+    "Protocol head", "Hyphenated word, letters and digits",
+    "Hyphenated word, all ASCII", "Hyphenated word, all letters",
+    "URL path", "File or path name", "Decimal notation",
+    "Signed integer", "Unsigned integer", "XML entity")
+
+  /** ts_token_type('default') (prsd_lextype, wparser_def.cpp:1759):
+    * (tokid, alias, description). */
+  def tokenTypes: Seq[(Int, String, String)] =
+    (1 to 23).map(i => (i, alias(i), description(i)))
+
   /** Token types the default ('english'-style) config maps to
     * dictionaries — everything except blank/tag/protocol/entity.
     * parsetext (ts_parse.cpp:314) bumps the lexeme position only for

@@ -179,6 +179,30 @@ object FullText {
     toks.mkString(" & ")
   }
 
+  /** One ts_debug row: token type alias/description, the raw token,
+    * the dictionary that consumed it (None = no mapping), and the
+    * produced lexemes (empty = stopword). */
+  final case class DebugRow(alias: String, description: String,
+    token: String, dictionary: Option[String], lexemes: Option[Seq[String]])
+
+  /**
+   * ts_debug('english', text) (ref: ts_parse.cpp's prsd pipeline +
+   * tsearch regress): every parser token with its type metadata and
+   * the english lexize chain's verdict — the introspection surface for
+   * debugging configurations.
+   */
+  def tsDebug(text: String): Seq[DebugRow] =
+    graft.functions.TsDefaultParser.parse(text).map { case (t, tok) =>
+      HeadlineDefault.englishDebugLexize(t, tok) match {
+        case None => DebugRow(graft.functions.TsDefaultParser.alias(t),
+          graft.functions.TsDefaultParser.description(t), tok, None, None)
+        case Some((dict, lex)) =>
+          DebugRow(graft.functions.TsDefaultParser.alias(t),
+            graft.functions.TsDefaultParser.description(t), tok,
+            Some(dict), Some(lex))
+      }
+    }
+
   /**
    * plainto_tsquery('english', text) (ref: src/common/backend/utils/adt/
    * to_tsany.c plainto_tsquery): run the DEFAULT parser over the text,

@@ -54,14 +54,21 @@ object HeadlineDefault {
     var skip = false
   }
 
-  /** english_stem / simple lexize of one token; None = no dictionary
-    * or stopword (no norm). Shared with plainto_tsquery. */
-  def englishLexize(tpe: Int, text: String): Option[String] =
+  /** ts_debug's view of the english lexize chain: None = no dictionary
+    * for the type; Some((dict, Nil)) = stopword (consumed, no lexeme);
+    * Some((dict, lexemes)) otherwise. */
+  def englishDebugLexize(tpe: Int, text: String): Option[(String, Seq[String])] =
     if (ignoreTypes(tpe)) None
     else if (stemTypes(tpe)) {
       val low = text.toLowerCase(java.util.Locale.ROOT)
-      if (Lexize.stopWords.contains(low)) None else Some(Porter.stem(low))
-    } else Some(text.toLowerCase(java.util.Locale.ROOT))
+      if (Lexize.stopWords.contains(low)) Some(("english_stem", Nil))
+      else Some(("english_stem", Seq(Porter.stem(low))))
+    } else Some(("simple", Seq(text.toLowerCase(java.util.Locale.ROOT))))
+
+  /** english_stem / simple lexize of one token; None = no dictionary
+    * or stopword (no norm). Shared with plainto_tsquery. */
+  def englishLexize(tpe: Int, text: String): Option[String] =
+    englishDebugLexize(tpe, text).flatMap(_._2.headOption)
 
   /** Flattened query: atom lexemes (stemmed) + an evaluator over
     * "atom present" sets. */

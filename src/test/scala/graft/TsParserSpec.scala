@@ -306,4 +306,43 @@ class TsParserSpec extends AnyFunSuite {
       assert(h1 != null && h2 != null && h3 != null)
     }
   }
+
+  test("ts_token_type('default'): the 23-row catalog verbatim") {
+    val got = TsDefaultParser.tokenTypes
+    assert(got.size == 23)
+    assert(got.head == (1, "asciiword", "Word, all ASCII"))
+    assert(got(6) == (7, "sfloat", "Scientific notation"))
+    assert(got(11) == (12, "blank", "Space symbols"))
+    assert(got(18) == (19, "file", "File or path name"))
+    assert(got.last == (23, "entity", "XML entity"))
+  }
+
+  test("ts_debug: the regress tag/entity case with dictionary routing") {
+    val FT = graft.operators.FullText
+    val rows = FT.tsDebug("<myns:foo-bar_baz.blurfl>abc&nm1;def&#xa9;" +
+        "ghi&#245;jkl</myns:foo-bar_baz.blurfl>")
+      .sortBy(r => (r.alias, r.token))
+    def row(a: String, tok: String) =
+      rows.find(r => r.alias == a && r.token == tok).get
+    // asciiwords lexize through english_stem
+    assert(row("asciiword", "abc") ==
+      FT.DebugRow("asciiword", "Word, all ASCII", "abc",
+        Some("english_stem"), Some(Seq("abc"))))
+    // entities and tags have no dictionary (NULL lexemes)
+    assert(row("entity", "&nm1;").dictionary.isEmpty)
+    assert(row("entity", "&nm1;").lexemes.isEmpty)
+    assert(row("tag", "<myns:foo-bar_baz.blurfl>").dictionary.isEmpty)
+    // URL pieces route through simple
+    val url = FT.tsDebug("http://www.harewoodsolutions.co.uk/press.aspx")
+      .filter(_.alias != "blank")
+    assert(url.map(r => (r.alias, r.token, r.dictionary)) == Seq(
+      ("protocol", "http://", None),
+      ("url", "www.harewoodsolutions.co.uk/press.aspx", Some("simple")),
+      ("host", "www.harewoodsolutions.co.uk", Some("simple")),
+      ("url_path", "/press.aspx", Some("simple"))))
+    // stopwords consume through english_stem with EMPTY lexemes
+    val stop = FT.tsDebug("the").head
+    assert(stop.dictionary == Some("english_stem") &&
+      stop.lexemes == Some(Nil))
+  }
 }
