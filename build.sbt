@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's default LoggedOutput strategy prefixes every forked-
+// process line with "[info] " / "[error] " (r15's tail shows both JSON
+// frames complete inside the capture window yet parsed: null — the
+// prefix, plus sbt's own "[success] Total time" trailer printed AFTER
+// them, are the only candidates left). StdoutOutput passes the forked
+// JVM's streams through verbatim, and showSuccess drops the trailer,
+// so the absolute last stdout line is Bench's own bare JSON.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another setting —
+// the lintUnused warning is a false positive worth silencing.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
