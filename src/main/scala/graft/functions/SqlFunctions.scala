@@ -316,9 +316,11 @@ object SqlFunctions {
       Cast(args(2), ArrayType(org.apache.spark.sql.types.IntegerType)), vec(args(3)),
       metric)
 
-  /** Register every kernel function as a SQL temp function. */
+  /** Register every kernel function as a SQL temp function — the
+    * vector/masking/sketch surface here plus the text-search / ltree /
+    * crypt names in [[SqlTextSearch]]. */
   def register(spark: SparkSession): Unit =
-    all.foreach { case (name, builder) =>
+    (all ++ SqlTextSearch.all).foreach { case (name, builder) =>
       Bridge.registerFunction(spark, name, builder)
     }
 }

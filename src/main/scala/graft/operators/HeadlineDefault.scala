@@ -488,7 +488,9 @@ object HeadlineDefault {
 
 /** ts_headline('english', text, query, options) as a per-row expression. */
 case class TsHeadlineExpr(child: Expression, query: String, maxWords: Int,
-    minWords: Int, shortWord: Int, maxFragments: Int, highlightAll: Boolean)
+    minWords: Int, shortWord: Int, maxFragments: Int, highlightAll: Boolean,
+    startSel: String = "<b>", stopSel: String = "</b>",
+    fragDelim: String = " ... ")
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -496,7 +498,7 @@ case class TsHeadlineExpr(child: Expression, query: String, maxWords: Int,
   override def nullSafeEval(t: Any): Any =
     UTF8String.fromString(HeadlineDefault.headline(
       t.asInstanceOf[UTF8String].toString, query, maxWords, minWords,
-      shortWord, maxFragments, highlightAll))
+      shortWord, maxFragments, highlightAll, startSel, stopSel, fragDelim))
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

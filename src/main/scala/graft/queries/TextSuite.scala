@@ -447,6 +447,65 @@ object TextSuite {
             maxWords = 10, minWords = 5, shortWord = 0).as("headline"))
         .transform(Gate.ordered(_, "doc_id"))),
 
+    // ts_headline FRAGMENT mode (r16): MaxFragments=2 over a PLANTED
+    // word stream (mark_hl_fragments, wparser_def.cpp:1976 — already
+    // ported and regress-pinned; this gates it against a driver
+    // oracle). The construction keeps the fragment algebra closed-form:
+    // single-atom covers seed left-to-right (poslen all 1, strict
+    // tie-breaks keep array order), each fragment stretches
+    // (MaxWords−1)/2=2 words back (clamped at doc start when the
+    // prefix is short) then forward to 6 words (clamped at doc end
+    // when the suffix is short); the doc_id%3 rows plant an ADJACENT
+    // second occurrence whose cover lands inside fragment 1 and is
+    // EXCLUDED, so fragment 2 still seeds at the far occurrence. The
+    // separation filler (≥7) guarantees fragments never interact, so
+    // the oracle reproduces the exact rendering with slice arithmetic.
+    "fts_headline_frag" -> ((s, dir) => {
+      val na = pmod(col("doc_id"), lit(5)).cast("int")
+      val mid = (pmod(col("doc_id"), lit(6)) + 7).cast("int")
+      val nc = pmod(col("doc_id"), lit(4)).cast("int")
+      val first = when(pmod(col("doc_id"), lit(3)) === 0,
+        array(lit("spark"), lit("spark"))).otherwise(array(lit("spark")))
+      val words = concat(
+        array_repeat(lit("f"), na), first,
+        array_repeat(lit("g"), mid), array(lit("spark")),
+        array_repeat(lit("h"), nc))
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), array_join(words, " ").as("t2"))
+        .select(col("doc_id"),
+          graft.operators.HeadlineDefault.headlineCol(col("t2"), "spark",
+            maxWords = 6, minWords = 2, shortWord = 0, maxFragments = 2)
+            .as("headline"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
+    // SQL-name parity (r16): the ENTIRE query below is spark.sql TEXT
+    // over the registered tsearch names — the spelling an openGauss
+    // user writes (src/test/regress/sql/tsearch.sql) — composing
+    // to_tsvector / ts_match / ts_rank / ts_rank_cd / ts_headline /
+    // ts_parse / to_tsquery in one statement. Each name resolves
+    // through the FunctionRegistry to the SAME kernels the Column
+    // gates run (SQL==Column parity pinned per-name in
+    // SqlTextSearchSpec); the oracle recomputes every column with the
+    // established closed forms (stem CASE map, shared rank table,
+    // cover-density nanos, single-atom headline window arithmetic).
+    "sql_fts" -> ((s, dir) => {
+      graft.functions.SqlFunctions.register(s)
+      Tables.spread(s, dir, "documents").createOrReplaceTempView("docs_sqlfts")
+      s.sql(
+        """SELECT doc_id,
+          |  size(to_tsvector(text)) AS n_lex,
+          |  round(ts_rank(text, 'spark & key'), 6) AS r0,
+          |  ts_rank_cd(text, 'spark & key') AS rank_cd,
+          |  ts_headline(text, 'spark',
+          |    'MaxWords=10, MinWords=5, ShortWord=0') AS headline,
+          |  size(ts_parse('default', text)) AS n_tokens,
+          |  to_tsquery('sparks & keys') AS qnorm
+          |FROM docs_sqlfts
+          |WHERE ts_match(text, 'spark & key')
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     // Composition re-gate: INDEXED retrieval over PARSER-produced
     // tokens. Postings are built from the default parser's mapped
     // lexemes (so host/url/path tokens index as units — whitespace
@@ -1471,6 +1530,105 @@ object TextSuite {
         |    x -> CASE WHEN x = 'spark' THEN '<b>' || x || '</b>'
         |              ELSE x END), ' ') AS headline
         |FROM win ORDER BY doc_id""".stripMargin,
+
+    // the planted fragment algebra in list arithmetic: word positions
+    // o1 = na+1 (+adjacent pair when doc_id%3=0) and o3 = na+npair+
+    // mid+1; fragment windows [b,e] with b = max(1, o−2), e = min(n,
+    // b+5); every in-window 'spark' wraps; fragments join with the
+    // default ' ... ' delimiter
+    "fts_headline_frag" ->
+      """WITH p AS (SELECT doc_id,
+        |    doc_id % 5 AS na,
+        |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS np,
+        |    7 + doc_id % 6 AS mid,
+        |    doc_id % 4 AS nc
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, na, np, mid, nc,
+        |    list_transform(range(1, (na + 1)::INTEGER), i -> 'f')
+        |    || CASE WHEN np = 2 THEN ['spark', 'spark'] ELSE ['spark'] END
+        |    || list_transform(range(1, (mid + 1)::INTEGER), i -> 'g')
+        |    || ['spark']
+        |    || list_transform(range(1, (nc + 1)::INTEGER), i -> 'h') AS w
+        |  FROM p),
+        |b AS (SELECT doc_id, w, len(w) AS n,
+        |    greatest(1, (na + 1) - 2) AS b1,
+        |    (na + np + mid + 1) - 2 AS b2
+        |  FROM w0),
+        |f AS (SELECT doc_id, w,
+        |    b1, b1 + 5 AS e1, b2, least(n, b2 + 5) AS e2
+        |  FROM b)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(w[b1:e1],
+        |    x -> CASE WHEN x = 'spark' THEN '<b>' || x || '</b>'
+        |              ELSE x END), ' ')
+        |  || ' ... ' ||
+        |  array_to_string(list_transform(w[b2:e2],
+        |    x -> CASE WHEN x = 'spark' THEN '<b>' || x || '</b>'
+        |              ELSE x END), ' ') AS headline
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // every column of the spark.sql-text gate recomputed with the
+    // suite's established closed forms: n_lex = distinct stems of
+    // non-stop tokens (the driver-shared Porter CASE map); r0 = the
+    // shared contribution table over raw tf; rank_cd = adjacent
+    // mixed-pair nanos; headline = the single-atom window arithmetic
+    // (same CTEs as fts_headline_default, restricted to matches —
+    // every matched doc contains 'spark', so the no-match fallback
+    // never fires); n_tokens = 2·words−1 (word+blank stream of the
+    // default parser on the pure-word corpus); qnorm = the engine's
+    // normalized rendering, stems computed by the SAME Porter at
+    // oracle-build time
+    "sql_fts" -> {
+      val LX = graft.operators.Lexize
+      val rt = graft.operators.FullText.rankTableSql
+      val qnorm = s"(${graft.functions.Porter.stem("sparks")}) & " +
+        s"(${graft.functions.Porter.stem("keys")})"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |             string_split(lower(text), ' ') AS toks,
+         |             ' ' || lower(text) || ' ' AS pad FROM documents),
+         |f AS (SELECT * FROM t WHERE position(' spark ' IN pad) > 0
+         |                        AND position(' key ' IN pad) > 0),
+         |lx AS (SELECT doc_id, len(list_distinct(list_transform(
+         |    list_filter(toks, x -> x NOT IN ${LX.stopListSql}),
+         |    x -> ${LX.stemCaseSql("x")})))::INTEGER AS n_lex FROM f),
+         |rk AS (SELECT doc_id,
+         |    round(list_extract($rt,
+         |        least(len(list_filter(toks, x -> x = 'spark')), 256) + 1)
+         |      + list_extract($rt,
+         |        least(len(list_filter(toks, x -> x = 'key')), 256) + 1), 6)
+         |      AS r0 FROM f),
+         |cd0 AS (SELECT doc_id, toks, list_sort(list_concat(
+         |    list_filter(generate_series(1, len(toks)), i -> toks[i] = 'spark'),
+         |    list_filter(generate_series(1, len(toks)), i -> toks[i] = 'key')))
+         |    AS ps FROM f),
+         |cd AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+         |    list_filter(generate_series(1, len(ps) - 1),
+         |      j -> toks[ps[j]] <> toks[ps[j+1]]),
+         |    j -> CAST(round(100000000.0 / (ps[j+1] - ps[j]), 0) AS BIGINT))),
+         |    0) AS DOUBLE) / 1000000000.0 AS rank_cd FROM cd0),
+         |hp AS (SELECT doc_id, w, len(w) AS n,
+         |    list_filter(range(1, len(w) + 1), i -> w[i] = 'spark') AS occ
+         |  FROM f),
+         |hc AS (SELECT doc_id, w, n, occ,
+         |    list_transform(occ, o -> greatest(1, least(o, n - 4))) AS bs,
+         |    list_transform(occ, o -> least(o + 4, n)) AS es FROM hp),
+         |hs AS (SELECT doc_id, w, occ, bs, es,
+         |    coalesce(nullif(list_position(
+         |      list_transform(range(1, len(occ) + 1),
+         |        k -> len(list_filter(occ,
+         |               o2 -> o2 >= bs[k] AND o2 <= es[k])) >= 2), true), 0), 1)
+         |      AS pick FROM hc),
+         |hl AS (SELECT doc_id,
+         |    array_to_string(list_transform(w[bs[pick]:es[pick]],
+         |      x -> CASE WHEN x = 'spark' THEN '<b>' || x || '</b>'
+         |                ELSE x END), ' ') AS headline FROM hs)
+         |SELECT f.doc_id, lx.n_lex, rk.r0, cd.rank_cd, hl.headline,
+         |  (2 * len(f.toks) - 1)::INTEGER AS n_tokens,
+         |  '$qnorm' AS qnorm
+         |FROM f JOIN lx USING (doc_id) JOIN rk USING (doc_id)
+         |  JOIN cd USING (doc_id) JOIN hl USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin
+    },
 
     // membership: doc_id % 7 = 3 plants the queried host; 'spark' as a
     // word of the text; lexemes = distinct words + the 3 planted

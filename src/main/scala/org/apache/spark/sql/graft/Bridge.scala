@@ -14,6 +14,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column -> Catalyst conversion. [[expression]] returns a lazy
+    * ColumnNode wrapper that the analyzer only resolves on the Dataset
+    * path — an expression handed to the FunctionRegistry must already
+    * be a plain Catalyst tree, so SQL-name builders that compose the
+    * library's Column helpers convert through the full recursive
+    * converter instead (the same one `Dataset.select` runs). */
+  def toCatalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Analyzed logical plan of a DataFrame. */
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
