@@ -547,6 +547,26 @@ object RelationalSuite4 {
         .transform(Gate.ordered(_, "n_name"))
     }),
 
+    // ---- dialect-aware deparse (r16; mysql_fdw/oracle_fdw deparse.c
+    // analogue): the library AUTHORS the remote SQL — quoted target
+    // list and relation, pushed WHERE, remote ORDER BY + the
+    // dialect's row-limit clause — and ships it whole, so the top-50
+    // never crosses the wire unsorted. Runs live against Derby
+    // (FETCH FIRST + double-quoted identifiers); the mysql/oracle
+    // deparse rules for the SAME logical query are string-pinned in
+    // JdbcDialectSpec. Oracle recomputes the top-50 over parquet —
+    // the remote execution must be value-exact ----
+    "jdbc_dialect" -> ((s, dir) => {
+      val url = JdbcGateDb.url(s, dir)
+      val D = graft.sources.JdbcDeparse
+      graft.sources.JdbcSource.readDeparsed(s, url, "CUST",
+          Seq("c_custkey", "c_name", "c_acctbal"),
+          where = Seq(D.Cmp("c_acctbal", ">", 1000)),
+          orderBy = Seq(("c_acctbal", false), ("c_custkey", true)),
+          limit = Some(50))
+        .transform(Gate.ordered(_, "c_custkey"))
+    }),
+
     // ---- PG xml surface (openGauss inherits PG's xml type;
     // contrib/xml2 xpath_string/number). The SCALE path is from_xml:
     // ONE StAX parse per row into a typed struct, every field
@@ -1044,6 +1064,16 @@ object RelationalSuite4 {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 1000
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // the remotely-executed top-50 recomputed over parquet (acctbal
+    // ties break on custkey, so the cut is deterministic)
+    "jdbc_dialect" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_acctbal > 1000
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  LIMIT 50)
+        |ORDER BY c_custkey""".stripMargin,
 
     "xml_fns" ->
       """SELECT o_orderkey,

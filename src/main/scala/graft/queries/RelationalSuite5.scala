@@ -221,6 +221,34 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 
+    // ---- file_fdw NON-UTF-8 ingest (r16; the reference regresses
+    // server-side encoding conversion in ts_gb18030_utf8.source): a
+    // multilingual corpus (accented Latin + CJK planted onto every
+    // doc) round-trips through a GB18030 file — written in GB18030
+    // bytes, read back with the encoding option, then TOKENIZED by the
+    // D54 default parser (café is one `word`, 数据 is one `word` —
+    // code points > 0x7F are letters under the reference's C-locale
+    // UTF-8 build). A mishandled byte anywhere garbles text_rt or
+    // splits tokens; the oracle recomputes both columns from parquet,
+    // so the conversion must be value-exact. GB18030 is
+    // ASCII-transparent, so line splits stay safe and reads stay
+    // splittable — the 100 TB multilingual path is not UTF-8-only ----
+    "file_fdw_encoding" -> ((s, dir) => {
+      val c = Tables.spread(s, dir, "documents")
+        .withColumn("t2", concat(col("text"), lit(" café 数据")))
+        .select("doc_id", "t2")
+      val out = new java.io.File(Gate.scratchDir("graft-filefdw-gb"),
+        "docs_gb18030").getAbsolutePath
+      graft.sources.FileFdw.write(c, out, header = true,
+        encoding = "GB18030")
+      graft.sources.FileFdw.read(s, out, c.schema, header = true,
+          encoding = "GB18030")
+        .select(col("doc_id"), col("t2").as("text_rt"),
+          size(graft.functions.TsDefaultParser.parseCol(col("t2")))
+            .as("n_tokens"))
+        .transform(Gate.ordered(_, "doc_id"))
+    }),
+
     // ---- passwordcheck policy + chkpass (r15, passwordcheck.cpp
     // check_password / chkpass.cpp): the account-password policy as a
     // verdict kernel over per-customer candidates exercising every
@@ -412,6 +440,14 @@ object RelationalSuite5 {
         |  CASE WHEN c_custkey % 5 = 0 THEN NULL
         |       ELSE c_mktsegment END AS opt_seg
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the GB18030 round-trip must reproduce the multilingual text
+    // byte-for-byte; tokens = 2·words−1 for the corpus + 4 for the
+    // planted ' café 数据' (blank, word, blank, word)
+    "file_fdw_encoding" ->
+      """SELECT doc_id, text || ' café 数据' AS text_rt,
+        |  (2 * len(string_split(text, ' ')) + 3)::INTEGER AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // every check_password branch as a CASE mirror, in the hook's
     // branch order (md5 first, then length / username / letter mix)

@@ -20,6 +20,21 @@ import org.apache.spark.sql.types.StructType
  */
 object FileFdw {
 
+  /** Spark 4 restricts csv charsets to a small whitelist unless
+    * spark.sql.legacy.javaCharsets is on; openGauss-side encodings
+    * (GB18030, GBK, EUC-*, …) need the full JVM charset set, so flip
+    * the switch when a non-whitelisted encoding is requested (and
+    * fail fast on charsets the JVM itself lacks). */
+  private val sparkCharsets = Set("iso-8859-1", "us-ascii", "utf-16",
+    "utf-16be", "utf-16le", "utf-32", "utf-8")
+  private def enableCharset(spark: SparkSession, encoding: String): Unit =
+    if (!sparkCharsets.contains(
+        encoding.toLowerCase(java.util.Locale.ROOT))) {
+      require(java.nio.charset.Charset.isSupported(encoding),
+        s"graft: file_fdw encoding '$encoding' is not a JVM charset")
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    }
+
   def read(spark: SparkSession, path: String, schema: StructType,
       format: String = "csv",
       header: Boolean = false,
@@ -33,6 +48,7 @@ object FileFdw {
       s"graft: file_fdw format must be csv or text, got $format")
     val sep = delimiter.getOrElse(if (fmt == "csv") "," else "\t")
     require(sep.length == 1, "graft: file_fdw delimiter must be one char")
+    enableCharset(spark, encoding)
     val r: DataFrameReader = spark.read.schema(schema)
       .option("sep", sep)
       .option("header", header)
@@ -54,20 +70,26 @@ object FileFdw {
   }
 
   /** The matching writer (for round-trip tests and COPY TO parity);
-    * same option mapping as [[read]]. */
+    * same option mapping as [[read]]. `encoding` is the server-side
+    * encoding-conversion half (openGauss converts between client and
+    * server encodings; the reference regresses it in
+    * ts_gb18030_utf8.source) — any JVM charset, e.g. GB18030. */
   def write(df: DataFrame, path: String,
       format: String = "csv",
       header: Boolean = false,
       delimiter: Option[String] = None,
       quote: Option[String] = None,
       escape: Option[String] = None,
-      nullStr: Option[String] = None): Unit = {
+      nullStr: Option[String] = None,
+      encoding: String = "UTF-8"): Unit = {
     val fmt = format.toLowerCase(java.util.Locale.ROOT)
     val sep = delimiter.getOrElse(if (fmt == "csv") "," else "\t")
     val q = quote.getOrElse("\"")
+    enableCharset(df.sparkSession, encoding)
     val w = df.write.mode("overwrite")
       .option("sep", sep)
       .option("header", header)
+      .option("encoding", encoding)
     val w2 = fmt match {
       case "csv" => w.option("quote", q)
         .option("escape", escape.getOrElse(q))

@@ -65,6 +65,19 @@ object JdbcSource {
       .options(options)
       .load()
 
+  /** Heterogeneous-FDW read: AUTHOR the remote SQL in the remote
+    * engine's dialect (quoting / literals / row-limit — see
+    * [[JdbcDeparse]]) and ship it whole, so WHERE/ORDER/LIMIT execute
+    * remotely. The dblink path with mysql_fdw/oracle_fdw deparse
+    * rules. */
+  def readDeparsed(spark: SparkSession, url: String, table: String,
+      cols: Seq[String], where: Seq[JdbcDeparse.Pred] = Seq.empty,
+      orderBy: Seq[(String, Boolean)] = Seq.empty,
+      limit: Option[Long] = None,
+      options: Map[String, String] = Map.empty): DataFrame =
+    readQuery(spark, url, JdbcDeparse.select(JdbcDeparse.forUrl(url),
+      table, cols, where, orderBy, limit), options)
+
   /** Materialize a DataFrame as a remote table (the writeback half of
     * an FDW round-trip). `columnTypes` overrides the dialect's
     * default DDL types (e.g. Derby maps StringType to CLOB, which

@@ -29,6 +29,31 @@ class FileFdwSpec extends SparkSpec {
       sample.orderBy("id").collect().toSeq)
   }
 
+  test("non-UTF-8 encodings round-trip (GB18030, Latin-1)") {
+    val ml = Seq((1L, "café résumé"), (2L, "数据库 系统"),
+      (3L, "ascii only"), (4L, "mixed 数据 café"))
+      .toDF("id", "t")
+    for (enc <- Seq("GB18030", "ISO-8859-1")) {
+      val rows = if (enc == "ISO-8859-1") ml.filter(col("id") =!= 2 &&
+        col("id") =!= 4) else ml // latin-1 cannot hold CJK
+      val dir = new java.io.File(Gate.scratchDir(s"graft-filefdw-$enc"),
+        "csv").getAbsolutePath
+      FileFdw.write(rows, dir, header = true, encoding = enc)
+      // the on-disk bytes are NOT UTF-8 (proves a conversion happened)
+      if (enc == "GB18030") {
+        val part = new java.io.File(dir).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+        val utf8 = new String(bytes, "UTF-8")
+        assert(!utf8.contains("café"), "expected GB18030 bytes on disk")
+      }
+      val back = FileFdw.read(spark, dir, rows.schema, header = true,
+        encoding = enc)
+      assert(back.orderBy("id").collect().toSeq ==
+        rows.orderBy("id").collect().toSeq, s"round-trip under $enc")
+    }
+  }
+
   test("csv format: custom delimiter and quote") {
     val dir = new java.io.File(Gate.scratchDir("graft-filefdw-spec2"),
       "csv").getAbsolutePath
