@@ -360,6 +360,55 @@ object SqlTextSearch {
     "lca" -> (args =>
       Bridge.toCatalyst(Ltree.lcaAgg(Bridge.column(args.head)))),
 
+    // ---- fuzzystrmatch (PG SQL names; kernels reference-pinned in
+    // PhoneticSpec incl. compiled-C fuzz parity) ----
+    "metaphone" -> (args => MetaphoneExpr(args(0),
+      litInt(args(1), "metaphone", "max_output_length"))),
+    "dmetaphone" -> (args => DMetaphoneExpr(args.head, alt = false)),
+    "dmetaphone_alt" -> (args => DMetaphoneExpr(args.head, alt = true)),
+    "soundex" -> (args => PgSoundexExpr(args.head)),
+    "difference" -> (args => SoundexDifferenceExpr(args(0), args(1))),
+    // levenshtein(a,b) = unit costs (matches the builtin it replaces
+    // for this arity); levenshtein(a,b,ins,del,sub) = PG's costed form
+    "levenshtein" -> (args => {
+      require(args.length == 2 || args.length == 5,
+        "graft: levenshtein expects (a, b) or (a, b, ins, del, sub)")
+      val (i, d, su) =
+        if (args.length == 5) (litInt(args(2), "levenshtein", "ins"),
+          litInt(args(3), "levenshtein", "del"),
+          litInt(args(4), "levenshtein", "sub"))
+        else (1, 1, 1)
+      LevenshteinCostedExpr(args(0), args(1), i, d, su, maxD = -1)
+    }),
+    "levenshtein_less_equal" -> (args => {
+      require(args.length == 3 || args.length == 6,
+        "graft: levenshtein_less_equal expects (a, b, max_d) or " +
+          "(a, b, ins, del, sub, max_d)")
+      val (i, d, su, m) =
+        if (args.length == 6) (litInt(args(2), "levenshtein_less_equal", "ins"),
+          litInt(args(3), "levenshtein_less_equal", "del"),
+          litInt(args(4), "levenshtein_less_equal", "sub"),
+          litInt(args(5), "levenshtein_less_equal", "max_d"))
+        else (1, 1, 1, litInt(args(2), "levenshtein_less_equal", "max_d"))
+      LevenshteinCostedExpr(args(0), args(1), i, d, su, m)
+    }),
+
+    // ---- pgcrypto digest(data, type) → bytea (the hex builtins
+    // wrapped back to binary, exactly PG's return type) ----
+    "digest" -> (args => {
+      import org.apache.spark.sql.catalyst.expressions.{Md5, Sha1, Sha2, Unhex}
+      litString(args(1), "digest", "type").toLowerCase(Locale.ROOT) match {
+        case "md5" => Unhex(Md5(args(0)))
+        case "sha1" => Unhex(Sha1(args(0)))
+        case "sha224" => Unhex(Sha2(args(0), Literal(224)))
+        case "sha256" => Unhex(Sha2(args(0), Literal(256)))
+        case "sha384" => Unhex(Sha2(args(0), Literal(384)))
+        case "sha512" => Unhex(Sha2(args(0), Literal(512)))
+        case other => throw new IllegalArgumentException(
+          s"graft: digest: unknown algorithm '$other'")
+      }
+    }),
+
     // ---- pgcrypto crypt()/gen_salt() ----
     "crypt" -> (args => CryptExpression(args(0), args(1))),
     "gen_salt" -> (args => {

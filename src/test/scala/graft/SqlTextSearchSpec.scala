@@ -194,6 +194,46 @@ class SqlTextSearchSpec extends SparkSpec {
     assert(lca.collect()(0).getString(0) == "1.2")
   }
 
+  test("fuzzystrmatch names: SQL == Column, PG examples") {
+    docs
+    val P = graft.functions.Phonetic
+    // per-word (metaphone caps input at 255 bytes, reference-faithful)
+    val w0 = split(col("text"), " ")(0)
+    parity("metaphone(split(text, ' ')[0], 10)", P.metaphoneCol(w0, 10))
+    parity("dmetaphone(split(text, ' ')[0])", P.dmetaphoneCol(w0))
+    parity("soundex(split(text, ' ')[0])", P.soundexCol(w0))
+    // PG fuzzystrmatch docs: metaphone('GUMBO', 4) = KM;
+    // soundex('Anne') = A500, difference('Anne','Ann') = 4;
+    // dmetaphone('gumbo') = KMP
+    assert(one("SELECT metaphone('GUMBO', 4) v").getString(0) == "KM")
+    assert(one("SELECT soundex('Anne') v").getString(0) == "A500")
+    assert(one("SELECT difference('Anne', 'Ann') v").getInt(0) == 4)
+    assert(one("SELECT dmetaphone('gumbo') v").getString(0) == "KMP")
+    assert(one("SELECT dmetaphone_alt('gumbo') v").getString(0) == "KMP")
+    // levenshtein: 2-arg unit costs, 5-arg costed, less_equal clamps
+    assert(one("SELECT levenshtein('GUMBO', 'GAMBOL') v").getInt(0) == 2)
+    assert(one("SELECT levenshtein('GUMBO', 'GAMBOL', 2, 1, 1) v")
+      .getInt(0) == 3)
+    assert(one(
+      "SELECT levenshtein_less_equal('extensive', 'exhaustive', 2) v")
+      .getInt(0) == 3)
+    assert(one(
+      "SELECT levenshtein_less_equal('extensive', 'exhaustive', 4) v")
+      .getInt(0) == 4)
+  }
+
+  test("digest(data, type) returns the binary digest") {
+    val r = one("SELECT digest('abc', 'sha256') v").getAs[Array[Byte]](0)
+    // FIPS-180 test vector for SHA-256("abc")
+    assert(r.map("%02x".format(_)).mkString ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(one("SELECT digest('', 'md5') v").getAs[Array[Byte]](0)
+      .map("%02x".format(_)).mkString == "d41d8cd98f00b204e9800998ecf8427e")
+    val e = intercept[Exception](
+      spark.sql("SELECT digest('x', 'crc32') v").collect())
+    assert(e.getMessage.contains("unknown algorithm"))
+  }
+
   test("crypt / gen_salt: SQL == kernel, deterministic seeded salts") {
     val P = graft.functions.PxCrypt
     assert(one("SELECT crypt('foo', '$1$abcdefgh') v").getString(0) ==
