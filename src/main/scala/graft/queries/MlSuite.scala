@@ -60,6 +60,47 @@ object MlSuite {
       "CAST((user_id + event_id) % 3 AS INT) AS cls FROM events"
 
   val queries: Map[String, Q] = Map(
+    // ---- sqldiag (r16; gs_dbmind's slow-query duration predictor):
+    // template-normalize a planted query-log history (3 shapes with
+    // deterministic per-shape durations), learn per-template stats in
+    // ONE map-side-combined groupBy, predict probes — 3 shapes hit
+    // their templates exactly (different literals), the 4th is a
+    // NEVER-SEEN shape that falls back to the most trigram-similar
+    // template (its normalized text extends t0's, so t0 wins — the
+    // planted constant the oracle pins, while the engine computes the
+    // full broadcast similarity argmax) ----
+    "sqldiag" -> ((s, dir) => {
+      val SD = graft.operators.SqlDiag
+      val k = col("o_orderkey")
+      val hist = Tables(s, dir, "orders").select(
+        when(k % 3 === 0,
+          concat(lit("SELECT * FROM orders WHERE o_orderkey = "), k))
+          .when(k % 3 === 1,
+            concat(lit("SELECT count(*) FROM lineitem WHERE l_partkey < "),
+              k, lit(" AND l_returnflag = 'R'")))
+          .otherwise(
+            concat(lit("UPDATE customer SET c_comment = 'note "), k,
+              lit("' WHERE c_custkey = "), k % 1000)).as("q"),
+        when(k % 3 === 0, lit(120) + k % 7)
+          .when(k % 3 === 1, lit(480) + k % 13)
+          .otherwise(lit(2400) + k % 31).as("dur_ms"))
+      val model = SD.train(hist, "q", "dur_ms")
+      val probes = Tables(s, dir, "orders").select(k.as("probe_id"),
+        when(k % 4 === 0,
+          concat(lit("SELECT * FROM orders WHERE o_orderkey = "), k + 7))
+          .when(k % 4 === 1,
+            concat(lit("SELECT count(*) FROM lineitem WHERE l_partkey < "),
+              k * 2, lit(" AND l_returnflag = 'A'")))
+          .when(k % 4 === 2,
+            concat(lit("UPDATE customer SET c_comment = 'x"), k,
+              lit("' WHERE c_custkey = "), k % 99))
+          .otherwise(
+            concat(lit("SELECT * FROM orders WHERE o_orderkey = "), k,
+              lit(" AND o_orderstatus = 'F'"))).as("q"))
+      SD.predict(model, probes, "probe_id", "q")
+        .transform(Gate.ordered(_, "probe_id"))
+    }),
+
     // ---- one-vs-rest multiclass (F9, multiclass.cpp): 3 independent
     // GD chains + linear-score argmax; output is the confusion
     // matrix — whole chain one shared SQL text ----
@@ -368,6 +409,29 @@ object MlSuite {
        |FROM ($inner))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // per-shape duration stats recomputed exactly (integer sums, one
+    // double division); the novel shape's similarity winner is the
+    // planted constant t0 (its normalized text extends t0's)
+    "sqldiag" ->
+      """WITH h AS (SELECT o_orderkey AS k FROM orders),
+        |st AS (SELECT k % 3 AS shape,
+        |    CASE k % 3 WHEN 0 THEN 120 + k % 7
+        |               WHEN 1 THEN 480 + k % 13
+        |               ELSE 2400 + k % 31 END AS d FROM h),
+        |a AS (SELECT shape, round(sum(d)::DOUBLE / count(*), 4) AS avg_ms
+        |      FROM st GROUP BY shape)
+        |SELECT k AS probe_id,
+        |  CASE WHEN k % 4 = 1
+        |    THEN 'select count(*) from lineitem where l_partkey < ? and l_returnflag = ?'
+        |  WHEN k % 4 = 2
+        |    THEN 'update customer set c_comment = ? where c_custkey = ?'
+        |  ELSE 'select * from orders where o_orderkey = ?' END AS template,
+        |  CASE WHEN k % 4 = 3 THEN 'similar' ELSE 'template' END AS method,
+        |  CASE WHEN k % 4 = 1 THEN (SELECT avg_ms FROM a WHERE shape = 1)
+        |       WHEN k % 4 = 2 THEN (SELECT avg_ms FROM a WHERE shape = 2)
+        |       ELSE (SELECT avg_ms FROM a WHERE shape = 0) END AS pred_ms
+        |FROM h ORDER BY probe_id""".stripMargin,
+
     "ml_svm" ->
       (s"WITH pts AS ($SvmPts), " + Ml.svmSql(3, 0.5, 0.01).stripPrefix("WITH ")),
 
