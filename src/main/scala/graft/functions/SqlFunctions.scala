@@ -320,7 +320,7 @@ object SqlFunctions {
     * vector/masking/sketch surface here plus the text-search / ltree /
     * crypt names in [[SqlTextSearch]]. */
   def register(spark: SparkSession): Unit =
-    (all ++ SqlTextSearch.all).foreach { case (name, builder) =>
-      Bridge.registerFunction(spark, name, builder)
+    (all ++ SqlTextSearch.all ++ SqlContrib.all).foreach {
+      case (name, builder) => Bridge.registerFunction(spark, name, builder)
     }
 }

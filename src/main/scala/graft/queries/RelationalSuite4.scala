@@ -547,6 +547,42 @@ object RelationalSuite4 {
         .transform(Gate.ordered(_, "n_name"))
     }),
 
+    // ---- SQL-name parity, wave 2 (r16): the whole statement is
+    // spark.sql TEXT over the registered jsonb/hstore/intarray names —
+    // the contribs' own SQL spelling — resolving through the
+    // FunctionRegistry to the SAME kernels the Column gates run
+    // (jsonb_ops/hstore_ops/intarray_ops); the oracle recomputes every
+    // column with those gates' established closed forms ----
+    "sql_contrib" -> ((s, dir) => {
+      graft.functions.SqlFunctions.register(s)
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_sqlcontrib")
+      s.sql(
+        """WITH d AS (SELECT o_orderkey,
+          |    concat('{"o":', o_orderkey, ',"tags":["p',
+          |           o_orderkey % 3, '","x"]}') AS doc,
+          |    map('status', o_orderstatus, 'prio', o_orderpriority) AS h,
+          |    array(CAST(o_orderkey % 50 AS INT),
+          |          CAST(o_orderkey % 7 AS INT),
+          |          CAST(o_orderkey % 7 AS INT)) AS ia
+          |  FROM orders_sqlcontrib WHERE o_orderkey % 10 = 0)
+          |SELECT o_orderkey,
+          |  CAST(get_json_object(jsonb_concat(doc, '{"z":1}'), '$.z')
+          |       AS BIGINT) AS z,
+          |  jsonb_exists(doc, 'tags') AS has_tags,
+          |  CAST(get_json_object(
+          |         jsonb_set(doc, '{o}', CAST(o_orderkey * 2 AS STRING)),
+          |         '$.o') AS BIGINT) AS o2,
+          |  jsonb_path_exists(doc, '$.tags[1]') AS has_t1,
+          |  jsonb_path_query_first(doc, '$.tags[0]') AS t0,
+          |  array_join(akeys(h), ',') AS hk,
+          |  element_at(hs_concat(h, map('prio', '0-LOW')), 'prio') AS hp,
+          |  icount(ia) AS n_ia,
+          |  idx(ia, CAST(o_orderkey % 7 AS INT)) AS pos7,
+          |  array_join(CAST(uniq(sort(ia)) AS ARRAY<STRING>), ',') AS u,
+          |  array_join(CAST(subarray(ia, 1, 2) AS ARRAY<STRING>), ',') AS sub
+          |FROM d ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // ---- dialect-aware deparse (r16; mysql_fdw/oracle_fdw deparse.c
     // analogue): the library AUTHORS the remote SQL — quoted target
     // list and relation, pushed WHERE, remote ORDER BY + the
@@ -1064,6 +1100,32 @@ object RelationalSuite4 {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 1000
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // every wave-2 SQL-name column in closed form: jsonb mutations on
+    // the planted doc, hstore canonical key order (len, bytes) and
+    // right-wins concat, intarray arithmetic on [k%50, k%7, k%7]
+    "sql_contrib" ->
+      """SELECT o_orderkey,
+        |  1::BIGINT AS z,
+        |  true AS has_tags,
+        |  (o_orderkey * 2)::BIGINT AS o2,
+        |  true AS has_t1,
+        |  '"p' || (o_orderkey % 3)::VARCHAR || '"' AS t0,
+        |  'prio,status' AS hk,
+        |  '0-LOW' AS hp,
+        |  3::INTEGER AS n_ia,
+        |  (CASE WHEN o_orderkey % 50 = o_orderkey % 7
+        |        THEN 1 ELSE 2 END)::INTEGER AS pos7,
+        |  CASE WHEN o_orderkey % 50 = o_orderkey % 7
+        |         THEN (o_orderkey % 7)::VARCHAR
+        |       WHEN o_orderkey % 50 < o_orderkey % 7
+        |         THEN (o_orderkey % 50)::VARCHAR || ','
+        |              || (o_orderkey % 7)::VARCHAR
+        |       ELSE (o_orderkey % 7)::VARCHAR || ','
+        |            || (o_orderkey % 50)::VARCHAR END AS u,
+        |  (o_orderkey % 7)::VARCHAR || ',' || (o_orderkey % 7)::VARCHAR AS sub
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the remotely-executed top-50 recomputed over parquet (acctbal
     // ties break on custkey, so the cut is deterministic)
