@@ -101,6 +101,20 @@ object MlSuite {
         .transform(Gate.ordered(_, "probe_id"))
     }),
 
+    // ---- knob advisor (r16; the X-Tuner half of gs_dbmind,
+    // deterministic): workload statistics (one aggregate per table +
+    // one skew probe) drive closed-form first-order knobs — shuffle
+    // partitions, file split size, broadcast admissions, skew salt.
+    // The oracle recomputes the byte estimates from the same width
+    // rules and the identical integer arithmetic ----
+    "knob_advisor" -> ((s, dir) => {
+      val tables = Seq("nation", "customer", "orders", "lineitem")
+        .map(t => t -> Tables(s, dir, t))
+      graft.operators.KnobAdvisor.recommend(s, tables,
+          ("lineitem", Tables(s, dir, "lineitem"), "l_suppkey"), cores = 32)
+        .transform(Gate.ordered(_, "knob"))
+    }),
+
     // ---- one-vs-rest multiclass (F9, multiclass.cpp): 3 independent
     // GD chains + linear-score argmax; output is the confusion
     // matrix — whole chain one shared SQL text ----
@@ -431,6 +445,53 @@ object MlSuite {
         |       WHEN k % 4 = 2 THEN (SELECT avg_ms FROM a WHERE shape = 2)
         |       ELSE (SELECT avg_ms FROM a WHERE shape = 0) END AS pred_ms
         |FROM h ORDER BY probe_id""".stripMargin,
+
+    // byte estimates from the same width rules (fixed widths by type +
+    // measured string lengths), knob arithmetic integer-exact
+    "knob_advisor" ->
+      """WITH bn AS (SELECT CAST(count(*) * 8 + CAST(sum(length(n_name)) AS BIGINT) AS BIGINT) AS b FROM nation),
+        |bc AS (SELECT CAST(count(*) * 20 + CAST(sum(length(c_name)) AS BIGINT)
+        |         + CAST(sum(length(c_mktsegment)) AS BIGINT) AS BIGINT) AS b FROM customer),
+        |bo AS (SELECT CAST(count(*) * 32 + CAST(sum(length(o_orderstatus)) AS BIGINT)
+        |         + CAST(sum(length(o_orderpriority)) AS BIGINT) AS BIGINT) AS b FROM orders),
+        |bl AS (SELECT CAST(count(*) * 68 + CAST(sum(length(l_returnflag)) AS BIGINT)
+        |         + CAST(sum(length(l_linestatus)) AS BIGINT) AS BIGINT) AS b FROM lineitem),
+        |sk AS (SELECT CAST(max(c) * count(*) * 100 // sum(c) AS BIGINT) AS ratio
+        |       FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey)),
+        |t AS (SELECT (SELECT b FROM bn) AS n, (SELECT b FROM bc) AS c,
+        |             (SELECT b FROM bo) AS o, (SELECT b FROM bl) AS l)
+        |SELECT * FROM (
+        |  SELECT 'spark.sql.shuffle.partitions' AS knob,
+        |    greatest(CAST(32 AS BIGINT),
+        |      (n + c + o + l + 134217727) // 134217728) AS value,
+        |    'total workload bytes over the 128MB-per-partition target, floored at the core count' AS detail
+        |  FROM t
+        |  UNION ALL SELECT 'spark.sql.files.maxPartitionBytes',
+        |    least(CAST(134217728 AS BIGINT), greatest(CAST(4194304 AS BIGINT),
+        |      (greatest(n, c, o, l) + 31) // 32)),
+        |    'largest table split across the cores, clamped to [4MB, 128MB]'
+        |  FROM t
+        |  UNION ALL SELECT 'aqe.skew_ratio_x100.l_suppkey',
+        |    (SELECT ratio FROM sk),
+        |    'max lineitem.l_suppkey frequency over the mean, x100'
+        |  UNION ALL SELECT 'skew.salt.l_suppkey',
+        |    CASE WHEN (SELECT ratio FROM sk) > 400
+        |         THEN ((SELECT ratio FROM sk) + 99) // 100
+        |         ELSE CAST(1 AS BIGINT) END,
+        |    'salting factor when the ratio crosses 4x, else 1'
+        |  UNION ALL SELECT 'broadcast.nation',
+        |    CASE WHEN n <= 10485760 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+        |    '1 when the estimate fits the 10MB broadcast budget' FROM t
+        |  UNION ALL SELECT 'broadcast.customer',
+        |    CASE WHEN c <= 10485760 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+        |    '1 when the estimate fits the 10MB broadcast budget' FROM t
+        |  UNION ALL SELECT 'broadcast.orders',
+        |    CASE WHEN o <= 10485760 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+        |    '1 when the estimate fits the 10MB broadcast budget' FROM t
+        |  UNION ALL SELECT 'broadcast.lineitem',
+        |    CASE WHEN l <= 10485760 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+        |    '1 when the estimate fits the 10MB broadcast budget' FROM t
+        |) ORDER BY knob""".stripMargin,
 
     "ml_svm" ->
       (s"WITH pts AS ($SvmPts), " + Ml.svmSql(3, 0.5, 0.01).stripPrefix("WITH ")),
