@@ -57,9 +57,11 @@ object Bench {
     // fts_headline_default = the r15 headline kernel; sql_fts = the r16
     // spark.sql-registered spelling of the same stack)
     "fts_rank_cd", "fts_indexed_retrieve", "hybrid_rrf", "trgm_search",
-    "fts_parser", "fts_headline_default", "sql_fts",
+    "fts_parser", "fts_headline_default", "sql_fts", "sql_contrib",
     // storage introspection + foreign files (r15 families, sub-second)
     "storage_stats", "file_fdw",
+    // dbmind additions (r16)
+    "sqldiag", "knob_advisor",
     // multimodal
     "mm_pipeline",
     // streaming

@@ -2,6 +2,8 @@ package graft
 
 import graft.plans.{RewriteWindowTopK, TopKPerKey}
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /**
  * Session-extension entry point — the idiomatic deployment packaging
@@ -9,15 +11,22 @@ import org.apache.spark.sql.SparkSessionExtensions
  *
  *   spark.sql.extensions=graft.GraftExtensions
  *
- * injects the optimizer rule + planning strategy at session build time
- * (no per-session register calls), and SQL function registration runs
- * on first use via [[graft.functions.SqlFunctions.register]]. The
- * programmatic path (`GraftOptimizations.register(spark)`) remains for
+ * injects the optimizer rule + planning strategy AND the whole SQL
+ * function surface (vector/mask/sketch + tsearch/ltree/crypt/
+ * fuzzystrmatch + jsonb/hstore/intarray/earthdistance — r16) at
+ * session build time, so `spark.sql("SELECT to_tsvector(t) ...")`
+ * works with no per-session register call — exactly how an openGauss
+ * user gets the contrib names after CREATE EXTENSION. The
+ * programmatic path (`SqlFunctions.register(spark)`) remains for
  * notebooks and tests on an existing session.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => TopKPerKey.strategy)
+    graft.functions.SqlFunctions.allBuilders.foreach { case (name, b) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), exprs => b(exprs)))
+    }
   }
 }

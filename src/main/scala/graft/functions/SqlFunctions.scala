@@ -316,11 +316,17 @@ object SqlFunctions {
       Cast(args(2), ArrayType(org.apache.spark.sql.types.IntegerType)), vec(args(3)),
       metric)
 
-  /** Register every kernel function as a SQL temp function — the
-    * vector/masking/sketch surface here plus the text-search / ltree /
-    * crypt names in [[SqlTextSearch]]. */
+  /** The full SQL-name surface: the vector/masking/sketch builders
+    * here plus [[SqlTextSearch]] (tsearch/ltree/crypt/fuzzystrmatch)
+    * and [[SqlContrib]] (jsonb/hstore/intarray/earthdistance). */
+  def allBuilders: Map[String, Seq[Expression] => Expression] =
+    all ++ SqlTextSearch.all ++ SqlContrib.all
+
+  /** Register every kernel function as a SQL temp function (the
+    * notebook/test path; GraftExtensions injects the same surface at
+    * session build time). */
   def register(spark: SparkSession): Unit =
-    (all ++ SqlTextSearch.all ++ SqlContrib.all).foreach {
+    allBuilders.foreach {
       case (name, builder) => Bridge.registerFunction(spark, name, builder)
     }
 }

@@ -35,6 +35,15 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The function names a SparkSessionExtensions instance would
+    * inject at session build (for specs). */
+  def injectedFunctionNames(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
+
   /** What a SparkSessionExtensions instance would inject (for specs). */
   def injectedRulesAndStrategies(
       ext: org.apache.spark.sql.SparkSessionExtensions,

@@ -21,6 +21,13 @@ class EntrySpec extends SparkSpec {
       org.apache.spark.sql.graft.Bridge.injectedRulesAndStrategies(ext, spark)
     assert(rules.contains(graft.plans.RewriteWindowTopK))
     assert(strategies.contains(graft.plans.TopKPerKey.strategy))
+    // the whole SQL-name surface injects at session build (r16)
+    val names =
+      org.apache.spark.sql.graft.Bridge.injectedFunctionNames(ext).toSet
+    assert(graft.functions.SqlFunctions.allBuilders.keySet.subsetOf(names),
+      s"missing: ${graft.functions.SqlFunctions.allBuilders.keySet -- names}")
+    assert(names.contains("to_tsvector") && names.contains("akeys") &&
+      names.contains("crypt") && names.contains("l2_distance"))
   }
 
   test("ivf model save/load round-trips") {
