@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
  * text-similar known template for never-seen shapes).
  *
  * Spark-first decomposition:
- *  - `normalize` is a per-row codegen'd regex chain (literals → '?',
- *    case/whitespace folding) — a map-only scan at any history size;
+ *  - `normalize` is ONE compiled single-pass scanner per row
+ *    (literals → '?', case/whitespace folding) — a map-only scan at
+ *    any history size;
  *  - `train` is ONE map-side-combined groupBy(template): 100 TB of
  *    query logs shuffle one row per template, never the history;
  *  - `predict` broadcasts the MODEL (templates are model-sized —
@@ -28,14 +29,13 @@ import org.apache.spark.sql.functions._
 object SqlDiag {
 
   /** SQL-template normalization: lowercase, string and numeric
-    * literals → '?', whitespace folded. The same formula text is
-    * oracle-shared. */
+    * literals → '?', whitespace folded and end-trimmed. ONE compiled
+    * single-pass scanner per row ([[SqlTemplateExpr]]) — the original
+    * three-regex chain was the dominant cost of the sqldiag gate
+    * (3 java-regex passes over every history and probe row). */
   def normalize(q: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(trim(lower(q)), "'[^']*'", "?"),
-        "[0-9]+(\\.[0-9]+)?", "?"),
-      "\\s+", " ")
+    org.apache.spark.sql.graft.Bridge.column(SqlTemplateExpr(
+      org.apache.spark.sql.graft.Bridge.expression(q)))
 
   /** Per-template duration statistics over a (query, duration) history:
     * (template, n_samples, total_ms, avg_ms). */
@@ -94,4 +94,69 @@ object SqlDiag {
           .otherwise(lit("similar")).as("method"),
         coalesce(col("avg_ms"), col("s_avg")).as("pred_ms"))
   }
+}
+
+/**
+ * The template scanner: one pass over the lowercased text — a
+ * ''-quoted literal collapses to `?` (an unterminated quote stays, as
+ * a literal-matching regex would leave it), a digit run with an
+ * optional fraction collapses to `?`, a whitespace run folds to one
+ * space (leading/trailing runs drop). Codegen'd as a static call.
+ */
+case class SqlTemplateExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sql_template"
+
+  def template(in: UTF8String): UTF8String = {
+    val t = in.toLowerCase.toString
+    val n = t.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    def emit(c: Char): Unit = {
+      if (pendingSpace && sb.length > 0) sb.append(' ')
+      pendingSpace = false
+      sb.append(c)
+    }
+    def isWs(c: Char): Boolean = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\r' || c == '\f' || c == '\u000B'
+    while (i < n) {
+      val c = t.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        while (j < n && t.charAt(j) != '\'') j += 1
+        if (j < n) { emit('?'); i = j + 1 } // complete literal
+        else { emit(c); i += 1 } // unterminated: the quote stands
+      } else if (c >= '0' && c <= '9') {
+        emit('?')
+        while (i < n && t.charAt(i) >= '0' && t.charAt(i) <= '9') i += 1
+        if (i + 1 < n && t.charAt(i) == '.' &&
+            t.charAt(i + 1) >= '0' && t.charAt(i + 1) <= '9') {
+          i += 1
+          while (i < n && t.charAt(i) >= '0' && t.charAt(i) <= '9') i += 1
+        }
+      } else if (isWs(c)) { pendingSpace = true; i += 1 }
+      else { emit(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def nullSafeEval(a: Any): Any = template(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sqlTemplate", this,
+      classOf[SqlTemplateExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.template($a);")
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
 }
