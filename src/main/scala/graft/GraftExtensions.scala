@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft", name), exprs => b(exprs)))
     }
+    graft.functions.SqlTableFunctions.all.foreach { case (name, b) =>
+      ext.injectTableFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), exprs => b(exprs)))
+    }
   }
 }

@@ -324,9 +324,14 @@ object SqlFunctions {
 
   /** Register every kernel function as a SQL temp function (the
     * notebook/test path; GraftExtensions injects the same surface at
-    * session build time). */
-  def register(spark: SparkSession): Unit =
+    * session build time), plus the FROM-clause table functions. */
+  def register(spark: SparkSession): Unit = {
     allBuilders.foreach {
       case (name, builder) => Bridge.registerFunction(spark, name, builder)
     }
+    SqlTableFunctions.all.foreach {
+      case (name, builder) =>
+        Bridge.registerTableFunction(spark, name, builder)
+    }
+  }
 }

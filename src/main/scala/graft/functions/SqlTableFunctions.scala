@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Range => LRange}
+import org.apache.spark.sql.types.Decimal
+
+/**
+ * SET-RETURNING SQL functions (table functions) — the FROM-clause
+ * surface PG users lean on: `generate_series` (PG core; INCLUSIVE
+ * bounds, signed step) and `normal_rand` (contrib/tablefunc
+ * tablefunc.cpp:137, the deterministic seeded form C90 gated as a
+ * driver API — now callable as `FROM normal_rand(n, mean, stddev,
+ * seed)`).
+ *
+ * Builders return LOGICAL PLANS: generate_series compiles straight to
+ * Catalyst's Range node (the same distributed, splittable source
+ * spark.range plans — no materialized list, so
+ * `generate_series(1, 10_000_000_000)` is a parallel scan, not a
+ * driver array); normal_rand reuses the C90 kernel over Range.
+ * Arguments must be literals, as PG's planner effectively requires
+ * for FROM-clause SRFs that size a scan.
+ */
+object SqlTableFunctions {
+
+  private def litLong(e: Expression, fn: String, what: String): Long =
+    e match {
+      case Literal(v: Number, _) => v.longValue
+      case Literal(d: Decimal, _) => d.toLong
+      case other => throw new IllegalArgumentException(
+        s"graft: $fn $what must be an integer literal, got $other")
+    }
+
+  private def litDouble(e: Expression, fn: String, what: String): Double =
+    e match {
+      case Literal(d: Decimal, _) => d.toDouble
+      case Literal(v: Number, _) => v.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"graft: $fn $what must be a numeric literal, got $other")
+    }
+
+  val all: Map[String, Seq[Expression] => LogicalPlan] = Map(
+    "generate_series" -> (args => {
+      require(args.length == 2 || args.length == 3,
+        "graft: generate_series expects (start, stop[, step])")
+      val start = litLong(args(0), "generate_series", "start")
+      val stop = litLong(args(1), "generate_series", "stop")
+      val step = if (args.length == 3)
+        litLong(args(2), "generate_series", "step") else 1L
+      // PG: ERROR: step size cannot equal zero
+      require(step != 0, "graft: generate_series step size cannot equal zero")
+      // PG bounds are INCLUSIVE; Range's end is exclusive
+      val end = if (step > 0) stop + 1 else stop - 1
+      val range = LRange(start, end, step, None)
+      Project(Seq(Alias(range.output.head, "generate_series")()), range)
+    }),
+    "normal_rand" -> (args => {
+      require(args.length == 3 || args.length == 4,
+        "graft: normal_rand expects (n, mean, stddev[, seed])")
+      val n = litLong(args(0), "normal_rand", "n")
+      val mean = litDouble(args(1), "normal_rand", "mean")
+      val stddev = litDouble(args(2), "normal_rand", "stddev")
+      val seed = if (args.length == 4)
+        litLong(args(3), "normal_rand", "seed") else 0L
+      org.apache.spark.sql.graft.Bridge.logicalPlan(
+        graft.operators.TableFunc.normalRand(SparkSession.active, n, mean,
+          stddev, seed))
+    })
+  )
+}

@@ -274,6 +274,23 @@ object RelationalSuite5 {
         .transform(Gate.ordered(_, "c_custkey"))
     }),
 
+    // ---- SET-RETURNING SQL functions (r16): generate_series +
+    // normal_rand callable in the FROM clause — the PG spelling —
+    // through the TableFunctionRegistry, compiling to Catalyst Range
+    // scans (distributed, splittable; no driver materialization). The
+    // whole statement is spark.sql TEXT; DuckDB ships generate_series
+    // with the same inclusive bounds, and normal_rand's oracle is the
+    // C90 shared formula text ----
+    "sql_series" -> ((s, dir) => {
+      graft.functions.SqlFunctions.register(s)
+      s.sql(
+        """SELECT s.generate_series AS n, r.val_micro
+          |FROM generate_series(1, 500) s
+          |JOIN normal_rand(500, 10.0, 5.0, 42) r
+          |  ON r.id = s.generate_series - 1
+          |ORDER BY n""".stripMargin)
+    }),
+
     // ---- tablefunc normal_rand (r15, tablefunc.cpp:137): Gaussian
     // deviates as a deterministic table function — Lehmer-LCG uniforms
     // keyed by (seed + id), Box–Muller, micro-quantized; the oracle
@@ -473,6 +490,14 @@ object RelationalSuite5 {
         |    THEN 'password must contain both letters and nonletters'
         |  ELSE 'ok' END AS verdict
         |FROM c ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB's generate_series is inclusive like PG's; the gaussian
+    // column is the C90 shared formula over id = n - 1
+    "sql_series" ->
+      ("SELECT n, " +
+        graft.operators.TableFunc.normalRandSql("1e1", "5e0", 42L)
+          .replace("(id ", "((n - 1) ") +
+        " AS val_micro FROM generate_series(1, 500) t(n) ORDER BY n"),
 
     // the SAME formula text the Spark side compiles (shared IEEE trees)
     "normal_rand" ->

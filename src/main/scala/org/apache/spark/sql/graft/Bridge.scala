@@ -59,4 +59,24 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
+
+  /** Register a named TABLE function (FROM-clause SRF) backed by a
+    * LogicalPlan builder. */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+
+  /** The table-function names a SparkSessionExtensions instance would
+    * inject at session build (for specs). */
+  def injectedTableFunctionNames(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
+    val reg =
+      new org.apache.spark.sql.catalyst.analysis.SimpleTableFunctionRegistry
+    ext.registerTableFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
 }

@@ -28,6 +28,26 @@ class EntrySpec extends SparkSpec {
       s"missing: ${graft.functions.SqlFunctions.allBuilders.keySet -- names}")
     assert(names.contains("to_tsvector") && names.contains("akeys") &&
       names.contains("crypt") && names.contains("l2_distance"))
+    val tfNames =
+      org.apache.spark.sql.graft.Bridge.injectedTableFunctionNames(ext).toSet
+    assert(tfNames.contains("generate_series") &&
+      tfNames.contains("normal_rand"))
+  }
+
+  test("generate_series: PG inclusive bounds, signed step, Range plan") {
+    graft.functions.SqlFunctions.register(spark)
+    assert(spark.sql("SELECT * FROM generate_series(1, 5)")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(spark.sql("SELECT * FROM generate_series(5, 1, -2)")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L, 3L, 1L))
+    assert(spark.sql("SELECT * FROM generate_series(3, 1)").count() == 0)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM generate_series(1, 5, 0)").collect())
+    assert(e.getMessage.contains("step size cannot equal zero"))
+    // compiles to a Range scan — distributed, no driver list
+    val plan = spark.sql("SELECT * FROM generate_series(1, 1000000)")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Range"), plan)
   }
 
   test("ivf model save/load round-trips") {
