@@ -65,6 +65,56 @@ object SqlTableFunctions {
       org.apache.spark.sql.graft.Bridge.logicalPlan(
         graft.operators.TableFunc.normalRand(SparkSession.active, n, mean,
           stddev, seed))
+    }),
+    // tsearch introspection SRFs, exactly the regress spelling
+    // (`SELECT * FROM ts_parse('default', '...')`, ts_token_type,
+    // ts_debug) — literal text, constant-sized local relations. The
+    // SCALAR ts_parse/ts_token_type (SqlTextSearch) handle column
+    // input; the two registries coexist like PG's.
+    "ts_parse" -> (args => {
+      requireParser(litString(args(0), "ts_parse", "parser"), "ts_parse")
+      val text = litString(args(1), "ts_parse", "text")
+      val spark = SparkSession.active
+      import spark.implicits._
+      org.apache.spark.sql.graft.Bridge.logicalPlan(
+        TsDefaultParser.parse(text).toDF("tokid", "token"))
+    }),
+    "ts_token_type" -> (args => {
+      requireParser(
+        litString(args(0), "ts_token_type", "parser"), "ts_token_type")
+      val spark = SparkSession.active
+      import spark.implicits._
+      org.apache.spark.sql.graft.Bridge.logicalPlan(
+        TsDefaultParser.tokenTypes.toDF("tokid", "alias", "description"))
+    }),
+    "ts_debug" -> (args => {
+      val a = if (args.length == 2) {
+        val cfg = litString(args(0), "ts_debug", "config")
+          .toLowerCase(java.util.Locale.ROOT)
+        require(Set("english", "default", "pg_catalog.english").contains(cfg),
+          s"graft: ts_debug: unsupported text search configuration '$cfg'")
+        args.tail
+      } else args
+      val text = litString(a.head, "ts_debug", "text")
+      val spark = SparkSession.active
+      import spark.implicits._
+      org.apache.spark.sql.graft.Bridge.logicalPlan(
+        graft.operators.FullText.tsDebug(text)
+          .toDF("alias", "description", "token", "dictionary", "lexemes"))
     })
   )
+
+  private def litString(e: Expression, fn: String, what: String): String =
+    e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+          if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft: $fn $what must be a string literal, got $other")
+    }
+
+  private def requireParser(p: String, fn: String): Unit = {
+    val n = p.toLowerCase(java.util.Locale.ROOT)
+    require(n == "default" || n == "3722",
+      s"graft: $fn: unknown parser '$n' (only 'default')")
+  }
 }

@@ -234,6 +234,28 @@ class SqlTextSearchSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown algorithm"))
   }
 
+  test("tsearch SRFs in the FROM clause: ts_parse/ts_token_type/ts_debug") {
+    // regress spelling: SELECT * FROM ts_parse('default', ...)
+    val toks = spark.sql(
+      "SELECT * FROM ts_parse('default', 'a http://x.org/p b')")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+    assert(toks == graft.functions.TsDefaultParser
+      .parse("a http://x.org/p b").toSeq)
+    assert(spark.sql("SELECT * FROM ts_token_type('default')").count() == 23)
+    val dbg = spark.sql(
+      "SELECT * FROM ts_debug('english', 'The Sparks 42')").collect()
+    assert(dbg.length == 5)
+    // 'The' is a stopword: english_stem consumed it, zero lexemes
+    assert(dbg(0).getString(0) == "asciiword" &&
+      dbg(0).getString(3) == "english_stem" &&
+      dbg(0).getSeq[String](4).isEmpty)
+    assert(dbg(2).getSeq[String](4) == Seq("spark"))
+    assert(dbg(4).getString(0) == "uint" && dbg(4).getString(3) == "simple")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM ts_parse('zh', 'x')").collect())
+    assert(e.getMessage.contains("unknown parser"))
+  }
+
   test("crypt / gen_salt: SQL == kernel, deterministic seeded salts") {
     val P = graft.functions.PxCrypt
     assert(one("SELECT crypt('foo', '$1$abcdefgh') v").getString(0) ==
