@@ -37,6 +37,13 @@ object SqlContrib {
       s"graft: $fn $what must be an integer literal, got $other")
   }
 
+  private def litLong(e: Expression, fn: String, what: String): Long =
+    e match {
+      case Literal(v: Number, _) => v.longValue
+      case other => throw new IllegalArgumentException(
+        s"graft: $fn $what must be an integer literal, got $other")
+    }
+
   private def litBool(e: Expression, fn: String, what: String): Boolean =
     e match {
       case Literal(b: Boolean, _) => b
@@ -68,6 +75,49 @@ object SqlContrib {
 
   private def C(e: Expression) = Bridge.column(e)
   private def X(c: org.apache.spark.sql.Column) = Bridge.toCatalyst(c)
+
+  /** pgcrypto options text: only cipher-algo is meaningful here. */
+  private def pgpCipher(options: String): Int = {
+    val opts = options.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { p =>
+        val eq = p.indexOf('=')
+        require(eq > 0, s"graft: pgp option '$p' is not k=v")
+        p.substring(0, eq).trim.toLowerCase(Locale.ROOT) ->
+          p.substring(eq + 1).trim.toLowerCase(Locale.ROOT)
+      }.toMap
+    opts.keys.find(_ != "cipher-algo").foreach { k =>
+      throw new IllegalArgumentException(
+        s"graft: pgp_sym_encrypt: unsupported option '$k'")
+    }
+    opts.getOrElse("cipher-algo", "aes128") match {
+      case "bf" => 4
+      case "aes" | "aes128" => 7
+      case "aes192" => 8
+      case "aes256" => 9
+      case other => throw new IllegalArgumentException(
+        s"graft: pgp_sym_encrypt: unsupported cipher-algo '$other'")
+    }
+  }
+
+  /** RFC 4122 name-based UUID: hash(namespace BYTES ++ name bytes),
+    * version nibble forced, variant bits 10xx. */
+  private def uuidName(nsDashed: String, name: Expression,
+      v5: Boolean): Expression = {
+    import org.apache.spark.sql.functions._
+    val ns = nsDashed.replace("-", "").toLowerCase(Locale.ROOT)
+    require(ns.matches("[0-9a-f]{32}"),
+      s"graft: '$nsDashed' is not a UUID namespace")
+    val payload = concat(unhex(lit(ns)), encode(C(name), "UTF-8"))
+    val h0 = if (v5) sha1(payload) else md5(payload)
+    val h = substring(h0, 1, 32)
+    val ver = if (v5) "5" else "3"
+    X(concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4),
+      concat(lit(ver), substring(h, 14, 3)),
+      concat(translate(substring(h, 17, 1),
+        "0123456789abcdef", "89ab89ab89ab89ab"), substring(h, 18, 3)),
+      substring(h, 21, 12)))
+  }
 
   /** PG hstore storage order: key length first, then bytewise. */
   private def hstoreKeys(h: org.apache.spark.sql.Column)
@@ -213,6 +263,45 @@ object SqlContrib {
       else X(slice(a, lit(start + 1), greatest(size(a) - start, lit(0))))
     }),
     "intset" -> (args => CreateArray(Seq(args.head))),
+
+    // ---- pgcrypto PGP names (pgp-pgsql.cpp; the kernels are the
+    // C86/C88-gated ones). Determinism rule as crypt/gen_salt: the
+    // session-key/salt entropy derives from an explicit seed literal
+    // (arg 3) — Spark re-evaluates expressions on retry ----
+    "pgp_sym_encrypt" -> (args => {
+      require(args.length >= 2 && args.length <= 4,
+        "graft: pgp_sym_encrypt expects (data, psw[, seed[, options]])")
+      val seed = if (args.length >= 3)
+        Literal(litLong(args(2), "pgp_sym_encrypt", "seed")) else Literal(0L)
+      val algo = if (args.length == 4)
+        pgpCipher(litString(args(3), "pgp_sym_encrypt", "options")) else 7
+      graft.operators.PgpEncryptExpr(args(0), args(1), seed, algo)
+    }),
+    "pgp_sym_decrypt" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        graft.operators.PgpDecryptExpr(args(0), args(1),
+          convertCrlf = false), StringType)),
+    "pgp_sym_decrypt_bytea" -> (args =>
+      graft.operators.PgpDecryptExpr(args(0), args(1),
+        convertCrlf = false)),
+    "armor" -> (args => graft.operators.ArmorExpr(args.head)),
+    "dearmor" -> (args => graft.operators.DearmorExpr(args.head)),
+
+    // ---- uuid-ossp (RFC 4122 name-based UUIDs, hashing the NAMESPACE
+    // BYTES + name bytes exactly like PG; spec-pinned against
+    // independently computed RFC vectors) ----
+    "uuid_generate_v3" -> (args => uuidName(
+      litString(args(0), "uuid_generate_v3", "namespace"), args(1),
+      v5 = false)),
+    "uuid_generate_v5" -> (args => uuidName(
+      litString(args(0), "uuid_generate_v5", "namespace"), args(1),
+      v5 = true)),
+    "uuid_ns_dns" -> (_ =>
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        "6ba7b810-9dad-11d1-80b4-00c04fd430c8"), StringType)),
+    "uuid_ns_url" -> (_ =>
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        "6ba7b811-9dad-11d1-80b4-00c04fd430c8"), StringType)),
 
     // ---- earthdistance (earthdistance--1.x.sql: earth() = 6378168 m;
     // ll_to_earth -> a point on the sphere, earth_distance ->

@@ -100,6 +100,48 @@ class SqlContribSpec extends SparkSpec {
     assert(one("SELECT intset(42) v").getSeq[Int](0) == Seq(42))
   }
 
+  test("pgp SQL names: sym round-trip, cipher-algo options, armor") {
+    val pt = one("SELECT pgp_sym_decrypt(pgp_sym_encrypt('secret msg', 'pw', 42), 'pw') v")
+      .getString(0)
+    assert(pt == "secret msg")
+    // seed determinism: same seed = same ciphertext, different differs
+    val c = spark.sql(
+      "SELECT pgp_sym_encrypt('m', 'p', 1) a, pgp_sym_encrypt('m', 'p', 1) b, " +
+        "pgp_sym_encrypt('m', 'p', 2) c").collect()(0)
+    assert(java.util.Arrays.equals(c.getAs[Array[Byte]](0),
+      c.getAs[Array[Byte]](1)))
+    assert(!java.util.Arrays.equals(c.getAs[Array[Byte]](0),
+      c.getAs[Array[Byte]](2)))
+    // cipher-algo option changes the message, decrypt still works
+    val aes256 = one("SELECT pgp_sym_decrypt(pgp_sym_encrypt('x', 'p', 7, " +
+      "'cipher-algo=aes256'), 'p') v").getString(0)
+    assert(aes256 == "x")
+    // armor/dearmor round-trip with the RFC 4880 framing
+    val arm = one("SELECT armor(pgp_sym_encrypt('y', 'p', 3)) v").getString(0)
+    assert(arm.startsWith("-----BEGIN PGP MESSAGE-----"))
+    assert(one("SELECT pgp_sym_decrypt(dearmor(armor(" +
+      "pgp_sym_encrypt('y', 'p', 3))), 'p') v").getString(0) == "y")
+    val e = intercept[Exception](spark.sql(
+      "SELECT pgp_sym_encrypt('x', 'p', 1, 'cipher-algo=3des') v").collect())
+    assert(e.getMessage.contains("unsupported cipher-algo"))
+  }
+
+  test("uuid-ossp names are RFC 4122 exact (python-uuid vectors)") {
+    // uuid.uuid3(NAMESPACE_DNS, 'www.widgets.com') et al.
+    assert(one(
+      "SELECT uuid_generate_v3(uuid_ns_dns(), 'www.widgets.com') v")
+      .getString(0) == "3d813cbb-47fb-32ba-91df-831e1593ac29")
+    assert(one(
+      "SELECT uuid_generate_v5(uuid_ns_dns(), 'www.widgets.com') v")
+      .getString(0) == "21f7f8de-8051-5b89-8680-0195ef798b6a")
+    assert(one(
+      "SELECT uuid_generate_v3(uuid_ns_url(), 'http://x.org/p') v")
+      .getString(0) == "716cd620-4e5a-3984-99b8-cbd0717ad27f")
+    assert(one(
+      "SELECT uuid_generate_v5(uuid_ns_url(), 'http://x.org/p') v")
+      .getString(0) == "b6eb3596-a606-5808-bad7-55063975bc85")
+  }
+
   test("earthdistance: great-circle metres on the earthdistance sphere") {
     // same point -> 0; the pole-to-equator quarter-circle = pi*R/2
     assert(one(
