@@ -87,6 +87,9 @@ object Bench {
       .flatMap(_.trim.toDoubleOption).filter(_ > 0).getOrElse(550.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // deployment config: SQL functions + PG operator parser + topk
+      // rule/strategy ride the extension, as they would on a cluster
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // testdata timestamps are written tz-naive (timestamp[us], not UTC-

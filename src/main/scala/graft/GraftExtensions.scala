@@ -22,6 +22,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new graft.plans.PgSqlParser(delegate))
     ext.injectOptimizerRule(_ => RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => TopKPerKey.strategy)
     graft.functions.SqlFunctions.allBuilders.foreach { case (name, b) =>

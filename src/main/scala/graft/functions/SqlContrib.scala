@@ -73,6 +73,21 @@ object SqlContrib {
     parts
   }
 
+  /** Shared with [[PgOps]] (the `#>`/`#>>` operator targets): the
+    * same '{a,2}' literal shape, but the EMPTY path '{}' is legal
+    * there (PG returns the input document). */
+  def pathOf(e: Expression, fn: String): Seq[String] = {
+    val raw = litString(e, fn, "path")
+    val body = if (raw.startsWith("{") && raw.endsWith("}"))
+      raw.substring(1, raw.length - 1) else raw
+    if (body.trim.isEmpty) Seq.empty
+    else body.split(",", -1).map(_.trim).toSeq
+  }
+
+  /** Shared with [[PgOps]]: a constant string argument. */
+  def litStringOf(e: Expression, fn: String): String =
+    litString(e, fn, "argument")
+
   private def C(e: Expression) = Bridge.column(e)
   private def X(c: org.apache.spark.sql.Column) = Bridge.toCatalyst(c)
 

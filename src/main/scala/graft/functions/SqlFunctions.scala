@@ -320,7 +320,7 @@ object SqlFunctions {
     * here plus [[SqlTextSearch]] (tsearch/ltree/crypt/fuzzystrmatch)
     * and [[SqlContrib]] (jsonb/hstore/intarray/earthdistance). */
   def allBuilders: Map[String, Seq[Expression] => Expression] =
-    all ++ SqlTextSearch.all ++ SqlContrib.all
+    all ++ SqlTextSearch.all ++ SqlContrib.all ++ PgOps.all
 
   /** Register every kernel function as a SQL temp function (the
     * notebook/test path; GraftExtensions injects the same surface at

@@ -70,6 +70,12 @@ object SqlTextSearch {
     * same chain the reference's regress battery runs. */
   private val Configs = Set("english", "default", "pg_catalog.english")
 
+  /** Peel a to_tsvector wrapper: match/rank lexize internally. */
+  private def unwrapTsv(e: Expression): Expression = e match {
+    case TsVector(t) => t
+    case other => other
+  }
+
   private def isConfigLit(e: Expression): Boolean = e match {
     case Literal(s: UTF8String, StringType) if s != null =>
       Configs.contains(s.toString.toLowerCase(Locale.ROOT))
@@ -255,21 +261,24 @@ object SqlTextSearch {
     // ---- match + rank (the @@ / ts_rank surface) ----
     // ts_match(text, 'query'): the `to_tsvector(t) @@ to_tsquery(q)`
     // spelling — english normalization on both sides, compiled to
-    // per-row codegen'd matchers at plan time.
+    // per-row codegen'd matchers at plan time. When the caller
+    // already wrote to_tsvector(t) (the PG idiom; the `@@` operator
+    // rewrite hands it through verbatim) the wrapper is peeled so
+    // lexization runs ONCE, on the raw text.
     "ts_match" -> (args => {
       val a = dropConfig(args, "ts_match", 2)
-      Bridge.toCatalyst(Lexize.tsMatch(Bridge.column(a(0)),
+      Bridge.toCatalyst(Lexize.tsMatch(Bridge.column(unwrapTsv(a(0))),
         litString(a(1), "ts_match", "query")))
     }),
     "ts_rank" -> (args => {
       require(args.length == 2 || args.length == 3,
         s"graft: ts_rank expects (text, query[, normalization])")
       val norm = if (args.length == 3) litInt(args(2), "ts_rank", "norm") else 0
-      Bridge.toCatalyst(FullText.tsRank(Bridge.column(args(0)),
+      Bridge.toCatalyst(FullText.tsRank(Bridge.column(unwrapTsv(args(0))),
         litString(args(1), "ts_rank", "query"), norm))
     }),
     "ts_rank_cd" -> (args =>
-      Bridge.toCatalyst(FullText.tsRankCd(Bridge.column(args(0)),
+      Bridge.toCatalyst(FullText.tsRankCd(Bridge.column(unwrapTsv(args(0))),
         litString(args(1), "ts_rank_cd", "query")))),
     "ts_rank_weighted" -> (args =>
       Bridge.toCatalyst(FullText.tsRankWeighted(Bridge.column(args(0)),

@@ -1,0 +1,633 @@
+package graft.plans
+
+import java.util.Locale
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+/**
+ * PG operator-spelling rewriter — the reference's users write SQL
+ * OPERATORS, not function names: `embedding <-> '[1,2]'::vector`
+ * (datavec/pgvector vector_op.cpp), `tsv @@ to_tsquery('a & b')`
+ * (tsvector_op.cpp), `j -> 'k' ->> 'v'`, `j @> '{"a":1}'` (jsonb_op
+ * .cpp), `path <@ 'Top.Science'` (contrib/ltree), `ints && ARRAY[1]`
+ * (contrib/intarray), `t ~* 'regex'` (regexp.c). Spark's grammar has
+ * none of these, so this pass rewrites the operator spellings into
+ * the registered function surface BEFORE Spark parses — plan-time
+ * string work only, nothing per-row.
+ *
+ * Shape: a faithful lexer (strings with backslash + doubled-quote
+ * escapes, E'…' prefixes, PG dollar-quoting converted to standard
+ * literals, nested block comments, backquoted/double-quoted
+ * identifiers) feeds two passes over the token stream:
+ *
+ *  1. CAST pass — `expr::vector` → parse_vector(expr), `::tsquery` →
+ *     to_tsquery, `::ltree` → text2ltree, `::hstore` → parse_hstore,
+ *     `::int[]` → parse_int_array; PG-only scalar names map onto
+ *     CAST (text→string, int8→bigint, float8→double, bytea→binary
+ *     with the '\xDEAD' hex-literal form going through unhex);
+ *     jsonb/regconfig/lquery/citext casts are identity (those values
+ *     live as strings here); every type Spark itself knows (int,
+ *     double, decimal(p,s) …) is left for Spark's native `::`.
+ *  2. OPERATOR pass — each PG operator with a recognizable primary
+ *     expression on both sides becomes a call to its dispatch
+ *     target in [[graft.functions.PgOps]] (or directly to the named
+ *     kernel). Operands are PRIMARIES (literals, column refs,
+ *     calls, parenthesized expressions, with `[...]`, `.field` and
+ *     native-cast suffixes), matching how these operators appear in
+ *     the reference's regress suites; PG's tighter-binding `::` is
+ *     honored by consuming cast suffixes into the operand.
+ *
+ * Spark spellings that collide are preserved: `->` inside a
+ * higher-order function's lambda stays a lambda (the enclosing
+ * callee is tracked through the paren stack), a lone `?` parameter
+ * marker has no adjacent primaries and is untouched, and `<=>`
+ * becomes a plan-time dispatcher that is Spark's own null-safe
+ * equality unless an operand is a vector (then: cosine distance).
+ * Any lexer/rewrite failure returns the input text unchanged — the
+ * pass can only ever ADD syntax, never break standard SQL.
+ */
+object PgSqlRewrite {
+
+  // token kinds
+  private final val WS = 0     // whitespace + comments
+  private final val STR = 1    // 'string' (incl. converted $$…$$), "string"
+  private final val NUM = 2
+  private final val ID = 3     // bare identifier
+  private final val QID = 4    // `backquoted`
+  private final val OP = 5     // multi-char operator
+  private final val P = 6      // single punct char
+
+  private final case class Tok(kind: Int, text: String)
+
+  // maximal-munch table: ours + Spark's own multi-char operators (so
+  // `a <= b` never lexes as `<` `=`), longest first
+  private val multiOps = Seq(
+    "<=>", "<->", "<#>", "->>", "#>>", "!~*", ">>>",
+    "@@", "@>", "<@", "->", "#>", "?|", "?&", "::",
+    "<=", ">=", "<>", "!=", "==", "!~", "~*", "||", "<<", ">>", "&&")
+
+  // idents that cannot BE a primary operand (they may still precede
+  // one, e.g. WHERE j ? 'k')
+  private val keywords: Set[String] = Set(
+    "select", "from", "where", "and", "or", "not", "in", "like",
+    "ilike", "rlike", "regexp", "is", "between", "exists", "any",
+    "some", "all", "distinct", "as", "on", "using", "join", "inner",
+    "outer", "left", "right", "full", "cross", "semi", "anti",
+    "group", "by", "order", "having", "limit", "offset", "union",
+    "intersect", "except", "case", "when", "then", "else", "end",
+    "over", "partition", "rows", "range", "values", "insert",
+    "update", "delete", "set", "with", "asc", "desc", "nulls",
+    "first", "last", "escape", "window", "lateral", "tablesample",
+    "sort", "cluster", "distribute")
+
+  private val literalIdents = Set("true", "false", "null")
+
+  // Spark higher-order functions whose second(+)-position lambdas
+  // use the `->` arrow we must not rewrite
+  private val hofs = Set(
+    "transform", "filter", "exists", "forall", "aggregate", "reduce",
+    "zip_with", "map_zip_with", "map_filter", "transform_keys",
+    "transform_values", "array_sort")
+
+  /** Graft cast targets: type name → wrapping function. */
+  private val fnCasts = Map(
+    "vector" -> "parse_vector",
+    "sparsevec" -> "parse_sparsevec",
+    "tsquery" -> "to_tsquery",
+    "ltree" -> "text2ltree",
+    "hstore" -> "parse_hstore")
+
+  /** PG-only scalar names → Spark CAST target. */
+  private val asCasts = Map(
+    "text" -> "string", "bpchar" -> "string", "name" -> "string",
+    "int2" -> "smallint", "int4" -> "int", "int8" -> "bigint",
+    "float4" -> "float", "float8" -> "double", "bool" -> "boolean",
+    "timestamptz" -> "timestamp", "bytea" -> "binary")
+
+  /** Casts that are the identity on our string representation. */
+  private val identityCasts = Set(
+    "jsonb", "json", "regconfig", "regdictionary", "lquery",
+    "ltxtquery", "citext", "uuid")
+
+  private val intArrayElems =
+    Set("int", "int4", "integer", "smallint", "int2", "bigint", "int8")
+
+  def rewrite(sql: String): String =
+    try {
+      val toks = lex(sql)
+      var out = arrayPass(toks)
+      out = castPass(out)
+      out = opPass(out)
+      val text = out.iterator.map(_.text).mkString
+      if (text == sql) sql else text
+    } catch { case NonFatal(_) => sql }
+
+  // ----------------------------------------------------------------
+  // lexer
+  // ----------------------------------------------------------------
+
+  private def lex(s: String): ArrayBuffer[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    val n = s.length
+    var i = 0
+
+    def quoted(q: Char, start: Int): Int = {
+      // returns index AFTER the closing quote; backslash escapes and
+      // doubled-quote escapes both respected (Spark handles both)
+      var j = start + 1
+      while (j < n) {
+        val c = s.charAt(j)
+        if (c == '\\' && j + 1 < n) j += 2
+        else if (c == q) {
+          if (j + 1 < n && s.charAt(j + 1) == q) j += 2
+          else return j + 1
+        } else j += 1
+      }
+      throw new IllegalArgumentException("unterminated string")
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) {
+        val st = i; while (i < n && s.charAt(i).isWhitespace) i += 1
+        out += Tok(WS, s.substring(st, i))
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        val st = i; while (i < n && s.charAt(i) != '\n') i += 1
+        out += Tok(WS, s.substring(st, i))
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val st = i; var depth = 1; i += 2
+        while (i < n && depth > 0) {
+          if (i + 1 < n && s.charAt(i) == '/' && s.charAt(i + 1) == '*') { depth += 1; i += 2 }
+          else if (i + 1 < n && s.charAt(i) == '*' && s.charAt(i + 1) == '/') { depth -= 1; i += 2 }
+          else i += 1
+        }
+        out += Tok(WS, s.substring(st, i))
+      } else if (c == '\'') {
+        val e = quoted('\'', i); out += Tok(STR, s.substring(i, e)); i = e
+      } else if (c == '"') {
+        val e = quoted('"', i); out += Tok(STR, s.substring(i, e)); i = e
+      } else if (c == '`') {
+        var j = i + 1
+        while (j < n && s.charAt(j) != '`') j += 1
+        if (j >= n) throw new IllegalArgumentException("unterminated `ident`")
+        out += Tok(QID, s.substring(i, j + 1)); i = j + 1
+      } else if (c == '$') {
+        // PG dollar-quoting: $$…$$ or $tag$…$tag$ → standard literal
+        var j = i + 1
+        while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+        if (j < n && s.charAt(j) == '$') {
+          val delim = s.substring(i, j + 1)
+          val close = s.indexOf(delim, j + 1)
+          if (close >= 0) {
+            val body = s.substring(j + 1, close)
+            val esc = body.replace("\\", "\\\\").replace("'", "\\'")
+            out += Tok(STR, "'" + esc + "'")
+            i = close + delim.length
+          } else { out += Tok(P, "$"); i += 1 }
+        } else { out += Tok(P, "$"); i += 1 }
+      } else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        val st = i
+        if (c == '0' && i + 1 < n && (s.charAt(i + 1) == 'x' || s.charAt(i + 1) == 'X')) {
+          i += 2; while (i < n && isHex(s.charAt(i))) i += 1
+        } else {
+          while (i < n && s.charAt(i).isDigit) i += 1
+          if (i < n && s.charAt(i) == '.') { i += 1; while (i < n && s.charAt(i).isDigit) i += 1 }
+          if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+            val save = i; i += 1
+            if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+            if (i < n && s.charAt(i).isDigit) { while (i < n && s.charAt(i).isDigit) i += 1 }
+            else i = save
+          }
+        }
+        while (i < n && (s.charAt(i).isLetter || s.charAt(i) == '_')) i += 1 // 1L, 2.5d suffixes
+        out += Tok(NUM, s.substring(st, i))
+      } else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        val word = s.substring(st, i)
+        // E'…' / X'…' / R'…' prefixed strings lex as one token
+        if (word.length == 1 && i < n && s.charAt(i) == '\'' &&
+            "eExXrRbBnN".indexOf(word.charAt(0)) >= 0) {
+          val e = quoted('\'', i)
+          out += Tok(STR, word + s.substring(i, e)); i = e
+        } else out += Tok(ID, word)
+      } else {
+        val op = multiOps.find(o => s.regionMatches(i, o, 0, o.length))
+        op match {
+          case Some(o) => out += Tok(OP, o); i += o.length
+          case None => out += Tok(P, c.toString); i += 1
+        }
+      }
+    }
+    out
+  }
+
+  private def isHex(c: Char): Boolean =
+    c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  // ----------------------------------------------------------------
+  // token-stream helpers
+  // ----------------------------------------------------------------
+
+  private def prevIdx(toks: ArrayBuffer[Tok], from: Int): Int = {
+    var j = from - 1
+    while (j >= 0 && toks(j).kind == WS) j -= 1
+    j
+  }
+
+  private def nextIdx(toks: ArrayBuffer[Tok], from: Int): Int = {
+    var j = from + 1
+    while (j < toks.length && toks(j).kind == WS) j += 1
+    if (j < toks.length) j else -1
+  }
+
+  private def lower(t: Tok): String = t.text.toLowerCase(Locale.ROOT)
+
+  private def isOpenP(t: Tok) = t.kind == P && (t.text == "(" || t.text == "[")
+  private def isCloseP(t: Tok) = t.kind == P && (t.text == ")" || t.text == "]")
+
+  /** Balanced scan backwards from a `)`/`]` at index e → opener index. */
+  private def matchBack(toks: ArrayBuffer[Tok], e: Int): Int = {
+    var depth = 0; var j = e
+    while (j >= 0) {
+      val t = toks(j)
+      if (isCloseP(t)) depth += 1
+      else if (isOpenP(t)) { depth -= 1; if (depth == 0) return j }
+      j -= 1
+    }
+    -1
+  }
+
+  /** Balanced scan forward from a `(`/`[` at index s → closer index. */
+  private def matchFwd(toks: ArrayBuffer[Tok], s: Int): Int = {
+    var depth = 0; var j = s
+    while (j < toks.length) {
+      val t = toks(j)
+      if (isOpenP(t)) depth += 1
+      else if (isCloseP(t)) { depth -= 1; if (depth == 0) return j }
+      j += 1
+    }
+    -1
+  }
+
+  /**
+   * Start index of the primary ENDING at e, or -1. Handles literal,
+   * (qualified) name, call, parenthesized expression, `[...]`
+   * subscripts, and a native `::type` cast suffix to its left.
+   */
+  private def leftPrimary(toks: ArrayBuffer[Tok], e: Int): Int = {
+    if (e < 0) return -1
+    val t = toks(e)
+    val s0 = t.kind match {
+      case STR | NUM => e
+      case QID => chainBack(toks, e)
+      case ID =>
+        val w = lower(t)
+        if (literalIdents(w)) e
+        else if (keywords(w)) -1
+        else chainBack(toks, e)
+      case _ if isCloseP(t) =>
+        val open = matchBack(toks, e)
+        if (open < 0) return -1
+        val before = prevIdx(toks, open)
+        if (before >= 0 && (toks(before).kind == ID || toks(before).kind == QID) &&
+            !hardKeywordBeforeParen(toks(before))) {
+          // callee name (possibly qualified) — or a subscripted primary
+          if (toks(before).kind == ID && keywords(lower(toks(before)))) open
+          else chainBack(toks, before)
+        } else if (before >= 0 && isCloseP(toks(before))) {
+          // f(a)(b) / a[1][2]
+          leftPrimary(toks, before) match { case -1 => open; case s => s }
+        } else open
+      case _ => -1
+    }
+    if (s0 < 0) return -1
+    // a native cast to the left binds tighter: b::int <-> c
+    val before = prevIdx(toks, s0)
+    if (before >= 0 && toks(before).kind == OP && toks(before).text == "::") {
+      val lhs = prevIdx(toks, before)
+      leftPrimary(toks, lhs) match { case -1 => s0; case s => s }
+    } else s0
+  }
+
+  /** Extend a name backwards across `a.b.c` chains. */
+  private def chainBack(toks: ArrayBuffer[Tok], e: Int): Int = {
+    var start = e
+    var cont = true
+    while (cont) {
+      cont = false
+      val p = prevIdx(toks, start)
+      if (p >= 0 && toks(p).kind == P && toks(p).text == ".") {
+        val q = prevIdx(toks, p)
+        if (q >= 0 && (toks(q).kind == ID || toks(q).kind == QID) &&
+            !(toks(q).kind == ID && keywords(lower(toks(q))))) {
+          start = q; cont = true
+        }
+      }
+    }
+    start
+  }
+
+  private def hardKeywordBeforeParen(t: Tok): Boolean =
+    t.kind == ID && Set("in", "and", "or", "not", "when", "then",
+      "else", "on", "where", "select", "from", "values", "exists",
+      "between", "having", "union", "intersect", "except", "all",
+      "distinct", "over", "as")(lower(t))
+
+  /**
+   * End index of the primary STARTING at s, or -1. Consumes an
+   * optional numeric sign, a core (literal / name / call /
+   * parenthesized / ARRAY[...]), then `[...]`, `.field(...)` and
+   * native `::type` suffixes.
+   */
+  private def rightPrimary(toks: ArrayBuffer[Tok], s: Int): Int = {
+    if (s < 0 || s >= toks.length) return -1
+    var j = -1
+    val t = toks(s)
+    t.kind match {
+      case STR | NUM => j = s
+      case P if t.text == "-" || t.text == "+" =>
+        val nx = nextIdx(toks, s)
+        if (nx >= 0 && toks(nx).kind == NUM) j = nx else return -1
+      case P if t.text == "(" =>
+        j = matchFwd(toks, s); if (j < 0) return -1
+      case ID | QID =>
+        val w = lower(t)
+        if (t.kind == ID && literalIdents(w)) j = s
+        else if (t.kind == ID && keywords(w)) return -1
+        else {
+          j = s
+          // qualified chain
+          var cont = true
+          while (cont) {
+            cont = false
+            val p = nextIdx(toks, j)
+            if (p >= 0 && toks(p).kind == P && toks(p).text == ".") {
+              val q = nextIdx(toks, p)
+              if (q >= 0 && (toks(q).kind == ID || toks(q).kind == QID)) {
+                j = q; cont = true
+              }
+            }
+          }
+          // call or ARRAY[...] group
+          val p = nextIdx(toks, j)
+          if (p >= 0 && isOpenP(toks(p))) {
+            val close = matchFwd(toks, p)
+            if (close < 0) return -1
+            j = close
+          }
+        }
+      case _ => return -1
+    }
+    // suffixes
+    var cont = true
+    while (cont) {
+      cont = false
+      val p = nextIdx(toks, j)
+      if (p >= 0) {
+        val t2 = toks(p)
+        if (t2.kind == P && t2.text == "[") {
+          val close = matchFwd(toks, p)
+          if (close >= 0) { j = close; cont = true }
+        } else if (t2.kind == P && t2.text == ".") {
+          val q = nextIdx(toks, p)
+          if (q >= 0 && (toks(q).kind == ID || toks(q).kind == QID)) {
+            j = q; cont = true
+            val r = nextIdx(toks, q)
+            if (r >= 0 && toks(r).kind == P && toks(r).text == "(") {
+              val close = matchFwd(toks, r)
+              if (close >= 0) j = close
+            }
+          }
+        } else if (t2.kind == OP && t2.text == "::") {
+          // native cast suffix: consume `::type[(args)]`
+          val q = nextIdx(toks, p)
+          if (q >= 0 && toks(q).kind == ID) {
+            j = q; cont = true
+            val r = nextIdx(toks, q)
+            if (r >= 0 && toks(r).kind == P && toks(r).text == "(") {
+              val close = matchFwd(toks, r)
+              if (close >= 0) j = close
+            }
+          }
+        }
+      }
+    }
+    j
+  }
+
+  // ----------------------------------------------------------------
+  // pass 0: PG's bracketed ARRAY[...] constructor → array(...)
+  // ----------------------------------------------------------------
+
+  private def arrayPass(toks: ArrayBuffer[Tok]): ArrayBuffer[Tok] = {
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == ID && lower(t) == "array") {
+        val br = nextIdx(toks, i)
+        if (br >= 0 && toks(br).kind == P && toks(br).text == "[") {
+          val close = matchFwd(toks, br)
+          if (close >= 0) {
+            toks(br) = Tok(P, "(")
+            toks(close) = Tok(P, ")")
+          }
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
+  // ----------------------------------------------------------------
+  // pass 1: graft casts
+  // ----------------------------------------------------------------
+
+  private def castPass(in: ArrayBuffer[Tok]): ArrayBuffer[Tok] = {
+    val toks = in
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == OP && t.text == "::") {
+        val tIdx = nextIdx(toks, i)
+        if (tIdx >= 0 && toks(tIdx).kind == ID) {
+          var typeEnd = tIdx
+          var tn = lower(toks(tIdx))
+          // two-word `double precision` → the float8 mapping
+          if (tn == "double") {
+            val nx = nextIdx(toks, tIdx)
+            if (nx >= 0 && toks(nx).kind == ID && lower(toks(nx)) == "precision") {
+              tn = "float8"; typeEnd = nx
+            }
+          }
+          // array suffix `[]`
+          var isArray = false
+          val br = nextIdx(toks, typeEnd)
+          if (br >= 0 && toks(br).kind == P && toks(br).text == "[") {
+            val cl = nextIdx(toks, br)
+            if (cl >= 0 && toks(cl).kind == P && toks(cl).text == "]") {
+              isArray = true; typeEnd = cl
+            }
+          }
+          val lEnd = prevIdx(toks, i)
+          val l0 = leftPrimary(toks, lEnd)
+          if (l0 >= 0) {
+            val span = toks.slice(l0, lEnd + 1)
+            val repl: Option[ArrayBuffer[Tok]] =
+              if (isArray && intArrayElems(tn)) Some(call("parse_int_array", span))
+              else if (isArray && (tn == "text" || tn == "varchar")) Some(span)
+              else if (isArray) None
+              else if (tn == "halfvec")
+                Some(call("halfvec", call("parse_vector", span)))
+              else if (fnCasts.contains(tn)) Some(call(fnCasts(tn), span))
+              else if (identityCasts(tn)) Some(span)
+              else if (tn == "bytea") Some(byteaCast(span))
+              else if (asCasts.contains(tn)) Some(castAs(span, asCasts(tn)))
+              else None
+            repl match {
+              case Some(r) =>
+                toks.remove(l0, typeEnd - l0 + 1)
+                toks.insertAll(l0, r)
+                i = l0 // rescan: chained casts
+              case None => i += 1
+            }
+          } else i += 1
+        } else i += 1
+      } else i += 1
+    }
+    toks
+  }
+
+  private def call(fn: String, args: ArrayBuffer[Tok]*): ArrayBuffer[Tok] = {
+    val out = ArrayBuffer(Tok(ID, fn), Tok(P, "("))
+    var first = true
+    for (a <- args) {
+      if (!first) { out += Tok(P, ","); out += Tok(WS, " ") }
+      out ++= a; first = false
+    }
+    out += Tok(P, ")")
+    out
+  }
+
+  private def castAs(span: ArrayBuffer[Tok], sparkType: String): ArrayBuffer[Tok] =
+    ArrayBuffer(Tok(ID, "cast"), Tok(P, "(")) ++ span ++
+      ArrayBuffer(Tok(WS, " "), Tok(ID, "as"), Tok(WS, " "),
+        Tok(ID, sparkType), Tok(P, ")"))
+
+  /** '\xDEAD'::bytea → unhex('DEAD'); anything else → cast as binary. */
+  private def byteaCast(span: ArrayBuffer[Tok]): ArrayBuffer[Tok] = {
+    if (span.length == 1 && span(0).kind == STR) {
+      val raw = span(0).text
+      if (raw.length >= 4 && raw.startsWith("'\\x") && raw.endsWith("'")) {
+        val hex = raw.substring(3, raw.length - 1)
+        if (hex.forall(isHex))
+          return call("unhex", ArrayBuffer(Tok(STR, "'" + hex + "'")))
+      }
+    }
+    castAs(span, "binary")
+  }
+
+  // ----------------------------------------------------------------
+  // pass 2: operators
+  // ----------------------------------------------------------------
+
+  /** binary operator → (target function, swap operands). */
+  private val fnTargets: Map[String, (String, Boolean)] = Map(
+    "<->" -> ("pg_dist_arrow", false),
+    "<#>" -> ("negative_inner_product", false),
+    "<=>" -> ("pg_cosine_or_eq", false),
+    "@@" -> ("ts_match", false),
+    "@>" -> ("pg_contains", false),
+    "<@" -> ("pg_contains", true),
+    "->" -> ("pg_arrow_get", false),
+    "->>" -> ("pg_arrow_get_text", false),
+    "#>" -> ("pg_path_get", false),
+    "#>>" -> ("pg_path_get_text", false),
+    "?" -> ("pg_key_exists", false),
+    "?|" -> ("pg_key_exists_any", false),
+    "?&" -> ("pg_key_exists_all", false),
+    "&&" -> ("pg_overlap", false))
+
+  private def opPass(toks: ArrayBuffer[Tok]): ArrayBuffer[Tok] = {
+    // paren stack of enclosing callee names, maintained as we scan
+    var i = 0
+    def calleeStack(upTo: Int): List[String] = {
+      // recompute (token vector mutates under us; spans are small —
+      // this is plan-time work over query text, not data)
+      var st = List.empty[String]
+      var j = 0
+      while (j < upTo) {
+        val t = toks(j)
+        if (isOpenP(t)) {
+          val b = prevIdx(toks, j)
+          val name =
+            if (b >= 0 && toks(b).kind == ID) lower(toks(b)) else ""
+          st = name :: st
+        } else if (isCloseP(t)) {
+          if (st.nonEmpty) st = st.tail
+        }
+        j += 1
+      }
+      st
+    }
+
+    while (i < toks.length) {
+      val t = toks(i)
+      val isQ = t.kind == P && t.text == "?"
+      val isTilde = t.kind == P && t.text == "~"
+      val opText = if (isQ) "?" else if (isTilde) "~" else t.text
+      val regexOp = t.kind == OP && Set("~*", "!~", "!~*")(t.text)
+      val fnOp = (t.kind == OP && fnTargets.contains(t.text)) || isQ
+      if (fnOp || regexOp || isTilde) {
+        // `&&` only when array-shaped is unknowable here; it has no
+        // Spark meaning, so rewriting is always a strict gain.
+        val lEnd = prevIdx(toks, i)
+        val l0 = leftPrimary(toks, lEnd)
+        val r0raw = nextIdx(toks, i)
+        val r1 = rightPrimary(toks, r0raw)
+        var skip = l0 < 0 || r1 < 0
+        if (!skip && opText == "->") {
+          // lambda guard: bare param (or tuple) at argument start of
+          // a higher-order function call
+          val stack = calleeStack(i)
+          if (stack.nonEmpty && hofs(stack.head)) {
+            val before = prevIdx(toks, l0)
+            val argStart = before < 0 ||
+              (toks(before).kind == P &&
+                (toks(before).text == "(" || toks(before).text == ","))
+            val bareIdent = l0 == lEnd && toks(l0).kind == ID
+            val tuple = isCloseP(toks(lEnd)) && l0 == matchBack(toks, lEnd) &&
+              toks.slice(l0 + 1, lEnd).forall(x =>
+                x.kind == WS || x.kind == ID || (x.kind == P && x.text == ","))
+            if (argStart && (bareIdent || tuple)) skip = true
+          }
+        }
+        if (!skip) {
+          val lSpan = toks.slice(l0, lEnd + 1)
+          val rSpan = toks.slice(r0raw, r1 + 1)
+          val repl: ArrayBuffer[Tok] =
+            if (regexOp || isTilde) {
+              val ci = t.text == "~*" || t.text == "!~*"
+              val neg = t.text == "!~" || t.text == "!~*"
+              val pat =
+                if (ci) call("concat", ArrayBuffer(Tok(STR, "'(?i)'")), rSpan)
+                else rSpan
+              val like = call("regexp_like", lSpan, pat)
+              if (neg)
+                ArrayBuffer(Tok(P, "("), Tok(ID, "not"), Tok(WS, " ")) ++
+                  like += Tok(P, ")")
+              else like
+            } else {
+              val (fn, swap) = if (isQ) ("pg_key_exists", false) else fnTargets(opText)
+              if (swap) call(fn, rSpan, lSpan) else call(fn, lSpan, rSpan)
+            }
+          toks.remove(l0, r1 - l0 + 1)
+          toks.insertAll(l0, repl)
+          i = l0 // rescan from the replacement (it is now a primary)
+        } else i += 1
+      } else i += 1
+    }
+    toks
+  }
+}

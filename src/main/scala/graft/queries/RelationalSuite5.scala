@@ -422,6 +422,62 @@ object RelationalSuite5 {
         .select("k", "val", "etype")
       Flashback.restoreDelta(cur, tgt, "k")
         .transform(Gate.ordered(_, "k"))
+    }),
+
+    // ---- PG OPERATOR spellings (r16, PgSqlRewrite/PgOps): the whole
+    // statement is PG syntax — `->`/`->>`/`#>>`/`?`/`?|`/`@>` jsonb
+    // operators (jsonb_op.cpp), `::hstore`/`::int[]`/`::tsquery` input
+    // casts, hstore `->`/`?` over the parsed map, intarray `&&`/`@>`,
+    // and the `~*` regex family — rewritten at PLAN time into the
+    // registered kernels (map-only row work; the rewrite itself costs
+    // nothing per row). The oracle recomputes every column closed-form
+    // from the planted shapes ----
+    "sql_pg_ops" -> ((s, dir) => {
+      graft.functions.SqlFunctions.register(s)
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_pgops")
+      s.sql(graft.plans.PgSqlRewrite.rewrite(
+        """WITH d AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+          |    concat('{"o":', o_orderkey, ',"tags":["p', o_orderkey % 3,
+          |           '","x"],"m":{"q":', o_orderkey % 5, '}}') AS doc,
+          |    concat('status=>', o_orderstatus,
+          |           ', "k w"=>v', o_orderkey % 4) AS hst,
+          |    concat('{', o_orderkey % 50, ',', o_orderkey % 7, '}') AS il
+          |  FROM orders_pgops WHERE o_orderkey % 10 = 0)
+          |SELECT k,
+          |  doc -> 'tags' ->> 0 AS t0,
+          |  doc -> 'tags' ->> -1 AS tl,
+          |  doc ->> 'o' AS o_txt,
+          |  doc #>> '{m,q}' AS q_txt,
+          |  (doc ? 'm') AS has_m,
+          |  (doc ?| array['z','tags']) AS any_k,
+          |  (doc @> '{"tags":["x"]}') AS has_x,
+          |  (doc @> '{"tags":["z"]}') AS has_z,
+          |  (hst::hstore -> 'status') AS st,
+          |  (hst::hstore -> 'k w') AS kw,
+          |  (hst::hstore ? 'status') AS has_st,
+          |  (il::int[] && '{1,2,3}'::int[]) AS ovl,
+          |  ('{3,4}'::int[] @> il::int[]) AS cont34,
+          |  (pri ~* 'urgent') AS urgent
+          |FROM d ORDER BY k""".stripMargin))
+    }),
+
+    // ---- PG vector operators (r16; datavec vector_op.cpp `<->`,
+    // `<#>`, `<=>`): the pgvector KNN idiom as ONE SQL text —
+    // ORDER BY embedding <-> query LIMIT k — the operators dispatch
+    // to the A1 distance kernels (codegen'd, map-only) and the topk
+    // is the same bounded heap every other KNN gate runs ----
+    "sql_pg_vector" -> ((s, dir) => {
+      graft.functions.SqlFunctions.register(s)
+      Tables(s, dir, "embeddings").createOrReplaceTempView("emb_pgops")
+      s.sql(graft.plans.PgSqlRewrite.rewrite(
+        """WITH q AS (SELECT embedding AS qv FROM emb_pgops WHERE vec_id = 0)
+          |SELECT e.vec_id,
+          |  round(e.embedding <-> q.qv, 6) AS dist,
+          |  round(e.embedding <#> q.qv, 6) AS nip,
+          |  round(e.embedding <=> q.qv, 6) AS cosd,
+          |  round('[3,4]'::vector <-> '[0,0]'::vector, 6) AS c5
+          |FROM emb_pgops e CROSS JOIN q
+          |ORDER BY dist, vec_id LIMIT 10""".stripMargin))
     }))
 
   private def changeLog(s: SparkSession, dir: String): DataFrame =
@@ -450,6 +506,40 @@ object RelationalSuite5 {
   private def sq(rx: String): String = "'" + rx.replace("'", "''") + "'"
 
   val oracle: Map[String, String] = Map(
+    // every operator column recomputed closed-form from the planted
+    // shapes (jsonb doc, hstore literal, int-array literal, priority)
+    "sql_pg_ops" ->
+      """SELECT o_orderkey AS k,
+        |  'p' || (o_orderkey % 3)::VARCHAR AS t0,
+        |  'x' AS tl,
+        |  o_orderkey::VARCHAR AS o_txt,
+        |  (o_orderkey % 5)::VARCHAR AS q_txt,
+        |  true AS has_m,
+        |  true AS any_k,
+        |  true AS has_x,
+        |  false AS has_z,
+        |  o_orderstatus AS st,
+        |  'v' || (o_orderkey % 4)::VARCHAR AS kw,
+        |  true AS has_st,
+        |  ((o_orderkey % 50) IN (1,2,3) OR (o_orderkey % 7) IN (1,2,3)) AS ovl,
+        |  ((o_orderkey % 50) IN (3,4) AND (o_orderkey % 7) IN (3,4)) AS cont34,
+        |  (o_orderpriority ILIKE '%urgent%') AS urgent
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY k""".stripMargin,
+
+    // the same list arithmetic every A-series topk oracle runs, plus
+    // the constant [3,4]↔[0,0] distance pinning the ::vector cast
+    "sql_pg_vector" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist,
+        |  round(-list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS nip,
+        |  round(1.0 - greatest(-1.0, least(1.0,
+        |    list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |    sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        |       * list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))), 6) AS cosd,
+        |  5.0::DOUBLE AS c5
+        |FROM embeddings e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
     // the CSV round-trip must reproduce the table exactly
     "file_fdw" ->
       """SELECT c_custkey, c_name, c_acctbal,
