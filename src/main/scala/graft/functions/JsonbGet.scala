@@ -74,6 +74,35 @@ object JsonbGet {
   }
 }
 
+/** `x::jsonb` — PG's jsonb cast CANONICALIZES (jsonb_in: parse into
+  * the binary form, render with (length, bytes) key order and ", "/
+  * ": " spacing); identity only for already-canonical text. The
+  * `::json` cast, by contrast, preserves the input text and stays an
+  * identity upstream. */
+case class JsonbNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jsonb cast needs a string operand, got ${child.dataType.sql}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jsonb_norm"
+
+  def eval1(a: UTF8String): UTF8String =
+    UTF8String.fromString(Jsonb.render(Jsonb.parse(a)))
+
+  override def nullSafeEval(a: Any): Any = eval1(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonbNorm", this, classOf[JsonbNorm].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.eval1($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `j -> k` / `j ->> k` — k either a text key or an int index. */
 case class JsonbGet(left: Expression, right: Expression, text: Boolean)
     extends BinaryExpression {

@@ -149,6 +149,31 @@ object PgOps {
         s"graft: && needs array operands, got ${argTypes(args)}")
     }),
 
+    // ---- a @@ q : text-search match, or intarray query_int ----
+    "pg_ts_match" -> (args => (args(0).dataType, args(1).dataType) match {
+      case (ArrayType(IntegerType, _), _) =>
+        X(graft.operators.IntArrays.queryIntMatch(C(args(0)),
+          SqlContrib.litStringOf(args(1), "@@ query_int")))
+      case (_, ArrayType(IntegerType, _)) =>
+        X(graft.operators.IntArrays.queryIntMatch(C(args(1)),
+          SqlContrib.litStringOf(args(0), "@@ query_int")))
+      case _ => SqlTextSearch.all("ts_match")(args)
+    }),
+
+    // ---- a - 'k' : jsonb / hstore key delete ----
+    "pg_minus" -> (args => args(0).dataType match {
+      case MapType(_, _, _) => SqlContrib.all("delete")(args)
+      case StringType => SqlContrib.all("jsonb_delete")(args)
+      case other => throw new IllegalArgumentException(
+        s"graft: - needs a jsonb or hstore left operand, got ${other.sql}")
+    }),
+
+    // ---- the `::jsonb` cast canonicalizes, like jsonb_in ----
+    "jsonb_norm" -> (args => JsonbNorm(args.head)),
+
+    // ---- the `::tsvector` cast: tsvector_in literal syntax ----
+    "parse_tsvector" -> (args => ParseTsVector(args.head)),
+
     // ---- PG literal input parsers (the `::hstore` / `::int[]` casts) ----
     "parse_hstore" -> (args => ParseHstore(args.head)),
     "parse_int_array" -> (args => {

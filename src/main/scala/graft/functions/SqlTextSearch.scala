@@ -267,8 +267,13 @@ object SqlTextSearch {
     // lexization runs ONCE, on the raw text.
     "ts_match" -> (args => {
       val a = dropConfig(args, "ts_match", 2)
-      Bridge.toCatalyst(Lexize.tsMatch(Bridge.column(unwrapTsv(a(0))),
-        litString(a(1), "ts_match", "query")))
+      val q = litString(a(1), "ts_match", "query")
+      // a MATERIALIZED tsvector (parse_tsvector literal, or a stored
+      // struct-array column) matches on its entries directly
+      if (ParseTsVector.isTsv(a(0).dataType))
+        Bridge.toCatalyst(Lexize.tsvMatch(Bridge.column(a(0)), q))
+      else
+        Bridge.toCatalyst(Lexize.tsMatch(Bridge.column(unwrapTsv(a(0))), q))
     }),
     "ts_rank" -> (args => {
       require(args.length == 2 || args.length == 3,

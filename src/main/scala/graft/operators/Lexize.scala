@@ -193,6 +193,34 @@ object Lexize {
   def tsMatch(text: Column, query: String): Column =
     compile(tsquery(query), text)
 
+  /** `@@` over a MATERIALIZED tsvector (the struct-array layout
+    * TsVector / parse_tsvector produce) — exists/position algebra on
+    * the entries instead of a text re-scan: a single term is an
+    * entry-existence test; a phrase intersects gap-shifted position
+    * lists stepwise (tsvector_op.cpp TS_phrase_execute). Stripped
+    * vectors (no positions) answer false to phrase queries. */
+  def tsvMatch(tsv: Column, query: String): Column = {
+    def pos(term: String): Column =
+      coalesce(
+        get(filter(tsv, e => e.getField("lex") === term), lit(0))
+          .getField("positions"),
+        typedLit(Seq.empty[Int]))
+    def node(n: Node): Column = n match {
+      case Phrase(Seq(t), _) =>
+        exists(tsv, e => e.getField("lex") === t)
+      case Phrase(terms, gaps) =>
+        val end = terms.tail.zip(gaps).foldLeft(pos(terms.head)) {
+          case (valid, (t, gap)) =>
+            array_intersect(transform(valid, p => p + gap), pos(t))
+        }
+        size(end) > 0
+      case And(l, r) => node(l) && node(r)
+      case Or(l, r)  => node(l) || node(r)
+      case Not(c)    => !node(c)
+    }
+    node(tsquery(query))
+  }
+
   /** A pre-normalized phrase node matcher (e.g. from [[phraseQuery]]). */
   def phraseMatch(text: Column, ph: Phrase): Column =
     Bridge.column(StemPhraseGapMatch(Bridge.expression(text), ph.terms, ph.gaps))

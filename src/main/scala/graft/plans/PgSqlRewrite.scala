@@ -64,7 +64,7 @@ object PgSqlRewrite {
   // `a <= b` never lexes as `<` `=`), longest first
   private val multiOps = Seq(
     "<=>", "<->", "<#>", "->>", "#>>", "!~*", ">>>",
-    "@@", "@>", "<@", "->", "#>", "?|", "?&", "::",
+    "@@", "@>", "<@", "@?", "->", "#>", "#-", "?|", "?&", "::",
     "<=", ">=", "<>", "!=", "==", "!~", "~*", "||", "<<", ">>", "&&")
 
   // idents that cannot BE a primary operand (they may still precede
@@ -96,7 +96,10 @@ object PgSqlRewrite {
     "sparsevec" -> "parse_sparsevec",
     "tsquery" -> "to_tsquery",
     "ltree" -> "text2ltree",
-    "hstore" -> "parse_hstore")
+    "hstore" -> "parse_hstore",
+    "tsvector" -> "parse_tsvector",
+    // jsonb_in canonicalizes; ::json (text-preserving) stays identity
+    "jsonb" -> "jsonb_norm")
 
   /** PG-only scalar names → Spark CAST target. */
   private val asCasts = Map(
@@ -107,8 +110,8 @@ object PgSqlRewrite {
 
   /** Casts that are the identity on our string representation. */
   private val identityCasts = Set(
-    "jsonb", "json", "regconfig", "regdictionary", "lquery",
-    "ltxtquery", "citext", "uuid")
+    "json", "regconfig", "regdictionary", "lquery",
+    "ltxtquery", "citext", "uuid", "query_int")
 
   private val intArrayElems =
     Set("int", "int4", "integer", "smallint", "int2", "bigint", "int8")
@@ -537,13 +540,15 @@ object PgSqlRewrite {
     "<->" -> ("pg_dist_arrow", false),
     "<#>" -> ("negative_inner_product", false),
     "<=>" -> ("pg_cosine_or_eq", false),
-    "@@" -> ("ts_match", false),
+    "@@" -> ("pg_ts_match", false),
     "@>" -> ("pg_contains", false),
     "<@" -> ("pg_contains", true),
     "->" -> ("pg_arrow_get", false),
     "->>" -> ("pg_arrow_get_text", false),
     "#>" -> ("pg_path_get", false),
     "#>>" -> ("pg_path_get_text", false),
+    "#-" -> ("jsonb_delete_path", false),
+    "@?" -> ("jsonb_path_exists", false),
     "?" -> ("pg_key_exists", false),
     "?|" -> ("pg_key_exists_any", false),
     "?&" -> ("pg_key_exists_all", false),
@@ -576,10 +581,13 @@ object PgSqlRewrite {
       val t = toks(i)
       val isQ = t.kind == P && t.text == "?"
       val isTilde = t.kind == P && t.text == "~"
+      val isMinus = t.kind == P && t.text == "-"
+      val isPct = t.kind == P && t.text == "%"
+      val isConcat = t.kind == OP && t.text == "||"
       val opText = if (isQ) "?" else if (isTilde) "~" else t.text
       val regexOp = t.kind == OP && Set("~*", "!~", "!~*")(t.text)
       val fnOp = (t.kind == OP && fnTargets.contains(t.text)) || isQ
-      if (fnOp || regexOp || isTilde) {
+      if (fnOp || regexOp || isTilde || isMinus || isConcat || isPct) {
         // `&&` only when array-shaped is unknowable here; it has no
         // Spark meaning, so rewriting is always a strict gain.
         val lEnd = prevIdx(toks, i)
@@ -587,6 +595,37 @@ object PgSqlRewrite {
         val r0raw = nextIdx(toks, i)
         val r1 = rightPrimary(toks, r0raw)
         var skip = l0 < 0 || r1 < 0
+        if (!skip && isMinus) {
+          // jsonb/hstore key delete ONLY for `x - 'key'` with a bare
+          // string-literal RHS whose content is not date/number-shaped
+          // (standard SQL gives string subtraction no meaning, so the
+          // rewrite can't shadow working arithmetic)
+          val bareStr = r0raw == r1 && toks(r0raw).kind == STR &&
+            toks(r0raw).text.startsWith("'")
+          val content =
+            if (bareStr) toks(r0raw).text.stripPrefix("'").stripSuffix("'") else ""
+          skip = !bareStr || content.isEmpty ||
+            content.matches("[0-9.+\\-: ]+")
+        }
+        if (!skip && isPct) {
+          // pg_trgm similarity threshold ONLY for `x % 'word'` with a
+          // bare non-numeric string literal on either side — numeric
+          // operands keep Spark's modulo
+          def strWord(s: Int, e: Int): Boolean =
+            s == e && toks(s).kind == STR && toks(s).text.startsWith("'") &&
+              !toks(s).text.stripPrefix("'").stripSuffix("'")
+                .matches("[0-9. +\\-]*")
+          skip = !(strWord(l0, lEnd) || strWord(r0raw, r1))
+        }
+        if (!skip && isConcat) {
+          // jsonb/hstore concat ONLY when an operand carries an
+          // explicit cast marker (::jsonb / ::hstore, already
+          // rewritten to its input parser); plain || stays concat
+          def marked(s: Int): String =
+            if (toks(s).kind == ID) lower(toks(s)) else ""
+          val m = Seq(marked(l0), marked(r0raw))
+          skip = !(m.contains("jsonb_norm") || m.contains("parse_hstore"))
+        }
         if (!skip && opText == "->") {
           // lambda guard: bare param (or tuple) at argument start of
           // a higher-order function call
@@ -618,6 +657,17 @@ object PgSqlRewrite {
                 ArrayBuffer(Tok(P, "("), Tok(ID, "not"), Tok(WS, " ")) ++
                   like += Tok(P, ")")
               else like
+            } else if (isMinus) {
+              call("pg_minus", lSpan, rSpan)
+            } else if (isPct) {
+              // similarity(a, b) >= 0.3 — pg_trgm's default threshold
+              (ArrayBuffer(Tok(P, "(")) ++ call("similarity", lSpan, rSpan)) ++=
+                ArrayBuffer(Tok(WS, " "), Tok(OP, ">="), Tok(WS, " "),
+                  Tok(NUM, "0.3"), Tok(P, ")"))
+            } else if (isConcat) {
+              val hs = (lSpan.headOption ++ rSpan.headOption).exists(x =>
+                x.kind == ID && lower(x) == "parse_hstore")
+              call(if (hs) "hs_concat" else "jsonb_concat", lSpan, rSpan)
             } else {
               val (fn, swap) = if (isQ) ("pg_key_exists", false) else fnTargets(opText)
               if (swap) call(fn, rSpan, lSpan) else call(fn, lSpan, rSpan)

@@ -457,7 +457,13 @@ object RelationalSuite5 {
           |  (hst::hstore ? 'status') AS has_st,
           |  (il::int[] && '{1,2,3}'::int[]) AS ovl,
           |  ('{3,4}'::int[] @> il::int[]) AS cont34,
-          |  (pri ~* 'urgent') AS urgent
+          |  (pri ~* 'urgent') AS urgent,
+          |  ((doc - 'm') ? 'm') AS del_m,
+          |  (doc || concat('{"z":', k % 9, '}')::jsonb) ->> 'z' AS cat_z,
+          |  (doc #- '{m,q}') #>> '{m}' AS delp,
+          |  (il::int[] @@ '2 | 7'::query_int) AS qi27,
+          |  (il::int[] @@ '!3'::query_int) AS qin3,
+          |  (concat('w', k % 3, ':1 x:2')::tsvector @@ 'w1 <-> x') AS tsv31
           |FROM d ORDER BY k""".stripMargin))
     }),
 
@@ -523,7 +529,13 @@ object RelationalSuite5 {
         |  true AS has_st,
         |  ((o_orderkey % 50) IN (1,2,3) OR (o_orderkey % 7) IN (1,2,3)) AS ovl,
         |  ((o_orderkey % 50) IN (3,4) AND (o_orderkey % 7) IN (3,4)) AS cont34,
-        |  (o_orderpriority ILIKE '%urgent%') AS urgent
+        |  (o_orderpriority ILIKE '%urgent%') AS urgent,
+        |  false AS del_m,
+        |  (o_orderkey % 9)::VARCHAR AS cat_z,
+        |  '{}' AS delp,
+        |  ((o_orderkey % 50) IN (2,7) OR (o_orderkey % 7) IN (2,7)) AS qi27,
+        |  NOT ((o_orderkey % 50) = 3 OR (o_orderkey % 7) = 3) AS qin3,
+        |  (o_orderkey % 3 = 1) AS tsv31
         |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY k""".stripMargin,
 
     // the same list arithmetic every A-series topk oracle runs, plus

@@ -179,6 +179,47 @@ class PgOperatorSpec extends SparkSpec {
     assert(one("SELECT 'Thomas' !~* 'tho'") == false)
   }
 
+  test("::jsonb canonicalizes like jsonb_in; delete and concat operators") {
+    assert(one("""SELECT '{"b":2,"a":1}'::jsonb""") == """{"a": 1, "b": 2}""")
+    assert(one("""SELECT '{"a":1,"b":2}'::jsonb - 'a'""") == """{"b": 2}""")
+    assert(one("""SELECT '{"a":{"b":1},"c":2}'::jsonb #- '{a,b}'""") ==
+      """{"a": {}, "c": 2}""")
+    assert(one("""SELECT '{"a":1}'::jsonb || '{"b":2}'::jsonb""") ==
+      """{"a": 1, "b": 2}""")
+    assert(one("""SELECT ('a=>1,b=>2'::hstore - 'a') ? 'a'""") == false)
+    assert(one("""SELECT 'a=>1'::hstore || 'b=>2'::hstore -> 'b'""") == "2")
+  }
+
+  test("trgm % threshold and jsonpath @?") {
+    assert(one("SELECT 'word' % 'word'") == true)
+    assert(one("SELECT 'abcdef' % 'xyzzyq'") == false)
+    assert(one("SELECT 7 % 5") == 2)
+    assert(one("""SELECT '{"a":[1,2]}'::jsonb @? '$.a'""") == true)
+    assert(one("""SELECT '{"a":[1,2]}'::jsonb @? '$.b'""") == false)
+  }
+
+  test("int[] @@ query_int boolean queries") {
+    assert(one("SELECT '{1,2,7}'::int[] @@ '7 & (10 | 2)'::query_int") == true)
+    assert(one("SELECT '{1,2,7}'::int[] @@ '7 & 10'::query_int") == false)
+    assert(one("SELECT '{5}'::int[] @@ '!3 & 5'::query_int") == true)
+  }
+
+  test("::tsvector literals parse, manipulate, and match") {
+    assert(one("SELECT tsvector_length('cat:1,3 dog:2'::tsvector)") == 2)
+    assert(one("SELECT array_join(tsvector_to_array('b:2 a:1'::tsvector), ',')") == "a,b")
+    assert(one("SELECT 'cat:1 dog:2'::tsvector @@ 'cat & dog'") == true)
+    assert(one("SELECT 'cat:1 dog:2'::tsvector @@ 'cat <-> dog'::tsquery") == true)
+    assert(one("SELECT 'cat:1 dog:3'::tsvector @@ 'cat <-> dog'::tsquery") == false)
+    assert(one("SELECT 'cat dog'::tsvector @@ 'cat'") == true)
+    // a stripped vector answers false to phrase queries
+    assert(one("SELECT 'cat dog'::tsvector @@ 'cat <-> dog'") == false)
+    // quoted lexemes, weight letters dropped, duplicate merge, sorting
+    assert(one("SELECT array_join(tsvector_to_array('\\'fat rat\\':2 cat:1A,2B cat:9'::tsvector), '|')") ==
+      "cat|fat rat")
+    assert(one("SELECT array_join(transform('cat:9,1A,2 cat:2'::tsvector, e -> concat(e.lex, ':', array_join(e.positions, ','))), '|')") ==
+      "cat:1,2,9")
+  }
+
   // ---- casts through the session parser ----
 
   test("bytea hex literal and scalar PG type names") {

@@ -27,7 +27,9 @@ class PgSqlRewriteSpec extends AnyFunSuite {
   }
 
   test("identity casts strip; PG scalar names map onto CAST") {
-    assert(rewrite("SELECT j::jsonb") == "SELECT j")
+    assert(rewrite("SELECT j::jsonb") == "SELECT jsonb_norm(j)")
+    assert(rewrite("SELECT j::json") == "SELECT j")
+    assert(rewrite("SELECT q::query_int") == "SELECT q")
     assert(rewrite("SELECT '{a,b}'::text[]") == "SELECT '{a,b}'")
     assert(rewrite("SELECT c::regconfig") == "SELECT c")
     assert(rewrite("SELECT x::text") == "SELECT cast(x as string)")
@@ -49,7 +51,8 @@ class PgSqlRewriteSpec extends AnyFunSuite {
   }
 
   test("casts chain and bind tighter than operators") {
-    assert(rewrite("SELECT x::text::jsonb") == "SELECT cast(x as string)")
+    assert(rewrite("SELECT x::text::jsonb") ==
+      "SELECT jsonb_norm(cast(x as string))")
     assert(rewrite("SELECT a::int <-> b") ==
       "SELECT pg_dist_arrow(a::int, b)")
     assert(rewrite("SELECT emb <-> '[1,2]'::vector") ==
@@ -68,9 +71,9 @@ class PgSqlRewriteSpec extends AnyFunSuite {
 
   test("text-search match") {
     assert(rewrite("SELECT t @@ 'cat & dog'::tsquery FROM d") ==
-      "SELECT ts_match(t, to_tsquery('cat & dog')) FROM d")
+      "SELECT pg_ts_match(t, to_tsquery('cat & dog')) FROM d")
     assert(rewrite("WHERE to_tsvector(body) @@ to_tsquery('x')") ==
-      "WHERE ts_match(to_tsvector(body), to_tsquery('x'))")
+      "WHERE pg_ts_match(to_tsvector(body), to_tsquery('x'))")
   }
 
   test("jsonb getters chain left-associative") {
@@ -97,6 +100,38 @@ class PgSqlRewriteSpec extends AnyFunSuite {
     assert(rewrite("WHERE a <@ b AND x = 1") ==
       "WHERE pg_contains(b, a) AND x = 1")
     assert(rewrite("WHERE xs && ys") == "WHERE pg_overlap(xs, ys)")
+  }
+
+  test("delete and concat operators") {
+    assert(rewrite("SELECT j - 'a'") == "SELECT pg_minus(j, 'a')")
+    assert(rewrite("SELECT j #- '{a,b}'") ==
+      "SELECT jsonb_delete_path(j, '{a,b}')")
+    // arithmetic and date-shaped strings stay subtraction
+    assert(rewrite("SELECT a - b") == "SELECT a - b")
+    assert(rewrite("SELECT a - 3") == "SELECT a - 3")
+    assert(rewrite("SELECT a - '2020-01-01'") == "SELECT a - '2020-01-01'")
+    // || dispatches only on a cast-marked operand
+    assert(rewrite("SELECT d::jsonb || e") ==
+      "SELECT jsonb_concat(jsonb_norm(d), e)")
+    assert(rewrite("SELECT h::hstore || e") ==
+      "SELECT hs_concat(parse_hstore(h), e)")
+    assert(rewrite("SELECT a || b") == "SELECT a || b")
+  }
+
+  test("trgm % threshold and jsonpath @? operators") {
+    assert(rewrite("WHERE name % 'smith'") ==
+      "WHERE (similarity(name, 'smith') >= 0.3)")
+    assert(rewrite("WHERE 'smith' % name") ==
+      "WHERE (similarity('smith', name) >= 0.3)")
+    // numeric operands keep Spark's modulo
+    assert(rewrite("SELECT k % 5") == "SELECT k % 5")
+    assert(rewrite("SELECT k % '5'") == "SELECT k % '5'")
+    assert(rewrite("WHERE j @? '$.a'") == "WHERE jsonb_path_exists(j, '$.a')")
+  }
+
+  test("@@ doubles as the intarray query_int match") {
+    assert(rewrite("SELECT ia @@ '7&(2|3)'::query_int") ==
+      "SELECT pg_ts_match(ia, '7&(2|3)')")
   }
 
   test("regex operators") {
