@@ -279,8 +279,12 @@ object SqlTextSearch {
       require(args.length == 2 || args.length == 3,
         s"graft: ts_rank expects (text, query[, normalization])")
       val norm = if (args.length == 3) litInt(args(2), "ts_rank", "norm") else 0
-      Bridge.toCatalyst(FullText.tsRank(Bridge.column(unwrapTsv(args(0))),
-        litString(args(1), "ts_rank", "query"), norm))
+      val q = litString(args(1), "ts_rank", "query")
+      if (ParseTsVector.isTsv(args(0).dataType))
+        Bridge.toCatalyst(Lexize.tsvRank(Bridge.column(args(0)), q, norm))
+      else
+        Bridge.toCatalyst(FullText.tsRank(Bridge.column(unwrapTsv(args(0))),
+          q, norm))
     }),
     "ts_rank_cd" -> (args =>
       Bridge.toCatalyst(FullText.tsRankCd(Bridge.column(unwrapTsv(args(0))),

@@ -258,6 +258,13 @@ object Lexize {
     }.reduce(_ + _)
     val dl = st.getField("n_lex").cast("double")
     val uniq = st.getField("n_uniq").cast("double")
+    rankNorm(raw, dl, uniq, norm)
+  }
+
+  /** PG's ts_rank normalization bitmask over (raw, doc length,
+    * distinct lexemes) — shared by the text and tsvector paths. */
+  private def rankNorm(raw: Column, dl: Column, uniq: Column,
+      norm: Int): Column = {
     var r = raw
     if ((norm & 1) != 0) r = when(dl > 1.0, r / (log(dl + 1.0) / math.log(2.0))).otherwise(r)
     if ((norm & 2) != 0) r = when(dl > 0.0, r / dl).otherwise(r)
@@ -265,6 +272,33 @@ object Lexize {
     if ((norm & 16) != 0) r = when(uniq > 1.0, r / (log(uniq + 1.0) / math.log(2.0))).otherwise(r)
     if ((norm & 32) != 0) r = r / (r + 1.0)
     r
+  }
+
+  /**
+   * ts_rank over a MATERIALIZED tsvector: tf/dl/uniq come from the
+   * entries themselves — tf = the term's position count, a
+   * position-less entry counting 1 (tsrank.c POSNULL), dl = summed
+   * position counts, uniq = entry count — then the same contribution
+   * table and normalization bitmask as the text path, so
+   * `ts_rank('cat:1,3 dog:2'::tsvector, q)` equals
+   * `ts_rank('cat dog cat', q)` exactly.
+   */
+  def tsvRank(tsv: Column, query: String, norm: Int = 0): Column = {
+    require((norm & ~(1 | 2 | 8 | 16 | 32)) == 0,
+      s"unsupported ts_rank normalization bits in $norm")
+    val terms = positiveLexemes(query)
+    require(terms.nonEmpty, "tsRank needs a query with positive terms")
+    val table = typedLit(FullText.rankTable)
+    val raw = terms.map { t =>
+      val e = get(filter(tsv, x => x.getField("lex") === t), lit(0))
+      val tf = when(e.isNull, lit(0))
+        .otherwise(greatest(size(e.getField("positions")), lit(1)))
+      element_at(table, least(tf, lit(FullText.MaxNumPos)) + 1)
+    }.reduce(_ + _)
+    val dl = aggregate(tsv, lit(0),
+      (acc, e) => acc + greatest(size(e.getField("positions")), lit(1)))
+      .cast("double")
+    rankNorm(raw, dl, size(tsv).cast("double"), norm)
   }
 
   // ---------------------------------------------------------------

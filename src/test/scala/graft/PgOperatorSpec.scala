@@ -58,6 +58,15 @@ class PgOperatorSpec extends SparkSpec {
     assert(r.getDouble(1) == e.getDouble(1))
   }
 
+  test("operator KNN keeps the shuffle-free TakeOrderedAndProject plan") {
+    val df = spark.sql(
+      s"""SELECT vec_id FROM pgop_emb
+         |ORDER BY embedding <-> '$qvecLit'::vector LIMIT 5""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("<=> on non-vectors stays Spark's null-safe equality") {
     assert(one("SELECT 1 <=> 1") == true)
     assert(one("SELECT cast(null as int) <=> cast(null as int)") == true)
@@ -218,6 +227,18 @@ class PgOperatorSpec extends SparkSpec {
       "cat|fat rat")
     assert(one("SELECT array_join(transform('cat:9,1A,2 cat:2'::tsvector, e -> concat(e.lex, ':', array_join(e.positions, ','))), '|')") ==
       "cat:1,2,9")
+  }
+
+  test("ts_rank over a materialized tsvector equals the text path") {
+    // 'cat dog cat' lexizes to exactly cat:1,3 dog:2
+    for (norm <- Seq(0, 2, 8)) {
+      val viaTsv = one(s"SELECT ts_rank('cat:1,3 dog:2'::tsvector, 'cat & dog', $norm)")
+      val viaText = one(s"SELECT ts_rank('cat dog cat', 'cat & dog', $norm)")
+      assert(viaTsv == viaText, s"norm=$norm: $viaTsv != $viaText")
+    }
+    // a missing term contributes nothing; stripped entries count tf=1
+    assert(one("SELECT ts_rank('cat dog'::tsvector, 'cat')") ==
+      one("SELECT ts_rank('cat dog', 'cat')"))
   }
 
   // ---- casts through the session parser ----
