@@ -83,12 +83,17 @@ object PgSqlRewrite {
 
   private val literalIdents = Set("true", "false", "null")
 
-  // Spark higher-order functions whose second(+)-position lambdas
-  // use the `->` arrow we must not rewrite
+  // Higher-order functions whose argument-position lambdas use the
+  // `->` arrow we must not rewrite: Spark's own, plus the DuckDB
+  // list-lambda names (not Spark functions, but SQL text written for
+  // either engine must survive the pass — the oracle-corpus spec
+  // pins this)
   private val hofs = Set(
     "transform", "filter", "exists", "forall", "aggregate", "reduce",
     "zip_with", "map_zip_with", "map_filter", "transform_keys",
-    "transform_values", "array_sort")
+    "transform_values", "array_sort",
+    "list_transform", "list_filter", "list_reduce", "list_apply",
+    "array_transform", "array_filter", "list_where", "list_select")
 
   /** Graft cast targets: type name → wrapping function. */
   private val fnCasts = Map(
@@ -478,8 +483,16 @@ object PgSqlRewrite {
           if (l0 >= 0) {
             val span = toks.slice(l0, lEnd + 1)
             val repl: Option[ArrayBuffer[Tok]] =
-              if (isArray && intArrayElems(tn)) Some(call("parse_int_array", span))
-              else if (isArray && (tn == "text" || tn == "varchar")) Some(span)
+              if (isArray && intArrayElems(tn) &&
+                  !(span(0).kind == P && span(0).text == "["))
+                // not a DuckDB [..]::INT[] list literal — those stay
+                Some(call("parse_int_array", span))
+              else if (isArray && (tn == "text" || tn == "varchar") &&
+                  span.length == 1 && span(0).kind == STR)
+                // '{a,b}'::text[] — the PG path-literal shape; any
+                // other operand (e.g. DuckDB's []::VARCHAR[]) is
+                // left for the engine that owns it
+                Some(span)
               else if (isArray) None
               else if (tn == "halfvec")
                 Some(call("halfvec", call("parse_vector", span)))

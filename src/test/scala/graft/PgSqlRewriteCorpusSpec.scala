@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.PgSqlRewrite.rewrite
+
+/**
+ * Rewriter safety over the repo's own SQL corpus: every oracle
+ * statement (DuckDB dialect, ~300 real queries — aggregates, windows,
+ * CTEs, lambdas, casts) and every gate's spark.sql text must survive
+ * the PG operator pass. The properties:
+ *
+ *  1. IDEMPOTENCE — rewrite(rewrite(s)) == rewrite(s) for every
+ *     statement: a second pass over already-rewritten output finds
+ *     nothing new to do.
+ *  2. IDENTITY on standard SQL — the rewriter only touches statements
+ *     that actually use PG spellings. DuckDB's list lambdas
+ *     (list_transform(…, i -> …)) use the arrow in non-Spark callees,
+ *     so those callees sit in the lambda guard's HOF set.
+ *
+ * The Spark-side gate texts already run through the injected parser
+ * in every Verify pass (hash-exact at both SFs); this spec pins the
+ * same guarantee statically, with a visible diff on failure.
+ */
+class PgSqlRewriteCorpusSpec extends AnyFunSuite {
+
+  private lazy val oracle = SparkEntry.oracleSql
+
+  test("idempotence over the whole oracle corpus") {
+    oracle.foreach { case (name, sql) =>
+      val once = rewrite(sql)
+      assert(rewrite(once) == once, s"$name not idempotent")
+    }
+  }
+
+  test("identity on the oracle corpus (standard SQL is untouched)") {
+    val changed = oracle.filter { case (_, sql) => rewrite(sql) != sql }
+    assert(changed.isEmpty,
+      "rewriter touched standard SQL:\n" + changed.keys.toSeq.sorted.map {
+        n =>
+          val s = oracle(n); val r = rewrite(s)
+          val i = s.zip(r).indexWhere { case (a, b) => a != b }
+          val at = if (i < 0) math.min(s.length, r.length) else i
+          s"  $n @$at: ...${s.slice(math.max(0, at - 30), at + 30)}... -> " +
+            s"...${r.slice(math.max(0, at - 30), at + 30)}..."
+      }.mkString("\n"))
+  }
+}
