@@ -168,6 +168,24 @@ object PgOps {
         s"graft: - needs a jsonb or hstore left operand, got ${other.sql}")
     }),
 
+    // ---- a ~ b : POSIX regex (regexp.c), falling back to the ltree
+    //      lquery match when the literal is not a valid regex — PG
+    //      separates `text ~ text` from `ltree ~ lquery` by static
+    //      type; here both are strings, and real lqueries
+    //      ('*.Science.*') are invalid Java regexes (dangling
+    //      quantifiers), so the compile test recovers the dispatch ----
+    "pg_tilde" -> (args => {
+      val fallback = litStr(args(1)).flatMap { s =>
+        val regexOk =
+          try { java.util.regex.Pattern.compile(s); true }
+          catch { case _: java.util.regex.PatternSyntaxException => false }
+        if (regexOk) None
+        else Some(SqlTextSearch.all("lquery_match")(args))
+      }
+      fallback.getOrElse(
+        org.apache.spark.sql.catalyst.expressions.RLike(args(0), args(1)))
+    }),
+
     // ---- the `::jsonb` cast canonicalizes, like jsonb_in ----
     "jsonb_norm" -> (args => JsonbNorm(args.head)),
 

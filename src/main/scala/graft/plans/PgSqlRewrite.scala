@@ -659,7 +659,12 @@ object PgSqlRewrite {
           val lSpan = toks.slice(l0, lEnd + 1)
           val rSpan = toks.slice(r0raw, r1 + 1)
           val repl: ArrayBuffer[Tok] =
-            if (regexOp || isTilde) {
+            if (isTilde) {
+              // `~` dispatches regex-vs-lquery on the literal at plan
+              // time (PgOps.pg_tilde); the starred/negated forms are
+              // regex-only in PG
+              call("pg_tilde", lSpan, rSpan)
+            } else if (regexOp) {
               val ci = t.text == "~*" || t.text == "!~*"
               val neg = t.text == "!~" || t.text == "!~*"
               val pat =

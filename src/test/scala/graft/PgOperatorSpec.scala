@@ -188,6 +188,12 @@ class PgOperatorSpec extends SparkSpec {
     assert(one("SELECT 'Thomas' !~* 'tho'") == false)
   }
 
+  test("~ falls back to the ltree lquery match on non-regex literals") {
+    assert(one("SELECT 'Top.Science.Astro' ~ '*.Science.*'") == true)
+    assert(one("SELECT 'Top.Arts.Paint' ~ '*.Science.*'") == false)
+    assert(one("SELECT 'Top.Science' ~ 'Top.*'") == true) // valid regex too
+  }
+
   test("::jsonb canonicalizes like jsonb_in; delete and concat operators") {
     assert(one("""SELECT '{"b":2,"a":1}'::jsonb""") == """{"a": 1, "b": 2}""")
     assert(one("""SELECT '{"a":1,"b":2}'::jsonb - 'a'""") == """{"b": 2}""")

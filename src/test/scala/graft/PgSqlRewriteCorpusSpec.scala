@@ -33,6 +33,29 @@ class PgSqlRewriteCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("random token soup: rewrite never throws and is idempotent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.identifier.map(_.take(8)),
+      Gen.chooseNum(-9999, 9999).map(_.toString),
+      Gen.oneOf("'a b'", "'it''s'", "\"q t\"", "`b t`", "$$dq$$",
+        "-- c", "/* c */", "(", ")", "[", "]", ",", ".", ";"),
+      Gen.oneOf("<->", "<#>", "<=>", "->", "->>", "#>", "#>>", "#-",
+        "@@", "@>", "<@", "@?", "?", "?|", "?&", "::", "~", "~*",
+        "!~", "%", "-", "||", "&&", "<=", ">=", "<>", "::vector",
+        "::jsonb", "::int[]", "::text", "SELECT", "FROM", "WHERE",
+        "AND", "transform", "array"))
+    val soup: Gen[String] =
+      Gen.listOf(frag).map(_.mkString(" ")).map(s => s.take(400))
+    val p = Prop.forAll(soup) { s =>
+      val once = rewrite(s)          // must not throw
+      rewrite(once) == once          // and must be idempotent
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), p)
+    assert(res.passed, s"soup: ${res.status}")
+  }
+
   test("identity on the oracle corpus (standard SQL is untouched)") {
     val changed = oracle.filter { case (_, sql) => rewrite(sql) != sql }
     assert(changed.isEmpty,

@@ -135,7 +135,7 @@ class PgSqlRewriteSpec extends AnyFunSuite {
   }
 
   test("regex operators") {
-    assert(rewrite("WHERE t ~ 'mas'") == "WHERE regexp_like(t, 'mas')")
+    assert(rewrite("WHERE t ~ 'mas'") == "WHERE pg_tilde(t, 'mas')")
     assert(rewrite("WHERE t ~* 'mas'") ==
       "WHERE regexp_like(t, concat('(?i)', 'mas'))")
     assert(rewrite("WHERE t !~ 'mas'") == "WHERE (not regexp_like(t, 'mas'))")
