@@ -91,6 +91,20 @@ object SqlContrib {
   private def C(e: Expression) = Bridge.column(e)
   private def X(c: org.apache.spark.sql.Column) = Bridge.toCatalyst(c)
 
+  /** The jsonb comparison family over jsonb_cmp's btree order. */
+  private def cmp0(args: Seq[Expression], op: String): Expression = {
+    import org.apache.spark.sql.functions.lit
+    val c = C(JsonbCmp(args(0), args(1)))
+    X(op match {
+      case "==" => c === lit(0)
+      case "!=" => c =!= lit(0)
+      case "<" => c < lit(0)
+      case "<=" => c <= lit(0)
+      case ">" => c > lit(0)
+      case _ => c >= lit(0)
+    })
+  }
+
   /** pgcrypto options text: only cipher-algo is meaningful here. */
   private def pgpCipher(options: String): Int = {
     val opts = options.split(",").iterator.map(_.trim).filter(_.nonEmpty)
@@ -154,6 +168,33 @@ object SqlContrib {
     "jsonb_exists_all" -> (args => JsonbExists(args(0),
       litStringArray(args(1), "jsonb_exists_all", "keys"), all = true)),
     "jsonb_concat" -> (args => JsonbConcat(args(0), args(1))),
+    // the rest of the reference's jsonb surface (builtin_funcs.ini):
+    // field/element getters under their PG names, typeof/length,
+    // the set-returning trio as ARRAYS (explode() is Spark's lateral
+    // spelling), the btree comparison family, build_object/array
+    "jsonb_object_field" -> (args => JsonbGet(args(0), args(1), text = false)),
+    "jsonb_object_field_text" -> (args => JsonbGet(args(0), args(1), text = true)),
+    "jsonb_array_element" -> (args => JsonbGet(args(0), args(1), text = false)),
+    "jsonb_array_element_text" -> (args => JsonbGet(args(0), args(1), text = true)),
+    "jsonb_typeof" -> (args => JsonbInspect(args.head, 0)),
+    "jsonb_array_length" -> (args => JsonbInspect(args.head, 1)),
+    "jsonb_object_keys" -> (args => JsonbInspect(args.head, 2)),
+    "jsonb_array_elements" -> (args => JsonbInspect(args.head, 3)),
+    "jsonb_array_elements_text" -> (args => JsonbInspect(args.head, 4)),
+    "jsonb_each" -> (args => JsonbInspect(args.head, 5)),
+    "jsonb_each_text" -> (args => JsonbInspect(args.head, 6)),
+    "jsonb_cmp" -> (args => JsonbCmp(args(0), args(1))),
+    "jsonb_eq" -> (args => cmp0(args, "==")),
+    "jsonb_ne" -> (args => cmp0(args, "!=")),
+    "jsonb_lt" -> (args => cmp0(args, "<")),
+    "jsonb_le" -> (args => cmp0(args, "<=")),
+    "jsonb_gt" -> (args => cmp0(args, ">")),
+    "jsonb_ge" -> (args => cmp0(args, ">=")),
+    "jsonb_build_object" -> (args => JsonbBuild(args, obj = true)),
+    "jsonb_build_array" -> (args => JsonbBuild(args, obj = false)),
+    "jsonb_delete_array" -> (args =>
+      litStringArray(args(1), "jsonb_delete_array", "keys")
+        .foldLeft(args(0))((e, k) => JsonbDelete(e, JsonbDelete.DelKey(k)))),
     // jsonb_delete dispatches on the LITERAL's type, like PG's
     // `- text` vs `- int` operator pair
     "jsonb_delete" -> (args => args(1) match {

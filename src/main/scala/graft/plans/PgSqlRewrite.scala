@@ -123,11 +123,24 @@ object PgSqlRewrite {
 
   def rewrite(sql: String): String =
     try {
-      val toks = lex(sql)
-      var out = arrayPass(toks)
-      out = castPass(out)
-      out = opPass(out)
-      val text = out.iterator.map(_.text).mkString
+      // iterate to a FIXPOINT: a later splice can turn a previously
+      // skipped operator's operand into a valid primary (the fuzz
+      // corpus found `5 #- [] #> 6`), and idempotence — one call
+      // produces text a second call leaves alone — is part of the
+      // contract. Each rewrite consumes a PG-op token and emits none,
+      // so the loop terminates; the cap is a safety net.
+      var text = sql
+      var rounds = 0
+      var changed = true
+      while (changed && rounds < 25) {
+        var out = arrayPass(lex(text))
+        out = castPass(out)
+        out = opPass(out)
+        val next = out.iterator.map(_.text).mkString
+        changed = next != text
+        text = next
+        rounds += 1
+      }
       if (text == sql) sql else text
     } catch { case NonFatal(_) => sql }
 

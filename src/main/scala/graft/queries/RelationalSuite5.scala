@@ -467,6 +467,35 @@ object RelationalSuite5 {
           |FROM d ORDER BY k""".stripMargin))
     }),
 
+    // ---- the rest of the jsonb SQL surface (r16, builtin_funcs.ini:
+    // typeof/array_length/object_keys/array_elements/each as arrays,
+    // the jsonb_cmp btree family with PG's type-rank + count-first +
+    // raw-scalar rules, build_object/array, delete_array) — all
+    // map-only per-row kernels over the planted doc; oracle
+    // closed-form ----
+    "sql_jsonb_surface" -> ((s, dir) => {
+      graft.functions.SqlFunctions.register(s)
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_jsurf")
+      s.sql(graft.plans.PgSqlRewrite.rewrite(
+        """WITH d AS (SELECT o_orderkey AS k,
+          |    concat('{"o":', o_orderkey, ',"tags":["p', o_orderkey % 3,
+          |           '","x"],"m":{"q":', o_orderkey % 5, '}}') AS doc
+          |  FROM orders_jsurf WHERE o_orderkey % 10 = 0)
+          |SELECT k,
+          |  jsonb_typeof(doc -> 'tags') AS t_tags,
+          |  jsonb_typeof(doc -> 'o') AS t_o,
+          |  jsonb_array_length(doc -> 'tags') AS n_tags,
+          |  array_join(jsonb_object_keys(doc), ',') AS ks,
+          |  array_join(jsonb_array_elements_text(doc -> 'tags'), '|') AS el,
+          |  array_join(transform(jsonb_each_text(doc -> 'm'),
+          |    e -> concat(e.key, ':', e.value)), ',') AS ea,
+          |  jsonb_cmp(jsonb_build_array(k % 3), '[1]'::jsonb) AS cmp31,
+          |  jsonb_eq(doc, doc) AS self_eq,
+          |  jsonb_build_object('k', k, 'p', concat('p', k % 3)) AS built,
+          |  jsonb_delete_array(doc, array['m','tags']) ->> 'o' AS del_o
+          |FROM d ORDER BY k""".stripMargin))
+    }),
+
     // ---- PG vector operators (r16; datavec vector_op.cpp `<->`,
     // `<#>`, `<=>`): the pgvector KNN idiom as ONE SQL text —
     // ORDER BY embedding <-> query LIMIT k — the operators dispatch
@@ -536,6 +565,25 @@ object RelationalSuite5 {
         |  ((o_orderkey % 50) IN (2,7) OR (o_orderkey % 7) IN (2,7)) AS qi27,
         |  NOT ((o_orderkey % 50) = 3 OR (o_orderkey % 7) = 3) AS qin3,
         |  (o_orderkey % 3 = 1) AS tsv31
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY k""".stripMargin,
+
+    // the jsonb-surface columns in closed form: type names, (len,
+    // bytes) key order m<o<tags, canonical build rendering, the
+    // sign(k%3 - 1) comparison
+    "sql_jsonb_surface" ->
+      """SELECT o_orderkey AS k,
+        |  'array' AS t_tags,
+        |  'number' AS t_o,
+        |  2 AS n_tags,
+        |  'm,o,tags' AS ks,
+        |  'p' || (o_orderkey % 3)::VARCHAR || '|x' AS el,
+        |  'q:' || (o_orderkey % 5)::VARCHAR AS ea,
+        |  (CASE WHEN o_orderkey % 3 < 1 THEN -1
+        |        WHEN o_orderkey % 3 = 1 THEN 0 ELSE 1 END) AS cmp31,
+        |  true AS self_eq,
+        |  '{"k": ' || o_orderkey::VARCHAR || ', "p": "p'
+        |    || (o_orderkey % 3)::VARCHAR || '"}' AS built,
+        |  o_orderkey::VARCHAR AS del_o
         |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY k""".stripMargin,
 
     // the same list arithmetic every A-series topk oracle runs, plus
