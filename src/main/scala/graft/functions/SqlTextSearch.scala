@@ -212,6 +212,7 @@ object SqlTextSearch {
     }),
     "tsvector_to_array" -> (args =>
       Bridge.toCatalyst(Lexize.tsvectorToArray(Bridge.column(args.head)))),
+    "tsvector_concat" -> (args => TsvConcat(args(0), args(1))),
     "tsvector_length" -> (args =>
       Bridge.toCatalyst(Lexize.tsvectorLength(Bridge.column(args.head)))),
     "ts_delete" -> (args =>
@@ -249,6 +250,18 @@ object SqlTextSearch {
       renderLit(toTsquery(FullText.websearchQuery(
         litString(a.head, "websearch_to_tsquery", "text"))))
     }),
+    // ---- the tsquery combination operators (tsquery_ops.cpp:
+    // `q1 && q2`, `q1 || q2`, `!!q`): plan-time folds over the
+    // normalized trees, rendered back to the literal form every
+    // match/rank builder compiles ----
+    "tsquery_and" -> (args => renderLit(And(
+      toTsquery(litString(args(0), "tsquery_and", "query")),
+      toTsquery(litString(args(1), "tsquery_and", "query"))))),
+    "tsquery_or" -> (args => renderLit(Or(
+      toTsquery(litString(args(0), "tsquery_or", "query")),
+      toTsquery(litString(args(1), "tsquery_or", "query"))))),
+    "tsquery_not" -> (args => renderLit(Not(
+      toTsquery(litString(args.head, "tsquery_not", "query"))))),
     "numnode" -> (args =>
       Literal(numnode(toTsquery(litString(args.head, "numnode", "query"))),
         IntegerType)),

@@ -113,6 +113,86 @@ case class ParseTsVector(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/**
+ * `tsvector || tsvector` — tsvector_op.cpp tsvector_concat: the
+ * right side's positions shift by the LEFT side's maximum position
+ * (clamped to LIMITPOS 16383), entries merge by lexeme with position
+ * union, output sorted by lexeme. Stripped right-side entries stay
+ * stripped unless the left contributes positions for the lexeme.
+ */
+case class TsvConcat(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ParseTsVector.tsvType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ParseTsVector.isTsv(left.dataType) && ParseTsVector.isTsv(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tsvector_concat needs two tsvector operands, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "tsvector_concat"
+
+  def eval2(a: Any, b: Any): GenericArrayData = {
+    val (av, bv) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    val m = new java.util.TreeMap[String, java.util.TreeSet[Integer]]()
+    var maxpos = 0
+    var i = 0
+    while (i < av.numElements) {
+      val e = av.getStruct(i, 2)
+      val lex = e.getUTF8String(0).toString
+      val ps = e.getArray(1)
+      var set = m.get(lex)
+      if (set == null) { set = new java.util.TreeSet[Integer](); m.put(lex, set) }
+      var j = 0
+      while (j < ps.numElements) {
+        val p = ps.getInt(j)
+        if (p > maxpos) maxpos = p
+        set.add(p); j += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < bv.numElements) {
+      val e = bv.getStruct(i, 2)
+      val lex = e.getUTF8String(0).toString
+      val ps = e.getArray(1)
+      var set = m.get(lex)
+      if (set == null) { set = new java.util.TreeSet[Integer](); m.put(lex, set) }
+      var j = 0
+      while (j < ps.numElements) {
+        if (set.size < 256) set.add(math.min(ps.getInt(j) + maxpos, 16383))
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val arr = new Array[Any](e.getValue.size)
+      val pit = e.getValue.iterator()
+      var x = 0
+      while (pit.hasNext) { arr(x) = pit.next().intValue; x += 1 }
+      out(k) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(e.getKey), new GenericArrayData(arr)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = eval2(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tsvConcat", this, classOf[TsvConcat].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.eval2($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ParseTsVector {
   /** The engine's tsvector layout — identical to [[TsVector]]'s. */
   val tsvType: DataType = ArrayType(StructType(Seq(

@@ -63,9 +63,9 @@ object PgSqlRewrite {
   // maximal-munch table: ours + Spark's own multi-char operators (so
   // `a <= b` never lexes as `<` `=`), longest first
   private val multiOps = Seq(
-    "<=>", "<->", "<#>", "->>", "#>>", "!~*", ">>>",
+    "@@@", "<=>", "<->", "<#>", "->>", "#>>", "!~*", ">>>",
     "@@", "@>", "<@", "@?", "->", "#>", "#-", "?|", "?&", "::",
-    "<=", ">=", "<>", "!=", "==", "!~", "~*", "||", "<<", ">>", "&&")
+    "<=", ">=", "<>", "!=", "==", "!~", "!!", "~*", "||", "<<", ">>", "&&")
 
   // idents that cannot BE a primary operand (they may still precede
   // one, e.g. WHERE j ? 'k')
@@ -82,6 +82,15 @@ object PgSqlRewrite {
     "sort", "cluster", "distribute")
 
   private val literalIdents = Set("true", "false", "null")
+
+  // operand spans STARTING with these calls carry a plan-visible
+  // type marker (`::tsquery` → to_tsquery etc.), letting `||`/`&&`
+  // dispatch tsquery/tsvector/hstore/jsonb combination
+  private val tsqueryMarks = Set("to_tsquery", "plainto_tsquery",
+    "phraseto_tsquery", "websearch_to_tsquery", "tsquery_and",
+    "tsquery_or", "tsquery_not")
+  private val tsvectorMarks =
+    Set("to_tsvector", "parse_tsvector", "tsvector_concat")
 
   // Higher-order functions whose argument-position lambdas use the
   // `->` arrow we must not rewrite: Spark's own, plus the DuckDB
@@ -567,6 +576,7 @@ object PgSqlRewrite {
     "<#>" -> ("negative_inner_product", false),
     "<=>" -> ("pg_cosine_or_eq", false),
     "@@" -> ("pg_ts_match", false),
+    "@@@" -> ("pg_ts_match", false), // PG's deprecated @@ synonym
     "@>" -> ("pg_contains", false),
     "<@" -> ("pg_contains", true),
     "->" -> ("pg_arrow_get", false),
@@ -610,17 +620,23 @@ object PgSqlRewrite {
       val isMinus = t.kind == P && t.text == "-"
       val isPct = t.kind == P && t.text == "%"
       val isConcat = t.kind == OP && t.text == "||"
+      val isAmpAmp = t.kind == OP && t.text == "&&"
+      val isBangBang = t.kind == OP && t.text == "!!"
       val opText = if (isQ) "?" else if (isTilde) "~" else t.text
       val regexOp = t.kind == OP && Set("~*", "!~", "!~*")(t.text)
       val fnOp = (t.kind == OP && fnTargets.contains(t.text)) || isQ
-      if (fnOp || regexOp || isTilde || isMinus || isConcat || isPct) {
+      if (fnOp || regexOp || isTilde || isMinus || isConcat || isPct ||
+          isAmpAmp || isBangBang) {
         // `&&` only when array-shaped is unknowable here; it has no
         // Spark meaning, so rewriting is always a strict gain.
         val lEnd = prevIdx(toks, i)
         val l0 = leftPrimary(toks, lEnd)
         val r0raw = nextIdx(toks, i)
         val r1 = rightPrimary(toks, r0raw)
-        var skip = l0 < 0 || r1 < 0
+        // `!!` is PG's PREFIX tsquery negation: no left operand
+        var skip =
+          if (isBangBang) l0 >= 0 || r1 < 0
+          else l0 < 0 || r1 < 0
         if (!skip && isMinus) {
           // jsonb/hstore key delete ONLY for `x - 'key'` with a bare
           // string-literal RHS whose content is not date/number-shaped
@@ -643,14 +659,20 @@ object PgSqlRewrite {
                 .matches("[0-9. +\\-]*")
           skip = !(strWord(l0, lEnd) || strWord(r0raw, r1))
         }
-        if (!skip && isConcat) {
-          // jsonb/hstore concat ONLY when an operand carries an
-          // explicit cast marker (::jsonb / ::hstore, already
-          // rewritten to its input parser); plain || stays concat
+        if (!skip && (isConcat || isAmpAmp)) {
+          // combination dispatch ONLY when an operand carries an
+          // explicit cast marker (::jsonb / ::hstore / ::tsquery /
+          // ::tsvector, already rewritten to its constructor); plain
+          // || stays Spark concat, plain && has no Spark meaning but
+          // only array operands reach pg_overlap
           def marked(s: Int): String =
             if (toks(s).kind == ID) lower(toks(s)) else ""
           val m = Seq(marked(l0), marked(r0raw))
-          skip = !(m.contains("jsonb_norm") || m.contains("parse_hstore"))
+          val special = m.contains("jsonb_norm") ||
+            m.contains("parse_hstore") || m.exists(tsqueryMarks) ||
+            m.exists(tsvectorMarks)
+          if (isConcat) skip = !special
+          // `&&` falls through to pg_overlap unless tsquery-marked
         }
         if (!skip && opText == "->") {
           // lambda guard: bare param (or tuple) at argument start of
@@ -669,10 +691,13 @@ object PgSqlRewrite {
           }
         }
         if (!skip) {
+          val start = if (isBangBang) i else l0 // prefix op: no left span
           val lSpan = toks.slice(l0, lEnd + 1)
           val rSpan = toks.slice(r0raw, r1 + 1)
           val repl: ArrayBuffer[Tok] =
-            if (isTilde) {
+            if (isBangBang) {
+              call("tsquery_not", rSpan)
+            } else if (isTilde) {
               // `~` dispatches regex-vs-lquery on the literal at plan
               // time (PgOps.pg_tilde); the starred/negated forms are
               // regex-only in PG
@@ -696,16 +721,26 @@ object PgSqlRewrite {
                 ArrayBuffer(Tok(WS, " "), Tok(OP, ">="), Tok(WS, " "),
                   Tok(NUM, "0.3"), Tok(P, ")"))
             } else if (isConcat) {
-              val hs = (lSpan.headOption ++ rSpan.headOption).exists(x =>
-                x.kind == ID && lower(x) == "parse_hstore")
-              call(if (hs) "hs_concat" else "jsonb_concat", lSpan, rSpan)
+              def mark(s: ArrayBuffer[Tok]): String =
+                s.headOption.filter(_.kind == ID).map(lower).getOrElse("")
+              val ms = Seq(mark(lSpan), mark(rSpan))
+              val fn =
+                if (ms.exists(tsqueryMarks)) "tsquery_or"
+                else if (ms.exists(tsvectorMarks)) "tsvector_concat"
+                else if (ms.contains("parse_hstore")) "hs_concat"
+                else "jsonb_concat"
+              call(fn, lSpan, rSpan)
+            } else if (isAmpAmp &&
+                Seq(lSpan, rSpan).exists(s => s.headOption.exists(x =>
+                  x.kind == ID && tsqueryMarks(lower(x))))) {
+              call("tsquery_and", lSpan, rSpan)
             } else {
               val (fn, swap) = if (isQ) ("pg_key_exists", false) else fnTargets(opText)
               if (swap) call(fn, rSpan, lSpan) else call(fn, lSpan, rSpan)
             }
-          toks.remove(l0, r1 - l0 + 1)
-          toks.insertAll(l0, repl)
-          i = l0 // rescan from the replacement (it is now a primary)
+          toks.remove(start, r1 - start + 1)
+          toks.insertAll(start, repl)
+          i = start // rescan from the replacement (it is now a primary)
         } else i += 1
       } else i += 1
     }

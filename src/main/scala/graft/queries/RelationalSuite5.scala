@@ -463,7 +463,9 @@ object RelationalSuite5 {
           |  (doc #- '{m,q}') #>> '{m}' AS delp,
           |  (il::int[] @@ '2 | 7'::query_int) AS qi27,
           |  (il::int[] @@ '!3'::query_int) AS qin3,
-          |  (concat('w', k % 3, ':1 x:2')::tsvector @@ 'w1 <-> x') AS tsv31
+          |  (concat('w', k % 3, ':1 x:2')::tsvector @@ 'w1 <-> x') AS tsv31,
+          |  ((concat('w', k % 3, ':1')::tsvector || 'x:1'::tsvector)
+          |    @@ ('w1 <-> x'::tsquery && 'x'::tsquery)) AS tsv_alg
           |FROM d ORDER BY k""".stripMargin))
     }),
 
@@ -564,7 +566,8 @@ object RelationalSuite5 {
         |  '{}' AS delp,
         |  ((o_orderkey % 50) IN (2,7) OR (o_orderkey % 7) IN (2,7)) AS qi27,
         |  NOT ((o_orderkey % 50) = 3 OR (o_orderkey % 7) = 3) AS qin3,
-        |  (o_orderkey % 3 = 1) AS tsv31
+        |  (o_orderkey % 3 = 1) AS tsv31,
+        |  (o_orderkey % 3 = 1) AS tsv_alg
         |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY k""".stripMargin,
 
     // the jsonb-surface columns in closed form: type names, (len,

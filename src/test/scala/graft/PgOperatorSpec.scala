@@ -235,6 +235,18 @@ class PgOperatorSpec extends SparkSpec {
       "cat:1,2,9")
   }
 
+  test("tsvector || shifts positions; tsquery algebra composes") {
+    assert(one("""SELECT array_join(transform('a:1 b:2'::tsvector || 'c:1'::tsvector,
+                 |  e -> concat(e.lex, ':', array_join(e.positions, ','))), '|')""".stripMargin) ==
+      "a:1|b:2|c:3")
+    // the shifted positions make the cross-boundary phrase real
+    assert(one("SELECT ('cat:1'::tsvector || 'dog:1'::tsvector) @@ 'cat <-> dog'") == true)
+    assert(one("SELECT 'cat:1'::tsvector @@ ('cat'::tsquery && 'dog'::tsquery)") == false)
+    assert(one("SELECT 'cat:1'::tsvector @@ ('cat'::tsquery || 'dog'::tsquery)") == true)
+    assert(one("SELECT 'cat:1'::tsvector @@ (!! 'dog'::tsquery)") == true)
+    assert(one("SELECT 'cat:1'::tsvector @@@ 'cat'") == true)
+  }
+
   test("ts_rank over a materialized tsvector equals the text path") {
     // 'cat dog cat' lexizes to exactly cat:1,3 dog:2
     for (norm <- Seq(0, 2, 8)) {

@@ -118,6 +118,21 @@ class PgSqlRewriteSpec extends AnyFunSuite {
     assert(rewrite("SELECT a || b") == "SELECT a || b")
   }
 
+  test("tsquery algebra and tsvector concat operators") {
+    assert(rewrite("SELECT 'a'::tsquery || 'b'::tsquery") ==
+      "SELECT tsquery_or(to_tsquery('a'), to_tsquery('b'))")
+    assert(rewrite("SELECT 'a'::tsquery && 'b & c'::tsquery") ==
+      "SELECT tsquery_and(to_tsquery('a'), to_tsquery('b & c'))")
+    assert(rewrite("SELECT !! 'a'::tsquery") ==
+      "SELECT tsquery_not(to_tsquery('a'))")
+    assert(rewrite("SELECT t @@@ 'q'::tsquery FROM d") ==
+      "SELECT pg_ts_match(t, to_tsquery('q')) FROM d")
+    assert(rewrite("SELECT 'a:1'::tsvector || 'b:1'::tsvector") ==
+      "SELECT tsvector_concat(parse_tsvector('a:1'), parse_tsvector('b:1'))")
+    // unmarked || and binary ! stay untouched
+    assert(rewrite("SELECT a || b") == "SELECT a || b")
+  }
+
   test("trgm % threshold and jsonpath @? operators") {
     assert(rewrite("WHERE name % 'smith'") ==
       "WHERE (similarity(name, 'smith') >= 0.3)")
