@@ -160,12 +160,51 @@ object PgOps {
       case _ => SqlTextSearch.all("ts_match")(args)
     }),
 
-    // ---- a - 'k' : jsonb / hstore key delete ----
-    "pg_minus" -> (args => args(0).dataType match {
-      case MapType(_, _, _) => SqlContrib.all("delete")(args)
-      case StringType => SqlContrib.all("jsonb_delete")(args)
-      case other => throw new IllegalArgumentException(
-        s"graft: - needs a jsonb or hstore left operand, got ${other.sql}")
+    // ---- a - b : jsonb / hstore key delete, intarray difference ----
+    // intarray semantics (_int_op.cpp): `-` removes ALL occurrences
+    // of the right side's elements but keeps the left's duplicates,
+    // so these are filters, not array_except (which dedups)
+    "pg_minus" -> (args => (args(0).dataType, args(1).dataType) match {
+      case (MapType(_, _, _), _) => SqlContrib.all("delete")(args)
+      case (ArrayType(_, _), ArrayType(_, _)) =>
+        import org.apache.spark.sql.functions.{array_contains, filter}
+        X(filter(C(args(0)), x => !array_contains(C(args(1)), x)))
+      case (ArrayType(_, _), _) =>
+        import org.apache.spark.sql.functions.filter
+        X(filter(C(args(0)), x => !(x <=> C(args(1)))))
+      case (StringType, _) => SqlContrib.all("jsonb_delete")(args)
+      case (other, _) => throw new IllegalArgumentException(
+        s"graft: - needs a jsonb, hstore or int[] left operand, got ${other.sql}")
+    }),
+
+    // ---- intarray + | & (contrib/intarray _int.sql operator table):
+    // + concatenates / appends (keeps duplicates), | is the sorted
+    // distinct union, & the sorted distinct intersection ----
+    "pg_plus" -> (args => (args(0).dataType, args(1).dataType) match {
+      case (ArrayType(_, _), ArrayType(_, _)) =>
+        import org.apache.spark.sql.functions.concat
+        X(concat(C(args(0)), C(args(1))))
+      case (ArrayType(_, _), _) =>
+        import org.apache.spark.sql.functions.array_append
+        X(array_append(C(args(0)), C(args(1))))
+      case _ => throw new IllegalArgumentException(
+        s"graft: + needs an int[] left operand, got ${argTypes(args)}")
+    }),
+    "_int_union" -> (args => {
+      import org.apache.spark.sql.functions.{array_distinct, array_sort, concat}
+      X(array_sort(array_distinct(concat(C(args(0)), C(args(1))))))
+    }),
+    "_int_inter" -> (args => {
+      import org.apache.spark.sql.functions.{array_intersect, array_sort}
+      X(array_sort(array_intersect(C(args(0)), C(args(1)))))
+    }),
+
+    // ---- ltree || ltree : path concatenation ----
+    "ltree_concat" -> (args => {
+      import org.apache.spark.sql.functions.{concat, length, lit, when}
+      val l = C(args(0)); val r = C(args(1))
+      X(when(length(l) === 0, r).when(length(r) === 0, l)
+        .otherwise(concat(l, lit("."), r)))
     }),
 
     // ---- a ~ b : POSIX regex (regexp.c), falling back to the ltree

@@ -91,6 +91,15 @@ object PgSqlRewrite {
     "tsquery_or", "tsquery_not")
   private val tsvectorMarks =
     Set("to_tsvector", "parse_tsvector", "tsvector_concat")
+  // chains stay marked: each dispatch output joins its input set
+  private val intArrayMarks =
+    Set("parse_int_array", "pg_plus", "_int_union", "_int_inter", "sort",
+      "uniq", "subarray", "intset")
+  private val ltreeMarks =
+    Set("text2ltree", "ltree_concat", "subltree", "subpath")
+  private val jsonbMarks = Set("jsonb_norm", "jsonb_concat",
+    "jsonb_build_object", "jsonb_build_array", "jsonb_set", "jsonb_insert")
+  private val hstoreMarks = Set("parse_hstore", "hs_concat", "hstore")
 
   // Higher-order functions whose argument-position lambdas use the
   // `->` arrow we must not rewrite: Spark's own, plus the DuckDB
@@ -622,11 +631,14 @@ object PgSqlRewrite {
       val isConcat = t.kind == OP && t.text == "||"
       val isAmpAmp = t.kind == OP && t.text == "&&"
       val isBangBang = t.kind == OP && t.text == "!!"
+      // intarray +/|/& rewrite ONLY against an ::int[] cast marker
+      val isIntOp = t.kind == P &&
+        (t.text == "+" || t.text == "|" || t.text == "&")
       val opText = if (isQ) "?" else if (isTilde) "~" else t.text
       val regexOp = t.kind == OP && Set("~*", "!~", "!~*")(t.text)
       val fnOp = (t.kind == OP && fnTargets.contains(t.text)) || isQ
       if (fnOp || regexOp || isTilde || isMinus || isConcat || isPct ||
-          isAmpAmp || isBangBang) {
+          isAmpAmp || isBangBang || isIntOp) {
         // `&&` only when array-shaped is unknowable here; it has no
         // Spark meaning, so rewriting is always a strict gain.
         val lEnd = prevIdx(toks, i)
@@ -637,11 +649,17 @@ object PgSqlRewrite {
         var skip =
           if (isBangBang) l0 >= 0 || r1 < 0
           else l0 < 0 || r1 < 0
-        if (!skip && isMinus) {
+        def headMark(s: Int): String =
+          if (s >= 0 && s < toks.length && toks(s).kind == ID) lower(toks(s))
+          else ""
+        val intMarked =
+          intArrayMarks(headMark(l0)) || intArrayMarks(headMark(r0raw))
+        if (!skip && isMinus && !intMarked) {
           // jsonb/hstore key delete ONLY for `x - 'key'` with a bare
           // string-literal RHS whose content is not date/number-shaped
           // (standard SQL gives string subtraction no meaning, so the
-          // rewrite can't shadow working arithmetic)
+          // rewrite can't shadow working arithmetic); an ::int[]
+          // marker instead selects the intarray difference
           val bareStr = r0raw == r1 && toks(r0raw).kind == STR &&
             toks(r0raw).text.startsWith("'")
           val content =
@@ -649,6 +667,7 @@ object PgSqlRewrite {
           skip = !bareStr || content.isEmpty ||
             content.matches("[0-9.+\\-: ]+")
         }
+        if (!skip && isIntOp) skip = !intMarked
         if (!skip && isPct) {
           // pg_trgm similarity threshold ONLY for `x % 'word'` with a
           // bare non-numeric string literal on either side — numeric
@@ -668,9 +687,9 @@ object PgSqlRewrite {
           def marked(s: Int): String =
             if (toks(s).kind == ID) lower(toks(s)) else ""
           val m = Seq(marked(l0), marked(r0raw))
-          val special = m.contains("jsonb_norm") ||
-            m.contains("parse_hstore") || m.exists(tsqueryMarks) ||
-            m.exists(tsvectorMarks)
+          val special = m.exists(jsonbMarks) || m.exists(hstoreMarks) ||
+            m.exists(tsqueryMarks) || m.exists(tsvectorMarks) ||
+            m.exists(ltreeMarks)
           if (isConcat) skip = !special
           // `&&` falls through to pg_overlap unless tsquery-marked
         }
@@ -727,8 +746,16 @@ object PgSqlRewrite {
               val fn =
                 if (ms.exists(tsqueryMarks)) "tsquery_or"
                 else if (ms.exists(tsvectorMarks)) "tsvector_concat"
-                else if (ms.contains("parse_hstore")) "hs_concat"
+                else if (ms.exists(hstoreMarks)) "hs_concat"
+                else if (ms.exists(ltreeMarks)) "ltree_concat"
                 else "jsonb_concat"
+              call(fn, lSpan, rSpan)
+            } else if (isIntOp) {
+              val fn = t.text match {
+                case "+" => "pg_plus"
+                case "|" => "_int_union"
+                case _ => "_int_inter"
+              }
               call(fn, lSpan, rSpan)
             } else if (isAmpAmp &&
                 Seq(lSpan, rSpan).exists(s => s.headOption.exists(x =>

@@ -465,7 +465,10 @@ object RelationalSuite5 {
           |  (il::int[] @@ '!3'::query_int) AS qin3,
           |  (concat('w', k % 3, ':1 x:2')::tsvector @@ 'w1 <-> x') AS tsv31,
           |  ((concat('w', k % 3, ':1')::tsvector || 'x:1'::tsvector)
-          |    @@ ('w1 <-> x'::tsquery && 'x'::tsquery)) AS tsv_alg
+          |    @@ ('w1 <-> x'::tsquery && 'x'::tsquery)) AS tsv_alg,
+          |  array_join(il::int[] | '{1}'::int[], ',') AS iun,
+          |  array_join(il::int[] - concat('{', k % 7, '}')::int[], ',') AS idf,
+          |  ('Top.S'::ltree || concat('n', k % 4)) AS ltc
           |FROM d ORDER BY k""".stripMargin))
     }),
 
@@ -567,7 +570,12 @@ object RelationalSuite5 {
         |  ((o_orderkey % 50) IN (2,7) OR (o_orderkey % 7) IN (2,7)) AS qi27,
         |  NOT ((o_orderkey % 50) = 3 OR (o_orderkey % 7) = 3) AS qin3,
         |  (o_orderkey % 3 = 1) AS tsv31,
-        |  (o_orderkey % 3 = 1) AS tsv_alg
+        |  (o_orderkey % 3 = 1) AS tsv_alg,
+        |  array_to_string(list_sort(list_distinct(
+        |    [o_orderkey % 50, o_orderkey % 7, 1])), ',') AS iun,
+        |  CASE WHEN o_orderkey % 50 = o_orderkey % 7 THEN ''
+        |       ELSE (o_orderkey % 50)::VARCHAR END AS idf,
+        |  'Top.S.n' || (o_orderkey % 4)::VARCHAR AS ltc
         |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY k""".stripMargin,
 
     // the jsonb-surface columns in closed form: type names, (len,

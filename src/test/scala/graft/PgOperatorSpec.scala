@@ -213,6 +213,17 @@ class PgOperatorSpec extends SparkSpec {
     assert(one("""SELECT '{"a":[1,2]}'::jsonb @? '$.b'""") == false)
   }
 
+  test("intarray arithmetic operators keep contrib semantics") {
+    def aj(sql: String) = one(s"SELECT array_join($sql, ',')")
+    assert(aj("'{1,1,2}'::int[] - '{2}'::int[]") == "1,1") // keeps dups
+    assert(aj("'{2,1}'::int[] | '{3,1}'::int[]") == "1,2,3") // sorted distinct
+    assert(aj("'{1,2,3}'::int[] & '{3,2,5}'::int[]") == "2,3")
+    assert(aj("'{1,2}'::int[] + '{2,3}'::int[]") == "1,2,2,3")
+    assert(aj("'{1}'::int[] + 7") == "1,7")
+    assert(one("SELECT 'a.b'::ltree || 'c.d'") == "a.b.c.d")
+    assert(one("SELECT nlevel('a.b'::ltree || 'c.d')") == 4)
+  }
+
   test("int[] @@ query_int boolean queries") {
     assert(one("SELECT '{1,2,7}'::int[] @@ '7 & (10 | 2)'::query_int") == true)
     assert(one("SELECT '{1,2,7}'::int[] @@ '7 & 10'::query_int") == false)

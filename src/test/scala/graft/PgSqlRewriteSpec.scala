@@ -118,6 +118,22 @@ class PgSqlRewriteSpec extends AnyFunSuite {
     assert(rewrite("SELECT a || b") == "SELECT a || b")
   }
 
+  test("intarray arithmetic and ltree concat, marker-guarded") {
+    assert(rewrite("SELECT a::int[] + b::int[]") ==
+      "SELECT pg_plus(parse_int_array(a), parse_int_array(b))")
+    assert(rewrite("SELECT a::int[] - '{3}'::int[]") ==
+      "SELECT pg_minus(parse_int_array(a), parse_int_array('{3}'))")
+    assert(rewrite("SELECT a::int[] | b::int[]") ==
+      "SELECT _int_union(parse_int_array(a), parse_int_array(b))")
+    assert(rewrite("SELECT a::int[] & b::int[]") ==
+      "SELECT _int_inter(parse_int_array(a), parse_int_array(b))")
+    assert(rewrite("SELECT 'a.b'::ltree || 'c'") ==
+      "SELECT ltree_concat(text2ltree('a.b'), 'c')")
+    // unmarked arithmetic is untouched
+    for (q <- Seq("SELECT a + b", "SELECT a - b", "SELECT a | b",
+        "SELECT a & b")) assert(rewrite(q) == q)
+  }
+
   test("tsquery algebra and tsvector concat operators") {
     assert(rewrite("SELECT 'a'::tsquery || 'b'::tsquery") ==
       "SELECT tsquery_or(to_tsquery('a'), to_tsquery('b'))")
