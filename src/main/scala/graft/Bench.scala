@@ -59,7 +59,7 @@ object Bench {
     "fts_rank_cd", "fts_indexed_retrieve", "hybrid_rrf", "trgm_search",
     "fts_parser", "fts_headline_default", "sql_fts", "sql_contrib",
     // PG operator syntax (r16 session 2): the rewriter+dispatch path
-    "sql_pg_ops", "sql_pg_vector",
+    "sql_pg_ops", "sql_pg_vector", "sql_jsonb_surface",
     // storage introspection + foreign files (r15 families, sub-second)
     "storage_stats", "file_fdw",
     // dbmind additions (r16)
