@@ -60,6 +60,8 @@ object Bench {
     "fts_parser", "fts_headline_default", "sql_fts", "sql_contrib",
     // PG operator syntax (r16 session 2): the rewriter+dispatch path
     "sql_pg_ops", "sql_pg_vector", "sql_jsonb_surface",
+    // statement-level SQL (r17): MERGE routing + CONNECT BY routing
+    "sql_merge", "sql_connect_by",
     // storage introspection + foreign files (r15 families, sub-second)
     "storage_stats", "file_fdw",
     // dbmind additions (r16)
@@ -272,19 +274,26 @@ object Bench {
 
     val (fileLine, summary) = currentLine(scaleJson +
       f""","scale_ok":$scaleOk,"phase_b_passes":$pass,"elapsed":${elapsed()}%.1f,"budget":$budget%.0f""")
-    // Artifact quality gate (r16): a contended run must not replace a
-    // quiet baseline — it lands on the .contended.json side channel.
-    // Criterion (refined late-r16): per-query spread>median alone is
-    // NOT contention evidence on sub-second queries — timer/JIT noise
-    // of ±0.3 s trips it on SOME of 67 queries in virtually every
-    // pass, permanently freezing the artifact. Medians-of-3 are
-    // robust to one noisy rep; what contention actually inflates is
-    // the MEDIANS. So a candidate replaces the artifact when its
-    // median total is no worse than the committed one (+5% slack, or
-    // the query set changed — a stale set must refresh); it is
-    // side-channeled only when spread outliers coincide with a WORSE
-    // total than the committed baseline.
-    val contendedQs = names.filter(n => spreadOf(reps(n)) > 1.0)
+    // Artifact quality gate (tightened r17, per the r16 verdict): a
+    // candidate replaces the committed artifact only when BOTH hold —
+    //  (a) its median total is no worse than the committed one (+5%
+    //      slack), and
+    //  (b) every query's ABSOLUTE rep spread (max−min) is within
+    //      max(median, 0.3 s) — the 0.3 s floor absorbs timer/JIT
+    //      noise on sub-second queries (the late-r16 lesson) while a
+    //      genuinely contended run, whose spreads blow past their own
+    //      medians, can no longer land just by luckily beating the
+    //      total. Per-query medians in the committed artifact are
+    //      trustworthy regression anchors again.
+    // A changed query set (or no committed artifact) always refreshes.
+    def absSpread(ts: Vector[Double]): Double = {
+      val ok = ts.filter(_ >= 0)
+      if (ok.size < 2) 0.0 else ok.max - ok.min
+    }
+    val contendedQs = names.filter { n =>
+      val m = med(reps(n))
+      m >= 0 && absSpread(reps(n)) > math.max(m, 0.3)
+    }
     val committedTotal: Option[Double] =
       try {
         val s = new String(java.nio.file.Files.readAllBytes(
@@ -300,15 +309,14 @@ object Bench {
         m.map(_.group(1).count(_ == ':'))
       } catch { case scala.util.control.NonFatal(_) => None }
     val medTotal = names.map(n => med(reps(n))).filter(_ >= 0).sum
-    val accept = contendedQs.isEmpty ||
-      committedTotal.isEmpty ||
+    val accept = committedTotal.isEmpty ||
       committedN.exists(_ != names.size) ||
-      medTotal <= committedTotal.get * 1.05
+      (contendedQs.isEmpty && medTotal <= committedTotal.get * 1.05)
     if (accept) writeTo(outPath, fileLine)
     else {
       writeTo(contendedPath, fileLine)
-      System.err.println(s"[bench] CONTENDED RUN (spread > median on " +
-        s"${contendedQs.mkString(", ")} AND total $medTotal worse than " +
+      System.err.println(s"[bench] REJECTED RUN (spread > max(median, 0.3s) " +
+        s"on [${contendedQs.mkString(", ")}] or total $medTotal worse than " +
         s"committed ${committedTotal.get}) — artifact written to " +
         s"$contendedPath; $outPath left untouched")
     }

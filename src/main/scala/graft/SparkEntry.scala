@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.AnnSuite.queries ++
       graft.queries.TextSuite.queries ++
       graft.queries.DedupSuite.queries ++
+      graft.queries.SqlStatementSuite.queries ++
       graft.queries.StreamingSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.AnnSuite.oracle ++
       graft.queries.TextSuite.oracle ++
       graft.queries.DedupSuite.oracle ++
+      graft.queries.SqlStatementSuite.oracle ++
       graft.queries.StreamingSuite.oracle
 }

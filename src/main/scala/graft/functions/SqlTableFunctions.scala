@@ -66,6 +66,22 @@ object SqlTableFunctions {
         graft.operators.TableFunc.normalRand(SparkSession.active, n, mean,
           stddev, seed))
     }),
+    // contrib/dblink (dblink.c dblink_record_internal): run a query on
+    // a remote database and expose the result set in the FROM clause.
+    // PG needs an AS (col type, ...) clause because dblink returns
+    // anonymous records; the JDBC path infers the schema from the
+    // remote prepared statement, so the AS clause is unnecessary.
+    // Spark wraps the shipped query as a derived table — outer
+    // filters/limits still push into the remote scan around it.
+    "dblink" -> (args => {
+      require(args.length == 2,
+        "graft: dblink expects (connstr, query) string literals")
+      val url = litString(args(0), "dblink", "connstr")
+      val remoteSql = litString(args(1), "dblink", "query")
+      org.apache.spark.sql.graft.Bridge.logicalPlan(
+        graft.sources.JdbcSource.readQuery(SparkSession.active, url,
+          remoteSql))
+    }),
     // tsearch introspection SRFs, exactly the regress spelling
     // (`SELECT * FROM ts_parse('default', '...')`, ts_token_type,
     // ts_debug) — literal text, constant-sized local relations. The

@@ -16,6 +16,43 @@ import org.apache.spark.sql.functions._
  * plan, nothing joins at scale), so PREDICT BY over 100 TB is a
  * map-only scan exactly like the reference's per-row C call.
  */
+/**
+ * In-session model catalog behind the `CREATE MODEL` / `PREDICT BY`
+ * SQL statements (reference: gram.y:11597 CreateModelStmt /
+ * gram.y:27180 PREDICT BY; db4ai/catalog/model_warehouse.cpp stores
+ * trained models in gs_model_warehouse and later queries apply them
+ * by name). The Spark analogue keeps the trained parameters — a few
+ * doubles — in a process-wide registry; `PREDICT BY` splices them
+ * into the plan as LITERALS, so prediction ships inside the query
+ * (map-only at any scale, no lookup join). [[ModelStore]] remains
+ * the durable parquet form; this catalog is the statement surface's
+ * working set, exportable through it.
+ */
+object ModelCatalog {
+  sealed trait Model
+  /** w(0) = intercept; algorithm records the spelling that trained it;
+    * features keep the CREATE MODEL expression texts so EXPLAIN MODEL
+    * can render the trained relation (db4ai explain_model.h). */
+  final case class LinearModel(algorithm: String, weights: Array[Double],
+      classify: Boolean, features: Seq[String]) extends Model
+
+  private val models =
+    scala.collection.concurrent.TrieMap.empty[String, Model]
+
+  private def norm(name: String): String =
+    name.toLowerCase(java.util.Locale.ROOT)
+
+  def put(name: String, m: Model): Unit = { models(norm(name)) = m; () }
+
+  def get(name: String): Model =
+    models.getOrElse(norm(name), throw new IllegalArgumentException(
+      s"graft: model '$name' does not exist (CREATE MODEL first)"))
+
+  def drop(name: String): Boolean = models.remove(norm(name)).isDefined
+
+  def list: Seq[(String, Model)] = models.toSeq.sortBy(_._1)
+}
+
 object ModelStore {
 
   /** Persist a named weight vector (idx 0 = intercept). */

@@ -62,6 +62,18 @@ object RecursiveSql {
 
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** True iff `query` is a WITH RECURSIVE list with at least one
+   *  UNION-distinct self-recursive member — the form Spark's native
+   *  recursive-CTE executor rejects and [[sql]] rewrites onto the
+   *  fixpoint. The statement router ([[graft.plans.PgStatements]])
+   *  uses this to decide interception WITHOUT calling spark.sql (which
+   *  would re-enter the injected parser). */
+  private[graft] def needsFixpoint(query: String): Boolean =
+    parseList(query).exists { case (ctes, _) =>
+      ctes.exists(c => countRefs(c.body, c.name) > 0 &&
+        splitTopUnion(c.body).exists(!_._3))
+    }
+
   /** Run `query`, rewriting UNION-distinct recursive CTEs onto the
    *  fixpoint operator; all other SQL goes to the native parser. */
   def sql(spark: SparkSession, query: String, maxIter: Int = 100): DataFrame =

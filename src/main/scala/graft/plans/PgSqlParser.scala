@@ -13,18 +13,34 @@ import org.apache.spark.sql.types.{DataType, StructType}
  * parser — injected by [[graft.GraftExtensions]] via injectParser,
  * the same packaging Spark's docs use for syntax extensions.
  * Identifier/type parsing passes through untouched.
+ *
+ * STATEMENT routing (r17): after the operator rewrite, whole-plan
+ * parsing additionally (1) splices `PREDICT BY model (FEATURES ...)`
+ * into stored-weight literals and (2) routes the openGauss statement
+ * forms Spark's grammar lacks — WITH RECURSIVE (distinct-union),
+ * MERGE INTO a temp view, START WITH / CONNECT BY, TIMECAPSULE,
+ * CREATE/DROP MODEL — onto the library's engines via
+ * [[PgStatements]]. Anything unrouted delegates unchanged. Statement
+ * routing is NOT applied to nested-query parsing (parseQuery), where
+ * only expression-level rewrites are legal.
  */
 class PgSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  private def plan(sqlText: String)(fallback: String => LogicalPlan): LogicalPlan = {
+    val spliced = PgStatements.splicePredict(PgSqlRewrite.rewrite(sqlText))
+    PgStatements.route(spliced).getOrElse(fallback(spliced))
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(PgSqlRewrite.rewrite(sqlText))
+    plan(sqlText)(delegate.parsePlan)
 
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(PgSqlRewrite.rewrite(sqlText), ctx)
+    plan(sqlText)(delegate.parsePlanWithParameters(_, ctx))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(PgSqlRewrite.rewrite(sqlText))
+    delegate.parseQuery(
+      PgStatements.splicePredict(PgSqlRewrite.rewrite(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(PgSqlRewrite.rewrite(sqlText))

@@ -1,0 +1,1022 @@
+package graft.plans
+
+import graft.operators.{Flashback, Hierarchy, Iterate, Ml, ModelCatalog, RecursiveSql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.graft.Bridge
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+/**
+ * STATEMENT-level openGauss SQL on Spark — the layer above
+ * [[PgSqlRewrite]] (which rewrites expressions/operators/casts only).
+ * [[PgSqlParser]] hands every statement here after the operator
+ * rewrite; statements Spark's grammar cannot express route onto the
+ * library's gated engines, everything else falls through untouched.
+ *
+ * Routed forms (reference grammar src/common/backend/parser/gram.y):
+ *  - `WITH RECURSIVE ... UNION ...` (gram.y:23994) — the
+ *    UNION-DISTINCT recursion Spark's native recursive CTE rejects —
+ *    onto [[RecursiveSql]]'s semi-naive fixpoint (C17).
+ *  - `MERGE INTO t USING s ON ... WHEN [NOT] MATCHED ...`
+ *    (gram.y MergeStmt) — rewritten into ONE full-outer-join SELECT
+ *    (first-true-clause CASE ladders, exactly MERGE's clause order
+ *    semantics), materialized, and re-registered as the target view.
+ *  - `SELECT ... START WITH ... CONNECT BY PRIOR ...`
+ *    (gram.y start_with_clause/connect_by_clause; regress
+ *    sw_bugfix-1.sql) — onto [[Hierarchy.connectBy]]; LEVEL /
+ *    CONNECT_BY_ROOT / SYS_CONNECT_BY_PATH / CONNECT_BY_ISLEAF map to
+ *    the operator's output columns.
+ *  - `... FROM t TIMECAPSULE {TIMESTAMP|CSN} expr` and
+ *    `TIMECAPSULE TABLE t TO {TIMESTAMP|CSN} expr` (gram.y:6416-6453)
+ *    — onto [[Flashback.asOf]] over the change-log convention
+ *    (first column = key, `ts`/`csn` version columns, `op` marker;
+ *    see Flashback's scaladoc for why a lakehouse log IS the MVCC
+ *    undo analogue).
+ *  - `CREATE MODEL m USING algo FEATURES ... TARGET ... FROM ...`
+ *    (gram.y:11597) and the `PREDICT BY m (FEATURES ...)` expression
+ *    (gram.y:27180) — training runs the exact cross-engine kernels
+ *    (linregr Gram sums + Cramer solve / the quantized-gradient
+ *    logregr chain), weights land in [[ModelCatalog]], and PREDICT BY
+ *    splices them into the statement as LITERALS so scoring is
+ *    map-only codegen at any scale (db4ai predict_by.h's per-row call
+ *    shape, without the call).
+ *
+ * Execution model ("materialize-and-substitute"): recursive/
+ * hierarchical/merge statements run their iterative or write phase
+ * at parse time through the engine (the only honest place — Spark
+ * plans are DAGs, fixpoints are not), register the result under a
+ * uniquified temp view, and return the rewritten statement's analyzed
+ * plan. All scanning is token-based over the same comment/quote-aware
+ * lexing discipline as PgSqlRewrite — text inside literals can never
+ * trigger routing.
+ *
+ * Scale: routing itself is plan-time string work. Every routed
+ * statement lands on an engine whose distribution story is already
+ * gated: the fixpoint's delta rounds, connectBy's frontier joins,
+ * merge's single full-outer join, asOf's one map-side-combined
+ * max_by, PREDICT BY's literal-only projection.
+ */
+object PgStatements {
+
+  // ------------------------------------------------------------------
+  // lexer: comment/quote-aware token stream that PRESERVES text
+  // (concatenating token texts reproduces the input verbatim)
+  // ------------------------------------------------------------------
+
+  private final val WS = 0  // whitespace + comments
+  private final val STR = 1 // '...' string literal
+  private final val ID = 2  // identifier (incl. "quoted" and `quoted`)
+  private final val P = 3   // anything else (numbers, punct)
+
+  private final case class Tok(kind: Int, text: String) {
+    def lower: String =
+      if (kind == ID) text.toLowerCase(java.util.Locale.ROOT) else text
+    /** identifier text with quoting stripped (catalog lookups). */
+    def ident: String = {
+      val t = text
+      if (t.length >= 2 && (t.head == '"' || t.head == '`') && t.last == t.head)
+        t.substring(1, t.length - 1)
+      else t
+    }
+  }
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = ArrayBuffer.empty[Tok]
+    val n = s.length
+    var i = 0
+    def quoted(q: Char): Int = {
+      var j = i + 1
+      while (j < n) {
+        if (s(j) == q) {
+          if (j + 1 < n && s(j + 1) == q) j += 2 else return j + 1
+        } else j += 1
+      }
+      n // unterminated: rest of string
+    }
+    while (i < n) {
+      val c = s(i)
+      if (c.isWhitespace) {
+        var j = i; while (j < n && s(j).isWhitespace) j += 1
+        out += Tok(WS, s.substring(i, j)); i = j
+      } else if (s.startsWith("--", i)) {
+        val j = s.indexOf('\n', i)
+        val e = if (j < 0) n else j + 1
+        out += Tok(WS, s.substring(i, e)); i = e
+      } else if (s.startsWith("/*", i)) {
+        val j = s.indexOf("*/", i + 2)
+        val e = if (j < 0) n else j + 2
+        out += Tok(WS, s.substring(i, e)); i = e
+      } else if (c == '\'') {
+        val e = quoted('\''); out += Tok(STR, s.substring(i, e)); i = e
+      } else if (c == '"' || c == '`') {
+        val e = quoted(c); out += Tok(ID, s.substring(i, e)); i = e
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (s(j).isLetterOrDigit || s(j) == '_' || s(j) == '$')) j += 1
+        out += Tok(ID, s.substring(i, j)); i = j
+      } else if (c.isDigit) {
+        var j = i
+        while (j < n && (s(j).isLetterOrDigit || s(j) == '.')) j += 1
+        out += Tok(P, s.substring(i, j)); i = j
+      } else {
+        out += Tok(P, c.toString); i += 1
+      }
+    }
+    out.toVector
+  }
+
+  /** Statement view: tokens + significant (non-WS) index list + depth
+    * of each significant token (paren nesting BEFORE the token). */
+  private final class Stmt(val toks: Vector[Tok]) {
+    val sig: Vector[Int] = toks.indices.filter(toks(_).kind != WS).toVector
+    val depth: Array[Int] = {
+      val d = new Array[Int](sig.length)
+      var cur = 0
+      var k = 0
+      while (k < sig.length) {
+        val t = toks(sig(k)).text
+        if (t == ")") cur -= 1
+        d(k) = cur
+        if (t == "(") cur += 1
+        k += 1
+      }
+      d
+    }
+    def n: Int = sig.length
+    def tok(k: Int): Tok = toks(sig(k))
+    def lower(k: Int): String = if (k < n) tok(k).lower else ""
+    def ident(k: Int): String = tok(k).ident
+    /** Raw text spanned by significant tokens [a, b) (b may be n). */
+    def text(a: Int, b: Int): String = {
+      if (a >= b) return ""
+      val from = sig(a)
+      val to = if (b >= n) toks.length else sig(b)
+      toks.slice(from, to).map(_.text).mkString.trim
+    }
+    /** Next significant index ≥ from whose depth is 0 and whose lower
+      * text is in `stop`; n if none. */
+    def nextTop(from: Int, stop: Set[String]): Int = {
+      var k = from
+      while (k < n && !(depth(k) == 0 && stop(lower(k)))) k += 1
+      k
+    }
+    /** Index just past the ")" matching an "(" at sig index `open`. */
+    def matching(open: Int): Int = {
+      require(lower(open) == "(", s"graft: expected '(' at token $open")
+      var k = open + 1
+      while (k < n && depth(k) > depth(open)) k += 1
+      k + 1 // k is the ')'
+    }
+    /** Split significant range [a, b) on commas at the RANGE's entry
+      * depth; returns sig-index sub-ranges. */
+    def splitCommas(a: Int, b: Int): Seq[(Int, Int)] = {
+      if (a >= b) return Seq.empty
+      val d0 = depth(a)
+      val out = ArrayBuffer.empty[(Int, Int)]
+      var start = a
+      var k = a
+      while (k < b) {
+        if (depth(k) == d0 && lower(k) == ",") { out += ((start, k)); start = k + 1 }
+        k += 1
+      }
+      out += ((start, b))
+      out.toSeq
+    }
+    /** Rebuild the statement text with sig ranges replaced: each
+      * (fromSig, toSig, replacement); non-overlapping. */
+    def splice(repls: Seq[(Int, Int, String)]): String = {
+      val out = toks.map(_.text).toArray
+      for ((a, b, r) <- repls) {
+        val from = sig(a)
+        val to = if (b >= n) toks.length else sig(b)
+        // blanking consumes any whitespace inside the range, so pad the
+        // replacement to keep it from gluing onto the next token
+        out(from) = if (r.isEmpty) "" else r + " "
+        var j = from + 1
+        while (j < to) { out(j) = ""; j += 1 }
+      }
+      out.mkString
+    }
+  }
+
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def freshView(tag: String): String =
+    s"__graft_${tag}_${viewSeq.incrementAndGet()}"
+
+  private def isTempView(spark: SparkSession, name: String): Boolean =
+    try {
+      spark.catalog.tableExists(name) &&
+        spark.catalog.getTable(name).tableType == "TEMPORARY"
+    } catch { case NonFatal(_) => false }
+
+  /** Double literal with exact round-trip on any engine: the shortest
+    * decimal repr java emits, parsed back through CAST. */
+  private def dlit(v: Double): String =
+    s"CAST('${java.lang.Double.toString(v)}' AS DOUBLE)"
+
+  private def oneRow(spark: SparkSession, cols: (String, String)*): LogicalPlan =
+    Bridge.logicalPlan(spark.sql(
+      cols.map { case (name, value) =>
+        "'" + value.replace("'", "''") + s"' AS $name"
+      }.mkString("SELECT ", ", ", "")))
+
+  // ------------------------------------------------------------------
+  // entry points
+  // ------------------------------------------------------------------
+
+  /** Route a statement onto an engine; None = not ours (delegate). */
+  def route(sqlText: String): Option[LogicalPlan] = {
+    val low = sqlText.toLowerCase(java.util.Locale.ROOT)
+    // cheap pre-gate: none of the trigger words even as substrings
+    if (!low.contains("merge") && !low.contains("model") &&
+        !low.contains("timecapsule") && !low.contains("connect") &&
+        !low.contains("recursive") && !low.contains("copy") &&
+        !low.contains("materialized")) return None
+    val spark = SparkSession.active
+    val st = new Stmt(lex(sqlText))
+    if (st.n == 0) return None
+    (st.lower(0), st.lower(1)) match {
+      case ("merge", "into") => mergeInto(spark, st)
+      case ("create", "model") => Some(createModel(spark, st))
+      case ("drop", "model") => Some(dropModel(spark, st))
+      case ("explain", "model") => Some(explainModel(spark, st))
+      case ("copy", _) => Some(copyStmt(spark, st))
+      case ("create", "incremental") if st.lower(2) == "materialized" =>
+        Some(createMatview(spark, st, incremental = true))
+      case ("create", "materialized") =>
+        Some(createMatview(spark, st, incremental = false))
+      case ("refresh", "incremental") | ("refresh", "materialized") =>
+        Some(refreshMatview(spark, st))
+      case ("drop", "materialized") => Some(dropMatview(spark, st))
+      case ("timecapsule", "table") => Some(timecapsuleTable(spark, st))
+      case ("with", "recursive") if RecursiveSql.needsFixpoint(sqlText) =>
+        Some(Bridge.logicalPlan(RecursiveSql.sql(spark, sqlText)))
+      case _ =>
+        val cb = (0 until st.n - 1).find(k =>
+          st.depth(k) == 0 && st.lower(k) == "connect" && st.lower(k + 1) == "by")
+        if (cb.isDefined) Some(connectBy(spark, st, cb.get))
+        else if (hasTimecapsule(st)) Some(timecapsuleQuery(spark, st))
+        else None
+    }
+  }
+
+  private def hasTimecapsule(st: Stmt): Boolean =
+    (0 until st.n - 1).exists(k => st.lower(k) == "timecapsule" &&
+      (st.lower(k + 1) == "timestamp" || st.lower(k + 1) == "csn"))
+
+  // ------------------------------------------------------------------
+  // MERGE INTO (gram.y MergeStmt)
+  // ------------------------------------------------------------------
+
+  private sealed trait Action
+  private final case class Update(assigns: Seq[(String, String)]) extends Action
+  private case object Delete extends Action
+  private final case class Insert(cols: Option[Seq[String]],
+      values: Seq[String]) extends Action
+  private final case class Clause(matched: Boolean, cond: Option[String],
+      action: Action)
+
+  /**
+   * MERGE as ONE full-outer-join SELECT: per target column a
+   * first-true-clause CASE ladder picks the surviving value (clause
+   * ORDER is semantic — PG applies the first WHEN whose condition
+   * holds); a WHERE ladder drops rows a DELETE clause claims and
+   * source-only rows no INSERT clause accepts. The join shuffles on
+   * the ON keys once (AQE broadcasts a small source); the result is
+   * lineage-truncated (a MERGE is a write) and re-registered as the
+   * target view. Non-temp-view targets delegate to Spark (v2 tables
+   * have native MERGE).
+   */
+  private def mergeInto(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    var k = 2
+    val target = st.ident(k); k += 1
+    if (!isTempView(spark, target)) return None
+    if (st.lower(k) == "as") k += 1
+    val tAlias =
+      if (st.lower(k) != "using") { val a = st.ident(k); k += 1; a } else target
+    require(st.lower(k) == "using", "graft: MERGE expects USING <source>")
+    k += 1
+    // source: relation name or (subquery)
+    val (srcText, srcIsRel) =
+      if (st.lower(k) == "(") { val e = st.matching(k); val t = st.text(k, e); k = e; (t, false) }
+      else { val t = st.ident(k); k += 1; (t, true) }
+    if (st.lower(k) == "as") k += 1
+    val sAlias =
+      if (st.lower(k) != "on") { val a = st.ident(k); k += 1; a }
+      // a named relation without an alias is referenced by its own
+      // name in the ON/WHEN conditions (PG scoping); only an anonymous
+      // subquery needs an invented alias
+      else if (srcIsRel) srcText
+      else freshView("msrc")
+    require(st.lower(k) == "on", "graft: MERGE expects ON <condition>")
+    k += 1
+    val firstWhen = st.nextTop(k, Set("when"))
+    require(firstWhen < st.n, "graft: MERGE expects at least one WHEN clause")
+    val onCond = st.text(k, firstWhen)
+
+    // WHEN clause list
+    val clauses = ArrayBuffer.empty[Clause]
+    k = firstWhen
+    while (k < st.n) {
+      require(st.lower(k) == "when", s"graft: MERGE expected WHEN, got '${st.lower(k)}'")
+      k += 1
+      val matched = if (st.lower(k) == "not") { k += 1
+        require(st.lower(k) == "matched", "graft: MERGE expects NOT MATCHED")
+        k += 1; false
+      } else {
+        require(st.lower(k) == "matched", "graft: MERGE expects MATCHED")
+        k += 1; true
+      }
+      val cond = if (st.lower(k) == "and") {
+        k += 1
+        val thenIdx = st.nextTop(k, Set("then"))
+        require(thenIdx < st.n, "graft: MERGE WHEN ... AND expects THEN")
+        val c = st.text(k, thenIdx); k = thenIdx
+        Some(c)
+      } else None
+      require(st.lower(k) == "then", "graft: MERGE WHEN expects THEN")
+      k += 1
+      val clauseEnd = st.nextTop(k, Set("when"))
+      val action = st.lower(k) match {
+        case "update" =>
+          require(matched, "graft: MERGE UPDATE is only legal WHEN MATCHED")
+          require(st.lower(k + 1) == "set", "graft: MERGE UPDATE expects SET")
+          val assigns = st.splitCommas(k + 2, clauseEnd).map { case (a, b) =>
+            // LHS: [alias.]column up to the first top-level '='
+            var eq = a
+            while (eq < b && !(st.depth(eq) == st.depth(a) && st.lower(eq) == "=")) eq += 1
+            require(eq < b, "graft: MERGE SET expects column = expression")
+            val lhs = st.ident(eq - 1) // last path component
+            (lhs, st.text(eq + 1, b))
+          }
+          Update(assigns)
+        case "delete" =>
+          require(matched, "graft: MERGE DELETE is only legal WHEN MATCHED")
+          Delete
+        case "insert" =>
+          require(!matched, "graft: MERGE INSERT is only legal WHEN NOT MATCHED")
+          var p = k + 1
+          val colList = if (st.lower(p) == "(") {
+            val e = st.matching(p)
+            val cols = st.splitCommas(p + 1, e - 1).map { case (a, _) => st.ident(a) }
+            p = e
+            Some(cols)
+          } else None
+          require(st.lower(p) == "values", "graft: MERGE INSERT expects VALUES")
+          p += 1
+          require(st.lower(p) == "(", "graft: MERGE INSERT expects VALUES (...)")
+          val e = st.matching(p)
+          val vals = st.splitCommas(p + 1, e - 1).map { case (a, b) => st.text(a, b) }
+          require(e == clauseEnd,
+            "graft: MERGE INSERT supports a single VALUES row")
+          Insert(colList, vals)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft: MERGE action must be UPDATE SET / DELETE / INSERT, got '$other'")
+      }
+      clauses += Clause(matched, cond, action)
+      k = clauseEnd
+    }
+
+    val tCols = spark.table(target).columns.toSeq
+    val matchedCls = clauses.filter(_.matched).toSeq
+    val insertCls = clauses.filterNot(_.matched).toSeq
+    def tref(c: String) = s"$tAlias.`$c`"
+    val isMatched = s"($tAlias.__graft_mt IS NOT NULL AND $sAlias.__graft_ms IS NOT NULL)"
+    val isSrcOnly = s"($tAlias.__graft_mt IS NULL)"
+    def ladder(cls: Seq[Clause], value: Clause => String, elseTxt: String): String =
+      if (cls.isEmpty) elseTxt
+      else cls.map(c => s"WHEN ${c.cond.getOrElse("TRUE")} THEN ${value(c)}")
+        .mkString("CASE ", " ", s" ELSE $elseTxt END")
+    def insertValue(cl: Clause, c: String): String = cl.action match {
+      case Insert(cols, vals) =>
+        val order = cols.getOrElse(tCols)
+        require(order.length == vals.length,
+          s"graft: MERGE INSERT has ${order.length} columns but ${vals.length} values")
+        order.zip(vals).collectFirst {
+          case (cc, v) if cc.equalsIgnoreCase(c) => s"($v)"
+        }.getOrElse("NULL")
+      case _ => "NULL"
+    }
+    val selectCols = tCols.map { c =>
+      val mVal = ladder(matchedCls, {
+        case Clause(_, _, Update(as)) =>
+          as.collectFirst { case (cc, v) if cc.equalsIgnoreCase(c) => s"($v)" }
+            .getOrElse(tref(c))
+        case _ => tref(c) // DELETE: value irrelevant, row is filtered
+      }, tref(c))
+      val iVal = ladder(insertCls, cl => insertValue(cl, c), tref(c))
+      s"CASE WHEN $isMatched THEN $mVal WHEN $isSrcOnly THEN $iVal ELSE ${tref(c)} END AS `$c`"
+    }
+    val delLadder = ladder(matchedCls,
+      cl => if (cl.action == Delete) "TRUE" else "FALSE", "FALSE")
+    val insLadder = ladder(insertCls, _ => "TRUE", "FALSE")
+    val gen =
+      s"""SELECT ${selectCols.mkString(", ")}
+         |FROM (SELECT *, true AS __graft_mt FROM $target) $tAlias
+         |FULL OUTER JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
+         |ON $onCond
+         |WHERE NOT ($isMatched AND ($delLadder))
+         |  AND NOT ($isSrcOnly AND NOT ($insLadder))""".stripMargin
+    // MERGE is a WRITE: materialize (bounding lineage across chained
+    // merges) before re-registering the target view
+    val merged = Iterate.truncate(spark.sql(gen))
+    merged.createOrReplaceTempView(target)
+    Some(oneRow(spark, "command" -> "MERGE", "table_name" -> target))
+  }
+
+  // ------------------------------------------------------------------
+  // START WITH / CONNECT BY (gram.y start_with_clause/connect_by_clause)
+  // ------------------------------------------------------------------
+
+  private val clauseEnders = Set("start", "connect", "where", "group",
+    "having", "order", "limit", "union", "intersect", "except", "window",
+    "qualify")
+
+  /**
+   * Hierarchical SELECT: extract FROM/START WITH/CONNECT BY, run the
+   * C52 frontier-BFS engine, join its (id, level, root_id, path,
+   * is_leaf) rows back to the relation (row-per-path semantics), and
+   * re-parse the statement with the pseudo-columns mapped:
+   * LEVEL→level (name resolution), CONNECT_BY_ROOT id→root_id,
+   * SYS_CONNECT_BY_PATH(id,'/')→path, CONNECT_BY_ISLEAF→is_leaf.
+   */
+  private def connectBy(spark: SparkSession, st: Stmt, cbIdx: Int): LogicalPlan = {
+    // CONNECT BY [NOCYCLE] [PRIOR] a = [PRIOR] b
+    var k = cbIdx + 2
+    require(st.lower(k) != "nocycle",
+      "graft: CONNECT BY NOCYCLE is not supported (cycles error at maxDepth, " +
+        "Oracle/openGauss default behavior)")
+    val cbEnd = st.nextTop(k, clauseEnders)
+    // parse condition: split on the '=' at clause depth
+    var eq = k
+    while (eq < cbEnd && !(st.depth(eq) == 0 && st.lower(eq) == "=")) eq += 1
+    require(eq < cbEnd, "graft: CONNECT BY expects [PRIOR] col = [PRIOR] col")
+    def side(a: Int, b: Int): (Boolean, String) = {
+      var p = a
+      val prior = st.lower(p) == "prior"
+      if (prior) p += 1
+      // [alias.]column — take the last path component
+      var last = p
+      while (p < b) { if (st.tok(p).kind == ID) last = p; p += 1 }
+      (prior, st.ident(last))
+    }
+    val (lp, lcol) = side(k, eq)
+    val (rp, rcol) = side(eq + 1, cbEnd)
+    require(lp ^ rp, "graft: CONNECT BY needs PRIOR on exactly one side")
+    val (idCol0, parentCol0) = if (lp) (lcol, rcol) else (rcol, lcol)
+
+    // START WITH (optional: absent = every row is a root)
+    val swIdx = (0 until st.n - 1).find(p =>
+      st.depth(p) == 0 && st.lower(p) == "start" && st.lower(p + 1) == "with")
+    val (swText, swSpan) = swIdx match {
+      case Some(s0) =>
+        val e = st.nextTop(s0 + 2, clauseEnders)
+        (Some(st.text(s0 + 2, e)), Some((s0, e)))
+      case None => (None, None)
+    }
+
+    // FROM <single relation> [alias]
+    val fromIdx = st.nextTop(0, Set("from"))
+    require(fromIdx < st.n, "graft: hierarchical query expects FROM <table>")
+    val table = st.ident(fromIdx + 1)
+    require(st.tok(fromIdx + 1).kind == ID && st.lower(fromIdx + 1) != "(",
+      "graft: START WITH/CONNECT BY supports a single named relation in FROM")
+    val nodes = spark.table(table)
+    def resolve(c: String): String =
+      nodes.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: CONNECT BY column '$c' not found in $table"))
+    val idCol = resolve(idCol0)
+    val parentCol = resolve(parentCol0)
+    val pseudo = Seq("level", "root_id", "path", "is_leaf")
+    require(!nodes.columns.exists(c => pseudo.contains(c.toLowerCase)),
+      s"graft: $table already has a ${pseudo.mkString("/")} column — rename it " +
+        "to use hierarchical pseudo-columns")
+
+    val startCol: Column = swText.map(expr).getOrElse(lit(true))
+    val h = Hierarchy.connectBy(nodes, idCol, parentCol, startCol)
+      .withColumnRenamed("id", "__graft_cb_id")
+    val joined = nodes.join(h, nodes(idCol).cast("long") === h("__graft_cb_id"))
+      .drop("__graft_cb_id")
+    val uniq = freshView("cb")
+    joined.createOrReplaceTempView(uniq)
+
+    // splice: drop the two clauses, swap the relation, map pseudo-fns
+    val repls = ArrayBuffer.empty[(Int, Int, String)]
+    repls += ((cbIdx, cbEnd, ""))
+    swSpan.foreach { case (a, b) => repls += ((a, b, "")) }
+    repls += ((fromIdx + 1, fromIdx + 2, uniq))
+    var p = 0
+    while (p < st.n) {
+      st.lower(p) match {
+        case "sys_connect_by_path" =>
+          require(st.lower(p + 1) == "(",
+            "graft: SYS_CONNECT_BY_PATH expects (col, 'sep')")
+          val e = st.matching(p + 1)
+          val args = st.splitCommas(p + 2, e - 1)
+          require(args.length == 2, "graft: SYS_CONNECT_BY_PATH expects 2 args")
+          val (a0, b0) = args(0)
+          val argCol = (a0 until b0).filter(st.tok(_).kind == ID)
+            .lastOption.map(st.ident).getOrElse("")
+          require(argCol.equalsIgnoreCase(idCol),
+            s"graft: SYS_CONNECT_BY_PATH supports the CONNECT BY id column ($idCol)")
+          val sep = st.tok(args(1)._1).text
+          require(sep == "'/'",
+            "graft: SYS_CONNECT_BY_PATH supports separator '/'")
+          repls += ((p, e, "path"))
+          p = e
+        case "connect_by_root" =>
+          // exactly one column ref follows: ident (. ident)* — dots
+          // must alternate, so a following AS/alias is never consumed
+          var q = p + 1
+          require(q < st.n && st.tok(q).kind == ID,
+            "graft: CONNECT_BY_ROOT expects a column reference")
+          var last = q
+          q += 1
+          while (q + 1 < st.n && st.lower(q) == "." && st.tok(q + 1).kind == ID) {
+            last = q + 1; q += 2
+          }
+          require(st.ident(last).equalsIgnoreCase(idCol),
+            s"graft: CONNECT_BY_ROOT supports the CONNECT BY id column ($idCol)")
+          repls += ((p, last + 1, "root_id"))
+          p = last + 1
+        case "connect_by_isleaf" =>
+          repls += ((p, p + 1, "is_leaf")); p += 1
+        case _ => p += 1
+      }
+    }
+    Bridge.logicalPlan(spark.sql(st.splice(repls.toSeq)))
+  }
+
+  // ------------------------------------------------------------------
+  // TIMECAPSULE (gram.y:6416-6453)
+  // ------------------------------------------------------------------
+
+  private val tcExprEnders = Set("where", "group", "having", "order",
+    "limit", "union", "intersect", "except", "window", "qualify", "join",
+    "inner", "left", "right", "full", "cross", "on", ",", ")")
+
+  /** Change-log convention shared by both TIMECAPSULE forms: first
+    * column = key; `ts` (+ tie-breaking `csn`) or `csn` order versions;
+    * `op` ∈ {U, D} marks update/tombstone (Flashback's contract). */
+  private def tcVisible(log: DataFrame, table: String, kind: String,
+      exprText: String): (Seq[String], Column) = {
+    val cols = log.columns.map(_.toLowerCase).toSet
+    require(cols.contains("op"),
+      s"graft: TIMECAPSULE needs an 'op' column on change-log $table")
+    if (kind == "timestamp") {
+      require(cols.contains("ts"),
+        s"graft: TIMECAPSULE TIMESTAMP needs a 'ts' column on $table")
+      val ver = Seq("ts") ++ (if (cols.contains("csn")) Seq("csn") else Nil)
+      (ver, col("ts") <= expr(exprText))
+    } else {
+      require(cols.contains("csn"),
+        s"graft: TIMECAPSULE CSN needs a 'csn' column on $table")
+      (Seq("csn"), col("csn") <= expr(exprText))
+    }
+  }
+
+  /** `FROM t TIMECAPSULE {TIMESTAMP|CSN} expr` (query form): each
+    * occurrence becomes an [[Flashback.asOf]] snapshot view — ONE
+    * map-side-combined max_by per key, never the full history. */
+  private def timecapsuleQuery(spark: SparkSession, st: Stmt): LogicalPlan = {
+    val repls = ArrayBuffer.empty[(Int, Int, String)]
+    var p = 0
+    while (p < st.n - 1) {
+      val kind = st.lower(p + 1)
+      if (st.lower(p) == "timecapsule" && (kind == "timestamp" || kind == "csn")) {
+        require(p > 0 && st.tok(p - 1).kind == ID,
+          "graft: TIMECAPSULE must follow a relation name")
+        val table = st.ident(p - 1)
+        var e = p + 2
+        val d0 = st.depth(p)
+        while (e < st.n && st.depth(e) >= d0 &&
+          !(st.depth(e) == d0 && tcExprEnders(st.lower(e)))) e += 1
+        val exprText = st.text(p + 2, e)
+        val log = spark.table(table)
+        val (ver, visible) = tcVisible(log, table, kind, exprText)
+        val uniq = freshView("tc")
+        Flashback.asOf(log, log.columns.head, ver, "op", visible)
+          .createOrReplaceTempView(uniq)
+        repls += ((p - 1, e, uniq))
+        p = e
+      } else p += 1
+    }
+    Bridge.logicalPlan(spark.sql(st.splice(repls.toSeq)))
+  }
+
+  /** `TIMECAPSULE TABLE t TO {TIMESTAMP|CSN} expr` (statement form):
+    * rewinds the change-log view to versions visible at the target
+    * point — later TIMECAPSULE queries and snapshots see only rewound
+    * history, matching the reference's in-place table flashback. */
+  private def timecapsuleTable(spark: SparkSession, st: Stmt): LogicalPlan = {
+    val table = st.ident(2)
+    require(st.lower(3) == "to",
+      "graft: TIMECAPSULE TABLE expects TO {TIMESTAMP|CSN} expr")
+    val kind = st.lower(4)
+    require(kind == "timestamp" || kind == "csn",
+      s"graft: TIMECAPSULE TABLE ... TO expects TIMESTAMP or CSN, got '$kind'")
+    val exprText = st.text(5, st.n)
+    val log = spark.table(table)
+    val (_, visible) = tcVisible(log, table, kind, exprText)
+    log.filter(visible).createOrReplaceTempView(table)
+    oneRow(spark, "command" -> "TIMECAPSULE", "table_name" -> table)
+  }
+
+  // ------------------------------------------------------------------
+  // CREATE MODEL / DROP MODEL / PREDICT BY (gram.y:11597, :27180)
+  // ------------------------------------------------------------------
+
+  /**
+   * `CREATE MODEL m USING algo FEATURES f1, f2 TARGET y FROM rel
+   * [WITH (hyper = value, ...)]`. Algorithms are the exact
+   * cross-engine db4ai kernels: linear_regression (one Gram-sum
+   * aggregate + the Cramer solve — Ml.cramer3Exprs' shared IEEE
+   * tree) and logistic_regression (the quantized-gradient GD chain,
+   * hyperparameters max_iterations/learning_rate validated like F17).
+   * Both take exactly 2 features at the SQL surface (the closed-form
+   * kernels); the Scala API (Ml.linregr) handles general arity.
+   */
+  private def createModel(spark: SparkSession, st: Stmt): LogicalPlan = {
+    val name = st.ident(2)
+    require(st.lower(3) == "using",
+      "graft: CREATE MODEL expects USING <algorithm>")
+    val algo = st.lower(4)
+    require(st.lower(5) == "features",
+      "graft: CREATE MODEL expects FEATURES <expr>, <expr>")
+    val targetIdx = st.nextTop(6, Set("target"))
+    require(targetIdx < st.n, "graft: CREATE MODEL expects TARGET <expr>")
+    val features = st.splitCommas(6, targetIdx).map { case (a, b) => st.text(a, b) }
+    val fromIdx = st.nextTop(targetIdx + 1, Set("from"))
+    require(fromIdx < st.n, "graft: CREATE MODEL expects FROM <relation>")
+    val target = st.text(targetIdx + 1, fromIdx)
+    val withIdx = st.nextTop(fromIdx + 1, Set("with"))
+    val relText = st.text(fromIdx + 1, withIdx)
+    val hyper: Map[String, String] =
+      if (withIdx < st.n) {
+        require(st.lower(withIdx + 1) == "(",
+          "graft: CREATE MODEL WITH expects (name = value, ...)")
+        val e = st.matching(withIdx + 1)
+        st.splitCommas(withIdx + 2, e - 1).map { case (a, b) =>
+          var eq = a
+          while (eq < b && st.lower(eq) != "=") eq += 1
+          require(eq < b, "graft: hyperparameter expects name = value")
+          (st.ident(a).toLowerCase(java.util.Locale.ROOT), st.text(eq + 1, b))
+        }.toMap
+      } else Map.empty
+    val rel =
+      if (relText.startsWith("(")) spark.sql(relText.stripPrefix("(").stripSuffix(")"))
+      else spark.table(relText)
+    require(features.length == 2,
+      s"graft: $algo at the SQL surface takes exactly 2 FEATURES (got " +
+        s"${features.length}); use the Scala API (graft.operators.Ml) for more")
+
+    algo match {
+      case "linear_regression" =>
+        require(hyper.isEmpty,
+          s"graft: linear_regression (closed form) takes no hyperparameters, " +
+            s"got ${hyper.keys.mkString(", ")}")
+        val row = Ml.linregrSums(rel, expr(features(0)), expr(features(1)),
+            expr(target))
+          .selectExpr(Ml.cramer3Exprs.take(3).map { case (nm, x) => s"$x AS $nm" }: _*)
+          .collect()(0)
+        val w = Array(row.getDouble(0), row.getDouble(1), row.getDouble(2))
+        ModelCatalog.put(name,
+          ModelCatalog.LinearModel(algo, w, classify = false, features))
+      case "logistic_regression" =>
+        val known = Set("max_iterations", "learning_rate")
+        val bad = hyper.keySet.diff(known)
+        require(bad.isEmpty, s"graft: unknown hyperparameter(s) ${bad.mkString(", ")} " +
+          s"for logistic_regression (valid: ${known.mkString(", ")})")
+        val iters = hyper.get("max_iterations").map(_.toInt).getOrElse(3)
+        val lr = hyper.get("learning_rate").map(_.toDouble).getOrElse(0.5)
+        require(iters >= 1 && iters <= 100,
+          s"graft: max_iterations must be in [1, 100], got $iters")
+        require(lr > 0 && lr <= 10,
+          s"graft: learning_rate must be in (0, 10], got $lr")
+        val pts = freshView("pts")
+        rel.selectExpr(s"CAST((${features(0)}) AS DOUBLE) AS x1",
+            s"CAST((${features(1)}) AS DOUBLE) AS x2", s"($target) AS y")
+          .createOrReplaceTempView(pts)
+        try {
+          val row = spark.sql(Ml.logregrSql(iters, lr)
+            .replace("FROM pts", s"FROM $pts")).collect()(0)
+          val w = Array(row.getDouble(0), row.getDouble(1), row.getDouble(2))
+          ModelCatalog.put(name,
+            ModelCatalog.LinearModel(algo, w, classify = true, features))
+        } finally { spark.catalog.dropTempView(pts); () }
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft: CREATE MODEL supports linear_regression / " +
+            s"logistic_regression at the SQL surface (got '$other'); kmeans/" +
+            "SVM/GBDT/PCA ride the Scala API (graft.operators.Ml)")
+    }
+    oneRow(spark, "command" -> "CREATE MODEL", "model_name" -> name,
+      "algorithm" -> algo)
+  }
+
+  private def dropModel(spark: SparkSession, st: Stmt): LogicalPlan = {
+    var k = 2
+    val ifExists = st.lower(k) == "if" && st.lower(k + 1) == "exists"
+    if (ifExists) k += 2
+    val name = st.ident(k)
+    val dropped = ModelCatalog.drop(name)
+    require(dropped || ifExists, s"graft: model '$name' does not exist")
+    oneRow(spark, "command" -> "DROP MODEL", "model_name" -> name)
+  }
+
+  /** `EXPLAIN MODEL m` (db4ai explain_model.h): the trained model's
+    * parameters rendered as a relation — one typed row per component,
+    * queryable and joinable like the reference's. */
+  private def explainModel(spark: SparkSession, st: Stmt): LogicalPlan = {
+    val name = st.ident(2)
+    ModelCatalog.get(name) match {
+      case ModelCatalog.LinearModel(_, w, _, features) =>
+        Bridge.logicalPlan(
+          graft.operators.ModelStore.explainLinear(spark, name, features, w))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // CREATE / REFRESH / DROP MATERIALIZED VIEW (openGauss IMV —
+  // commands/matview; CREATE INCREMENTAL MATERIALIZED VIEW + the
+  // mlog-driven incremental refresh)
+  // ------------------------------------------------------------------
+
+  /** In-session matview catalog: definition text + the IVM metadata
+    * parsed at CREATE time (keys / count column / sum columns). */
+  private[graft] object MatviewCatalog {
+    final case class MvDef(defText: String, incremental: Boolean,
+        keys: Seq[String], countCol: String, sumCols: Seq[String])
+    private val defs =
+      scala.collection.concurrent.TrieMap.empty[String, MvDef]
+    private def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    def put(name: String, d: MvDef): Unit = { defs(norm(name)) = d; () }
+    def get(name: String): MvDef = defs.getOrElse(norm(name),
+      throw new IllegalArgumentException(
+        s"graft: materialized view '$name' does not exist"))
+    def drop(name: String): Boolean = defs.remove(norm(name)).isDefined
+  }
+
+  /**
+   * `CREATE [INCREMENTAL] MATERIALIZED VIEW name AS query`. The
+   * INCREMENTAL form parses the select list for the C54 IVM contract
+   * — grouping keys + one `count(*) AS c` + `sum(expr) AS s` columns
+   * over a GROUP BY — exactly the aggregate set openGauss's IMV
+   * restricts to (count/sum self-maintenance; min/max need the base).
+   * The view materializes at CREATE (lineage-truncated — that is what
+   * "materialized" means) so reads never re-run the definition.
+   */
+  private def createMatview(spark: SparkSession, st: Stmt,
+      incremental: Boolean): LogicalPlan = {
+    var k = if (incremental) 3 else 2 // past CREATE [INCREMENTAL] MATERIALIZED
+    require(st.lower(k) == "view",
+      "graft: expected CREATE [INCREMENTAL] MATERIALIZED VIEW")
+    val name = st.ident(k + 1)
+    require(st.lower(k + 2) == "as",
+      "graft: CREATE MATERIALIZED VIEW expects AS <query>")
+    val defText = st.text(k + 3, st.n)
+    val (keys, countCol, sumCols) =
+      if (incremental) parseIvmShape(defText) else (Seq.empty[String], "", Seq.empty[String])
+    val df = Iterate.truncate(spark.sql(defText))
+    df.createOrReplaceTempView(name)
+    MatviewCatalog.put(name,
+      MatviewCatalog.MvDef(defText, incremental, keys, countCol, sumCols))
+    oneRow(spark, "command" -> "CREATE MATERIALIZED VIEW",
+      "view_name" -> name)
+  }
+
+  /** Validate + extract the IVM select-list shape from the definition. */
+  private def parseIvmShape(defText: String): (Seq[String], String, Seq[String]) = {
+    val d = new Stmt(lex(defText))
+    require(d.lower(0) == "select",
+      "graft: INCREMENTAL MATERIALIZED VIEW definition must be a plain SELECT")
+    val fromIdx = d.nextTop(1, Set("from"))
+    require(fromIdx < d.n, "graft: matview definition needs FROM")
+    require(d.nextTop(fromIdx, Set("group")) < d.n,
+      "graft: INCREMENTAL MATERIALIZED VIEW needs GROUP BY (grouped " +
+        "count/sum views are the self-maintainable IVM class)")
+    val keys = ArrayBuffer.empty[String]
+    val sums = ArrayBuffer.empty[String]
+    var countCol = ""
+    d.splitCommas(1, fromIdx).foreach { case (a, b) =>
+      def alias: String = {
+        require(b - a >= 2 && d.lower(b - 2) == "as",
+          s"graft: matview aggregate needs an AS alias: ${d.text(a, b)}")
+        d.ident(b - 1)
+      }
+      d.lower(a) match {
+        case "count" =>
+          require(countCol.isEmpty, "graft: matview takes ONE count(*) column")
+          countCol = alias
+        case "sum" => sums += alias
+        case _ =>
+          // grouping key: a bare column (optionally aliased)
+          val kn = if (b - a >= 2 && d.lower(b - 2) == "as") d.ident(b - 1)
+            else { require(b - a == 1, s"graft: matview key must be a " +
+              s"bare column (or AS-aliased): ${d.text(a, b)}"); d.ident(a) }
+          keys += kn
+      }
+    }
+    require(countCol.nonEmpty,
+      "graft: INCREMENTAL MATERIALIZED VIEW needs a count(*) AS <name> " +
+        "column (zero-count groups must be droppable)")
+    require(keys.nonEmpty, "graft: matview needs at least one grouping key")
+    (keys.toSeq, countCol, sums.toSeq)
+  }
+
+  /**
+   * `REFRESH [INCREMENTAL] MATERIALIZED VIEW name`. The plain form
+   * re-runs the definition (full refresh — O(|base|)). The
+   * INCREMENTAL form applies the mlog delta through Matview.applyDelta
+   * — O(|view| + |delta|), the base is never re-read — and CONSUMES
+   * the mlog (drops the view), like the reference clearing mlog_<oid>
+   * after refresh. The mlog convention: a temp view `mlog_<name>`
+   * carrying the keys + per-row sum values + `op` (+1 insert / −1
+   * delete).
+   */
+  private def refreshMatview(spark: SparkSession, st: Stmt): LogicalPlan = {
+    val incremental = st.lower(1) == "incremental"
+    val k = if (incremental) 2 else 1
+    require(st.lower(k) == "materialized" && st.lower(k + 1) == "view",
+      "graft: expected REFRESH [INCREMENTAL] MATERIALIZED VIEW <name>")
+    val name = st.ident(k + 2)
+    val d = MatviewCatalog.get(name)
+    val next =
+      if (!incremental) spark.sql(d.defText)
+      else {
+        require(d.incremental,
+          s"graft: '$name' was not created INCREMENTAL — use plain REFRESH")
+        val mlog = s"mlog_${name.toLowerCase(java.util.Locale.ROOT)}"
+        require(isTempView(spark, mlog),
+          s"graft: incremental refresh needs change-log view '$mlog' " +
+            "(keys + per-row sum values + op of +1/-1)")
+        val out = graft.operators.Matview.applyDelta(spark.table(name),
+          spark.table(mlog), d.keys, d.countCol, d.sumCols, "op")
+        spark.catalog.dropTempView(mlog) // consumed, like mlog_<oid>
+        out
+      }
+    Iterate.truncate(next).createOrReplaceTempView(name)
+    oneRow(spark, "command" -> "REFRESH MATERIALIZED VIEW",
+      "view_name" -> name)
+  }
+
+  private def dropMatview(spark: SparkSession, st: Stmt): LogicalPlan = {
+    require(st.lower(2) == "view", "graft: expected DROP MATERIALIZED VIEW")
+    var k = 3
+    val ifExists = st.lower(k) == "if" && st.lower(k + 1) == "exists"
+    if (ifExists) k += 2
+    val name = st.ident(k)
+    val dropped = MatviewCatalog.drop(name)
+    require(dropped || ifExists,
+      s"graft: materialized view '$name' does not exist")
+    if (dropped) { spark.catalog.dropTempView(name); () }
+    oneRow(spark, "command" -> "DROP MATERIALIZED VIEW", "view_name" -> name)
+  }
+
+  // ------------------------------------------------------------------
+  // COPY (gram.y CopyStmt; options per contrib/file_fdw — C86/C95)
+  // ------------------------------------------------------------------
+
+  /**
+   * `COPY t [(cols)] FROM 'path' [WITH] (options)` /
+   * `COPY {t [(cols)] | (query)} TO 'path' [WITH] (options)` with the
+   * file_fdw option set (FORMAT csv|text, HEADER, DELIMITER, QUOTE,
+   * ESCAPE, NULL, ENCODING — any JVM charset, the C95 conversion
+   * path). COPY FROM APPENDS to the target view (openGauss semantics)
+   * with the file scan kept LAZY and splittable — a 100 TB COPY FROM
+   * is a parallel csv scan, not a driver ingest; the declared target
+   * schema types the columns (no inference pass). A column list reads
+   * just those columns, remaining target columns become NULL.
+   */
+  private def copyStmt(spark: SparkSession, st: Stmt): LogicalPlan = {
+    var k = 1
+    // relation or (query)
+    val (tableOpt, queryOpt) =
+      if (st.lower(k) == "(") {
+        val e = st.matching(k)
+        val q = st.text(k + 1, e - 1); k = e
+        (None, Some(q))
+      } else { val t = st.ident(k); k += 1; (Some(t), None) }
+    val colList: Option[Seq[String]] =
+      if (st.lower(k) == "(") {
+        val e = st.matching(k)
+        val cs = st.splitCommas(k + 1, e - 1).map { case (a, _) => st.ident(a) }
+        k = e
+        Some(cs)
+      } else None
+    val dir = st.lower(k)
+    require(dir == "from" || dir == "to",
+      s"graft: COPY expects FROM or TO, got '${st.lower(k)}'")
+    k += 1
+    require(st.tok(k).kind == STR, "graft: COPY expects a quoted file path")
+    val path = st.tok(k).text.stripPrefix("'").stripSuffix("'")
+      .replace("''", "'")
+    k += 1
+    if (st.lower(k) == "with") k += 1
+    val opts: Map[String, String] =
+      if (k < st.n && st.lower(k) == "(") {
+        val e = st.matching(k)
+        st.splitCommas(k + 1, e - 1).map { case (a, b) =>
+          val key = st.ident(a).toLowerCase(java.util.Locale.ROOT)
+          val v =
+            if (b - a == 1) "true" // bare flag (HEADER)
+            else {
+              val t = st.tok(b - 1)
+              if (t.kind == STR)
+                t.text.stripPrefix("'").stripSuffix("'").replace("''", "'")
+              else t.text
+            }
+          (key, v)
+        }.toMap
+      } else Map.empty
+    val known = Set("format", "header", "delimiter", "quote", "escape",
+      "null", "encoding")
+    val bad = opts.keySet.diff(known)
+    require(bad.isEmpty,
+      s"graft: unknown COPY option(s) ${bad.mkString(", ")} (valid: " +
+        s"${known.toSeq.sorted.mkString(", ")})")
+    val format = opts.getOrElse("format", "csv")
+    val header = opts.get("header").exists(v =>
+      v.equalsIgnoreCase("true") || v.equalsIgnoreCase("on") || v == "1")
+    val delim = opts.get("delimiter")
+    val quote = opts.get("quote")
+    val escape = opts.get("escape")
+    val nullStr = opts.get("null")
+    val encoding = opts.getOrElse("encoding", "UTF-8")
+
+    if (dir == "to") {
+      val df0 = queryOpt.map(spark.sql).getOrElse(spark.table(tableOpt.get))
+      val df = colList.map(cs => df0.select(cs.map(c => col(c)): _*))
+        .getOrElse(df0)
+      graft.sources.FileFdw.write(df, path, format, header, delim, quote,
+        escape, nullStr, encoding)
+      oneRow(spark, "command" -> "COPY TO", "path" -> path)
+    } else {
+      val target = tableOpt.getOrElse(throw new IllegalArgumentException(
+        "graft: COPY FROM needs a target relation"))
+      require(isTempView(spark, target),
+        s"graft: COPY FROM target '$target' must be an existing temp view " +
+          "(it declares the column types)")
+      val cur = spark.table(target)
+      val want = colList.getOrElse(cur.columns.toSeq)
+      val fields = want.map(c => cur.schema(cur.columns.find(
+        _.equalsIgnoreCase(c)).getOrElse(throw new IllegalArgumentException(
+        s"graft: COPY column '$c' not in $target"))))
+      val readSchema = org.apache.spark.sql.types.StructType(fields)
+      val incoming0 = graft.sources.FileFdw.read(spark, path, readSchema,
+        format, header, delim, quote, escape, nullStr, encoding)
+      // unlisted target columns arrive as NULL (PG default-less COPY)
+      val incoming = incoming0.select(cur.columns.toSeq.map { c =>
+        if (want.exists(_.equalsIgnoreCase(c))) col(c)
+        else lit(null).cast(cur.schema(c).dataType).as(c)
+      }: _*)
+      cur.unionByName(incoming).createOrReplaceTempView(target)
+      oneRow(spark, "command" -> "COPY FROM", "table_name" -> target)
+    }
+  }
+
+  /**
+   * `PREDICT BY m (FEATURES e1, e2)` → the stored weights spliced in
+   * as exact-round-trip literals: regression yields the margin
+   * `w0 + w1·x1 + w2·x2`, classification thresholds the shared
+   * hard-sigmoid at 0.5. Identity when the statement has no PREDICT;
+   * runs BEFORE routing so PREDICT BY composes with any statement.
+   */
+  def splicePredict(sqlText: String): String = {
+    val low = sqlText.toLowerCase(java.util.Locale.ROOT)
+    if (!low.contains("predict")) return sqlText
+    val st = new Stmt(lex(sqlText))
+    val repls = ArrayBuffer.empty[(Int, Int, String)]
+    var p = 0
+    while (p < st.n - 1) {
+      if (st.lower(p) == "predict" && st.lower(p + 1) == "by" &&
+          st.tok(p).kind == ID) {
+        val name = st.ident(p + 2)
+        require(st.lower(p + 3) == "(" && st.lower(p + 4) == "features",
+          "graft: PREDICT BY expects (FEATURES expr, ...)")
+        val e = st.matching(p + 3)
+        val args = st.splitCommas(p + 5, e - 1).map { case (a, b) => st.text(a, b) }
+        val text = ModelCatalog.get(name) match {
+          case ModelCatalog.LinearModel(_, w, classify, _) =>
+            require(args.length == w.length - 1,
+              s"graft: model '$name' has ${w.length - 1} features, " +
+                s"PREDICT BY passed ${args.length}")
+            val margin = args.zipWithIndex.map { case (a, i) =>
+              s" + ${dlit(w(i + 1))} * CAST(($a) AS DOUBLE)"
+            }.mkString(s"(${dlit(w(0))}", "", ")")
+            if (classify)
+              s"(CASE WHEN ${Ml.hardSigmoidSql(margin)} >= 5e-1 THEN 1 ELSE 0 END)"
+            else s"($margin)"
+        }
+        repls += ((p, e, text))
+        p = e
+      } else p += 1
+    }
+    if (repls.isEmpty) sqlText else st.splice(repls.toSeq)
+  }
+}

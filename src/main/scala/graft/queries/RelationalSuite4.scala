@@ -46,7 +46,7 @@ object RelationalSuite4 {
     * gate: Derby boots a directory once per JVM and holds a lock, so
     * repeated gate invocations (plan specs, verify reruns) must reuse
     * the same loaded copy, not wipe it mid-boot. */
-  private object JdbcGateDb {
+  private[queries] object JdbcGateDb {
     private val cache = scala.collection.concurrent.TrieMap[String, String]()
     def url(s: SparkSession, dir: String): String = cache.getOrElseUpdate(dir, {
       val root = new java.io.File(sys.props("java.io.tmpdir"),

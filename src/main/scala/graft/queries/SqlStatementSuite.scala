@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Ml}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * STATEMENT-level openGauss SQL gates (r17): the same engines the
+ * C17/C35/C52/C78/F10 gates already verify, exercised through ONE
+ * spark.sql text each — the spelling an openGauss user actually
+ * writes (gram.y:23994 WITH RECURSIVE, MergeStmt, start_with/
+ * connect_by_clause, :6416 TIMECAPSULE, :11597/:27180 CREATE MODEL /
+ * PREDICT BY, contrib/dblink). Routing happens in the injected
+ * parser ([[graft.plans.PgStatements]]); each oracle recomputes the
+ * result relationally in DuckDB, so a statement that silently
+ * mis-routes cannot pass.
+ */
+object SqlStatementSuite {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- the spark.sql statement texts, shared with the corpus fuzz
+  // (PgSqlRewriteCorpusSpec pins rewrite-identity + idempotence and
+  // PgStatements routing stability over every gate statement) ----
+
+  val recursiveStmt: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM stmt_pairs
+      |  UNION
+      |  SELECT id_b, id_a FROM stmt_pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |closure AS (SELECT DISTINCT a AS id_a, b AS id_b FROM reach WHERE a < b)
+      |SELECT id_a, id_b FROM closure ORDER BY id_a, id_b""".stripMargin
+
+  val mergeStmt: String =
+    """MERGE INTO m_target t USING m_source s ON t.c_custkey = s.c_custkey
+      |WHEN MATCHED AND s.op = 'D' THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal, c_name = s.c_name
+      |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (c_custkey, c_name, c_acctbal, c_nationkey)
+      |  VALUES (s.c_custkey, s.c_name, s.c_acctbal, s.c_nationkey)""".stripMargin
+
+  val connectByStmt: String =
+    """SELECT c_custkey AS id, LEVEL AS level, CONNECT_BY_ROOT c_custkey AS root_id,
+      |  SYS_CONNECT_BY_PATH(c_custkey, '/') AS path, CONNECT_BY_ISLEAF AS is_leaf
+      |FROM cb_nodes
+      |START WITH c_custkey <= 9
+      |CONNECT BY PRIOR c_custkey = c_parent""".stripMargin
+
+  val createModelStmt: String =
+    "CREATE MODEL stmt_linreg USING linear_regression " +
+      "FEATURES user_id % 50, event_id % 31 " +
+      "TARGET CAST(floor(value * 100) AS BIGINT) FROM pm_events"
+
+  val predictStmt: String =
+    """SELECT event_id, PREDICT BY stmt_linreg (FEATURES user_id % 50, event_id % 31) AS yhat
+      |FROM pm_events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin
+
+  val timecapsuleStmt: String =
+    "SELECT * FROM tc_log TIMECAPSULE TIMESTAMP '2024-01-20 00:00:00' ORDER BY k"
+
+  def dblinkStmt(url: String): String =
+    s"""SELECT c_custkey, c_name, c_acctbal
+       |FROM dblink('$url', 'SELECT "c_custkey", "c_name", "c_acctbal" FROM CUST WHERE MOD("c_custkey", 10) = 0')
+       |WHERE c_acctbal > 1000 ORDER BY c_custkey""".stripMargin
+
+  val explainModelStmt: String = "EXPLAIN MODEL stmt_linreg"
+
+  val matviewCreateStmt: String =
+    """CREATE INCREMENTAL MATERIALIZED VIEW mv_sales AS
+      |SELECT o_custkey, count(*) AS n,
+      |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |FROM mv_orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY o_custkey""".stripMargin
+
+  val matviewRefreshStmt: String =
+    "REFRESH INCREMENTAL MATERIALIZED VIEW mv_sales"
+
+  def copyToStmt(path: String): String =
+    s"COPY (SELECT * FROM cp_src) TO '$path' WITH (FORMAT csv, HEADER, ENCODING 'GB18030')"
+
+  def copyFromStmt(path: String): String =
+    s"COPY cp_tgt FROM '$path' WITH (FORMAT csv, HEADER, ENCODING 'GB18030')"
+
+  /** Every statement the gates push through spark.sql (corpus fuzz). */
+  def statements: Seq[String] = Seq(recursiveStmt, mergeStmt, connectByStmt,
+    createModelStmt, predictStmt, timecapsuleStmt,
+    dblinkStmt("jdbc:derby:/tmp/placeholder/db"),
+    explainModelStmt, matviewCreateStmt, matviewRefreshStmt,
+    copyToStmt("/tmp/placeholder/copy"), copyFromStmt("/tmp/placeholder/copy"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- C100: WITH RECURSIVE ... UNION as ONE statement. Same
+    // transitive closure as C17's sql_recursive (the verified near-dup
+    // graph), but routed by the PARSER: Spark's native recursive CTE
+    // rejects distinct-union recursion, the statement router sends it
+    // to the semi-naive fixpoint ----
+    "sql_with_recursive" -> ((s, dir) => {
+      val docs = Tables.spread(s, dir, "documents")
+      Dedup.minhashPairs(docs, "text", "doc_id", 64, 16, tau = 0.7)
+        .createOrReplaceTempView("stmt_pairs")
+      s.sql(recursiveStmt)
+    }),
+
+    // ---- C101: MERGE INTO statement (gram.y MergeStmt) replaying the
+    // C35 scenario — +100 balance on %7 keys, DELETE on %11 keys,
+    // INSERT of shifted %13 keys — against the temp-view target, then
+    // reading the merged snapshot back ----
+    "sql_merge" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+      base.createOrReplaceTempView("m_target")
+      // source snapshot built from the PARQUET scan (not the view —
+      // a view-derived source would see the post-merge target)
+      val upd = base.filter(pmod(col("c_custkey"), lit(7)) === 0 &&
+          pmod(col("c_custkey"), lit(11)) =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_nationkey"),
+          lit("U").as("op"))
+      val del = base.filter(pmod(col("c_custkey"), lit(11)) === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"), lit("D").as("op"))
+      val ins = base.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(col("c_name"), lit("_new")).as("c_name"),
+          col("c_acctbal"), col("c_nationkey"), lit("I").as("op"))
+      upd.unionByName(del).unionByName(ins).createOrReplaceTempView("m_source")
+      s.sql(mergeStmt)
+      s.sql("SELECT * FROM m_target").transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- C102: START WITH / CONNECT BY statement over the C52 digit
+    // forest, with all four pseudo-columns in openGauss spelling ----
+    "sql_connect_by" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), expr(
+          "CASE WHEN c_custkey <= 9 THEN -1 ELSE c_custkey DIV 10 END")
+          .as("c_parent"))
+        .createOrReplaceTempView("cb_nodes")
+      s.sql(connectByStmt).transform(Gate.ordered(_, "id"))
+    }),
+
+    // ---- C104: CREATE MODEL + PREDICT BY as statements. Training is
+    // the F1 exact kernel (Gram sums + the shared Cramer IEEE tree);
+    // PREDICT BY splices the stored weights as literals, so scoring is
+    // one map-only projection — the oracle retrains from the same
+    // moments and scores with the same expression shape ----
+    "sql_predict_by" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("pm_events")
+      s.sql(createModelStmt)
+      s.sql(predictStmt)
+    }),
+
+    // ---- C103: TIMECAPSULE query form over the C78 change log (the
+    // same log convention as timecapsule_asof: k, ts, csn, op,
+    // payload); ONE map-side-combined max_by per key ----
+    "sql_timecapsule" -> ((s, dir) => {
+      Tables(s, dir, "events").selectExpr(
+          "user_id % 101 AS k", "ts", "event_id AS csn",
+          "CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op",
+          "value AS val", "event_type AS etype")
+        .createOrReplaceTempView("tc_log")
+      s.sql(timecapsuleStmt)
+    }),
+
+    // ---- C105: dblink table function (contrib/dblink) — the remote
+    // query ships WHOLE to the live Derby engine (C85/C94's FDW), the
+    // result set lands in the FROM clause, local predicates compose ----
+    "sql_dblink" -> ((s, dir) => {
+      val url = RelationalSuite4.JdbcGateDb.url(s, dir)
+      s.sql(dblinkStmt(url)).transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- C104b: EXPLAIN MODEL statement (db4ai explain_model.h) —
+    // the trained relation: one typed row per parameter, weights from
+    // the same exact Cramer tree the oracle recomputes ----
+    "sql_explain_model" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("pm_events")
+      s.sql(createModelStmt)
+      s.sql(explainModelStmt).transform(Gate.ordered(_, "idx"))
+    }),
+
+    // ---- C106: CREATE INCREMENTAL MATERIALIZED VIEW + mlog-driven
+    // REFRESH (commands/matview) replaying the C54 scenario — H1-1997
+    // inserts and %97 deletes fold into the pre-1997 state,
+    // O(|view|+|delta|), the base is never re-read ----
+    "sql_matview" -> ((s, dir) => {
+      val cents = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+      val ord = Tables(s, dir, "orders")
+      ord.createOrReplaceTempView("mv_orders")
+      s.sql(matviewCreateStmt)
+      val base = ord.filter(col("o_orderdate") < "1997-01-01")
+      val inserts = ord.filter(col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1997-07-01")
+        .select(col("o_custkey"), expr(cents).as("cents"), lit(1).as("op"))
+      val deletes = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_custkey"), expr(cents).as("cents"), lit(-1).as("op"))
+      inserts.unionByName(deletes).createOrReplaceTempView("mlog_mv_sales")
+      s.sql(matviewRefreshStmt)
+      s.sql("SELECT o_custkey, n, cents FROM mv_sales")
+        .transform(Gate.ordered(_, "o_custkey"))
+    }),
+
+    // ---- C107: COPY statements (gram.y CopyStmt over the C86/C95
+    // file_fdw option set): COPY (query) TO a GB18030 csv, COPY FROM
+    // appends it back under the target view's declared schema —
+    // the scan stays lazy and splittable ----
+    "sql_copy" -> ((s, dir) => {
+      val scratch = Gate.scratchDir("graft-sqlcopy")
+      val p = new java.io.File(scratch, "data").getPath
+      Tables(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .createOrReplaceTempView("cp_src")
+      s.sql(copyToStmt(p))
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW cp_tgt AS " +
+        "SELECT * FROM cp_src WHERE 1 = 0")
+      s.sql(copyFromStmt(p))
+      s.sql("SELECT * FROM cp_tgt").transform(Gate.ordered(_, "c_custkey"))
+    }))
+
+  private val wExprs: String =
+    Ml.cramer3Exprs.take(3).map { case (nm, x) => s"$x AS $nm" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    // identical to C17 sql_recursive: DuckDB's native recursive CTE
+    // over the SAME verified pair graph (3-gram Jaccard >= 0.7)
+    "sql_with_recursive" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |          WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.7),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT DISTINCT a AS id_a, b AS id_b FROM reach WHERE a < b
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the merged snapshot recomputed relationally: %11 keys deleted,
+    // %7 (and not %11) keys updated, %13 keys spawn shifted inserts
+    "sql_merge" ->
+      """WITH b AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer)
+        |SELECT c_custkey,
+        |  c_name,
+        |  CASE WHEN c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+        |       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |  c_nationkey
+        |FROM b WHERE c_custkey % 11 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name || '_new', c_acctbal, c_nationkey
+        |FROM b WHERE c_custkey % 13 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    // identical to C52 connect_by: the recursive CTE mirrors the
+    // frontier expansion; is_leaf = nothing in the RESULT attaches
+    "sql_connect_by" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT c_custkey AS id, 1 AS level, c_custkey AS root_id,
+        |         '/' || c_custkey AS path
+        |  FROM customer WHERE c_custkey <= 9
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.level + 1, h.root_id,
+        |         h.path || '/' || c.c_custkey
+        |  FROM customer c JOIN h ON c.c_custkey // 10 = h.id
+        |  WHERE c.c_custkey > 9
+        |)
+        |SELECT h.id, h.level, h.root_id, h.path,
+        |  NOT EXISTS (SELECT 1 FROM h h2
+        |              WHERE h2.level > 1 AND h2.id // 10 = h.id) AS is_leaf
+        |FROM h ORDER BY h.id""".stripMargin,
+
+    // retrain from the same exact moments (the shared Cramer text)
+    // and score with the same expression tree the splice emits
+    "sql_predict_by" ->
+      s"""WITH pts AS (SELECT user_id % 50 AS x1, event_id % 31 AS x2,
+         |  CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x1 * x1) AS BIGINT) AS sx11, CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+         |  CAST(sum(x2 * x2) AS BIGINT) AS sx22, CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+         |  CAST(sum(x2 * y) AS BIGINT) AS sx2y, CAST(sum(y * y) AS BIGINT) AS syy
+         |FROM pts),
+         |w AS (SELECT $wExprs FROM s)
+         |SELECT event_id,
+         |  (w.b0 + w.b1 * CAST((user_id % 50) AS DOUBLE)
+         |        + w.b2 * CAST((event_id % 31) AS DOUBLE)) AS yhat
+         |FROM events, w WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+
+    // identical to C78 timecapsule_asof: per-key last version at the
+    // flashback point, tombstones drop the key
+    "sql_timecapsule" ->
+      """WITH log AS (SELECT user_id % 101 AS k, ts, event_id AS csn,
+        |    CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    value AS val, event_type AS etype FROM events),
+        |v AS (SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY ts DESC, csn DESC) AS rn
+        |  FROM log WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+        |SELECT k, ts, csn, val, etype FROM v
+        |WHERE rn = 1 AND op = 'U' ORDER BY k""".stripMargin,
+
+    // the remote Derby table is the customer parquet written through
+    // the FDW (C94's fixture): recompute the shipped query + the
+    // local predicate straight from parquet
+    "sql_dblink" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 10 = 0 AND c_acctbal > 1000
+        |ORDER BY c_custkey""".stripMargin,
+
+    // retrain from the same moments; the feature column carries the
+    // CREATE MODEL expression TEXT (what EXPLAIN MODEL renders)
+    "sql_explain_model" ->
+      s"""WITH pts AS (SELECT user_id % 50 AS x1, event_id % 31 AS x2,
+         |  CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x1 * x1) AS BIGINT) AS sx11, CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+         |  CAST(sum(x2 * x2) AS BIGINT) AS sx22, CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+         |  CAST(sum(x2 * y) AS BIGINT) AS sx2y, CAST(sum(y * y) AS BIGINT) AS syy
+         |FROM pts),
+         |w AS (SELECT $wExprs FROM s)
+         |SELECT 'stmt_linreg' AS model, 0 AS idx, 'intercept' AS feature,
+         |  b0 AS weight, abs(b0) AS abs_weight FROM w
+         |UNION ALL SELECT 'stmt_linreg', 1, 'user_id % 50', b1, abs(b1) FROM w
+         |UNION ALL SELECT 'stmt_linreg', 2, 'event_id % 31', b2, abs(b2) FROM w
+         |ORDER BY idx""".stripMargin,
+
+    // C54's IVM algebra recomputed relationally: survivors = pre-1997
+    // rows minus the %97 deletes, plus the H1-1997 inserts
+    "sql_matview" ->
+      """WITH survivors AS (
+        |  SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01'
+        |)
+        |SELECT o_custkey, count(*)::BIGINT AS n,
+        |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
+        |FROM survivors GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // the csv round trip is lossless (shortest-round-trip doubles,
+    // GB18030 is ASCII-transparent): recompute straight from parquet
+    "sql_copy" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin)
+}

@@ -56,6 +56,28 @@ class PgSqlRewriteCorpusSpec extends AnyFunSuite {
     assert(res.passed, s"soup: ${res.status}")
   }
 
+  test("r17 statement gate texts: rewrite identity + routing stability") {
+    // the statement-level gates (WITH RECURSIVE / MERGE / CONNECT BY /
+    // CREATE MODEL / PREDICT BY / TIMECAPSULE / dblink) carry no PG
+    // operators — the rewriter must pass them through byte-identical,
+    // and routing DETECTION must be stable under the rewrite (the
+    // router sees post-rewrite text in production)
+    graft.queries.SqlStatementSuite.statements.foreach { s =>
+      assert(rewrite(s) == s, s"rewriter touched statement gate text:\n$s")
+    }
+    // detection pins: the router's trigger scan fires on exactly the
+    // statement forms (head-token or top-level keyword), never inside
+    // string literals (route() of literal-only text was pinned in
+    // PgStatementsSpec; here we pin the gate texts' head shapes)
+    import graft.queries.SqlStatementSuite._
+    assert(mergeStmt.trim.toLowerCase.startsWith("merge into"))
+    assert(recursiveStmt.trim.toLowerCase.startsWith("with recursive"))
+    assert(connectByStmt.toLowerCase.contains("connect by"))
+    assert(timecapsuleStmt.toLowerCase.contains("timecapsule timestamp"))
+    assert(createModelStmt.toLowerCase.startsWith("create model"))
+    assert(predictStmt.toLowerCase.contains("predict by"))
+  }
+
   test("identity on the oracle corpus (standard SQL is untouched)") {
     val changed = oracle.filter { case (_, sql) => rewrite(sql) != sql }
     assert(changed.isEmpty,
