@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.operators.{Flashback, Hierarchy, Iterate, Ml, ModelCatalog, RecursiveSql}
+import graft.operators.{Flashback, Hierarchy, Hnsw, Iterate, Ivf, Ml, ModelCatalog, RecursiveSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.{col, expr, lit}
@@ -234,7 +234,8 @@ object PgStatements {
     if (!low.contains("merge") && !low.contains("model") &&
         !low.contains("timecapsule") && !low.contains("connect") &&
         !low.contains("recursive") && !low.contains("copy") &&
-        !low.contains("materialized")) return None
+        !low.contains("materialized") && !low.contains("index") &&
+        !low.contains("pg_dist_arrow")) return None
     val spark = SparkSession.active
     val st = new Stmt(lex(sqlText))
     if (st.n == 0) return None
@@ -251,6 +252,8 @@ object PgStatements {
       case ("refresh", "incremental") | ("refresh", "materialized") =>
         Some(refreshMatview(spark, st))
       case ("drop", "materialized") => Some(dropMatview(spark, st))
+      case ("create", "index") => createIndex(spark, st)
+      case ("drop", "index") => dropIndex(spark, st)
       case ("timecapsule", "table") => Some(timecapsuleTable(spark, st))
       case ("with", "recursive") if RecursiveSql.needsFixpoint(sqlText) =>
         Some(Bridge.logicalPlan(RecursiveSql.sql(spark, sqlText)))
@@ -259,7 +262,7 @@ object PgStatements {
           st.depth(k) == 0 && st.lower(k) == "connect" && st.lower(k + 1) == "by")
         if (cb.isDefined) Some(connectBy(spark, st, cb.get))
         else if (hasTimecapsule(st)) Some(timecapsuleQuery(spark, st))
-        else None
+        else knnThroughIndex(spark, st)
     }
   }
 
@@ -739,6 +742,206 @@ object PgStatements {
         Bridge.logicalPlan(
           graft.operators.ModelStore.explainLinear(spark, name, features, w))
     }
+  }
+
+  // ------------------------------------------------------------------
+  // CREATE INDEX USING ivfflat|hnsw + the KNN access path
+  // (datavec sql/datavec--0.7.2.sql ivfflat/hnsw access methods;
+  // ivfbuild.cpp/ivfscan.cpp, hnswbuild.cpp/hnswscan.cpp)
+  // ------------------------------------------------------------------
+
+  /** Vector-index catalog: the statement-built ANN access paths, keyed
+    * by index name AND by (table, column) for the KNN planner hook. */
+  private[graft] object IndexCatalog {
+    sealed trait Idx {
+      def table: String; def column: String; def view: String
+    }
+    /** IVF: `view` holds the materialized list-tagged postings. */
+    final case class IvfIdx(table: String, column: String, view: String,
+        model: Ivf.Model) extends Idx
+    /** NSW: `view` holds the materialized clustered graph shards;
+      * `idCol` is the relation's row-id column (its FIRST column). */
+    final case class HnswIdx(table: String, column: String, view: String,
+        idCol: String, model: Ivf.Model, params: Hnsw.Params) extends Idx
+
+    private val byName =
+      scala.collection.concurrent.TrieMap.empty[String, Idx]
+    private def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def put(name: String, idx: Idx): Unit = { byName(norm(name)) = idx; () }
+    def drop(name: String): Option[Idx] = byName.remove(norm(name))
+    def forTable(table: String, column: String): Option[Idx] =
+      // deterministic when several indexes cover the same column:
+      // lowest index name wins (PG's planner would cost them; a batch
+      // engine needs a stable pick)
+      byName.toSeq.sortBy(_._1).map(_._2).find(i =>
+        norm(i.table) == norm(table) && norm(i.column) == norm(column))
+    def anyForTable(table: String): Boolean =
+      byName.values.exists(i => norm(i.table) == norm(table))
+  }
+
+  /**
+   * `CREATE INDEX [name] ON table USING {ivfflat|hnsw}
+   * (col vector_l2_ops) [WITH (lists = n | m = .., ef_construction =
+   * ..)]` — the datavec DDL. ivfflat trains the coarse quantizer
+   * (deterministic seeded k-means) and materializes the list-tagged
+   * postings (at scale: Ivf.writeIndex partitionBy(list_id) makes the
+   * probe filter partition pruning); hnsw builds the cluster-sharded
+   * NSW graphs (Hnsw.buildIndexClustered) so search routes shards by
+   * centroid before any beam runs. `lists` defaults to ceil(sqrt(n))
+   * (the pgvector guidance for small corpora). Statements with other
+   * USING methods (btree etc.) delegate to Spark untouched.
+   */
+  private def createIndex(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    // find USING at top level; only the ANN methods are ours
+    val usingIdx = st.nextTop(2, Set("using"))
+    if (usingIdx >= st.n) return None
+    val method = st.lower(usingIdx + 1)
+    if (method != "ivfflat" && method != "hnsw") return None
+    var k = 2
+    val name = if (st.lower(k) == "on") freshView("vidx")
+      else { val x = st.ident(k); k += 1; x }
+    require(st.lower(k) == "on", "graft: CREATE INDEX expects ON <table>")
+    val table = st.ident(k + 1)
+    k = usingIdx + 2
+    require(st.lower(k) == "(", "graft: CREATE INDEX expects (col opclass)")
+    val e = st.matching(k)
+    val col0 = st.ident(k + 1)
+    val opclass = if (e - 1 > k + 2) st.lower(e - 2) else "vector_l2_ops"
+    require(opclass == "vector_l2_ops",
+      s"graft: vector index opclass '$opclass' unsupported — vector_l2_ops " +
+        "is the gated access path (ip/cosine ride the Scala Knn API)")
+    k = e
+    val hyper: Map[String, String] =
+      if (k < st.n && st.lower(k) == "with") {
+        require(st.lower(k + 1) == "(", "graft: WITH expects (name = value)")
+        val we = st.matching(k + 1)
+        st.splitCommas(k + 2, we - 1).map { case (a, b) =>
+          var eq = a
+          while (eq < b && st.lower(eq) != "=") eq += 1
+          require(eq < b, "graft: index option expects name = value")
+          (st.ident(a).toLowerCase(java.util.Locale.ROOT), st.text(eq + 1, b))
+        }.toMap
+      } else Map.empty
+    val corpus = spark.table(table)
+    val column = corpus.columns.find(_.equalsIgnoreCase(col0)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: index column '$col0' not found in $table"))
+    val n = corpus.count()
+    val defaultLists = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val view = freshView("vidx_data")
+    method match {
+      case "ivfflat" =>
+        val bad = hyper.keySet.diff(Set("lists"))
+        require(bad.isEmpty, s"graft: ivfflat options: lists (got " +
+          s"${bad.mkString(", ")})")
+        val lists = hyper.get("lists").map(_.toInt).getOrElse(defaultLists)
+        require(lists >= 1, "graft: lists must be >= 1")
+        val model = Ivf.build(corpus, column, lists)
+        Iterate.truncate(Ivf.assign(corpus, column, model))
+          .createOrReplaceTempView(view)
+        IndexCatalog.put(name, IndexCatalog.IvfIdx(table, column, view, model))
+      case "hnsw" =>
+        val bad = hyper.keySet.diff(Set("m", "ef_construction", "lists"))
+        require(bad.isEmpty, s"graft: hnsw options: m, ef_construction, " +
+          s"lists (got ${bad.mkString(", ")})")
+        val params = Hnsw.Params(
+          m = hyper.get("m").map(_.toInt).getOrElse(8),
+          efConstruction =
+            hyper.get("ef_construction").map(_.toInt).getOrElse(48))
+        val lists = hyper.get("lists").map(_.toInt).getOrElse(defaultLists)
+        val idCol = corpus.columns.head // row-id convention: first column
+        val model = Ivf.build(corpus, column, lists)
+        Iterate.truncate(
+            Hnsw.buildIndexClustered(corpus, column, idCol, model, params).toDF)
+          .createOrReplaceTempView(view)
+        IndexCatalog.put(name,
+          IndexCatalog.HnswIdx(table, column, view, idCol, model, params))
+    }
+    Some(oneRow(spark, "command" -> "CREATE INDEX", "index_name" -> name,
+      "method" -> method))
+  }
+
+  private def dropIndex(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    var k = 2
+    val ifExists = st.lower(k) == "if" && st.lower(k + 1) == "exists"
+    if (ifExists) k += 2
+    val name = st.ident(k)
+    IndexCatalog.drop(name) match {
+      case Some(idx) =>
+        spark.catalog.dropTempView(idx.view)
+        Some(oneRow(spark, "command" -> "DROP INDEX", "index_name" -> name))
+      case None if ifExists =>
+        Some(oneRow(spark, "command" -> "DROP INDEX", "index_name" -> name))
+      case None => None // not a vector index: Spark's own DROP INDEX path
+    }
+  }
+
+  /**
+   * The KNN ACCESS PATH: `SELECT ... FROM t ORDER BY col <-> 'q'
+   * [, tiebreaks] LIMIT k` (post-rewrite: pg_dist_arrow) over a
+   * relation with a statement-built vector index routes through it —
+   * exactly ivfscan.cpp/hnswscan.cpp picking the AM for the idiom.
+   * Mechanism: the FROM relation is SWAPPED for the index-pruned
+   * subset (IVF: the `graft.ivfflat.probes` nearest lists — reference
+   * SET ivf_probes, default 1 like pgvector; NSW: the routed beam's
+   * top-k ids under `graft.hnsw.nprobe` shards, default 4), then the
+   * statement runs NATIVELY over the subset — any select list,
+   * post-filter WHERE (pgvector's documented filter semantics), and
+   * the exact rerank stay Spark's bounded-heap TakeOrderedAndProject.
+   * Anything that doesn't match the idiom — or whose query side isn't
+   * a constant — delegates to the exact scan untouched.
+   */
+  private def knnThroughIndex(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    // FROM <table> — single named relation, and only if it has an index
+    val fromIdx = st.nextTop(0, Set("from"))
+    if (fromIdx >= st.n || st.tok(fromIdx + 1).kind != ID) return None
+    val table = st.ident(fromIdx + 1)
+    if (!IndexCatalog.anyForTable(table)) return None
+    // ORDER BY pg_dist_arrow(col, const) [ASC] [, ...] LIMIT k
+    val ob = (0 until st.n - 2).find(p => st.depth(p) == 0 &&
+      st.lower(p) == "order" && st.lower(p + 1) == "by" &&
+      st.lower(p + 2) == "pg_dist_arrow")
+    if (ob.isEmpty) return None
+    val callOpen = ob.get + 3
+    if (st.lower(callOpen) != "(") return None
+    val callEnd = st.matching(callOpen)
+    val args = st.splitCommas(callOpen + 1, callEnd - 1)
+    if (args.length != 2) return None
+    val colRef = (args(0)._1 until args(0)._2).filter(st.tok(_).kind == ID)
+      .lastOption.map(st.ident).getOrElse(return None)
+    val idx = IndexCatalog.forTable(table, colRef).getOrElse(return None)
+    if (st.lower(callEnd) == "desc") return None // farthest-first: no AM
+    val limIdx = st.nextTop(callEnd, Set("limit"))
+    if (limIdx >= st.n) return None
+    val k = try st.lower(limIdx + 1).toInt catch { case NonFatal(_) => return None }
+    // the query side must be a CONSTANT (fold it on the driver);
+    // a column-valued query side means a KNN join — not this path
+    val qVec: Array[Float] =
+      try {
+        val row = spark.sql(s"SELECT ${st.text(args(1)._1, args(1)._2)}").head()
+        row.getSeq[Float](0).toArray
+      } catch { case NonFatal(_) => return None }
+    val uniq = freshView("knn")
+    idx match {
+      case IndexCatalog.IvfIdx(_, _, view, model) =>
+        val nprobe = spark.conf.get("graft.ivfflat.probes", "1").toInt
+        val probeIds = model.probes(qVec, nprobe).map(Integer.valueOf)
+        spark.table(view)
+          .filter(col("list_id").isin(probeIds: _*))
+          .drop("list_id")
+          .createOrReplaceTempView(uniq)
+      case IndexCatalog.HnswIdx(_, _, view, idCol, model, params) =>
+        val nprobe = spark.conf.get("graft.hnsw.nprobe", "4").toInt
+        import spark.implicits._
+        val ids = Hnsw.searchRouted(spark.table(view).as[Hnsw.GraphRow],
+            model, qVec, k, nprobe, params)
+          .select(col("vec_id")).collect().map(_.getLong(0)) // ≤ k ids
+        spark.table(table)
+          .filter(col(idCol).isin(ids.map(java.lang.Long.valueOf): _*))
+          .createOrReplaceTempView(uniq)
+    }
+    Some(Bridge.logicalPlan(spark.sql(
+      st.splice(Seq((fromIdx + 1, fromIdx + 2, uniq))))))
   }
 
   // ------------------------------------------------------------------

@@ -84,12 +84,30 @@ object SqlStatementSuite {
   def copyFromStmt(path: String): String =
     s"COPY cp_tgt FROM '$path' WITH (FORMAT csv, HEADER, ENCODING 'GB18030')"
 
+  val createIvfIndexStmt: String =
+    "CREATE INDEX vidx_gate ON vidx_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 16)"
+
+  val createHnswIndexStmt: String =
+    "CREATE INDEX vidx_hnsw ON vidxh_emb USING hnsw " +
+      "(embedding vector_l2_ops) WITH (m = 8, ef_construction = 48, lists = 8)"
+
+  /** The pgvector KNN idiom over an indexed relation (NOT in
+    * [[statements]]: `<->` deliberately rewrites, so it is not
+    * identity under PgSqlRewrite — its e2e behavior is gated). */
+  def knnIdiomStmt(table: String, q: String, k: Int): String =
+    s"""SELECT vec_id, round(embedding <-> '$q'::vector, 6) AS dist
+       |FROM $table ORDER BY embedding <-> '$q'::vector, vec_id
+       |LIMIT $k""".stripMargin
+
   /** Every statement the gates push through spark.sql (corpus fuzz). */
   def statements: Seq[String] = Seq(recursiveStmt, mergeStmt, connectByStmt,
     createModelStmt, predictStmt, timecapsuleStmt,
     dblinkStmt("jdbc:derby:/tmp/placeholder/db"),
     explainModelStmt, matviewCreateStmt, matviewRefreshStmt,
-    copyToStmt("/tmp/placeholder/copy"), copyFromStmt("/tmp/placeholder/copy"))
+    copyToStmt("/tmp/placeholder/copy"), copyFromStmt("/tmp/placeholder/copy"),
+    createIvfIndexStmt, createHnswIndexStmt,
+    "DROP INDEX IF EXISTS vidx_gate")
 
   val queries: Map[String, Q] = Map(
     // ---- C100: WITH RECURSIVE ... UNION as ONE statement. Same
@@ -202,6 +220,46 @@ object SqlStatementSuite {
       s.sql(matviewRefreshStmt)
       s.sql("SELECT o_custkey, n, cents FROM mv_sales")
         .transform(Gate.ordered(_, "o_custkey"))
+    }),
+
+    // ---- C108: CREATE INDEX USING ivfflat — the datavec DDL — plus
+    // the KNN ACCESS PATH: the pgvector idiom over the indexed
+    // relation routes through the probe-pruned postings (here with a
+    // full probe budget, so the routed path must be EXACT and the
+    // DuckDB oracle recomputes it closed-form; the probes=1 pruning
+    // semantics are spec-gated against Ivf.search) ----
+    "sql_create_index" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      emb.createOrReplaceTempView("vidx_emb")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).mkString("[", ",", "]")
+      s.sql("DROP INDEX IF EXISTS vidx_gate")
+      s.sql(createIvfIndexStmt)
+      s.conf.set("graft.ivfflat.probes", "16") // full probe: exact
+      val out = s.sql(knnIdiomStmt("vidx_emb", q, 10))
+      s.conf.unset("graft.ivfflat.probes")
+      out
+    }),
+
+    // ---- C108b: CREATE INDEX USING hnsw — the clustered NSW access
+    // path; approximate by nature, so gated on exactly-k results +
+    // recall vs the in-query exact top-k (the B-family gate shape) ----
+    "sql_hnsw_index" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      emb.createOrReplaceTempView("vidxh_emb")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      val q = qv.mkString("[", ",", "]")
+      s.sql("DROP INDEX IF EXISTS vidx_hnsw")
+      s.sql(createHnswIndexStmt)
+      s.conf.set("graft.hnsw.nprobe", "8") // all shards
+      val found = s.sql(knnIdiomStmt("vidxh_emb", q, 10))
+      s.conf.unset("graft.hnsw.nprobe")
+      val exact = graft.operators.Knn.exactTopK(emb, "embedding", "vec_id", qv, 10)
+      found.join(exact.select(col("vec_id"), lit(1).as("hit")),
+          Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          (coalesce(sum(col("hit")), lit(0)) >= 5).as("recall_ok"))
     }),
 
     // ---- C107: COPY statements (gram.y CopyStmt over the C86/C95
@@ -352,5 +410,17 @@ object SqlStatementSuite {
     // GB18030 is ASCII-transparent): recompute straight from parquet
     "sql_copy" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
-        |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin)
+        |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
+
+    // full-probe IVF == the exact scan: DuckDB recomputes the top-10
+    // closed-form (the sql_pg_vector l2 shape)
+    "sql_create_index" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |FROM embeddings e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    // approximate by nature: constants like the other ANN gates
+    "sql_hnsw_index" ->
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok")
 }
