@@ -921,17 +921,23 @@ object PgStatements {
         val row = spark.sql(s"SELECT ${st.text(args(1)._1, args(1)._2)}").head()
         row.getSeq[Float](0).toArray
       } catch { case NonFatal(_) => return None }
+    // knob lookup honors BOTH spellings: the reference GUC
+    // (`SET ivfflat.probes = 4` — Spark's native SET lands it in the
+    // session conf verbatim) and the graft-namespaced one
+    def knob(names: Seq[String], dflt: Int): Int =
+      names.iterator.map(n => spark.conf.getOption(n))
+        .collectFirst { case Some(v) => v.toInt }.getOrElse(dflt)
     val uniq = freshView("knn")
     idx match {
       case IndexCatalog.IvfIdx(_, _, view, model) =>
-        val nprobe = spark.conf.get("graft.ivfflat.probes", "1").toInt
+        val nprobe = knob(Seq("ivfflat.probes", "graft.ivfflat.probes"), 1)
         val probeIds = model.probes(qVec, nprobe).map(Integer.valueOf)
         spark.table(view)
           .filter(col("list_id").isin(probeIds: _*))
           .drop("list_id")
           .createOrReplaceTempView(uniq)
       case IndexCatalog.HnswIdx(_, _, view, idCol, model, params) =>
-        val nprobe = spark.conf.get("graft.hnsw.nprobe", "4").toInt
+        val nprobe = knob(Seq("hnsw.nprobe", "graft.hnsw.nprobe"), 4)
         import spark.implicits._
         val ids = Hnsw.searchRouted(spark.table(view).as[Hnsw.GraphRow],
             model, qVec, k, nprobe, params)

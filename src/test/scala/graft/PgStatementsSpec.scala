@@ -514,6 +514,30 @@ class PgStatementsSpec extends SparkSpec {
     spark.conf.unset("graft.hnsw.nprobe")
   }
 
+  test("SET ivfflat.probes — the reference GUC spelling — drives the knob") {
+    val q = idxFixture()
+    spark.sql("CREATE INDEX stmt_guc ON stmt_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 8)")
+    try {
+      // Spark's native SET lands the GUC in the session conf verbatim
+      spark.sql("SET ivfflat.probes = 8") // full probe via the PG spelling
+      val viaGuc = spark.sql(
+        s"""SELECT vec_id FROM stmt_emb
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 7""".stripMargin)
+        .as[Long].collect().toSeq
+      spark.sql("DROP INDEX stmt_guc")
+      val exact = spark.sql(
+        s"""SELECT vec_id FROM stmt_emb
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 7""".stripMargin)
+        .as[Long].collect().toSeq
+      assert(viaGuc == exact)
+    } finally {
+      spark.conf.unset("ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_guc")
+      ()
+    }
+  }
+
   test("CREATE INDEX delegates non-vector methods and bad opclasses error") {
     // btree → not ours: Spark's own (unsupported) path raises ITS error
     val e1 = intercept[Exception](spark.sql(
