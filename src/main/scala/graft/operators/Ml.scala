@@ -165,9 +165,13 @@ object Ml {
    * partition" init, deterministic here). Output: one row per cluster
    * with exact LONG sums + the final double centroids.
    */
-  def kmeansSql(k: Int, iters: Int): String = {
+  /** The chain's CTE LIST through the final centroid relation
+    * `c{iters}` (no leading WITH, no final SELECT) — shared between
+    * [[kmeansSql]] and oracles that append their own final SELECT
+    * (e.g. scoring rows against the converged centroids). */
+  def kmeansChainSql(k: Int, iters: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH a0 AS (SELECT x, y, CAST(x % $k AS INT) AS cl FROM pts),\n")
+    sb.append(s"a0 AS (SELECT x, y, CAST(x % $k AS INT) AS cl FROM pts),\n")
     // c0 from a0 without a prev relation: seed "prev" with zeros (all
     // clusters are non-empty under partition init by construction)
     val zeros = (0 until k).flatMap(j => Seq(s"CAST(0 AS DOUBLE) AS cx$j", s"CAST(0 AS DOUBLE) AS cy$j")).mkString(", ")
@@ -179,8 +183,16 @@ object Ml {
       sb.append(s"a${i + 1} AS (SELECT x, y, ${assignExpr(k)} AS cl FROM pts, $c),\n")
       prev = c
     }
+    sb.append(s"c$iters AS (${centroidPivotSql(k, s"a$iters", prev)})")
+    sb.toString
+  }
+
+  def kmeansSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ")
+    sb.append(kmeansChainSql(k, iters))
+    sb.append("\n")
     val fin = s"c$iters"
-    sb.append(s"$fin AS (${centroidPivotSql(k, s"a$iters", prev)})\n")
     val cxCase = (0 until k).map(j => s"WHEN $j THEN cx$j").mkString(" ")
     val cyCase = (0 until k).map(j => s"WHEN $j THEN cy$j").mkString(" ")
     val groupCols = (0 until k).flatMap(j => Seq(s"cx$j", s"cy$j")).mkString(", ")

@@ -35,6 +35,9 @@ object ModelCatalog {
     * can render the trained relation (db4ai explain_model.h). */
   final case class LinearModel(algorithm: String, weights: Array[Double],
       classify: Boolean, features: Seq[String]) extends Model
+  /** 2-d Lloyd centroids + training cluster sizes (EXPLAIN MODEL). */
+  final case class KmeansModel(cents: Array[(Double, Double)],
+      counts: Map[Int, Long], features: Seq[String]) extends Model
 
   private val models =
     scala.collection.concurrent.TrieMap.empty[String, Model]

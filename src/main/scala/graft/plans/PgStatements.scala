@@ -651,12 +651,18 @@ object PgStatements {
     val algo = st.lower(4)
     require(st.lower(5) == "features",
       "graft: CREATE MODEL expects FEATURES <expr>, <expr>")
-    val targetIdx = st.nextTop(6, Set("target"))
-    require(targetIdx < st.n, "graft: CREATE MODEL expects TARGET <expr>")
-    val features = st.splitCommas(6, targetIdx).map { case (a, b) => st.text(a, b) }
-    val fromIdx = st.nextTop(targetIdx + 1, Set("from"))
+    // TARGET is optional (unsupervised algorithms — kmeans — take
+    // FEATURES only, gram.y's optional target_list)
+    val stopIdx = st.nextTop(6, Set("target", "from"))
+    require(stopIdx < st.n, "graft: CREATE MODEL expects FROM <relation>")
+    val features = st.splitCommas(6, stopIdx).map { case (a, b) => st.text(a, b) }
+    val hasTarget = st.lower(stopIdx) == "target"
+    val fromIdx =
+      if (hasTarget) st.nextTop(stopIdx + 1, Set("from")) else stopIdx
     require(fromIdx < st.n, "graft: CREATE MODEL expects FROM <relation>")
-    val target = st.text(targetIdx + 1, fromIdx)
+    val target = if (hasTarget) st.text(stopIdx + 1, fromIdx) else ""
+    def requireTarget(): Unit = require(hasTarget,
+      s"graft: $algo is supervised — CREATE MODEL needs TARGET <expr>")
     val withIdx = st.nextTop(fromIdx + 1, Set("with"))
     val relText = st.text(fromIdx + 1, withIdx)
     val hyper: Map[String, String] =
@@ -680,6 +686,7 @@ object PgStatements {
 
     algo match {
       case "linear_regression" =>
+        requireTarget()
         require(hyper.isEmpty,
           s"graft: linear_regression (closed form) takes no hyperparameters, " +
             s"got ${hyper.keys.mkString(", ")}")
@@ -691,6 +698,7 @@ object PgStatements {
         ModelCatalog.put(name,
           ModelCatalog.LinearModel(algo, w, classify = false, features))
       case "logistic_regression" =>
+        requireTarget()
         val known = Set("max_iterations", "learning_rate")
         val bad = hyper.keySet.diff(known)
         require(bad.isEmpty, s"graft: unknown hyperparameter(s) ${bad.mkString(", ")} " +
@@ -712,11 +720,30 @@ object PgStatements {
           ModelCatalog.put(name,
             ModelCatalog.LinearModel(algo, w, classify = true, features))
         } finally { spark.catalog.dropTempView(pts); () }
+      case "kmeans" =>
+        require(!hasTarget,
+          "graft: kmeans is unsupervised — CREATE MODEL takes no TARGET")
+        val known = Set("k", "max_iterations")
+        val bad = hyper.keySet.diff(known)
+        require(bad.isEmpty, s"graft: unknown hyperparameter(s) " +
+          s"${bad.mkString(", ")} for kmeans (valid: ${known.mkString(", ")})")
+        val kk = hyper.get("k").map(_.toInt).getOrElse(4)
+        val iters = hyper.get("max_iterations").map(_.toInt).getOrElse(3)
+        require(kk >= 1 && kk <= 1024, s"graft: k must be in [1, 1024], got $kk")
+        require(iters >= 1 && iters <= 100,
+          s"graft: max_iterations must be in [1, 100], got $iters")
+        // exact-integer features (the F2 determinism contract)
+        val pts = rel.selectExpr(s"CAST((${features(0)}) AS BIGINT) AS x",
+          s"CAST((${features(1)}) AS BIGINT) AS y")
+        val (assigned, cents) = Ml.kmeans(pts, kk, iters)
+        val counts = assigned.groupBy("cl").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap // k rows
+        ModelCatalog.put(name, ModelCatalog.KmeansModel(cents, counts, features))
       case other =>
         throw new IllegalArgumentException(
           s"graft: CREATE MODEL supports linear_regression / " +
-            s"logistic_regression at the SQL surface (got '$other'); kmeans/" +
-            "SVM/GBDT/PCA ride the Scala API (graft.operators.Ml)")
+            s"logistic_regression / kmeans at the SQL surface (got " +
+            s"'$other'); SVM/GBDT/PCA ride the Scala API (graft.operators.Ml)")
     }
     oneRow(spark, "command" -> "CREATE MODEL", "model_name" -> name,
       "algorithm" -> algo)
@@ -741,6 +768,9 @@ object PgStatements {
       case ModelCatalog.LinearModel(_, w, _, features) =>
         Bridge.logicalPlan(
           graft.operators.ModelStore.explainLinear(spark, name, features, w))
+      case ModelCatalog.KmeansModel(cents, counts, _) =>
+        Bridge.logicalPlan(
+          graft.operators.ModelStore.explainKmeans(spark, name, cents, counts))
     }
   }
 
@@ -1221,6 +1251,26 @@ object PgStatements {
             if (classify)
               s"(CASE WHEN ${Ml.hardSigmoidSql(margin)} >= 5e-1 THEN 1 ELSE 0 END)"
             else s"($margin)"
+          case ModelCatalog.KmeansModel(cents, _, _) =>
+            require(args.length == 2,
+              s"graft: kmeans model '$name' takes 2 features, " +
+                s"PREDICT BY passed ${args.length}")
+            // the SAME distance/CASE trees as Ml.assignExpr (ties →
+            // smaller id), with the converged centroids as literals —
+            // the oracle recomputes them through the shared chain
+            val xs = s"CAST((${args(0)}) AS DOUBLE)"
+            val ys = s"CAST((${args(1)}) AS DOUBLE)"
+            def dist(j: Int): String = {
+              val (cx, cy) = cents(j)
+              s"(($xs - ${dlit(cx)}) * ($xs - ${dlit(cx)})" +
+                s" + ($ys - ${dlit(cy)}) * ($ys - ${dlit(cy)}))"
+            }
+            val k = cents.length
+            val cases = (0 until k - 1).map { j =>
+              val conds = (j + 1 until k).map(m => s"${dist(j)} <= ${dist(m)}")
+              s"WHEN ${conds.mkString(" AND ")} THEN $j"
+            }
+            s"(CASE ${cases.mkString(" ")} ELSE ${k - 1} END)"
         }
         repls += ((p, e, text))
         p = e

@@ -68,6 +68,16 @@ object SqlStatementSuite {
 
   val explainModelStmt: String = "EXPLAIN MODEL stmt_linreg"
 
+  val createKmeansStmt: String =
+    "CREATE MODEL pm_km USING kmeans " +
+      "FEATURES user_id % 97, CAST(floor(value) AS BIGINT) % 89 " +
+      "FROM pm_events WITH (k = 4, max_iterations = 3)"
+
+  val predictKmeansStmt: String =
+    """SELECT event_id,
+      |  PREDICT BY pm_km (FEATURES user_id % 97, CAST(floor(value) AS BIGINT) % 89) AS cluster
+      |FROM pm_events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin
+
   val matviewCreateStmt: String =
     """CREATE INCREMENTAL MATERIALIZED VIEW mv_sales AS
       |SELECT o_custkey, count(*) AS n,
@@ -104,7 +114,8 @@ object SqlStatementSuite {
   def statements: Seq[String] = Seq(recursiveStmt, mergeStmt, connectByStmt,
     createModelStmt, predictStmt, timecapsuleStmt,
     dblinkStmt("jdbc:derby:/tmp/placeholder/db"),
-    explainModelStmt, matviewCreateStmt, matviewRefreshStmt,
+    explainModelStmt, createKmeansStmt, predictKmeansStmt,
+    matviewCreateStmt, matviewRefreshStmt,
     copyToStmt("/tmp/placeholder/copy"), copyFromStmt("/tmp/placeholder/copy"),
     createIvfIndexStmt, createHnswIndexStmt,
     "DROP INDEX IF EXISTS vidx_gate")
@@ -190,6 +201,18 @@ object SqlStatementSuite {
     "sql_dblink" -> ((s, dir) => {
       val url = RelationalSuite4.JdbcGateDb.url(s, dir)
       s.sql(dblinkStmt(url)).transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- C104c: kmeans CREATE MODEL (no TARGET — unsupervised) +
+    // PREDICT BY: training is the F2 production Lloyd loop (pinned
+    // bitwise to the shared SQL chain), prediction the nearest-
+    // centroid CASE with the converged centroids as literals; the
+    // oracle retrains through the SHARED chain text and scores with
+    // the SAME assign tree ----
+    "sql_predict_kmeans" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("pm_events")
+      s.sql(createKmeansStmt)
+      s.sql(predictKmeansStmt)
     }),
 
     // ---- C104b: EXPLAIN MODEL statement (db4ai explain_model.h) —
@@ -371,6 +394,16 @@ object SqlStatementSuite {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey % 10 = 0 AND c_acctbal > 1000
         |ORDER BY c_custkey""".stripMargin,
+
+    // retrain through the SHARED Lloyd chain (bitwise equal to the
+    // production loop — the F2 parity guarantee), then score each row
+    // with the SAME nearest-centroid CASE tree the splice emits
+    "sql_predict_kmeans" ->
+      s"""WITH pts AS (SELECT event_id, CAST(user_id % 97 AS BIGINT) AS x,
+         |  CAST(floor(value) AS BIGINT) % 89 AS y FROM events),
+         |${Ml.kmeansChainSql(4, 3)}
+         |SELECT event_id, ${Ml.assignExpr(4)} AS cluster
+         |FROM pts, c3 WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
 
     // retrain from the same moments; the feature column carries the
     // CREATE MODEL expression TEXT (what EXPLAIN MODEL renders)

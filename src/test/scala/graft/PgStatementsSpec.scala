@@ -288,6 +288,32 @@ class PgStatementsSpec extends SparkSpec {
     assert(classes.subsetOf(Set(0, 1)))
   }
 
+  test("CREATE MODEL kmeans (no TARGET) + PREDICT BY matches the engine") {
+    mlFixture()
+    spark.sql("CREATE MODEL stmt_km USING kmeans FEATURES x1, x2 " +
+      "FROM stmt_pts WITH (k = 3, max_iterations = 2)")
+    val m = ModelCatalog.get("stmt_km").asInstanceOf[ModelCatalog.KmeansModel]
+    assert(m.cents.length == 3 && m.counts.values.sum == 200)
+    val viaSql = spark.sql(
+      "SELECT PREDICT BY stmt_km (FEATURES x1, x2) AS cl FROM stmt_pts ORDER BY id")
+      .as[Int].collect().toSeq
+    val direct = spark.table("stmt_pts").orderBy("id")
+      .select(graft.operators.ModelStore.predictKmeans(m.cents,
+        col("x1"), col("x2")).as("cl")).as[Int].collect().toSeq
+    assert(viaSql == direct)
+    // EXPLAIN MODEL renders the centroid relation with training sizes
+    val exp = spark.sql("EXPLAIN MODEL stmt_km").orderBy("cluster").collect()
+    assert(exp.length == 3 && exp.map(_.getLong(4)).sum == 200L)
+    // a supervised algorithm without TARGET, and kmeans WITH one, error
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE MODEL bad USING linear_regression FEATURES x1, x2 FROM stmt_pts"))
+    assert(e1.getMessage.contains("TARGET"))
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE MODEL bad USING kmeans FEATURES x1, x2 TARGET y FROM stmt_pts"))
+    assert(e2.getMessage.contains("unsupervised"))
+    spark.sql("DROP MODEL stmt_km")
+  }
+
   test("model statement errors: unknown model/algo, arity, hyperparams") {
     mlFixture()
     val e1 = intercept[Exception](spark.sql(
