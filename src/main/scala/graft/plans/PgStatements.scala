@@ -786,9 +786,14 @@ object PgStatements {
     sealed trait Idx {
       def table: String; def column: String; def view: String
     }
-    /** IVF: `view` holds the materialized list-tagged postings. */
+    /** IVF: `view` holds the materialized list-tagged postings.
+      * `cosine` marks a vector_cosine_ops index: the quantizer and
+      * postings live in L2-NORMALIZED space (cosine order ≡ L2 order
+      * on unit vectors — vector_op.cpp's cosine_distance geometry), so
+      * probing normalizes the query; the pruned relation still carries
+      * the ORIGINAL rows and the statement's own `<=>` reranks exact. */
     final case class IvfIdx(table: String, column: String, view: String,
-        model: Ivf.Model) extends Idx
+        model: Ivf.Model, cosine: Boolean = false) extends Idx
     /** NSW: `view` holds the materialized clustered graph shards;
       * `idCol` is the relation's row-id column (its FIRST column). */
     final case class HnswIdx(table: String, column: String, view: String,
@@ -837,9 +842,11 @@ object PgStatements {
     val e = st.matching(k)
     val col0 = st.ident(k + 1)
     val opclass = if (e - 1 > k + 2) st.lower(e - 2) else "vector_l2_ops"
-    require(opclass == "vector_l2_ops",
-      s"graft: vector index opclass '$opclass' unsupported — vector_l2_ops " +
-        "is the gated access path (ip/cosine ride the Scala Knn API)")
+    val cosine = opclass == "vector_cosine_ops"
+    require(opclass == "vector_l2_ops" || (cosine && method == "ivfflat"),
+      s"graft: vector index opclass '$opclass' unsupported for $method — " +
+        "vector_l2_ops (both methods) and vector_cosine_ops (ivfflat) are " +
+        "the gated access paths (inner product rides the Scala Knn API)")
     k = e
     val hyper: Map[String, String] =
       if (k < st.n && st.lower(k) == "with") {
@@ -866,10 +873,16 @@ object PgStatements {
           s"${bad.mkString(", ")})")
         val lists = hyper.get("lists").map(_.toInt).getOrElse(defaultLists)
         require(lists >= 1, "graft: lists must be >= 1")
-        val model = Ivf.build(corpus, column, lists)
-        Iterate.truncate(Ivf.assign(corpus, column, model))
+        // cosine: quantize in normalized space, keep original rows
+        val spaceCol = if (cosine) "__graft_nvec" else column
+        val space = if (cosine) corpus.withColumn(spaceCol,
+          graft.functions.VectorFunctions.l2Normalize(col(column))) else corpus
+        val model = Ivf.build(space, spaceCol, lists)
+        Iterate.truncate(
+            Ivf.assign(space, spaceCol, model).drop("__graft_nvec"))
           .createOrReplaceTempView(view)
-        IndexCatalog.put(name, IndexCatalog.IvfIdx(table, column, view, model))
+        IndexCatalog.put(name,
+          IndexCatalog.IvfIdx(table, column, view, model, cosine))
       case "hnsw" =>
         val bad = hyper.keySet.diff(Set("m", "ef_construction", "lists"))
         require(bad.isEmpty, s"graft: hnsw options: m, ef_construction, " +
@@ -927,11 +940,16 @@ object PgStatements {
     if (fromIdx >= st.n || st.tok(fromIdx + 1).kind != ID) return None
     val table = st.ident(fromIdx + 1)
     if (!IndexCatalog.anyForTable(table)) return None
-    // ORDER BY pg_dist_arrow(col, const) [ASC] [, ...] LIMIT k
+    // ORDER BY {pg_dist_arrow | pg_cosine_or_eq}(col, const) [ASC]
+    // [, ...] LIMIT k — `<->` is served by vector_l2_ops indexes,
+    // `<=>` by vector_cosine_ops ones (PG: an operator class serves
+    // exactly its operator)
+    val knnFns = Set("pg_dist_arrow", "pg_cosine_or_eq")
     val ob = (0 until st.n - 2).find(p => st.depth(p) == 0 &&
       st.lower(p) == "order" && st.lower(p + 1) == "by" &&
-      st.lower(p + 2) == "pg_dist_arrow")
+      knnFns(st.lower(p + 2)))
     if (ob.isEmpty) return None
+    val wantCosine = st.lower(ob.get + 2) == "pg_cosine_or_eq"
     val callOpen = ob.get + 3
     if (st.lower(callOpen) != "(") return None
     val callEnd = st.matching(callOpen)
@@ -940,6 +958,12 @@ object PgStatements {
     val colRef = (args(0)._1 until args(0)._2).filter(st.tok(_).kind == ID)
       .lastOption.map(st.ident).getOrElse(return None)
     val idx = IndexCatalog.forTable(table, colRef).getOrElse(return None)
+    idx match { // operator must match the index's operator class
+      case IndexCatalog.IvfIdx(_, _, _, _, cos) if cos != wantCosine =>
+        return None
+      case _: IndexCatalog.HnswIdx if wantCosine => return None
+      case _ =>
+    }
     if (st.lower(callEnd) == "desc") return None // farthest-first: no AM
     val limIdx = st.nextTop(callEnd, Set("limit"))
     if (limIdx >= st.n) return None
@@ -959,9 +983,14 @@ object PgStatements {
         .collectFirst { case Some(v) => v.toInt }.getOrElse(dflt)
     val uniq = freshView("knn")
     idx match {
-      case IndexCatalog.IvfIdx(_, _, view, model) =>
+      case IndexCatalog.IvfIdx(_, _, view, model, cos) =>
         val nprobe = knob(Seq("ivfflat.probes", "graft.ivfflat.probes"), 1)
-        val probeIds = model.probes(qVec, nprobe).map(Integer.valueOf)
+        // a cosine index's quantizer lives in unit space
+        val probeVec = if (cos) {
+          val n = math.sqrt(qVec.map(v => v.toDouble * v).sum)
+          if (n > 0) qVec.map(v => (v / n).toFloat) else qVec
+        } else qVec
+        val probeIds = model.probes(probeVec, nprobe).map(Integer.valueOf)
         spark.table(view)
           .filter(col("list_id").isin(probeIds: _*))
           .drop("list_id")

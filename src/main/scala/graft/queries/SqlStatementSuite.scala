@@ -264,6 +264,28 @@ object SqlStatementSuite {
       out
     }),
 
+    // ---- C108c: vector_cosine_ops — the embedding-workload opclass:
+    // the quantizer lives in unit space (cosine order ≡ L2 order on
+    // normalized vectors), the pruned relation carries ORIGINAL rows,
+    // and the statement's own <=> reranks exactly; full probe budget
+    // again makes the routed path exact for the hash gate ----
+    "sql_cosine_index" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      emb.createOrReplaceTempView("vidxc_emb")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).mkString("[", ",", "]")
+      s.sql("DROP INDEX IF EXISTS vidx_cos")
+      s.sql("CREATE INDEX vidx_cos ON vidxc_emb USING ivfflat " +
+        "(embedding vector_cosine_ops) WITH (lists = 16)")
+      s.conf.set("graft.ivfflat.probes", "16") // full probe: exact
+      val out = s.sql(
+        s"""SELECT vec_id, round(embedding <=> '$q'::vector, 6) AS cosd
+           |FROM vidxc_emb ORDER BY embedding <=> '$q'::vector, vec_id
+           |LIMIT 10""".stripMargin)
+      s.conf.unset("graft.ivfflat.probes")
+      out
+    }),
+
     // ---- C108b: CREATE INDEX USING hnsw — the clustered NSW access
     // path; approximate by nature, so gated on exactly-k results +
     // recall vs the in-query exact top-k (the B-family gate shape) ----
@@ -452,6 +474,16 @@ object SqlStatementSuite {
         |SELECT e.vec_id,
         |  round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
         |FROM embeddings e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    // full-probe cosine == the exact scan (sql_pg_vector's cosd shape)
+    "sql_cosine_index" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(1.0 - greatest(-1.0, least(1.0,
+        |    list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |    sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        |       * list_inner_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))), 6) AS cosd
+        |FROM embeddings e, q ORDER BY cosd, vec_id LIMIT 10""".stripMargin,
 
     // approximate by nature: constants like the other ANN gates
     "sql_hnsw_index" ->

@@ -540,6 +540,45 @@ class PgStatementsSpec extends SparkSpec {
     spark.conf.unset("graft.hnsw.nprobe")
   }
 
+  test("vector_cosine_ops index serves <=> (and only <=>); full probe == exact") {
+    val q = idxFixture()
+    spark.sql("CREATE INDEX stmt_cos ON stmt_emb USING ivfflat " +
+      "(embedding vector_cosine_ops) WITH (lists = 8)")
+    try {
+      def cosKnn(): Seq[(Long, Double)] = spark.sql(
+        s"""SELECT vec_id, round(embedding <=> '$q'::vector, 6) AS d
+           |FROM stmt_emb ORDER BY embedding <=> '$q'::vector, vec_id
+           |LIMIT 7""".stripMargin).as[(Long, Double)].collect().toSeq
+      spark.conf.set("graft.ivfflat.probes", "8")
+      val viaIdx = cosKnn()
+      spark.sql("DROP INDEX stmt_cos")
+      val exact = cosKnn()
+      assert(viaIdx == exact) // full probe: the routed path is exact
+      // a cosine index must NOT serve the <-> idiom: with only the
+      // cosine index registered, the L2 statement stays an exact scan
+      spark.sql("CREATE INDEX stmt_cos ON stmt_emb USING ivfflat " +
+        "(embedding vector_cosine_ops) WITH (lists = 8)")
+      spark.conf.set("graft.ivfflat.probes", "1")
+      val l2a = spark.sql(
+        s"""SELECT vec_id FROM stmt_emb
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 7""".stripMargin)
+        .as[Long].collect().toSeq
+      spark.sql("DROP INDEX stmt_cos")
+      val l2b = spark.sql(
+        s"""SELECT vec_id FROM stmt_emb
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 7""".stripMargin)
+        .as[Long].collect().toSeq
+      assert(l2a == l2b) // untouched: opclass mismatch delegates
+      val e = intercept[Exception](spark.sql(
+        "CREATE INDEX i ON stmt_emb USING hnsw (embedding vector_cosine_ops)"))
+      assert(e.getMessage.contains("vector_l2_ops"))
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_cos")
+      ()
+    }
+  }
+
   test("SET ivfflat.probes — the reference GUC spelling — drives the knob") {
     val q = idxFixture()
     spark.sql("CREATE INDEX stmt_guc ON stmt_emb USING ivfflat " +
@@ -570,7 +609,7 @@ class PgStatementsSpec extends SparkSpec {
       "CREATE INDEX i ON stmt_emb USING btree (vec_id)"))
     assert(!e1.getMessage.contains("graft:"))
     val e2 = intercept[Exception](spark.sql(
-      "CREATE INDEX i ON stmt_emb USING ivfflat (embedding vector_cosine_ops)"))
+      "CREATE INDEX i ON stmt_emb USING ivfflat (embedding vector_ip_ops)"))
     assert(e2.getMessage.contains("vector_l2_ops"))
     val e3 = intercept[Exception](spark.sql(
       "CREATE INDEX i ON stmt_emb USING ivfflat (embedding vector_l2_ops) " +
