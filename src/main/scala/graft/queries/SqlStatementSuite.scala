@@ -118,6 +118,8 @@ object SqlStatementSuite {
     matviewCreateStmt, matviewRefreshStmt,
     copyToStmt("/tmp/placeholder/copy"), copyFromStmt("/tmp/placeholder/copy"),
     createIvfIndexStmt, createHnswIndexStmt,
+    "CREATE INDEX vidx_cos ON vidxc_emb USING ivfflat " +
+      "(embedding vector_cosine_ops) WITH (lists = 16)",
     "DROP INDEX IF EXISTS vidx_gate")
 
   val queries: Map[String, Q] = Map(
