@@ -235,6 +235,27 @@ class PgStatementsSpec extends SparkSpec {
     assert(r == Seq(1L, 2L))
   }
 
+  test("TIMECAPSULE TABLE ... TO CSN rewinds by sequence number") {
+    tcFixture()
+    spark.sql("TIMECAPSULE TABLE stmt_log TO CSN 3")
+    assert(spark.table("stmt_log").count() == 3) // csn 1..3 survive
+    val r = spark.sql("SELECT k, val FROM stmt_log TIMECAPSULE CSN 99 ORDER BY k")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(r == Seq((1L, "v2"), (2L, "w1"))) // the csn-4 tombstone is gone
+  }
+
+  test("MERGE accepts a parenthesized subquery source") {
+    mergeFixture()
+    spark.sql(
+      """MERGE INTO stmt_tgt t
+        |USING (SELECT k, bal FROM stmt_src WHERE op = 'U') s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET bal = s.bal * 2""".stripMargin)
+    val out = spark.table("stmt_tgt").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b", 44.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+  }
+
   // ---- CREATE MODEL / PREDICT BY / DROP MODEL ----
 
   private def mlFixture(): Unit = {
@@ -444,6 +465,47 @@ class PgStatementsSpec extends SparkSpec {
         s"COPY stmt_cp_tgt FROM '$p' WITH (COMPRESSION gzip)"))
       assert(e.getMessage.contains("COPY option"))
     } finally rmTree(dirF)
+  }
+
+  test("COPY TEXT format: tab delimiter, backslash-N nulls, no quoting") {
+    val dirF = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-stmt-copytext-${ProcessHandle.current().pid()}")
+    rmTree(dirF); dirF.mkdirs()
+    val p = new java.io.File(dirF, "t").getPath
+    try {
+      Seq((1L, "plain"), (2L, null.asInstanceOf[String]))
+        .toDF("k", "s").createOrReplaceTempView("stmt_cpt_src")
+      spark.sql(s"COPY stmt_cpt_src TO '$p' (FORMAT text)")
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW stmt_cpt_tgt AS " +
+        "SELECT * FROM stmt_cpt_src WHERE 1 = 0")
+      spark.sql(s"COPY stmt_cpt_tgt FROM '$p' (FORMAT text)")
+      val got = spark.table("stmt_cpt_tgt").orderBy("k")
+        .as[(Long, Option[String])].collect().toSeq
+      assert(got == Seq((1L, Some("plain")), (2L, None)))
+      // the on-disk form really is TEXT format: tab-separated, \N null
+      val part = Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".csv"))
+      val lines = part.flatMap(f =>
+        scala.io.Source.fromFile(f).getLines().toList).sorted
+      assert(lines.exists(_ == "1\tplain"))
+      assert(lines.exists(_ == "2\t\\N"))
+    } finally rmTree(dirF)
+  }
+
+  test("INCREMENTAL matview with several sum columns and composite keys") {
+    Seq(("a", 1L, 10L, 100L), ("a", 1L, 20L, 200L), ("b", 2L, 5L, 50L))
+      .toDF("g1", "g2", "v", "w").createOrReplaceTempView("stmt_base3")
+    spark.sql("CREATE INCREMENTAL MATERIALIZED VIEW stmt_mv3 AS " +
+      "SELECT g1, g2, count(*) AS n, sum(v) AS sv, sum(w) AS sw " +
+      "FROM stmt_base3 GROUP BY g1, g2")
+    Seq(("a", 1L, 30L, 300L, 1), ("b", 2L, 5L, 50L, -1))
+      .toDF("g1", "g2", "sv", "sw", "op")
+      .createOrReplaceTempView("mlog_stmt_mv3")
+    spark.sql("REFRESH INCREMENTAL MATERIALIZED VIEW stmt_mv3")
+    val got = spark.table("stmt_mv3").orderBy("g1")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 3L, 60L, 600L))) // b-group count hit zero
+    spark.sql("DROP MATERIALIZED VIEW stmt_mv3")
   }
 
   // ---- dblink ----
