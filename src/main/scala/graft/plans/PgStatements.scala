@@ -163,6 +163,20 @@ object PgStatements {
       while (k < n && !(depth(k) == 0 && stop(lower(k)))) k += 1
       k
     }
+    /** Like [[nextTop]] but CASE ... END spans are opaque: WHEN/THEN
+      * inside an unparenthesized CASE expression is expression syntax,
+      * not a clause boundary (MERGE `SET x = CASE WHEN ... END` was
+      * being cut mid-CASE). `stop` must not contain "case"/"end". */
+    def nextTopOutsideCase(from: Int, stop: Set[String]): Int = {
+      var k = from
+      var caseDepth = 0
+      while (k < n && !(depth(k) == 0 && caseDepth == 0 && stop(lower(k)))) {
+        if (lower(k) == "case") caseDepth += 1
+        else if (lower(k) == "end" && caseDepth > 0) caseDepth -= 1
+        k += 1
+      }
+      k
+    }
     /** Index just past the ")" matching an "(" at sig index `open`. */
     def matching(open: Int): Int = {
       require(lower(open) == "(", s"graft: expected '(' at token $open")
@@ -217,6 +231,20 @@ object PgStatements {
   private def dlit(v: Double): String =
     s"CAST('${java.lang.Double.toString(v)}' AS DOUBLE)"
 
+  /** Analyze the spliced statement, then DROP the helper views backing
+    * it. [[org.apache.spark.sql.graft.Bridge.logicalPlan]] returns the
+    * ANALYZED plan — analysis inlines each temp view's plan into the
+    * tree, so the catalog entries are scaffolding; leaving them leaked
+    * one view (plus its driver-side probe work) per PARSE of the same
+    * statement (ADVICE r17). */
+  private def analyzedThenDrop(spark: SparkSession, sqlText: String,
+      helperViews: String*): LogicalPlan =
+    try Bridge.logicalPlan(spark.sql(sqlText))
+    finally helperViews.foreach { v =>
+      try { spark.catalog.dropTempView(v); () }
+      catch { case NonFatal(_) => () }
+    }
+
   private def oneRow(spark: SparkSession, cols: (String, String)*): LogicalPlan =
     Bridge.logicalPlan(spark.sql(
       cols.map { case (name, value) =>
@@ -227,15 +255,25 @@ object PgStatements {
   // entry points
   // ------------------------------------------------------------------
 
+  /** Trigger substrings for [[route]]'s cheap pre-gate. MUST include
+    * every rewritten KNN operator spelling the access path serves —
+    * r17 shipped without `pg_cosine_or_eq` here, which made the
+    * cosine index path unreachable in production (all tests passed
+    * vacuously because full-probe falls back to the identical exact
+    * scan). Fuzzed in PgStatementsSpec: every statement a gate routes
+    * must contain a trigger. */
+  private val routeTriggers: Seq[String] = Seq(
+    "merge", "model", "timecapsule", "connect", "recursive", "copy",
+    "materialized", "index", "update", "delete",
+    // the PgSqlRewrite spellings of <-> <=> <#> <+> <~>
+    "pg_dist_arrow", "pg_cosine_or_eq", "negative_inner_product",
+    "l1_distance", "hamming_distance")
+
   /** Route a statement onto an engine; None = not ours (delegate). */
   def route(sqlText: String): Option[LogicalPlan] = {
     val low = sqlText.toLowerCase(java.util.Locale.ROOT)
     // cheap pre-gate: none of the trigger words even as substrings
-    if (!low.contains("merge") && !low.contains("model") &&
-        !low.contains("timecapsule") && !low.contains("connect") &&
-        !low.contains("recursive") && !low.contains("copy") &&
-        !low.contains("materialized") && !low.contains("index") &&
-        !low.contains("pg_dist_arrow")) return None
+    if (!routeTriggers.exists(low.contains)) return None
     val spark = SparkSession.active
     val st = new Stmt(lex(sqlText))
     if (st.n == 0) return None
@@ -316,11 +354,11 @@ object PgStatements {
       else freshView("msrc")
     require(st.lower(k) == "on", "graft: MERGE expects ON <condition>")
     k += 1
-    val firstWhen = st.nextTop(k, Set("when"))
+    val firstWhen = st.nextTopOutsideCase(k, Set("when"))
     require(firstWhen < st.n, "graft: MERGE expects at least one WHEN clause")
     val onCond = st.text(k, firstWhen)
 
-    // WHEN clause list
+    // WHEN clause list (CASE ... END spans are opaque to the scan)
     val clauses = ArrayBuffer.empty[Clause]
     k = firstWhen
     while (k < st.n) {
@@ -335,14 +373,14 @@ object PgStatements {
       }
       val cond = if (st.lower(k) == "and") {
         k += 1
-        val thenIdx = st.nextTop(k, Set("then"))
+        val thenIdx = st.nextTopOutsideCase(k, Set("then"))
         require(thenIdx < st.n, "graft: MERGE WHEN ... AND expects THEN")
         val c = st.text(k, thenIdx); k = thenIdx
         Some(c)
       } else None
       require(st.lower(k) == "then", "graft: MERGE WHEN expects THEN")
       k += 1
-      val clauseEnd = st.nextTop(k, Set("when"))
+      val clauseEnd = st.nextTopOutsideCase(k, Set("when"))
       val action = st.lower(k) match {
         case "update" =>
           require(matched, "graft: MERGE UPDATE is only legal WHEN MATCHED")
@@ -417,17 +455,74 @@ object PgStatements {
     val delLadder = ladder(matchedCls,
       cl => if (cl.action == Delete) "TRUE" else "FALSE", "FALSE")
     val insLadder = ladder(insertCls, _ => "TRUE", "FALSE")
-    val gen =
+    // MULTI-MATCH discipline (ADVICE r17). PG/openGauss raise "MERGE
+    // command cannot affect row a second time" when one target row is
+    // matched by SEVERAL source rows that would ACT on it; and a
+    // multi-matched row whose extra pairs do NOT act must still emit
+    // exactly once (the pair-wise full-outer rewrite would emit one
+    // row per pair). The affect predicate is the OR of the matched
+    // clauses' conditions (an unconditioned clause always acts). One
+    // inner-join aggregate pass decides both: double-acting → the
+    // reference's error; multi-join without double-acting → the gen
+    // below adds a per-target-row window dedup; unique matches (the
+    // production-common case) keep the windowless single-shuffle plan.
+    val affect =
+      if (matchedCls.isEmpty) "FALSE"
+      else if (matchedCls.exists(_.cond.isEmpty)) "TRUE"
+      else matchedCls.flatMap(_.cond).map(c => s"($c)").mkString(" OR ")
+    val multiMatch: Boolean = {
+      val chkSql =
+        s"""SELECT max(__graft_ca) AS ma, max(__graft_na) AS mn FROM (
+           |  SELECT count(*) AS __graft_ca,
+           |    sum(CASE WHEN $affect THEN 1 ELSE 0 END) AS __graft_na
+           |  FROM (SELECT *, monotonically_increasing_id() AS __graft_tid
+           |        FROM $target) $tAlias
+           |  JOIN (SELECT * FROM $srcText) $sAlias ON $onCond
+           |  GROUP BY $tAlias.__graft_tid)""".stripMargin
+      val r = spark.sql(chkSql).head()
+      if (!r.isNullAt(1) && r.getLong(1) > 1L)
+        throw new IllegalStateException(
+          "graft: MERGE command cannot affect row a second time — a target " +
+            "row is matched by more than one acting source row (openGauss/" +
+            "PostgreSQL MergeStmt semantics)")
+      !r.isNullAt(0) && r.getLong(0) > 1L
+    }
+    val gen = if (!multiMatch)
       s"""SELECT ${selectCols.mkString(", ")}
          |FROM (SELECT *, true AS __graft_mt FROM $target) $tAlias
          |FULL OUTER JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
          |ON $onCond
          |WHERE NOT ($isMatched AND ($delLadder))
          |  AND NOT ($isSrcOnly AND NOT ($insLadder))""".stripMargin
+    else {
+      // matched multi-pairs: keep the acting pair (unique — checked
+      // above), or one representative when none acts (values fall
+      // through the ladders to the target originals either way).
+      // Window-over-tid only on this (rare) path — the unique-match
+      // plan above stays windowless.
+      val acting = s"($isMatched AND ($affect))"
+      val keep =
+        s"""NOT ($isMatched AND ($delLadder))
+           |  AND NOT ($isSrcOnly AND NOT ($insLadder))
+           |  AND (NOT $isMatched OR $acting OR (
+           |    sum(CASE WHEN $acting THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY $tAlias.__graft_tid) = 0
+           |    AND row_number() OVER (PARTITION BY $tAlias.__graft_tid
+           |      ORDER BY $tAlias.__graft_tid) = 1))""".stripMargin
+      s"""SELECT ${tCols.map(c => s"`$c`").mkString(", ")} FROM (
+         |SELECT ${selectCols.mkString(", ")}, ($keep) AS __graft_keep
+         |FROM (SELECT *, true AS __graft_mt,
+         |        monotonically_increasing_id() AS __graft_tid FROM $target) $tAlias
+         |FULL OUTER JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
+         |ON $onCond) WHERE __graft_keep""".stripMargin
+    }
     // MERGE is a WRITE: materialize (bounding lineage across chained
-    // merges) before re-registering the target view
+    // merges) before re-registering the target view; any vector index
+    // built over the pre-merge rows is now stale — invalidate it so
+    // the KNN access path falls back to the exact scan (ADVICE r17)
     val merged = Iterate.truncate(spark.sql(gen))
     merged.createOrReplaceTempView(target)
+    IndexCatalog.invalidateTable(spark, target)
     Some(oneRow(spark, "command" -> "MERGE", "table_name" -> target))
   }
 
@@ -506,7 +601,7 @@ object PgStatements {
     val joined = nodes.join(h, nodes(idCol).cast("long") === h("__graft_cb_id"))
       .drop("__graft_cb_id")
     val uniq = freshView("cb")
-    joined.createOrReplaceTempView(uniq)
+    joined.createOrReplaceTempView(uniq) // dropped after analysis below
 
     // splice: drop the two clauses, swap the relation, map pseudo-fns
     val repls = ArrayBuffer.empty[(Int, Int, String)]
@@ -552,7 +647,7 @@ object PgStatements {
         case _ => p += 1
       }
     }
-    Bridge.logicalPlan(spark.sql(st.splice(repls.toSeq)))
+    analyzedThenDrop(spark, st.splice(repls.toSeq), uniq)
   }
 
   // ------------------------------------------------------------------
@@ -588,6 +683,7 @@ object PgStatements {
     * map-side-combined max_by per key, never the full history. */
   private def timecapsuleQuery(spark: SparkSession, st: Stmt): LogicalPlan = {
     val repls = ArrayBuffer.empty[(Int, Int, String)]
+    val helpers = ArrayBuffer.empty[String]
     var p = 0
     while (p < st.n - 1) {
       val kind = st.lower(p + 1)
@@ -605,11 +701,12 @@ object PgStatements {
         val uniq = freshView("tc")
         Flashback.asOf(log, log.columns.head, ver, "op", visible)
           .createOrReplaceTempView(uniq)
+        helpers += uniq
         repls += ((p - 1, e, uniq))
         p = e
       } else p += 1
     }
-    Bridge.logicalPlan(spark.sql(st.splice(repls.toSeq)))
+    analyzedThenDrop(spark, st.splice(repls.toSeq), helpers.toSeq: _*)
   }
 
   /** `TIMECAPSULE TABLE t TO {TIMESTAMP|CSN} expr` (statement form):
@@ -627,6 +724,7 @@ object PgStatements {
     val log = spark.table(table)
     val (_, visible) = tcVisible(log, table, kind, exprText)
     log.filter(visible).createOrReplaceTempView(table)
+    IndexCatalog.invalidateTable(spark, table) // rewound rows: stale index
     oneRow(spark, "command" -> "TIMECAPSULE", "table_name" -> table)
   }
 
@@ -812,6 +910,22 @@ object PgStatements {
         norm(i.table) == norm(table) && norm(i.column) == norm(column))
     def anyForTable(table: String): Boolean =
       byName.values.exists(i => norm(i.table) == norm(table))
+    /** DML through the router (MERGE / COPY FROM / TIMECAPSULE TABLE /
+      * UPDATE / DELETE) re-registers the table's view; an index built
+      * from the pre-DML rows is stale and would silently serve
+      * pre-mutation rows (ADVICE r17). Drop such entries (and their
+      * postings views) so the KNN access path falls back to the exact
+      * scan — the reference maintains indexes under DML in place; the
+      * batch analogue invalidates and the user re-CREATEs. */
+    def invalidateTable(spark: SparkSession, table: String): Unit = {
+      val t = norm(table)
+      byName.toSeq.filter { case (_, i) => norm(i.table) == t }.foreach {
+        case (nm, i) =>
+          byName.remove(nm)
+          try { spark.catalog.dropTempView(i.view); () }
+          catch { case NonFatal(_) => () }
+      }
+    }
   }
 
   /**
@@ -1005,8 +1119,8 @@ object PgStatements {
           .filter(col(idCol).isin(ids.map(java.lang.Long.valueOf): _*))
           .createOrReplaceTempView(uniq)
     }
-    Some(Bridge.logicalPlan(spark.sql(
-      st.splice(Seq((fromIdx + 1, fromIdx + 2, uniq))))))
+    Some(analyzedThenDrop(spark,
+      st.splice(Seq((fromIdx + 1, fromIdx + 2, uniq))), uniq))
   }
 
   // ------------------------------------------------------------------
@@ -1244,6 +1358,7 @@ object PgStatements {
         else lit(null).cast(cur.schema(c).dataType).as(c)
       }: _*)
       cur.unionByName(incoming).createOrReplaceTempView(target)
+      IndexCatalog.invalidateTable(spark, target) // appended rows: stale index
       oneRow(spark, "command" -> "COPY FROM", "table_name" -> target)
     }
   }

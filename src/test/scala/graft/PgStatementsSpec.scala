@@ -129,6 +129,49 @@ class PgStatementsSpec extends SparkSpec {
     assert(out == Seq((1L, "a", 10.0), (2L, "b", 22.0), (4L, "d", 40.0)))
   }
 
+  test("MERGE raises when one target row is matched by two acting source rows") {
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
+      .createOrReplaceTempView("stmt_dup_tgt")
+    Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("k", "v")
+      .createOrReplaceTempView("stmt_dup_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO stmt_dup_tgt t USING stmt_dup_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET bal = s.v""".stripMargin))
+    assert(e.getMessage.contains("affect row a second time"))
+    // the target view is untouched by the failed MERGE
+    assert(spark.table("stmt_dup_tgt").orderBy("k")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 10.0), (2L, 20.0)))
+    // duplicate matches where only ONE source row ACTS do not raise
+    // (PG counts acting pairs, not joining pairs)
+    spark.sql(
+      """MERGE INTO stmt_dup_tgt t USING stmt_dup_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v >= 2.0 THEN UPDATE SET bal = s.v""".stripMargin)
+    assert(spark.table("stmt_dup_tgt").orderBy("k")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 2.0), (2L, 3.0)))
+  }
+
+  test("MERGE SET with an unparenthesized CASE ... WHEN ... END parses") {
+    mergeFixture()
+    spark.sql(
+      """MERGE INTO stmt_tgt t USING stmt_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET
+        |  bal = CASE WHEN s.op = 'D' THEN 0.0 ELSE s.bal END,
+        |  name = s.name""".stripMargin)
+    val out = spark.table("stmt_tgt").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 22.0), (3L, "c", 0.0),
+      (4L, "d", 40.0)))
+    // a CASE inside a WHEN ... AND condition doesn't cut the clause
+    mergeFixture()
+    spark.sql(
+      """MERGE INTO stmt_tgt t USING stmt_src s ON t.k = s.k
+        |WHEN MATCHED AND CASE WHEN s.op = 'U' THEN true ELSE false END
+        |  THEN UPDATE SET bal = s.bal""".stripMargin)
+    val out2 = spark.table("stmt_tgt").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out2.map(_._3) == Seq(10.0, 22.0, 30.0, 40.0))
+  }
+
   test("MERGE INTO a non-temp-view delegates to Spark untouched") {
     val e = intercept[Exception](spark.sql(
       "MERGE INTO no_such_table USING stmt_src s ON 1=1 WHEN MATCHED THEN DELETE"))
@@ -677,6 +720,75 @@ class PgStatementsSpec extends SparkSpec {
       "CREATE INDEX i ON stmt_emb USING ivfflat (embedding vector_l2_ops) " +
         "WITH (probes = 3)"))
     assert(e3.getMessage.contains("lists"))
+  }
+
+  test("cosine KNN statements pass the route pre-gate (r17 regression)") {
+    val q = idxFixture()
+    // the statement contains NO other trigger word — only the
+    // rewritten <=> spelling can reach knnThroughIndex
+    val stmt = s"SELECT vec_id FROM stmt_emb " +
+      s"ORDER BY embedding <=> '$q'::vector, vec_id LIMIT 5"
+    spark.sql("CREATE INDEX stmt_gate_cos ON stmt_emb USING ivfflat " +
+      "(embedding vector_cosine_ops) WITH (lists = 8)")
+    try {
+      spark.conf.set("graft.ivfflat.probes", "1")
+      val routed = PgStatements.route(graft.plans.PgSqlRewrite.rewrite(stmt))
+      assert(routed.isDefined, "cosine statement must route through the index")
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX stmt_gate_cos")
+      ()
+    }
+  }
+
+  test("DML through the router invalidates a stale vector index") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.createOrReplaceTempView("stmt_dml_emb")
+    val q = emb.select("embedding").head.getSeq[Float](0)
+      .mkString("[", ",", "]")
+    spark.sql("CREATE INDEX stmt_dml_ivf ON stmt_dml_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    try {
+      // MERGE deletes the nearest row (vec_id 0 — the query itself)
+      Seq(0L).toDF("vec_id").createOrReplaceTempView("stmt_dml_del")
+      spark.sql(
+        """MERGE INTO stmt_dml_emb t USING stmt_dml_del s
+          |ON t.vec_id = s.vec_id WHEN MATCHED THEN DELETE""".stripMargin)
+      spark.conf.set("graft.ivfflat.probes", "1")
+      val got = spark.sql(
+        s"""SELECT vec_id FROM stmt_dml_emb
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 3""".stripMargin)
+        .as[Long].collect().toSeq
+      // a stale index would still serve vec_id 0 from pre-merge postings
+      assert(!got.contains(0L), s"stale index served deleted row: $got")
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_dml_ivf")
+      ()
+    }
+  }
+
+  test("routed statements do not leak helper temp views across parses") {
+    cbFixture()
+    def viewCount(): Int = spark.catalog.listTables().count().toInt
+    val stmt = "SELECT id_, LEVEL AS lvl FROM stmt_tree " +
+      "START WITH parent_ = -1 CONNECT BY PRIOR id_ = parent_"
+    spark.sql(stmt).collect() // warm: fixture views settled
+    val before = viewCount()
+    (1 to 3).foreach(_ => spark.sql(stmt).collect())
+    assert(viewCount() == before, "CONNECT BY leaked helper views")
+    // and the KNN access path
+    val q = idxFixture()
+    spark.sql("CREATE INDEX stmt_leak_ivf ON stmt_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    try {
+      val knn = s"SELECT vec_id FROM stmt_emb " +
+        s"ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 3"
+      spark.sql(knn).collect()
+      val b2 = viewCount()
+      (1 to 3).foreach(_ => spark.sql(knn).collect())
+      assert(viewCount() == b2, "KNN access path leaked helper views")
+    } finally { spark.sql("DROP INDEX stmt_leak_ivf"); () }
   }
 
   // ---- splice/rewrite hygiene ----
