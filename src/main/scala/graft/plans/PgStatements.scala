@@ -279,6 +279,8 @@ object PgStatements {
     if (st.n == 0) return None
     (st.lower(0), st.lower(1)) match {
       case ("merge", "into") => mergeInto(spark, st)
+      case ("update", _) if st.lower(1) != "" => updateStmt(spark, st)
+      case ("delete", "from") => deleteStmt(spark, st)
       case ("create", "model") => Some(createModel(spark, st))
       case ("drop", "model") => Some(dropModel(spark, st))
       case ("explain", "model") => Some(explainModel(spark, st))
@@ -524,6 +526,183 @@ object PgStatements {
     merged.createOrReplaceTempView(target)
     IndexCatalog.invalidateTable(spark, target)
     Some(oneRow(spark, "command" -> "MERGE", "table_name" -> target))
+  }
+
+  // ------------------------------------------------------------------
+  // UPDATE / DELETE (gram.y UpdateStmt:23328, DeleteStmt:23218) — the
+  // two plain DML spellings, routed onto the same materialize-and-
+  // substitute device as MERGE INTO. Only temp-view targets are ours
+  // (v2 tables have native DML); RETURNING is rejected explicitly.
+  // ------------------------------------------------------------------
+
+  /** Parse `[[AS] alias]` after a relation name; returns (alias, next).
+    * `stops` are the keywords that mean "no alias here". */
+  private def parseAlias(st: Stmt, k0: Int, dflt: String,
+      stops: Set[String]): (String, Int) = {
+    var k = k0
+    if (st.lower(k) == "as") k += 1
+    if (k < st.n && st.tok(k).kind == ID && !stops(st.lower(k)))
+      (st.ident(k), k + 1)
+    else (dflt, k)
+  }
+
+  /** Parse a FROM/USING item: relation name or (subquery), plus alias.
+    * Returns (fromText `(SELECT * FROM …) alias`-ready srcText, alias,
+    * next index). Mirrors MERGE's source scoping: an unaliased named
+    * relation is referenced by its own name. */
+  private def parseSourceItem(st: Stmt, k0: Int,
+      stops: Set[String]): (String, String, Int) = {
+    var k = k0
+    val (srcText, srcIsRel) =
+      if (st.lower(k) == "(") { val e = st.matching(k); val t = st.text(k, e); k = e; (t, false) }
+      else { val t = st.ident(k); k += 1; (t, true) }
+    val (alias, k2) = parseAlias(st, k, if (srcIsRel) srcText else freshView("dsrc"), stops)
+    (srcText, alias, k2)
+  }
+
+  private def requireNoReturning(st: Stmt, what: String): Unit =
+    require(st.nextTop(0, Set("returning")) >= st.n,
+      s"graft: $what ... RETURNING is not supported (a batch view has no " +
+        "cursor to return rows through; SELECT the view after the write)")
+
+  /**
+   * `UPDATE t [[AS] a] SET col = expr [, ...] [FROM src [[AS] sa]]
+   * [WHERE cond]` (gram.y:23328 incl. PG's join form). Without FROM:
+   * one map-only projection — per column a `CASE WHEN cond THEN expr
+   * ELSE old END`. With FROM: LEFT JOIN on the WHERE condition;
+   * matched rows take the assignments, unmatched pass through. PG
+   * picks an ARBITRARY source row when several match one target row —
+   * a deterministic engine picks the SMALLEST source tuple (ordered
+   * over the source's columns), and only pays the window shuffle when
+   * a multi-match actually exists (same check discipline as MERGE).
+   */
+  private def updateStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    val target = st.ident(1)
+    if (!isTempView(spark, target)) return None
+    requireNoReturning(st, "UPDATE")
+    var k = 2
+    val (tAlias, k1) = parseAlias(st, k, target, Set("set"))
+    k = k1
+    require(st.lower(k) == "set", "graft: UPDATE expects SET col = expr")
+    val setEnd = st.nextTopOutsideCase(k + 1, Set("from", "where"))
+    val assigns = st.splitCommas(k + 1, setEnd).map { case (a, b) =>
+      require(st.lower(a) != "(",
+        "graft: UPDATE SET (a, b) = (...) multi-column assignment is not " +
+          "supported — write one col = expr per column")
+      var eq = a
+      while (eq < b && !(st.depth(eq) == st.depth(a) && st.lower(eq) == "=")) eq += 1
+      require(eq < b, "graft: UPDATE SET expects column = expression")
+      (st.ident(eq - 1), st.text(eq + 1, b))
+    }
+    k = setEnd
+    val (srcOpt, sAlias, k2) =
+      if (k < st.n && st.lower(k) == "from") {
+        val (t, a, kk) = parseSourceItem(st, k + 1, Set("where"))
+        (Some(t), a, kk)
+      } else (None, "", k)
+    k = k2
+    val cond: Option[String] =
+      if (k < st.n && st.lower(k) == "where") Some(st.text(k + 1, st.n)) else None
+    val tCols = spark.table(target).columns.toSeq
+    def assignFor(c: String): Option[String] =
+      assigns.collectFirst { case (cc, v) if cc.equalsIgnoreCase(c) => s"($v)" }
+
+    val gen = srcOpt match {
+      case None =>
+        val condTxt = cond.getOrElse("TRUE")
+        val cols = tCols.map { c =>
+          assignFor(c) match {
+            case Some(v) =>
+              s"CASE WHEN ($condTxt) THEN $v ELSE $tAlias.`$c` END AS `$c`"
+            case None => s"$tAlias.`$c` AS `$c`"
+          }
+        }
+        s"SELECT ${cols.mkString(", ")} FROM $target $tAlias"
+      case Some(srcText) =>
+        val onCond = cond.getOrElse("TRUE")
+        val matchedM = s"($sAlias.__graft_ms IS NOT NULL)"
+        val multiMatch: Boolean = {
+          val r = spark.sql(
+            s"""SELECT max(__graft_c) FROM (
+               |  SELECT count(*) AS __graft_c
+               |  FROM (SELECT *, monotonically_increasing_id() AS __graft_tid
+               |        FROM $target) $tAlias
+               |  JOIN (SELECT * FROM $srcText) $sAlias ON $onCond
+               |  GROUP BY $tAlias.__graft_tid)""".stripMargin).head()
+          !r.isNullAt(0) && r.getLong(0) > 1L
+        }
+        val cols = tCols.map { c =>
+          assignFor(c) match {
+            case Some(v) => s"CASE WHEN $matchedM THEN $v ELSE $tAlias.`$c` END AS `$c`"
+            case None => s"$tAlias.`$c` AS `$c`"
+          }
+        }
+        if (!multiMatch)
+          s"""SELECT ${cols.mkString(", ")}
+             |FROM $target $tAlias
+             |LEFT JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
+             |ON $onCond""".stripMargin
+        else {
+          // deterministic pick among several matching source rows:
+          // smallest source tuple (PG: "unspecified which"; a batch
+          // engine must not flap run-to-run)
+          val sCols = (if (srcOpt.get.startsWith("("))
+              spark.sql(srcText.stripPrefix("(").stripSuffix(")"))
+            else spark.table(srcText)).columns.toSeq
+          val ord = sCols.map(c => s"$sAlias.`$c`").mkString(", ")
+          s"""SELECT ${tCols.map(c => s"`$c`").mkString(", ")} FROM (
+             |SELECT ${cols.mkString(", ")},
+             |  (NOT $matchedM OR row_number() OVER (
+             |     PARTITION BY $tAlias.__graft_tid ORDER BY $ord) = 1)
+             |  AS __graft_keep
+             |FROM (SELECT *, monotonically_increasing_id() AS __graft_tid
+             |      FROM $target) $tAlias
+             |LEFT JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
+             |ON $onCond) WHERE __graft_keep""".stripMargin
+        }
+    }
+    val updated = Iterate.truncate(spark.sql(gen))
+    updated.createOrReplaceTempView(target)
+    IndexCatalog.invalidateTable(spark, target)
+    Some(oneRow(spark, "command" -> "UPDATE", "table_name" -> target))
+  }
+
+  /**
+   * `DELETE FROM t [[AS] a] [USING src [[AS] sa]] [WHERE cond]`
+   * (gram.y:23218). Without USING: keep rows where the condition IS
+   * NOT TRUE (NULL keeps the row — PG's three-valued WHERE). With
+   * USING: one LEFT ANTI join on the condition — a target row with
+   * ANY matching source row is deleted; arbitrary (non-equi) join
+   * conditions stay legal (Spark plans a broadcast nested loop).
+   */
+  private def deleteStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    val target = st.ident(2)
+    if (!isTempView(spark, target)) return None
+    requireNoReturning(st, "DELETE")
+    var k = 3
+    val (tAlias, k1) = parseAlias(st, k, target, Set("using", "where"))
+    k = k1
+    val (srcOpt, sAlias, k2) =
+      if (k < st.n && st.lower(k) == "using") {
+        val (t, a, kk) = parseSourceItem(st, k + 1, Set("where"))
+        (Some(t), a, kk)
+      } else (None, "", k)
+    k = k2
+    val cond: Option[String] =
+      if (k < st.n && st.lower(k) == "where") Some(st.text(k + 1, st.n)) else None
+    val gen = srcOpt match {
+      case None =>
+        val c = cond.getOrElse("TRUE")
+        s"SELECT $tAlias.* FROM $target $tAlias WHERE ($c) IS NOT TRUE"
+      case Some(srcText) =>
+        val c = cond.getOrElse("TRUE")
+        s"""SELECT $tAlias.* FROM $target $tAlias
+           |LEFT ANTI JOIN (SELECT * FROM $srcText) $sAlias ON $c""".stripMargin
+    }
+    val remaining = Iterate.truncate(spark.sql(gen))
+    remaining.createOrReplaceTempView(target)
+    IndexCatalog.invalidateTable(spark, target)
+    Some(oneRow(spark, "command" -> "DELETE", "table_name" -> target))
   }
 
   // ------------------------------------------------------------------

@@ -94,6 +94,20 @@ object SqlStatementSuite {
   def copyFromStmt(path: String): String =
     s"COPY cp_tgt FROM '$path' WITH (FORMAT csv, HEADER, ENCODING 'GB18030')"
 
+  val updatePlainStmt: String =
+    "UPDATE u_target SET c_acctbal = c_acctbal + 100.0, " +
+      "c_name = concat(c_name, '_u') WHERE c_custkey % 7 = 0"
+
+  val updateFromStmt: String =
+    """UPDATE u_target t SET c_acctbal = s.c_acctbal, c_nationkey = s.c_nationkey
+      |FROM u_source s WHERE t.c_custkey = s.c_custkey""".stripMargin
+
+  val deletePlainStmt: String =
+    "DELETE FROM d_target WHERE c_custkey % 11 = 0"
+
+  val deleteUsingStmt: String =
+    "DELETE FROM d_target t USING d_keys s WHERE t.c_custkey = s.c_custkey"
+
   val createIvfIndexStmt: String =
     "CREATE INDEX vidx_gate ON vidx_emb USING ivfflat " +
       "(embedding vector_l2_ops) WITH (lists = 16)"
@@ -112,6 +126,7 @@ object SqlStatementSuite {
 
   /** Every statement the gates push through spark.sql (corpus fuzz). */
   def statements: Seq[String] = Seq(recursiveStmt, mergeStmt, connectByStmt,
+    updatePlainStmt, updateFromStmt, deletePlainStmt, deleteUsingStmt,
     createModelStmt, predictStmt, timecapsuleStmt,
     dblinkStmt("jdbc:derby:/tmp/placeholder/db"),
     explainModelStmt, createKmeansStmt, predictKmeansStmt,
@@ -161,6 +176,39 @@ object SqlStatementSuite {
       upd.unionByName(del).unionByName(ins).createOrReplaceTempView("m_source")
       s.sql(mergeStmt)
       s.sql("SELECT * FROM m_target").transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- C109: UPDATE statements (gram.y UpdateStmt:23328) — the
+    // plain WHERE form (one map-only CASE projection) then the PG
+    // join form UPDATE ... FROM (one LEFT JOIN on the condition);
+    // the oracle recomputes both layers relationally ----
+    "sql_update" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+      base.createOrReplaceTempView("u_target")
+      // source from the PARQUET scan (not the view — the view mutates)
+      base.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select(col("c_custkey"), (col("c_acctbal") * 2.0).as("c_acctbal"),
+          (col("c_nationkey") + 100).as("c_nationkey"))
+        .createOrReplaceTempView("u_source")
+      s.sql(updatePlainStmt)
+      s.sql(updateFromStmt)
+      s.sql("SELECT * FROM u_target").transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- C109b: DELETE statements (gram.y DeleteStmt:23218) — plain
+    // WHERE (3VL: NULL keeps the row) then DELETE ... USING (one LEFT
+    // ANTI join); survivors recomputed relationally by the oracle ----
+    "sql_delete" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      base.createOrReplaceTempView("d_target")
+      base.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select(col("c_custkey")).createOrReplaceTempView("d_keys")
+      s.sql(deletePlainStmt)
+      s.sql(deleteUsingStmt)
+      s.sql("SELECT * FROM d_target").transform(Gate.ordered(_, "c_custkey"))
     }),
 
     // ---- C102: START WITH / CONNECT BY statement over the C52 digit
@@ -361,6 +409,29 @@ object SqlStatementSuite {
         |UNION ALL
         |SELECT c_custkey + 1000000, c_name || '_new', c_acctbal, c_nationkey
         |FROM b WHERE c_custkey % 13 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    // both UPDATE layers recomputed relationally: %7 keys get the
+    // plain-form bump, then %13 keys take the join-form assignments
+    // (computed from the ORIGINAL rows, like the parquet-built source)
+    "sql_update" ->
+      """WITH b AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer),
+        |u1 AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_name || '_u' ELSE c_name END AS c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |  c_nationkey FROM b)
+        |SELECT u1.c_custkey, u1.c_name,
+        |  CASE WHEN u1.c_custkey % 13 = 0 THEN b.c_acctbal * 2.0
+        |       ELSE u1.c_acctbal END AS c_acctbal,
+        |  CASE WHEN u1.c_custkey % 13 = 0 THEN b.c_nationkey + 100
+        |       ELSE u1.c_nationkey END AS c_nationkey
+        |FROM u1 JOIN b ON u1.c_custkey = b.c_custkey
+        |ORDER BY u1.c_custkey""".stripMargin,
+
+    // survivors of both DELETE layers
+    "sql_delete" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 11 <> 0 AND c_custkey % 13 <> 0
         |ORDER BY c_custkey""".stripMargin,
 
     // identical to C52 connect_by: the recursive CTE mirrors the

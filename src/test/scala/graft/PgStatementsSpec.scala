@@ -179,6 +179,109 @@ class PgStatementsSpec extends SparkSpec {
     assert(!e.getMessage.contains("graft:"))
   }
 
+  // ---- UPDATE / DELETE ----
+
+  private def dmlFixture(): Unit = {
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal").createOrReplaceTempView("stmt_upd")
+  }
+
+  test("UPDATE ... SET ... WHERE rewrites as a map-only projection") {
+    dmlFixture()
+    spark.sql("UPDATE stmt_upd SET bal = bal + 1.0, name = upper(name) " +
+      "WHERE k % 2 = 0")
+    val out = spark.table("stmt_upd").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "B", 21.0), (3L, "c", 30.0),
+      (4L, "D", 41.0)))
+    // no WHERE: every row updates; CASE in SET parses
+    spark.sql("UPDATE stmt_upd SET bal = CASE WHEN bal > 30.0 THEN 0.0 ELSE bal END")
+    val out2 = spark.table("stmt_upd").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out2.map(_._3) == Seq(10.0, 21.0, 30.0, 0.0))
+  }
+
+  test("UPDATE ... FROM joins the source; only matched rows update") {
+    dmlFixture()
+    Seq((2L, 200.0), (4L, 400.0), (9L, 900.0)).toDF("k", "nb")
+      .createOrReplaceTempView("stmt_upd_src")
+    spark.sql(
+      """UPDATE stmt_upd t SET bal = s.nb FROM stmt_upd_src s
+        |WHERE t.k = s.k AND s.nb < 300.0""".stripMargin)
+    val out = spark.table("stmt_upd").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b", 200.0), (3L, "c", 30.0),
+      (4L, "d", 40.0))) // k=4 filtered by s.nb < 300, k=9 matches nothing
+    // multi-match: deterministic smallest source tuple wins, one row out
+    Seq((2L, 7.0), (2L, 5.0)).toDF("k", "nb")
+      .createOrReplaceTempView("stmt_upd_multi")
+    spark.sql("UPDATE stmt_upd t SET bal = s.nb FROM stmt_upd_multi s " +
+      "WHERE t.k = s.k")
+    val out2 = spark.table("stmt_upd").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out2.count(_._1 == 2L) == 1)
+    assert(out2.find(_._1 == 2L).get._3 == 5.0) // smallest (k, nb) tuple
+  }
+
+  test("UPDATE matches Upsert-style recomputation and keeps temp-view " +
+      "delegation + RETURNING rejection") {
+    dmlFixture()
+    // equivalent recomputation through the Scala API
+    val want = spark.table("stmt_upd")
+      .withColumn("bal", when(pmod(col("k"), lit(3)) === 0, col("bal") * 2)
+        .otherwise(col("bal")))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    spark.sql("UPDATE stmt_upd SET bal = bal * 2 WHERE k % 3 = 0")
+    val got = spark.table("stmt_upd").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == want)
+    val e1 = intercept[Exception](spark.sql(
+      "UPDATE stmt_upd SET bal = 0 WHERE k = 1 RETURNING k"))
+    assert(e1.getMessage.contains("RETURNING"))
+    val e2 = intercept[Exception](spark.sql(
+      "UPDATE no_such_view_xyz SET a = 1"))
+    assert(!e2.getMessage.contains("graft:")) // delegated to Spark
+  }
+
+  test("DELETE FROM ... WHERE keeps NULL-condition rows (3VL) and " +
+      "DELETE ... USING anti-joins") {
+    Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)), (4L, Some(4.0)))
+      .toDF("k", "v").createOrReplaceTempView("stmt_del")
+    spark.sql("DELETE FROM stmt_del WHERE v > 3.0")
+    val out = spark.table("stmt_del").orderBy("k")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0))))
+    Seq(1L, 3L).toDF("dk").createOrReplaceTempView("stmt_del_keys")
+    spark.sql("DELETE FROM stmt_del t USING stmt_del_keys s WHERE t.k = s.dk")
+    assert(spark.table("stmt_del").orderBy("k").as[(Long, Option[Double])]
+      .collect().toSeq == Seq((2L, None)))
+    // no WHERE deletes everything
+    spark.sql("DELETE FROM stmt_del")
+    assert(spark.table("stmt_del").count() == 0)
+  }
+
+  test("UPDATE / DELETE through the router invalidate vector indexes") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.createOrReplaceTempView("stmt_ud_emb")
+    val q = emb.select("embedding").head.getSeq[Float](0)
+      .mkString("[", ",", "]")
+    spark.sql("CREATE INDEX stmt_ud_ivf ON stmt_ud_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    try {
+      spark.sql("DELETE FROM stmt_ud_emb WHERE vec_id = 0")
+      spark.conf.set("graft.ivfflat.probes", "1")
+      val got = spark.sql(
+        s"""SELECT vec_id FROM stmt_ud_emb
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 3""".stripMargin)
+        .as[Long].collect().toSeq
+      assert(!got.contains(0L), s"stale index served deleted row: $got")
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_ud_ivf")
+      ()
+    }
+  }
+
   // ---- START WITH / CONNECT BY ----
 
   private def cbFixture(): Unit = {
