@@ -38,6 +38,14 @@ object PgOps {
     case _ => false
   }
 
+  /** sparsevec shape: struct(indices, values, dim) — parse_sparsevec's
+    * output (sparsevec_in, datavec sql 0.7.2:763). */
+  private def isSparseStruct(t: DataType): Boolean = t match {
+    case s: StructType =>
+      s.fieldNames.count(n => n == "indices" || n == "values") == 2
+    case _ => false
+  }
+
   @scala.annotation.tailrec
   private def litStr(e: Expression): Option[String] = e match {
     case Literal(s: UTF8String, StringType) if s != null => Some(s.toString)
@@ -58,15 +66,17 @@ object PgOps {
 
   val all: Map[String, Seq[Expression] => Expression] = Map(
 
-    // ---- a <-> b : l2 distance (vector) / trgm distance (text) ----
+    // ---- a <-> b : l2 distance (vector/sparsevec) / trgm (text) ----
     "pg_dist_arrow" -> (args => (args(0).dataType, args(1).dataType) match {
       case (l, r) if isFloatArray(l) || isFloatArray(r) =>
         SqlFunctions.all("l2_distance")(args)
+      case (l, r) if isSparseStruct(l) && isSparseStruct(r) =>
+        SqlFunctions.all("l2_distance")(args) // sparse-aware dispatch
       case (StringType, StringType) =>
         Subtract(Literal(1.0d),
           Cast(SqlFunctions.all("similarity")(args), DoubleType))
       case _ => throw new IllegalArgumentException(
-        s"graft: <-> needs vector or text operands, got ${argTypes(args)}")
+        s"graft: <-> needs vector, sparsevec or text operands, got ${argTypes(args)}")
     }),
 
     // ---- a <=> b : cosine distance on vectors, else Spark's own

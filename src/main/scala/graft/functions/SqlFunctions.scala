@@ -19,8 +19,30 @@ object SqlFunctions {
     if (e.dataType == ArrayType(FloatType)) e
     else Cast(e, ArrayType(FloatType))
 
+  private def isSparseStruct(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fieldNames.count(n => n == "indices" || n == "values") == 2
+      case _ => false
+    }
+
   private def dist(metric: String)(args: Seq[Expression]): Expression =
-    VectorDistance(vec(args(0)), vec(args(1)), metric)
+    // sparsevec structs (parse_sparsevec's shape) dispatch to the
+    // merge-scan kernel — PG resolves <->/<#>/<+> per operand type
+    // (sparsevec_l2_distance etc., datavec sql 0.7.2:939-960)
+    if (isSparseStruct(args(0).dataType) && isSparseStruct(args(1).dataType) &&
+        Seq("l2", "l2sq", "ip", "negip", "cosine", "l1").contains(metric)) {
+      def f(e: Expression, n: String, t: org.apache.spark.sql.types.DataType) = {
+        val s = e.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        Cast(org.apache.spark.sql.catalyst.expressions.GetStructField(
+          e, s.fieldIndex(n), Some(n)), t)
+      }
+      val ia = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)
+      val fa = org.apache.spark.sql.types.ArrayType(FloatType)
+      SparseVectorDistance(f(args(0), "indices", ia), f(args(0), "values", fa),
+        f(args(1), "indices", ia), f(args(1), "values", fa), metric)
+    } else VectorDistance(vec(args(0)), vec(args(1)), metric)
 
   val all: Map[String, Seq[Expression] => Expression] = Map(
     "l2_distance" -> dist(VectorMetrics.L2),

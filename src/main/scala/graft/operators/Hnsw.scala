@@ -31,9 +31,19 @@ import scala.collection.mutable
  */
 object Hnsw {
 
-  /** m: out-degree target; graph degree is capped at 2m. */
+  /** m: out-degree target; graph degree is capped at 2m. `metric` is
+    * the beam's comparison kernel: "l2" (squared L2 — the default) or
+    * "l1" (taxicab, hnsw `vector_l1_ops`, datavec sql 0.7.2:399).
+    * Cosine and inner-product opclasses do NOT need a kernel: cosine
+    * rides the L2 beam over L2-NORMALIZED vectors (on unit vectors
+    * L2² = 2·cosine_distance — monotone), inner product rides it over
+    * MIPS-augmented vectors (append sqrt(M²−‖x‖²); query appends 0 —
+    * the classic order-preserving MIPS→L2 reduction). */
   final case class Params(m: Int = 8, efConstruction: Int = 48,
-      efSearch: Int = 32, nEntries: Int = 3)
+      efSearch: Int = 32, nEntries: Int = 3, metric: String = "l2") {
+    require(metric == "l2" || metric == "l1",
+      s"graft: hnsw beam metric must be l2 or l1, got '$metric'")
+  }
 
   final case class GraphRow(part_id: Int, id: Long, vec: Array[Float],
       nbrs: Array[Int])
@@ -44,6 +54,19 @@ object Hnsw {
     acc
   }
 
+  private def l1(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += math.abs(a(i).toDouble - b(i).toDouble); i += 1 }
+    acc
+  }
+
+  private def distFn(metric: String): (Array[Float], Array[Float]) => Double =
+    if (metric == "l1") l1 else l2sq
+
+  /** The beam works on squared L2 (sqrt at the end) or raw L1. */
+  private def finalizeDist(metric: String, d: Double): Double =
+    if (metric == "l1") d else math.sqrt(d)
+
   /**
    * Best-first beam search over an adjacency graph. Returns up to `ef`
    * (dist, nodeIdx) results, best first. Classic NSW search: a
@@ -52,7 +75,9 @@ object Hnsw {
    * retained result.
    */
   private def beam(vecs: Array[Array[Float]], adj: Int => scala.collection.IndexedSeq[Int],
-      q: Array[Float], ef: Int, entries: Seq[Int]): mutable.PriorityQueue[(Double, Int)] = {
+      q: Array[Float], ef: Int, entries: Seq[Int],
+      metric: String = "l2"): mutable.PriorityQueue[(Double, Int)] = {
+    val dm = distFn(metric)
     val visited = new java.util.BitSet(vecs.length)
     // min-heap of open candidates (closest first)
     val cand = mutable.PriorityQueue.empty[(Double, Int)](
@@ -63,7 +88,7 @@ object Hnsw {
     entries.foreach { e =>
       if (!visited.get(e)) {
         visited.set(e)
-        val d = l2sq(q, vecs(e))
+        val d = dm(q, vecs(e))
         cand.enqueue((d, e)); res.enqueue((d, e))
       }
     }
@@ -77,7 +102,7 @@ object Hnsw {
         // (during build, adjacency only references already-inserted nodes)
         if (!visited.get(nb)) {
           visited.set(nb)
-          val nd = l2sq(q, vecs(nb))
+          val nd = dm(q, vecs(nb))
           if (res.size < ef || nd < res.head._1) {
             cand.enqueue((nd, nb)); res.enqueue((nd, nb))
             if (res.size > ef) res.dequeue()
@@ -101,7 +126,7 @@ object Hnsw {
     var i = 1
     while (i < vecs.length) {
       val found = beam(vecs, adj(_), vecs(i), p.efConstruction,
-        entryPoints(i, p.nEntries))
+        entryPoints(i, p.nEntries), p.metric)
       val nearest = found.toArray.sortBy(e => (e._1, e._2)).take(p.m)
       nearest.foreach { case (_, nb) =>
         adj(i) += nb
@@ -110,7 +135,7 @@ object Hnsw {
           // prune to the maxDeg closest (the reference prunes with a
           // diversity heuristic; closest-k keeps the same degree bound)
           val pruned = adj(nb).toArray
-            .sortBy(x => (l2sq(vecs(nb), vecs(x)), x)).take(maxDeg)
+            .sortBy(x => (distFn(p.metric)(vecs(nb), vecs(x)), x)).take(maxDeg)
           adj(nb).clear(); adj(nb) ++= pruned
         }
       }
@@ -226,8 +251,9 @@ object Hnsw {
         val adj = rows.map(_.nbrs.toIndexedSeq)
         val entries = entryPoints(rows.length, p.nEntries)
         qs.iterator.flatMap { case (qid, qv) =>
-          beam(vecs, adj(_), qv, math.max(p.efSearch, k), entries)
-            .toArray.map { case (d, i) => (qid, rows(i).id, math.sqrt(d)) }
+          beam(vecs, adj(_), qv, math.max(p.efSearch, k), entries, p.metric)
+            .toArray.map { case (d, i) =>
+              (qid, rows(i).id, finalizeDist(p.metric, d)) }
         }
       }
       .toDF("qid", "nid", "dist")
@@ -274,8 +300,9 @@ object Hnsw {
           val adj = rows.map(_.nbrs.toIndexedSeq)
           val entries = entryPoints(rows.length, p.nEntries)
           qs.iterator.flatMap { case (qid, qv) =>
-            beam(vecs, adj(_), qv, math.max(p.efSearch, k), entries)
-              .toArray.map { case (d, i) => (qid, rows(i).id, math.sqrt(d)) }
+            beam(vecs, adj(_), qv, math.max(p.efSearch, k), entries, p.metric)
+              .toArray.map { case (d, i) =>
+                (qid, rows(i).id, finalizeDist(p.metric, d)) }
           }
         }
       }
@@ -390,8 +417,9 @@ object Hnsw {
             val adj = rows.map(_._4.toIndexedSeq)
             val entries = entryPoints(rows.length, p.nEntries)
             qs.iterator.flatMap { case (qid, qv, _, _) =>
-              beam(vecs, adj(_), qv, math.max(p.efSearch, k), entries)
-                .toArray.map { case (d, i) => (qid, rows(i)._2, math.sqrt(d)) }
+              beam(vecs, adj(_), qv, math.max(p.efSearch, k), entries, p.metric)
+                .toArray.map { case (d, i) =>
+                  (qid, rows(i)._2, finalizeDist(p.metric, d)) }
             }
           }
         }
@@ -420,8 +448,9 @@ object Hnsw {
         val vecs = rows.map(_.vec)
         val adj = rows.map(_.nbrs.toIndexedSeq)
         val res = beam(vecs, adj(_), q, math.max(p.efSearch, k),
-          entryPoints(rows.length, p.nEntries))
-        res.toArray.map { case (d, i) => (rows(i).id, math.sqrt(d)) }.iterator
+          entryPoints(rows.length, p.nEntries), p.metric)
+        res.toArray.map { case (d, i) =>
+          (rows(i).id, finalizeDist(p.metric, d)) }.iterator
       }
       .toDF("vec_id", "dist")
       .select(col("vec_id"), round(col("dist"), 6).as("dist"))

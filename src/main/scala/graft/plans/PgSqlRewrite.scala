@@ -63,7 +63,7 @@ object PgSqlRewrite {
   // maximal-munch table: ours + Spark's own multi-char operators (so
   // `a <= b` never lexes as `<` `=`), longest first
   private val multiOps = Seq(
-    "@@@", "<=>", "<->", "<#>", "->>", "#>>", "!~*", ">>>",
+    "@@@", "<=>", "<->", "<#>", "<+>", "<~>", "<%>", "->>", "#>>", "!~*", ">>>",
     "@@", "@>", "<@", "@?", "->", "#>", "#-", "?|", "?&", "::",
     "<=", ">=", "<>", "!=", "==", "!~", "!!", "~*", "||", "<<", ">>", "&&")
 
@@ -584,6 +584,11 @@ object PgSqlRewrite {
     "<->" -> ("pg_dist_arrow", false),
     "<#>" -> ("negative_inner_product", false),
     "<=>" -> ("pg_cosine_or_eq", false),
+    // datavec 0.7.2: <+> l1 (sql:187/399), <~> hamming (:730/740),
+    // <%> jaccard (:733) — bit ops take packed BINARY codes
+    "<+>" -> ("l1_distance", false),
+    "<~>" -> ("hamming_distance", false),
+    "<%>" -> ("jaccard_distance", false),
     "@@" -> ("pg_ts_match", false),
     "@@@" -> ("pg_ts_match", false), // PG's deprecated @@ synonym
     "@>" -> ("pg_contains", false),

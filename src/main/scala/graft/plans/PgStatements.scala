@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.operators.{Flashback, Hierarchy, Hnsw, Iterate, Ivf, Ml, ModelCatalog, RecursiveSql}
+import graft.operators.{Flashback, Hierarchy, Hnsw, Iterate, Ivf, IvfBit, Ml, ModelCatalog, RecursiveSql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.{col, expr, lit}
@@ -1058,35 +1058,67 @@ object PgStatements {
   // ------------------------------------------------------------------
 
   /** Vector-index catalog: the statement-built ANN access paths, keyed
-    * by index name AND by (table, column) for the KNN planner hook. */
+    * by index name AND by (table, column, operator) for the KNN
+    * planner hook — an operator class serves EXACTLY its operator
+    * (datavec sql 0.7.2:362-401 opclass declarations). */
   private[graft] object IndexCatalog {
     sealed trait Idx {
       def table: String; def column: String; def view: String
+      /** the rewritten operator-function this opclass serves
+        * (pg_dist_arrow for `<->`, pg_cosine_or_eq for `<=>`,
+        * negative_inner_product for `<#>`, l1_distance for `<+>`,
+        * hamming_distance for `<~>`). */
+      def op: String
+      /** parquet directory backing `view` (partitionBy list/part). */
+      def path: String
     }
-    /** IVF: `view` holds the materialized list-tagged postings.
-      * `cosine` marks a vector_cosine_ops index: the quantizer and
-      * postings live in L2-NORMALIZED space (cosine order ≡ L2 order
-      * on unit vectors — vector_op.cpp's cosine_distance geometry), so
-      * probing normalizes the query; the pruned relation still carries
-      * the ORIGINAL rows and the statement's own `<=>` reranks exact. */
+    /** IVF: `view` reads the partitionBy(list_id) parquet postings so
+      * the probe filter prunes AT THE READER. `space` is the geometry
+      * the quantizer was trained in — "raw" (l2/halfvec), "normalized"
+      * (cosine ≡ L2 on unit vectors), "augmented" (MIPS→L2 reduction,
+      * `aug` = max corpus norm), "sparse_proxy" (feature-hashed dense
+      * fold of sparsevec structs — candidates only; the statement's
+      * own operator reranks exact). Rows always carry the ORIGINAL
+      * columns (halfvec stored packed, unpacked by the view). */
     final case class IvfIdx(table: String, column: String, view: String,
-        model: Ivf.Model, cosine: Boolean = false) extends Idx
-    /** NSW: `view` holds the materialized clustered graph shards;
-      * `idCol` is the relation's row-id column (its FIRST column). */
+        model: Ivf.Model, op: String, space: String, aug: Double = 0.0,
+        path: String = "") extends Idx
+    /** Hamming IVF over packed bit codes (bit_hamming_ops → B16). */
+    final case class BitIvfIdx(table: String, column: String, view: String,
+        model: IvfBit.Model, path: String = "") extends Idx {
+      def op: String = "hamming_distance"
+    }
+    /** NSW: `view` reads the partitionBy(part_id) parquet graph shards
+      * (searchRouted's part_id filter prunes at the reader); `idCol`
+      * is the relation's row-id column (its FIRST column). Graph
+      * vectors live in `space` like IvfIdx; l1 beams natively via
+      * params.metric. */
     final case class HnswIdx(table: String, column: String, view: String,
-        idCol: String, model: Ivf.Model, params: Hnsw.Params) extends Idx
+        idCol: String, model: Ivf.Model, params: Hnsw.Params,
+        op: String = "pg_dist_arrow", space: String = "raw",
+        aug: Double = 0.0, path: String = "") extends Idx
 
     private val byName =
       scala.collection.concurrent.TrieMap.empty[String, Idx]
     private def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    def put(name: String, idx: Idx): Unit = { byName(norm(name)) = idx; () }
+    def put(spark: SparkSession, name: String, idx: Idx): Unit = {
+      // replacing a same-name index drops the old backing view
+      byName.put(norm(name), idx).foreach { old =>
+        if (old.view != idx.view) {
+          try { spark.catalog.dropTempView(old.view); () }
+          catch { case NonFatal(_) => () }
+        }
+      }
+      ()
+    }
     def drop(name: String): Option[Idx] = byName.remove(norm(name))
-    def forTable(table: String, column: String): Option[Idx] =
+    def forTable(table: String, column: String, op: String): Option[Idx] =
       // deterministic when several indexes cover the same column:
       // lowest index name wins (PG's planner would cost them; a batch
       // engine needs a stable pick)
       byName.toSeq.sortBy(_._1).map(_._2).find(i =>
-        norm(i.table) == norm(table) && norm(i.column) == norm(column))
+        norm(i.table) == norm(table) && norm(i.column) == norm(column) &&
+          i.op == op)
     def anyForTable(table: String): Boolean =
       byName.values.exists(i => norm(i.table) == norm(table))
     /** DML through the router (MERGE / COPY FROM / TIMECAPSULE TABLE /
@@ -1107,17 +1139,117 @@ object PgStatements {
     }
   }
 
+  /** opclass → (served operator-function, quantizer space). The full
+    * datavec DDL surface (sql 0.7.2: vector 362-401, halfvec :669,
+    * bit :740, sparsevec :939). */
+  private val ivfOpclasses: Map[String, (String, String)] = Map(
+    "vector_l2_ops" -> (("pg_dist_arrow", "raw")),
+    "vector_cosine_ops" -> (("pg_cosine_or_eq", "normalized")),
+    "vector_ip_ops" -> (("negative_inner_product", "augmented")),
+    "halfvec_l2_ops" -> (("pg_dist_arrow", "raw")),
+    "sparsevec_l2_ops" -> (("pg_dist_arrow", "sparse_proxy")))
+  private val hnswOpclasses: Map[String, (String, String)] = Map(
+    "vector_l2_ops" -> (("pg_dist_arrow", "raw")),
+    "vector_cosine_ops" -> (("pg_cosine_or_eq", "normalized")),
+    "vector_ip_ops" -> (("negative_inner_product", "augmented")),
+    "vector_l1_ops" -> (("l1_distance", "raw")))
+
+  /** Root for persisted index parquet. At 100 TB point graft.index.dir
+    * at a shared filesystem; the default rides the warehouse dir. */
+  private def indexPath(spark: SparkSession, name: String): String = {
+    val root = spark.conf.getOption("graft.index.dir").getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir") + "/_graft_vindex")
+    s"$root/${name.toLowerCase(java.util.Locale.ROOT)}_${viewSeq.incrementAndGet()}"
+  }
+
+  private def deletePath(spark: SparkSession, path: String): Unit =
+    if (path.nonEmpty) {
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true); ()
+      } catch { case NonFatal(_) => () }
+    }
+
+  private val ProxyDim = 64
+
+  /** Feature-hashed dense proxy of a sparsevec struct (the hashing
+    * trick): proxy[i mod 64] += v. The proxy only GENERATES candidate
+    * lists — the statement's own sparse operator reranks exact, so a
+    * full probe budget stays exact regardless of fold collisions. */
+  private def sparseProxyCol(c: Column): Column =
+    org.apache.spark.sql.functions.transform(
+      org.apache.spark.sql.functions.sequence(lit(0), lit(ProxyDim - 1)),
+      j => org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with(
+          c.getField("indices"), c.getField("values"),
+          (i, v) => org.apache.spark.sql.functions.struct(
+            i.as("i"), v.as("v"))),
+        lit(0.0d),
+        (acc, e) => acc + org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.pmod(e.getField("i"), lit(ProxyDim)) === j,
+          e.getField("v").cast("double")).otherwise(lit(0.0d)))
+        .cast("float"))
+
+  /** Driver-side proxy fold for the constant query side. */
+  private def proxyFold(indices: Seq[Int], values: Seq[Float]): Array[Float] = {
+    val acc = new Array[Double](ProxyDim)
+    var k = 0
+    while (k < indices.length) {
+      acc(((indices(k) % ProxyDim) + ProxyDim) % ProxyDim) += values(k).toDouble
+      k += 1
+    }
+    acc.map(_.toFloat)
+  }
+
+  /** Corpus-side space transform (the quantizer's geometry). */
+  private def spaceColumn(space: String, c: Column, aug: Double): Column =
+    space match {
+      case "raw" => c.cast("array<float>")
+      case "normalized" =>
+        // cosine order ≡ L2 order on unit vectors (vector_op.cpp's
+        // cosine_distance geometry)
+        graft.functions.VectorFunctions.l2Normalize(c)
+      case "augmented" =>
+        // MIPS→L2 (the classic order-preserving reduction): x' =
+        // [x, sqrt(M² − ‖x‖²)], q' = [q, 0] ⇒ ‖x'−q'‖² = ‖q‖² + M²
+        // − 2⟨x,q⟩, monotone in the inner product
+        val nrm = graft.functions.VectorFunctions.l2Norm(c).cast("double")
+        org.apache.spark.sql.functions.concat(c.cast("array<float>"),
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.sqrt(
+              org.apache.spark.sql.functions.greatest(
+                lit(aug * aug) - nrm * nrm, lit(0.0d))).cast("float")))
+      case "sparse_proxy" => sparseProxyCol(c)
+      case other => throw new IllegalStateException(s"graft: space $other")
+    }
+
+  /** Query-side space transform (driver, dense input). */
+  private def spaceQuery(space: String, q: Array[Float]): Array[Float] =
+    space match {
+      case "raw" => q
+      case "normalized" =>
+        val n = math.sqrt(q.map(v => v.toDouble * v).sum)
+        if (n > 0) q.map(v => (v / n).toFloat) else q
+      case "augmented" => q :+ 0f
+      case other => throw new IllegalStateException(s"graft: space $other")
+    }
+
   /**
-   * `CREATE INDEX [name] ON table USING {ivfflat|hnsw}
-   * (col vector_l2_ops) [WITH (lists = n | m = .., ef_construction =
-   * ..)]` — the datavec DDL. ivfflat trains the coarse quantizer
-   * (deterministic seeded k-means) and materializes the list-tagged
-   * postings (at scale: Ivf.writeIndex partitionBy(list_id) makes the
-   * probe filter partition pruning); hnsw builds the cluster-sharded
-   * NSW graphs (Hnsw.buildIndexClustered) so search routes shards by
-   * centroid before any beam runs. `lists` defaults to ceil(sqrt(n))
-   * (the pgvector guidance for small corpora). Statements with other
-   * USING methods (btree etc.) delegate to Spark untouched.
+   * `CREATE INDEX [name] ON table USING {ivfflat|hnsw} (col opclass)
+   * [WITH (lists = n | m = .., ef_construction = ..)]` — the datavec
+   * DDL over the FULL opclass surface. ivfflat trains the coarse
+   * quantizer (deterministic seeded k-means) in the opclass's space
+   * and persists the assigned corpus as partitionBy(list_id) parquet
+   * — the access path's probe filter prunes AT THE READER (B15's
+   * layout); halfvec postings store the vector PACKED fp16 (2
+   * bytes/elem, unpacked by the view — lossless on the halfvec
+   * grid), bit postings are IvfBit's Hamming tier, sparsevec rides a
+   * feature-hashed dense proxy. hnsw builds cluster-sharded NSW
+   * graphs persisted partitionBy(part_id); cosine/ip ride the L2 beam
+   * through space transforms, l1 beams natively. `lists` defaults to
+   * ceil(sqrt(n)) — counted LAZILY, only when the option is absent.
+   * Statements with other USING methods (btree etc.) delegate.
    */
   private def createIndex(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
     // find USING at top level; only the ANN methods are ours
@@ -1135,11 +1267,6 @@ object PgStatements {
     val e = st.matching(k)
     val col0 = st.ident(k + 1)
     val opclass = if (e - 1 > k + 2) st.lower(e - 2) else "vector_l2_ops"
-    val cosine = opclass == "vector_cosine_ops"
-    require(opclass == "vector_l2_ops" || (cosine && method == "ivfflat"),
-      s"graft: vector index opclass '$opclass' unsupported for $method — " +
-        "vector_l2_ops (both methods) and vector_cosine_ops (ivfflat) are " +
-        "the gated access paths (inner product rides the Scala Knn API)")
     k = e
     val hyper: Map[String, String] =
       if (k < st.n && st.lower(k) == "with") {
@@ -1156,45 +1283,91 @@ object PgStatements {
     val column = corpus.columns.find(_.equalsIgnoreCase(col0)).getOrElse(
       throw new IllegalArgumentException(
         s"graft: index column '$col0' not found in $table"))
-    val n = corpus.count()
-    val defaultLists = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // lists defaults to ceil(sqrt(n)) — the count job runs ONLY when
+    // WITH (lists=…) is absent (a full corpus pass for nothing at
+    // 100 TB otherwise)
+    lazy val defaultLists = math.max(1,
+      math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    def lists(): Int = {
+      val l = hyper.get("lists").map(_.toInt).getOrElse(defaultLists)
+      require(l >= 1, "graft: lists must be >= 1")
+      l
+    }
     val view = freshView("vidx_data")
+    val path = indexPath(spark, name)
+    val isHalf = opclass == "halfvec_l2_ops"
+
     method match {
       case "ivfflat" =>
         val bad = hyper.keySet.diff(Set("lists"))
         require(bad.isEmpty, s"graft: ivfflat options: lists (got " +
           s"${bad.mkString(", ")})")
-        val lists = hyper.get("lists").map(_.toInt).getOrElse(defaultLists)
-        require(lists >= 1, "graft: lists must be >= 1")
-        // cosine: quantize in normalized space, keep original rows
-        val spaceCol = if (cosine) "__graft_nvec" else column
-        val space = if (cosine) corpus.withColumn(spaceCol,
-          graft.functions.VectorFunctions.l2Normalize(col(column))) else corpus
-        val model = Ivf.build(space, spaceCol, lists)
-        Iterate.truncate(
-            Ivf.assign(space, spaceCol, model).drop("__graft_nvec"))
-          .createOrReplaceTempView(view)
-        IndexCatalog.put(name,
-          IndexCatalog.IvfIdx(table, column, view, model, cosine))
+        if (opclass == "bit_hamming_ops") {
+          val model = IvfBit.build(corpus, column, lists())
+          IvfBit.assign(corpus, column, model)
+            .write.mode("overwrite").partitionBy("list_id").parquet(path)
+          spark.read.parquet(path).createOrReplaceTempView(view)
+          IndexCatalog.put(spark, name,
+            IndexCatalog.BitIvfIdx(table, column, view, model, path))
+        } else {
+          val (op, space) = ivfOpclasses.getOrElse(opclass,
+            throw new IllegalArgumentException(
+              s"graft: ivfflat opclass '$opclass' is not a datavec opclass " +
+                s"(valid: ${(ivfOpclasses.keySet + "bit_hamming_ops").toSeq.sorted.mkString(", ")})"))
+          val aug = if (space == "augmented") maxNorm(corpus, column) else 0.0
+          val sc = "__graft_space"
+          val tagged = corpus.withColumn(sc,
+            spaceColumn(space, col(column), aug))
+          val model = Ivf.build(tagged, sc, lists())
+          val assigned = Ivf.assign(tagged, sc, model).drop(sc)
+          val stored = if (isHalf)
+            assigned.withColumn(column,
+              graft.functions.VectorFunctions.packHalf(col(column)))
+          else assigned
+          stored.write.mode("overwrite").partitionBy("list_id").parquet(path)
+          val rd0 = spark.read.parquet(path)
+          val rd = if (isHalf)
+            rd0.withColumn(column,
+              graft.functions.VectorFunctions.unpackHalf(col(column)))
+          else rd0
+          rd.createOrReplaceTempView(view)
+          IndexCatalog.put(spark, name,
+            IndexCatalog.IvfIdx(table, column, view, model, op, space, aug, path))
+        }
       case "hnsw" =>
+        val (op, space) = hnswOpclasses.getOrElse(opclass,
+          throw new IllegalArgumentException(
+            s"graft: hnsw opclass '$opclass' unsupported — " +
+              s"${hnswOpclasses.keySet.toSeq.sorted.mkString(", ")} are the " +
+              "gated access paths (bit/halfvec/sparsevec graph tiers ride " +
+              "the Scala API: Hnsw over IvfBit codes, packed-IVF, SparseAnn)"))
         val bad = hyper.keySet.diff(Set("m", "ef_construction", "lists"))
         require(bad.isEmpty, s"graft: hnsw options: m, ef_construction, " +
           s"lists (got ${bad.mkString(", ")})")
         val params = Hnsw.Params(
           m = hyper.get("m").map(_.toInt).getOrElse(8),
           efConstruction =
-            hyper.get("ef_construction").map(_.toInt).getOrElse(48))
-        val lists = hyper.get("lists").map(_.toInt).getOrElse(defaultLists)
+            hyper.get("ef_construction").map(_.toInt).getOrElse(48),
+          metric = if (opclass == "vector_l1_ops") "l1" else "l2")
         val idCol = corpus.columns.head // row-id convention: first column
-        val model = Ivf.build(corpus, column, lists)
-        Iterate.truncate(
-            Hnsw.buildIndexClustered(corpus, column, idCol, model, params).toDF)
-          .createOrReplaceTempView(view)
-        IndexCatalog.put(name,
-          IndexCatalog.HnswIdx(table, column, view, idCol, model, params))
+        val aug = if (space == "augmented") maxNorm(corpus, column) else 0.0
+        val sc = "__graft_space"
+        val tagged = corpus.withColumn(sc, spaceColumn(space, col(column), aug))
+        val model = Ivf.build(tagged, sc, lists())
+        Hnsw.buildIndexClustered(tagged, sc, idCol, model, params).toDF
+          .write.mode("overwrite").partitionBy("part_id").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(view)
+        IndexCatalog.put(spark, name, IndexCatalog.HnswIdx(
+          table, column, view, idCol, model, params, op, space, aug, path))
     }
     Some(oneRow(spark, "command" -> "CREATE INDEX", "index_name" -> name,
       "method" -> method))
+  }
+
+  private def maxNorm(corpus: DataFrame, column: String): Double = {
+    val r = corpus.agg(org.apache.spark.sql.functions.max(
+      graft.functions.VectorFunctions.l2Norm(col(column)).cast("double"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
   private def dropIndex(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
@@ -1205,6 +1378,7 @@ object PgStatements {
     IndexCatalog.drop(name) match {
       case Some(idx) =>
         spark.catalog.dropTempView(idx.view)
+        deletePath(spark, idx.path)
         Some(oneRow(spark, "command" -> "DROP INDEX", "index_name" -> name))
       case None if ifExists =>
         Some(oneRow(spark, "command" -> "DROP INDEX", "index_name" -> name))
@@ -1212,20 +1386,78 @@ object PgStatements {
     }
   }
 
+  /** The operator-function spellings the access path can serve. */
+  private val knnFns = Set("pg_dist_arrow", "pg_cosine_or_eq",
+    "negative_inner_product", "l1_distance", "hamming_distance")
+
+  private val VecLitRe =
+    """(?is)\s*parse_vector\s*\(\s*'(\[[^']*\])'\s*\)\s*""".r
+  private val HalfLitRe =
+    """(?is)\s*halfvec\s*\(\s*parse_vector\s*\(\s*'(\[[^']*\])'\s*\)\s*\)\s*""".r
+  private val NumRe = """[+-]?(\d+(\.\d+)?|\.\d+)([eE][+-]?\d+)?"""
+
+  /** Strict driver-side parse of '[f, f, ...]' — laxer inputs fall
+    * back to the engine (ParseVector's regex front-end must stay the
+    * arbiter of what is legal). */
+  private def parseVecLit(s: String): Option[Array[Float]] = {
+    val body = s.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) return None
+    val parts = body.split(",", -1).map(_.trim)
+    if (!parts.forall(_.matches(NumRe))) None
+    else try Some(parts.map(java.lang.Float.parseFloat))
+    catch { case NonFatal(_) => None }
+  }
+
+  /** Fold the CONSTANT query side on the driver. The plain literal
+    * idioms `'[..]'::vector` / `'[..]'::halfvec` (post-rewrite:
+    * parse_vector / halfvec(parse_vector)) parse WITHOUT a Spark job —
+    * statement planning stays job-free for the common spelling;
+    * arbitrary constant expressions fold through a one-row job (over
+    * literals — no data scan). None = not constant: delegate. */
+  private def evalQueryConst(spark: SparkSession, text: String): Option[Any] = {
+    text match {
+      case VecLitRe(v, _*) =>
+        parseVecLit(v) match { case Some(a) => return Some(a); case None => }
+      case HalfLitRe(v, _*) =>
+        parseVecLit(v) match {
+          case Some(a) => return Some(a.map(f =>
+            graft.functions.HalfFloat.toFloat(
+              graft.functions.HalfFloat.fromFloat(f))))
+          case None =>
+        }
+      case _ =>
+    }
+    try Some(spark.sql(s"SELECT $text").head().get(0))
+    catch { case NonFatal(_) => None }
+  }
+
+  private def denseQuery(v: Any): Option[Array[Float]] = v match {
+    case s: Seq[_] => Some(s.map {
+      case f: Float => f
+      case d: Double => d.toFloat
+      case n: Number => n.floatValue
+      case _ => return None
+    }.toArray)
+    case a: Array[Float] => Some(a)
+    case _ => None
+  }
+
   /**
-   * The KNN ACCESS PATH: `SELECT ... FROM t ORDER BY col <-> 'q'
-   * [, tiebreaks] LIMIT k` (post-rewrite: pg_dist_arrow) over a
-   * relation with a statement-built vector index routes through it —
-   * exactly ivfscan.cpp/hnswscan.cpp picking the AM for the idiom.
-   * Mechanism: the FROM relation is SWAPPED for the index-pruned
-   * subset (IVF: the `graft.ivfflat.probes` nearest lists — reference
-   * SET ivf_probes, default 1 like pgvector; NSW: the routed beam's
-   * top-k ids under `graft.hnsw.nprobe` shards, default 4), then the
-   * statement runs NATIVELY over the subset — any select list,
-   * post-filter WHERE (pgvector's documented filter semantics), and
-   * the exact rerank stay Spark's bounded-heap TakeOrderedAndProject.
-   * Anything that doesn't match the idiom — or whose query side isn't
-   * a constant — delegates to the exact scan untouched.
+   * The KNN ACCESS PATH: `SELECT ... FROM t ORDER BY col <op> 'q'
+   * [, tiebreaks] LIMIT k` over a relation with a statement-built
+   * vector index routes through it — exactly ivfscan.cpp/hnswscan.cpp
+   * picking the AM for the idiom, for EVERY opclass operator (`<->`
+   * `<=>` `<#>` `<+>` `<~>`; an operator class serves exactly its
+   * operator). Mechanism: the FROM relation is SWAPPED for the
+   * index-pruned subset — IVF: the `ivfflat.probes` nearest lists
+   * read PARTITION-PRUNED from the partitionBy(list_id) parquet
+   * (default 1 probe like pgvector); NSW: the routed beams' top-k ids
+   * under `hnsw.nprobe` shards (default 4) — then the statement runs
+   * NATIVELY over the subset: any select list, post-filter WHERE
+   * (pgvector's documented filter semantics), and the exact rerank
+   * stay Spark's bounded-heap TakeOrderedAndProject. Anything that
+   * doesn't match the idiom — or whose query side isn't a constant —
+   * delegates to the exact scan untouched.
    */
   private def knnThroughIndex(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
     // FROM <table> — single named relation, and only if it has an index
@@ -1233,16 +1465,11 @@ object PgStatements {
     if (fromIdx >= st.n || st.tok(fromIdx + 1).kind != ID) return None
     val table = st.ident(fromIdx + 1)
     if (!IndexCatalog.anyForTable(table)) return None
-    // ORDER BY {pg_dist_arrow | pg_cosine_or_eq}(col, const) [ASC]
-    // [, ...] LIMIT k — `<->` is served by vector_l2_ops indexes,
-    // `<=>` by vector_cosine_ops ones (PG: an operator class serves
-    // exactly its operator)
-    val knnFns = Set("pg_dist_arrow", "pg_cosine_or_eq")
     val ob = (0 until st.n - 2).find(p => st.depth(p) == 0 &&
       st.lower(p) == "order" && st.lower(p + 1) == "by" &&
       knnFns(st.lower(p + 2)))
     if (ob.isEmpty) return None
-    val wantCosine = st.lower(ob.get + 2) == "pg_cosine_or_eq"
+    val fn = st.lower(ob.get + 2)
     val callOpen = ob.get + 3
     if (st.lower(callOpen) != "(") return None
     val callEnd = st.matching(callOpen)
@@ -1250,49 +1477,61 @@ object PgStatements {
     if (args.length != 2) return None
     val colRef = (args(0)._1 until args(0)._2).filter(st.tok(_).kind == ID)
       .lastOption.map(st.ident).getOrElse(return None)
-    val idx = IndexCatalog.forTable(table, colRef).getOrElse(return None)
-    idx match { // operator must match the index's operator class
-      case IndexCatalog.IvfIdx(_, _, _, _, cos) if cos != wantCosine =>
-        return None
-      case _: IndexCatalog.HnswIdx if wantCosine => return None
-      case _ =>
-    }
+    // operator ↔ opclass strictness lives in the lookup key
+    val idx = IndexCatalog.forTable(table, colRef, fn).getOrElse(return None)
     if (st.lower(callEnd) == "desc") return None // farthest-first: no AM
     val limIdx = st.nextTop(callEnd, Set("limit"))
     if (limIdx >= st.n) return None
     val k = try st.lower(limIdx + 1).toInt catch { case NonFatal(_) => return None }
-    // the query side must be a CONSTANT (fold it on the driver);
-    // a column-valued query side means a KNN join — not this path
-    val qVec: Array[Float] =
-      try {
-        val row = spark.sql(s"SELECT ${st.text(args(1)._1, args(1)._2)}").head()
-        row.getSeq[Float](0).toArray
-      } catch { case NonFatal(_) => return None }
+    val qAny = evalQueryConst(spark, st.text(args(1)._1, args(1)._2))
+      .getOrElse(return None)
     // knob lookup honors BOTH spellings: the reference GUC
     // (`SET ivfflat.probes = 4` — Spark's native SET lands it in the
     // session conf verbatim) and the graft-namespaced one
     def knob(names: Seq[String], dflt: Int): Int =
       names.iterator.map(n => spark.conf.getOption(n))
         .collectFirst { case Some(v) => v.toInt }.getOrElse(dflt)
+    val tableCols = spark.table(table).columns.toSeq
     val uniq = freshView("knn")
     idx match {
-      case IndexCatalog.IvfIdx(_, _, view, model, cos) =>
+      case IndexCatalog.IvfIdx(_, _, view, model, _, space, _, _) =>
         val nprobe = knob(Seq("ivfflat.probes", "graft.ivfflat.probes"), 1)
-        // a cosine index's quantizer lives in unit space
-        val probeVec = if (cos) {
-          val n = math.sqrt(qVec.map(v => v.toDouble * v).sum)
-          if (n > 0) qVec.map(v => (v / n).toFloat) else qVec
-        } else qVec
+        val probeVec: Array[Float] =
+          if (space == "sparse_proxy") qAny match {
+            case r: org.apache.spark.sql.Row =>
+              proxyFold(r.getSeq[Int](0), r.getSeq[Float](1))
+            case _ => return None
+          } else denseQuery(qAny) match {
+            case Some(q) => spaceQuery(space, q)
+            case None => return None
+          }
         val probeIds = model.probes(probeVec, nprobe).map(Integer.valueOf)
+        // list_id is the PARTITION column of the index parquet: the
+        // isin prunes whole list directories at the reader
         spark.table(view)
           .filter(col("list_id").isin(probeIds: _*))
-          .drop("list_id")
+          .select(tableCols.map(col): _*)
           .createOrReplaceTempView(uniq)
-      case IndexCatalog.HnswIdx(_, _, view, idCol, model, params) =>
+      case IndexCatalog.BitIvfIdx(_, _, view, model, _) =>
+        val nprobe = knob(Seq("ivfflat.probes", "graft.ivfflat.probes"), 1)
+        val qc = qAny match {
+          case b: Array[Byte] => b
+          case _ => return None
+        }
+        val probeIds = model.probes(qc, nprobe).map(Integer.valueOf)
+        spark.table(view)
+          .filter(col("list_id").isin(probeIds: _*))
+          .select(tableCols.map(col): _*)
+          .createOrReplaceTempView(uniq)
+      case IndexCatalog.HnswIdx(_, _, view, idCol, model, params, _, space, _, _) =>
         val nprobe = knob(Seq("hnsw.nprobe", "graft.hnsw.nprobe"), 4)
+        val probeVec = denseQuery(qAny) match {
+          case Some(q) => spaceQuery(space, q)
+          case None => return None
+        }
         import spark.implicits._
         val ids = Hnsw.searchRouted(spark.table(view).as[Hnsw.GraphRow],
-            model, qVec, k, nprobe, params)
+            model, probeVec, k, nprobe, params)
           .select(col("vec_id")).collect().map(_.getLong(0)) // ≤ k ids
         spark.table(table)
           .filter(col(idCol).isin(ids.map(java.lang.Long.valueOf): _*))

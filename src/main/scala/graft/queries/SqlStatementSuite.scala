@@ -135,6 +135,18 @@ object SqlStatementSuite {
     createIvfIndexStmt, createHnswIndexStmt,
     "CREATE INDEX vidx_cos ON vidxc_emb USING ivfflat " +
       "(embedding vector_cosine_ops) WITH (lists = 16)",
+    "CREATE INDEX vidx_ip ON vidxip_emb USING ivfflat " +
+      "(embedding vector_ip_ops) WITH (lists = 16)",
+    "CREATE INDEX vidx_hc ON vidxhc_emb USING hnsw " +
+      "(embedding vector_cosine_ops) WITH (m = 8, ef_construction = 48, lists = 8)",
+    "CREATE INDEX vidx_l1 ON vidxl1_emb USING hnsw " +
+      "(embedding vector_l1_ops) WITH (m = 8, ef_construction = 48, lists = 8)",
+    "CREATE INDEX vidx_hv ON vidxhv_emb USING ivfflat " +
+      "(hv halfvec_l2_ops) WITH (lists = 16)",
+    "CREATE INDEX vidx_bit ON vidxb_emb USING ivfflat " +
+      "(code bit_hamming_ops) WITH (lists = 16)",
+    "CREATE INDEX vidx_sp ON vidxsp_emb USING ivfflat " +
+      "(sv sparsevec_l2_ops) WITH (lists = 16)",
     "DROP INDEX IF EXISTS vidx_gate")
 
   val queries: Map[String, Q] = Map(
@@ -357,6 +369,160 @@ object SqlStatementSuite {
           (coalesce(sum(col("hit")), lit(0)) >= 5).as("recall_ok"))
     }),
 
+    // ---- C108d: vector_ip_ops (ivfflat) — `<#>` through the
+    // MIPS→L2-augmented quantizer (x' = [x, sqrt(M²−‖x‖²)], q' =
+    // [q, 0] — the order-preserving reduction); full probe budget
+    // makes the routed path exact, DuckDB recomputes closed-form ----
+    "sql_ip_index" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      emb.createOrReplaceTempView("vidxip_emb")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).mkString("[", ",", "]")
+      s.sql("DROP INDEX IF EXISTS vidx_ip")
+      s.sql("CREATE INDEX vidx_ip ON vidxip_emb USING ivfflat " +
+        "(embedding vector_ip_ops) WITH (lists = 16)")
+      s.conf.set("graft.ivfflat.probes", "16") // full probe: exact
+      val out = s.sql(
+        s"""SELECT vec_id, round(embedding <#> '$q'::vector, 6) AS nip
+           |FROM vidxip_emb ORDER BY embedding <#> '$q'::vector, vec_id
+           |LIMIT 10""".stripMargin)
+      s.conf.unset("graft.ivfflat.probes")
+      out
+    }),
+
+    // ---- C108e: hnsw vector_cosine_ops — the L2 beam over
+    // NORMALIZED graph vectors (cosine ≡ L2 on unit vectors);
+    // approximate by nature → the B-family recall gate shape ----
+    "sql_hnsw_cosine" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      emb.createOrReplaceTempView("vidxhc_emb")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      val q = qv.mkString("[", ",", "]")
+      s.sql("DROP INDEX IF EXISTS vidx_hc")
+      s.sql("CREATE INDEX vidx_hc ON vidxhc_emb USING hnsw " +
+        "(embedding vector_cosine_ops) WITH (m = 8, ef_construction = 48, lists = 8)")
+      s.conf.set("graft.hnsw.nprobe", "8") // all shards
+      val found = s.sql(
+        s"""SELECT vec_id FROM vidxhc_emb
+           |ORDER BY embedding <=> '$q'::vector, vec_id LIMIT 10""".stripMargin)
+      s.conf.unset("graft.hnsw.nprobe")
+      s.sql("DROP INDEX vidx_hc")
+      val exact = s.sql(
+        s"""SELECT vec_id FROM vidxhc_emb
+           |ORDER BY embedding <=> '$q'::vector, vec_id LIMIT 10""".stripMargin)
+      found.join(exact.select(col("vec_id"), lit(1).as("hit")),
+          Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          (coalesce(sum(col("hit")), lit(0)) >= 5).as("recall_ok"))
+    }),
+
+    // ---- C108f: hnsw vector_l1_ops — `<+>` beams NATIVELY in L1
+    // (Params.metric = l1, datavec sql 0.7.2:399); recall-gated ----
+    "sql_l1_index" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      emb.createOrReplaceTempView("vidxl1_emb")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      val q = qv.mkString("[", ",", "]")
+      s.sql("DROP INDEX IF EXISTS vidx_l1")
+      s.sql("CREATE INDEX vidx_l1 ON vidxl1_emb USING hnsw " +
+        "(embedding vector_l1_ops) WITH (m = 8, ef_construction = 48, lists = 8)")
+      s.conf.set("graft.hnsw.nprobe", "8")
+      val found = s.sql(
+        s"""SELECT vec_id FROM vidxl1_emb
+           |ORDER BY embedding <+> '$q'::vector, vec_id LIMIT 10""".stripMargin)
+      s.conf.unset("graft.hnsw.nprobe")
+      s.sql("DROP INDEX vidx_l1")
+      val exact = s.sql(
+        s"""SELECT vec_id FROM vidxl1_emb
+           |ORDER BY embedding <+> '$q'::vector, vec_id LIMIT 10""".stripMargin)
+      found.join(exact.select(col("vec_id"), lit(1).as("hit")),
+          Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          (coalesce(sum(col("hit")), lit(0)) >= 5).as("recall_ok"))
+    }),
+
+    // ---- C108g: halfvec_l2_ops — the B15 storage tier at the DDL:
+    // postings persist PACKED fp16 (2 bytes/elem), the view unpacks
+    // (lossless on the halfvec grid), full probe == exact. DuckDB
+    // has no fp16 grid, so the gate compares routed vs unrouted
+    // IN-ENGINE (both over the same fp16-rounded view) and ships the
+    // deterministic verdict (the fuzzy_phonetic gate shape) ----
+    "sql_halfvec_index" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val emb = Tables(s, dir, "embeddings")
+      emb.select(col("vec_id"), VF.halfvec(col("embedding")).as("hv"))
+        .createOrReplaceTempView("vidxhv_emb")
+      val q = s.table("vidxhv_emb").filter(col("vec_id") === 0)
+        .select("hv").head.getSeq[Float](0).mkString("[", ",", "]")
+      def knn() = s.sql(
+        s"""SELECT vec_id, round(hv <-> '$q'::halfvec, 6) AS d
+           |FROM vidxhv_emb ORDER BY hv <-> '$q'::halfvec, vec_id
+           |LIMIT 10""".stripMargin)
+      s.sql("DROP INDEX IF EXISTS vidx_hv")
+      s.sql("CREATE INDEX vidx_hv ON vidxhv_emb USING ivfflat " +
+        "(hv halfvec_l2_ops) WITH (lists = 16)")
+      s.conf.set("graft.ivfflat.probes", "16")
+      val routed = knn().collect().toSeq
+      s.conf.unset("graft.ivfflat.probes")
+      s.sql("DROP INDEX vidx_hv")
+      val exact = knn().collect().toSeq
+      val spark2 = s
+      import spark2.implicits._
+      Seq((routed.size.toLong, routed == exact)).toDF("n_results", "match_ok")
+    }),
+
+    // ---- C108h: bit_hamming_ops — `<~>` over packed bit codes
+    // through the IvfBit Hamming quantizer (B16 at the DDL); integer-
+    // exact popcount distances, full probe == exact, and DuckDB
+    // recomputes the sign-quantized Hamming closed-form ----
+    "sql_bit_index" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val emb = Tables(s, dir, "embeddings")
+      emb.select(col("vec_id"), VF.binaryQuantize(col("embedding")).as("code"))
+        .createOrReplaceTempView("vidxb_emb")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).mkString("[", ",", "]")
+      s.sql("DROP INDEX IF EXISTS vidx_bit")
+      s.sql("CREATE INDEX vidx_bit ON vidxb_emb USING ivfflat " +
+        "(code bit_hamming_ops) WITH (lists = 16)")
+      s.conf.set("graft.ivfflat.probes", "16")
+      val out = s.sql(
+        s"""SELECT vec_id,
+           |  CAST(code <~> binary_quantize('$q'::vector) AS BIGINT) AS hd
+           |FROM vidxb_emb
+           |ORDER BY code <~> binary_quantize('$q'::vector), vec_id
+           |LIMIT 10""".stripMargin)
+      s.conf.unset("graft.ivfflat.probes")
+      out
+    }),
+
+    // ---- C108i: sparsevec_l2_ops — sparse structs pruned through a
+    // feature-hashed 64-dim dense proxy quantizer (candidates only;
+    // the statement's own sparse merge-scan reranks exact). Full
+    // probe == exact; DuckDB recomputes dense L2 (identical to the
+    // sparse merge-scan: dropped zeros contribute +0.0 terms) ----
+    "sql_sparsevec_index" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val emb = Tables(s, dir, "embeddings")
+      emb.select(col("vec_id"), VF.toSparse(col("embedding")).as("sv"))
+        .createOrReplaceTempView("vidxsp_emb")
+      val qTxt = s.table("vidxsp_emb").filter(col("vec_id") === 0)
+        .select(VF.sparsevecToString(col("sv.indices"), col("sv.values"),
+          col("sv.dim"))).head.getString(0)
+      s.sql("DROP INDEX IF EXISTS vidx_sp")
+      s.sql("CREATE INDEX vidx_sp ON vidxsp_emb USING ivfflat " +
+        "(sv sparsevec_l2_ops) WITH (lists = 16)")
+      s.conf.set("graft.ivfflat.probes", "16")
+      val out = s.sql(
+        s"""SELECT vec_id, round(sv <-> '$qTxt'::sparsevec, 6) AS dist
+           |FROM vidxsp_emb ORDER BY sv <-> '$qTxt'::sparsevec, vec_id
+           |LIMIT 10""".stripMargin)
+      s.conf.unset("graft.ivfflat.probes")
+      out
+    }),
+
     // ---- C107: COPY statements (gram.y CopyStmt over the C86/C95
     // file_fdw option set): COPY (query) TO a GB18030 csv, COPY FROM
     // appends it back under the target view's declared schema —
@@ -560,5 +726,38 @@ object SqlStatementSuite {
 
     // approximate by nature: constants like the other ANN gates
     "sql_hnsw_index" ->
-      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok")
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
+
+    // full-probe ip == the exact scan: negative inner product closed-form
+    "sql_ip_index" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(-list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS nip
+        |FROM embeddings e, q ORDER BY nip, vec_id LIMIT 10""".stripMargin,
+
+    // approximate by nature (beamed): constants
+    "sql_hnsw_cosine" ->
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
+    "sql_l1_index" ->
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
+
+    // fp16 grid lives only in-engine: the gate ships the in-engine
+    // routed-vs-exact verdict (full probe — must match bitwise)
+    "sql_halfvec_index" ->
+      "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS match_ok",
+
+    // sign-quantized Hamming closed-form (BinaryQuantize: bit = v > 0)
+    "sql_bit_index" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(len(list_filter(range(1, len(e.embedding) + 1),
+        |    i -> (e.embedding[i] > 0) <> (q.qv[i] > 0))) AS BIGINT) AS hd
+        |FROM embeddings e, q ORDER BY hd, vec_id LIMIT 10""".stripMargin,
+
+    // sparse merge-scan L2 == dense L2 (dropped zeros add +0.0 terms)
+    "sql_sparsevec_index" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |FROM embeddings e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin)
 }

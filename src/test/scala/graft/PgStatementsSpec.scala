@@ -777,12 +777,174 @@ class PgStatementsSpec extends SparkSpec {
            |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 7""".stripMargin)
         .as[Long].collect().toSeq
       assert(l2a == l2b) // untouched: opclass mismatch delegates
-      val e = intercept[Exception](spark.sql(
-        "CREATE INDEX i ON stmt_emb USING hnsw (embedding vector_cosine_ops)"))
-      assert(e.getMessage.contains("vector_l2_ops"))
     } finally {
       spark.conf.unset("graft.ivfflat.probes")
       spark.sql("DROP INDEX IF EXISTS stmt_cos")
+      ()
+    }
+  }
+
+  test("vector_ip_ops index serves <#> (ivfflat, full probe == exact) " +
+      "and only <#>") {
+    val q = idxFixture()
+    spark.sql("CREATE INDEX stmt_ip ON stmt_emb USING ivfflat " +
+      "(embedding vector_ip_ops) WITH (lists = 8)")
+    try {
+      def ipKnn(): Seq[(Long, Double)] = spark.sql(
+        s"""SELECT vec_id, round(embedding <#> '$q'::vector, 6) AS d
+           |FROM stmt_emb ORDER BY embedding <#> '$q'::vector, vec_id
+           |LIMIT 7""".stripMargin).as[(Long, Double)].collect().toSeq
+      spark.conf.set("graft.ivfflat.probes", "8")
+      val viaIdx = ipKnn()
+      spark.sql("DROP INDEX stmt_ip")
+      val exact = ipKnn()
+      assert(viaIdx == exact) // MIPS→L2 augmentation + full probe: exact
+      // the ip index must NOT serve <-> (opclass strictness)
+      spark.sql("CREATE INDEX stmt_ip ON stmt_emb USING ivfflat " +
+        "(embedding vector_ip_ops) WITH (lists = 8)")
+      val routed = PgStatements.route(graft.plans.PgSqlRewrite.rewrite(
+        s"SELECT vec_id FROM stmt_emb ORDER BY embedding <-> '$q'::vector LIMIT 5"))
+      assert(routed.isEmpty, "<-> must not ride a vector_ip_ops index")
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_ip")
+      ()
+    }
+  }
+
+  test("hnsw vector_cosine_ops / vector_ip_ops / vector_l1_ops route " +
+      "with high recall vs the exact scan") {
+    val q = idxFixture()
+    val cases = Seq(
+      ("stmt_hc", "vector_cosine_ops", "<=>"),
+      ("stmt_hi", "vector_ip_ops", "<#>"),
+      ("stmt_hl", "vector_l1_ops", "<+>"))
+    try {
+      spark.conf.set("graft.hnsw.nprobe", "4") // all shards
+      cases.foreach { case (idxName, opclass, op) =>
+        spark.sql(s"CREATE INDEX $idxName ON stmt_emb USING hnsw " +
+          s"(embedding $opclass) WITH (m = 8, ef_construction = 48, lists = 4)")
+        def knn(): Seq[Long] = spark.sql(
+          s"""SELECT vec_id FROM stmt_emb
+             |ORDER BY embedding $op '$q'::vector, vec_id LIMIT 5""".stripMargin)
+          .as[Long].collect().toSeq
+        val got = knn()
+        spark.sql(s"DROP INDEX $idxName")
+        val exact = knn()
+        assert(got.size == 5, s"$opclass returned ${got.size} rows")
+        assert(got.toSet.intersect(exact.toSet).size >= 4,
+          s"$opclass recall too low: $got vs $exact")
+      }
+    } finally {
+      spark.conf.unset("graft.hnsw.nprobe")
+      cases.foreach { case (n, _, _) => spark.sql(s"DROP INDEX IF EXISTS $n") }
+      ()
+    }
+  }
+
+  test("halfvec_l2_ops stores packed fp16 postings; full probe == exact") {
+    import graft.functions.{VectorFunctions => VF}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.select(col("vec_id"), VF.halfvec(col("embedding")).as("hv"))
+      .createOrReplaceTempView("stmt_hvemb")
+    val q = spark.table("stmt_hvemb").filter(col("vec_id") === 0)
+      .select("hv").head.getSeq[Float](0).mkString("[", ",", "]")
+    spark.sql("CREATE INDEX stmt_hv ON stmt_hvemb USING ivfflat " +
+      "(hv halfvec_l2_ops) WITH (lists = 8)")
+    try {
+      def knn(): Seq[(Long, Double)] = spark.sql(
+        s"""SELECT vec_id, round(hv <-> '$q'::halfvec, 6) AS d
+           |FROM stmt_hvemb ORDER BY hv <-> '$q'::halfvec, vec_id
+           |LIMIT 7""".stripMargin).as[(Long, Double)].collect().toSeq
+      spark.conf.set("graft.ivfflat.probes", "8")
+      val viaIdx = knn()
+      spark.sql("DROP INDEX stmt_hv")
+      val exact = knn()
+      assert(viaIdx == exact) // fp16 grid values survive pack/unpack bitwise
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_hv")
+      ()
+    }
+  }
+
+  test("bit_hamming_ops serves <~> through the IvfBit tier; full probe == exact") {
+    import graft.functions.{VectorFunctions => VF}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.select(col("vec_id"), VF.binaryQuantize(col("embedding")).as("code"))
+      .createOrReplaceTempView("stmt_bitemb")
+    val q = idxFixture() // dense literal; quantized on both sides below
+    spark.sql("CREATE INDEX stmt_bit ON stmt_bitemb USING ivfflat " +
+      "(code bit_hamming_ops) WITH (lists = 8)")
+    try {
+      def knn(): Seq[(Long, Long)] = spark.sql(
+        s"""SELECT vec_id, CAST(code <~> binary_quantize('$q'::vector) AS BIGINT) AS d
+           |FROM stmt_bitemb
+           |ORDER BY code <~> binary_quantize('$q'::vector), vec_id
+           |LIMIT 7""".stripMargin).as[(Long, Long)].collect().toSeq
+      spark.conf.set("graft.ivfflat.probes", "8")
+      val viaIdx = knn()
+      spark.sql("DROP INDEX stmt_bit")
+      val exact = knn()
+      assert(viaIdx == exact)
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_bit")
+      ()
+    }
+  }
+
+  test("sparsevec_l2_ops rides the dense-proxy quantizer; full probe == exact") {
+    import graft.functions.{VectorFunctions => VF}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.select(col("vec_id"), VF.toSparse(col("embedding")).as("sv"))
+      .createOrReplaceTempView("stmt_spemb")
+    val qTxt = spark.table("stmt_spemb").filter(col("vec_id") === 0)
+      .select(VF.sparsevecToString(col("sv.indices"), col("sv.values"),
+        col("sv.dim"))).head.getString(0)
+    spark.sql("CREATE INDEX stmt_sp ON stmt_spemb USING ivfflat " +
+      "(sv sparsevec_l2_ops) WITH (lists = 8)")
+    try {
+      def knn(): Seq[(Long, Double)] = spark.sql(
+        s"""SELECT vec_id, round(sv <-> '$qTxt'::sparsevec, 6) AS d
+           |FROM stmt_spemb ORDER BY sv <-> '$qTxt'::sparsevec, vec_id
+           |LIMIT 7""".stripMargin).as[(Long, Double)].collect().toSeq
+      spark.conf.set("graft.ivfflat.probes", "8")
+      val viaIdx = knn()
+      spark.sql("DROP INDEX stmt_sp")
+      val exact = knn()
+      assert(viaIdx == exact)
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_sp")
+      ()
+    }
+  }
+
+  test("the SQL-built IVF index prunes list partitions AT THE READER " +
+      "(PartitionFilters) and probes=1 provably consults the index") {
+    val q = idxFixture()
+    spark.sql("CREATE INDEX stmt_pf ON stmt_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 8)")
+    try {
+      spark.conf.set("graft.ivfflat.probes", "2")
+      val df = spark.sql(
+        s"""SELECT vec_id FROM stmt_emb
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 7""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      // the routed FROM is the partitionBy(list_id) parquet: the probe
+      // isin must surface as PartitionFilters on the scan (B15's
+      // assertion, now on the SQL path), and the scan must be the
+      // index directory, proving the index was consulted (the r17
+      // cosine bug passed all full-probe tests without ever routing)
+      assert(plan.contains("PartitionFilters"), plan)
+      assert(plan.contains("list_id"), plan)
+      assert(plan.contains("_graft_vindex"), plan)
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_pf")
       ()
     }
   }
@@ -817,12 +979,16 @@ class PgStatementsSpec extends SparkSpec {
       "CREATE INDEX i ON stmt_emb USING btree (vec_id)"))
     assert(!e1.getMessage.contains("graft:"))
     val e2 = intercept[Exception](spark.sql(
-      "CREATE INDEX i ON stmt_emb USING ivfflat (embedding vector_ip_ops)"))
-    assert(e2.getMessage.contains("vector_l2_ops"))
+      "CREATE INDEX i ON stmt_emb USING ivfflat (embedding vector_foo_ops)"))
+    assert(e2.getMessage.contains("opclass"))
     val e3 = intercept[Exception](spark.sql(
       "CREATE INDEX i ON stmt_emb USING ivfflat (embedding vector_l2_ops) " +
         "WITH (probes = 3)"))
     assert(e3.getMessage.contains("lists"))
+    // the graph tiers the SQL surface doesn't wire point at the Scala API
+    val e4 = intercept[Exception](spark.sql(
+      "CREATE INDEX i ON stmt_emb USING hnsw (embedding bit_hamming_ops)"))
+    assert(e4.getMessage.contains("Scala API"))
   }
 
   test("cosine KNN statements pass the route pre-gate (r17 regression)") {
