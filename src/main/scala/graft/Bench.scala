@@ -62,6 +62,8 @@ object Bench {
     "sql_pg_ops", "sql_pg_vector", "sql_jsonb_surface",
     // statement-level SQL (r17): MERGE routing + CONNECT BY routing
     "sql_merge", "sql_connect_by",
+    // statement-level DML + opclass access paths (r18)
+    "sql_update", "sql_ip_index", "sql_sparsevec_index",
     // storage introspection + foreign files (r15 families, sub-second)
     "storage_stats", "file_fdw",
     // dbmind additions (r16)
@@ -316,9 +318,16 @@ object Bench {
         m.map(_.group(1).count(_ == ':'))
       } catch { case scala.util.control.NonFatal(_) => None }
     val medTotal = names.map(n => med(reps(n))).filter(_ >= 0).sum
+    // QUIET is always required (r17 verdict closed the set-change
+    // loophole: a round that adds queries must not land a contended
+    // run as the new anchor). A changed query set only waives the
+    // total-vs-committed comparison; with no committed artifact at
+    // all, accept (there is nothing to protect and a later quiet run
+    // supersedes via the total rule).
+    val setChanged = committedN.exists(_ != names.size)
     val accept = committedTotal.isEmpty ||
-      committedN.exists(_ != names.size) ||
-      (contendedQs.isEmpty && medTotal <= committedTotal.get * 1.05)
+      (contendedQs.isEmpty &&
+        (setChanged || medTotal <= committedTotal.get * 1.05))
     if (accept) writeTo(outPath, fileLine)
     else {
       writeTo(contendedPath, fileLine)

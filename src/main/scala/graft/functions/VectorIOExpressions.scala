@@ -263,6 +263,38 @@ case class SparseToDense(first: Expression, second: Expression, third: Expressio
 }
 
 /**
+ * Feature-hashed dense fold of a sparsevec (the hashing trick):
+ * out[i mod dim] += v, double accumulation in entry order, cast to
+ * float per slot. ONE pass over the entries — the equivalent HOF
+ * spelling (transform over a sequence × aggregate) walks every
+ * accumulator slot per entry (dim× the work, interpreted). Used by
+ * the sparsevec_l2_ops index BUILD (candidate-generation proxy only:
+ * the statement's exact sparse merge-scan reranks, so fold collisions
+ * never affect results at full probe).
+ */
+case class SparseProxyFold(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(dim >= 1, "graft: proxy dim must be >= 1")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sparse_proxy_fold"
+  override def nullSafeEval(idxA: Any, valA: Any): Any = {
+    val idx = idxA.asInstanceOf[ArrayData]
+    val vals = valA.asInstanceOf[ArrayData]
+    val acc = new Array[Double](dim)
+    var k = 0
+    val n = idx.numElements()
+    while (k < n) {
+      acc(((idx.getInt(k) % dim) + dim) % dim) += vals.getFloat(k).toDouble
+      k += 1
+    }
+    new GenericArrayData(acc.map(_.toFloat))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
  * sparsevec_cmp: lexicographic compare of two sparse vectors AS IF
  * dense (absent entries are exact zeros), then by dim — the same order
  * vector_cmp gives on their dense forms (ref: sparsevec.cpp

@@ -1174,22 +1174,15 @@ object PgStatements {
   private val ProxyDim = 64
 
   /** Feature-hashed dense proxy of a sparsevec struct (the hashing
-    * trick): proxy[i mod 64] += v. The proxy only GENERATES candidate
-    * lists — the statement's own sparse operator reranks exact, so a
-    * full probe budget stays exact regardless of fold collisions. */
+    * trick): proxy[i mod 64] += v, ONE pass per row via the dedicated
+    * [[graft.functions.SparseProxyFold]] expression. The proxy only
+    * GENERATES candidate lists — the statement's own sparse operator
+    * reranks exact, so a full probe budget stays exact regardless of
+    * fold collisions. */
   private def sparseProxyCol(c: Column): Column =
-    org.apache.spark.sql.functions.transform(
-      org.apache.spark.sql.functions.sequence(lit(0), lit(ProxyDim - 1)),
-      j => org.apache.spark.sql.functions.aggregate(
-        org.apache.spark.sql.functions.zip_with(
-          c.getField("indices"), c.getField("values"),
-          (i, v) => org.apache.spark.sql.functions.struct(
-            i.as("i"), v.as("v"))),
-        lit(0.0d),
-        (acc, e) => acc + org.apache.spark.sql.functions.when(
-          org.apache.spark.sql.functions.pmod(e.getField("i"), lit(ProxyDim)) === j,
-          e.getField("v").cast("double")).otherwise(lit(0.0d)))
-        .cast("float"))
+    Bridge.column(graft.functions.SparseProxyFold(
+      Bridge.expression(c.getField("indices").cast("array<int>")),
+      Bridge.expression(c.getField("values").cast("array<float>")), ProxyDim))
 
   /** Driver-side proxy fold for the constant query side. */
   private def proxyFold(indices: Seq[Int], values: Seq[Float]): Array[Float] = {
@@ -1316,8 +1309,12 @@ object PgStatements {
                 s"(valid: ${(ivfOpclasses.keySet + "bit_hamming_ops").toSeq.sorted.mkString(", ")})"))
           val aug = if (space == "augmented") maxNorm(corpus, column) else 0.0
           val sc = "__graft_space"
-          val tagged = corpus.withColumn(sc,
+          val tagged0 = corpus.withColumn(sc,
             spaceColumn(space, col(column), aug))
+          // non-raw spaces compute per-row work (normalize / augment /
+          // proxy fold): materialize ONCE so k-means' repeated scans
+          // don't re-run the transform every iteration
+          val tagged = if (space == "raw") tagged0 else Iterate.truncate(tagged0)
           val model = Ivf.build(tagged, sc, lists())
           val assigned = Ivf.assign(tagged, sc, model).drop(sc)
           val stored = if (isHalf)
@@ -1352,7 +1349,8 @@ object PgStatements {
         val idCol = corpus.columns.head // row-id convention: first column
         val aug = if (space == "augmented") maxNorm(corpus, column) else 0.0
         val sc = "__graft_space"
-        val tagged = corpus.withColumn(sc, spaceColumn(space, col(column), aug))
+        val tagged0 = corpus.withColumn(sc, spaceColumn(space, col(column), aug))
+        val tagged = if (space == "raw") tagged0 else Iterate.truncate(tagged0)
         val model = Ivf.build(tagged, sc, lists())
         Hnsw.buildIndexClustered(tagged, sc, idCol, model, params).toDF
           .write.mode("overwrite").partitionBy("part_id").parquet(path)
