@@ -264,7 +264,7 @@ object PgStatements {
     * must contain a trigger. */
   private val routeTriggers: Seq[String] = Seq(
     "merge", "model", "timecapsule", "connect", "recursive", "copy",
-    "materialized", "index", "update", "delete",
+    "materialized", "index", "update", "delete", "insert",
     // the PgSqlRewrite spellings of <-> <=> <#> <+> <~>
     "pg_dist_arrow", "pg_cosine_or_eq", "negative_inner_product",
     "l1_distance", "hamming_distance")
@@ -281,6 +281,7 @@ object PgStatements {
       case ("merge", "into") => mergeInto(spark, st)
       case ("update", _) if st.lower(1) != "" => updateStmt(spark, st)
       case ("delete", "from") => deleteStmt(spark, st)
+      case ("insert", "into") => insertStmt(spark, st)
       case ("create", "model") => Some(createModel(spark, st))
       case ("drop", "model") => Some(dropModel(spark, st))
       case ("explain", "model") => Some(explainModel(spark, st))
@@ -665,6 +666,64 @@ object PgStatements {
     updated.createOrReplaceTempView(target)
     IndexCatalog.invalidateTable(spark, target)
     Some(oneRow(spark, "command" -> "UPDATE", "table_name" -> target))
+  }
+
+  /**
+   * `INSERT INTO t [(cols)] {VALUES (...), ... | SELECT ...}`
+   * (gram.y InsertStmt) — the last of the DML quartet. The payload
+   * parses natively (Spark's own VALUES inline-table or any SELECT),
+   * aligns POSITIONALLY to the column list (PG semantics), casts each
+   * provided column to the target column's type (PG's assignment
+   * cast), fills unlisted columns with typed NULLs, and APPENDS via
+   * unionByName — the scan side stays lazy and splittable, so a
+   * 100 TB `INSERT INTO t SELECT ...` is a parallel append, never a
+   * driver ingest. `ON DUPLICATE KEY UPDATE` (openGauss upsert)
+   * is rejected explicitly: a temp view declares no key — MERGE INTO
+   * is the routed upsert spelling.
+   */
+  private def insertStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    val target = st.ident(2)
+    if (!isTempView(spark, target)) return None
+    requireNoReturning(st, "INSERT")
+    require(!(0 until st.n - 1).exists(p => st.depth(p) == 0 &&
+        st.lower(p) == "duplicate" && st.lower(p + 1) == "key"),
+      "graft: INSERT ... ON DUPLICATE KEY UPDATE is not supported on a " +
+        "temp view (no key declaration) — MERGE INTO is the routed upsert")
+    var k = 3
+    val colList: Option[Seq[String]] =
+      if (st.lower(k) == "(") {
+        val e = st.matching(k)
+        val cs = st.splitCommas(k + 1, e - 1).map { case (a, _) => st.ident(a) }
+        k = e
+        Some(cs)
+      } else None
+    val payload = st.text(k, st.n)
+    require(st.lower(k) == "values" || st.lower(k) == "select" ||
+        st.lower(k) == "(" || st.lower(k) == "with",
+      "graft: INSERT expects VALUES (...) or a SELECT query")
+    val cur = spark.table(target)
+    val want: Seq[String] = colList.map(_.map(c =>
+        cur.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft: INSERT column '$c' not in $target"))))
+      .getOrElse(cur.columns.toSeq)
+    val incoming0 = spark.sql(payload)
+    require(incoming0.columns.length == want.length,
+      s"graft: INSERT has ${want.length} target column(s) but the source " +
+        s"provides ${incoming0.columns.length}")
+    // positional alignment + assignment cast to the declared types
+    val provided = incoming0.columns.zip(want).map { case (src, dst) =>
+      col(s"`$src`").cast(cur.schema(dst).dataType).as(dst)
+    }
+    val aligned0 = incoming0.select(provided.toSeq: _*)
+    val aligned = aligned0.select(cur.columns.toSeq.map { c =>
+      if (want.exists(_.equalsIgnoreCase(c))) col(s"`$c`")
+      else lit(null).cast(cur.schema(c).dataType).as(c)
+    }: _*)
+    val appended = Iterate.truncate(cur.unionByName(aligned))
+    appended.createOrReplaceTempView(target)
+    IndexCatalog.invalidateTable(spark, target)
+    Some(oneRow(spark, "command" -> "INSERT", "table_name" -> target))
   }
 
   /**

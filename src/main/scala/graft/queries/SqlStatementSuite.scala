@@ -102,6 +102,18 @@ object SqlStatementSuite {
     """UPDATE u_target t SET c_acctbal = s.c_acctbal, c_nationkey = s.c_nationkey
       |FROM u_source s WHERE t.c_custkey = s.c_custkey""".stripMargin
 
+  val insertValuesStmt: String =
+    "INSERT INTO i_target VALUES (9000001, 'ins_a', 111.5), " +
+      "(9000002, 'ins_b', -2.25)"
+
+  val insertColsStmt: String =
+    "INSERT INTO i_target (c_custkey, c_acctbal) VALUES (9000003, 7.0)"
+
+  val insertSelectStmt: String =
+    """INSERT INTO i_target
+      |SELECT c_custkey + 2000000, concat(c_name, '_dup'), c_acctbal
+      |FROM i_source""".stripMargin
+
   val deletePlainStmt: String =
     "DELETE FROM d_target WHERE c_custkey % 11 = 0"
 
@@ -127,6 +139,7 @@ object SqlStatementSuite {
   /** Every statement the gates push through spark.sql (corpus fuzz). */
   def statements: Seq[String] = Seq(recursiveStmt, mergeStmt, connectByStmt,
     updatePlainStmt, updateFromStmt, deletePlainStmt, deleteUsingStmt,
+    insertValuesStmt, insertColsStmt, insertSelectStmt,
     createModelStmt, predictStmt, timecapsuleStmt,
     dblinkStmt("jdbc:derby:/tmp/placeholder/db"),
     explainModelStmt, createKmeansStmt, predictKmeansStmt,
@@ -207,6 +220,21 @@ object SqlStatementSuite {
       s.sql(updatePlainStmt)
       s.sql(updateFromStmt)
       s.sql("SELECT * FROM u_target").transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- C111: INSERT statements (gram.y InsertStmt) — VALUES rows,
+    // a column list (unlisted columns arrive typed-NULL, PG assignment
+    // casts), and INSERT ... SELECT (a lazy parallel append) ----
+    "sql_insert" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      base.createOrReplaceTempView("i_target")
+      base.filter(pmod(col("c_custkey"), lit(17)) === 0)
+        .createOrReplaceTempView("i_source")
+      s.sql(insertValuesStmt)
+      s.sql(insertColsStmt)
+      s.sql(insertSelectStmt)
+      s.sql("SELECT * FROM i_target").transform(Gate.ordered(_, "c_custkey"))
     }),
 
     // ---- C109b: DELETE statements (gram.y DeleteStmt:23218) — plain
@@ -593,6 +621,16 @@ object SqlStatementSuite {
         |       ELSE u1.c_nationkey END AS c_nationkey
         |FROM u1 JOIN b ON u1.c_custkey = b.c_custkey
         |ORDER BY u1.c_custkey""".stripMargin,
+
+    // the three INSERT layers replayed as UNION ALL
+    "sql_insert" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |UNION ALL SELECT 9000001, 'ins_a', 111.5
+        |UNION ALL SELECT 9000002, 'ins_b', -2.25
+        |UNION ALL SELECT 9000003, CAST(NULL AS VARCHAR), 7.0
+        |UNION ALL SELECT c_custkey + 2000000, c_name || '_dup', c_acctbal
+        |FROM customer WHERE c_custkey % 17 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     // survivors of both DELETE layers
     "sql_delete" ->

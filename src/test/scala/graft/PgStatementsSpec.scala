@@ -260,6 +260,42 @@ class PgStatementsSpec extends SparkSpec {
     assert(spark.table("stmt_del").count() == 0)
   }
 
+  test("INSERT INTO appends VALUES rows and SELECT results positionally") {
+    dmlFixture()
+    spark.sql("INSERT INTO stmt_upd VALUES (9, 'i', 90.0), (10, 'j', 100.0)")
+    assert(spark.table("stmt_upd").count() == 6)
+    // column list: unlisted columns arrive as typed NULLs; the
+    // assignment cast coerces the int literal to DOUBLE
+    spark.sql("INSERT INTO stmt_upd (k, bal) VALUES (11, 110)")
+    val r11 = spark.table("stmt_upd").filter(col("k") === 11L).head()
+    assert(r11.isNullAt(1) && r11.getDouble(2) == 110.0)
+    // INSERT ... SELECT stays a lazy parallel append
+    spark.sql("INSERT INTO stmt_upd SELECT k + 100, upper(name), bal * 2 " +
+      "FROM stmt_upd WHERE k <= 2")
+    val got = spark.table("stmt_upd").orderBy("k").as[(Long, String, Double)]
+      .collect().toSeq
+    assert(got.size == 9)
+    assert(got.contains((101L, "A", 20.0)) && got.contains((102L, "B", 40.0)))
+    // errors: arity, unknown column, upsert clause, RETURNING
+    val e1 = intercept[Exception](spark.sql(
+      "INSERT INTO stmt_upd (k) VALUES (1, 2)"))
+    assert(e1.getMessage.contains("column"))
+    val e2 = intercept[Exception](spark.sql(
+      "INSERT INTO stmt_upd (nope) VALUES (1)"))
+    assert(e2.getMessage.contains("nope"))
+    val e3 = intercept[Exception](spark.sql(
+      "INSERT INTO stmt_upd VALUES (1, 'x', 0.0) " +
+        "ON DUPLICATE KEY UPDATE bal = 0"))
+    assert(e3.getMessage.contains("MERGE INTO"))
+    val e4 = intercept[Exception](spark.sql(
+      "INSERT INTO stmt_upd VALUES (1, 'x', 0.0) RETURNING k"))
+    assert(e4.getMessage.contains("RETURNING"))
+    // non-temp-view targets delegate to Spark untouched
+    val e5 = intercept[Exception](spark.sql(
+      "INSERT INTO no_such_view_xyz VALUES (1)"))
+    assert(!e5.getMessage.contains("graft:"))
+  }
+
   test("UPDATE / DELETE through the router invalidate vector indexes") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb.createOrReplaceTempView("stmt_ud_emb")
