@@ -722,7 +722,7 @@ object PgStatements {
     }: _*)
     val appended = Iterate.truncate(cur.unionByName(aligned))
     appended.createOrReplaceTempView(target)
-    IndexCatalog.invalidateTable(spark, target)
+    IndexCatalog.maintainAppend(spark, target, aligned)
     Some(oneRow(spark, "command" -> "INSERT", "table_name" -> target))
   }
 
@@ -1141,7 +1141,7 @@ object PgStatements {
       * columns (halfvec stored packed, unpacked by the view). */
     final case class IvfIdx(table: String, column: String, view: String,
         model: Ivf.Model, op: String, space: String, aug: Double = 0.0,
-        path: String = "") extends Idx
+        path: String = "", packed: Boolean = false) extends Idx
     /** Hamming IVF over packed bit codes (bit_hamming_ops → B16). */
     final case class BitIvfIdx(table: String, column: String, view: String,
         model: IvfBit.Model, path: String = "") extends Idx {
@@ -1194,6 +1194,51 @@ object PgStatements {
           byName.remove(nm)
           try { spark.catalog.dropTempView(i.view); () }
           catch { case NonFatal(_) => () }
+      }
+    }
+
+    /** APPEND maintenance (reference ivfinsert.cpp: inserted tuples
+      * assign to the nearest EXISTING list — the index grows without
+      * retraining). IVF-family indexes on `table` absorb the appended
+      * rows into their partitioned parquet (mode=append: new files
+      * join their list's directory, so reader-level pruning keeps
+      * working over old + new rows alike — Ivf.appendToIndex's
+      * contract, now wired under COPY FROM / INSERT); the view
+      * re-registers over a fresh read (a temp view snapshots its file
+      * listing). NSW graph indexes invalidate instead: the batch
+      * analogue of hnswinsert.cpp would append whole shards — the
+      * user re-CREATEs, which compacts (Hnsw.compactShards'
+      * rationale). `incoming` must carry the table's columns (both
+      * callers pass the aligned append set). */
+    def maintainAppend(spark: SparkSession, table: String,
+        incoming: DataFrame): Unit = {
+      val t = norm(table)
+      byName.toSeq.foreach {
+        case (_, i: IvfIdx) if norm(i.table) == t && i.path.nonEmpty =>
+          val sc = "__graft_space"
+          val tagged = incoming.withColumn(sc,
+            spaceColumn(i.space, col(i.column), i.aug))
+          val assigned = Ivf.assign(tagged, sc, i.model).drop(sc)
+          val stored = if (i.packed)
+            assigned.withColumn(i.column,
+              graft.functions.VectorFunctions.packHalf(col(i.column)))
+          else assigned
+          stored.write.mode("append").partitionBy("list_id").parquet(i.path)
+          val rd0 = spark.read.parquet(i.path)
+          val rd = if (i.packed)
+            rd0.withColumn(i.column,
+              graft.functions.VectorFunctions.unpackHalf(col(i.column)))
+          else rd0
+          rd.createOrReplaceTempView(i.view)
+        case (_, b: BitIvfIdx) if norm(b.table) == t && b.path.nonEmpty =>
+          IvfBit.assign(incoming, b.column, b.model)
+            .write.mode("append").partitionBy("list_id").parquet(b.path)
+          spark.read.parquet(b.path).createOrReplaceTempView(b.view)
+        case (nm, h: HnswIdx) if norm(h.table) == t =>
+          byName.remove(nm)
+          try { spark.catalog.dropTempView(h.view); () }
+          catch { case NonFatal(_) => () }
+        case _ =>
       }
     }
   }
@@ -1387,8 +1432,8 @@ object PgStatements {
               graft.functions.VectorFunctions.unpackHalf(col(column)))
           else rd0
           rd.createOrReplaceTempView(view)
-          IndexCatalog.put(spark, name,
-            IndexCatalog.IvfIdx(table, column, view, model, op, space, aug, path))
+          IndexCatalog.put(spark, name, IndexCatalog.IvfIdx(
+            table, column, view, model, op, space, aug, path, packed = isHalf))
         }
       case "hnsw" =>
         val (op, space) = hnswOpclasses.getOrElse(opclass,
@@ -1551,7 +1596,7 @@ object PgStatements {
     val tableCols = spark.table(table).columns.toSeq
     val uniq = freshView("knn")
     idx match {
-      case IndexCatalog.IvfIdx(_, _, view, model, _, space, _, _) =>
+      case IndexCatalog.IvfIdx(_, _, view, model, _, space, _, _, _) =>
         val nprobe = knob(Seq("ivfflat.probes", "graft.ivfflat.probes"), 1)
         val probeVec: Array[Float] =
           if (space == "sparse_proxy") qAny match {
@@ -1833,7 +1878,9 @@ object PgStatements {
         else lit(null).cast(cur.schema(c).dataType).as(c)
       }: _*)
       cur.unionByName(incoming).createOrReplaceTempView(target)
-      IndexCatalog.invalidateTable(spark, target) // appended rows: stale index
+      // append DML GROWS IVF-family indexes in place (frozen
+      // centroids, reference ivfinsert semantics); NSW invalidates
+      IndexCatalog.maintainAppend(spark, target, incoming)
       oneRow(spark, "command" -> "COPY FROM", "table_name" -> target)
     }
   }

@@ -296,6 +296,58 @@ class PgStatementsSpec extends SparkSpec {
     assert(!e5.getMessage.contains("graft:"))
   }
 
+  test("append DML (INSERT) GROWS an IVF index in place — frozen " +
+      "centroids, reader pruning intact; NSW invalidates instead") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.select("embedding").head.getSeq[Float](0)
+    val qTxt = q.mkString("[", ",", "]")
+    // drop the NEAREST row (vec_id 0, the query itself) from the view,
+    // index the remainder, then INSERT it back as id 999999
+    emb.filter(col("vec_id") =!= 0).createOrReplaceTempView("stmt_app_emb")
+    spark.sql("CREATE INDEX stmt_app_ivf ON stmt_app_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    try {
+      spark.sql("INSERT INTO stmt_app_emb (vec_id, embedding) " +
+        "SELECT 999999, embedding " +
+        s"FROM parquet.`$sfDir/embeddings.parquet` WHERE vec_id = 0")
+      spark.conf.set("graft.ivfflat.probes", "4") // full probe
+      val df = spark.sql(
+        s"""SELECT vec_id FROM stmt_app_emb
+           |ORDER BY embedding <-> '$qTxt'::vector, vec_id LIMIT 3""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      val got = df.as[Long].collect().toSeq
+      // the appended row is SERVED BY THE INDEX (the plan still reads
+      // the pruned index parquet — not the exact-scan fallback)
+      assert(got.contains(999999L), s"index missed the appended row: $got")
+      assert(plan.contains("_graft_vindex") && plan.contains("PartitionFilters"),
+        plan)
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_app_ivf")
+      ()
+    }
+    // NSW graph indexes invalidate on append (re-CREATE compacts)
+    emb.filter(col("vec_id") =!= 0).createOrReplaceTempView("stmt_app_emb")
+    spark.sql("CREATE INDEX stmt_app_hnsw ON stmt_app_emb USING hnsw " +
+      "(embedding vector_l2_ops) WITH (m = 4, ef_construction = 16, lists = 2)")
+    try {
+      spark.sql("INSERT INTO stmt_app_emb (vec_id, embedding) " +
+        "SELECT 999999, embedding " +
+        s"FROM parquet.`$sfDir/embeddings.parquet` WHERE vec_id = 0")
+      spark.conf.set("graft.hnsw.nprobe", "2")
+      val got = spark.sql(
+        s"""SELECT vec_id FROM stmt_app_emb
+           |ORDER BY embedding <-> '$qTxt'::vector, vec_id LIMIT 3""".stripMargin)
+        .as[Long].collect().toSeq
+      // invalidated → exact scan → the appended row is found
+      assert(got.contains(999999L), s"exact fallback missed the row: $got")
+    } finally {
+      spark.conf.unset("graft.hnsw.nprobe")
+      spark.sql("DROP INDEX IF EXISTS stmt_app_hnsw")
+      ()
+    }
+  }
+
   test("UPDATE / DELETE through the router invalidate vector indexes") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb.createOrReplaceTempView("stmt_ud_emb")
