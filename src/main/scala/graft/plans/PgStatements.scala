@@ -264,7 +264,7 @@ object PgStatements {
     * must contain a trigger. */
   private val routeTriggers: Seq[String] = Seq(
     "merge", "model", "timecapsule", "connect", "recursive", "copy",
-    "materialized", "index", "update", "delete", "insert",
+    "materialized", "index", "update", "delete", "insert", "truncate",
     // the PgSqlRewrite spellings of <-> <=> <#> <+> <~>
     "pg_dist_arrow", "pg_cosine_or_eq", "negative_inner_product",
     "l1_distance", "hamming_distance")
@@ -282,6 +282,7 @@ object PgStatements {
       case ("update", _) if st.lower(1) != "" => updateStmt(spark, st)
       case ("delete", "from") => deleteStmt(spark, st)
       case ("insert", "into") => insertStmt(spark, st)
+      case ("truncate", _) => truncateStmt(spark, st)
       case ("create", "model") => Some(createModel(spark, st))
       case ("drop", "model") => Some(dropModel(spark, st))
       case ("explain", "model") => Some(explainModel(spark, st))
@@ -666,6 +667,20 @@ object PgStatements {
     updated.createOrReplaceTempView(target)
     IndexCatalog.invalidateTable(spark, target)
     Some(oneRow(spark, "command" -> "UPDATE", "table_name" -> target))
+  }
+
+  /** `TRUNCATE [TABLE] t` (gram.y TruncateStmt): re-registers the view
+    * as its own empty projection (schema preserved, no scan — the
+    * filter folds to an empty relation) and invalidates indexes.
+    * Non-temp-view targets delegate to Spark's native TRUNCATE. */
+  private def truncateStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    val k = if (st.lower(1) == "table") 2 else 1
+    if (st.n > k + 1) return None // multi-name / CASCADE etc.: delegate
+    val target = st.ident(k)
+    if (!isTempView(spark, target)) return None
+    spark.table(target).filter(lit(false)).createOrReplaceTempView(target)
+    IndexCatalog.invalidateTable(spark, target)
+    Some(oneRow(spark, "command" -> "TRUNCATE", "table_name" -> target))
   }
 
   /**

@@ -140,6 +140,7 @@ object SqlStatementSuite {
   def statements: Seq[String] = Seq(recursiveStmt, mergeStmt, connectByStmt,
     updatePlainStmt, updateFromStmt, deletePlainStmt, deleteUsingStmt,
     insertValuesStmt, insertColsStmt, insertSelectStmt,
+    "TRUNCATE TABLE t_target",
     createModelStmt, predictStmt, timecapsuleStmt,
     dblinkStmt("jdbc:derby:/tmp/placeholder/db"),
     explainModelStmt, createKmeansStmt, predictKmeansStmt,
@@ -235,6 +236,17 @@ object SqlStatementSuite {
       s.sql(insertColsStmt)
       s.sql(insertSelectStmt)
       s.sql("SELECT * FROM i_target").transform(Gate.ordered(_, "c_custkey"))
+    }),
+
+    // ---- C111b: TRUNCATE statement (gram.y TruncateStmt) — empties
+    // the view schema-preserving; the follow-up INSERT proves the
+    // truncated view stays writable ----
+    "sql_truncate" -> ((s, dir) => {
+      Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView("t_target")
+      s.sql("TRUNCATE TABLE t_target")
+      s.sql("INSERT INTO t_target VALUES (1, 'after_truncate'), (2, 'second')")
+      s.sql("SELECT * FROM t_target").transform(Gate.ordered(_, "c_custkey"))
     }),
 
     // ---- C109b: DELETE statements (gram.y DeleteStmt:23218) — plain
@@ -630,6 +642,12 @@ object SqlStatementSuite {
         |UNION ALL SELECT 9000003, CAST(NULL AS VARCHAR), 7.0
         |UNION ALL SELECT c_custkey + 2000000, c_name || '_dup', c_acctbal
         |FROM customer WHERE c_custkey % 17 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    // everything pre-TRUNCATE is gone; only the inserted rows remain
+    "sql_truncate" ->
+      """SELECT CAST(1 AS BIGINT) AS c_custkey, 'after_truncate' AS c_name
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'second'
         |ORDER BY c_custkey""".stripMargin,
 
     // survivors of both DELETE layers

@@ -348,6 +348,22 @@ class PgStatementsSpec extends SparkSpec {
     }
   }
 
+  test("TRUNCATE TABLE empties the view, keeps the schema, and a " +
+      "later INSERT refills it") {
+    dmlFixture()
+    spark.sql("TRUNCATE TABLE stmt_upd")
+    assert(spark.table("stmt_upd").count() == 0)
+    assert(spark.table("stmt_upd").columns.toSeq == Seq("k", "name", "bal"))
+    spark.sql("INSERT INTO stmt_upd VALUES (1, 'z', 1.5)")
+    assert(spark.table("stmt_upd").as[(Long, String, Double)].collect()
+      .toSeq == Seq((1L, "z", 1.5)))
+    // bare form without TABLE; unknown targets delegate
+    spark.sql("TRUNCATE stmt_upd")
+    assert(spark.table("stmt_upd").count() == 0)
+    val e = intercept[Exception](spark.sql("TRUNCATE TABLE no_such_view_xyz"))
+    assert(!e.getMessage.contains("graft:"))
+  }
+
   test("UPDATE / DELETE through the router invalidate vector indexes") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb.createOrReplaceTempView("stmt_ud_emb")
