@@ -79,10 +79,12 @@ object PgOps {
         s"graft: <-> needs vector, sparsevec or text operands, got ${argTypes(args)}")
     }),
 
-    // ---- a <=> b : cosine distance on vectors, else Spark's own
-    //      null-safe equality (the spelling collision PG never has) ----
+    // ---- a <=> b : cosine distance on vectors/sparsevecs, else
+    //      Spark's own null-safe equality (a spelling collision PG
+    //      never has) ----
     "pg_cosine_or_eq" -> (args =>
-      if (isFloatArray(args(0).dataType) || isFloatArray(args(1).dataType))
+      if (isFloatArray(args(0).dataType) || isFloatArray(args(1).dataType) ||
+          (isSparseStruct(args(0).dataType) && isSparseStruct(args(1).dataType)))
         SqlFunctions.all("cosine_distance")(args)
       else EqualNullSafe(args(0), args(1))),
 

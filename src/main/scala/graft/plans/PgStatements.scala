@@ -1157,11 +1157,12 @@ object PgStatements {
     final case class IvfIdx(table: String, column: String, view: String,
         model: Ivf.Model, op: String, space: String, aug: Double = 0.0,
         path: String = "", packed: Boolean = false) extends Idx
-    /** Hamming IVF over packed bit codes (bit_hamming_ops → B16). */
+    /** Hamming IVF over packed bit codes (bit_hamming_ops → B16);
+      * `op` also serves bit_jaccard_ops (`<%>`) — the quantizer is
+      * Hamming either way, the statement's operator reranks exact. */
     final case class BitIvfIdx(table: String, column: String, view: String,
-        model: IvfBit.Model, path: String = "") extends Idx {
-      def op: String = "hamming_distance"
-    }
+        model: IvfBit.Model, path: String = "",
+        op: String = "hamming_distance") extends Idx
     /** NSW: `view` reads the partitionBy(part_id) parquet graph shards
       * (searchRouted's part_id filter prunes at the reader); `idCol`
       * is the relation's row-id column (its FIRST column). Graph
@@ -1258,20 +1259,43 @@ object PgStatements {
     }
   }
 
-  /** opclass → (served operator-function, quantizer space). The full
-    * datavec DDL surface (sql 0.7.2: vector 362-401, halfvec :669,
-    * bit :740, sparsevec :939). */
+  /** opclass → (served operator-function, quantizer space) — the FULL
+    * datavec DDL surface (sql 0.7.2: vector :362-401, halfvec
+    * :669-718, bit :740-758, sparsevec :939-963). Sparse spaces
+    * compose the feature-hash proxy fold with the same geometry
+    * transforms (the hashing trick approximately preserves inner
+    * products, and the statement's exact merge-scan reranks — full
+    * probe is always exact). */
   private val ivfOpclasses: Map[String, (String, String)] = Map(
     "vector_l2_ops" -> (("pg_dist_arrow", "raw")),
     "vector_cosine_ops" -> (("pg_cosine_or_eq", "normalized")),
     "vector_ip_ops" -> (("negative_inner_product", "augmented")),
     "halfvec_l2_ops" -> (("pg_dist_arrow", "raw")),
-    "sparsevec_l2_ops" -> (("pg_dist_arrow", "sparse_proxy")))
+    "halfvec_ip_ops" -> (("negative_inner_product", "augmented")),
+    "halfvec_cosine_ops" -> (("pg_cosine_or_eq", "normalized")),
+    // an extension: the reference serves sparsevec only under hnsw;
+    // both methods land on the same proxy quantizer here
+    "sparsevec_l2_ops" -> (("pg_dist_arrow", "sparse_proxy")),
+    "sparsevec_ip_ops" -> (("negative_inner_product", "sparse_proxy_aug")),
+    "sparsevec_cosine_ops" -> (("pg_cosine_or_eq", "sparse_proxy_norm")),
+    "sparsevec_l1_ops" -> (("l1_distance", "sparse_proxy")))
   private val hnswOpclasses: Map[String, (String, String)] = Map(
     "vector_l2_ops" -> (("pg_dist_arrow", "raw")),
     "vector_cosine_ops" -> (("pg_cosine_or_eq", "normalized")),
     "vector_ip_ops" -> (("negative_inner_product", "augmented")),
-    "vector_l1_ops" -> (("l1_distance", "raw")))
+    "vector_l1_ops" -> (("l1_distance", "raw")),
+    "halfvec_l2_ops" -> (("pg_dist_arrow", "raw")),
+    "halfvec_ip_ops" -> (("negative_inner_product", "augmented")),
+    "halfvec_cosine_ops" -> (("pg_cosine_or_eq", "normalized")),
+    "halfvec_l1_ops" -> (("l1_distance", "raw")))
+  /** hnsw spellings that land on the IVF-family quantizers: the batch
+    * NSW beams consume dense float rows, so the bit and sparse graph
+    * tiers serve the SAME access-path contract (pruned candidates +
+    * the statement's exact rerank) through their quantizers instead —
+    * m/ef_construction are accepted and ignored for these. */
+  private val hnswViaIvf: Set[String] = Set("bit_hamming_ops",
+    "bit_jaccard_ops", "sparsevec_l2_ops", "sparsevec_ip_ops",
+    "sparsevec_cosine_ops", "sparsevec_l1_ops")
 
   /** Root for persisted index parquet. At 100 TB point graft.index.dir
     * at a shared filesystem; the default rides the warehouse dir. */
@@ -1314,7 +1338,20 @@ object PgStatements {
     acc.map(_.toFloat)
   }
 
-  /** Corpus-side space transform (the quantizer's geometry). */
+  /** MIPS→L2 (the classic order-preserving reduction): x' =
+    * [x, sqrt(M² − ‖x‖²)], q' = [q, 0] ⇒ ‖x'−q'‖² = ‖q‖² + M²
+    * − 2⟨x,q⟩, monotone in the inner product. */
+  private def augmentCol(c: Column, aug: Double): Column = {
+    val nrm = graft.functions.VectorFunctions.l2Norm(c).cast("double")
+    org.apache.spark.sql.functions.concat(c.cast("array<float>"),
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.sqrt(
+          org.apache.spark.sql.functions.greatest(
+            lit(aug * aug) - nrm * nrm, lit(0.0d))).cast("float")))
+  }
+
+  /** Corpus-side space transform (the quantizer's geometry). Sparse
+    * spaces compose the proxy fold with the dense geometries. */
   private def spaceColumn(space: String, c: Column, aug: Double): Column =
     space match {
       case "raw" => c.cast("array<float>")
@@ -1322,28 +1359,23 @@ object PgStatements {
         // cosine order ≡ L2 order on unit vectors (vector_op.cpp's
         // cosine_distance geometry)
         graft.functions.VectorFunctions.l2Normalize(c)
-      case "augmented" =>
-        // MIPS→L2 (the classic order-preserving reduction): x' =
-        // [x, sqrt(M² − ‖x‖²)], q' = [q, 0] ⇒ ‖x'−q'‖² = ‖q‖² + M²
-        // − 2⟨x,q⟩, monotone in the inner product
-        val nrm = graft.functions.VectorFunctions.l2Norm(c).cast("double")
-        org.apache.spark.sql.functions.concat(c.cast("array<float>"),
-          org.apache.spark.sql.functions.array(
-            org.apache.spark.sql.functions.sqrt(
-              org.apache.spark.sql.functions.greatest(
-                lit(aug * aug) - nrm * nrm, lit(0.0d))).cast("float")))
+      case "augmented" => augmentCol(c, aug)
       case "sparse_proxy" => sparseProxyCol(c)
+      case "sparse_proxy_norm" =>
+        graft.functions.VectorFunctions.l2Normalize(sparseProxyCol(c))
+      case "sparse_proxy_aug" => augmentCol(sparseProxyCol(c), aug)
       case other => throw new IllegalStateException(s"graft: space $other")
     }
 
-  /** Query-side space transform (driver, dense input). */
+  /** Query-side space transform (driver, dense input — sparse queries
+    * fold through [[proxyFold]] first, then the dense suffix). */
   private def spaceQuery(space: String, q: Array[Float]): Array[Float] =
     space match {
-      case "raw" => q
-      case "normalized" =>
+      case "raw" | "sparse_proxy" => q
+      case "normalized" | "sparse_proxy_norm" =>
         val n = math.sqrt(q.map(v => v.toDouble * v).sum)
         if (n > 0) q.map(v => (v / n).toFloat) else q
-      case "augmented" => q :+ 0f
+      case "augmented" | "sparse_proxy_aug" => q :+ 0f
       case other => throw new IllegalStateException(s"graft: space $other")
     }
 
@@ -1407,56 +1439,85 @@ object PgStatements {
     }
     val view = freshView("vidx_data")
     val path = indexPath(spark, name)
-    val isHalf = opclass == "halfvec_l2_ops"
+    // the halfvec STORAGE tier packs postings fp16 (B15) — the graph
+    // tier keeps floats (halfvec values are already on the fp16 grid)
+    val isHalf = method == "ivfflat" && opclass.startsWith("halfvec_")
+
+    def augFor(space: String): Double = space match {
+      case "augmented" => maxNorm(corpus, col(column))
+      case "sparse_proxy_aug" => maxNorm(corpus, sparseProxyCol(col(column)))
+      case _ => 0.0
+    }
+    /** Materialized space-tagged corpus: non-raw spaces compute
+      * per-row work (normalize / augment / proxy fold) — truncate so
+      * k-means' repeated scans don't re-run the transform. */
+    def tagSpace(space: String, aug: Double): (DataFrame, String) = {
+      val sc = "__graft_space"
+      val tagged0 = corpus.withColumn(sc, spaceColumn(space, col(column), aug))
+      (if (space == "raw") tagged0 else Iterate.truncate(tagged0), sc)
+    }
+    def buildIvfFamily(op: String, space: String): Unit = {
+      val aug = augFor(space)
+      val (tagged, sc) = tagSpace(space, aug)
+      val model = Ivf.build(tagged, sc, lists())
+      val assigned = Ivf.assign(tagged, sc, model).drop(sc)
+      val stored = if (isHalf)
+        assigned.withColumn(column,
+          graft.functions.VectorFunctions.packHalf(col(column)))
+      else assigned
+      stored.write.mode("overwrite").partitionBy("list_id").parquet(path)
+      val rd0 = spark.read.parquet(path)
+      val rd = if (isHalf)
+        rd0.withColumn(column,
+          graft.functions.VectorFunctions.unpackHalf(col(column)))
+      else rd0
+      rd.createOrReplaceTempView(view)
+      IndexCatalog.put(spark, name, IndexCatalog.IvfIdx(
+        table, column, view, model, op, space, aug, path, packed = isHalf))
+    }
+    def buildBitIvf(op: String): Unit = {
+      val model = IvfBit.build(corpus, column, lists())
+      IvfBit.assign(corpus, column, model)
+        .write.mode("overwrite").partitionBy("list_id").parquet(path)
+      spark.read.parquet(path).createOrReplaceTempView(view)
+      IndexCatalog.put(spark, name,
+        IndexCatalog.BitIvfIdx(table, column, view, model, path, op))
+    }
 
     method match {
       case "ivfflat" =>
         val bad = hyper.keySet.diff(Set("lists"))
         require(bad.isEmpty, s"graft: ivfflat options: lists (got " +
           s"${bad.mkString(", ")})")
-        if (opclass == "bit_hamming_ops") {
-          val model = IvfBit.build(corpus, column, lists())
-          IvfBit.assign(corpus, column, model)
-            .write.mode("overwrite").partitionBy("list_id").parquet(path)
-          spark.read.parquet(path).createOrReplaceTempView(view)
-          IndexCatalog.put(spark, name,
-            IndexCatalog.BitIvfIdx(table, column, view, model, path))
-        } else {
+        if (opclass == "bit_hamming_ops") buildBitIvf("hamming_distance")
+        else {
           val (op, space) = ivfOpclasses.getOrElse(opclass,
             throw new IllegalArgumentException(
               s"graft: ivfflat opclass '$opclass' is not a datavec opclass " +
                 s"(valid: ${(ivfOpclasses.keySet + "bit_hamming_ops").toSeq.sorted.mkString(", ")})"))
-          val aug = if (space == "augmented") maxNorm(corpus, column) else 0.0
-          val sc = "__graft_space"
-          val tagged0 = corpus.withColumn(sc,
-            spaceColumn(space, col(column), aug))
-          // non-raw spaces compute per-row work (normalize / augment /
-          // proxy fold): materialize ONCE so k-means' repeated scans
-          // don't re-run the transform every iteration
-          val tagged = if (space == "raw") tagged0 else Iterate.truncate(tagged0)
-          val model = Ivf.build(tagged, sc, lists())
-          val assigned = Ivf.assign(tagged, sc, model).drop(sc)
-          val stored = if (isHalf)
-            assigned.withColumn(column,
-              graft.functions.VectorFunctions.packHalf(col(column)))
-          else assigned
-          stored.write.mode("overwrite").partitionBy("list_id").parquet(path)
-          val rd0 = spark.read.parquet(path)
-          val rd = if (isHalf)
-            rd0.withColumn(column,
-              graft.functions.VectorFunctions.unpackHalf(col(column)))
-          else rd0
-          rd.createOrReplaceTempView(view)
-          IndexCatalog.put(spark, name, IndexCatalog.IvfIdx(
-            table, column, view, model, op, space, aug, path, packed = isHalf))
+          buildIvfFamily(op, space)
+        }
+      case "hnsw" if hnswViaIvf(opclass) =>
+        // the reference's hnsw spelling for the bit and sparse tiers
+        // (sql 0.7.2:747-758, :939-963); the batch NSW beams consume
+        // dense float rows, so these serve the same access-path
+        // contract through the IVF-family quantizers — m /
+        // ef_construction accepted and ignored
+        val bad = hyper.keySet.diff(Set("m", "ef_construction", "lists"))
+        require(bad.isEmpty, s"graft: hnsw options: m, ef_construction, " +
+          s"lists (got ${bad.mkString(", ")})")
+        opclass match {
+          case "bit_hamming_ops" => buildBitIvf("hamming_distance")
+          case "bit_jaccard_ops" => buildBitIvf("jaccard_distance")
+          case _ =>
+            val (op, space) = ivfOpclasses(opclass)
+            buildIvfFamily(op, space)
         }
       case "hnsw" =>
         val (op, space) = hnswOpclasses.getOrElse(opclass,
           throw new IllegalArgumentException(
-            s"graft: hnsw opclass '$opclass' unsupported — " +
-              s"${hnswOpclasses.keySet.toSeq.sorted.mkString(", ")} are the " +
-              "gated access paths (bit/halfvec/sparsevec graph tiers ride " +
-              "the Scala API: Hnsw over IvfBit codes, packed-IVF, SparseAnn)"))
+            s"graft: hnsw opclass '$opclass' is not a datavec opclass " +
+              s"(valid: ${(hnswOpclasses.keySet ++ hnswViaIvf).toSeq.sorted.mkString(", ")})"))
         val bad = hyper.keySet.diff(Set("m", "ef_construction", "lists"))
         require(bad.isEmpty, s"graft: hnsw options: m, ef_construction, " +
           s"lists (got ${bad.mkString(", ")})")
@@ -1464,12 +1525,10 @@ object PgStatements {
           m = hyper.get("m").map(_.toInt).getOrElse(8),
           efConstruction =
             hyper.get("ef_construction").map(_.toInt).getOrElse(48),
-          metric = if (opclass == "vector_l1_ops") "l1" else "l2")
+          metric = if (opclass.endsWith("_l1_ops")) "l1" else "l2")
         val idCol = corpus.columns.head // row-id convention: first column
-        val aug = if (space == "augmented") maxNorm(corpus, column) else 0.0
-        val sc = "__graft_space"
-        val tagged0 = corpus.withColumn(sc, spaceColumn(space, col(column), aug))
-        val tagged = if (space == "raw") tagged0 else Iterate.truncate(tagged0)
+        val aug = augFor(space)
+        val (tagged, sc) = tagSpace(space, aug)
         val model = Ivf.build(tagged, sc, lists())
         Hnsw.buildIndexClustered(tagged, sc, idCol, model, params).toDF
           .write.mode("overwrite").partitionBy("part_id").parquet(path)
@@ -1481,9 +1540,9 @@ object PgStatements {
       "method" -> method))
   }
 
-  private def maxNorm(corpus: DataFrame, column: String): Double = {
+  private def maxNorm(corpus: DataFrame, c: Column): Double = {
     val r = corpus.agg(org.apache.spark.sql.functions.max(
-      graft.functions.VectorFunctions.l2Norm(col(column)).cast("double"))).head()
+      graft.functions.VectorFunctions.l2Norm(c).cast("double"))).head()
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
@@ -1612,11 +1671,14 @@ object PgStatements {
     val uniq = freshView("knn")
     idx match {
       case IndexCatalog.IvfIdx(_, _, view, model, _, space, _, _, _) =>
-        val nprobe = knob(Seq("ivfflat.probes", "graft.ivfflat.probes"), 1)
+        // hnsw spellings that land on the quantizer (sparse tiers)
+        // honor the hnsw knob too — both knobs mean "shards to probe"
+        val nprobe = knob(Seq("ivfflat.probes", "graft.ivfflat.probes",
+          "hnsw.nprobe", "graft.hnsw.nprobe"), 1)
         val probeVec: Array[Float] =
-          if (space == "sparse_proxy") qAny match {
+          if (space.startsWith("sparse_proxy")) qAny match {
             case r: org.apache.spark.sql.Row =>
-              proxyFold(r.getSeq[Int](0), r.getSeq[Float](1))
+              spaceQuery(space, proxyFold(r.getSeq[Int](0), r.getSeq[Float](1)))
             case _ => return None
           } else denseQuery(qAny) match {
             case Some(q) => spaceQuery(space, q)
@@ -1629,8 +1691,9 @@ object PgStatements {
           .filter(col("list_id").isin(probeIds: _*))
           .select(tableCols.map(col): _*)
           .createOrReplaceTempView(uniq)
-      case IndexCatalog.BitIvfIdx(_, _, view, model, _) =>
-        val nprobe = knob(Seq("ivfflat.probes", "graft.ivfflat.probes"), 1)
+      case IndexCatalog.BitIvfIdx(_, _, view, model, _, _) =>
+        val nprobe = knob(Seq("ivfflat.probes", "graft.ivfflat.probes",
+          "hnsw.nprobe", "graft.hnsw.nprobe"), 1)
         val qc = qAny match {
           case b: Array[Byte] => b
           case _ => return None

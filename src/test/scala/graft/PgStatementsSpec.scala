@@ -1025,6 +1025,111 @@ class PgStatementsSpec extends SparkSpec {
     }
   }
 
+  test("the reference's remaining opclass matrix routes — sparse/bit " +
+      "hnsw spellings, halfvec ip/cosine/l1 — full probe == exact") {
+    import graft.functions.{VectorFunctions => VF}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // sparsevec: the reference's ONLY sparse spelling is USING hnsw
+    // (datavec sql 0.7.2:939-963) — all four operators
+    emb.select(col("vec_id"), VF.toSparse(col("embedding")).as("sv"))
+      .createOrReplaceTempView("stmt_spm_emb")
+    val qTxt = spark.table("stmt_spm_emb").filter(col("vec_id") === 0)
+      .select(VF.sparsevecToString(col("sv.indices"), col("sv.values"),
+        col("sv.dim"))).head.getString(0)
+    Seq(("sparsevec_l2_ops", "<->"), ("sparsevec_ip_ops", "<#>"),
+        ("sparsevec_cosine_ops", "<=>"), ("sparsevec_l1_ops", "<+>"))
+      .foreach { case (opclass, op) =>
+        spark.sql("CREATE INDEX stmt_spm ON stmt_spm_emb USING hnsw " +
+          s"(sv $opclass) WITH (m = 8, ef_construction = 48, lists = 8)")
+        try {
+          def knn(): Seq[(Long, Double)] = spark.sql(
+            s"""SELECT vec_id, round(sv $op '$qTxt'::sparsevec, 6) AS d
+               |FROM stmt_spm_emb ORDER BY sv $op '$qTxt'::sparsevec, vec_id
+               |LIMIT 7""".stripMargin).as[(Long, Double)].collect().toSeq
+          spark.conf.set("graft.ivfflat.probes", "8")
+          val routed = knn()
+          spark.sql("DROP INDEX stmt_spm")
+          val exact = knn()
+          assert(routed == exact, s"$opclass full probe diverged")
+        } finally {
+          spark.conf.unset("graft.ivfflat.probes")
+          spark.sql("DROP INDEX IF EXISTS stmt_spm")
+          ()
+        }
+      }
+    // bit: hnsw hamming + jaccard spellings over packed codes
+    emb.select(col("vec_id"), VF.binaryQuantize(col("embedding")).as("code"))
+      .createOrReplaceTempView("stmt_bm_emb")
+    val qd = emb.select("embedding").head.getSeq[Float](0)
+      .mkString("[", ",", "]")
+    Seq(("bit_hamming_ops", "<~>"), ("bit_jaccard_ops", "<%>"))
+      .foreach { case (opclass, op) =>
+        spark.sql("CREATE INDEX stmt_bm ON stmt_bm_emb USING hnsw " +
+          s"(code $opclass) WITH (m = 8, lists = 8)")
+        try {
+          def knn(): Seq[(Long, Double)] = spark.sql(
+            s"""SELECT vec_id,
+               |  round(CAST(code $op binary_quantize('$qd'::vector) AS DOUBLE), 6) AS d
+               |FROM stmt_bm_emb
+               |ORDER BY code $op binary_quantize('$qd'::vector), vec_id
+               |LIMIT 7""".stripMargin).as[(Long, Double)].collect().toSeq
+          spark.conf.set("hnsw.nprobe", "8") // the hnsw-spelled knob
+          val routed = knn()
+          spark.sql("DROP INDEX stmt_bm")
+          val exact = knn()
+          assert(routed == exact, s"$opclass full probe diverged")
+        } finally {
+          spark.conf.unset("hnsw.nprobe")
+          spark.sql("DROP INDEX IF EXISTS stmt_bm")
+          ()
+        }
+      }
+    // halfvec: ip + cosine on the packed ivfflat tier, l1 on hnsw
+    emb.select(col("vec_id"), VF.halfvec(col("embedding")).as("hv"))
+      .createOrReplaceTempView("stmt_hm_emb")
+    val qh = spark.table("stmt_hm_emb").filter(col("vec_id") === 0)
+      .select("hv").head.getSeq[Float](0).mkString("[", ",", "]")
+    Seq(("ivfflat", "halfvec_ip_ops", "<#>", "8"),
+        ("ivfflat", "halfvec_cosine_ops", "<=>", "8"))
+      .foreach { case (method, opclass, op, probes) =>
+        spark.sql(s"CREATE INDEX stmt_hm ON stmt_hm_emb USING $method " +
+          s"(hv $opclass) WITH (lists = 8)")
+        try {
+          def knn(): Seq[(Long, Double)] = spark.sql(
+            s"""SELECT vec_id, round(hv $op '$qh'::halfvec, 6) AS d
+               |FROM stmt_hm_emb ORDER BY hv $op '$qh'::halfvec, vec_id
+               |LIMIT 7""".stripMargin).as[(Long, Double)].collect().toSeq
+          spark.conf.set("graft.ivfflat.probes", probes)
+          val routed = knn()
+          spark.sql("DROP INDEX stmt_hm")
+          val exact = knn()
+          assert(routed == exact, s"$opclass full probe diverged")
+        } finally {
+          spark.conf.unset("graft.ivfflat.probes")
+          spark.sql("DROP INDEX IF EXISTS stmt_hm")
+          ()
+        }
+      }
+    // halfvec l1 rides the native-L1 hnsw beams: recall-gated
+    spark.sql("CREATE INDEX stmt_hl1 ON stmt_hm_emb USING hnsw " +
+      "(hv halfvec_l1_ops) WITH (m = 8, ef_construction = 48, lists = 4)")
+    try {
+      spark.conf.set("graft.hnsw.nprobe", "4")
+      def knn(): Seq[Long] = spark.sql(
+        s"""SELECT vec_id FROM stmt_hm_emb
+           |ORDER BY hv <+> '$qh'::halfvec, vec_id LIMIT 5""".stripMargin)
+        .as[Long].collect().toSeq
+      val routed = knn()
+      spark.sql("DROP INDEX stmt_hl1")
+      val exact = knn()
+      assert(routed.toSet.intersect(exact.toSet).size >= 4)
+    } finally {
+      spark.conf.unset("graft.hnsw.nprobe")
+      spark.sql("DROP INDEX IF EXISTS stmt_hl1")
+      ()
+    }
+  }
+
   test("the SQL-built IVF index prunes list partitions AT THE READER " +
       "(PartitionFilters) and probes=1 provably consults the index") {
     val q = idxFixture()
@@ -1089,10 +1194,9 @@ class PgStatementsSpec extends SparkSpec {
       "CREATE INDEX i ON stmt_emb USING ivfflat (embedding vector_l2_ops) " +
         "WITH (probes = 3)"))
     assert(e3.getMessage.contains("lists"))
-    // the graph tiers the SQL surface doesn't wire point at the Scala API
     val e4 = intercept[Exception](spark.sql(
-      "CREATE INDEX i ON stmt_emb USING hnsw (embedding bit_hamming_ops)"))
-    assert(e4.getMessage.contains("Scala API"))
+      "CREATE INDEX i ON stmt_emb USING hnsw (embedding halfvec_foo_ops)"))
+    assert(e4.getMessage.contains("opclass"))
   }
 
   test("cosine KNN statements pass the route pre-gate (r17 regression)") {
