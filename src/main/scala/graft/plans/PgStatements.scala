@@ -296,6 +296,8 @@ object PgStatements {
       case ("drop", "materialized") => Some(dropMatview(spark, st))
       case ("create", "index") => createIndex(spark, st)
       case ("drop", "index") => dropIndex(spark, st)
+      case ("reindex", "index") | ("reindex", "table") =>
+        reindexStmt(spark, st)
       case ("timecapsule", "table") => Some(timecapsuleTable(spark, st))
       case ("with", "recursive") if RecursiveSql.needsFixpoint(sqlText) =>
         Some(Bridge.logicalPlan(RecursiveSql.sql(spark, sqlText)))
@@ -1175,14 +1177,32 @@ object PgStatements {
 
     private val byName =
       scala.collection.concurrent.TrieMap.empty[String, Idx]
+    /** CREATE INDEX statement text by index name — survives DML
+      * invalidation so `REINDEX` can re-run it (the batch analogue of
+      * PG's in-place rebuild); cleared only by DROP INDEX. Also keyed
+      * per table for `REINDEX TABLE`. */
+    private val ddlByName =
+      scala.collection.concurrent.TrieMap.empty[String, (String, String)]
     private def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def rememberDdl(name: String, table: String, ddl: String): Unit = {
+      ddlByName(norm(name)) = (norm(table), ddl); ()
+    }
+    def ddlFor(name: String): Option[String] =
+      ddlByName.get(norm(name)).map(_._2)
+    def ddlsForTable(table: String): Seq[String] =
+      ddlByName.values.toSeq.collect {
+        case (t, ddl) if t == norm(table) => ddl
+      }
+    def forgetDdl(name: String): Unit = { ddlByName.remove(norm(name)); () }
     def put(spark: SparkSession, name: String, idx: Idx): Unit = {
-      // replacing a same-name index drops the old backing view
+      // replacing a same-name index drops the old backing view + files
       byName.put(norm(name), idx).foreach { old =>
         if (old.view != idx.view) {
           try { spark.catalog.dropTempView(old.view); () }
           catch { case NonFatal(_) => () }
         }
+        if (old.path.nonEmpty && old.path != idx.path)
+          deletePath(spark, old.path)
       }
       ()
     }
@@ -1536,8 +1556,30 @@ object PgStatements {
         IndexCatalog.put(spark, name, IndexCatalog.HnswIdx(
           table, column, view, idCol, model, params, op, space, aug, path))
     }
+    IndexCatalog.rememberDdl(name, table, st.text(0, st.n))
     Some(oneRow(spark, "command" -> "CREATE INDEX", "index_name" -> name,
       "method" -> method))
+  }
+
+  /** `REINDEX {INDEX name | TABLE table}` (gram.y ReindexStmt): re-runs
+    * the remembered CREATE INDEX DDL — the batch analogue of PG's
+    * in-place rebuild, and the recovery path after mutating DML
+    * invalidated an index (MERGE/UPDATE/DELETE/TIMECAPSULE drop stale
+    * entries; REINDEX rebuilds from the CURRENT rows). TABLE form
+    * rebuilds every index ever created on the table this session. */
+  private def reindexStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    val kind = st.lower(1)
+    val name = st.ident(2)
+    val ddls =
+      if (kind == "index") IndexCatalog.ddlFor(name).toSeq
+      else IndexCatalog.ddlsForTable(name)
+    if (ddls.isEmpty) return None // not ours: Spark's own REINDEX error path
+    ddls.foreach { ddl =>
+      val r = createIndex(spark, new Stmt(lex(ddl)))
+      require(r.isDefined, s"graft: REINDEX could not re-run: $ddl")
+    }
+    Some(oneRow(spark, "command" -> "REINDEX",
+      (if (kind == "index") "index_name" else "table_name") -> name))
   }
 
   private def maxNorm(corpus: DataFrame, c: Column): Double = {
@@ -1555,8 +1597,10 @@ object PgStatements {
       case Some(idx) =>
         spark.catalog.dropTempView(idx.view)
         deletePath(spark, idx.path)
+        IndexCatalog.forgetDdl(name)
         Some(oneRow(spark, "command" -> "DROP INDEX", "index_name" -> name))
       case None if ifExists =>
+        IndexCatalog.forgetDdl(name)
         Some(oneRow(spark, "command" -> "DROP INDEX", "index_name" -> name))
       case None => None // not a vector index: Spark's own DROP INDEX path
     }

@@ -161,6 +161,9 @@ object SqlStatementSuite {
       "(code bit_hamming_ops) WITH (lists = 16)",
     "CREATE INDEX vidx_sp ON vidxsp_emb USING ivfflat " +
       "(sv sparsevec_l2_ops) WITH (lists = 16)",
+    "REINDEX INDEX vidx_r",
+    "REINDEX TABLE vidxr_emb",
+    "DELETE FROM vidxr_emb WHERE vec_id % 97 = 0",
     "DROP INDEX IF EXISTS vidx_gate")
 
   val queries: Map[String, Q] = Map(
@@ -563,6 +566,29 @@ object SqlStatementSuite {
       out
     }),
 
+    // ---- C112: REINDEX (gram.y ReindexStmt) — the recovery path
+    // after mutating DML invalidated an index: DELETE drops the
+    // index, REINDEX re-runs the saved DDL over the CURRENT rows,
+    // and the full-probe idiom must be exact over the survivors ----
+    "sql_reindex" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      emb.createOrReplaceTempView("vidxr_emb")
+      val q = emb.filter(col("vec_id") === 1)
+        .select(col("embedding")).head.getSeq[Float](0).mkString("[", ",", "]")
+      s.sql("DROP INDEX IF EXISTS vidx_r")
+      s.sql("CREATE INDEX vidx_r ON vidxr_emb USING ivfflat " +
+        "(embedding vector_l2_ops) WITH (lists = 16)")
+      s.sql("DELETE FROM vidxr_emb WHERE vec_id % 97 = 0") // invalidates
+      s.sql("REINDEX INDEX vidx_r") // rebuilds over survivors
+      s.conf.set("graft.ivfflat.probes", "16") // full probe: exact
+      val out = s.sql(
+        s"""SELECT vec_id, round(embedding <-> '$q'::vector, 6) AS dist
+           |FROM vidxr_emb ORDER BY embedding <-> '$q'::vector, vec_id
+           |LIMIT 10""".stripMargin)
+      s.conf.unset("graft.ivfflat.probes")
+      out
+    }),
+
     // ---- C107: COPY statements (gram.y CopyStmt over the C86/C95
     // file_fdw option set): COPY (query) TO a GB18030 csv, COPY FROM
     // appends it back under the target view's declared schema —
@@ -761,6 +787,15 @@ object SqlStatementSuite {
     "sql_copy" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
         |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
+
+    // post-REINDEX the index holds exactly the survivors: the top-10
+    // recomputed closed-form over the non-deleted rows
+    "sql_reindex" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        |  round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |FROM embeddings e, q WHERE e.vec_id % 97 <> 0
+        |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
     // full-probe IVF == the exact scan: DuckDB recomputes the top-10
     // closed-form (the sql_pg_vector l2 shape)

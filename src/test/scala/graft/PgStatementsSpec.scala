@@ -1245,6 +1245,45 @@ class PgStatementsSpec extends SparkSpec {
     }
   }
 
+  test("REINDEX re-runs the saved DDL — the recovery path after " +
+      "mutating DML invalidated an index") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.createOrReplaceTempView("stmt_ri_emb")
+    val q = emb.select("embedding").head.getSeq[Float](0)
+      .mkString("[", ",", "]")
+    spark.sql("CREATE INDEX stmt_ri ON stmt_ri_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    try {
+      // mutating DML invalidates the index...
+      spark.sql("DELETE FROM stmt_ri_emb WHERE vec_id = 0")
+      // ...REINDEX rebuilds it from the CURRENT rows
+      spark.sql("REINDEX INDEX stmt_ri")
+      spark.conf.set("graft.ivfflat.probes", "4") // full probe: exact
+      val df = spark.sql(
+        s"""SELECT vec_id FROM stmt_ri_emb
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 3""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      val got = df.as[Long].collect().toSeq
+      assert(!got.contains(0L)) // rebuilt over post-DELETE rows
+      assert(plan.contains("_graft_vindex"), plan) // index consulted
+      // TABLE form rebuilds everything on the table
+      spark.sql("DELETE FROM stmt_ri_emb WHERE vec_id = 1")
+      spark.sql("REINDEX TABLE stmt_ri_emb")
+      val got2 = spark.sql(
+        s"""SELECT vec_id FROM stmt_ri_emb
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 3""".stripMargin)
+        .as[Long].collect().toSeq
+      assert(!got2.contains(1L))
+      // unknown names delegate to Spark's own error path
+      val e = intercept[Exception](spark.sql("REINDEX INDEX no_such_idx"))
+      assert(!e.getMessage.contains("graft:"))
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_ri")
+      ()
+    }
+  }
+
   test("routed statements do not leak helper temp views across parses") {
     cbFixture()
     def viewCount(): Int = spark.catalog.listTables().count().toInt
