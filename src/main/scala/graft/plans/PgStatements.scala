@@ -265,6 +265,7 @@ object PgStatements {
   private val routeTriggers: Seq[String] = Seq(
     "merge", "model", "timecapsule", "connect", "recursive", "copy",
     "materialized", "index", "update", "delete", "insert", "truncate",
+    "analyze", "analyse",
     // the PgSqlRewrite spellings of <-> <=> <#> <+> <~>
     "pg_dist_arrow", "pg_cosine_or_eq", "negative_inner_product",
     "l1_distance", "hamming_distance")
@@ -283,6 +284,7 @@ object PgStatements {
       case ("delete", "from") => deleteStmt(spark, st)
       case ("insert", "into") => insertStmt(spark, st)
       case ("truncate", _) => truncateStmt(spark, st)
+      case ("analyze", _) | ("analyse", _) => analyzeStmt(spark, st)
       case ("create", "model") => Some(createModel(spark, st))
       case ("drop", "model") => Some(dropModel(spark, st))
       case ("explain", "model") => Some(explainModel(spark, st))
@@ -669,6 +671,56 @@ object PgStatements {
     updated.createOrReplaceTempView(target)
     IndexCatalog.invalidateTable(spark, target)
     Some(oneRow(spark, "command" -> "UPDATE", "table_name" -> target))
+  }
+
+  /**
+   * `ANALYZE [VERBOSE] t [(col, ...)]` (gram.y AnalyzeStmt /
+   * VacuumStmt's analyze arm; PG also spells it ANALYSE): computes
+   * the pg_stats-shaped relation for the view — one row per column
+   * with row_cnt / n_distinct / n_nulls — in ONE aggregate pass
+   * (Spark expands multi-distinct aggregates map-side; PG samples
+   * 30k pages where this computes exact counts — the deterministic
+   * choice, documented divergence). The routed statement RETURNS the
+   * stats relation, queryable like the reference's pg_stats view.
+   * Spark's own `ANALYZE TABLE ... COMPUTE STATISTICS` grammar
+   * (explicit TABLE keyword) delegates untouched.
+   */
+  private def analyzeStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    var k = 1
+    if (st.lower(k) == "verbose") k += 1
+    if (st.lower(k) == "table") return None // Spark's native grammar
+    if (k >= st.n || st.tok(k).kind != ID) return None
+    val target = st.ident(k)
+    if (!isTempView(spark, target)) return None
+    k += 1
+    val df = spark.table(target)
+    val cols: Seq[String] =
+      if (k < st.n && st.lower(k) == "(") {
+        val e = st.matching(k)
+        st.splitCommas(k + 1, e - 1).map { case (a, _) =>
+          val c = st.ident(a)
+          df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft: ANALYZE column '$c' not found in $target"))
+        }
+      } else df.columns.toSeq
+    val aggs =
+      org.apache.spark.sql.functions.count(lit(1)).as("__graft_rc") +:
+        cols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.count_distinct(col(s"`$c`"))
+            .as(s"__graft_d_$c"),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.when(col(s"`$c`").isNull, 1L)
+                .otherwise(0L)), lit(0L)).as(s"__graft_n_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rc = r.getLong(0)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      (c, rc, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+    }
+    import spark.implicits._
+    Some(Bridge.logicalPlan(rows.toDF(
+      "column_name", "row_cnt", "n_distinct", "n_nulls")))
   }
 
   /** `TRUNCATE [TABLE] t` (gram.y TruncateStmt): re-registers the view

@@ -161,6 +161,7 @@ object SqlStatementSuite {
       "(code bit_hamming_ops) WITH (lists = 16)",
     "CREATE INDEX vidx_sp ON vidxsp_emb USING ivfflat " +
       "(sv sparsevec_l2_ops) WITH (lists = 16)",
+    "ANALYZE an_target",
     "REINDEX INDEX vidx_r",
     "REINDEX TABLE vidxr_emb",
     "DELETE FROM vidxr_emb WHERE vec_id % 97 = 0",
@@ -566,6 +567,17 @@ object SqlStatementSuite {
       out
     }),
 
+    // ---- C113: ANALYZE (gram.y AnalyzeStmt) — the pg_stats-shaped
+    // relation (row_cnt / n_distinct / n_nulls per column), ONE
+    // multi-distinct aggregate pass; exact counts where PG samples ----
+    "sql_analyze" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"))
+        .createOrReplaceTempView("an_target")
+      s.sql("ANALYZE an_target").transform(Gate.ordered(_, "column_name"))
+    }),
+
     // ---- C112: REINDEX (gram.y ReindexStmt) — the recovery path
     // after mutating DML invalidated an index: DELETE drops the
     // index, REINDEX re-runs the saved DDL over the CURRENT rows,
@@ -787,6 +799,22 @@ object SqlStatementSuite {
     "sql_copy" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
         |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
+
+    // the same four column profiles recomputed closed-form
+    "sql_analyze" ->
+      """SELECT 'c_custkey' AS column_name, count(*)::BIGINT AS row_cnt,
+        |  count(DISTINCT c_custkey)::BIGINT AS n_distinct,
+        |  (count(*) - count(c_custkey))::BIGINT AS n_nulls FROM customer
+        |UNION ALL SELECT 'c_name', count(*)::BIGINT,
+        |  count(DISTINCT c_name)::BIGINT,
+        |  (count(*) - count(c_name))::BIGINT FROM customer
+        |UNION ALL SELECT 'c_nationkey', count(*)::BIGINT,
+        |  count(DISTINCT c_nationkey)::BIGINT,
+        |  (count(*) - count(c_nationkey))::BIGINT FROM customer
+        |UNION ALL SELECT 'c_mktsegment', count(*)::BIGINT,
+        |  count(DISTINCT c_mktsegment)::BIGINT,
+        |  (count(*) - count(c_mktsegment))::BIGINT FROM customer
+        |ORDER BY column_name""".stripMargin,
 
     // post-REINDEX the index holds exactly the survivors: the top-10
     // recomputed closed-form over the non-deleted rows

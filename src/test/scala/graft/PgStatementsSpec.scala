@@ -1245,6 +1245,25 @@ class PgStatementsSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE returns the pg_stats-shaped relation per column") {
+    Seq((1L, Some("a"), 1.0), (2L, None, 1.0), (3L, Some("a"), 2.0),
+      (2L, Some("b"), 1.0))
+      .toDF("k", "s", "v").createOrReplaceTempView("stmt_an")
+    val got = spark.sql("ANALYZE stmt_an").orderBy("column_name")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("k", 4L, 3L, 0L), ("s", 4L, 2L, 1L), ("v", 4L, 2L, 0L)))
+    // column list + VERBOSE + the ANALYSE spelling
+    val one = spark.sql("ANALYSE VERBOSE stmt_an (s)")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(one == Seq(("s", 4L, 2L, 1L)))
+    // Spark's own ANALYZE TABLE grammar delegates untouched
+    val e = intercept[Exception](spark.sql(
+      "ANALYZE TABLE stmt_an COMPUTE STATISTICS"))
+    assert(!e.getMessage.contains("graft:")) // temp view: Spark's error
+    val e2 = intercept[Exception](spark.sql("ANALYZE stmt_an (nope)"))
+    assert(e2.getMessage.contains("nope"))
+  }
+
   test("REINDEX re-runs the saved DDL — the recovery path after " +
       "mutating DML invalidated an index") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
