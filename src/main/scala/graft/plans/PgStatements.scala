@@ -265,7 +265,7 @@ object PgStatements {
   private val routeTriggers: Seq[String] = Seq(
     "merge", "model", "timecapsule", "connect", "recursive", "copy",
     "materialized", "index", "update", "delete", "insert", "truncate",
-    "analyze", "analyse",
+    "analyze", "analyse", "prepare", "execute", "deallocate",
     // the PgSqlRewrite spellings of <-> <=> <#> <+> <~>
     "pg_dist_arrow", "pg_cosine_or_eq", "negative_inner_product",
     "l1_distance", "hamming_distance")
@@ -285,6 +285,10 @@ object PgStatements {
       case ("insert", "into") => insertStmt(spark, st)
       case ("truncate", _) => truncateStmt(spark, st)
       case ("analyze", _) | ("analyse", _) => analyzeStmt(spark, st)
+      case ("prepare", _) if st.lower(1) != "" => prepareStmt(st)
+      case ("execute", _) if st.lower(1) != "immediate" =>
+        executeStmt(spark, st)
+      case ("deallocate", _) => deallocateStmt(st)
       case ("create", "model") => Some(createModel(spark, st))
       case ("drop", "model") => Some(dropModel(spark, st))
       case ("explain", "model") => Some(explainModel(spark, st))
@@ -721,6 +725,74 @@ object PgStatements {
     import spark.implicits._
     Some(Bridge.logicalPlan(rows.toDF(
       "column_name", "row_cnt", "n_distinct", "n_nulls")))
+  }
+
+  // ------------------------------------------------------------------
+  // PREPARE / EXECUTE / DEALLOCATE (gram.y PrepareStmt / ExecuteStmt /
+  // DeallocateStmt) — session prepared statements. PREPARE stores the
+  // (post-rewrite) statement text; EXECUTE substitutes the positional
+  // $n parameters token-wise (string literals are opaque to the
+  // scan) and re-enters the FULL pipeline via spark.sql, so prepared
+  // MERGE/UPDATE/KNN statements route exactly like direct ones
+  // (PgSqlRewrite is idempotent — corpus-pinned — so the second
+  // rewrite pass is a no-op). Type lists are accepted and ignored
+  // (Spark resolves types at analysis).
+  // ------------------------------------------------------------------
+
+  private val preparedStmts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def normName(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+  private def prepareStmt(st: Stmt): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val name = st.ident(1)
+    var k = 2
+    if (st.lower(k) == "(") k = st.matching(k) // parameter types: ignored
+    if (st.lower(k) != "as") return None // not PG's PREPARE: delegate
+    val body = st.text(k + 1, st.n)
+    require(body.nonEmpty, "graft: PREPARE expects AS <statement>")
+    preparedStmts(normName(name)) = body
+    Some(oneRow(spark, "command" -> "PREPARE", "name" -> name))
+  }
+
+  private def executeStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    val name = st.ident(1)
+    val body = preparedStmts.getOrElse(normName(name), return None)
+    val args: Seq[String] =
+      if (st.n > 2 && st.lower(2) == "(") {
+        val e = st.matching(2)
+        st.splitCommas(3, e - 1).map { case (a, b) => st.text(a, b) }
+      } else Seq.empty
+    // substitute $n positionally; literals are separate tokens so a
+    // '$1' inside a string can never match
+    val b = new Stmt(lex(body))
+    val repls = ArrayBuffer.empty[(Int, Int, String)]
+    var p = 0
+    while (p < b.n - 1) {
+      if (b.tok(p).kind == P && b.tok(p).text == "$" &&
+          b.tok(p + 1).kind == P && b.tok(p + 1).text.forall(_.isDigit)) {
+        val i = b.tok(p + 1).text.toInt
+        require(i >= 1 && i <= args.length,
+          s"graft: EXECUTE $name: parameter $$$i but ${args.length} " +
+            "argument(s) supplied")
+        repls += ((p, p + 2, s"(${args(i - 1)})"))
+        p += 2
+      } else p += 1
+    }
+    Some(Bridge.logicalPlan(spark.sql(b.splice(repls.toSeq))))
+  }
+
+  private def deallocateStmt(st: Stmt): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    var k = 1
+    if (st.lower(k) == "prepare") k += 1
+    if (st.lower(k) == "all") { preparedStmts.clear() }
+    else {
+      val name = st.ident(k)
+      if (preparedStmts.remove(normName(name)).isEmpty)
+        return None // unknown: Spark's own error path
+    }
+    Some(oneRow(spark, "command" -> "DEALLOCATE"))
   }
 
   /** `TRUNCATE [TABLE] t` (gram.y TruncateStmt): re-registers the view

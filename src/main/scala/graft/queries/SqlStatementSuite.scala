@@ -162,6 +162,11 @@ object SqlStatementSuite {
     "CREATE INDEX vidx_sp ON vidxsp_emb USING ivfflat " +
       "(sv sparsevec_l2_ops) WITH (lists = 16)",
     "ANALYZE an_target",
+    "PREPARE pq (BIGINT, DOUBLE) AS SELECT c_custkey, c_name, c_acctbal " +
+      "FROM p_target WHERE c_custkey % $1 = 0 AND c_acctbal > $2 " +
+      "ORDER BY c_custkey",
+    "EXECUTE pq (13, 100.0)",
+    "DEALLOCATE PREPARE ALL",
     "REINDEX INDEX vidx_r",
     "REINDEX TABLE vidxr_emb",
     "DELETE FROM vidxr_emb WHERE vec_id % 97 = 0",
@@ -567,6 +572,20 @@ object SqlStatementSuite {
       out
     }),
 
+    // ---- C114: PREPARE / EXECUTE (gram.y PrepareStmt/ExecuteStmt) —
+    // positional $n substitution at the token level, the full
+    // pipeline re-entered on EXECUTE ----
+    "sql_prepare" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .createOrReplaceTempView("p_target")
+      s.sql("DEALLOCATE PREPARE ALL")
+      s.sql("PREPARE pq (BIGINT, DOUBLE) AS " +
+        "SELECT c_custkey, c_name, c_acctbal FROM p_target " +
+        "WHERE c_custkey % $1 = 0 AND c_acctbal > $2 ORDER BY c_custkey")
+      s.sql("EXECUTE pq (13, 100.0)")
+    }),
+
     // ---- C113: ANALYZE (gram.y AnalyzeStmt) — the pg_stats-shaped
     // relation (row_cnt / n_distinct / n_nulls per column), ONE
     // multi-distinct aggregate pass; exact counts where PG samples ----
@@ -799,6 +818,12 @@ object SqlStatementSuite {
     "sql_copy" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
         |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
+
+    // the substituted statement recomputed directly
+    "sql_prepare" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 13 = 0 AND c_acctbal > 100.0
+        |ORDER BY c_custkey""".stripMargin,
 
     // the same four column profiles recomputed closed-form
     "sql_analyze" ->

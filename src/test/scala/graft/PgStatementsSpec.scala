@@ -1245,6 +1245,37 @@ class PgStatementsSpec extends SparkSpec {
     }
   }
 
+  test("PREPARE / EXECUTE / DEALLOCATE: positional $n substitution, " +
+      "routed-statement composition, literal opacity") {
+    dmlFixture()
+    spark.sql("PREPARE stmt_pq (BIGINT) AS " +
+      "SELECT k, bal FROM stmt_upd WHERE k % $1 = 0 ORDER BY k")
+    val got = spark.sql("EXECUTE stmt_pq (2)")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 20.0), (4L, 40.0)))
+    // different argument, same plan text
+    assert(spark.sql("EXECUTE stmt_pq (3)").as[(Long, Double)]
+      .collect().toSeq == Seq((3L, 30.0)))
+    // a prepared ROUTED statement (UPDATE) executes through the full
+    // pipeline — the second rewrite pass is a no-op (idempotence)
+    spark.sql("PREPARE stmt_pu AS UPDATE stmt_upd SET bal = bal + $1 " +
+      "WHERE k = $2")
+    spark.sql("EXECUTE stmt_pu (5.0, 1)")
+    assert(spark.table("stmt_upd").filter(col("k") === 1L)
+      .head().getDouble(2) == 15.0)
+    // '$1' inside a string literal never substitutes
+    spark.sql("PREPARE stmt_ps AS SELECT '$1 costs $2' AS s, $1 AS v")
+    val r = spark.sql("EXECUTE stmt_ps (7)").head()
+    assert(r.getString(0) == "$1 costs $2" && r.getInt(1) == 7)
+    // arg-count error, DEALLOCATE lifecycle
+    val e1 = intercept[Exception](spark.sql("EXECUTE stmt_pq ()"))
+    assert(e1.getMessage.contains("parameter"))
+    spark.sql("DEALLOCATE stmt_pq")
+    val e2 = intercept[Exception](spark.sql("EXECUTE stmt_pq (2)"))
+    assert(!e2.getMessage.contains("graft:")) // unknown: Spark's error
+    spark.sql("DEALLOCATE PREPARE ALL") // no throw
+  }
+
   test("ANALYZE returns the pg_stats-shaped relation per column") {
     Seq((1L, Some("a"), 1.0), (2L, None, 1.0), (3L, Some("a"), 2.0),
       (2L, Some("b"), 1.0))
