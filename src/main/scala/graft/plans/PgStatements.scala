@@ -708,6 +708,12 @@ object PgStatements {
               s"graft: ANALYZE column '$c' not found in $target"))
         }
       } else df.columns.toSeq
+    // PG samples ~30k pages; the batch default is EXACT (deterministic,
+    // oracle-checkable). At 100 TB set graft.analyze.fraction ∈ (0,1)
+    // for a seeded sample — stats become estimates, like the reference
+    val df0 = spark.conf.getOption("graft.analyze.fraction")
+      .map(_.toDouble).filter(f => f > 0.0 && f < 1.0)
+      .map(f => df.sample(withReplacement = false, f, 42L)).getOrElse(df)
     val aggs =
       org.apache.spark.sql.functions.count(lit(1)).as("__graft_rc") +:
         cols.flatMap(c => Seq(
@@ -717,7 +723,7 @@ object PgStatements {
             org.apache.spark.sql.functions.sum(
               org.apache.spark.sql.functions.when(col(s"`$c`").isNull, 1L)
                 .otherwise(0L)), lit(0L)).as(s"__graft_n_$c")))
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val r = df0.agg(aggs.head, aggs.tail: _*).head()
     val rc = r.getLong(0)
     val rows = cols.zipWithIndex.map { case (c, i) =>
       (c, rc, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))

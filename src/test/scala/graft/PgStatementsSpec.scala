@@ -1293,6 +1293,15 @@ class PgStatementsSpec extends SparkSpec {
     assert(!e.getMessage.contains("graft:")) // temp view: Spark's error
     val e2 = intercept[Exception](spark.sql("ANALYZE stmt_an (nope)"))
     assert(e2.getMessage.contains("nope"))
+    // the 100 TB knob: a seeded sample makes stats estimates (PG's own
+    // sampling posture); bounded by the exact counts, deterministic
+    spark.conf.set("graft.analyze.fraction", "0.5")
+    try {
+      val s1 = spark.sql("ANALYZE stmt_an").orderBy("column_name").collect()
+      val s2 = spark.sql("ANALYZE stmt_an").orderBy("column_name").collect()
+      assert(s1.toSeq == s2.toSeq) // seeded: stable run-to-run
+      assert(s1.forall(r => r.getLong(1) <= 4L && r.getLong(2) <= r.getLong(1)))
+    } finally { spark.conf.unset("graft.analyze.fraction"); () }
   }
 
   test("REINDEX re-runs the saved DDL — the recovery path after " +
