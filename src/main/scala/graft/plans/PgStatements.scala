@@ -245,6 +245,14 @@ object PgStatements {
       catch { case NonFatal(_) => () }
     }
 
+  /** Lineage-truncate + drop optimizer-origin constraints — the form
+    * every DML view re-registration uses. The checkpoint's copied
+    * constraints can reference pre-checkpoint attribute ids and blow
+    * up constraint rewriting when the state is later UNIONED (INSERT /
+    * COPY FROM after UPDATE/MERGE) — see Bridge.constraintFree. */
+  private def truncated(df: DataFrame): DataFrame =
+    Bridge.constraintFree(Iterate.truncate(df))
+
   private def oneRow(spark: SparkSession, cols: (String, String)*): LogicalPlan =
     Bridge.logicalPlan(spark.sql(
       cols.map { case (name, value) =>
@@ -532,7 +540,7 @@ object PgStatements {
     // merges) before re-registering the target view; any vector index
     // built over the pre-merge rows is now stale — invalidate it so
     // the KNN access path falls back to the exact scan (ADVICE r17)
-    val merged = Iterate.truncate(spark.sql(gen))
+    val merged = truncated(spark.sql(gen))
     merged.createOrReplaceTempView(target)
     IndexCatalog.invalidateTable(spark, target)
     Some(oneRow(spark, "command" -> "MERGE", "table_name" -> target))
@@ -671,7 +679,7 @@ object PgStatements {
              |ON $onCond) WHERE __graft_keep""".stripMargin
         }
     }
-    val updated = Iterate.truncate(spark.sql(gen))
+    val updated = truncated(spark.sql(gen))
     updated.createOrReplaceTempView(target)
     IndexCatalog.invalidateTable(spark, target)
     Some(oneRow(spark, "command" -> "UPDATE", "table_name" -> target))
@@ -810,7 +818,13 @@ object PgStatements {
     if (st.n > k + 1) return None // multi-name / CASCADE etc.: delegate
     val target = st.ident(k)
     if (!isTempView(spark, target)) return None
-    spark.table(target).filter(lit(false)).createOrReplaceTempView(target)
+    // an empty LocalRelation with the same schema — cleaner than a
+    // false-filter over the prior state, whose plan (and any stale
+    // checkpoint constraints) would otherwise linger under the view
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.table(target).schema)
+      .createOrReplaceTempView(target)
     IndexCatalog.invalidateTable(spark, target)
     Some(oneRow(spark, "command" -> "TRUNCATE", "table_name" -> target))
   }
@@ -867,7 +881,7 @@ object PgStatements {
       if (want.exists(_.equalsIgnoreCase(c))) col(s"`$c`")
       else lit(null).cast(cur.schema(c).dataType).as(c)
     }: _*)
-    val appended = Iterate.truncate(cur.unionByName(aligned))
+    val appended = truncated(cur.unionByName(aligned))
     appended.createOrReplaceTempView(target)
     IndexCatalog.maintainAppend(spark, target, aligned)
     Some(oneRow(spark, "command" -> "INSERT", "table_name" -> target))
@@ -905,7 +919,7 @@ object PgStatements {
         s"""SELECT $tAlias.* FROM $target $tAlias
            |LEFT ANTI JOIN (SELECT * FROM $srcText) $sAlias ON $c""".stripMargin
     }
-    val remaining = Iterate.truncate(spark.sql(gen))
+    val remaining = truncated(spark.sql(gen))
     remaining.createOrReplaceTempView(target)
     IndexCatalog.invalidateTable(spark, target)
     Some(oneRow(spark, "command" -> "DELETE", "table_name" -> target))
@@ -1936,7 +1950,7 @@ object PgStatements {
     val defText = st.text(k + 3, st.n)
     val (keys, countCol, sumCols) =
       if (incremental) parseIvmShape(defText) else (Seq.empty[String], "", Seq.empty[String])
-    val df = Iterate.truncate(spark.sql(defText))
+    val df = truncated(spark.sql(defText))
     df.createOrReplaceTempView(name)
     MatviewCatalog.put(name,
       MatviewCatalog.MvDef(defText, incremental, keys, countCol, sumCols))
@@ -2014,7 +2028,7 @@ object PgStatements {
         spark.catalog.dropTempView(mlog) // consumed, like mlog_<oid>
         out
       }
-    Iterate.truncate(next).createOrReplaceTempView(name)
+    truncated(next).createOrReplaceTempView(name)
     oneRow(spark, "command" -> "REFRESH MATERIALIZED VIEW",
       "view_name" -> name)
   }

@@ -28,6 +28,25 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Re-wrap a (checkpointed) DataFrame as a CONSTRAINT-FREE
+    * LogicalRDD. Dataset.checkpoint copies the origin plan's
+    * constraints into the LogicalRDD it returns; constraints that
+    * reference pre-checkpoint attribute ids (e.g. the collapsed sides
+    * of a join) later blow up UnionBase.rewriteConstraints ("key not
+    * found: attr#n") when the checkpointed state is UNIONED — exactly
+    * the DML-view append path (INSERT / COPY FROM after an UPDATE or
+    * MERGE re-registered the view). Constraints and origin stats are
+    * optimizer hints only; a re-registered view state does not need
+    * them. `toRdd` on a checkpointed frame is a passthrough scan of
+    * the already-materialized rows — no recompute. */
+  def constraintFree(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sparkC = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ofRows(sparkC, org.apache.spark.sql.execution.LogicalRDD(
+      df.queryExecution.analyzed.output, df.queryExecution.toRdd)(sparkC))
+  }
+
   /** DataFrame from a LogicalPlan (classic Dataset.ofRows). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -348,6 +348,47 @@ class PgStatementsSpec extends SparkSpec {
     }
   }
 
+  test("DML statements CHAIN: UPDATE...FROM then INSERT then MERGE then " +
+      "DELETE then TRUNCATE then INSERT (checkpoint constraints must " +
+      "not leak into later unions)") {
+    // regression: the UPDATE's checkpointed state carried origin
+    // constraints referencing pre-checkpoint attribute ids; the next
+    // INSERT's union blew up with "key not found: attr#n"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal").createOrReplaceTempView("stmt_chain")
+    Seq((2L, 99.0), (9L, 90.0)).toDF("k", "nb")
+      .createOrReplaceTempView("stmt_chain_src")
+    spark.sql("UPDATE stmt_chain t SET bal = s.nb FROM stmt_chain_src s " +
+      "WHERE t.k = s.k")
+    spark.sql("INSERT INTO stmt_chain (k, bal) VALUES (4, 40.0)")
+    assert(spark.table("stmt_chain").count() == 4)
+    Seq((4L, "dd", 44.0)).toDF("k", "name", "bal")
+      .createOrReplaceTempView("stmt_chain_m")
+    spark.sql(
+      """MERGE INTO stmt_chain t USING stmt_chain_m s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.name, bal = s.bal""".stripMargin)
+    spark.sql("DELETE FROM stmt_chain WHERE bal > 95.0")
+    val got = spark.table("stmt_chain").orderBy("k")
+      .as[(Long, Option[String], Double)].collect().toSeq
+    assert(got == Seq((1L, Some("a"), 10.0), (3L, Some("c"), 30.0),
+      (4L, Some("dd"), 44.0)))
+    // TRUNCATE then refill — the emptied view must union cleanly too
+    spark.sql("TRUNCATE stmt_chain")
+    spark.sql("INSERT INTO stmt_chain VALUES (7, 'z', 70.0)")
+    assert(spark.table("stmt_chain").as[(Long, String, Double)]
+      .collect().toSeq == Seq((7L, "z", 70.0)))
+    // and COPY FROM appends onto the chained state without blowing up
+    val dirF = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-stmt-chain-${ProcessHandle.current().pid()}")
+    rmTree(dirF); dirF.mkdirs()
+    try {
+      val pth = new java.io.File(dirF, "c").getPath
+      spark.sql(s"COPY (SELECT * FROM stmt_chain) TO '$pth' (FORMAT csv, HEADER)")
+      spark.sql(s"COPY stmt_chain FROM '$pth' (FORMAT csv, HEADER)")
+      assert(spark.table("stmt_chain").count() == 2)
+    } finally rmTree(dirF)
+  }
+
   test("TRUNCATE TABLE empties the view, keeps the schema, and a " +
       "later INSERT refills it") {
     dmlFixture()
