@@ -274,9 +274,10 @@ object PgStatements {
     "merge", "model", "timecapsule", "connect", "recursive", "copy",
     "materialized", "index", "update", "delete", "insert", "truncate",
     "analyze", "analyse", "prepare", "execute", "deallocate",
-    // the PgSqlRewrite spellings of <-> <=> <#> <+> <~>
+    // the PgSqlRewrite spellings of <-> <=> <#> <+> <~> <%>
     "pg_dist_arrow", "pg_cosine_or_eq", "negative_inner_product",
-    "l1_distance", "hamming_distance")
+    "l1_distance", "hamming_distance", "jaccard_distance",
+    "vacuum", "sequence", "explain")
 
   /** Route a statement onto an engine; None = not ours (delegate). */
   def route(sqlText: String): Option[LogicalPlan] = {
@@ -443,6 +444,20 @@ object PgStatements {
     }
 
     val tCols = spark.table(target).columns.toSeq
+    // SET / INSERT column names must resolve against the target (PG
+    // raises "column does not exist"; a typo'd assignment must never
+    // silently no-op — same class as the r18 UPDATE advice)
+    clauses.foreach { cl =>
+      val named = cl.action match {
+        case Update(as) => as.map(_._1)
+        case Insert(cols, _) => cols.getOrElse(Nil)
+        case Delete => Nil
+      }
+      named.foreach { c =>
+        require(tCols.exists(_.equalsIgnoreCase(c)),
+          s"graft: MERGE column '$c' of relation '$target' does not exist")
+      }
+    }
     val matchedCls = clauses.filter(_.matched).toSeq
     val insertCls = clauses.filterNot(_.matched).toSeq
     def tref(c: String) = s"$tAlias.`$c`"
@@ -475,67 +490,56 @@ object PgStatements {
     val delLadder = ladder(matchedCls,
       cl => if (cl.action == Delete) "TRUE" else "FALSE", "FALSE")
     val insLadder = ladder(insertCls, _ => "TRUE", "FALSE")
-    // MULTI-MATCH discipline (ADVICE r17). PG/openGauss raise "MERGE
-    // command cannot affect row a second time" when one target row is
-    // matched by SEVERAL source rows that would ACT on it; and a
-    // multi-matched row whose extra pairs do NOT act must still emit
+    // MULTI-MATCH discipline (ADVICE r17), FUSED into the one join
+    // (r19, per the r18 verdict — the eager plan-time detection join
+    // doubled every MERGE's dominant join work). PG/openGauss raise
+    // "MERGE command cannot affect row a second time" when one target
+    // row is matched by SEVERAL source rows that would ACT on it; and
+    // a multi-matched row whose extra pairs do NOT act must still emit
     // exactly once (the pair-wise full-outer rewrite would emit one
     // row per pair). The affect predicate is the OR of the matched
-    // clauses' conditions (an unconditioned clause always acts). One
-    // inner-join aggregate pass decides both: double-acting → the
-    // reference's error; multi-join without double-acting → the gen
-    // below adds a per-target-row window dedup; unique matches (the
-    // production-common case) keep the windowless single-shuffle plan.
+    // clauses' conditions (an unconditioned clause always acts).
+    // Per-target-row match/acting counts are WINDOW functions computed
+    // in the SAME join pass (one shared partition spec → one Window
+    // node): double-acting raises through a guarded assert_true inside
+    // the keep predicate; a multi-matched group keeps its unique acting
+    // pair, or one representative when none acts (values fall through
+    // the ladders to the target originals either way, so ANY
+    // representative is value-identical). Source-only and target-only
+    // rows window under their OWN ids ('s<sid>' / 't<tid>' keys), so
+    // the NULL-tid side never gathers into one skewed partition.
     val affect =
       if (matchedCls.isEmpty) "FALSE"
       else if (matchedCls.exists(_.cond.isEmpty)) "TRUE"
       else matchedCls.flatMap(_.cond).map(c => s"($c)").mkString(" OR ")
-    val multiMatch: Boolean = {
-      val chkSql =
-        s"""SELECT max(__graft_ca) AS ma, max(__graft_na) AS mn FROM (
-           |  SELECT count(*) AS __graft_ca,
-           |    sum(CASE WHEN $affect THEN 1 ELSE 0 END) AS __graft_na
-           |  FROM (SELECT *, monotonically_increasing_id() AS __graft_tid
-           |        FROM $target) $tAlias
-           |  JOIN (SELECT * FROM $srcText) $sAlias ON $onCond
-           |  GROUP BY $tAlias.__graft_tid)""".stripMargin
-      val r = spark.sql(chkSql).head()
-      if (!r.isNullAt(1) && r.getLong(1) > 1L)
-        throw new IllegalStateException(
-          "graft: MERGE command cannot affect row a second time — a target " +
-            "row is matched by more than one acting source row (openGauss/" +
-            "PostgreSQL MergeStmt semantics)")
-      !r.isNullAt(0) && r.getLong(0) > 1L
-    }
-    val gen = if (!multiMatch)
-      s"""SELECT ${selectCols.mkString(", ")}
-         |FROM (SELECT *, true AS __graft_mt FROM $target) $tAlias
-         |FULL OUTER JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
-         |ON $onCond
-         |WHERE NOT ($isMatched AND ($delLadder))
-         |  AND NOT ($isSrcOnly AND NOT ($insLadder))""".stripMargin
-    else {
-      // matched multi-pairs: keep the acting pair (unique — checked
-      // above), or one representative when none acts (values fall
-      // through the ladders to the target originals either way).
-      // Window-over-tid only on this (rare) path — the unique-match
-      // plan above stays windowless.
-      val acting = s"($isMatched AND ($affect))"
-      val keep =
-        s"""NOT ($isMatched AND ($delLadder))
-           |  AND NOT ($isSrcOnly AND NOT ($insLadder))
-           |  AND (NOT $isMatched OR $acting OR (
-           |    sum(CASE WHEN $acting THEN 1 ELSE 0 END)
-           |      OVER (PARTITION BY $tAlias.__graft_tid) = 0
-           |    AND row_number() OVER (PARTITION BY $tAlias.__graft_tid
-           |      ORDER BY $tAlias.__graft_tid) = 1))""".stripMargin
+    val acting = s"($isMatched AND ($affect))"
+    val pk = s"coalesce(concat('t', CAST($tAlias.__graft_tid AS STRING)), " +
+      s"concat('s', CAST($sAlias.__graft_sid AS STRING)))"
+    val errMsg = "graft: MERGE command cannot affect row a second time - " +
+      "a target row is matched by more than one acting source row " +
+      "(openGauss/PostgreSQL MergeStmt semantics)"
+    val keep =
+      s"""(assert_true(
+         |    sum(CASE WHEN $acting THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY $pk) <= 1, '$errMsg') IS NULL)
+         |  AND NOT ($isMatched AND ($delLadder))
+         |  AND NOT ($isSrcOnly AND NOT ($insLadder))
+         |  AND (NOT $isMatched
+         |    OR count(CASE WHEN $isMatched THEN 1 END)
+         |         OVER (PARTITION BY $pk) <= 1
+         |    OR $acting
+         |    OR (sum(CASE WHEN $acting THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY $pk) = 0
+         |        AND row_number() OVER (PARTITION BY $pk
+         |          ORDER BY $tAlias.__graft_tid) = 1))""".stripMargin
+    val gen =
       s"""SELECT ${tCols.map(c => s"`$c`").mkString(", ")} FROM (
          |SELECT ${selectCols.mkString(", ")}, ($keep) AS __graft_keep
          |FROM (SELECT *, true AS __graft_mt,
          |        monotonically_increasing_id() AS __graft_tid FROM $target) $tAlias
-         |FULL OUTER JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
+         |FULL OUTER JOIN (SELECT *, true AS __graft_ms,
+         |        monotonically_increasing_id() AS __graft_sid FROM $srcText) $sAlias
          |ON $onCond) WHERE __graft_keep""".stripMargin
-    }
     // MERGE is a WRITE: materialize (bounding lineage across chained
     // merges) before re-registering the target view; any vector index
     // built over the pre-merge rows is now stale — invalidate it so
@@ -587,12 +591,12 @@ object PgStatements {
    * `UPDATE t [[AS] a] SET col = expr [, ...] [FROM src [[AS] sa]]
    * [WHERE cond]` (gram.y:23328 incl. PG's join form). Without FROM:
    * one map-only projection — per column a `CASE WHEN cond THEN expr
-   * ELSE old END`. With FROM: LEFT JOIN on the WHERE condition;
+   * ELSE old END`. With FROM: ONE LEFT JOIN on the WHERE condition;
    * matched rows take the assignments, unmatched pass through. PG
    * picks an ARBITRARY source row when several match one target row —
-   * a deterministic engine picks the SMALLEST source tuple (ordered
-   * over the source's columns), and only pays the window shuffle when
-   * a multi-match actually exists (same check discipline as MERGE).
+   * a deterministic engine picks the hash-least source tuple via a
+   * window FUSED into the same join pass (one scan of the target per
+   * statement; the r18 eager detection join is gone).
    */
   private def updateStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
     val target = st.ident(1)
@@ -622,6 +626,13 @@ object PgStatements {
     val cond: Option[String] =
       if (k < st.n && st.lower(k) == "where") Some(st.text(k + 1, st.n)) else None
     val tCols = spark.table(target).columns.toSeq
+    // every SET column must resolve (PG raises "column does not exist";
+    // silently ignoring a typo'd assignment reported UPDATE success
+    // while changing nothing — ADVICE r18)
+    assigns.foreach { case (c, _) =>
+      require(tCols.exists(_.equalsIgnoreCase(c)),
+        s"graft: UPDATE column '$c' of relation '$target' does not exist")
+    }
     def assignFor(c: String): Option[String] =
       assigns.collectFirst { case (cc, v) if cc.equalsIgnoreCase(c) => s"($v)" }
 
@@ -639,45 +650,37 @@ object PgStatements {
       case Some(srcText) =>
         val onCond = cond.getOrElse("TRUE")
         val matchedM = s"($sAlias.__graft_ms IS NOT NULL)"
-        val multiMatch: Boolean = {
-          val r = spark.sql(
-            s"""SELECT max(__graft_c) FROM (
-               |  SELECT count(*) AS __graft_c
-               |  FROM (SELECT *, monotonically_increasing_id() AS __graft_tid
-               |        FROM $target) $tAlias
-               |  JOIN (SELECT * FROM $srcText) $sAlias ON $onCond
-               |  GROUP BY $tAlias.__graft_tid)""".stripMargin).head()
-          !r.isNullAt(0) && r.getLong(0) > 1L
-        }
         val cols = tCols.map { c =>
           assignFor(c) match {
             case Some(v) => s"CASE WHEN $matchedM THEN $v ELSE $tAlias.`$c` END AS `$c`"
             case None => s"$tAlias.`$c` AS `$c`"
           }
         }
-        if (!multiMatch)
-          s"""SELECT ${cols.mkString(", ")}
-             |FROM $target $tAlias
-             |LEFT JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
-             |ON $onCond""".stripMargin
-        else {
-          // deterministic pick among several matching source rows:
-          // smallest source tuple (PG: "unspecified which"; a batch
-          // engine must not flap run-to-run)
-          val sCols = (if (srcOpt.get.startsWith("("))
-              spark.sql(srcText.stripPrefix("(").stripSuffix(")"))
-            else spark.table(srcText)).columns.toSeq
-          val ord = sCols.map(c => s"$sAlias.`$c`").mkString(", ")
-          s"""SELECT ${tCols.map(c => s"`$c`").mkString(", ")} FROM (
-             |SELECT ${cols.mkString(", ")},
-             |  (NOT $matchedM OR row_number() OVER (
-             |     PARTITION BY $tAlias.__graft_tid ORDER BY $ord) = 1)
-             |  AS __graft_keep
-             |FROM (SELECT *, monotonically_increasing_id() AS __graft_tid
-             |      FROM $target) $tAlias
-             |LEFT JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
-             |ON $onCond) WHERE __graft_keep""".stripMargin
-        }
+        // FUSED multi-match dedup (r19, per the r18 verdict — the
+        // eager plan-time detection join doubled every UPDATE...FROM's
+        // dominant join work): the per-target-row pick is a window in
+        // the SAME join pass. PG leaves "which source row" unspecified;
+        // a batch engine must not flap run-to-run, so the pick orders
+        // by a stable HASH of the source tuple (two independent hashes
+        // — a value function of the row, so the pick survives any
+        // repartitioning; and a NARROW sort key however wide the
+        // source row is, the r18 verdict's key-hygiene item). Unmatched
+        // target rows are singleton tid partitions — the window never
+        // skews.
+        val sCols = (if (srcText.startsWith("("))
+            spark.sql(srcText.stripPrefix("(").stripSuffix(")"))
+          else spark.table(srcText)).columns.toSeq
+        val hashArgs = sCols.map(c => s"$sAlias.`$c`").mkString(", ")
+        s"""SELECT ${tCols.map(c => s"`$c`").mkString(", ")} FROM (
+           |SELECT ${cols.mkString(", ")},
+           |  (NOT $matchedM OR row_number() OVER (
+           |     PARTITION BY $tAlias.__graft_tid
+           |     ORDER BY xxhash64($hashArgs), hash($hashArgs)) = 1)
+           |  AS __graft_keep
+           |FROM (SELECT *, monotonically_increasing_id() AS __graft_tid
+           |      FROM $target) $tAlias
+           |LEFT JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
+           |ON $onCond) WHERE __graft_keep""".stripMargin
     }
     val updated = truncated(spark.sql(gen))
     updated.createOrReplaceTempView(target)
@@ -687,15 +690,24 @@ object PgStatements {
 
   /**
    * `ANALYZE [VERBOSE] t [(col, ...)]` (gram.y AnalyzeStmt /
-   * VacuumStmt's analyze arm; PG also spells it ANALYSE): computes
-   * the pg_stats-shaped relation for the view — one row per column
-   * with row_cnt / n_distinct / n_nulls — in ONE aggregate pass
-   * (Spark expands multi-distinct aggregates map-side; PG samples
-   * 30k pages where this computes exact counts — the deterministic
-   * choice, documented divergence). The routed statement RETURNS the
-   * stats relation, queryable like the reference's pg_stats view.
-   * Spark's own `ANALYZE TABLE ... COMPUTE STATISTICS` grammar
-   * (explicit TABLE keyword) delegates untouched.
+   * VacuumStmt's analyze arm; PG also spells it ANALYSE): the
+   * pg_stats-shaped relation for the view — one row per column with
+   * row_cnt / n_distinct / n_nulls — planned on the C29 Profile
+   * device (r19, per the r18 verdict): a single wide aggregate with
+   * one count_distinct PER COLUMN makes Catalyst plan an Expand that
+   * replicates EVERY input row (c+1)× through the shuffle — exactly
+   * the plan the repo's own Profile measured 2× slower and banned.
+   *  - exact regime (default): ONE COLUMN-PRUNED BRANCH PER COLUMN,
+   *    unioned — same total bytes off a columnar source, no row
+   *    multiplication, branches schedule concurrently; PG samples 30k
+   *    pages where this computes exact counts (deterministic choice,
+   *    documented divergence).
+   *  - `graft.analyze.fraction` ∈ (0,1) (the 100 TB regime): a seeded
+   *    sample + ONE approx_count_distinct pass — one scan, no Expand,
+   *    stats become estimates like the reference's.
+   * The relation is returned LAZILY (no statement-time job). Spark's
+   * own `ANALYZE TABLE ... COMPUTE STATISTICS` grammar (explicit
+   * TABLE keyword) delegates untouched.
    */
   private def analyzeStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
     var k = 1
@@ -716,29 +728,39 @@ object PgStatements {
               s"graft: ANALYZE column '$c' not found in $target"))
         }
       } else df.columns.toSeq
-    // PG samples ~30k pages; the batch default is EXACT (deterministic,
-    // oracle-checkable). At 100 TB set graft.analyze.fraction ∈ (0,1)
-    // for a seeded sample — stats become estimates, like the reference
-    val df0 = spark.conf.getOption("graft.analyze.fraction")
+    import org.apache.spark.sql.functions.{approx_count_distinct, array,
+      coalesce, count, count_distinct, explode, struct, sum, when}
+    def nulls(c: String): Column =
+      coalesce(sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)), lit(0L))
+    val fraction = spark.conf.getOption("graft.analyze.fraction")
       .map(_.toDouble).filter(f => f > 0.0 && f < 1.0)
-      .map(f => df.sample(withReplacement = false, f, 42L)).getOrElse(df)
-    val aggs =
-      org.apache.spark.sql.functions.count(lit(1)).as("__graft_rc") +:
-        cols.flatMap(c => Seq(
-          org.apache.spark.sql.functions.count_distinct(col(s"`$c`"))
-            .as(s"__graft_d_$c"),
-          org.apache.spark.sql.functions.coalesce(
-            org.apache.spark.sql.functions.sum(
-              org.apache.spark.sql.functions.when(col(s"`$c`").isNull, 1L)
-                .otherwise(0L)), lit(0L)).as(s"__graft_n_$c")))
-    val r = df0.agg(aggs.head, aggs.tail: _*).head()
-    val rc = r.getLong(0)
-    val rows = cols.zipWithIndex.map { case (c, i) =>
-      (c, rc, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+    val out: DataFrame = fraction match {
+      case None =>
+        // exact: one pruned branch per column (the Profile C29 plan —
+        // NO Expand; plan-asserted in PgStatementsSpec)
+        cols.map { c =>
+          df.select(col(s"`$c`"))
+            .agg(count(lit(1)).as("row_cnt"),
+              count_distinct(col(s"`$c`")).as("n_distinct"),
+              nulls(c).as("n_nulls"))
+            .select(lit(c).as("column_name"), col("row_cnt"),
+              col("n_distinct"), col("n_nulls"))
+        }.reduce(_ unionByName _)
+      case Some(f) =>
+        // estimate: seeded sample + ONE HLL pass; the wide row reshapes
+        // to row-per-column via a local explode (no extra shuffle)
+        val df0 = df.sample(withReplacement = false, f, 42L)
+        val aggs = count(lit(1)).as("__graft_rc") +: cols.flatMap(c => Seq(
+          approx_count_distinct(col(s"`$c`")).as(s"__graft_d_$c"),
+          nulls(c).as(s"__graft_n_$c")))
+        df0.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cols.map(c => struct(
+              lit(c).as("column_name"), col("__graft_rc").as("row_cnt"),
+              col(s"__graft_d_$c").as("n_distinct"),
+              col(s"__graft_n_$c").as("n_nulls"))): _*)).as("p"))
+          .select(col("p.*"))
     }
-    import spark.implicits._
-    Some(Bridge.logicalPlan(rows.toDF(
-      "column_name", "row_cnt", "n_distinct", "n_nulls")))
+    Some(Bridge.logicalPlan(out))
   }
 
   // ------------------------------------------------------------------
@@ -753,9 +775,23 @@ object PgStatements {
   // (Spark resolves types at analysis).
   // ------------------------------------------------------------------
 
-  private val preparedStmts =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Keyed BY SESSION: PG prepared statements are session scoped — a
+    * JVM-global map let one session's DEALLOCATE ALL clear another's
+    * (ADVICE r18). Weak keys: a session's statements die with it. */
+  private val preparedBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
   private def normName(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+  private def preparedStmts(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, String] =
+    preparedBySession.synchronized {
+      var m = preparedBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        preparedBySession.put(spark, m)
+      }
+      m
+    }
 
   private def prepareStmt(st: Stmt): Option[LogicalPlan] = {
     val spark = SparkSession.active
@@ -765,13 +801,13 @@ object PgStatements {
     if (st.lower(k) != "as") return None // not PG's PREPARE: delegate
     val body = st.text(k + 1, st.n)
     require(body.nonEmpty, "graft: PREPARE expects AS <statement>")
-    preparedStmts(normName(name)) = body
+    preparedStmts(spark)(normName(name)) = body
     Some(oneRow(spark, "command" -> "PREPARE", "name" -> name))
   }
 
   private def executeStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
     val name = st.ident(1)
-    val body = preparedStmts.getOrElse(normName(name), return None)
+    val body = preparedStmts(spark).getOrElse(normName(name), return None)
     val args: Seq[String] =
       if (st.n > 2 && st.lower(2) == "(") {
         val e = st.matching(2)
@@ -800,10 +836,12 @@ object PgStatements {
     val spark = SparkSession.active
     var k = 1
     if (st.lower(k) == "prepare") k += 1
-    if (st.lower(k) == "all") { preparedStmts.clear() }
-    else {
+    if (st.lower(k) == "all") {
+      // only THIS session's statements (PG's DEALLOCATE ALL scope)
+      preparedStmts(spark).clear()
+    } else {
       val name = st.ident(k)
-      if (preparedStmts.remove(normName(name)).isEmpty)
+      if (preparedStmts(spark).remove(normName(name)).isEmpty)
         return None // unknown: Spark's own error path
     }
     Some(oneRow(spark, "command" -> "DEALLOCATE"))
@@ -1374,6 +1412,10 @@ object PgStatements {
           byName.remove(nm)
           try { spark.catalog.dropTempView(i.view); () }
           catch { case NonFatal(_) => () }
+          // the persisted postings are dead too — REINDEX re-runs the
+          // remembered DDL into a FRESH path, so leaving this one only
+          // orphaned a parquet directory per invalidation (ADVICE r18)
+          deletePath(spark, i.path)
       }
     }
 
@@ -1418,6 +1460,7 @@ object PgStatements {
           byName.remove(nm)
           try { spark.catalog.dropTempView(h.view); () }
           catch { case NonFatal(_) => () }
+          deletePath(spark, h.path) // re-CREATE writes a fresh path
         case _ =>
       }
     }
@@ -1750,9 +1793,14 @@ object PgStatements {
     }
   }
 
-  /** The operator-function spellings the access path can serve. */
+  /** The operator-function spellings the access path can serve.
+    * `jaccard_distance` (`<%>`) was MISSING until r19 — bit_jaccard_ops
+    * indexes built fine but never routed (the same vacuous-pass class
+    * as r17's pg_cosine_or_eq gap; the spec now asserts the route
+    * actually engaged by reading the index parquet). */
   private val knnFns = Set("pg_dist_arrow", "pg_cosine_or_eq",
-    "negative_inner_product", "l1_distance", "hamming_distance")
+    "negative_inner_product", "l1_distance", "hamming_distance",
+    "jaccard_distance")
 
   private val VecLitRe =
     """(?is)\s*parse_vector\s*\(\s*'(\[[^']*\])'\s*\)\s*""".r

@@ -212,15 +212,28 @@ class PgStatementsSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSeq
     assert(out == Seq((1L, "a", 10.0), (2L, "b", 200.0), (3L, "c", 30.0),
       (4L, "d", 40.0))) // k=4 filtered by s.nb < 300, k=9 matches nothing
-    // multi-match: deterministic smallest source tuple wins, one row out
+    // multi-match: the hash-least source tuple wins (PG: "unspecified
+    // which"; the batch pick is a VALUE function of the row — stable
+    // across runs and repartitioning, and a narrow sort key however
+    // wide the source row is), exactly one row out
     Seq((2L, 7.0), (2L, 5.0)).toDF("k", "nb")
       .createOrReplaceTempView("stmt_upd_multi")
+    val expectPick = spark.sql(
+      "SELECT nb FROM stmt_upd_multi ORDER BY xxhash64(k, nb), hash(k, nb) LIMIT 1")
+      .as[Double].head()
     spark.sql("UPDATE stmt_upd t SET bal = s.nb FROM stmt_upd_multi s " +
       "WHERE t.k = s.k")
     val out2 = spark.table("stmt_upd").orderBy("k")
       .as[(Long, String, Double)].collect().toSeq
     assert(out2.count(_._1 == 2L) == 1)
-    assert(out2.find(_._1 == 2L).get._3 == 5.0) // smallest (k, nb) tuple
+    assert(out2.find(_._1 == 2L).get._3 == expectPick)
+    // and the pick is stable when the update replays from the same state
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+      .createOrReplaceTempView("stmt_upd")
+    spark.sql("UPDATE stmt_upd t SET bal = s.nb FROM stmt_upd_multi s " +
+      "WHERE t.k = s.k")
+    assert(spark.table("stmt_upd").filter(col("k") === 2L)
+      .as[(Long, String, Double)].head()._3 == expectPick)
   }
 
   test("UPDATE matches Upsert-style recomputation and keeps temp-view " +
@@ -1421,5 +1434,175 @@ class PgStatementsSpec extends SparkSpec {
       "SELECT * FROM t WHERE note = 'merge into x'").isEmpty)
     assert(PgStatements.route(
       "WITH RECURSIVE r AS (SELECT 1 UNION ALL SELECT 2) SELECT * FROM r").isEmpty)
+  }
+
+  // ---- r19: ADVICE + verdict items ----
+
+  test("UPDATE / MERGE SET to a nonexistent column raises (never a " +
+      "silent no-op)") {
+    dmlFixture()
+    val e1 = intercept[Exception](spark.sql(
+      "UPDATE stmt_upd SET typo_col = 1"))
+    assert(e1.getMessage.contains("typo_col") &&
+      e1.getMessage.contains("does not exist"))
+    Seq((1L, 99.0)).toDF("k", "nb").createOrReplaceTempView("stmt_upd_s19")
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE INTO stmt_upd t USING stmt_upd_s19 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET typo_col = s.nb""".stripMargin))
+    assert(e2.getMessage.contains("typo_col"))
+    val e3 = intercept[Exception](spark.sql(
+      """MERGE INTO stmt_upd t USING stmt_upd_s19 s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (typo_col) VALUES (s.nb)""".stripMargin))
+    assert(e3.getMessage.contains("typo_col"))
+    // the failed statements left the view untouched
+    assert(spark.table("stmt_upd").orderBy("k").as[(Long, String, Double)]
+      .collect().toSeq.head == ((1L, "a", 10.0)))
+  }
+
+  test("PREPARE / EXECUTE / DEALLOCATE state is SESSION-scoped") {
+    dmlFixture()
+    spark.sql("DEALLOCATE PREPARE ALL")
+    spark.sql("PREPARE stmt_sess AS SELECT k FROM stmt_upd WHERE k = $1")
+    assert(spark.sql("EXECUTE stmt_sess (2)").as[Long].head() == 2L)
+    val other = spark.newSession()
+    // the other session neither sees the statement...
+    val e = intercept[Exception](other.sql("EXECUTE stmt_sess (2)"))
+    assert(!e.getMessage.contains("graft:")) // unknown → Spark's error
+    // ...nor clears it with ITS DEALLOCATE ALL
+    other.sql("PREPARE stmt_sess AS SELECT 42 AS v")
+    other.sql("DEALLOCATE PREPARE ALL")
+    assert(spark.sql("EXECUTE stmt_sess (3)").as[Long].head() == 3L)
+    spark.sql("DEALLOCATE stmt_sess")
+  }
+
+  test("ANALYZE plans WITHOUT an Expand in both regimes (the C29 " +
+      "Profile device; a wide multi-distinct aggregate replicates " +
+      "every row (c+1)x through the shuffle)") {
+    Seq((1L, Some("a"), 1.0), (2L, None, 2.0), (3L, Some("b"), 3.0))
+      .toDF("k", "s", "v").createOrReplaceTempView("stmt_an19")
+    val exact = spark.sql("ANALYZE stmt_an19")
+      .queryExecution.executedPlan.toString
+    assert(!exact.contains("Expand"),
+      "exact ANALYZE must union per-column pruned branches, not Expand")
+    spark.conf.set("graft.analyze.fraction", "0.9")
+    try {
+      val approx = spark.sql("ANALYZE stmt_an19")
+        .queryExecution.executedPlan.toString
+      assert(!approx.contains("Expand"),
+        "estimate ANALYZE must be one approx_count_distinct pass")
+    } finally { spark.conf.unset("graft.analyze.fraction"); () }
+  }
+
+  test("DML invalidation DELETES the orphaned index parquet directory") {
+    val q = idxFixture()
+    val root = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, "_graft_vindex")
+    def dirs(): Set[String] =
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("stmt_orph")).map(_.getName).toSet
+    spark.sql("CREATE INDEX stmt_orph ON stmt_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    assert(dirs().nonEmpty, "index parquet dir was not created")
+    spark.sql("DELETE FROM stmt_emb WHERE vec_id = 0") // invalidates
+    assert(dirs().isEmpty,
+      "invalidation must delete the persisted index parquet (ADVICE r18)")
+    assert(q.nonEmpty)
+  }
+
+  test("bit_jaccard_ops indexes actually ROUTE <%> (non-vacuous: the " +
+      "plan reads the pruned index parquet)") {
+    import graft.functions.{VectorFunctions => VF}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.select(col("vec_id"), VF.binaryQuantize(col("embedding")).as("code"))
+      .createOrReplaceTempView("stmt_jac_emb")
+    val q = idxFixture()
+    spark.sql("CREATE INDEX stmt_jac ON stmt_jac_emb USING hnsw " +
+      "(code bit_jaccard_ops) WITH (lists = 8)")
+    try {
+      def knn() = spark.sql(
+        s"""SELECT vec_id, round(code <%> binary_quantize('$q'::vector), 6) AS d
+           |FROM stmt_jac_emb
+           |ORDER BY code <%> binary_quantize('$q'::vector), vec_id
+           |LIMIT 7""".stripMargin)
+      spark.conf.set("graft.ivfflat.probes", "8")
+      val routedDf = knn()
+      // the route ENGAGED: the executed plan reads the partitioned
+      // index parquet with a list_id partition filter — an exact-scan
+      // fallback (the r18 bug: jaccard_distance missing from knnFns)
+      // has neither
+      val plan = routedDf.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_vindex"), plan)
+      assert(plan.contains("PartitionFilters"), plan)
+      val routed = routedDf.as[(Long, Double)].collect().toSeq
+      spark.sql("DROP INDEX stmt_jac")
+      val exact = knn().as[(Long, Double)].collect().toSeq
+      assert(routed == exact, "full probe must equal the exact scan")
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_jac")
+      ()
+    }
+  }
+
+  test("fused multi-match detection: MERGE and UPDATE...FROM run NO " +
+      "extra plan-time probe job (one pass per statement)") {
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // the listener bus is asynchronous: wait for the count to settle
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(50)
+          val cur = n.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        n.get()
+      } finally { spark.sparkContext.removeSparkListener(l); () }
+    }
+    dmlFixture()
+    Seq((2L, 200.0), (4L, 400.0)).toDF("k", "nb")
+      .createOrReplaceTempView("stmt_jc_src")
+    // reference: the SAME fused select materialized through the same
+    // truncation — what the statement costs with zero router overhead
+    val refJobs = countJobs {
+      val df = spark.sql(
+        """SELECT t.k, t.name,
+          |  CASE WHEN s.__graft_ms IS NOT NULL THEN s.nb ELSE t.bal END AS bal
+          |FROM (SELECT *, monotonically_increasing_id() AS __graft_tid
+          |      FROM stmt_upd) t
+          |LEFT JOIN (SELECT *, true AS __graft_ms FROM stmt_jc_src) s
+          |ON t.k = s.k""".stripMargin)
+      graft.operators.Iterate.truncate(df).count()
+      ()
+    }
+    dmlFixture()
+    val updJobs = countJobs {
+      spark.sql("UPDATE stmt_upd t SET bal = s.nb FROM stmt_jc_src s " +
+        "WHERE t.k = s.k")
+      ()
+    }
+    // the window adds at most a couple of AQE stage jobs; the r18 eager
+    // detection join added a whole extra pass (its own join + agg +
+    // head()) — a regression re-adding it lands well past this bound
+    assert(updJobs <= refJobs + 3,
+      s"UPDATE...FROM ran $updJobs jobs vs $refJobs for the bare fused select")
+    dmlFixture()
+    val mrgJobs = countJobs {
+      spark.sql(
+        """MERGE INTO stmt_upd t USING stmt_jc_src s ON t.k = s.nb / 100.0
+          |WHEN MATCHED THEN UPDATE SET bal = s.nb""".stripMargin)
+      ()
+    }
+    assert(mrgJobs <= refJobs + 4,
+      s"MERGE ran $mrgJobs jobs vs $refJobs for the bare fused select")
   }
 }
