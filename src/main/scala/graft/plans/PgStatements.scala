@@ -294,6 +294,7 @@ object PgStatements {
       case ("insert", "into") => insertStmt(spark, st)
       case ("truncate", _) => truncateStmt(spark, st)
       case ("analyze", _) | ("analyse", _) => analyzeStmt(spark, st)
+      case ("vacuum", _) if st.n > 1 => vacuumStmt(spark, st)
       case ("prepare", _) if st.lower(1) != "" => prepareStmt(st)
       case ("execute", _) if st.lower(1) != "immediate" =>
         executeStmt(spark, st)
@@ -301,6 +302,7 @@ object PgStatements {
       case ("create", "model") => Some(createModel(spark, st))
       case ("drop", "model") => Some(dropModel(spark, st))
       case ("explain", "model") => Some(explainModel(spark, st))
+      case ("explain", _) if st.n > 1 => explainStmt(spark, st)
       case ("copy", _) => Some(copyStmt(spark, st))
       case ("create", "incremental") if st.lower(2) == "materialized" =>
         Some(createMatview(spark, st, incremental = true))
@@ -352,7 +354,21 @@ object PgStatements {
    * target view. Non-temp-view targets delegate to Spark (v2 tables
    * have native MERGE).
    */
-  private def mergeInto(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+  private def mergeInto(spark: SparkSession, st: Stmt): Option[LogicalPlan] =
+    mergeGen(spark, st).map { case (target, gen) =>
+      // MERGE is a WRITE: materialize (bounding lineage across chained
+      // merges) before re-registering the target view; any vector index
+      // built over the pre-merge rows is now stale — invalidate it so
+      // the KNN access path falls back to the exact scan (ADVICE r17)
+      val merged = truncated(spark.sql(gen))
+      merged.createOrReplaceTempView(target)
+      IndexCatalog.invalidateTable(spark, target)
+      oneRow(spark, "command" -> "MERGE", "table_name" -> target)
+    }
+
+  /** Parse a MERGE statement and build its one-join rewrite WITHOUT
+    * executing — shared by [[mergeInto]] and `EXPLAIN MERGE INTO`. */
+  private def mergeGen(spark: SparkSession, st: Stmt): Option[(String, String)] = {
     var k = 2
     val target = st.ident(k); k += 1
     if (!isTempView(spark, target)) return None
@@ -540,14 +556,7 @@ object PgStatements {
          |FULL OUTER JOIN (SELECT *, true AS __graft_ms,
          |        monotonically_increasing_id() AS __graft_sid FROM $srcText) $sAlias
          |ON $onCond) WHERE __graft_keep""".stripMargin
-    // MERGE is a WRITE: materialize (bounding lineage across chained
-    // merges) before re-registering the target view; any vector index
-    // built over the pre-merge rows is now stale — invalidate it so
-    // the KNN access path falls back to the exact scan (ADVICE r17)
-    val merged = truncated(spark.sql(gen))
-    merged.createOrReplaceTempView(target)
-    IndexCatalog.invalidateTable(spark, target)
-    Some(oneRow(spark, "command" -> "MERGE", "table_name" -> target))
+    Some((target, gen))
   }
 
   // ------------------------------------------------------------------
@@ -598,7 +607,17 @@ object PgStatements {
    * window FUSED into the same join pass (one scan of the target per
    * statement; the r18 eager detection join is gone).
    */
-  private def updateStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+  private def updateStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] =
+    updateGen(spark, st).map { case (target, gen) =>
+      val updated = truncated(spark.sql(gen))
+      updated.createOrReplaceTempView(target)
+      IndexCatalog.invalidateTable(spark, target)
+      oneRow(spark, "command" -> "UPDATE", "table_name" -> target)
+    }
+
+  /** Parse an UPDATE statement and build its rewrite WITHOUT executing
+    * — shared by [[updateStmt]] and `EXPLAIN UPDATE`. */
+  private def updateGen(spark: SparkSession, st: Stmt): Option[(String, String)] = {
     val target = st.ident(1)
     if (!isTempView(spark, target)) return None
     requireNoReturning(st, "UPDATE")
@@ -682,10 +701,7 @@ object PgStatements {
            |LEFT JOIN (SELECT *, true AS __graft_ms FROM $srcText) $sAlias
            |ON $onCond) WHERE __graft_keep""".stripMargin
     }
-    val updated = truncated(spark.sql(gen))
-    updated.createOrReplaceTempView(target)
-    IndexCatalog.invalidateTable(spark, target)
-    Some(oneRow(spark, "command" -> "UPDATE", "table_name" -> target))
+    Some((target, gen))
   }
 
   /**
@@ -761,6 +777,182 @@ object PgStatements {
           .select(col("p.*"))
     }
     Some(Bridge.logicalPlan(out))
+  }
+
+  /**
+   * `VACUUM [FULL] [VERBOSE] [ANALYZE] t` / `VACUUM (options) t`
+   * (gram.y VacuumStmt) — the maintenance verb whose batch analogue
+   * became REAL with r18's append-maintained indexes: repeated
+   * `INSERT`/`COPY FROM` append small parquet files into each IVF list
+   * directory indefinitely, and the DML chain stacks view lineage.
+   * VACUUM (a) re-materializes the view (lineage-truncated — the
+   * "dead tuples" of a batch view are its stacked DML plans) and
+   * (b) rewrites every index's parquet COALESCED to one file per
+   * partition directory, reader pruning intact — no quantizer
+   * retrain, unlike the REINDEX recovery path. The ANALYZE arm
+   * composes: the statement then RETURNS the pg_stats relation
+   * (PG's `VACUUM ANALYZE`); otherwise a command row. FULL/FREEZE/
+   * VERBOSE are accepted (the rewrite is always "full" — there is no
+   * cheaper in-place form on immutable files).
+   */
+  private def vacuumStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    var k = 1
+    var analyze = false
+    var scanning = true
+    while (scanning && k < st.n) {
+      st.lower(k) match {
+        case "full" | "freeze" | "verbose" => k += 1
+        case "analyze" | "analyse" => analyze = true; k += 1
+        case "(" if k == 1 =>
+          val e = st.matching(k)
+          st.splitCommas(k + 1, e - 1).foreach { case (a, _) =>
+            st.lower(a) match {
+              case "analyze" | "analyse" => analyze = true
+              case "full" | "freeze" | "verbose" =>
+              case other => throw new IllegalArgumentException(
+                s"graft: unknown VACUUM option '$other'")
+            }
+          }
+          k = e
+        case _ => scanning = false
+      }
+    }
+    if (k >= st.n || st.tok(k).kind != ID) return None // bare VACUUM etc.
+    val target = st.ident(k)
+    if (!isTempView(spark, target)) return None
+    // (a) compact the view's DML lineage into one materialized state
+    truncated(spark.table(target)).createOrReplaceTempView(target)
+    // (b) coalesce every index's postings parquet, pruning preserved
+    val rewritten = IndexCatalog.vacuumTable(spark, target)
+    if (analyze) analyzeStmt(spark, new Stmt(lex(s"ANALYZE $target")))
+    else Some(oneRow(spark, "command" -> "VACUUM", "table_name" -> target,
+      "indexes_rewritten" -> rewritten.toString))
+  }
+
+  // ------------------------------------------------------------------
+  // EXPLAIN over routed statements (gram.y ExplainStmt;
+  // contrib/auto_explain — C82's renderer captures the ANALYZE form)
+  // ------------------------------------------------------------------
+
+  /**
+   * `EXPLAIN [ANALYZE] [VERBOSE] <stmt>` / `EXPLAIN (options) <stmt>`
+   * for statements only THIS router can plan — the first thing a PG
+   * user types when a MERGE/UPDATE/KNN statement is slow, and none of
+   * them parse under Spark's grammar:
+   *  - DML (`MERGE`/`UPDATE`/`DELETE`/`INSERT`/`TRUNCATE`): the plain
+   *    form renders the REWRITTEN statement's Spark plan WITHOUT
+   *    executing (PG: EXPLAIN never runs the DML) — the gen builders
+   *    are shared with the executors, so the plan shown is exactly the
+   *    plan the statement would run. `EXPLAIN ANALYZE` EXECUTES the
+   *    DML (PG semantics) and renders the executed plan with the
+   *    actual output row count, captured through the C82 AutoExplain
+   *    listener on the statement's own materialize action.
+   *  - routed queries (the KNN index idiom, CONNECT BY, TIMECAPSULE,
+   *    WITH RECURSIVE): the routed plan; ANALYZE runs it through a
+   *    noop sink for actuals.
+   *  - `EXPLAIN ANALYZE <plain select>` (Spark has no ANALYZE mode —
+   *    this only ADDS syntax): executed through the noop sink.
+   * Anything else — plain `EXPLAIN SELECT ...`, Spark's
+   * EXTENDED/CODEGEN/COST/FORMATTED modes — delegates untouched, so
+   * Spark's own EXPLAIN surface (schema included) never changes.
+   * Output: one `query_plan` row per rendered line, like pg's
+   * "QUERY PLAN" relation.
+   */
+  private def explainStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    var k = 1
+    var analyze = false
+    var verbose = false
+    var scanning = true
+    while (scanning && k < st.n) {
+      st.lower(k) match {
+        case "analyze" | "analyse" => analyze = true; k += 1
+        case "verbose" => verbose = true; k += 1
+        case "(" if k == 1 =>
+          val e = st.matching(k)
+          st.splitCommas(k + 1, e - 1).foreach { case (a, _) =>
+            st.lower(a) match {
+              case "analyze" | "analyse" => analyze = true
+              case "verbose" => verbose = true
+              // accepted, no batch analogue (PG ExplainStmt options)
+              case "costs" | "format" | "buffers" | "timing" | "summary" =>
+              case other => throw new IllegalArgumentException(
+                s"graft: unknown EXPLAIN option '$other'")
+            }
+          }
+          k = e
+        case _ => scanning = false
+      }
+    }
+    if (k >= st.n) return None
+    val innerText = st.text(k, st.n)
+    val ist = new Stmt(lex(innerText))
+    val mode = if (verbose) "extended" else "simple"
+    def render(lines: Seq[String]): LogicalPlan = {
+      import spark.implicits._
+      Bridge.logicalPlan(lines.toDF("query_plan"))
+    }
+    def planLines(df: DataFrame): Seq[String] =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+        .split("\n").toSeq
+    /** Execute `action`, capture its plan + actual rows via C82. */
+    def analyzed(action: => Unit): Option[LogicalPlan] = {
+      val l = graft.operators.AutoExplain.install(spark, 0L,
+        analyze = true, mode = mode)
+      try {
+        action
+        graft.operators.AutoExplain.awaitEntries(l, 1)
+        val entries = l.entries
+        if (entries.isEmpty) return None
+        // the statement's own materialize action is the checkpoint
+        // (DML; "localCheckpoint" when no checkpoint dir is set) —
+        // else the last row-counted action in the window (view
+        // re-registration emits a trailing rowless "command" entry)
+        val e = entries.filter(
+            _.action.toLowerCase(java.util.Locale.ROOT).contains("checkpoint"))
+          .lastOption
+          .orElse(entries.filter(_.outRows.isDefined).lastOption)
+          .getOrElse(entries.last)
+        Some(render(e.plan.split("\n").toSeq ++
+          e.outRows.map(r => s"Actual Rows: $r")))
+      } finally graft.operators.AutoExplain.uninstall(spark, l)
+    }
+    val dml = Set("merge", "update", "delete", "insert", "truncate")(ist.lower(0))
+    if (dml) {
+      if (analyze) analyzed { route(innerText).getOrElse(return None); () }
+      else {
+        val df: DataFrame = ist.lower(0) match {
+          case "merge" =>
+            spark.sql(mergeGen(spark, ist).getOrElse(return None)._2)
+          case "update" =>
+            spark.sql(updateGen(spark, ist).getOrElse(return None)._2)
+          case "delete" =>
+            spark.sql(deleteGen(spark, ist).getOrElse(return None)._2)
+          case "insert" =>
+            insertPlan(spark, ist).getOrElse(return None)._3
+          case "truncate" =>
+            val k2 = if (ist.lower(1) == "table") 2 else 1
+            val target = ist.ident(k2)
+            if (!isTempView(spark, target)) return None
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              spark.table(target).schema)
+        }
+        Some(render(planLines(df)))
+      }
+    } else route(innerText) match {
+      case Some(plan) =>
+        val df = Bridge.ofRows(spark, plan)
+        if (analyze)
+          analyzed { df.write.format("noop").mode("overwrite").save() }
+        else Some(render(planLines(df)))
+      case None if analyze =>
+        // EXPLAIN ANALYZE <plain select> — Spark has no ANALYZE mode
+        val df = try spark.sql(innerText)
+          catch { case NonFatal(_) => return None }
+        analyzed { df.write.format("noop").mode("overwrite").save() }
+      case None => None // Spark's own EXPLAIN surface, untouched
+    }
   }
 
   // ------------------------------------------------------------------
@@ -880,7 +1072,18 @@ object PgStatements {
    * is rejected explicitly: a temp view declares no key — MERGE INTO
    * is the routed upsert spelling.
    */
-  private def insertStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+  private def insertStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] =
+    insertPlan(spark, st).map { case (target, aligned, appended) =>
+      truncated(appended).createOrReplaceTempView(target)
+      IndexCatalog.maintainAppend(spark, target, aligned)
+      oneRow(spark, "command" -> "INSERT", "table_name" -> target)
+    }
+
+  /** Parse an INSERT statement and build the (aligned incoming,
+    * appended) DataFrames LAZILY — shared by [[insertStmt]] and
+    * `EXPLAIN INSERT`. */
+  private def insertPlan(spark: SparkSession,
+      st: Stmt): Option[(String, DataFrame, DataFrame)] = {
     val target = st.ident(2)
     if (!isTempView(spark, target)) return None
     requireNoReturning(st, "INSERT")
@@ -919,10 +1122,7 @@ object PgStatements {
       if (want.exists(_.equalsIgnoreCase(c))) col(s"`$c`")
       else lit(null).cast(cur.schema(c).dataType).as(c)
     }: _*)
-    val appended = truncated(cur.unionByName(aligned))
-    appended.createOrReplaceTempView(target)
-    IndexCatalog.maintainAppend(spark, target, aligned)
-    Some(oneRow(spark, "command" -> "INSERT", "table_name" -> target))
+    Some((target, aligned, cur.unionByName(aligned)))
   }
 
   /**
@@ -933,7 +1133,17 @@ object PgStatements {
    * ANY matching source row is deleted; arbitrary (non-equi) join
    * conditions stay legal (Spark plans a broadcast nested loop).
    */
-  private def deleteStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+  private def deleteStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] =
+    deleteGen(spark, st).map { case (target, gen) =>
+      val remaining = truncated(spark.sql(gen))
+      remaining.createOrReplaceTempView(target)
+      IndexCatalog.invalidateTable(spark, target)
+      oneRow(spark, "command" -> "DELETE", "table_name" -> target)
+    }
+
+  /** Parse a DELETE statement and build its rewrite WITHOUT executing
+    * — shared by [[deleteStmt]] and `EXPLAIN DELETE`. */
+  private def deleteGen(spark: SparkSession, st: Stmt): Option[(String, String)] = {
     val target = st.ident(2)
     if (!isTempView(spark, target)) return None
     requireNoReturning(st, "DELETE")
@@ -957,10 +1167,7 @@ object PgStatements {
         s"""SELECT $tAlias.* FROM $target $tAlias
            |LEFT ANTI JOIN (SELECT * FROM $srcText) $sAlias ON $c""".stripMargin
     }
-    val remaining = truncated(spark.sql(gen))
-    remaining.createOrReplaceTempView(target)
-    IndexCatalog.invalidateTable(spark, target)
-    Some(oneRow(spark, "command" -> "DELETE", "table_name" -> target))
+    Some((target, gen))
   }
 
   // ------------------------------------------------------------------
@@ -1463,6 +1670,51 @@ object PgStatements {
           deletePath(spark, h.path) // re-CREATE writes a fresh path
         case _ =>
       }
+    }
+
+    /** VACUUM maintenance: append DML (INSERT / COPY FROM via
+      * [[maintainAppend]], mode=append) accumulates small parquet
+      * files per list directory indefinitely; REINDEX overpays for the
+      * recovery (a full quantizer retrain is not needed — the
+      * centroids are fine, only the FILE LAYOUT degraded). Rewrite
+      * each index's parquet coalesced to one file per partition
+      * directory (repartition on the partition column puts each
+      * list/shard in exactly one task) into a FRESH path; the old path
+      * is deleted by [[put]]. Returns the number of indexes rewritten. */
+    def vacuumTable(spark: SparkSession, table: String): Int = {
+      val t = norm(table)
+      var n = 0
+      def rewrite(nm: String, path: String, partCol: String): String = {
+        val fresh = indexPath(spark, nm)
+        spark.read.parquet(path)
+          .repartition(col(partCol))
+          .write.partitionBy(partCol).parquet(fresh)
+        fresh
+      }
+      byName.toSeq.foreach {
+        case (nm, i: IvfIdx) if norm(i.table) == t && i.path.nonEmpty =>
+          val fresh = rewrite(nm, i.path, "list_id")
+          val rd0 = spark.read.parquet(fresh)
+          val rd = if (i.packed)
+            rd0.withColumn(i.column,
+              graft.functions.VectorFunctions.unpackHalf(col(i.column)))
+          else rd0
+          rd.createOrReplaceTempView(i.view)
+          put(spark, nm, i.copy(path = fresh))
+          n += 1
+        case (nm, b: BitIvfIdx) if norm(b.table) == t && b.path.nonEmpty =>
+          val fresh = rewrite(nm, b.path, "list_id")
+          spark.read.parquet(fresh).createOrReplaceTempView(b.view)
+          put(spark, nm, b.copy(path = fresh))
+          n += 1
+        case (nm, h: HnswIdx) if norm(h.table) == t && h.path.nonEmpty =>
+          val fresh = rewrite(nm, h.path, "part_id")
+          spark.read.parquet(fresh).createOrReplaceTempView(h.view)
+          put(spark, nm, h.copy(path = fresh))
+          n += 1
+        case _ =>
+      }
+      n
     }
   }
 

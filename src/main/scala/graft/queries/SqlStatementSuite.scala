@@ -136,8 +136,27 @@ object SqlStatementSuite {
        |FROM $table ORDER BY embedding <-> '$q'::vector, vec_id
        |LIMIT $k""".stripMargin
 
+  val createVacIndexStmt: String =
+    "CREATE INDEX vidx_vac ON vac_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 16)"
+
+  def vacInsertStmt(dir: String, i: Int): String =
+    s"""INSERT INTO vac_emb SELECT vec_id + ${i}000000, embedding
+       |FROM parquet.`$dir/embeddings.parquet` WHERE vec_id % 100 = $i""".stripMargin
+
+  val vacuumStmt: String = "VACUUM vac_emb"
+
+  val explainUpdateStmt: String =
+    """EXPLAIN UPDATE exp_target t SET c_acctbal = s.c_acctbal
+      |FROM exp_source s WHERE t.c_custkey = s.c_custkey""".stripMargin
+
+  val explainDeleteStmt: String =
+    "EXPLAIN ANALYZE DELETE FROM exp_target WHERE c_custkey % 11 = 0"
+
   /** Every statement the gates push through spark.sql (corpus fuzz). */
   def statements: Seq[String] = Seq(recursiveStmt, mergeStmt, connectByStmt,
+    explainUpdateStmt, explainDeleteStmt,
+    createVacIndexStmt, vacInsertStmt("/tmp/placeholder", 1), vacuumStmt,
     updatePlainStmt, updateFromStmt, deletePlainStmt, deleteUsingStmt,
     insertValuesStmt, insertColsStmt, insertSelectStmt,
     "TRUNCATE TABLE t_target",
@@ -572,6 +591,59 @@ object SqlStatementSuite {
       out
     }),
 
+    // ---- C116: VACUUM as small-file compaction (gram.y VacuumStmt) —
+    // three INSERT batches grow the IVF index's partitioned parquet
+    // with small per-list appends, VACUUM rewrites it coalesced (one
+    // file per list directory, reader pruning intact, no retrain) and
+    // re-materializes the view; the full-probe KNN after VACUUM must
+    // be EXACT over base + all appended rows, recomputed closed-form ----
+    "sql_vacuum" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      emb.createOrReplaceTempView("vac_emb")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).mkString("[", ",", "]")
+      s.sql("DROP INDEX IF EXISTS vidx_vac")
+      s.sql(createVacIndexStmt)
+      (1 to 3).foreach(i => s.sql(vacInsertStmt(dir, i)))
+      s.sql(vacuumStmt)
+      s.conf.set("graft.ivfflat.probes", "16") // full probe: exact
+      val out = s.sql(
+        s"""SELECT vec_id, round(embedding <-> '$q'::vector, 6) AS dist
+           |FROM vac_emb ORDER BY embedding <-> '$q'::vector, vec_id
+           |LIMIT 10""".stripMargin)
+      s.conf.unset("graft.ivfflat.probes")
+      out
+    }),
+
+    // ---- C115: EXPLAIN over routed statements (gram.y ExplainStmt;
+    // auto_explain renders the ANALYZE form) — the plain form plans
+    // the DML WITHOUT executing it (target row count unchanged, the
+    // rendered plan shows the one fused join); EXPLAIN ANALYZE
+    // EXECUTES (PG semantics) and reports the actual output rows, so
+    // the post-statement survivor count is relationally checkable ----
+    "sql_explain_dml" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      base.createOrReplaceTempView("exp_target")
+      base.filter(pmod(col("c_custkey"), lit(13)) === 0)
+        .select(col("c_custkey"), (col("c_acctbal") * 2.0).as("c_acctbal"))
+        .createOrReplaceTempView("exp_source")
+      val before = s.table("exp_target").count()
+      val upd = s.sql(explainUpdateStmt)
+        .collect().map(_.getString(0)).mkString("\n")
+      val after = s.table("exp_target").count()
+      val del = s.sql(explainDeleteStmt)
+        .collect().map(_.getString(0)).mkString("\n")
+      val survivors = s.table("exp_target").count()
+      val spark2 = s
+      import spark2.implicits._
+      Seq((upd.toLowerCase(java.util.Locale.ROOT).contains("join"),
+          before == after, del.contains("Actual Rows"), survivors))
+        .toDF("upd_has_join", "upd_not_executed", "del_has_actuals",
+          "survivors")
+    }),
+
     // ---- C114: PREPARE / EXECUTE (gram.y PrepareStmt/ExecuteStmt) —
     // positional $n substitution at the token level, the full
     // pipeline re-entered on EXECUTE ----
@@ -818,6 +890,28 @@ object SqlStatementSuite {
     "sql_copy" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
         |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
+
+    // post-VACUUM full probe == exact over base + the three appended
+    // batches, recomputed closed-form (the sql_create_index shape)
+    "sql_vacuum" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |allr AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 100 = 1
+        |  UNION ALL SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % 100 = 2
+        |  UNION ALL SELECT vec_id + 3000000, embedding FROM embeddings WHERE vec_id % 100 = 3)
+        |SELECT r.vec_id,
+        |  round(list_distance(r.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |FROM allr r, q ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    // EXPLAIN's verdict booleans are in-engine by nature (a Spark plan
+    // rendering has no DuckDB analogue); the survivor count after the
+    // EXECUTED EXPLAIN ANALYZE DELETE is recomputed relationally
+    "sql_explain_dml" ->
+      """SELECT TRUE AS upd_has_join, TRUE AS upd_not_executed,
+        |  TRUE AS del_has_actuals,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 11 <> 0)
+        |    AS survivors""".stripMargin,
 
     // the substituted statement recomputed directly
     "sql_prepare" ->

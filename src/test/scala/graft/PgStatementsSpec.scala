@@ -1544,6 +1544,131 @@ class PgStatementsSpec extends SparkSpec {
     }
   }
 
+  test("VACUUM compacts append-grown index parquet: file count drops, " +
+      "results bit-identical, reader pruning intact") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    emb.createOrReplaceTempView("stmt_vac")
+    val q = emb.select("embedding").head.getSeq[Float](0)
+      .mkString("[", ",", "]")
+    val root = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, "_graft_vindex")
+    def files(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("stmt_vacidx")).map(walk).sum
+    }
+    spark.sql("CREATE INDEX stmt_vacidx ON stmt_vac USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    try {
+      (1 to 3).foreach { i =>
+        spark.sql(s"INSERT INTO stmt_vac SELECT vec_id + ${i}00000, " +
+          s"embedding FROM parquet.`$sfDir/embeddings.parquet` " +
+          s"WHERE vec_id % 50 = $i")
+      }
+      def knn() = spark.sql(
+        s"""SELECT vec_id, round(embedding <-> '$q'::vector, 6) AS d
+           |FROM stmt_vac ORDER BY embedding <-> '$q'::vector, vec_id
+           |LIMIT 7""".stripMargin)
+      spark.conf.set("graft.ivfflat.probes", "4")
+      val before = files()
+      val resBefore = knn().as[(Long, Double)].collect().toSeq
+      spark.sql("VACUUM stmt_vac")
+      assert(files() < before,
+        s"VACUUM must coalesce the appended small files (was $before, " +
+          s"now ${files()})")
+      val df = knn()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_vindex") && plan.contains("PartitionFilters"),
+        plan) // pruning survives the rewrite
+      assert(df.as[(Long, Double)].collect().toSeq == resBefore,
+        "VACUUM must be result-invariant")
+      // the ANALYZE arm composes: VACUUM ANALYZE returns the stats
+      val stats = spark.sql("VACUUM ANALYZE stmt_vac")
+      assert(stats.columns.toSeq ==
+        Seq("column_name", "row_cnt", "n_distinct", "n_nulls"))
+      assert(stats.count() == 2)
+      // options: accepted flags + unknown raises; unknown table delegates
+      spark.sql("VACUUM (FULL, VERBOSE) stmt_vac")
+      val e = intercept[Exception](spark.sql("VACUUM (NOPE) stmt_vac"))
+      assert(e.getMessage.contains("NOPE") || e.getMessage.contains("nope"))
+      val e2 = intercept[Exception](spark.sql("VACUUM no_such_view_xyz"))
+      assert(!e2.getMessage.contains("graft:"))
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_vacidx")
+      ()
+    }
+  }
+
+  test("EXPLAIN over routed DML renders the rewritten plan WITHOUT " +
+      "executing; EXPLAIN ANALYZE executes and reports actual rows") {
+    dmlFixture()
+    Seq((2L, 200.0)).toDF("k", "nb").createOrReplaceTempView("stmt_exp_src")
+    val updPlan = spark.sql(
+      "EXPLAIN UPDATE stmt_upd t SET bal = s.nb FROM stmt_exp_src s " +
+        "WHERE t.k = s.k").as[String].collect().mkString("\n")
+    assert(updPlan.toLowerCase.contains("join"), updPlan)
+    val mrgPlan = spark.sql(
+      """EXPLAIN MERGE INTO stmt_upd t USING stmt_exp_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET bal = s.nb""".stripMargin)
+      .as[String].collect().mkString("\n")
+    assert(mrgPlan.toLowerCase.contains("join"), mrgPlan)
+    val insPlan = spark.sql(
+      "EXPLAIN INSERT INTO stmt_upd VALUES (9, 'i', 90.0)")
+      .as[String].collect().mkString("\n")
+    assert(insPlan.toLowerCase.contains("union"), insPlan)
+    // none of the above EXECUTED (PG: EXPLAIN never runs the DML)
+    assert(spark.table("stmt_upd").orderBy("k").as[(Long, String, Double)]
+      .collect().toSeq == Seq((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+    // EXPLAIN ANALYZE executes (PG semantics) and carries actuals
+    val delPlan = spark.sql(
+      "EXPLAIN ANALYZE DELETE FROM stmt_upd WHERE k >= 3")
+      .as[String].collect().mkString("\n")
+    assert(delPlan.contains("Actual Rows: 2"), delPlan)
+    assert(spark.table("stmt_upd").count() == 2)
+    // VERBOSE widens to the extended rendering
+    val v = spark.sql("EXPLAIN VERBOSE UPDATE stmt_upd SET bal = 0")
+      .as[String].collect().mkString("\n")
+    assert(v.contains("== Physical Plan ==") && v.contains("== Analyzed"), v)
+    // the (options) spelling parses; unknown options raise
+    spark.sql("EXPLAIN (VERBOSE, COSTS) DELETE FROM stmt_upd WHERE k = 0")
+    val e = intercept[Exception](spark.sql(
+      "EXPLAIN (WIBBLE) DELETE FROM stmt_upd WHERE k = 0"))
+    assert(e.getMessage.contains("WIBBLE") || e.getMessage.contains("wibble"))
+  }
+
+  test("EXPLAIN on the KNN idiom shows the index-pruned routed plan; " +
+      "Spark's own EXPLAIN surface delegates untouched") {
+    val q = idxFixture()
+    spark.sql("CREATE INDEX stmt_expidx ON stmt_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    try {
+      spark.conf.set("graft.ivfflat.probes", "2")
+      val knnPlan = spark.sql(
+        s"""EXPLAIN SELECT vec_id FROM stmt_emb
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 3""".stripMargin)
+        .as[String].collect().mkString("\n")
+      assert(knnPlan.contains("_graft_vindex"), knnPlan)
+      assert(knnPlan.contains("TakeOrderedAndProject"), knnPlan)
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX stmt_expidx")
+      ()
+    }
+    // plain EXPLAIN SELECT: Spark's native relation (column "plan")
+    val native = spark.sql("EXPLAIN SELECT 1 AS x")
+    assert(native.columns.toSeq == Seq("plan"))
+    // EXPLAIN ANALYZE <plain select> is ADDED syntax (Spark has none)
+    val pa = spark.sql("EXPLAIN ANALYZE SELECT 1 AS x")
+    assert(pa.columns.toSeq == Seq("query_plan"))
+    assert(pa.as[String].collect().mkString("\n").contains("Actual Rows: 1"))
+  }
+
   test("fused multi-match detection: MERGE and UPDATE...FROM run NO " +
       "extra plan-time probe job (one pass per statement)") {
     def countJobs(body: => Unit): Int = {
