@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class PgSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def plan(sqlText: String)(fallback: String => LogicalPlan): LogicalPlan = {
-    val spliced = PgStatements.splicePredict(PgSqlRewrite.rewrite(sqlText))
+    val spliced = PgStatements.spliceSequences(
+      PgStatements.splicePredict(PgSqlRewrite.rewrite(sqlText)))
     PgStatements.route(spliced).getOrElse(fallback(spliced))
   }
 

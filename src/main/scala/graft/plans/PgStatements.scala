@@ -299,6 +299,12 @@ object PgStatements {
       case ("execute", _) if st.lower(1) != "immediate" =>
         executeStmt(spark, st)
       case ("deallocate", _) => deallocateStmt(st)
+      case ("create", "sequence") => Some(createSequence(spark, st, 2))
+      case ("create", "temporary") | ("create", "temp")
+          if st.lower(2) == "sequence" =>
+        Some(createSequence(spark, st, 3))
+      case ("drop", "sequence") => Some(dropSequence(spark, st))
+      case ("alter", "sequence") => Some(alterSequence(spark, st))
       case ("create", "model") => Some(createModel(spark, st))
       case ("drop", "model") => Some(dropModel(spark, st))
       case ("explain", "model") => Some(explainModel(spark, st))
@@ -1686,9 +1692,12 @@ object PgStatements {
       var n = 0
       def rewrite(nm: String, path: String, partCol: String): String = {
         val fresh = indexPath(spark, nm)
+        // overwrite: the per-JVM path counter restarts across runs, so
+        // a fresh path can collide with a stale directory left by an
+        // earlier process under the same warehouse dir
         spark.read.parquet(path)
           .repartition(col(partCol))
-          .write.partitionBy(partCol).parquet(fresh)
+          .write.mode("overwrite").partitionBy(partCol).parquet(fresh)
         fresh
       }
       byName.toSeq.foreach {
@@ -2449,6 +2458,232 @@ object PgStatements {
       IndexCatalog.maintainAppend(spark, target, incoming)
       oneRow(spark, "command" -> "COPY FROM", "table_name" -> target)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Sequences (gram.y CreateSeqStmt / AlterSeqStmt; nextval/currval/
+  // setval/lastval). A batch engine has no transactional counter
+  // fabric, but the SESSION-scoped statement surface is deterministic:
+  // sequence calls are driver-side state advanced PER OCCURRENCE and
+  // spliced into the statement as literals (the PREDICT BY device).
+  // nextval inside a multi-row context (a top-level FROM, or
+  // UPDATE/DELETE/MERGE) is REJECTED with the row_number() guidance —
+  // a literal would assign every row the same value where PG assigns
+  // distinct ones; single-row selects, VALUES rows (one occurrence
+  // each, left-to-right like PG), and scalar setval/currval are exact.
+  // ------------------------------------------------------------------
+
+  private final case class SeqDef(inc: Long, min: Long, max: Long,
+      cycle: Boolean) {
+    var last: Option[Long] = None
+    var next: Long = _
+  }
+  private val sequencesBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, SeqDef]]()
+  private def sequences(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, SeqDef] =
+    sequencesBySession.synchronized {
+      var m = sequencesBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, SeqDef]
+        sequencesBySession.put(spark, m)
+      }
+      m
+    }
+  /** Session-level lastval (PG: most recent nextval of ANY sequence). */
+  private val lastvalBySession =
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+
+  /** Parse an optionally-signed integer literal at sig index k;
+    * returns (value, next index). */
+  private def signedLong(st: Stmt, k: Int): (Long, Int) = {
+    val (neg, p) = if (st.lower(k) == "-") (true, k + 1) else (false, k)
+    require(p < st.n && st.tok(p).kind == P && st.tok(p).text.forall(_.isDigit),
+      s"graft: expected an integer, got '${st.lower(p)}'")
+    val v = st.tok(p).text.toLong
+    (if (neg) -v else v, p + 1)
+  }
+
+  private def createSequence(spark: SparkSession, st: Stmt,
+      k0: Int): LogicalPlan = {
+    var k = k0
+    val ifNotExists = st.lower(k) == "if" && st.lower(k + 1) == "not" &&
+      st.lower(k + 2) == "exists"
+    if (ifNotExists) k += 3
+    val name = normName(st.ident(k)); k += 1
+    var inc = 1L
+    var start: Option[Long] = None
+    var minO: Option[Long] = None
+    var maxO: Option[Long] = None
+    var cycle = false
+    while (k < st.n) {
+      st.lower(k) match {
+        case "start" =>
+          k += 1; if (st.lower(k) == "with") k += 1
+          val (v, k2) = signedLong(st, k); start = Some(v); k = k2
+        case "increment" =>
+          k += 1; if (st.lower(k) == "by") k += 1
+          val (v, k2) = signedLong(st, k); inc = v; k = k2
+          require(inc != 0L, "graft: INCREMENT must not be zero")
+        case "minvalue" =>
+          val (v, k2) = signedLong(st, k + 1); minO = Some(v); k = k2
+        case "maxvalue" =>
+          val (v, k2) = signedLong(st, k + 1); maxO = Some(v); k = k2
+        case "no" if Set("minvalue", "maxvalue", "cycle")(st.lower(k + 1)) =>
+          k += 2 // the defaults
+        case "cache" => val (_, k2) = signedLong(st, k + 1); k = k2 // no-op
+        case "cycle" => cycle = true; k += 1
+        case other => throw new IllegalArgumentException(
+          s"graft: unknown CREATE SEQUENCE clause '$other'")
+      }
+    }
+    // PG defaults: ascending 1..Max starting at min; descending Min..-1
+    // starting at max
+    val asc = inc > 0
+    val min = minO.getOrElse(if (asc) 1L else Long.MinValue)
+    val max = maxO.getOrElse(if (asc) Long.MaxValue else -1L)
+    require(min <= max, s"graft: MINVALUE ($min) must be <= MAXVALUE ($max)")
+    val d = SeqDef(inc, min, max, cycle)
+    d.next = start.getOrElse(if (asc) min else max)
+    require(d.next >= min && d.next <= max,
+      s"graft: START value ${d.next} is outside [$min, $max]")
+    val existed = sequences(spark).putIfAbsent(name, d).isDefined
+    require(!existed || ifNotExists,
+      s"graft: sequence '$name' already exists")
+    oneRow(spark, "command" -> "CREATE SEQUENCE", "sequence_name" -> name)
+  }
+
+  private def dropSequence(spark: SparkSession, st: Stmt): LogicalPlan = {
+    var k = 2
+    val ifExists = st.lower(k) == "if" && st.lower(k + 1) == "exists"
+    if (ifExists) k += 2
+    val name = normName(st.ident(k))
+    val dropped = sequences(spark).remove(name).isDefined
+    require(dropped || ifExists, s"graft: sequence '$name' does not exist")
+    oneRow(spark, "command" -> "DROP SEQUENCE", "sequence_name" -> name)
+  }
+
+  /** `ALTER SEQUENCE name RESTART [WITH n]` — the one alter arm with a
+    * batch meaning; other arms error with the CREATE guidance. */
+  private def alterSequence(spark: SparkSession, st: Stmt): LogicalPlan = {
+    val name = normName(st.ident(2))
+    val d = sequences(spark).getOrElse(name, throw new IllegalArgumentException(
+      s"graft: sequence '$name' does not exist"))
+    require(st.lower(3) == "restart",
+      "graft: ALTER SEQUENCE supports RESTART [WITH n] — re-CREATE for " +
+        "other changes (a session sequence has no persistent schema)")
+    var k = 4
+    if (k < st.n && st.lower(k) == "with") k += 1
+    d.synchronized {
+      if (k < st.n) { val (v, _) = signedLong(st, k); d.next = v }
+      else d.next = if (d.inc > 0) d.min else d.max
+      d.last = None
+    }
+    oneRow(spark, "command" -> "ALTER SEQUENCE", "sequence_name" -> name)
+  }
+
+  private def seqFor(spark: SparkSession, name: String): SeqDef =
+    sequences(spark).getOrElse(normName(name),
+      throw new IllegalArgumentException(
+        s"graft: sequence '$name' does not exist"))
+
+  private def nextvalOf(spark: SparkSession, name: String): Long = {
+    val d = seqFor(spark, name)
+    d.synchronized {
+      val v = d.next
+      if (v < d.min || v > d.max) // only reachable without CYCLE
+        throw new IllegalStateException(s"graft: nextval: reached " +
+          s"${if (d.inc > 0) "maximum" else "minimum"} value of sequence '$name'")
+      val candidate = v + d.inc
+      d.next =
+        if (candidate < d.min || candidate > d.max) {
+          if (d.cycle) { if (d.inc > 0) d.min else d.max } else candidate
+        } else candidate
+      d.last = Some(v)
+      lastvalBySession.synchronized {
+        lastvalBySession.put(spark, java.lang.Long.valueOf(v)); ()
+      }
+      v
+    }
+  }
+
+  /**
+   * Splice sequence function calls into literals, advancing the
+   * session counters per occurrence (left-to-right, PG's evaluation
+   * order for VALUES lists). Identity when no sequence function
+   * appears. Runs BEFORE routing, like [[splicePredict]].
+   */
+  def spliceSequences(sqlText: String): String = {
+    val low = sqlText.toLowerCase(java.util.Locale.ROOT)
+    if (!low.contains("nextval") && !low.contains("currval") &&
+        !low.contains("setval") && !low.contains("lastval")) return sqlText
+    val st = new Stmt(lex(sqlText))
+    if (st.n == 0) return sqlText
+    // a PREPARE body evaluates sequence calls at EXECUTE time (PG
+    // semantics) — EXECUTE re-enters the pipeline, which splices then
+    if (st.lower(0) == "prepare") return sqlText
+    val spark = SparkSession.active
+    // a literal nextval in a multi-row context silently assigns every
+    // row the SAME value where PG assigns distinct ones — reject
+    lazy val multiRow = Set("update", "delete", "merge")(st.lower(0)) ||
+      (0 until st.n).exists(p => st.depth(p) == 0 && st.lower(p) == "from")
+    val seqFns = Set("nextval", "currval", "setval", "lastval")
+    val repls = ArrayBuffer.empty[(Int, Int, String)]
+    var p = 0
+    while (p < st.n) {
+      if (st.tok(p).kind == ID && seqFns(st.lower(p)) &&
+          p + 1 < st.n && st.lower(p + 1) == "(") {
+        val e = st.matching(p + 1)
+        val args = if (e - 1 <= p + 2) Seq.empty
+          else st.splitCommas(p + 2, e - 1)
+        def nameArg: String = {
+          require(args.nonEmpty && st.tok(args.head._1).kind == STR,
+            s"graft: ${st.lower(p)} expects a quoted sequence name")
+          st.tok(args.head._1).text.stripPrefix("'").stripSuffix("'")
+            .replace("''", "'")
+        }
+        val value: Long = st.lower(p) match {
+          case "nextval" =>
+            require(!multiRow,
+              "graft: nextval() in a multi-row statement is not supported " +
+                "on a batch engine (each row would receive the SAME spliced " +
+                "value) — assign ids with row_number() OVER (...) and " +
+                "advance the sequence with setval()")
+            nextvalOf(spark, nameArg)
+          case "currval" =>
+            val d = seqFor(spark, nameArg)
+            d.synchronized(d.last).getOrElse(
+              throw new IllegalStateException(
+                s"graft: currval of sequence '$nameArg' is not yet defined " +
+                  "in this session"))
+          case "lastval" =>
+            require(args.isEmpty, "graft: lastval() takes no arguments")
+            lastvalBySession.synchronized(
+              Option(lastvalBySession.get(spark))).map(_.longValue).getOrElse(
+              throw new IllegalStateException(
+                "graft: lastval is not yet defined in this session"))
+          case "setval" =>
+            require(args.length == 2 || args.length == 3,
+              "graft: setval expects (name, value[, is_called])")
+            val name = nameArg
+            val (v, _) = signedLong(st, args(1)._1)
+            val isCalled =
+              if (args.length == 3) st.lower(args(2)._1) == "true" else true
+            val d = seqFor(spark, name)
+            require(v >= d.min && v <= d.max,
+              s"graft: setval value $v is outside [${d.min}, ${d.max}]")
+            d.synchronized {
+              d.next = if (isCalled) v + d.inc else v
+              d.last = if (isCalled) Some(v) else None
+            }
+            v
+        }
+        repls += ((p, e, s"CAST($value AS BIGINT)"))
+        p = e
+      } else p += 1
+    }
+    if (repls.isEmpty) sqlText else st.splice(repls.toSeq)
   }
 
   /**

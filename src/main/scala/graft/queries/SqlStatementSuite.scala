@@ -136,6 +136,9 @@ object SqlStatementSuite {
        |FROM $table ORDER BY embedding <-> '$q'::vector, vec_id
        |LIMIT $k""".stripMargin
 
+  val createSequenceStmt: String =
+    "CREATE SEQUENCE gate_seq START WITH 5 INCREMENT BY 3"
+
   val createVacIndexStmt: String =
     "CREATE INDEX vidx_vac ON vac_emb USING ivfflat " +
       "(embedding vector_l2_ops) WITH (lists = 16)"
@@ -157,6 +160,8 @@ object SqlStatementSuite {
   def statements: Seq[String] = Seq(recursiveStmt, mergeStmt, connectByStmt,
     explainUpdateStmt, explainDeleteStmt,
     createVacIndexStmt, vacInsertStmt("/tmp/placeholder", 1), vacuumStmt,
+    createSequenceStmt, "SELECT nextval('gate_seq') AS v",
+    "SELECT setval('gate_seq', 100) AS v", "DROP SEQUENCE gate_seq",
     updatePlainStmt, updateFromStmt, deletePlainStmt, deleteUsingStmt,
     insertValuesStmt, insertColsStmt, insertSelectStmt,
     "TRUNCATE TABLE t_target",
@@ -591,6 +596,26 @@ object SqlStatementSuite {
       out
     }),
 
+    // ---- C117: sequences (gram.y CreateSeqStmt; nextval/currval/
+    // setval) — session counters spliced as literals, deterministic
+    // by construction; the expected values are pure arithmetic over
+    // START/INCREMENT, so the oracle pins them as constants ----
+    "sql_sequence" -> ((s, dir) => {
+      s.sql("DROP SEQUENCE IF EXISTS gate_seq")
+      s.sql(createSequenceStmt)
+      def one(q: String): Long = s.sql(q).head().getLong(0)
+      val rows = Seq(
+        ("n1", one("SELECT nextval('gate_seq') AS v")),
+        ("n2", one("SELECT nextval('gate_seq') AS v")),
+        ("n3_currval", one("SELECT currval('gate_seq') AS v")),
+        ("n4_setval", one("SELECT setval('gate_seq', 100) AS v")),
+        ("n5", one("SELECT nextval('gate_seq') AS v")))
+      s.sql("DROP SEQUENCE gate_seq")
+      val spark2 = s
+      import spark2.implicits._
+      rows.toDF("tag", "val").transform(Gate.ordered(_, "tag"))
+    }),
+
     // ---- C116: VACUUM as small-file compaction (gram.y VacuumStmt) —
     // three INSERT batches grow the IVF index's partitioned parquet
     // with small per-list appends, VACUUM rewrites it coalesced (one
@@ -890,6 +915,16 @@ object SqlStatementSuite {
     "sql_copy" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
         |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
+
+    // pure START/INCREMENT arithmetic: 5, 8, currval 8, setval 100,
+    // then 103 — pinned as constants (what any PG engine returns for
+    // this exact statement sequence)
+    "sql_sequence" ->
+      """SELECT * FROM (VALUES
+        |  ('n1', CAST(5 AS BIGINT)), ('n2', CAST(8 AS BIGINT)),
+        |  ('n3_currval', CAST(8 AS BIGINT)), ('n4_setval', CAST(100 AS BIGINT)),
+        |  ('n5', CAST(103 AS BIGINT))) AS t(tag, val)
+        |ORDER BY tag""".stripMargin,
 
     // post-VACUUM full probe == exact over base + the three appended
     // batches, recomputed closed-form (the sql_create_index shape)

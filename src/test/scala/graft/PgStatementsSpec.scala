@@ -1544,6 +1544,72 @@ class PgStatementsSpec extends SparkSpec {
     }
   }
 
+  test("sequences: CREATE/ALTER/DROP SEQUENCE + nextval/currval/" +
+      "setval/lastval splice as session counters") {
+    spark.sql("DROP SEQUENCE IF EXISTS stmt_seq")
+    spark.sql("CREATE SEQUENCE stmt_seq START WITH 5 INCREMENT BY 3")
+    assert(spark.sql("SELECT nextval('stmt_seq') AS v").as[Long].head() == 5L)
+    assert(spark.sql("SELECT nextval('stmt_seq') AS v").as[Long].head() == 8L)
+    assert(spark.sql("SELECT currval('stmt_seq') AS v").as[Long].head() == 8L)
+    assert(spark.sql("SELECT lastval() AS v").as[Long].head() == 8L)
+    // setval: is_called=true default (next = v + inc); false (next = v)
+    assert(spark.sql("SELECT setval('stmt_seq', 100) AS v").as[Long].head() == 100L)
+    assert(spark.sql("SELECT nextval('stmt_seq') AS v").as[Long].head() == 103L)
+    spark.sql("SELECT setval('stmt_seq', 50, false)")
+    assert(spark.sql("SELECT nextval('stmt_seq') AS v").as[Long].head() == 50L)
+    // several occurrences in ONE statement advance left-to-right
+    val two = spark.sql(
+      "SELECT nextval('stmt_seq') AS a, nextval('stmt_seq') AS b").head()
+    assert(two.getLong(0) == 53L && two.getLong(1) == 56L)
+    // VALUES rows: one occurrence each, distinct ids
+    Seq((0L, "seed")).toDF("id", "s").createOrReplaceTempView("stmt_seq_t")
+    spark.sql("INSERT INTO stmt_seq_t VALUES (nextval('stmt_seq'), 'x'), " +
+      "(nextval('stmt_seq'), 'y')")
+    assert(spark.table("stmt_seq_t").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((0L, "seed"), (59L, "x"), (62L, "y")))
+    // multi-row contexts REJECT nextval (a literal would clone the id)
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT nextval('stmt_seq') FROM stmt_seq_t"))
+    assert(e1.getMessage.contains("row_number"))
+    val e2 = intercept[Exception](spark.sql(
+      "UPDATE stmt_seq_t SET id = nextval('stmt_seq')"))
+    assert(e2.getMessage.contains("row_number"))
+    // ALTER ... RESTART; cycle + overrun semantics
+    spark.sql("ALTER SEQUENCE stmt_seq RESTART WITH 7")
+    assert(spark.sql("SELECT nextval('stmt_seq') AS v").as[Long].head() == 7L)
+    spark.sql("CREATE SEQUENCE stmt_cyc MAXVALUE 2 CYCLE")
+    assert(spark.sql("SELECT nextval('stmt_cyc') AS v").as[Long].head() == 1L)
+    assert(spark.sql("SELECT nextval('stmt_cyc') AS v").as[Long].head() == 2L)
+    assert(spark.sql("SELECT nextval('stmt_cyc') AS v").as[Long].head() == 1L)
+    spark.sql("CREATE SEQUENCE stmt_lim MAXVALUE 1")
+    spark.sql("SELECT nextval('stmt_lim')")
+    val e3 = intercept[Exception](spark.sql("SELECT nextval('stmt_lim')"))
+    assert(e3.getMessage.contains("maximum"))
+    // PREPARE bodies evaluate at EXECUTE time (fresh value per EXECUTE)
+    spark.sql("PREPARE stmt_seq_p AS SELECT nextval('stmt_seq') AS v")
+    val x1 = spark.sql("EXECUTE stmt_seq_p").as[Long].head()
+    val x2 = spark.sql("EXECUTE stmt_seq_p").as[Long].head()
+    assert(x2 == x1 + 3)
+    spark.sql("DEALLOCATE stmt_seq_p")
+    // session scoping: a new session sees neither the sequence nor
+    // lastval; unknown names error with PG's wording
+    val other = spark.newSession()
+    val e4 = intercept[Exception](other.sql("SELECT nextval('stmt_seq')"))
+    assert(e4.getMessage.contains("does not exist"))
+    val e5 = intercept[Exception](other.sql("SELECT lastval()"))
+    assert(e5.getMessage.contains("not yet defined"))
+    // lifecycle
+    spark.sql("DROP SEQUENCE stmt_cyc")
+    spark.sql("DROP SEQUENCE IF EXISTS stmt_cyc") // no throw
+    val e6 = intercept[Exception](spark.sql("DROP SEQUENCE stmt_cyc"))
+    assert(e6.getMessage.contains("does not exist"))
+    spark.sql("DROP SEQUENCE stmt_seq")
+    spark.sql("DROP SEQUENCE stmt_lim")
+    // a 'nextval' inside a string literal never splices
+    assert(spark.sql("SELECT 'call nextval(''s'')' AS s").as[String].head()
+      == "call nextval('s')")
+  }
+
   test("VACUUM compacts append-grown index parquet: file count drops, " +
       "results bit-identical, reader pruning intact") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
