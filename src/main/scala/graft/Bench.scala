@@ -64,6 +64,8 @@ object Bench {
     "sql_merge", "sql_connect_by",
     // statement-level DML + opclass access paths (r18)
     "sql_update", "sql_ip_index", "sql_sparsevec_index",
+    // statement maintenance + introspection verbs (r19)
+    "sql_explain_dml", "sql_sequence",
     // storage introspection + foreign files (r15 families, sub-second)
     "storage_stats", "file_fdw",
     // dbmind additions (r16)
@@ -310,30 +312,46 @@ object Bench {
         val m = """"value":([0-9.]+)""".r.findFirstMatchIn(s)
         m.map(_.group(1).toDouble)
       } catch { case scala.util.control.NonFatal(_) => None }
-    val committedN: Option[Int] =
+    // per-query medians of the committed artifact — the regression
+    // comparison runs over the INTERSECTION of query names (r19, per
+    // the r18 advice: a set-change waiver let a round that added 3
+    // queries ratchet the anchor +12.8% on the 70 shared queries; the
+    // shared set is always comparable, so compare it)
+    val committedQueries: Map[String, Double] =
       try {
         val s = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(outPath)), "UTF-8")
-        val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s)
-        m.map(_.group(1).count(_ == ':'))
-      } catch { case scala.util.control.NonFatal(_) => None }
+        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map { m =>
+          """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val medTotal = names.map(n => med(reps(n))).filter(_ >= 0).sum
     // QUIET is always required (r17 verdict closed the set-change
     // loophole: a round that adds queries must not land a contended
-    // run as the new anchor). A changed query set only waives the
-    // total-vs-committed comparison; with no committed artifact at
-    // all, accept (there is nothing to protect and a later quiet run
-    // supersedes via the total rule).
-    val setChanged = committedN.exists(_ != names.size)
-    val accept = committedTotal.isEmpty ||
-      (contendedQs.isEmpty &&
-        (setChanged || medTotal <= committedTotal.get * 1.05))
+    // run as the new anchor). With no committed artifact (or one
+    // without parseable per-query medians), fall back to the total
+    // rule; otherwise the shared-set sums decide — a set change never
+    // waives the comparison. (The artifact always carries ONLY this
+    // run's own measurements — no min-merging of past medians, which
+    // would fabricate timings no single run produced.)
+    val sharedNames = names.filter(n =>
+      committedQueries.contains(n) && med(reps(n)) >= 0 &&
+        committedQueries(n) >= 0)
+    val candShared = sharedNames.map(n => med(reps(n))).sum
+    val commShared = sharedNames.map(committedQueries).sum
+    val accept =
+      if (committedTotal.isEmpty) true
+      else if (contendedQs.nonEmpty) false
+      else if (sharedNames.nonEmpty) candShared <= commShared * 1.05
+      else medTotal <= committedTotal.get * 1.05
     if (accept) writeTo(outPath, fileLine)
     else {
       writeTo(contendedPath, fileLine)
-      System.err.println(s"[bench] REJECTED RUN (spread > max(median, 0.3s) " +
-        s"on [${contendedQs.mkString(", ")}] or total $medTotal worse than " +
-        s"committed ${committedTotal.get}) — artifact written to " +
+      System.err.println(f"[bench] REJECTED RUN (spread > max(median, 0.3s) " +
+        s"on [${contendedQs.mkString(", ")}] or shared-set total " +
+        f"$candShared%.2f (${sharedNames.size} queries) worse than " +
+        f"committed $commShared%.2f) — artifact written to " +
         s"$contendedPath; $outPath left untouched")
     }
     try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(runPath))

@@ -234,6 +234,12 @@ class PgStatementsSpec extends SparkSpec {
       "WHERE t.k = s.k")
     assert(spark.table("stmt_upd").filter(col("k") === 2L)
       .as[(Long, String, Double)].head()._3 == expectPick)
+    // a parenthesized subquery source works (its columns feed the
+    // fused hash pick through schema-only resolution)
+    spark.sql("UPDATE stmt_upd t SET bal = s.nb * 10 FROM " +
+      "(SELECT k, nb FROM stmt_upd_multi WHERE nb > 6.0) s WHERE t.k = s.k")
+    assert(spark.table("stmt_upd").filter(col("k") === 2L)
+      .as[(Long, String, Double)].head()._3 == 70.0)
   }
 
   test("UPDATE matches Upsert-style recomputation and keeps temp-view " +
