@@ -540,18 +540,23 @@ object PgStatements {
     val errMsg = "graft: MERGE command cannot affect row a second time - " +
       "a target row is matched by more than one acting source row " +
       "(openGauss/PostgreSQL MergeStmt semantics)"
+    // ONE window spec for all three functions (same partition + order
+    // → Catalyst plans a single Window node over the one sort the
+    // row_number needs anyway); the aggregates pin the full-partition
+    // frame explicitly since an ORDER BY would otherwise make them
+    // running
+    val wholePart = s"OVER (PARTITION BY $pk ORDER BY $tAlias.__graft_tid " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     val keep =
       s"""(assert_true(
-         |    sum(CASE WHEN $acting THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY $pk) <= 1, '$errMsg') IS NULL)
+         |    sum(CASE WHEN $acting THEN 1 ELSE 0 END) $wholePart <= 1,
+         |    '$errMsg') IS NULL)
          |  AND NOT ($isMatched AND ($delLadder))
          |  AND NOT ($isSrcOnly AND NOT ($insLadder))
          |  AND (NOT $isMatched
-         |    OR count(CASE WHEN $isMatched THEN 1 END)
-         |         OVER (PARTITION BY $pk) <= 1
+         |    OR count(CASE WHEN $isMatched THEN 1 END) $wholePart <= 1
          |    OR $acting
-         |    OR (sum(CASE WHEN $acting THEN 1 ELSE 0 END)
-         |          OVER (PARTITION BY $pk) = 0
+         |    OR (sum(CASE WHEN $acting THEN 1 ELSE 0 END) $wholePart = 0
          |        AND row_number() OVER (PARTITION BY $pk
          |          ORDER BY $tAlias.__graft_tid) = 1))""".stripMargin
     val gen =
@@ -890,8 +895,18 @@ object PgStatements {
       }
     }
     if (k >= st.n) return None
-    val innerText = st.text(k, st.n)
-    val ist = new Stmt(lex(innerText))
+    val innerText0 = st.text(k, st.n)
+    val ist0 = new Stmt(lex(innerText0))
+    // EXPLAIN EXECUTE plans the $n-SUBSTITUTED body (PG ExplainStmt
+    // accepts ExecuteStmt) — resolve it first so a prepared DML takes
+    // the no-execute path below like a direct one
+    val (innerText, ist) =
+      if (ist0.lower(0) == "execute" && ist0.lower(1) != "immediate")
+        substituteExecute(spark, ist0) match {
+          case Some(t) => (t, new Stmt(lex(t)))
+          case None => return None // unknown name: Spark's error path
+        }
+      else (innerText0, ist0)
     val mode = if (verbose) "extended" else "simple"
     def render(lines: Seq[String]): LogicalPlan = {
       import spark.implicits._
@@ -1003,7 +1018,13 @@ object PgStatements {
     Some(oneRow(spark, "command" -> "PREPARE", "name" -> name))
   }
 
-  private def executeStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+  private def executeStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] =
+    substituteExecute(spark, st).map(t => Bridge.logicalPlan(spark.sql(t)))
+
+  /** Resolve an EXECUTE statement to its $n-substituted body WITHOUT
+    * running it — shared by [[executeStmt]] and `EXPLAIN EXECUTE`. */
+  private def substituteExecute(spark: SparkSession,
+      st: Stmt): Option[String] = {
     val name = st.ident(1)
     val body = preparedStmts(spark).getOrElse(normName(name), return None)
     val args: Seq[String] =
@@ -1027,7 +1048,7 @@ object PgStatements {
         p += 2
       } else p += 1
     }
-    Some(Bridge.logicalPlan(spark.sql(b.splice(repls.toSeq))))
+    Some(b.splice(repls.toSeq))
   }
 
   private def deallocateStmt(st: Stmt): Option[LogicalPlan] = {

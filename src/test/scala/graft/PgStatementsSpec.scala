@@ -148,6 +148,13 @@ class PgStatementsSpec extends SparkSpec {
         |WHEN MATCHED AND s.v >= 2.0 THEN UPDATE SET bal = s.v""".stripMargin)
     assert(spark.table("stmt_dup_tgt").orderBy("k")
       .as[(Long, Double)].collect().toSeq == Seq((1L, 2.0), (2L, 3.0)))
+    // duplicate matches where NO pair acts emit the target row exactly
+    // ONCE, unchanged (the pair-wise join would emit one per pair)
+    spark.sql(
+      """MERGE INTO stmt_dup_tgt t USING stmt_dup_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v > 99.0 THEN UPDATE SET bal = s.v""".stripMargin)
+    assert(spark.table("stmt_dup_tgt").orderBy("k")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 2.0), (2L, 3.0)))
   }
 
   test("MERGE SET with an unparenthesized CASE ... WHEN ... END parses") {
@@ -1712,6 +1719,16 @@ class PgStatementsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       "EXPLAIN (WIBBLE) DELETE FROM stmt_upd WHERE k = 0"))
     assert(e.getMessage.contains("WIBBLE") || e.getMessage.contains("wibble"))
+    // EXPLAIN EXECUTE plans the substituted body; a prepared DML body
+    // takes the no-execute path like a direct one
+    dmlFixture()
+    spark.sql("PREPARE stmt_exp_pu AS UPDATE stmt_upd SET bal = bal + $1")
+    val pe = spark.sql("EXPLAIN EXECUTE stmt_exp_pu (5.0)")
+      .as[String].collect().mkString("\n")
+    assert(pe.contains("== Physical Plan =="), pe)
+    assert(spark.table("stmt_upd").filter(col("k") === 1L)
+      .head().getDouble(2) == 10.0) // NOT executed
+    spark.sql("DEALLOCATE stmt_exp_pu")
   }
 
   test("EXPLAIN on the KNN idiom shows the index-pruned routed plan; " +
