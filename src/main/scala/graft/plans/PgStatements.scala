@@ -277,7 +277,7 @@ object PgStatements {
     // the PgSqlRewrite spellings of <-> <=> <#> <+> <~> <%>
     "pg_dist_arrow", "pg_cosine_or_eq", "negative_inner_product",
     "l1_distance", "hamming_distance", "jaccard_distance",
-    "vacuum", "sequence", "explain")
+    "vacuum", "sequence", "explain", "show")
 
   /** Route a statement onto an engine; None = not ours (delegate). */
   def route(sqlText: String): Option[LogicalPlan] = {
@@ -295,6 +295,7 @@ object PgStatements {
       case ("truncate", _) => truncateStmt(spark, st)
       case ("analyze", _) | ("analyse", _) => analyzeStmt(spark, st)
       case ("vacuum", _) if st.n > 1 => vacuumStmt(spark, st)
+      case ("show", _) if st.n > 1 => showStmt(spark, st)
       case ("prepare", _) if st.lower(1) != "" => prepareStmt(st)
       case ("execute", _) if st.lower(1) != "immediate" =>
         executeStmt(spark, st)
@@ -838,6 +839,49 @@ object PgStatements {
     if (analyze) analyzeStmt(spark, new Stmt(lex(s"ANALYZE $target")))
     else Some(oneRow(spark, "command" -> "VACUUM", "table_name" -> target,
       "indexes_rewritten" -> rewritten.toString))
+  }
+
+  /** Spark's own SHOW grammar heads — these always delegate. */
+  private val sparkShowForms = Set("tables", "table", "databases",
+    "namespaces", "schemas", "columns", "functions", "views",
+    "partitions", "tblproperties", "create", "catalogs", "current")
+
+  /**
+   * `SHOW <guc>` / `SHOW TIME ZONE` / `SHOW ALL` (gram.y
+   * VariableShowStmt) — the read half of the GUC surface whose write
+   * half already works verbatim (`SET ivfflat.probes = 4` lands in the
+   * session conf through Spark's native SET). `SHOW name` returns the
+   * one-row one-column relation PG returns (column named after the
+   * variable); `TIME ZONE` maps to the session timezone; `SHOW ALL`
+   * renders the session conf sorted (PG's three-column shape with a
+   * NULL description). Spark's own SHOW forms (TABLES/COLUMNS/...)
+   * delegate untouched, as does an unset un-dotted name — only a
+   * DOTTED unknown (unambiguously GUC-shaped) raises PG's
+   * "unrecognized configuration parameter".
+   */
+  private def showStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    if (sparkShowForms(st.lower(1))) return None
+    import spark.implicits._
+    if (st.lower(1) == "all" && st.n == 2) {
+      val rows = spark.conf.getAll.toSeq.sortBy(_._1)
+        .map { case (k, v) => (k, v, null: String) }
+      return Some(Bridge.logicalPlan(
+        rows.toDF("name", "setting", "description")))
+    }
+    val name = st.text(1, st.n).toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+    val (key, colName) =
+      if (name == "time zone" || name == "timezone")
+        ("spark.sql.session.timeZone", "TimeZone")
+      else (name, name)
+    spark.conf.getOption(key) match {
+      case Some(v) =>
+        Some(Bridge.logicalPlan(Seq(v).toDF(colName)))
+      case None if name.contains(".") =>
+        throw new IllegalArgumentException(
+          s"""graft: unrecognized configuration parameter "$name"""")
+      case None => None // could be Spark SHOW syntax we don't know: delegate
+    }
   }
 
   // ------------------------------------------------------------------

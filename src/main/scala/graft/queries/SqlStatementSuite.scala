@@ -162,6 +162,7 @@ object SqlStatementSuite {
     createVacIndexStmt, vacInsertStmt("/tmp/placeholder", 1), vacuumStmt,
     createSequenceStmt, "SELECT nextval('gate_seq') AS v",
     "SELECT setval('gate_seq', 100) AS v", "DROP SEQUENCE gate_seq",
+    "SHOW ivfflat.probes", "SHOW TIME ZONE",
     updatePlainStmt, updateFromStmt, deletePlainStmt, deleteUsingStmt,
     insertValuesStmt, insertColsStmt, insertSelectStmt,
     "TRUNCATE TABLE t_target",
@@ -596,6 +597,21 @@ object SqlStatementSuite {
       out
     }),
 
+    // ---- C118: SHOW (gram.y VariableShowStmt) — the read half of
+    // the GUC surface whose write half (SET ivfflat.probes) already
+    // lands verbatim in the session conf; SHOW TIME ZONE maps to the
+    // session timezone ----
+    "sql_show" -> ((s, dir) => {
+      s.sql("SET ivfflat.probes = 7")
+      val probes = s.sql("SHOW ivfflat.probes").head().getString(0)
+      s.conf.unset("ivfflat.probes")
+      val tz = s.sql("SHOW TIME ZONE").head().getString(0)
+      val spark2 = s
+      import spark2.implicits._
+      Seq(("probes", probes), ("timezone", tz)).toDF("tag", "setting")
+        .transform(Gate.ordered(_, "tag"))
+    }),
+
     // ---- C117: sequences (gram.y CreateSeqStmt; nextval/currval/
     // setval) — session counters spliced as literals, deterministic
     // by construction; the expected values are pure arithmetic over
@@ -915,6 +931,12 @@ object SqlStatementSuite {
     "sql_copy" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
         |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
+
+    // the set knob read back + the session timezone every gate runs
+    // under — constants by construction
+    "sql_show" ->
+      """SELECT * FROM (VALUES ('probes', '7'), ('timezone', 'UTC'))
+        |AS t(tag, setting) ORDER BY tag""".stripMargin,
 
     // pure START/INCREMENT arithmetic: 5, 8, currval 8, setval 100,
     // then 103 — pinned as constants (what any PG engine returns for

@@ -1683,6 +1683,29 @@ class PgStatementsSpec extends SparkSpec {
     }
   }
 
+  test("SHOW reads the GUC surface whose SET half already works " +
+      "verbatim; Spark's own SHOW forms delegate") {
+    spark.sql("SET ivfflat.probes = 7")
+    try {
+      val df = spark.sql("SHOW ivfflat.probes")
+      assert(df.columns.toSeq == Seq("ivfflat.probes"))
+      assert(df.head().getString(0) == "7")
+      assert(spark.sql("SHOW TIME ZONE").head().getString(0) == "UTC")
+      val all = spark.sql("SHOW ALL")
+      assert(all.columns.toSeq == Seq("name", "setting", "description"))
+      assert(all.filter(col("name") === "ivfflat.probes")
+        .head().getString(1) == "7")
+    } finally { spark.conf.unset("ivfflat.probes"); () }
+    // Spark's own SHOW surface is untouched
+    assert(spark.sql("SHOW TABLES").columns.contains("tableName"))
+    // a DOTTED unknown is unambiguously GUC-shaped → PG's error; an
+    // un-dotted unknown delegates to Spark's parser
+    val e = intercept[Exception](spark.sql("SHOW graft.no_such_knob"))
+    assert(e.getMessage.contains("unrecognized configuration parameter"))
+    val e2 = intercept[Exception](spark.sql("SHOW wibble_zzz"))
+    assert(!e2.getMessage.contains("graft:"))
+  }
+
   test("EXPLAIN over routed DML renders the rewritten plan WITHOUT " +
       "executing; EXPLAIN ANALYZE executes and reports actual rows") {
     dmlFixture()
