@@ -277,7 +277,7 @@ object PgStatements {
     // the PgSqlRewrite spellings of <-> <=> <#> <+> <~> <%>
     "pg_dist_arrow", "pg_cosine_or_eq", "negative_inner_product",
     "l1_distance", "hamming_distance", "jaccard_distance",
-    "vacuum", "sequence", "explain", "show")
+    "vacuum", "sequence", "explain", "show", "cluster")
 
   /** Route a statement onto an engine; None = not ours (delegate). */
   def route(sqlText: String): Option[LogicalPlan] = {
@@ -296,6 +296,7 @@ object PgStatements {
       case ("analyze", _) | ("analyse", _) => analyzeStmt(spark, st)
       case ("vacuum", _) if st.n > 1 => vacuumStmt(spark, st)
       case ("show", _) if st.n > 1 => showStmt(spark, st)
+      case ("cluster", _) if st.n > 1 => clusterStmt(spark, st)
       case ("prepare", _) if st.lower(1) != "" => prepareStmt(st)
       case ("execute", _) if st.lower(1) != "immediate" =>
         executeStmt(spark, st)
@@ -839,6 +840,76 @@ object PgStatements {
     if (analyze) analyzeStmt(spark, new Stmt(lex(s"ANALYZE $target")))
     else Some(oneRow(spark, "command" -> "VACUUM", "table_name" -> target,
       "indexes_rewritten" -> rewritten.toString))
+  }
+
+  /** PG remembers which index a table was last CLUSTERed by (bare
+    * `CLUSTER t` re-uses it) — index NAME per table. */
+  private val clusteredBy =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Last cluster-rewrite parquet per table (deleted on re-cluster). */
+  private val clusterPathByTable =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /**
+   * `CLUSTER [VERBOSE] t [USING idx]` (gram.y ClusterStmt) — PG
+   * rewrites the table ON DISK in index order; the batch analogue is
+   * exactly that: the view's rows are assigned to the vector index's
+   * coarse quantizer lists (the index's own geometry — space
+   * transform + nearest centroid), REWRITTEN to parquet repartitioned
+   * and sorted by list, and the view re-registered over the clustered
+   * files. Same-list rows (near neighbors) become physically
+   * co-located, so downstream exact scans and file-level min/max
+   * skipping on correlated columns improve — the locality win PG's
+   * CLUSTER buys, without touching results (content identical, so
+   * existing indexes stay VALID, like PG). Bare `CLUSTER t` re-uses
+   * the remembered index (PG raises "there is no previously clustered
+   * index" otherwise — so do we).
+   */
+  private def clusterStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
+    var k = 1
+    if (st.lower(k) == "verbose") k += 1
+    if (k >= st.n || st.tok(k).kind != ID) return None // bare CLUSTER etc.
+    val target = st.ident(k); k += 1
+    if (!isTempView(spark, target)) return None
+    val idxName: String =
+      if (k < st.n && st.lower(k) == "using") normName(st.ident(k + 1))
+      else clusteredBy.getOrElse(normName(target),
+        throw new IllegalArgumentException(
+          s"graft: there is no previously clustered index for table " +
+            s"'$target' — use CLUSTER $target USING <index>"))
+    val idx = IndexCatalog.get(idxName).filter(i =>
+        normName(i.table) == normName(target)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: index '$idxName' does not exist on table '$target'"))
+    val cur = spark.table(target)
+    val cid = "__graft_cluster_list"
+    val sc = "__graft_space"
+    def viaIvf(column: String, space: String, aug: Double,
+        model: Ivf.Model): DataFrame =
+      Ivf.assign(cur.withColumn(sc, spaceColumn(space, col(column), aug)),
+          sc, model)
+        .withColumnRenamed("list_id", cid).drop(sc)
+    val assigned = idx match {
+      case i: IndexCatalog.IvfIdx => viaIvf(i.column, i.space, i.aug, i.model)
+      case h: IndexCatalog.HnswIdx => viaIvf(h.column, h.space, h.aug, h.model)
+      case b: IndexCatalog.BitIvfIdx =>
+        IvfBit.assign(cur, b.column, b.model).withColumnRenamed("list_id", cid)
+    }
+    val root = spark.conf.getOption("graft.index.dir").getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir") + "/_graft_cluster")
+    val path =
+      s"$root/${target.toLowerCase(java.util.Locale.ROOT)}_${viewSeq.incrementAndGet()}"
+    // one task per list (repartition on the list key) → same-list rows
+    // land contiguously in one file, sorted runs within it
+    assigned.repartition(col(cid)).sortWithinPartitions(cid)
+      .drop(cid)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView(target)
+    clusteredBy(normName(target)) = idxName
+    clusterPathByTable.put(normName(target), path)
+      .filter(_ != path).foreach(deletePath(spark, _))
+    Some(oneRow(spark, "command" -> "CLUSTER", "table_name" -> target,
+      "index_name" -> idxName))
   }
 
   /** Spark's own SHOW grammar heads — these always delegate. */
@@ -1667,6 +1738,7 @@ object PgStatements {
       ()
     }
     def drop(name: String): Option[Idx] = byName.remove(norm(name))
+    def get(name: String): Option[Idx] = byName.get(norm(name))
     def forTable(table: String, column: String, op: String): Option[Idx] =
       // deterministic when several indexes cover the same column:
       // lowest index name wins (PG's planner would cost them; a batch

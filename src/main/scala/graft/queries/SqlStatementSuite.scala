@@ -139,6 +139,12 @@ object SqlStatementSuite {
   val createSequenceStmt: String =
     "CREATE SEQUENCE gate_seq START WITH 5 INCREMENT BY 3"
 
+  val createClusterIndexStmt: String =
+    "CREATE INDEX vidx_cl ON cl_emb USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 16)"
+
+  val clusterStmtText: String = "CLUSTER cl_emb USING vidx_cl"
+
   val createVacIndexStmt: String =
     "CREATE INDEX vidx_vac ON vac_emb USING ivfflat " +
       "(embedding vector_l2_ops) WITH (lists = 16)"
@@ -163,6 +169,7 @@ object SqlStatementSuite {
     createSequenceStmt, "SELECT nextval('gate_seq') AS v",
     "SELECT setval('gate_seq', 100) AS v", "DROP SEQUENCE gate_seq",
     "SHOW ivfflat.probes", "SHOW TIME ZONE",
+    createClusterIndexStmt, clusterStmtText,
     updatePlainStmt, updateFromStmt, deletePlainStmt, deleteUsingStmt,
     insertValuesStmt, insertColsStmt, insertSelectStmt,
     "TRUNCATE TABLE t_target",
@@ -597,6 +604,29 @@ object SqlStatementSuite {
       out
     }),
 
+    // ---- C119: CLUSTER (gram.y ClusterStmt) — PG rewrites the table
+    // on disk in index order; here the view's rows are rewritten to
+    // parquet co-located by the IVF index's coarse lists (the index's
+    // own geometry), content-invariant — the full-probe KNN after
+    // CLUSTER must be exact, recomputed closed-form ----
+    "sql_cluster" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      emb.createOrReplaceTempView("cl_emb")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).mkString("[", ",", "]")
+      s.sql("DROP INDEX IF EXISTS vidx_cl")
+      s.sql(createClusterIndexStmt)
+      s.sql(clusterStmtText)
+      s.conf.set("graft.ivfflat.probes", "16") // full probe: exact
+      val out = s.sql(
+        s"""SELECT vec_id, round(embedding <-> '$q'::vector, 6) AS dist
+           |FROM cl_emb ORDER BY embedding <-> '$q'::vector, vec_id
+           |LIMIT 10""".stripMargin)
+      s.conf.unset("graft.ivfflat.probes")
+      out
+    }),
+
     // ---- C118: SHOW (gram.y VariableShowStmt) — the read half of
     // the GUC surface whose write half (SET ivfflat.probes) already
     // lands verbatim in the session conf; SHOW TIME ZONE maps to the
@@ -931,6 +961,14 @@ object SqlStatementSuite {
     "sql_copy" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
         |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
+
+    // CLUSTER is content-invariant: the post-CLUSTER full-probe KNN
+    // equals the closed-form exact scan (the sql_create_index shape)
+    "sql_cluster" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+        |FROM embeddings e, q ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
     // the set knob read back + the session timezone every gate runs
     // under — constants by construction

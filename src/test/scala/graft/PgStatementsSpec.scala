@@ -1441,6 +1441,20 @@ class PgStatementsSpec extends SparkSpec {
     assert(PgStatements.splicePredict("SELECT 1") == "SELECT 1")
   }
 
+  test("spliceSequences is identity without sequence calls, inside " +
+      "literals, and on PREPARE bodies") {
+    val plain = "SELECT a, b FROM t WHERE a > 1 ORDER BY b"
+    assert(PgStatements.spliceSequences(plain) == plain)
+    val lit = "SELECT 'use nextval(''s'') here' AS s FROM t"
+    assert(PgStatements.spliceSequences(lit) == lit)
+    val prep = "PREPARE p AS SELECT nextval('no_such_seq') AS v"
+    assert(PgStatements.spliceSequences(prep) == prep) // deferred to EXECUTE
+    // a column merely NAMED nextval_total (identifier, no call parens)
+    // is untouched
+    val named = "SELECT nextval_total, currval FROM t"
+    assert(PgStatements.spliceSequences(named) == named)
+  }
+
   test("route leaves ordinary statements alone") {
     assert(PgStatements.route("SELECT 1 AS connect_info").isEmpty)
     assert(PgStatements.route(
@@ -1679,6 +1693,54 @@ class PgStatementsSpec extends SparkSpec {
     } finally {
       spark.conf.unset("graft.ivfflat.probes")
       spark.sql("DROP INDEX IF EXISTS stmt_vacidx")
+      ()
+    }
+  }
+
+  test("CLUSTER rewrites the view physically co-located by the " +
+      "index's coarse lists; results identical, indexes stay valid") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    emb.createOrReplaceTempView("stmt_cl")
+    val q = emb.select("embedding").head.getSeq[Float](0)
+      .mkString("[", ",", "]")
+    spark.sql("CREATE INDEX stmt_clidx ON stmt_cl USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    try {
+      val before = spark.table("stmt_cl").orderBy("vec_id")
+        .collect().toSeq
+      spark.sql("CLUSTER stmt_cl USING stmt_clidx")
+      // the view now reads the clustered parquet rewrite
+      val plan = spark.table("stmt_cl").queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_cluster"), plan)
+      assert(spark.table("stmt_cl").orderBy("vec_id").collect().toSeq
+        == before, "CLUSTER must be content-invariant")
+      // the index stays VALID (content unchanged — PG semantics): the
+      // KNN idiom still routes through the pruned index scan
+      spark.conf.set("graft.ivfflat.probes", "1")
+      val knn = spark.sql(
+        s"""SELECT vec_id FROM stmt_cl
+           |ORDER BY embedding <-> '$q'::vector, vec_id LIMIT 3""".stripMargin)
+      assert(knn.queryExecution.executedPlan.toString.contains("_graft_vindex"))
+      assert(knn.count() == 3)
+      spark.conf.unset("graft.ivfflat.probes")
+      // bare CLUSTER re-uses the remembered index (PG semantics)
+      spark.sql("CLUSTER stmt_cl")
+      assert(spark.table("stmt_cl").orderBy("vec_id").collect().toSeq
+        == before)
+      // errors: unknown index; a never-clustered table without USING
+      val e1 = intercept[Exception](spark.sql(
+        "CLUSTER stmt_cl USING no_such_idx"))
+      assert(e1.getMessage.contains("does not exist"))
+      emb.createOrReplaceTempView("stmt_cl_fresh")
+      val e2 = intercept[Exception](spark.sql("CLUSTER stmt_cl_fresh"))
+      assert(e2.getMessage.contains("no previously clustered index"))
+      // unknown targets delegate to Spark's own error path
+      val e3 = intercept[Exception](spark.sql("CLUSTER no_such_view_xyz"))
+      assert(!e3.getMessage.contains("graft:"))
+    } finally {
+      spark.conf.unset("graft.ivfflat.probes")
+      spark.sql("DROP INDEX IF EXISTS stmt_clidx")
       ()
     }
   }
