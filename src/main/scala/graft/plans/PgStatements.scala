@@ -1031,31 +1031,35 @@ object PgStatements {
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString(mode))
         .split("\n").toSeq
-    /** Execute `action`, capture its plan + actual rows via C82. */
-    def analyzed(action: => Unit): Option[LogicalPlan] = {
+    /** Execute `action`, capture its plan + actual rows via C82. The
+      * listener bus is ASYNCHRONOUS and can also deliver events POSTED
+      * just before install (they sit queued until dispatch) — so wait
+      * for an entry that can only be the action we ran: the DML's
+      * checkpoint materialize, a sink save, or a row-counted action; a
+      * stale eager-command event (rowless "command") never matches. */
+    def analyzed(prefer: String)(action: => Unit): Option[LogicalPlan] = {
       val l = graft.operators.AutoExplain.install(spark, 0L,
         analyze = true, mode = mode)
       try {
         action
-        graft.operators.AutoExplain.awaitEntries(l, 1)
-        val entries = l.entries
-        if (entries.isEmpty) return None
-        // the statement's own materialize action is the checkpoint
-        // (DML; "localCheckpoint" when no checkpoint dir is set) —
-        // else the last row-counted action in the window (view
-        // re-registration emits a trailing rowless "command" entry)
-        val e = entries.filter(
-            _.action.toLowerCase(java.util.Locale.ROOT).contains("checkpoint"))
-          .lastOption
-          .orElse(entries.filter(_.outRows.isDefined).lastOption)
-          .getOrElse(entries.last)
-        Some(render(e.plan.split("\n").toSeq ++
-          e.outRows.map(r => s"Actual Rows: $r")))
+        def pick(): Option[graft.operators.AutoExplain.Entry] = {
+          val es = l.entries
+          es.filter(_.action.toLowerCase(java.util.Locale.ROOT)
+              .contains(prefer)).lastOption
+            .orElse(es.filter(_.outRows.isDefined).lastOption)
+        }
+        val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+        var e = pick()
+        while (e.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(10); e = pick()
+        }
+        e.map(x => render(x.plan.split("\n").toSeq ++
+          x.outRows.map(r => s"Actual Rows: $r")))
       } finally graft.operators.AutoExplain.uninstall(spark, l)
     }
     val dml = Set("merge", "update", "delete", "insert", "truncate")(ist.lower(0))
     if (dml) {
-      if (analyze) analyzed { route(innerText).getOrElse(return None); () }
+      if (analyze) analyzed("checkpoint") { route(innerText).getOrElse(return None); () }
       else {
         val df: DataFrame = ist.lower(0) match {
           case "merge" =>
@@ -1080,13 +1084,13 @@ object PgStatements {
       case Some(plan) =>
         val df = Bridge.ofRows(spark, plan)
         if (analyze)
-          analyzed { df.write.format("noop").mode("overwrite").save() }
+          analyzed("save") { df.write.format("noop").mode("overwrite").save() }
         else Some(render(planLines(df)))
       case None if analyze =>
         // EXPLAIN ANALYZE <plain select> — Spark has no ANALYZE mode
         val df = try spark.sql(innerText)
           catch { case NonFatal(_) => return None }
-        analyzed { df.write.format("noop").mode("overwrite").save() }
+        analyzed("save") { df.write.format("noop").mode("overwrite").save() }
       case None => None // Spark's own EXPLAIN surface, untouched
     }
   }
