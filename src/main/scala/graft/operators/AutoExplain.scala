@@ -88,6 +88,13 @@ object AutoExplain {
     None
   }
 
+  /** Actual output rows of an ALREADY-EXECUTED query — the same
+    * extraction the listener's log_analyze arm uses, for callers that
+    * hold the QueryExecution directly (EXPLAIN ANALYZE renders through
+    * this instead of racing the asynchronous listener bus). */
+  def actualRows(qe: QueryExecution): Option[Long] =
+    outputRows(qe.executedPlan)
+
   /** Register a capture listener on `spark` (session-scoped: other
     * sessions on the same context are not observed — use
     * `spark.newSession()` for an isolated capture window). */

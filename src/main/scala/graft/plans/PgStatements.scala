@@ -362,15 +362,23 @@ object PgStatements {
    * target view. Non-temp-view targets delegate to Spark (v2 tables
    * have native MERGE).
    */
+  /** Materialize a DML rewrite, re-register the target, invalidate its
+    * indexes. The DML is a WRITE: the truncation bounds lineage across
+    * chained statements, and any vector index built over the pre-DML
+    * rows is stale (ADVICE r17). Returns the rewrite's DataFrame —
+    * after the eager materialize its QueryExecution carries executed
+    * metrics, which is what EXPLAIN ANALYZE renders (no listener). */
+  private def applyDml(spark: SparkSession, target: String,
+      gen: String): DataFrame = {
+    val df = spark.sql(gen)
+    truncated(df).createOrReplaceTempView(target)
+    IndexCatalog.invalidateTable(spark, target)
+    df
+  }
+
   private def mergeInto(spark: SparkSession, st: Stmt): Option[LogicalPlan] =
     mergeGen(spark, st).map { case (target, gen) =>
-      // MERGE is a WRITE: materialize (bounding lineage across chained
-      // merges) before re-registering the target view; any vector index
-      // built over the pre-merge rows is now stale — invalidate it so
-      // the KNN access path falls back to the exact scan (ADVICE r17)
-      val merged = truncated(spark.sql(gen))
-      merged.createOrReplaceTempView(target)
-      IndexCatalog.invalidateTable(spark, target)
+      applyDml(spark, target, gen)
       oneRow(spark, "command" -> "MERGE", "table_name" -> target)
     }
 
@@ -622,9 +630,7 @@ object PgStatements {
    */
   private def updateStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] =
     updateGen(spark, st).map { case (target, gen) =>
-      val updated = truncated(spark.sql(gen))
-      updated.createOrReplaceTempView(target)
-      IndexCatalog.invalidateTable(spark, target)
+      applyDml(spark, target, gen)
       oneRow(spark, "command" -> "UPDATE", "table_name" -> target)
     }
 
@@ -699,10 +705,27 @@ object PgStatements {
         // source row is, the r18 verdict's key-hygiene item). Unmatched
         // target rows are singleton tid partitions — the window never
         // skews.
-        val sCols = (if (srcText.startsWith("("))
+        val sDf = if (srcText.startsWith("("))
             spark.sql(srcText.stripPrefix("(").stripSuffix(")"))
-          else spark.table(srcText)).columns.toSeq
-        val hashArgs = sCols.map(c => s"$sAlias.`$c`").mkString(", ")
+          else spark.table(srcText)
+        // hash/xxhash64 reject MapType (at any nesting) — keep only
+        // hashable source columns in the pick key; a source of ONLY
+        // maps degrades to an arbitrary single pick (PG-legal:
+        // "unspecified which"), constant-keyed so exactly one row wins
+        def hashable(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.MapType => false
+            case a: org.apache.spark.sql.types.ArrayType =>
+              hashable(a.elementType)
+            case s: org.apache.spark.sql.types.StructType =>
+              s.fields.forall(f => hashable(f.dataType))
+            case _ => true
+          }
+        val sCols = sDf.schema.fields.filter(f => hashable(f.dataType))
+          .map(_.name).toSeq
+        val hashArgs =
+          if (sCols.nonEmpty) sCols.map(c => s"$sAlias.`$c`").mkString(", ")
+          else "'x'"
         s"""SELECT ${tCols.map(c => s"`$c`").mkString(", ")} FROM (
            |SELECT ${cols.mkString(", ")},
            |  (NOT $matchedM OR row_number() OVER (
@@ -831,13 +854,29 @@ object PgStatements {
       }
     }
     if (k >= st.n || st.tok(k).kind != ID) return None // bare VACUUM etc.
-    val target = st.ident(k)
+    val target = st.ident(k); k += 1
     if (!isTempView(spark, target)) return None
+    // PG's per-column form: VACUUM ANALYZE t (c1, ...) — the column
+    // list is legal only with ANALYZE, and is forwarded to it
+    val colList: String =
+      if (k < st.n && st.lower(k) == "(") {
+        require(analyze,
+          "graft: a VACUUM column list requires the ANALYZE option")
+        val e = st.matching(k)
+        val t = st.text(k, e); k = e
+        t
+      } else ""
+    require(k >= st.n, s"graft: VACUUM: unexpected '${st.lower(k)}'")
     // (a) compact the view's DML lineage into one materialized state
     truncated(spark.table(target)).createOrReplaceTempView(target)
-    // (b) coalesce every index's postings parquet, pruning preserved
+    // (b) reclaim superseded CLUSTER rewrite generations — the view no
+    // longer reads any of them after the re-materialize above
+    clusterPathsByTable.remove(normName(target))
+      .getOrElse(Nil).foreach(deletePath(spark, _))
+    // (c) coalesce every index's postings parquet, pruning preserved
     val rewritten = IndexCatalog.vacuumTable(spark, target)
-    if (analyze) analyzeStmt(spark, new Stmt(lex(s"ANALYZE $target")))
+    if (analyze)
+      analyzeStmt(spark, new Stmt(lex(s"ANALYZE $target $colList")))
     else Some(oneRow(spark, "command" -> "VACUUM", "table_name" -> target,
       "indexes_rewritten" -> rewritten.toString))
   }
@@ -846,9 +885,11 @@ object PgStatements {
     * `CLUSTER t` re-uses it) — index NAME per table. */
   private val clusteredBy =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  /** Last cluster-rewrite parquet per table (deleted on re-cluster). */
-  private val clusterPathByTable =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Cluster-rewrite parquet generations per table — reclaimed by
+    * VACUUM (PG's posture: old heap tuples survive a rewrite until
+    * vacuum), newest first. */
+  private val clusterPathsByTable =
+    scala.collection.concurrent.TrieMap.empty[String, List[String]]
 
   /**
    * `CLUSTER [VERBOSE] t [USING idx]` (gram.y ClusterStmt) — PG
@@ -906,8 +947,15 @@ object PgStatements {
       .write.mode("overwrite").parquet(path)
     spark.read.parquet(path).createOrReplaceTempView(target)
     clusteredBy(normName(target)) = idxName
-    clusterPathByTable.put(normName(target), path)
-      .filter(_ != path).foreach(deletePath(spark, _))
+    // PREVIOUS cluster rewrites are NOT deleted here: user-captured
+    // plans (a view defined over the table between two CLUSTERs, a
+    // held DataFrame) may still read them — exactly PG's MVCC posture,
+    // where old heap tuples survive the rewrite until VACUUM reclaims
+    // them. VACUUM re-materializes the view, then deletes every
+    // tracked generation.
+    val nt = normName(target)
+    clusterPathsByTable.put(nt,
+      path :: clusterPathsByTable.getOrElse(nt, Nil))
     Some(oneRow(spark, "command" -> "CLUSTER", "table_name" -> target,
       "index_name" -> idxName))
   }
@@ -964,25 +1012,34 @@ object PgStatements {
    * `EXPLAIN [ANALYZE] [VERBOSE] <stmt>` / `EXPLAIN (options) <stmt>`
    * for statements only THIS router can plan — the first thing a PG
    * user types when a MERGE/UPDATE/KNN statement is slow, and none of
-   * them parse under Spark's grammar:
-   *  - DML (`MERGE`/`UPDATE`/`DELETE`/`INSERT`/`TRUNCATE`): the plain
-   *    form renders the REWRITTEN statement's Spark plan WITHOUT
-   *    executing (PG: EXPLAIN never runs the DML) — the gen builders
-   *    are shared with the executors, so the plan shown is exactly the
-   *    plan the statement would run. `EXPLAIN ANALYZE` EXECUTES the
-   *    DML (PG semantics) and renders the executed plan with the
-   *    actual output row count, captured through the C82 AutoExplain
-   *    listener on the statement's own materialize action.
+   * them parse under Spark's grammar. The explainable set mirrors
+   * PG's ExplainableStmt rule: SELECT / INSERT / UPDATE / DELETE /
+   * MERGE / EXECUTE — statement verbs with side effects beyond DML
+   * (TRUNCATE, VACUUM, CREATE INDEX, ...) are NOT explainable, in PG
+   * or here (they delegate to the syntax error, and are never
+   * executed by an EXPLAIN).
+   *  - DML (`MERGE`/`UPDATE`/`DELETE`/`INSERT`): the plain form
+   *    renders the REWRITTEN statement's Spark plan WITHOUT executing
+   *    (PG: EXPLAIN never runs the DML) — the gen builders are shared
+   *    with the executors, so the plan shown is exactly the plan the
+   *    statement would run. `EXPLAIN ANALYZE` EXECUTES the DML (PG
+   *    semantics) through the SAME applyDml/applyInsert the executors
+   *    use, then renders that DataFrame's own executed plan with the
+   *    actual row count via the C82 extraction — reading the
+   *    QueryExecution directly, never the asynchronous listener bus
+   *    (whose queued events from a prior statement could be delivered
+   *    to a freshly installed listener).
+   *  - `EXECUTE name (args)`: the $n-substituted body is resolved
+   *    first and re-enters this logic, so a prepared DML takes the
+   *    no-execute path and a prepared SELECT renders its plan.
    *  - routed queries (the KNN index idiom, CONNECT BY, TIMECAPSULE,
-   *    WITH RECURSIVE): the routed plan; ANALYZE runs it through a
-   *    noop sink for actuals.
-   *  - `EXPLAIN ANALYZE <plain select>` (Spark has no ANALYZE mode —
-   *    this only ADDS syntax): executed through the noop sink.
-   * Anything else — plain `EXPLAIN SELECT ...`, Spark's
-   * EXTENDED/CODEGEN/COST/FORMATTED modes — delegates untouched, so
-   * Spark's own EXPLAIN surface (schema included) never changes.
-   * Output: one `query_plan` row per rendered line, like pg's
-   * "QUERY PLAN" relation.
+   *    WITH RECURSIVE): the routed plan; ANALYZE runs them (and plain
+   *    selects — Spark has no ANALYZE mode, pure added syntax)
+   *    through a noop sink for actuals.
+   * Plain `EXPLAIN SELECT ...` and Spark's EXTENDED/CODEGEN/COST/
+   * FORMATTED modes delegate untouched, so Spark's own EXPLAIN
+   * surface (schema included) never changes. Output: one `query_plan`
+   * row per rendered line, like pg's "QUERY PLAN" relation.
    */
   private def explainStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
     var k = 1
@@ -1015,10 +1072,17 @@ object PgStatements {
     // EXPLAIN EXECUTE plans the $n-SUBSTITUTED body (PG ExplainStmt
     // accepts ExecuteStmt) — resolve it first so a prepared DML takes
     // the no-execute path below like a direct one
+    val fromExecute =
+      ist0.lower(0) == "execute" && ist0.lower(1) != "immediate"
     val (innerText, ist) =
-      if (ist0.lower(0) == "execute" && ist0.lower(1) != "immediate")
+      if (fromExecute)
         substituteExecute(spark, ist0) match {
-          case Some(t) => (t, new Stmt(lex(t)))
+          case Some(t0) =>
+            // the substituted body missed the parse-time splices —
+            // sequence calls honor the EXPLAIN posture (peek unless
+            // ANALYZE), PREDICT BY resolves as usual
+            val t = spliceSeq(splicePredict(t0), Some(analyze))
+            (t, new Stmt(lex(t)))
           case None => return None // unknown name: Spark's error path
         }
       else (innerText0, ist0)
@@ -1031,67 +1095,54 @@ object PgStatements {
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString(mode))
         .split("\n").toSeq
-    /** Execute `action`, capture its plan + actual rows via C82. The
-      * listener bus is ASYNCHRONOUS and can also deliver events POSTED
-      * just before install (they sit queued until dispatch) — so wait
-      * for an entry that can only be the action we ran: the DML's
-      * checkpoint materialize, a sink save, or a row-counted action; a
-      * stale eager-command event (rowless "command") never matches. */
-    def analyzed(prefer: String)(action: => Unit): Option[LogicalPlan] = {
-      val l = graft.operators.AutoExplain.install(spark, 0L,
-        analyze = true, mode = mode)
-      try {
-        action
-        def pick(): Option[graft.operators.AutoExplain.Entry] = {
-          val es = l.entries
-          es.filter(_.action.toLowerCase(java.util.Locale.ROOT)
-              .contains(prefer)).lastOption
-            .orElse(es.filter(_.outRows.isDefined).lastOption)
-        }
-        val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
-        var e = pick()
-        while (e.isEmpty && System.nanoTime() < deadline) {
-          Thread.sleep(10); e = pick()
-        }
-        e.map(x => render(x.plan.split("\n").toSeq ++
-          x.outRows.map(r => s"Actual Rows: $r")))
-      } finally graft.operators.AutoExplain.uninstall(spark, l)
+    /** Render an EXECUTED DataFrame: its own plan + actual rows (the
+      * C82 metric extraction over ITS OWN QueryExecution — the DML
+      * materialize ran exactly this plan). */
+    def rendered(df: DataFrame): LogicalPlan =
+      render(planLines(df) ++ graft.operators.AutoExplain
+        .actualRows(df.queryExecution).map(r => s"Actual Rows: $r"))
+    /** ANALYZE for a query: execute THIS QueryExecution's physical
+      * plan (a distributed count over its own RDD — a sink write would
+      * plan a separate execution whose metrics the df never sees). */
+    def analyzedQuery(df: DataFrame): LogicalPlan = {
+      val n = df.queryExecution.toRdd.count()
+      render(planLines(df) :+ s"Actual Rows: $n")
     }
-    val dml = Set("merge", "update", "delete", "insert", "truncate")(ist.lower(0))
-    if (dml) {
-      if (analyze) analyzed("checkpoint") { route(innerText).getOrElse(return None); () }
-      else {
-        val df: DataFrame = ist.lower(0) match {
-          case "merge" =>
-            spark.sql(mergeGen(spark, ist).getOrElse(return None)._2)
-          case "update" =>
-            spark.sql(updateGen(spark, ist).getOrElse(return None)._2)
-          case "delete" =>
-            spark.sql(deleteGen(spark, ist).getOrElse(return None)._2)
-          case "insert" =>
-            insertPlan(spark, ist).getOrElse(return None)._3
-          case "truncate" =>
-            val k2 = if (ist.lower(1) == "table") 2 else 1
-            val target = ist.ident(k2)
-            if (!isTempView(spark, target)) return None
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              spark.table(target).schema)
-        }
-        Some(render(planLines(df)))
-      }
-    } else route(innerText) match {
-      case Some(plan) =>
-        val df = Bridge.ofRows(spark, plan)
+    ist.lower(0) match {
+      case "merge" | "update" | "delete" =>
+        val gen = (ist.lower(0) match {
+          case "merge" => mergeGen(spark, ist)
+          case "update" => updateGen(spark, ist)
+          case _ => deleteGen(spark, ist)
+        }).getOrElse(return None)
+        if (analyze) Some(rendered(applyDml(spark, gen._1, gen._2)))
+        else Some(render(planLines(spark.sql(gen._2))))
+      case "insert" =>
+        val (target, aligned, appended) =
+          insertPlan(spark, ist).getOrElse(return None)
         if (analyze)
-          analyzed("save") { df.write.format("noop").mode("overwrite").save() }
-        else Some(render(planLines(df)))
-      case None if analyze =>
-        // EXPLAIN ANALYZE <plain select> — Spark has no ANALYZE mode
-        val df = try spark.sql(innerText)
-          catch { case NonFatal(_) => return None }
-        analyzed("save") { df.write.format("noop").mode("overwrite").save() }
-      case None => None // Spark's own EXPLAIN surface, untouched
+          Some(rendered(applyInsert(spark, target, aligned, appended)))
+        else Some(render(planLines(appended)))
+      case "select" | "with" | "values" | "(" =>
+        // the PG-explainable query heads; everything else (TRUNCATE,
+        // VACUUM, DDL, ...) is not an ExplainableStmt — delegate to
+        // the syntax error WITHOUT executing anything
+        route(innerText) match {
+          case Some(plan) =>
+            val df = Bridge.ofRows(spark, plan)
+            if (analyze) Some(analyzedQuery(df))
+            else Some(render(planLines(df)))
+          case None if analyze || fromExecute =>
+            // EXPLAIN ANALYZE <plain select> (Spark has no ANALYZE
+            // mode) and EXPLAIN EXECUTE of a prepared plain select
+            // (Spark cannot parse the original text) are OURS
+            val df = try spark.sql(innerText)
+              catch { case NonFatal(_) => return None }
+            if (analyze) Some(analyzedQuery(df))
+            else Some(render(planLines(df)))
+          case None => None // Spark's own EXPLAIN surface, untouched
+        }
+      case _ => None // not ExplainableStmt (PG gram.y) — never executed
     }
   }
 
@@ -1218,10 +1269,18 @@ object PgStatements {
    * is rejected explicitly: a temp view declares no key — MERGE INTO
    * is the routed upsert spelling.
    */
+  /** Materialize an INSERT append and grow/invalidate indexes; returns
+    * the appended DataFrame with executed metrics (like [[applyDml]]). */
+  private def applyInsert(spark: SparkSession, target: String,
+      aligned: DataFrame, appended: DataFrame): DataFrame = {
+    truncated(appended).createOrReplaceTempView(target)
+    IndexCatalog.maintainAppend(spark, target, aligned)
+    appended
+  }
+
   private def insertStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] =
     insertPlan(spark, st).map { case (target, aligned, appended) =>
-      truncated(appended).createOrReplaceTempView(target)
-      IndexCatalog.maintainAppend(spark, target, aligned)
+      applyInsert(spark, target, aligned, appended)
       oneRow(spark, "command" -> "INSERT", "table_name" -> target)
     }
 
@@ -1281,9 +1340,7 @@ object PgStatements {
    */
   private def deleteStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] =
     deleteGen(spark, st).map { case (target, gen) =>
-      val remaining = truncated(spark.sql(gen))
-      remaining.createOrReplaceTempView(target)
-      IndexCatalog.invalidateTable(spark, target)
+      applyDml(spark, target, gen)
       oneRow(spark, "command" -> "DELETE", "table_name" -> target)
     }
 
@@ -2699,10 +2756,27 @@ object PgStatements {
     var k = 2
     val ifExists = st.lower(k) == "if" && st.lower(k + 1) == "exists"
     if (ifExists) k += 2
-    val name = normName(st.ident(k))
-    val dropped = sequences(spark).remove(name).isDefined
-    require(dropped || ifExists, s"graft: sequence '$name' does not exist")
-    oneRow(spark, "command" -> "DROP SEQUENCE", "sequence_name" -> name)
+    // comma-separated name list (PG DropStmt), CASCADE/RESTRICT
+    // accepted (no dependents to track); trailing junk is an error,
+    // never silently ignored
+    val names = ArrayBuffer.empty[String]
+    var more = true
+    while (more) {
+      require(k < st.n && st.tok(k).kind == ID,
+        "graft: DROP SEQUENCE expects a sequence name")
+      names += normName(st.ident(k)); k += 1
+      if (k < st.n && st.lower(k) == ",") { k += 1 } else more = false
+    }
+    if (k < st.n && (st.lower(k) == "cascade" || st.lower(k) == "restrict"))
+      k += 1
+    require(k >= st.n,
+      s"graft: DROP SEQUENCE: unexpected '${st.lower(k)}'")
+    names.foreach { name =>
+      val dropped = sequences(spark).remove(name).isDefined
+      require(dropped || ifExists, s"graft: sequence '$name' does not exist")
+    }
+    oneRow(spark, "command" -> "DROP SEQUENCE",
+      "sequence_name" -> names.mkString(", "))
   }
 
   /** `ALTER SEQUENCE name RESTART [WITH n]` — the one alter arm with a
@@ -2717,8 +2791,15 @@ object PgStatements {
     var k = 4
     if (k < st.n && st.lower(k) == "with") k += 1
     d.synchronized {
-      if (k < st.n) { val (v, _) = signedLong(st, k); d.next = v }
-      else d.next = if (d.inc > 0) d.min else d.max
+      if (k < st.n) {
+        val (v, _) = signedLong(st, k)
+        // PG validates at ALTER time ("RESTART value cannot be greater
+        // than MAXVALUE") — not with a misleading reached-maximum error
+        // on the NEXT nextval
+        require(v >= d.min && v <= d.max,
+          s"graft: RESTART value $v is outside [${d.min}, ${d.max}]")
+        d.next = v
+      } else d.next = if (d.inc > 0) d.min else d.max
       d.last = None
     }
     oneRow(spark, "command" -> "ALTER SEQUENCE", "sequence_name" -> name)
@@ -2755,19 +2836,47 @@ object PgStatements {
    * order for VALUES lists). Identity when no sequence function
    * appears. Runs BEFORE routing, like [[splicePredict]].
    */
-  def spliceSequences(sqlText: String): String = {
+  def spliceSequences(sqlText: String): String = spliceSeq(sqlText, None)
+
+  private def spliceSeq(sqlText: String, forcedExec: Option[Boolean]): String = {
     val low = sqlText.toLowerCase(java.util.Locale.ROOT)
     if (!low.contains("nextval") && !low.contains("currval") &&
         !low.contains("setval") && !low.contains("lastval")) return sqlText
     val st = new Stmt(lex(sqlText))
     if (st.n == 0) return sqlText
+    // an EXPLAIN prefix: plain EXPLAIN never EVALUATES sequence calls
+    // (PG plans nextval without calling it) — values are PEEKED with
+    // the state untouched; EXPLAIN ANALYZE executes, so it behaves
+    // exactly like the bare statement, multi-row rejection included
+    // (keyed off the INNER statement head). `forcedExec` is the
+    // EXPLAIN EXECUTE path, where the caller already stripped the
+    // prefix from the substituted body.
+    var h = 0
+    var exec = forcedExec.getOrElse(true)
+    if (forcedExec.isEmpty && st.lower(0) == "explain") {
+      exec = false
+      h = 1
+      var scanning = true
+      while (scanning && h < st.n) {
+        st.lower(h) match {
+          case "analyze" | "analyse" => exec = true; h += 1
+          case "verbose" => h += 1
+          case "(" if h == 1 =>
+            val e = st.matching(h)
+            if (st.splitCommas(h + 1, e - 1).exists { case (a, _) =>
+              st.lower(a) == "analyze" || st.lower(a) == "analyse" }) exec = true
+            h = e
+          case _ => scanning = false
+        }
+      }
+    }
     // a PREPARE body evaluates sequence calls at EXECUTE time (PG
     // semantics) — EXECUTE re-enters the pipeline, which splices then
-    if (st.lower(0) == "prepare") return sqlText
+    if (st.lower(h) == "prepare") return sqlText
     val spark = SparkSession.active
     // a literal nextval in a multi-row context silently assigns every
     // row the SAME value where PG assigns distinct ones — reject
-    lazy val multiRow = Set("update", "delete", "merge")(st.lower(0)) ||
+    lazy val multiRow = Set("update", "delete", "merge")(st.lower(h)) ||
       (0 until st.n).exists(p => st.depth(p) == 0 && st.lower(p) == "from")
     val seqFns = Set("nextval", "currval", "setval", "lastval")
     val repls = ArrayBuffer.empty[(Int, Int, String)]
@@ -2786,12 +2895,18 @@ object PgStatements {
         }
         val value: Long = st.lower(p) match {
           case "nextval" =>
-            require(!multiRow,
-              "graft: nextval() in a multi-row statement is not supported " +
-                "on a batch engine (each row would receive the SAME spliced " +
-                "value) — assign ids with row_number() OVER (...) and " +
-                "advance the sequence with setval()")
-            nextvalOf(spark, nameArg)
+            if (exec) {
+              require(!multiRow,
+                "graft: nextval() in a multi-row statement is not supported " +
+                  "on a batch engine (each row would receive the SAME spliced " +
+                  "value) — assign ids with row_number() OVER (...) and " +
+                  "advance the sequence with setval()")
+              nextvalOf(spark, nameArg)
+            } else {
+              // plan-only: peek, never advance (PG's EXPLAIN posture)
+              val d = seqFor(spark, nameArg)
+              d.synchronized(d.next)
+            }
           case "currval" =>
             val d = seqFor(spark, nameArg)
             d.synchronized(d.last).getOrElse(
@@ -2814,7 +2929,7 @@ object PgStatements {
             val d = seqFor(spark, name)
             require(v >= d.min && v <= d.max,
               s"graft: setval value $v is outside [${d.min}, ${d.max}]")
-            d.synchronized {
+            if (exec) d.synchronized {
               d.next = if (isCalled) v + d.inc else v
               d.last = if (isCalled) Some(v) else None
             }

@@ -1843,6 +1843,124 @@ class PgStatementsSpec extends SparkSpec {
     assert(pa.as[String].collect().mkString("\n").contains("Actual Rows: 1"))
   }
 
+  test("EXPLAIN matches PG's ExplainableStmt set: non-explainable " +
+      "verbs delegate WITHOUT executing") {
+    dmlFixture()
+    // TRUNCATE is not explainable in PG — and must NOT execute
+    val e1 = intercept[Exception](spark.sql("EXPLAIN TRUNCATE stmt_upd"))
+    assert(!e1.getMessage.contains("graft:"))
+    assert(spark.table("stmt_upd").count() == 4, "EXPLAIN ran the TRUNCATE")
+    val e2 = intercept[Exception](spark.sql(
+      "EXPLAIN ANALYZE TRUNCATE stmt_upd"))
+    assert(!e2.getMessage.contains("graft:"))
+    assert(spark.table("stmt_upd").count() == 4)
+    // VACUUM / DDL verbs likewise never execute under EXPLAIN
+    val e3 = intercept[Exception](spark.sql("EXPLAIN VACUUM stmt_upd"))
+    assert(!e3.getMessage.contains("graft:"))
+    val e4 = intercept[Exception](spark.sql(
+      "EXPLAIN DROP SEQUENCE stmt_never_made"))
+    assert(!e4.getMessage.contains("graft:")) // not executed → no
+    // "does not exist" from the router, just Spark's parse error
+  }
+
+  test("EXPLAIN EXECUTE renders a prepared plain SELECT; sequence " +
+      "calls under EXPLAIN peek without advancing") {
+    dmlFixture()
+    spark.sql("PREPARE stmt_pe19 AS SELECT k, bal FROM stmt_upd WHERE k = $1")
+    val pe = spark.sql("EXPLAIN EXECUTE stmt_pe19 (2)")
+      .as[String].collect().mkString("\n")
+    assert(pe.contains("== Physical Plan =="), pe)
+    val pa = spark.sql("EXPLAIN ANALYZE EXECUTE stmt_pe19 (2)")
+      .as[String].collect().mkString("\n")
+    assert(pa.contains("Actual Rows: 1"), pa)
+    spark.sql("DEALLOCATE stmt_pe19")
+    // plain EXPLAIN never EVALUATES sequence calls (PG's posture):
+    // the plan shows the peeked value, the counter does not move
+    spark.sql("DROP SEQUENCE IF EXISTS stmt_eseq")
+    spark.sql("CREATE SEQUENCE stmt_eseq START WITH 5")
+    spark.sql("EXPLAIN INSERT INTO stmt_upd VALUES (nextval('stmt_eseq'), 'x', 0.0)")
+    assert(spark.sql("SELECT nextval('stmt_eseq') AS v").as[Long].head() == 5L)
+    // EXPLAIN ANALYZE executes — and therefore rejects multi-row
+    // nextval exactly like the bare statement (the head-bypass fix)
+    val e = intercept[Exception](spark.sql(
+      "EXPLAIN ANALYZE UPDATE stmt_upd SET k = nextval('stmt_eseq')"))
+    assert(e.getMessage.contains("row_number"))
+    // ...and advances when it legitimately runs
+    spark.sql("EXPLAIN ANALYZE INSERT INTO stmt_upd VALUES " +
+      "(nextval('stmt_eseq'), 'y', 1.0)")
+    assert(spark.sql("SELECT currval('stmt_eseq') AS v").as[Long].head() == 6L)
+    spark.sql("DROP SEQUENCE stmt_eseq")
+  }
+
+  test("UPDATE ... FROM tolerates unhashable (map-typed) source " +
+      "columns in the fused pick key") {
+    dmlFixture()
+    Seq((2L, 200.0, Map("a" -> "b")), (9L, 900.0, Map.empty[String, String]))
+      .toDF("k", "nb", "m").createOrReplaceTempView("stmt_upd_map")
+    spark.sql("UPDATE stmt_upd t SET bal = s.nb FROM stmt_upd_map s " +
+      "WHERE t.k = s.k")
+    val out = spark.table("stmt_upd").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b", 200.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)))
+  }
+
+  test("DROP SEQUENCE takes a name list; ALTER RESTART validates the " +
+      "range; trailing junk is rejected") {
+    spark.sql("CREATE SEQUENCE stmt_dsa")
+    spark.sql("CREATE SEQUENCE stmt_dsb MAXVALUE 10")
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER SEQUENCE stmt_dsb RESTART WITH 99"))
+    assert(e1.getMessage.contains("outside"))
+    val e2 = intercept[Exception](spark.sql(
+      "DROP SEQUENCE stmt_dsa extra junk"))
+    assert(e2.getMessage.contains("unexpected"))
+    spark.sql("DROP SEQUENCE stmt_dsa, stmt_dsb")
+    // both really dropped
+    val e3 = intercept[Exception](spark.sql("SELECT nextval('stmt_dsb')"))
+    assert(e3.getMessage.contains("does not exist"))
+  }
+
+  test("re-CLUSTER keeps prior rewrite generations readable until " +
+      "VACUUM reclaims them; VACUUM ANALYZE takes a column list") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    emb.createOrReplaceTempView("stmt_cl2")
+    spark.sql("CREATE INDEX stmt_cl2idx ON stmt_cl2 USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    try {
+      spark.sql("CLUSTER stmt_cl2 USING stmt_cl2idx")
+      // a view captured BETWEEN two CLUSTERs reads the first rewrite
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW stmt_cl2_snap AS " +
+        "SELECT count(*) AS n FROM stmt_cl2")
+      spark.sql("CLUSTER stmt_cl2")
+      // the old generation must still be readable (PG: old tuples
+      // survive the rewrite until VACUUM)
+      val snapN = spark.table("stmt_cl2_snap").as[Long].head()
+      assert(snapN == emb.count())
+      // VACUUM reclaims every tracked generation
+      val root = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, "_graft_cluster")
+      def gens(): Int = Option(root.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("stmt_cl2_"))
+      assert(gens() >= 2)
+      spark.sql("VACUUM stmt_cl2")
+      assert(gens() == 0, "VACUUM must reclaim superseded cluster rewrites")
+      assert(spark.table("stmt_cl2").count() == emb.count())
+      // per-column VACUUM ANALYZE; column list without ANALYZE errors;
+      // trailing junk errors
+      val stats = spark.sql("VACUUM ANALYZE stmt_cl2 (vec_id)")
+      assert(stats.count() == 1)
+      val e1 = intercept[Exception](spark.sql("VACUUM stmt_cl2 (vec_id)"))
+      assert(e1.getMessage.contains("ANALYZE"))
+      val e2 = intercept[Exception](spark.sql("VACUUM stmt_cl2 junk"))
+      assert(e2.getMessage.contains("unexpected"))
+    } finally {
+      spark.sql("DROP INDEX IF EXISTS stmt_cl2idx")
+      ()
+    }
+  }
+
   test("fused multi-match detection: MERGE and UPDATE...FROM run NO " +
       "extra plan-time probe job (one pass per statement)") {
     def countJobs(body: => Unit): Int = {
