@@ -338,18 +338,25 @@ object Bench {
     val sharedNames = names.filter(n =>
       committedQueries.contains(n) && med(reps(n)) >= 0 &&
         committedQueries(n) >= 0)
+    // a query that WORKED in the committed artifact but FAILED in this
+    // run (med -1) must reject the candidate, not silently drop out of
+    // the intersection — the same waive-by-changing class this guard
+    // exists to close
+    val brokeQs = names.filter(n =>
+      committedQueries.getOrElse(n, -1.0) >= 0 && med(reps(n)) < 0)
     val candShared = sharedNames.map(n => med(reps(n))).sum
     val commShared = sharedNames.map(committedQueries).sum
     val accept =
       if (committedTotal.isEmpty) true
-      else if (contendedQs.nonEmpty) false
+      else if (contendedQs.nonEmpty || brokeQs.nonEmpty) false
       else if (sharedNames.nonEmpty) candShared <= commShared * 1.05
       else medTotal <= committedTotal.get * 1.05
     if (accept) writeTo(outPath, fileLine)
     else {
       writeTo(contendedPath, fileLine)
       System.err.println(f"[bench] REJECTED RUN (spread > max(median, 0.3s) " +
-        s"on [${contendedQs.mkString(", ")}] or shared-set total " +
+        s"on [${contendedQs.mkString(", ")}], failed-but-committed " +
+        s"[${brokeQs.mkString(", ")}], or shared-set total " +
         f"$candShared%.2f (${sharedNames.size} queries) worse than " +
         f"committed $commShared%.2f) — artifact written to " +
         s"$contendedPath; $outPath left untouched")

@@ -787,6 +787,19 @@ object PgStatements {
     val fraction = spark.conf.getOption("graft.analyze.fraction")
       .map(_.toDouble).filter(f => f > 0.0 && f < 1.0)
     val out: DataFrame = fraction match {
+      case _ if cols.isEmpty =>
+        // a zero-column relation profiles to the empty stats relation
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("column_name",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("row_cnt",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_distinct",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_nulls",
+              org.apache.spark.sql.types.LongType, nullable = false))))
       case None =>
         // exact: one pruned branch per column (the Profile C29 plan —
         // NO Expand; plan-asserted in PgStatementsSpec)
@@ -800,7 +813,9 @@ object PgStatements {
         }.reduce(_ unionByName _)
       case Some(f) =>
         // estimate: seeded sample + ONE HLL pass; the wide row reshapes
-        // to row-per-column via a local explode (no extra shuffle)
+        // to row-per-column via a local explode (no extra shuffle).
+        // Generated aliases are referenced BACKTICKED: a source column
+        // named "a.b" must not parse as nested-field access.
         val df0 = df.sample(withReplacement = false, f, 42L)
         val aggs = count(lit(1)).as("__graft_rc") +: cols.flatMap(c => Seq(
           approx_count_distinct(col(s"`$c`")).as(s"__graft_d_$c"),
@@ -808,8 +823,8 @@ object PgStatements {
         df0.agg(aggs.head, aggs.tail: _*)
           .select(explode(array(cols.map(c => struct(
               lit(c).as("column_name"), col("__graft_rc").as("row_cnt"),
-              col(s"__graft_d_$c").as("n_distinct"),
-              col(s"__graft_n_$c").as("n_nulls"))): _*)).as("p"))
+              col(s"`__graft_d_$c`").as("n_distinct"),
+              col(s"`__graft_n_$c`").as("n_nulls"))): _*)).as("p"))
           .select(col("p.*"))
     }
     Some(Bridge.logicalPlan(out))
@@ -987,13 +1002,17 @@ object PgStatements {
       return Some(Bridge.logicalPlan(
         rows.toDF("name", "setting", "description")))
     }
-    val name = st.text(1, st.n).toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("\\s+", " ")
-    val (key, colName) =
+    val verbatim = st.text(1, st.n).replaceAll("\\s+", " ")
+    val name = verbatim.toLowerCase(java.util.Locale.ROOT)
+    val (keys, colName) =
       if (name == "time zone" || name == "timezone")
-        ("spark.sql.session.timeZone", "TimeZone")
-      else (name, name)
-    spark.conf.getOption(key) match {
+        (Seq("spark.sql.session.timeZone"), "TimeZone")
+      // PG folds GUC names case-insensitively, but Spark conf keys are
+      // case-sensitive and SET stores them verbatim — try the statement's
+      // own spelling first, then the folded form, so the read half can
+      // always read what the write half wrote (`SET MyExt.Flag = 1`)
+      else (Seq(verbatim, name).distinct, name)
+    keys.flatMap(spark.conf.getOption).headOption match {
       case Some(v) =>
         Some(Bridge.logicalPlan(Seq(v).toDF(colName)))
       case None if name.contains(".") =>
@@ -1041,6 +1060,13 @@ object PgStatements {
    * surface (schema included) never changes. Output: one `query_plan`
    * row per rendered line, like pg's "QUERY PLAN" relation.
    */
+  /** PG ExplainStmt option names — a `(` after EXPLAIN is an option
+    * list only when it opens with one of these (else it's a
+    * parenthesized query). */
+  private val explainOptionWords = Set("analyze", "analyse", "verbose",
+    "costs", "format", "buffers", "timing", "summary", "settings",
+    "wal", "memory", "generic_plan")
+
   private def explainStmt(spark: SparkSession, st: Stmt): Option[LogicalPlan] = {
     var k = 1
     var analyze = false
@@ -1050,14 +1076,19 @@ object PgStatements {
       st.lower(k) match {
         case "analyze" | "analyse" => analyze = true; k += 1
         case "verbose" => verbose = true; k += 1
-        case "(" if k == 1 =>
+        case "(" if k == 1 && explainOptionWords(st.lower(k + 1)) =>
+          // a paren at k==1 is an option list ONLY when it opens with a
+          // known option word — `EXPLAIN (SELECT 1)` is a parenthesized
+          // QUERY that stock Spark accepts, and must reach the dispatch
+          // below (which delegates it untouched)
           val e = st.matching(k)
           st.splitCommas(k + 1, e - 1).foreach { case (a, _) =>
             st.lower(a) match {
               case "analyze" | "analyse" => analyze = true
               case "verbose" => verbose = true
               // accepted, no batch analogue (PG ExplainStmt options)
-              case "costs" | "format" | "buffers" | "timing" | "summary" =>
+              case "costs" | "format" | "buffers" | "timing" | "summary" |
+                   "settings" | "wal" | "memory" | "generic_plan" =>
               case other => throw new IllegalArgumentException(
                 s"graft: unknown EXPLAIN option '$other'")
             }
@@ -1132,10 +1163,12 @@ object PgStatements {
             val df = Bridge.ofRows(spark, plan)
             if (analyze) Some(analyzedQuery(df))
             else Some(render(planLines(df)))
-          case None if analyze || fromExecute =>
+          case None if analyze || fromExecute || k > 1 =>
+            // OURS whenever Spark cannot parse the original text:
             // EXPLAIN ANALYZE <plain select> (Spark has no ANALYZE
-            // mode) and EXPLAIN EXECUTE of a prepared plain select
-            // (Spark cannot parse the original text) are OURS
+            // mode), EXPLAIN EXECUTE of a prepared plain select, and
+            // any consumed PG-only prefix (VERBOSE / option parens —
+            // k > 1 means prefix tokens were taken)
             val df = try spark.sql(innerText)
               catch { case NonFatal(_) => return None }
             if (analyze) Some(analyzedQuery(df))
@@ -2861,7 +2894,9 @@ object PgStatements {
         st.lower(h) match {
           case "analyze" | "analyse" => exec = true; h += 1
           case "verbose" => h += 1
-          case "(" if h == 1 =>
+          case "(" if h == 1 && explainOptionWords(st.lower(h + 1)) =>
+            // mirror explainStmt: a paren opening with a non-option word
+            // is a parenthesized QUERY, not an option list
             val e = st.matching(h)
             if (st.splitCommas(h + 1, e - 1).exists { case (a, _) =>
               st.lower(a) == "analyze" || st.lower(a) == "analyse" }) exec = true
@@ -2873,6 +2908,22 @@ object PgStatements {
     // a PREPARE body evaluates sequence calls at EXECUTE time (PG
     // semantics) — EXECUTE re-enters the pipeline, which splices then
     if (st.lower(h) == "prepare") return sqlText
+    // a CREATE VIEW / CTAS body evaluates sequence calls PER QUERY in
+    // PG — a definition-time splice would freeze one value into the
+    // definition forever (and advance the counter at CREATE time,
+    // which PG never does). A spliced literal cannot express that, so
+    // reject honestly instead of silently baking a constant in.
+    // (CREATE/ALTER/DROP SEQUENCE themselves carry no sequence CALLS —
+    // the occurrence scan below only fires on call syntax.)
+    if (st.lower(h) == "create" &&
+        (0 until st.n).exists(p => Set("nextval", "currval", "setval",
+          "lastval")(st.lower(p)) && st.lower(p + 1) == "("))
+      throw new IllegalArgumentException(
+        "graft: sequence calls inside a CREATE VIEW/TABLE body are not " +
+          "supported on a batch engine (the definition would freeze one " +
+          "spliced value where the reference evaluates per query) — " +
+          "assign ids with row_number() OVER (...) and advance the " +
+          "sequence with setval()")
     val spark = SparkSession.active
     // a literal nextval in a multi-row context silently assigns every
     // row the SAME value where PG assigns distinct ones — reject
@@ -2908,17 +2959,24 @@ object PgStatements {
               d.synchronized(d.next)
             }
           case "currval" =>
+            // plan-only (plain EXPLAIN) never evaluates the call in PG,
+            // so an undefined currval must not raise — splice a
+            // placeholder; the plan's shape is identical either way
             val d = seqFor(spark, nameArg)
-            d.synchronized(d.last).getOrElse(
-              throw new IllegalStateException(
+            d.synchronized(d.last).getOrElse {
+              if (!exec) 0L
+              else throw new IllegalStateException(
                 s"graft: currval of sequence '$nameArg' is not yet defined " +
-                  "in this session"))
+                  "in this session")
+            }
           case "lastval" =>
             require(args.isEmpty, "graft: lastval() takes no arguments")
             lastvalBySession.synchronized(
-              Option(lastvalBySession.get(spark))).map(_.longValue).getOrElse(
-              throw new IllegalStateException(
-                "graft: lastval is not yet defined in this session"))
+              Option(lastvalBySession.get(spark))).map(_.longValue).getOrElse {
+              if (!exec) 0L
+              else throw new IllegalStateException(
+                "graft: lastval is not yet defined in this session")
+            }
           case "setval" =>
             require(args.length == 2 || args.length == 3,
               "graft: setval expects (name, value[, is_called])")

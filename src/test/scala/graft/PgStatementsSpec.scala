@@ -2022,4 +2022,75 @@ class PgStatementsSpec extends SparkSpec {
     assert(mrgJobs <= refJobs + 4,
       s"MERGE ran $mrgJobs jobs vs $refJobs for the bare fused select")
   }
+
+  test("SHOW reads case-preserved conf keys the write half stored " +
+      "verbatim") {
+    spark.sql("SET MyExt.Flag = 17")
+    assert(spark.sql("SHOW MyExt.Flag").as[String].head() == "17")
+    // the folded spelling reads the same parameter when only one form
+    // is set with a lowercase key
+    spark.sql("SET myext.lower = 3")
+    assert(spark.sql("SHOW MYEXT.LOWER").as[String].head() == "3")
+  }
+
+  test("EXPLAIN (SELECT 1) is a parenthesized QUERY, not an option " +
+      "list — stock Spark's surface is preserved") {
+    assert(spark.sql("EXPLAIN (SELECT 1)").count() >= 1)
+    // a real option list still parses, and an unknown option inside a
+    // recognized list still raises OUR error; a paren opening with an
+    // unknown word is treated as a query and lands on Spark's own
+    // parse error (never silently accepted either way)
+    assert(spark.sql("EXPLAIN (VERBOSE) SELECT 1").count() >= 1)
+    val e = intercept[Exception](spark.sql(
+      "EXPLAIN (VERBOSE, FROBNICATE) SELECT 1"))
+    assert(e.getMessage.contains("unknown EXPLAIN option"))
+    val e2 = intercept[Exception](spark.sql(
+      "EXPLAIN (FROBNICATE) SELECT 1"))
+    assert(!e2.getMessage.contains("graft:"))
+  }
+
+  test("sequence calls in CREATE VIEW bodies are rejected, not frozen " +
+      "at definition time; plain EXPLAIN of undefined currval peeks") {
+    spark.sql("DROP SEQUENCE IF EXISTS stmt_cvseq")
+    spark.sql("CREATE SEQUENCE stmt_cvseq START WITH 5")
+    val e = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW stmt_cv AS " +
+        "SELECT nextval('stmt_cvseq') AS id"))
+    assert(e.getMessage.contains("CREATE VIEW"))
+    // ...and the rejected CREATE advanced nothing
+    assert(spark.sql("SELECT nextval('stmt_cvseq') AS v")
+      .as[Long].head() == 5L)
+    // plain EXPLAIN of currval/lastval before any nextval: PG plans
+    // without evaluating — must not raise "not yet defined"
+    spark.sql("DROP SEQUENCE stmt_cvseq")
+    spark.sql("CREATE SEQUENCE stmt_cvseq2")
+    try {
+      assert(spark.sql("EXPLAIN SELECT currval('stmt_cvseq2') AS v")
+        .count() >= 1)
+      assert(spark.sql("EXPLAIN SELECT lastval() AS v").count() >= 1)
+      // the executed form still raises
+      val e2 = intercept[Exception](
+        spark.sql("SELECT currval('stmt_cvseq2') AS v").collect())
+      assert(e2.getMessage.contains("not yet defined"))
+    } finally {
+      spark.sql("DROP SEQUENCE stmt_cvseq2")
+      ()
+    }
+  }
+
+  test("ANALYZE handles dotted column names in the sampled regime and " +
+      "zero-column relations in the exact one") {
+    Seq((1L, "x"), (2L, null: String), (3L, "z"))
+      .toDF("id", "a.b").createOrReplaceTempView("stmt_an_dot")
+    spark.conf.set("graft.analyze.fraction", "0.9999")
+    try {
+      val est = spark.sql("ANALYZE stmt_an_dot").collect()
+      assert(est.map(_.getString(0)).toSet == Set("id", "a.b"))
+    } finally spark.conf.unset("graft.analyze.fraction")
+    spark.emptyDataFrame.createOrReplaceTempView("stmt_an_empty")
+    val out = spark.sql("ANALYZE stmt_an_empty")
+    assert(out.columns.toSeq ==
+      Seq("column_name", "row_cnt", "n_distinct", "n_nulls"))
+    assert(out.count() == 0)
+  }
 }
