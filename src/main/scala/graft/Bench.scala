@@ -305,27 +305,25 @@ object Bench {
       val m = med(reps(n))
       m >= 0 && absSpread(reps(n)) > math.max(m, 0.3)
     }
-    val committedTotal: Option[Double] =
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(outPath)), "UTF-8")
-        val m = """"value":([0-9.]+)""".r.findFirstMatchIn(s)
-        m.map(_.group(1).toDouble)
-      } catch { case scala.util.control.NonFatal(_) => None }
+    // ONE read of the committed artifact feeds both the total and the
+    // per-query medians (two reads could straddle a concurrent write
+    // and make the accept decision internally inconsistent)
+    val committedText: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outPath)), "UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val committedTotal: Option[Double] = committedText.flatMap(s =>
+      """"value":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble))
     // per-query medians of the committed artifact — the regression
     // comparison runs over the INTERSECTION of query names (r19, per
     // the r18 advice: a set-change waiver let a round that added 3
     // queries ratchet the anchor +12.8% on the 70 shared queries; the
     // shared set is always comparable, so compare it)
-    val committedQueries: Map[String, Double] =
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(outPath)), "UTF-8")
-        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map { m =>
-          """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
-            .map(x => x.group(1) -> x.group(2).toDouble).toMap
-        }.getOrElse(Map.empty)
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val committedQueries: Map[String, Double] = committedText.flatMap(s =>
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map { m =>
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+      }).getOrElse(Map.empty)
     val medTotal = names.map(n => med(reps(n))).filter(_ >= 0).sum
     // QUIET is always required (r17 verdict closed the set-change
     // loophole: a round that adds queries must not land a contended

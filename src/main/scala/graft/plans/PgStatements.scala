@@ -721,7 +721,13 @@ object PgStatements {
               s.fields.forall(f => hashable(f.dataType))
             case _ => true
           }
-        val sCols = sDf.schema.fields.filter(f => hashable(f.dataType))
+        // a subquery source can expose DUPLICATE column names (legal
+        // until referenced) — `s.`k`` would be AMBIGUOUS_REFERENCE, so
+        // keep only uniquely-named hashable columns in the pick key
+        val nameCounts = sDf.schema.fieldNames
+          .groupBy(identity).view.mapValues(_.length)
+        val sCols = sDf.schema.fields.filter(f =>
+            hashable(f.dataType) && nameCounts(f.name) == 1)
           .map(_.name).toSeq
         val hashArgs =
           if (sCols.nonEmpty) sCols.map(c => s"$sAlias.`$c`").mkString(", ")
@@ -886,7 +892,7 @@ object PgStatements {
     truncated(spark.table(target)).createOrReplaceTempView(target)
     // (b) reclaim superseded CLUSTER rewrite generations — the view no
     // longer reads any of them after the re-materialize above
-    clusterPathsByTable.remove(normName(target))
+    clusterPathsByTable(spark).remove(normName(target))
       .getOrElse(Nil).foreach(deletePath(spark, _))
     // (c) coalesce every index's postings parquet, pruning preserved
     val rewritten = IndexCatalog.vacuumTable(spark, target)
@@ -897,14 +903,15 @@ object PgStatements {
   }
 
   /** PG remembers which index a table was last CLUSTERed by (bare
-    * `CLUSTER t` re-uses it) — index NAME per table. */
-  private val clusteredBy =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    * `CLUSTER t` re-uses it) — index NAME per table. SESSION-scoped:
+    * temp views are session objects, and a JVM-global map would let
+    * one session's VACUUM delete parquet another session's live view
+    * still reads. */
+  private val clusteredBy = new SessionMap[String]
   /** Cluster-rewrite parquet generations per table — reclaimed by
     * VACUUM (PG's posture: old heap tuples survive a rewrite until
-    * vacuum), newest first. */
-  private val clusterPathsByTable =
-    scala.collection.concurrent.TrieMap.empty[String, List[String]]
+    * vacuum), newest first. Session-scoped like [[clusteredBy]]. */
+  private val clusterPathsByTable = new SessionMap[List[String]]
 
   /**
    * `CLUSTER [VERBOSE] t [USING idx]` (gram.y ClusterStmt) — PG
@@ -929,7 +936,7 @@ object PgStatements {
     if (!isTempView(spark, target)) return None
     val idxName: String =
       if (k < st.n && st.lower(k) == "using") normName(st.ident(k + 1))
-      else clusteredBy.getOrElse(normName(target),
+      else clusteredBy(spark).getOrElse(normName(target),
         throw new IllegalArgumentException(
           s"graft: there is no previously clustered index for table " +
             s"'$target' — use CLUSTER $target USING <index>"))
@@ -961,7 +968,7 @@ object PgStatements {
       .drop(cid)
       .write.mode("overwrite").parquet(path)
     spark.read.parquet(path).createOrReplaceTempView(target)
-    clusteredBy(normName(target)) = idxName
+    clusteredBy(spark)(normName(target)) = idxName
     // PREVIOUS cluster rewrites are NOT deleted here: user-captured
     // plans (a view defined over the table between two CLUSTERs, a
     // held DataFrame) may still read them — exactly PG's MVCC posture,
@@ -969,8 +976,8 @@ object PgStatements {
     // them. VACUUM re-materializes the view, then deletes every
     // tracked generation.
     val nt = normName(target)
-    clusterPathsByTable.put(nt,
-      path :: clusterPathsByTable.getOrElse(nt, Nil))
+    clusterPathsByTable(spark).put(nt,
+      path :: clusterPathsByTable(spark).getOrElse(nt, Nil))
     Some(oneRow(spark, "command" -> "CLUSTER", "table_name" -> target,
       "index_name" -> idxName))
   }
@@ -997,8 +1004,19 @@ object PgStatements {
     if (sparkShowForms(st.lower(1))) return None
     import spark.implicits._
     if (st.lower(1) == "all" && st.n == 2) {
+      // redact like Spark's own SET -v path — a raw dump of the conf
+      // would print secrets (s3a keys, tokens) Spark never shows
+      val redactPattern = spark.conf
+        .getOption("spark.redaction.regex")
+        .getOrElse("(?i)secret|password|token|access[.]key").r
       val rows = spark.conf.getAll.toSeq.sortBy(_._1)
-        .map { case (k, v) => (k, v, null: String) }
+        .map { case (k, v) =>
+          val shown =
+            if (redactPattern.findFirstIn(k).isDefined)
+              "*********(redacted)"
+            else v
+          (k, shown, null: String)
+        }
       return Some(Bridge.logicalPlan(
         rows.toDF("name", "setting", "description")))
     }
@@ -1014,7 +1032,15 @@ object PgStatements {
       else (Seq(verbatim, name).distinct, name)
     keys.flatMap(spark.conf.getOption).headOption match {
       case Some(v) =>
-        Some(Bridge.logicalPlan(Seq(v).toDF(colName)))
+        // same redaction as SHOW ALL when the KEY itself is secretive
+        val redactPattern = spark.conf
+          .getOption("spark.redaction.regex")
+          .getOrElse("(?i)secret|password|token|access[.]key").r
+        val shown =
+          if (redactPattern.findFirstIn(name).isDefined)
+            "*********(redacted)"
+          else v
+        Some(Bridge.logicalPlan(Seq(shown).toDF(colName)))
       case None if name.contains(".") =>
         throw new IllegalArgumentException(
           s"""graft: unrecognized configuration parameter "$name"""")
@@ -1194,20 +1220,29 @@ object PgStatements {
   /** Keyed BY SESSION: PG prepared statements are session scoped — a
     * JVM-global map let one session's DEALLOCATE ALL clear another's
     * (ADVICE r18). Weak keys: a session's statements die with it. */
-  private val preparedBySession =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, String]]()
+  /** Weak-keyed per-session state store: the session's objects die
+    * with it, and one session's statements can never see another's
+    * (PG session scoping — prepared statements, sequences, CLUSTER
+    * bookkeeping all ride this one idiom). */
+  private final class SessionMap[V] {
+    private val bySession = new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, V]]()
+    def apply(spark: SparkSession)
+        : scala.collection.concurrent.TrieMap[String, V] =
+      bySession.synchronized {
+        var m = bySession.get(spark)
+        if (m == null) {
+          m = scala.collection.concurrent.TrieMap.empty[String, V]
+          bySession.put(spark, m)
+        }
+        m
+      }
+  }
+  private val preparedBySession = new SessionMap[String]
   private def normName(s: String) = s.toLowerCase(java.util.Locale.ROOT)
   private def preparedStmts(spark: SparkSession)
       : scala.collection.concurrent.TrieMap[String, String] =
-    preparedBySession.synchronized {
-      var m = preparedBySession.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, String]
-        preparedBySession.put(spark, m)
-      }
-      m
-    }
+    preparedBySession(spark)
 
   private def prepareStmt(st: Stmt): Option[LogicalPlan] = {
     val spark = SparkSession.active
@@ -2708,20 +2743,15 @@ object PgStatements {
       cycle: Boolean) {
     var last: Option[Long] = None
     var next: Long = _
+    /** Set when the advance overflowed Long on a non-CYCLE sequence —
+      * `next` alone cannot represent "past the end" when the bound is
+      * Long.MaxValue/MinValue itself. */
+    var exhausted: Boolean = false
   }
-  private val sequencesBySession =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, SeqDef]]()
+  private val sequencesBySession = new SessionMap[SeqDef]
   private def sequences(spark: SparkSession)
       : scala.collection.concurrent.TrieMap[String, SeqDef] =
-    sequencesBySession.synchronized {
-      var m = sequencesBySession.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, SeqDef]
-        sequencesBySession.put(spark, m)
-      }
-      m
-    }
+    sequencesBySession(spark)
   /** Session-level lastval (PG: most recent nextval of ANY sequence). */
   private val lastvalBySession =
     new java.util.WeakHashMap[SparkSession, java.lang.Long]()
@@ -2825,15 +2855,21 @@ object PgStatements {
     if (k < st.n && st.lower(k) == "with") k += 1
     d.synchronized {
       if (k < st.n) {
-        val (v, _) = signedLong(st, k)
+        val (v, k2) = signedLong(st, k)
         // PG validates at ALTER time ("RESTART value cannot be greater
         // than MAXVALUE") — not with a misleading reached-maximum error
         // on the NEXT nextval
         require(v >= d.min && v <= d.max,
           s"graft: RESTART value $v is outside [${d.min}, ${d.max}]")
+        // trailing clauses (MINVALUE/CYCLE/...) would be silently
+        // dropped — reject like DROP SEQUENCE and VACUUM do
+        require(k2 >= st.n,
+          s"graft: ALTER SEQUENCE: unexpected '${st.lower(k2)}' — only " +
+            "RESTART [WITH n] is supported; re-CREATE for other changes")
         d.next = v
       } else d.next = if (d.inc > 0) d.min else d.max
       d.last = None
+      d.exhausted = false
     }
     oneRow(spark, "command" -> "ALTER SEQUENCE", "sequence_name" -> name)
   }
@@ -2846,15 +2882,27 @@ object PgStatements {
   private def nextvalOf(spark: SparkSession, name: String): Long = {
     val d = seqFor(spark, name)
     d.synchronized {
-      val v = d.next
-      if (v < d.min || v > d.max) // only reachable without CYCLE
+      // a pending out-of-range next is reachable on a CYCLE sequence
+      // too (setval to the boundary stores boundary+inc) — wrap it
+      // here like PG instead of raising the non-CYCLE error
+      val v0 = d.next
+      val v =
+        if ((v0 < d.min || v0 > d.max) && d.cycle) {
+          if (d.inc > 0) d.min else d.max
+        } else v0
+      if (d.exhausted || v < d.min || v > d.max)
         throw new IllegalStateException(s"graft: nextval: reached " +
           s"${if (d.inc > 0) "maximum" else "minimum"} value of sequence '$name'")
       val candidate = v + d.inc
-      d.next =
-        if (candidate < d.min || candidate > d.max) {
-          if (d.cycle) { if (d.inc > 0) d.min else d.max } else candidate
-        } else candidate
+      // Long overflow on the advance counts as out of range (reachable
+      // via setval near Long.MaxValue on default bounds)
+      val overflowed = (d.inc > 0 && candidate < v) ||
+        (d.inc < 0 && candidate > v)
+      if (overflowed || candidate < d.min || candidate > d.max) {
+        if (d.cycle) d.next = (if (d.inc > 0) d.min else d.max)
+        else if (overflowed) d.exhausted = true // next is unrepresentable
+        else d.next = candidate
+      } else d.next = candidate
       d.last = Some(v)
       lastvalBySession.synchronized {
         lastvalBySession.put(spark, java.lang.Long.valueOf(v)); ()
@@ -2868,6 +2916,13 @@ object PgStatements {
    * session counters per occurrence (left-to-right, PG's evaluation
    * order for VALUES lists). Identity when no sequence function
    * appears. Runs BEFORE routing, like [[splicePredict]].
+   *
+   * Divergence (documented): the advance happens at parse time, so a
+   * statement that subsequently fails (Spark parse error after the
+   * splice) has still consumed its values — PG would not have
+   * evaluated them. Sequence GAPS are explicitly PG-legal (nextval is
+   * never rolled back, even on transaction abort), so downstream
+   * arithmetic must not assume density either way.
    */
   def spliceSequences(sqlText: String): String = spliceSeq(sqlText, None)
 
@@ -2929,6 +2984,17 @@ object PgStatements {
     // row the SAME value where PG assigns distinct ones — reject
     lazy val multiRow = Set("update", "delete", "merge")(st.lower(h)) ||
       (0 until st.n).exists(p => st.depth(p) == 0 && st.lower(p) == "from")
+    // an occurrence INSIDE a subquery that scans a relation is per-row
+    // in PG too (`(SELECT ... FROM t WHERE id < nextval('s'))`) — the
+    // depth-0 FROM check alone misses it; a FROM-less scalar subquery
+    // stays single-row and is exact
+    def inSubqueryWithFrom(occ: Int): Boolean =
+      (0 until occ).exists { q =>
+        st.lower(q) == "(" && st.lower(q + 1) == "select" && {
+          val e = st.matching(q) // one past the ')'
+          e > occ && (q + 1 until e - 1).exists(r => st.lower(r) == "from")
+        }
+      }
     val seqFns = Set("nextval", "currval", "setval", "lastval")
     val repls = ArrayBuffer.empty[(Int, Int, String)]
     var p = 0
@@ -2947,7 +3013,7 @@ object PgStatements {
         val value: Long = st.lower(p) match {
           case "nextval" =>
             if (exec) {
-              require(!multiRow,
+              require(!multiRow && !inSubqueryWithFrom(p),
                 "graft: nextval() in a multi-row statement is not supported " +
                   "on a batch engine (each row would receive the SAME spliced " +
                   "value) — assign ids with row_number() OVER (...) and " +
@@ -2990,6 +3056,7 @@ object PgStatements {
             if (exec) d.synchronized {
               d.next = if (isCalled) v + d.inc else v
               d.last = if (isCalled) Some(v) else None
+              d.exhausted = false
             }
             v
         }

@@ -2078,6 +2078,90 @@ class PgStatementsSpec extends SparkSpec {
     }
   }
 
+  test("setval to a CYCLE boundary wraps on the next nextval instead " +
+      "of raising the non-CYCLE error") {
+    spark.sql("DROP SEQUENCE IF EXISTS stmt_cyc")
+    spark.sql("CREATE SEQUENCE stmt_cyc MAXVALUE 10 CYCLE")
+    try {
+      spark.sql("SELECT setval('stmt_cyc', 10) AS v").collect()
+      assert(spark.sql("SELECT nextval('stmt_cyc') AS v")
+        .as[Long].head() == 1L)
+    } finally { spark.sql("DROP SEQUENCE stmt_cyc"); () }
+    // non-CYCLE near Long.MaxValue: the overflow raises rather than
+    // silently wrapping into range
+    spark.sql("CREATE SEQUENCE stmt_ovf")
+    try {
+      spark.sql(s"SELECT setval('stmt_ovf', ${Long.MaxValue}) AS v")
+        .collect()
+      val e = intercept[Exception](
+        spark.sql("SELECT nextval('stmt_ovf') AS v").collect())
+      assert(e.getMessage.contains("maximum"))
+    } finally { spark.sql("DROP SEQUENCE stmt_ovf"); () }
+  }
+
+  test("UPDATE ... FROM tolerates duplicate-named source columns in " +
+      "the pick key; nextval inside a FROM-subquery is rejected") {
+    dmlFixture()
+    spark.sql("UPDATE stmt_upd t SET bal = s.nb FROM " +
+      "(SELECT a.k AS k, b.k AS k, a.nb FROM " +
+      "(SELECT 2L AS k, 222.0 AS nb) a JOIN (SELECT 2L AS k) b " +
+      "ON a.k = b.k) s WHERE t.k = s.nb / 111.0")
+    assert(spark.table("stmt_upd").filter($"k" === 2L)
+      .select("bal").as[Double].head() == 222.0)
+    // nextval under a subquery that scans a relation is per-row in PG
+    spark.sql("DROP SEQUENCE IF EXISTS stmt_sq")
+    spark.sql("CREATE SEQUENCE stmt_sq")
+    try {
+      val e = intercept[Exception](spark.sql(
+        "SELECT (SELECT count(*) FROM stmt_upd WHERE k < nextval('stmt_sq')) AS n"))
+      assert(e.getMessage.contains("row_number"))
+      // a FROM-less scalar subquery stays single-row and splices fine
+      assert(spark.sql("SELECT (SELECT nextval('stmt_sq')) AS v")
+        .as[Long].head() == 1L)
+    } finally { spark.sql("DROP SEQUENCE stmt_sq"); () }
+  }
+
+  test("SHOW redacts secretive keys; ALTER SEQUENCE RESTART rejects " +
+      "trailing clauses; CLUSTER state is session-scoped") {
+    spark.sql("SET my.fake.password = hunter2")
+    assert(spark.sql("SHOW my.fake.password").as[String].head()
+      .contains("redacted"))
+    val all = spark.sql("SHOW ALL")
+      .filter($"name" === "my.fake.password")
+      .select("setting").as[String].head()
+    assert(all.contains("redacted"))
+    spark.sql("DROP SEQUENCE IF EXISTS stmt_arj")
+    spark.sql("CREATE SEQUENCE stmt_arj")
+    try {
+      val e = intercept[Exception](spark.sql(
+        "ALTER SEQUENCE stmt_arj RESTART WITH 5 CYCLE"))
+      assert(e.getMessage.contains("unexpected"))
+    } finally { spark.sql("DROP SEQUENCE stmt_arj"); () }
+    // CLUSTER bookkeeping must not leak across sessions: the sibling
+    // session neither remembers this session's clustering index nor
+    // can its VACUUM reclaim parquet this session still reads
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    emb.createOrReplaceTempView("stmt_cl3")
+    spark.sql("CREATE INDEX stmt_cl3idx ON stmt_cl3 USING ivfflat " +
+      "(embedding vector_l2_ops) WITH (lists = 4)")
+    try {
+      spark.sql("CLUSTER stmt_cl3 USING stmt_cl3idx")
+      val other = spark.newSession()
+      // the sibling gets its OWN same-named view through ITS catalog
+      other.sql("CREATE OR REPLACE TEMPORARY VIEW stmt_cl3 AS SELECT 1 AS x")
+      val e2 = intercept[Exception](other.sql("CLUSTER stmt_cl3"))
+      assert(e2.getMessage.contains("no previously clustered"))
+      other.sql("VACUUM stmt_cl3")
+      // this session's clustered view still reads its cluster parquet
+      // (a JVM-global map would have let the sibling's VACUUM delete it)
+      assert(spark.table("stmt_cl3").count() == emb.count())
+    } finally {
+      spark.sql("DROP INDEX IF EXISTS stmt_cl3idx")
+      ()
+    }
+  }
+
   test("ANALYZE handles dotted column names in the sampled regime and " +
       "zero-column relations in the exact one") {
     Seq((1L, "x"), (2L, null: String), (3L, "z"))
