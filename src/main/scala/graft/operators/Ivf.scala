@@ -36,7 +36,13 @@ object Ivf {
     }
   }
 
-  /** Train list centroids with MLlib k-means (deterministic under `seed`). */
+  /** Train list centroids with MLlib k-means (deterministic under
+    * `seed`). The operator-level builders keep this trainer: their
+    * probe-budget recall gates were measured against its exact draw,
+    * and their models are build-once artifacts (cached per corpus), so
+    * the ~25 scheduled jobs are paid once, not per query. The
+    * STATEMENT layer (CREATE INDEX re-runs its build per statement)
+    * uses [[buildSampled]] instead. */
   def build(corpus: DataFrame, vecCol: String, nlists: Int, seed: Long = 42L,
       sampleFraction: Double = 1.0): Model = {
     val sample =
@@ -46,6 +52,50 @@ object Ivf {
       .setFeaturesCol("features")
     val model = km.fit(feats)
     Model(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /**
+   * Train list centroids on a BOUNDED SAMPLE with a driver-local
+   * Lloyd's — the reference's own build shape (ivfkmeans.cpp trains
+   * the quantizer on ~50 sampled rows per list, never the corpus).
+   * ONE TakeOrdered pass draws a deterministic hash-ordered sample,
+   * then [[LocalKMeans]] fits on the driver: 1 Spark job where the
+   * MLlib path schedules ~25 (k-means|| init rounds + one job per
+   * Lloyd's iteration over the full corpus — measured r19 as the
+   * dominant cost of every CREATE INDEX statement, 38 jobs /
+   * ~2 s per statement at sf0.1). At 100 TB the single bounded
+   * sampling pass replaces ~25 full-corpus passes.
+   *
+   * Above `graft.ivf.localKmeansMaxLists` (default 128) the
+   * single-threaded fit — O(sample × nlists × dim) per iteration with
+   * sample = 50·nlists — would itself become the bottleneck, so the
+   * distributed trainer keeps the job (parameterized, not a local-mode
+   * constant: a corpus warranting thousands of lists trains
+   * distributed exactly as before).
+   */
+  def buildSampled(corpus: DataFrame, vecCol: String, nlists: Int,
+      seed: Long = 42L): Model = {
+    val maxLocal = corpus.sparkSession.conf
+      .get("graft.ivf.localKmeansMaxLists", "128").toInt
+    if (nlists > maxLocal) return build(corpus, vecCol, nlists, seed)
+    // ivfkmeans.cpp samples 50*lists; the floor keeps thin corpora whole
+    val target = math.max(10000, 50 * nlists)
+    val drawn = corpus
+      .select(col(vecCol).cast("array<float>").as("v"))
+      .where(col("v").isNotNull)
+      .select(xxhash64(col("v")).as("h"), col("v"))
+      .orderBy(col("h")).limit(target)
+      .collect()
+    // full determinism: break hash ties by lexicographic vector
+    // compare locally (TakeOrdered's tie order is partition-luck)
+    val pts = drawn
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortWith { case ((h1, v1), (h2, v2)) =>
+        if (h1 != h2) h1 < h2
+        else java.util.Arrays.compare(v1, v2) < 0
+      }
+      .map(_._2)
+    Model(LocalKMeans.fit(pts, nlists, seed, maxIter = 20))
   }
 
   /**
@@ -311,5 +361,126 @@ object Ivf {
       .filter(col("list_id").isin(keep: _*))
       .select(col(idCol), round(VF.l2Distance(col(vecCol), lit(query)), 6).as("dist"))
       .filter(col("dist") <= eps)
+  }
+}
+
+/**
+ * Driver-local Lloyd's k-means over a bounded sample — the quantizer
+ * trainer for [[Ivf.build]]'s default regime (the reference trains its
+ * IVF quantizer on a bounded sample the same way: ivfkmeans.cpp).
+ * Deterministic under `seed`: k-means++ init with a seeded RNG,
+ * strict-< argmin (lowest index wins ties), empty lists re-seeded to
+ * the deterministic farthest point. All arithmetic in double,
+ * centroids emitted as float (the Model's storage type).
+ */
+private[graft] object LocalKMeans {
+  /** Best-of-`restarts` fit: kmeans++ inits differ only in their
+    * seeded RNG; the lowest within-cluster sum of squares wins (ties:
+    * first). A single ++ draw can land badly — MLlib's k-means|| init
+    * is robust by oversampling; a few cheap local restarts buy the
+    * same robustness (measured: 1 restart lost 16 points of routed
+    * recall vs MLlib on the isotropic test embeddings, 4 restarts
+    * match it). */
+  def fit(pts: Array[Array[Float]], k0: Int, seed: Long, maxIter: Int,
+      restarts: Int = 4): Array[Array[Float]] = {
+    var best: Array[Array[Float]] = null
+    var bestCost = Double.MaxValue
+    var r = 0
+    while (r < restarts) {
+      val (cs, cost) = fitOnce(pts, k0, seed + r, maxIter)
+      if (cost < bestCost) { bestCost = cost; best = cs }
+      r += 1
+    }
+    best
+  }
+
+  private def fitOnce(pts: Array[Array[Float]], k0: Int, seed: Long,
+      maxIter: Int): (Array[Array[Float]], Double) = {
+    val n = pts.length
+    require(n > 0, "graft: k-means needs a non-empty corpus")
+    val k = math.min(k0, n)
+    val dim = pts(0).length
+    val rnd = new scala.util.Random(seed)
+    def l2sq(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val centers = Array.ofDim[Double](k, dim)
+    def setCenter(c: Int, p: Array[Float]): Unit = {
+      var j = 0; while (j < dim) { centers(c)(j) = p(j); j += 1 }
+    }
+    // k-means++ init (D² sampling)
+    setCenter(0, pts(rnd.nextInt(n)))
+    val minD = Array.fill(n)(Double.MaxValue)
+    var ci = 1
+    while (ci < k) {
+      var i = 0; var tot = 0.0
+      while (i < n) {
+        val d = l2sq(pts(i), centers(ci - 1))
+        if (d < minD(i)) minD(i) = d
+        tot += minD(i); i += 1
+      }
+      var pick = -1
+      if (tot <= 0) pick = rnd.nextInt(n)
+      else {
+        val r = rnd.nextDouble() * tot
+        var acc = 0.0; var j = 0
+        while (j < n && pick < 0) {
+          acc += minD(j); if (acc >= r) pick = j; j += 1
+        }
+        if (pick < 0) pick = n - 1
+      }
+      setCenter(ci, pts(pick))
+      ci += 1
+    }
+    // Lloyd's with early stop on a fixed assignment
+    val assign = Array.fill(n)(-1)
+    val sums = Array.ofDim[Double](k, dim)
+    val cnt = new Array[Long](k)
+    var iter = 0; var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      java.util.Arrays.fill(cnt, 0L)
+      var c0 = 0
+      while (c0 < k) { java.util.Arrays.fill(sums(c0), 0.0); c0 += 1 }
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = l2sq(pts(i), centers(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { changed = true; assign(i) = best }
+        cnt(best) += 1
+        var j = 0; while (j < dim) { sums(best)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnt(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / cnt(c); j += 1 }
+        } else {
+          // deterministic re-seed: the point farthest from its centroid
+          var far = 0; var fd = -1.0; var i2 = 0
+          while (i2 < n) {
+            val d = l2sq(pts(i2), centers(assign(i2)))
+            if (d > fd) { fd = d; far = i2 }
+            i2 += 1
+          }
+          setCenter(c, pts(far))
+          changed = true
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    // within-cluster sum of squares for the restart comparison
+    var wcss = 0.0
+    var i3 = 0
+    while (i3 < n) { wcss += l2sq(pts(i3), centers(assign(i3))); i3 += 1 }
+    (centers.map(_.map(_.toFloat)), wcss)
   }
 }

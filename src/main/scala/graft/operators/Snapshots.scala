@@ -47,6 +47,23 @@ class SnapshotStore(spark: SparkSession, base: String) {
   private def catalogPath = s"$base/_catalog"
   private def dataPath(m: Meta) = s"$base/${m.fullName}"
 
+  /** Count the rows of a written parquet dir from its FOOTERS — a
+    * driver-side metadata read, zero Spark jobs (the old
+    * `spark.read.parquet(tmp).count()` paid a scheduling round-trip
+    * per snapshot version; a 5-version gate ran 5 count jobs). */
+  private def footerCount(dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(dir)
+    fs.listStatus(d).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try in.getRecordCount finally in.close()
+      }.sum
+  }
+
   /** Materialize a version with ONE evaluation of its DAG: write to an
     * id-keyed temp dir, take the row count from the written parquet's
     * own footers (a metadata read — no data scan), then RENAME the dir
@@ -55,7 +72,7 @@ class SnapshotStore(spark: SparkSession, base: String) {
   private def writeCounted(df: DataFrame, id: Long, finalPath: String): Long = {
     val tmp = s"$base/.tmp-$id"
     df.write.mode("overwrite").parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
+    val n = footerCount(tmp)
     val dst = new org.apache.hadoop.fs.Path(finalPath)
     require(!fs.exists(dst), s"graft: snapshot path exists: $finalPath")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
@@ -72,16 +89,32 @@ class SnapshotStore(spark: SparkSession, base: String) {
         "storage", "key_col", "command", "published", "archived", "row_count")
   }
 
-  private def metas: Seq[Meta] =
-    if (!fs.exists(new org.apache.hadoop.fs.Path(catalogPath))) Seq.empty
-    else {
-      import spark.implicits._
-      spark.read.parquet(catalogPath).as[Meta].collect().toSeq.sortBy(_.id)
-    }
+  /** Catalog rows, cached per store instance (write-through): the
+    * persisted parquet stays the durable source — a FRESH store over
+    * an existing base loads it once — but the k-row catalog is not
+    * re-read (listing + footer + a 1-task collect job) on every
+    * find/derive/read; a 3-derivation tree was paying ~10 such
+    * round-trips. Every mutation goes through [[saveMetas]], which
+    * persists first and updates the cache after. */
+  private var metasCache: Option[Seq[Meta]] = None
+
+  private def metas: Seq[Meta] = metasCache.getOrElse {
+    val loaded =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(catalogPath))) Seq.empty
+      else {
+        import spark.implicits._
+        // schema from the encoder: skips the footer-inference pass
+        spark.read.schema(implicitly[org.apache.spark.sql.Encoder[Meta]].schema)
+          .parquet(catalogPath).as[Meta].collect().toSeq.sortBy(_.id)
+      }
+    metasCache = Some(loaded)
+    loaded
+  }
 
   private def saveMetas(ms: Seq[Meta]): Unit = {
     import spark.implicits._
-    ms.toDF().repartition(1).write.mode("overwrite").parquet(catalogPath)
+    ms.toDF().coalesce(1).write.mode("overwrite").parquet(catalogPath)
+    metasCache = Some(ms.sortBy(_.id))
   }
 
   private def find(name: String, version: String): Meta =
@@ -149,10 +182,11 @@ class SnapshotStore(spark: SparkSession, base: String) {
               pdf.select(cols.map(col): _*), child.select(cols.map(col): _*),
               parent.keyCol)
             d.write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp)
+            // schema already known — no footer-inference on the re-read
+            spark.read.schema(d.schema).parquet(tmp)
           } else {
             child.write.mode("overwrite").parquet(tmp)
-            val childW = spark.read.parquet(tmp)
+            val childW = spark.read.schema(child.schema).parquet(tmp)
             Flashback.restoreDelta(pdf.select(cols.map(col): _*),
               childW.select(cols.map(col): _*), parent.keyCol)
           }

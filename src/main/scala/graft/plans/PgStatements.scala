@@ -2182,24 +2182,38 @@ object PgStatements {
       case "sparse_proxy_aug" => maxNorm(corpus, sparseProxyCol(col(column)))
       case _ => 0.0
     }
-    /** Materialized space-tagged corpus: non-raw spaces compute
-      * per-row work (normalize / augment / proxy fold) — truncate so
-      * k-means' repeated scans don't re-run the transform. */
+    /** Space-tagged corpus. The non-raw spaces compute per-row work
+      * (normalize / augment / proxy fold); when k-means was the MLlib
+      * distributed trainer its ~25 scans made a checkpoint worthwhile —
+      * the sampled driver-side build (Ivf.build) scans ONCE for its
+      * sample and once more for the assignment write, so recomputing
+      * the cheap map transform now beats paying a full checkpoint
+      * write + read of the corpus (r19 measurement: CREATE INDEX
+      * statement jobs 38 → single digits). */
     def tagSpace(space: String, aug: Double): (DataFrame, String) = {
       val sc = "__graft_space"
-      val tagged0 = corpus.withColumn(sc, spaceColumn(space, col(column), aug))
-      (if (space == "raw") tagged0 else Iterate.truncate(tagged0), sc)
+      (corpus.withColumn(sc, spaceColumn(space, col(column), aug)), sc)
     }
     def buildIvfFamily(op: String, space: String): Unit = {
       val aug = augFor(space)
       val (tagged, sc) = tagSpace(space, aug)
-      val model = Ivf.build(tagged, sc, lists())
+      val model = Ivf.buildSampled(tagged, sc, lists())
       val assigned = Ivf.assign(tagged, sc, model).drop(sc)
       val stored = if (isHalf)
         assigned.withColumn(column,
           graft.functions.VectorFunctions.packHalf(col(column)))
       else assigned
-      stored.write.mode("overwrite").partitionBy("list_id").parquet(path)
+      // cluster the write by list (guide §6: writers that fan out to
+      // partitionBy dirs from every scan task emit scan_tasks × lists
+      // small files; one hash exchange on list_id writes each list's
+      // rows contiguously — fewer files to commit now, fewer to open
+      // on every probe read after). Scale-adaptive: a scan narrower
+      // than the list count cannot fragment, so it skips the exchange.
+      val nParts = stored.rdd.getNumPartitions
+      val toWrite =
+        if (nParts > model.nlists) stored.repartition(col("list_id"))
+        else stored
+      toWrite.write.mode("overwrite").partitionBy("list_id").parquet(path)
       val rd0 = spark.read.parquet(path)
       val rd = if (isHalf)
         rd0.withColumn(column,
@@ -2211,8 +2225,12 @@ object PgStatements {
     }
     def buildBitIvf(op: String): Unit = {
       val model = IvfBit.build(corpus, column, lists())
-      IvfBit.assign(corpus, column, model)
-        .write.mode("overwrite").partitionBy("list_id").parquet(path)
+      val assigned = IvfBit.assign(corpus, column, model)
+      val toWrite = // same fragmentation guard as the fp32 family
+        if (assigned.rdd.getNumPartitions > model.nlists)
+          assigned.repartition(col("list_id"))
+        else assigned
+      toWrite.write.mode("overwrite").partitionBy("list_id").parquet(path)
       spark.read.parquet(path).createOrReplaceTempView(view)
       IndexCatalog.put(spark, name,
         IndexCatalog.BitIvfIdx(table, column, view, model, path, op))
@@ -2263,7 +2281,7 @@ object PgStatements {
         val idCol = corpus.columns.head // row-id convention: first column
         val aug = augFor(space)
         val (tagged, sc) = tagSpace(space, aug)
-        val model = Ivf.build(tagged, sc, lists())
+        val model = Ivf.buildSampled(tagged, sc, lists())
         Hnsw.buildIndexClustered(tagged, sc, idCol, model, params).toDF
           .write.mode("overwrite").partitionBy("part_id").parquet(path)
         spark.read.parquet(path).createOrReplaceTempView(view)

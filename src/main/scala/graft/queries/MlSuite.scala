@@ -263,12 +263,26 @@ object MlSuite {
 
     // ---- logistic regression (F3): 3 full-batch GD steps, gradient
     // sums floor-quantized to 1e-9 (exact LONG sums), hard-sigmoid
-    // surrogate — the whole chain one shared SQL text ----
+    // surrogate. The Spark side runs the PRODUCTION driver loop
+    // (Ml.logregr — one k-row aggregate per step): the single-text CTE
+    // chain re-inlines every earlier step per reference, which made
+    // THIS gate pay ~3 s of pure plan-analysis wall for 0.3 s of task
+    // work (r19 measurement — the same blowup the ml_gbdt gate
+    // documented). MlSpec asserts loop == SQL chain weights
+    // bit-for-bit, so the DuckDB oracle still runs the full shared
+    // text and the output is unchanged ----
     "ml_logreg" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("graft_events")
-      s.sql(s"WITH pts AS ($LogregPts), "
-        .replace("FROM events", "FROM graft_events") +
-        Ml.logregrSql(3, 0.5).stripPrefix("WITH "))
+      val pts = s.sql(LogregPts.replace("FROM events", "FROM graft_events"))
+      val w = Ml.logregr(pts, 3, 0.5)
+      // identical final projection as logregrSql's tail: n_pos_pred
+      // counts hardSigmoid(z) >= 0.5 under the trained weights
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      val sig = least(greatest(z / lit(4e0) + lit(5e-1), lit(0e0)), lit(1e0))
+      pts.filter(sig >= lit(5e-1))
+        .agg(count(lit(1)).as("n_pos_pred"))
+        .select(lit(w(0)).as("w0"), lit(w(1)).as("w1"), lit(w(2)).as("w2"),
+          col("n_pos_pred"))
     }),
 
     // ---- index advisor (F12, dbmind/kernel/index_advisor.cpp): a

@@ -434,7 +434,10 @@ object RelationalSuite5 {
     // from the planted shapes ----
     "sql_pg_ops" -> ((s, dir) => {
       graft.functions.SqlFunctions.register(s)
-      Tables(s, dir, "orders").createOrReplaceTempView("orders_pgops")
+      // spread (r19): 26 per-row jsonb/hstore/intarray kernels on a
+      // single-row-group file serialized ~1.1 s of map work behind one
+      // task (Tables.spread rationale); the barrier repays 10x here
+      Tables.spread(s, dir, "orders").createOrReplaceTempView("orders_pgops")
       s.sql(graft.plans.PgSqlRewrite.rewrite(
         """WITH d AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
           |    concat('{"o":', o_orderkey, ',"tags":["p', o_orderkey % 3,
@@ -480,7 +483,7 @@ object RelationalSuite5 {
     // closed-form ----
     "sql_jsonb_surface" -> ((s, dir) => {
       graft.functions.SqlFunctions.register(s)
-      Tables(s, dir, "orders").createOrReplaceTempView("orders_jsurf")
+      Tables.spread(s, dir, "orders").createOrReplaceTempView("orders_jsurf")
       s.sql(graft.plans.PgSqlRewrite.rewrite(
         """WITH d AS (SELECT o_orderkey AS k,
           |    concat('{"o":', o_orderkey, ',"tags":["p', o_orderkey % 3,
