@@ -659,16 +659,6 @@ object Dedup {
       .select(col("id"), col("root"), col("keep"))
   }
 
-  /** Distinct word trigrams of lower-cased text; empty below 3 tokens. */
-  private def wordTrigrams(text: Column): Column = {
-    val toks = split(lower(text), " ")
-    array_distinct(when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>")))
-  }
-
   /**
    * Benchmark decontamination — the eval-leakage check every LLM
    * training pipeline runs before packing: flag training documents
@@ -681,13 +671,23 @@ object Dedup {
    * callers must pass a `docs` frame with the benchmark rows already
    * removed, or benchmark docs will be flagged against themselves
    * (they trivially share all their grams).
+   *
+   * Grams travel as xxhash64 LONGS from the fused compiled shingle
+   * kernel ([[hashedWordShingles]] — one pass per row), not as strings
+   * from the interpreted HOF chain: the lambda-captured `split(text)`
+   * re-evaluated per trigram position made the gram pass O(tokens²)
+   * per document (measured 229 CPU-seconds at sf0.1; ~8 after).
+   * Same values modulo hash collisions (~n²/2⁻⁶⁴ — the equivalence
+   * every other dedup gate already pins), 8-byte join keys instead of
+   * gram text.
    */
   def contaminationFlags(docs: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String): DataFrame = {
     val docGrams = docs.select(col(idCol).as("id"),
-      explode(wordTrigrams(col(textCol))).as("gram"))
+      explode(hashedWordShingles(col(textCol), 3)).as("gram"))
     val benchGrams = bench
-      .select(explode(wordTrigrams(col(benchTextCol))).as("gram")).distinct()
+      .select(explode(hashedWordShingles(col(benchTextCol), 3)).as("gram"))
+      .distinct()
     val hits = docGrams.join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col("id")).agg(count(lit(1)).as("hits"))
     docs.select(col(idCol).as("id"))

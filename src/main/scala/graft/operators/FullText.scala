@@ -510,6 +510,16 @@ object FullText {
    * Pass the `buckets` the postings were [[postingsBucketed]] with to
    * add the partition-pruning `tbucket` literal to every term lookup
    * (0 = unbucketed postings, no pruning filter).
+   *
+   * Plan shape: queries WITHOUT prefix terms evaluate through the
+   * [[indexedMatchMany]] one-pass kernel (the query's term literals
+   * broadcast against a SINGLE postings scan) — the per-term
+   * semi/anti-join chain re-evaluated the whole `post` plan once per
+   * term per DNF arm, which for inline postings (built from the corpus
+   * in the same query) re-ran the corpus explode+groupBy up to 7×
+   * (measured on fts_indexed_retrieve's 4-term query). Prefix terms
+   * (`p:*`) join postings on a term RANGE, which the exact-equality
+   * broadcast kernel cannot express — they keep the join chain.
    */
   def indexedMatch(post: DataFrame, query: String, buckets: Int = 0): DataFrame = {
     val conjuncts = toDnf(parseQuery(query))
@@ -518,7 +528,12 @@ object FullText {
         "graft: a pure-negative DNF arm cannot use the postings index; " +
           "use tsMatch")
     }
-    conjuncts.map { case (pos, neg) =>
+    val anyPrefix = conjuncts.exists { case (pos, neg) =>
+      (pos ++ neg).exists(_.terms.exists(_.endsWith(":*")))
+    }
+    if (!anyPrefix)
+      matchManyDnf(post, Seq(0L -> conjuncts), buckets).select(col("doc_id"))
+    else conjuncts.map { case (pos, neg) =>
       val base = pos.map(evalPhrase(post, _, buckets))
         .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
       neg.foldLeft(base)((acc, p) =>
@@ -616,23 +631,37 @@ object FullText {
   def indexedMatchMany(post: DataFrame, queries: Seq[(Long, String)],
       buckets: Int = 0): DataFrame = {
     require(queries.nonEmpty, "indexedMatchMany needs at least one query")
+    queries.foreach { case (qid, q) =>
+      toDnf(parseQuery(q)).foreach { case (pos, neg) =>
+        if (pos.isEmpty) throw new IllegalArgumentException(
+          s"graft: pure-negative DNF arm in query $qid cannot use the " +
+            "postings index; use tsMatch")
+        (pos ++ neg).foreach(_.terms.foreach(t => require(!t.endsWith(":*"),
+          s"graft: prefix term '$t' in query $qid — the batch path " +
+            "joins postings on exact term equality; use indexedMatch")))
+      }
+    }
+    matchManyDnf(post,
+      queries.map { case (qid, q) => qid -> toDnf(parseQuery(q)) }, buckets)
+  }
+
+  /** The one-postings-pass match kernel shared by [[indexedMatch]] and
+    * [[indexedMatchMany]]: pre-normalized DNF conjuncts per qid, no
+    * prefix terms. Output: distinct (qid, doc_id). */
+  private def matchManyDnf(post: DataFrame,
+      queries: Seq[(Long, Seq[(Seq[Phrase], Seq[Phrase])])],
+      buckets: Int): DataFrame = {
     val spark = post.sparkSession
     import spark.implicits._
     val lits = Seq.newBuilder[QueryLit]
     val metas = Seq.newBuilder[ConjMeta]
-    for ((qid, q) <- queries) {
-      toDnf(parseQuery(q)).zipWithIndex.foreach { case ((pos, neg), cid) =>
-        if (pos.isEmpty) throw new IllegalArgumentException(
-          s"graft: pure-negative DNF arm in query $qid cannot use the " +
-            "postings index; use tsMatch")
+    for ((qid, dnf) <- queries) {
+      dnf.zipWithIndex.foreach { case ((pos, neg), cid) =>
         metas += ConjMeta(qid, cid, pos.length)
         (pos.map((_, false)) ++ neg.map((_, true))).zipWithIndex.foreach {
           case ((Phrase(terms, gaps), isNeg), lid) =>
             val offs = gaps.scanLeft(0)(_ + _)
             terms.zipWithIndex.foreach { case (t, slot) =>
-              require(!t.endsWith(":*"),
-                s"graft: prefix term '$t' in query $qid — the batch path " +
-                  "joins postings on exact term equality; use indexedMatch")
               lits += QueryLit(t, qid, cid, lid, slot, offs, terms.length, isNeg)
             }
         }

@@ -110,8 +110,12 @@ object Sampling {
    * would be engine-dependent): quota = round(scale · n^temp), exact
    * for temp = 0.5 since sqrt is IEEE correctly-rounded in every
    * engine and a rational sqrt forces an integer (no .5 rounding
-   * boundary exists). One count aggregate + the stratified window —
-   * two shuffles on the source key total.
+   * boundary exists). The stratum count rides the SAME window
+   * partitioning as the rank (an unbounded-frame count over
+   * partitionBy(source) shares the rank window's exchange+sort), so
+   * the whole mix is ONE shuffle and ONE execution of the input —
+   * the previous aggregate+join form ran the upstream plan twice
+   * (once for quotas, once for ranks) and shuffled twice.
    * Output: input columns + rk (1-based pick order within source).
    */
   def mixBySource(df: DataFrame, sourceCol: String, idCol: String,
@@ -123,15 +127,16 @@ object Sampling {
       if (temp == 0.5) sqrt(n)
       else if (temp == 1.0) n
       else pow(n, temp)
-    val quotas = df.groupBy(col(sourceCol))
-      .agg(round(tempPow(count(lit(1)).cast("double")) * scale, 0)
-        .cast("long").as("_quota"))
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(mix(col(idCol)), col(idCol))
-    df.join(quotas, Seq(sourceCol))
-      .withColumn("rk", row_number().over(w))
+    val n = count(lit(1)).over(Window.partitionBy(col(sourceCol)))
+    df.withColumn("rk", row_number().over(w))
+      .withColumn("_quota",
+        round(tempPow(n.cast("double")) * scale, 0).cast("long"))
       .filter(col("rk") <= col("_quota"))
-      .drop("_quota")
+      // column order of the old aggregate+join form (source key first)
+      .select(col(sourceCol) +:
+        df.columns.filterNot(_ == sourceCol).map(col) :+ col("rk"): _*)
   }
 
   /** Bernoulli-by-hash sample keeping ~frac of rows: map-only filter,
@@ -217,23 +222,30 @@ object Sampling {
         prev.queryExecution.analyzed.canonicalized !=
           keyed.queryExecution.analyzed.canonicalized)
       prev.unpersist(blocking = false)
-    // bucket histogram: nBuckets rows — the only driver round-trip
-    val counts = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = Array.ofDim[Long](nBuckets)
-    var acc = 0L
-    var i = 0
-    while (i < nBuckets) {
-      offsets(i) = acc; acc += counts.getOrElse(i, 0L); i += 1
-    }
+    // Bucket offsets computed DISTRIBUTEDLY and broadcast-joined back:
+    // prefix-sum the (≤ nBuckets)-row bucket histogram with one
+    // running-sum window (a single partition of nBuckets tiny rows —
+    // never corpus-sized data) instead of collecting the histogram to
+    // the driver and baking a nBuckets-entry literal array into every
+    // row's expression (one scheduling round-trip per CALL at
+    // construction time, plus a 4096-long literal through codegen).
+    // offset(b) = Σ counts of buckets < b; buckets with no rows simply
+    // have no row to join. Same pos values as the literal form.
+    val offsets = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off",
+        coalesce(sum(col("_c")).over(
+          Window.orderBy(col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_off"))
     val w = Window.partitionBy(col("_bkt"))
       .orderBy(col("_ord"), col(idCol))
     keyed
-      .withColumn("pos",
-        element_at(typedlit(offsets.toSeq), col("_bkt") + 1) +
-          row_number().over(w) - 1)
+      .join(broadcast(offsets), "_bkt")
+      .withColumn("pos", col("_off") + row_number().over(w) - 1)
       // `div`, not `/`: Column `/` is DOUBLE division (lossy past 2^53)
       .withColumn("batch_id", expr(s"pos div ${batchSize}L"))
-      .drop("_ord", "_bkt")
+      // restore the input column order (the join keyed on _bkt moved it
+      // first); callers see input columns + (pos, batch_id), as before
+      .select(df.columns.map(col) :+ col("pos") :+ col("batch_id"): _*)
   }
 }

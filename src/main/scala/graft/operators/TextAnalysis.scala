@@ -189,22 +189,35 @@ object TextAnalysis {
     val trainDf = df.filter(train)
     // ALL THREE count tables from ONE corpus scan: every 1/2/3-gram
     // hash minted class-tagged in one compiled pass (TaggedGramHashes)
-    // and aggregated through one exchange keyed (cls, h) — the three
-    // table branches filter their class above the shared shuffle
-    // (ReuseExchange dedupes it). At 100 TB the corpus passes are the
-    // cost: this plan reads the training corpus once, not three times.
-    val all = trainDf.select(explode(Bridge.column(
+    // and PIVOTED per class in one aggregate keyed on the hash alone —
+    // one (h, c1, c2, c3) row per gram hash. The previous shape kept
+    // cls in the grouping key and filtered the class ABOVE the shared
+    // exchange, counting on ReuseExchange; the optimizer pushed each
+    // class filter below the aggregate instead, splitting the exchange
+    // six ways — the corpus gram explode ran six times (~70 CPU-
+    // seconds at sf0.1). With the class pivoted into columns there is
+    // nothing to push: the training corpus is read and exploded ONCE,
+    // and the five lookup subtrees are identical, so ReuseExchange/
+    // ReuseBroadcast dedupe for real. A zero count means "hash exists
+    // in another class only" and reads back as NULL (nullif) — exactly
+    // the old per-class tables' left-join semantics; cross-class hash
+    // collisions keep separate columns, the same ~n²/2⁻⁶⁴ bound as
+    // before.
+    val counts = trainDf.select(explode(Bridge.column(
         graft.functions.TaggedGramHashes(Bridge.expression(col(textCol)))))
         .as("g"))
-      .groupBy(col("g.cls").as("cls"), col("g.h").as("h"))
-      .agg(count(lit(1)).as("c"))
-    val tri = all.filter(col("cls") === 3).select(col("h"), col("c").as("c3"))
-    val big = all.filter(col("cls") === 2).select(col("h"), col("c").as("c12"))
-    val uni = all.filter(col("cls") === 1).select(col("h"), col("c").as("c1"))
-    // totals DERIVE from the unigram table (bigN = Σ counts, V = its
-    // row count) — the corpus is never re-scanned for them
-    val totals = uni.agg(sum(col("c1")).as("bigN"),
-      count(lit(1)).as("vocabV"))
+      .groupBy(col("g.h").as("h"))
+      .agg(sum(when(col("g.cls") === 1, 1L).otherwise(0L)).as("cu"),
+        sum(when(col("g.cls") === 2, 1L).otherwise(0L)).as("cb"),
+        sum(when(col("g.cls") === 3, 1L).otherwise(0L)).as("ct"))
+    // totals DERIVE from the unigram counts (bigN = Σ cu, V = rows
+    // with cu > 0) — the corpus is never re-scanned for them
+    val totals = counts.agg(sum(col("cu")).as("bigN"),
+      sum((col("cu") > 0L).cast("long")).as("vocabV"))
+    // one lookup table per probe key, all five the SAME plan modulo
+    // the projected class column (absent-row NULL via nullif)
+    def look(keyCol: String, cnt: String, as: String) =
+      counts.select(col("h").as(keyCol), nullif(col(cnt), lit(0L)).as(as))
 
     // doc-side stream: all five probe keys minted in the same
     // compiled pass (one 40-byte struct per trigram), exploded once,
@@ -222,14 +235,11 @@ object TextAnalysis {
         first(col("h23")).as("h23"), first(col("h2")).as("h2"),
         first(col("h3")).as("h3"))
     val scored = docTri
-      .join(tri.withColumnRenamed("h", "h123"), Seq("h123"), "left")
-      .join(big.withColumnRenamed("h", "h12"), Seq("h12"), "left")
-      .join(big.select(col("h").as("h23"), col("c12").as("c23")),
-        Seq("h23"), "left")
-      .join(uni.select(col("h").as("h2"), col("c1").as("n2")),
-        Seq("h2"), "left")
-      .join(uni.select(col("h").as("h3"), col("c1").as("n3")),
-        Seq("h3"), "left")
+      .join(look("h123", "ct", "c3"), Seq("h123"), "left")
+      .join(look("h12", "cb", "c12"), Seq("h12"), "left")
+      .join(look("h23", "cb", "c23"), Seq("h23"), "left")
+      .join(look("h2", "cu", "n2"), Seq("h2"), "left")
+      .join(look("h3", "cu", "n3"), Seq("h3"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("s",
         when(col("c3").isNotNull,
