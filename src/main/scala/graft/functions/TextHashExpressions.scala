@@ -100,6 +100,58 @@ case class WordShingleHashes(child: Expression, w: Int)
 }
 
 /**
+ * Gopher repetition stats in ONE compiled pass:
+ * struct<n_tokens, dup2_ratio, dup3_ratio> where dupN =
+ * round(1 − distinct_ngrams/ngrams, 6) over the non-empty lowercased
+ * space tokens (0.0 when the doc has no N-gram). Same values as the
+ * declarative filter/transform/array_distinct chain it replaces —
+ * that chain's lambda-captured token array was re-evaluated per gram
+ * position (O(tokens²) per document, ~24 CPU-seconds at sf0.1; ~1
+ * compiled). Distinctness is exact string-set distinctness, and the
+ * rounding is Spark round()'s HALF_UP.
+ */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("dup2_ratio", DoubleType, nullable = false),
+    StructField("dup3_ratio", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  override def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[UTF8String].toLowerCase.toString
+      .split(" ", -1).filter(_.nonEmpty)
+    val n = toks.length
+    def dup(w: Int): Double = {
+      val m = n - w + 1
+      if (m <= 0) 0.0
+      else {
+        val seen = new java.util.HashSet[String](m * 2)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < w) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        round6(1.0 - seen.size.toDouble / m.toDouble)
+      }
+    }
+    InternalRow(n.toLong, dup(2), dup(3))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
  * MinHash signature over pre-hashed shingles: min_j of (a_j*h + b_j) mod
  * 2^31-1 per hash function. Params derive from `seed` exactly like
  * graft.operators.Dedup.minhashSignature.

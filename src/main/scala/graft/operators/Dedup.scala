@@ -469,11 +469,22 @@ object Dedup {
     val tagged = graft.Caching.ensureCached(
       graft.operators.Ivf.assign(df, vecCol, model)
         .select(col(idCol).as("id"), col("list_id")))
+    // AUTO mode already holds the per-list width histogram on the
+    // driver — decide here whether ANY list exceeds the cap. In the
+    // common balanced case none does, and the guarded plan is then
+    // IDENTICAL in output to the unguarded one (the flood branch is
+    // provably empty), so skip its machinery outright: the width
+    // re-aggregation + join, the flood-report collect job, the pivot/
+    // chain branches and their union all drop out of the plan.
     val guard =
       if (maxBucket >= 0) maxBucket
-      else autoBucketGuard(tagged.groupBy(col("list_id"))
-        .agg(count(lit(1)).as("w"))
-        .select(col("w")).collect().map(_.getLong(0)).toSeq)
+      else {
+        val widths = tagged.groupBy(col("list_id"))
+          .agg(count(lit(1)).as("w"))
+          .select(col("w")).collect().map(_.getLong(0)).toSeq
+        val g = autoBucketGuard(widths)
+        if (widths.forall(_ <= g)) 0 else g
+      }
     val cand = bucketCandidatePairs(tagged, Seq("list_id"), "id", guard)
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))

@@ -152,18 +152,29 @@ object IndexAdvisor {
     val spark = table.sparkSession
     table.write.mode("overwrite").partitionBy(partitionCol).parquet(scratchDir)
     val laid = spark.read.parquet(scratchDir)
-    val total = laid.select(col(partitionCol)).distinct().count()
     val dirRe = java.util.regex.Pattern.quote(partitionCol) + "=[^/]*"
-    val rows = values.map { v =>
+    // ONE action probes every advice value AND the partition total:
+    // each value keeps its own pruned-scan branch inside the union
+    // (partition pruning per branch is exactly what is being measured)
+    // instead of one scheduling round-trip per value (4 collect jobs
+    // for 3 values + total; now 1).
+    val probes = values.zipWithIndex.map { case (v, i) =>
       // input_file_name is non-deterministic — project it below the
       // aggregate (Spark rejects it inside count_distinct directly)
-      val r = laid.filter(col(partitionCol) === lit(v))
+      laid.filter(col(partitionCol) === lit(v))
         .select(regexp_extract(input_file_name(), dirRe, 0).as("_dir"))
         .agg(count_distinct(col("_dir")).as("_dirs"), count(lit(1)).as("_cnt"))
-        .collect()(0)
-      val scanned = r.getAs[Long]("_dirs")
-      (partitionCol, String.valueOf(v), total, scanned,
-        r.getAs[Long]("_cnt"), total - scanned > 0)
+        .select(lit(i).as("_i"), col("_dirs"), col("_cnt"))
+    } :+ laid.select(col(partitionCol)).distinct()
+      .agg(count(lit(1)).as("_dirs"))
+      .select(lit(-1).as("_i"), col("_dirs"), lit(0L).as("_cnt"))
+    val byIdx = probes.reduce(_ unionByName _).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = byIdx(-1)._1
+    val rows = values.zipWithIndex.map { case (v, i) =>
+      val (scanned, cnt) = byIdx(i)
+      (partitionCol, String.valueOf(v), total, scanned, cnt,
+        total - scanned > 0)
     }
     import spark.implicits._
     rows.toDF("column_name", "value", "partitions_total",

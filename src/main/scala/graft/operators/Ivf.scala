@@ -68,34 +68,53 @@ object Ivf {
    *
    * Above `graft.ivf.localKmeansMaxLists` (default 128) the
    * single-threaded fit — O(sample × nlists × dim) per iteration with
-   * sample = 50·nlists — would itself become the bottleneck, so the
-   * distributed trainer keeps the job (parameterized, not a local-mode
-   * constant: a corpus warranting thousands of lists trains
-   * distributed exactly as before).
+   * sample = 50·nlists — would itself become the bottleneck, so there
+   * the SAME deterministic bounded sample is drawn distributedly and
+   * MLlib trains on the sample (never the corpus): CREATE INDEX stays
+   * one bounded corpus pass at ANY list count; only the ~25 k-means
+   * jobs' INPUT changes from 100 TB to 50·nlists rows. (Parameterized,
+   * not a local-mode constant.)
+   *
+   * Sample membership is fully deterministic: the TakeOrdered orders
+   * by (xxhash64(v), v), so rows colliding at the cut boundary are
+   * admitted by vector order, not partition luck.
    */
   def buildSampled(corpus: DataFrame, vecCol: String, nlists: Int,
       seed: Long = 42L): Model = {
     val maxLocal = corpus.sparkSession.conf
       .get("graft.ivf.localKmeansMaxLists", "128").toInt
-    if (nlists > maxLocal) return build(corpus, vecCol, nlists, seed)
     // ivfkmeans.cpp samples 50*lists; the floor keeps thin corpora whole
     val target = math.max(10000, 50 * nlists)
-    val drawn = corpus
+    val drawnDf = corpus
       .select(col(vecCol).cast("array<float>").as("v"))
       .where(col("v").isNotNull)
       .select(xxhash64(col("v")).as("h"), col("v"))
-      .orderBy(col("h")).limit(target)
-      .collect()
-    // full determinism: break hash ties by lexicographic vector
-    // compare locally (TakeOrdered's tie order is partition-luck)
-    val pts = drawn
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortWith { case ((h1, v1), (h2, v2)) =>
-        if (h1 != h2) h1 < h2
-        else java.util.Arrays.compare(v1, v2) < 0
-      }
-      .map(_._2)
-    Model(LocalKMeans.fit(pts, nlists, seed, maxIter = 20))
+      .orderBy(col("h"), col("v")).limit(target)
+    if (nlists > maxLocal) {
+      // mid regime (the r19 cliff): one bounded sampling pass, then
+      // the distributed trainer over the SAMPLE — job count stays flat
+      // in corpus size, fit parallelism scales with nlists
+      val feats = drawnDf
+        .select(array_to_vector(col("v").cast("array<double>")).as("features"))
+        .cache()
+      try {
+        val km = new KMeans().setK(nlists).setSeed(seed).setMaxIter(20)
+          .setFeaturesCol("features")
+        Model(km.fit(feats).clusterCenters.map(_.toArray.map(_.toFloat)))
+      } finally feats.unpersist(blocking = false)
+    } else {
+      val drawn = drawnDf.collect()
+      // local re-sort for a partition-order-free point sequence (the
+      // heap's emit order among equal keys is not specified)
+      val pts = drawn
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortWith { case ((h1, v1), (h2, v2)) =>
+          if (h1 != h2) h1 < h2
+          else java.util.Arrays.compare(v1, v2) < 0
+        }
+        .map(_._2)
+      Model(LocalKMeans.fit(pts, nlists, seed, maxIter = 20))
+    }
   }
 
   /**
@@ -383,15 +402,16 @@ private[graft] object LocalKMeans {
     * match it). */
   def fit(pts: Array[Array[Float]], k0: Int, seed: Long, maxIter: Int,
       restarts: Int = 4): Array[Array[Float]] = {
-    var best: Array[Array[Float]] = null
-    var bestCost = Double.MaxValue
-    var r = 0
-    while (r < restarts) {
-      val (cs, cost) = fitOnce(pts, k0, seed + r, maxIter)
-      if (cost < bestCost) { bestCost = cost; best = cs }
-      r += 1
-    }
-    best
+    // restarts are embarrassingly parallel (fitOnce is pure in its
+    // seed) — run them on driver threads; selection stays the
+    // sequential rule (strictly smaller cost wins, earliest restart
+    // on a tie), so the result is unchanged
+    val results = (0 until restarts).toArray.map { r =>
+      scala.concurrent.Future(fitOnce(pts, k0, seed + r, maxIter))(
+        scala.concurrent.ExecutionContext.global)
+    }.map(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf))
+    results.zipWithIndex.minBy { case ((_, cost), r) => (cost, r) }._1._1
   }
 
   private def fitOnce(pts: Array[Array[Float]], k0: Int, seed: Long,
@@ -458,18 +478,27 @@ private[graft] object LocalKMeans {
         i += 1
       }
       var c = 0
+      // points consumed as re-seeds THIS step: two empty clusters in
+      // one update must not both grab the same farthest point (which
+      // persisted duplicate centroids to maxIter)
+      val used = new java.util.HashSet[Integer]()
       while (c < k) {
         if (cnt(c) > 0) {
           var j = 0
           while (j < dim) { centers(c)(j) = sums(c)(j) / cnt(c); j += 1 }
         } else {
-          // deterministic re-seed: the point farthest from its centroid
-          var far = 0; var fd = -1.0; var i2 = 0
+          // deterministic re-seed: the farthest not-yet-used point
+          // from its centroid
+          var far = -1; var fd = -1.0; var i2 = 0
           while (i2 < n) {
-            val d = l2sq(pts(i2), centers(assign(i2)))
-            if (d > fd) { fd = d; far = i2 }
+            if (!used.contains(i2)) {
+              val d = l2sq(pts(i2), centers(assign(i2)))
+              if (d > fd) { fd = d; far = i2 }
+            }
             i2 += 1
           }
+          if (far < 0) far = 0 // fewer distinct points than clusters
+          used.add(far)
           setCenter(c, pts(far))
           changed = true
         }
@@ -477,10 +506,18 @@ private[graft] object LocalKMeans {
       }
       iter += 1
     }
-    // within-cluster sum of squares for the restart comparison
+    // within-cluster sum of squares for the restart comparison, over
+    // assignments RECOMPUTED against the final centers (the loop's
+    // `assign` is one Lloyd's step stale after the last center update)
     var wcss = 0.0
     var i3 = 0
-    while (i3 < n) { wcss += l2sq(pts(i3), centers(assign(i3))); i3 += 1 }
+    while (i3 < n) {
+      var bd = Double.MaxValue; var c = 0
+      while (c < k) {
+        val d = l2sq(pts(i3), centers(c)); if (d < bd) bd = d; c += 1
+      }
+      wcss += bd; i3 += 1
+    }
     (centers.map(_.map(_.toFloat)), wcss)
   }
 }

@@ -720,30 +720,37 @@ object Ml {
   private def bestSplit(pts: DataFrame, q: Column, cond: Column,
       lambda: Double = 0.0)
       : Option[(Double, Int, Long, Long, Long, Long, Long)] = {
-    val cands = (1 to 2).flatMap { f =>
-      val filtered = pts.filter(cond)
-        .select(col(s"x$f").cast("long").as("v"), q.as("q"))
-      // cache the per-value aggregate so it computes ONCE: the path
-      // probe, and the binned re-aggregate, all read the cached V
-      // rows instead of re-running the groupBy over the base data
-      val perValue = filtered
-        .groupBy("v").agg(count(lit(1)).as("cnt"), sum("q").as("sq"))
-        .cache()
-      val stats: Array[(Long, Long, Long)] =
-        try {
+    // BOTH features' per-value aggregates in ONE distributed pass:
+    // each row explodes into (feat, value) pairs and one groupBy(f, v)
+    // replaces the per-feature groupBy — the base data is read once
+    // per round instead of once per feature, and the feature probes
+    // below hit the cached V-row table (2 tiny jobs, no rescans).
+    val filtered = pts.filter(cond)
+    val perValue = filtered
+      .select(explode(array(
+        struct(lit(1).as("f"), col("x1").cast("long").as("v")),
+        struct(lit(2).as("f"), col("x2").cast("long").as("v")))).as("p"),
+        q.as("q"))
+      .groupBy(col("p.f").as("f"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("cnt"), sum("q").as("sq"))
+      .cache()
+    val cands = try (1 to 2).flatMap { f =>
+      val mine = perValue.filter(col("f") === f).select("v", "cnt", "sq")
+      val stats: Array[(Long, Long, Long)] = {
           // top-(B+1) probe replaces a separate count(): ≤ B rows back
           // means the collect IS the complete sorted value table
-          val head = perValue.orderBy("v").limit(SplitMaxBins + 1).collect()
+          val head = mine.orderBy("v").limit(SplitMaxBins + 1).collect()
           if (head.length <= SplitMaxBins) {
             head.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           } else {
             binnedSplitRuns += 1
             val probs = (1 until SplitMaxBins).map(_.toDouble / SplitMaxBins).toArray
-            val edges = filtered.stat
+            val edges = filtered
+              .select(col(s"x$f").cast("long").as("v")).stat
               .approxQuantile("v", probs, 1.0 / (4.0 * SplitMaxBins))
               .distinct.sorted
             val edgeArr = array(edges.map(e => lit(e)): _*)
-            perValue
+            mine
               .withColumn("bin", aggregate(edgeArr, lit(0),
                 (acc, e) => acc + when(col("v").cast("double") > e, 1).otherwise(0)))
               .groupBy("bin")
@@ -751,7 +758,7 @@ object Ml {
               .orderBy("bin").collect()
               .map(r => (r.getLong(3), r.getLong(1), r.getLong(2)))
           }
-        } finally perValue.unpersist(blocking = false)
+        }
       val n = stats.map(_._2).sum
       val stot = stats.map(_._3).sum
       var cl = 0L; var sl = 0L
@@ -765,7 +772,7 @@ object Ml {
             ((n - cl).toDouble + lambda)
         (gain, f, v, cl, sl, n, stot)
       }
-    }
+    } finally perValue.unpersist(blocking = false)
     if (cands.isEmpty) None
     else Some(cands.minBy { case (g, f, v, _, _, _, _) => (-g, f, v) })
   }

@@ -95,7 +95,13 @@ class SnapshotStore(spark: SparkSession, base: String) {
     * re-read (listing + footer + a 1-task collect job) on every
     * find/derive/read; a 3-derivation tree was paying ~10 such
     * round-trips. Every mutation goes through [[saveMetas]], which
-    * persists first and updates the cache after. */
+    * persists first and updates the cache after.
+    *
+    * SINGLE-WRITER ASSUMPTION: a store instance never sees catalog
+    * mutations made through ANOTHER instance (or process) over the
+    * same base path after its first read — construct a fresh
+    * SnapshotStore to pick up external changes (the reference's
+    * snapshot catalog is likewise session-scoped state). */
   private var metasCache: Option[Seq[Meta]] = None
 
   private def metas: Seq[Meta] = metasCache.getOrElse {
@@ -173,25 +179,31 @@ class SnapshotStore(spark: SparkSession, base: String) {
         val cols = pdf.columns
         // MSS materializes the child ONCE and derives the delta from
         // the written copy (a cheap re-scan, not a re-run of the
-        // transform); CSS writes the delta once and reads the tiny
-        // written file back for the op counts
+        // transform); CSS writes the delta PARTITIONED BY op2 so the
+        // per-op counts come straight from the written parquet's
+        // footers (zero Spark jobs — the old groupBy(op2).collect paid
+        // a scheduling round-trip per derivation) and every later
+        // delta read prunes to the ops it needs (reconstruction reads
+        // I/U and D from disjoint directories)
         val tmp = s"$base/.tmp-$id"
-        val delta =
+        val counts: Map[String, Long] =
           if (css) {
             val d = Flashback.restoreDelta(
               pdf.select(cols.map(col): _*), child.select(cols.map(col): _*),
               parent.keyCol)
-            d.write.mode("overwrite").parquet(tmp)
-            // schema already known — no footer-inference on the re-read
-            spark.read.schema(d.schema).parquet(tmp)
+            d.write.mode("overwrite").partitionBy("op2").parquet(tmp)
+            Seq("I", "D", "U").map { op =>
+              val p = new org.apache.hadoop.fs.Path(s"$tmp/op2=$op")
+              op -> (if (fs.exists(p)) footerCount(p.toString) else 0L)
+            }.toMap
           } else {
             child.write.mode("overwrite").parquet(tmp)
             val childW = spark.read.schema(child.schema).parquet(tmp)
             Flashback.restoreDelta(pdf.select(cols.map(col): _*),
-              childW.select(cols.map(col): _*), parent.keyCol)
+                childW.select(cols.map(col): _*), parent.keyCol)
+              .groupBy("op2").count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
           }
-        val counts = delta.groupBy("op2").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
         val kind = if (counts.getOrElse("I", 0L) + counts.getOrElse("D", 0L) > 0) 1 else 2
         val m0 = Meta(id, Some(parent.id), parent.rootId, name,
           bump(fromVersion, kind), if (css) "CSS" else "MSS",
@@ -213,12 +225,19 @@ class SnapshotStore(spark: SparkSession, base: String) {
     * catalog chain; each step is one distributed merge). */
   def read(name: String, version: String): DataFrame = {
     val m = find(name, version)
-    val raw = spark.read.parquet(dataPath(m))
-    if (m.storage == "full") raw
+    if (m.storage == "full") spark.read.parquet(dataPath(m))
     else {
       val parent = metas.find(_.id == m.parentId.get).get
       val pdf = read(parent.name, parent.version)
       val cols = pdf.columns
+      // deltas are op2-partitioned: read with the known schema (delta
+      // columns + the op2 partition column — no footer inference, and
+      // an all-empty delta still reads) and let the op2 filters prune
+      // to their directories
+      val deltaSchema = org.apache.spark.sql.types.StructType(
+        pdf.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "op2", org.apache.spark.sql.types.StringType))
+      val raw = spark.read.schema(deltaSchema).parquet(dataPath(m))
       val ups = raw.filter(col("op2") =!= "D").select(cols.map(col): _*)
       val dels = raw.filter(col("op2") === "D").select(col(m.keyCol))
       Upsert.delete(Upsert.merge(pdf, ups, m.keyCol), dels, m.keyCol)

@@ -214,11 +214,6 @@ object TextAnalysis {
     // with cu > 0) — the corpus is never re-scanned for them
     val totals = counts.agg(sum(col("cu")).as("bigN"),
       sum((col("cu") > 0L).cast("long")).as("vocabV"))
-    // one lookup table per probe key, all five the SAME plan modulo
-    // the projected class column (absent-row NULL via nullif)
-    def look(keyCol: String, cnt: String, as: String) =
-      counts.select(col("h").as(keyCol), nullif(col(cnt), lit(0L)).as(as))
-
     // doc-side stream: all five probe keys minted in the same
     // compiled pass (one 40-byte struct per trigram), exploded once,
     // then ONE pre-aggregation per (id, trigram) — the grouping key
@@ -234,6 +229,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("m"), first(col("h12")).as("h12"),
         first(col("h23")).as("h23"), first(col("h2")).as("h2"),
         first(col("h3")).as("h3"))
+    // one lookup per probe key against the SAME pivoted table (the
+    // shared (h)-keyed exchange below all five is reused at runtime;
+    // only the vocabulary-sized final aggregate + build repeats);
+    // nullif restores the absent-row NULL of the per-class tables
+    def look(keyCol: String, cnt: String, as: String) =
+      counts.select(col("h").as(keyCol), nullif(col(cnt), lit(0L)).as(as))
     val scored = docTri
       .join(look("h123", "ct", "c3"), Seq("h123"), "left")
       .join(look("h12", "cb", "c12"), Seq("h12"), "left")
@@ -266,29 +267,15 @@ object TextAnalysis {
    * nav bars, and looping generations all score high while whole-doc
    * dedup can't see them. dupN = 1 − distinct_ngrams/ngrams.
    *
-   * Entirely MAP-ONLY (per-doc array expressions inside codegen — no
-   * explode, no shuffle, no state): the shape that runs at 100 TB as
-   * a pure scan next to the other text kernels.
+   * Entirely MAP-ONLY, one compiled pass per row (see
+   * [[graft.functions.RepetitionStats]] — the declarative array-
+   * expression chain re-evaluated its lambda-captured token array per
+   * gram position, O(tokens²) per doc): the shape that runs at 100 TB
+   * as a pure scan next to the other text kernels.
    * Output struct: (n_tokens, dup2_ratio, dup3_ratio) at 6dp.
    */
-  def repetitionStats(text: Column): Column = {
-    val toks = filter(tokens(text), t => t =!= "")
-    def grams(w: Int): Column = {
-      val n = size(toks)
-      // sequence() DECREASES when the doc is shorter than w — guard
-      when(n < w, array().cast("array<string>")).otherwise(
-        transform(sequence(lit(1), n - (w - 1)), i =>
-          array_join(slice(toks, i, lit(w)), " ")))
-    }
-    def dupRatio(w: Int): Column = {
-      val g = grams(w)
-      when(size(g) === 0, lit(0.0)).otherwise(
-        round(lit(1.0) - size(array_distinct(g)).cast("double") /
-          size(g).cast("double"), 6))
-    }
-    struct(size(toks).cast("long").as("n_tokens"),
-      dupRatio(2).as("dup2_ratio"), dupRatio(3).as("dup3_ratio"))
-  }
+  def repetitionStats(text: Column): Column =
+    Bridge.column(graft.functions.RepetitionStats(Bridge.expression(text)))
 
   /**
    * Model-based quality filtering — the fastText-classifier stage of

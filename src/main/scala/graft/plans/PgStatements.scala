@@ -2185,11 +2185,12 @@ object PgStatements {
     /** Space-tagged corpus. The non-raw spaces compute per-row work
       * (normalize / augment / proxy fold); when k-means was the MLlib
       * distributed trainer its ~25 scans made a checkpoint worthwhile —
-      * the sampled driver-side build (Ivf.build) scans ONCE for its
-      * sample and once more for the assignment write, so recomputing
-      * the cheap map transform now beats paying a full checkpoint
-      * write + read of the corpus (r19 measurement: CREATE INDEX
-      * statement jobs 38 → single digits). */
+      * Ivf.buildSampled scans ONCE for its bounded sample at ANY list
+      * count (above localKmeansMaxLists the distributed trainer runs
+      * on the sample, never the corpus) and once more for the
+      * assignment write, so recomputing the cheap map transform beats
+      * paying a full checkpoint write + read of the corpus (r19
+      * measurement: CREATE INDEX statement jobs 38 → single digits). */
     def tagSpace(space: String, aug: Double): (DataFrame, String) = {
       val sc = "__graft_space"
       (corpus.withColumn(sc, spaceColumn(space, col(column), aug)), sc)

@@ -290,16 +290,23 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
-  test("indexed fts match: semi/anti equi-joins only, never a nested loop") {
+  test("indexed fts match: ONE postings pass, equi-joins only, pruned read") {
     val p = plan("fts_indexed")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "indexed match must stay an equi-join tree")
-    assert(p.contains("LeftAnti"), "NOT arm lost its anti-join form")
+    // r20: non-prefix indexedMatch evaluates through the one-pass
+    // broadcast-literal kernel — the postings are scanned exactly ONCE
+    // (the old per-term semi/anti-join chain re-ran the whole postings
+    // plan once per term per DNF arm); negation is the nneg_hit = 0
+    // filter over the same pass, not a second scan's anti-join
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "fts_indexed must scan the postings exactly once")
     // the persisted postings are partitioned by term-hash bucket and
-    // every term lookup carries its bucket literal: the parquet reader
-    // must prune to the query terms' partitions (the GIN I/O shape —
-    // at 100 TB the indexed path IS this pruned read)
+    // the single pass carries the union of the query terms' bucket
+    // literals: the parquet reader must prune to those partitions
+    // (the GIN I/O shape — at 100 TB the indexed path IS this pruned
+    // read)
     assert(p.contains("PartitionFilters: [") && p.contains("tbucket"),
       "fts_indexed lost reader-level term-bucket pruning")
   }
