@@ -52,11 +52,15 @@ object Scratch {
     val full = graft.operators.TextAnalysis.trigramBackoffNll(
       docs, "doc_id", "text", col("doc_id") % 2 === 0)
     t("full") { full.write.format("noop").mode("overwrite").save() }
-    full.write.format("noop").mode("overwrite").save()
+    full.collect() // drive full's own QueryExecution so AQE finalizes
     val ep = full.queryExecution.executedPlan.toString
-    println("REUSED: " + "ReusedQueryStage|ReusedExchange|reused"
-      .r.findAllIn(ep).size)
-    println("GEN: " + "Generate".r.findAllIn(ep).size)
+    val stageIds = "ShuffleQueryStage (\\d+)".r.findAllMatchIn(ep)
+      .map(_.group(1)).toSeq
+    println("SHUFFLE STAGES: " + stageIds.mkString(",") +
+      " distinct=" + stageIds.distinct.size)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/plans/r20/text_trigram_ppl_after_executed.txt"),
+      ep)
     spark.stop()
   }
 }

@@ -229,18 +229,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("m"), first(col("h12")).as("h12"),
         first(col("h23")).as("h23"), first(col("h2")).as("h2"),
         first(col("h3")).as("h3"))
-    // one lookup per probe key against the SAME pivoted table (the
-    // shared (h)-keyed exchange below all five is reused at runtime;
-    // only the vocabulary-sized final aggregate + build repeats);
-    // nullif restores the absent-row NULL of the per-class tables
-    def look(keyCol: String, cnt: String, as: String) =
-      counts.select(col("h").as(keyCol), nullif(col(cnt), lit(0L)).as(as))
+    // ONE lookup join for all five probes: the five (role, key) pairs
+    // MELT into rows, join the counts table once, and pivot back per
+    // (id, trigram). Five per-key joins — even against the same
+    // pivoted table — de-duplicate only partially: column pruning
+    // specializes each lookup branch to its class column, so the gram
+    // exchange still executed 3× (executed-plan evidence in
+    // plans/r20). The melted join needs the counts subtree ONCE, and
+    // the pivot-back groupBy rides the docTri aggregate's existing
+    // (id, h123) partitioning — no extra exchange. nullif restores
+    // the absent-row NULL of the old per-class tables.
+    val roles = array(
+      struct(lit(0).as("r"), col("h123").as("h")),
+      struct(lit(1).as("r"), col("h12").as("h")),
+      struct(lit(2).as("r"), col("h23").as("h")),
+      struct(lit(3).as("r"), col("h2").as("h")),
+      struct(lit(4).as("r"), col("h3").as("h")))
+    def pick(r: Int, cnt: String) =
+      max(when(col("r") === r, nullif(col(cnt), lit(0L))))
     val scored = docTri
-      .join(look("h123", "ct", "c3"), Seq("h123"), "left")
-      .join(look("h12", "cb", "c12"), Seq("h12"), "left")
-      .join(look("h23", "cb", "c23"), Seq("h23"), "left")
-      .join(look("h2", "cu", "n2"), Seq("h2"), "left")
-      .join(look("h3", "cu", "n3"), Seq("h3"), "left")
+      .select(col("id"), col("h123"), col("m"), explode(roles).as("p"))
+      .select(col("id"), col("h123"), col("m"),
+        col("p.r").as("r"), col("p.h").as("h"))
+      .join(counts, Seq("h"), "left")
+      .groupBy(col("id"), col("h123"))
+      .agg(first(col("m")).as("m"),
+        pick(0, "ct").as("c3"), pick(1, "cb").as("c12"),
+        pick(2, "cb").as("c23"), pick(3, "cu").as("n2"),
+        pick(4, "cu").as("n3"))
       .crossJoin(broadcast(totals))
       .withColumn("s",
         when(col("c3").isNotNull,
